@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{Tables, Util}
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Timeseries analytics over the append-only event stream — the
+  * engine-side analogs of games_timeseries queries
+  * (ref main.py:91-105; VISUALIZATION_PLAN.md phases 1-3).
+  *
+  * All windows partition by an entity key (user_id) or operate on a
+  * pre-aggregated-by-day frame, so no unbounded global window state
+  * exists at 100 TB.
+  */
+object Timeseries {
+
+  /** q6: daily pipeline-health counts (VIZ plan §3.1 "数据心电图"). */
+  def q6DailyHealth(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum2(col("value")).as("sum_value"))
+      .orderBy(col("day"))
+
+  /** q11: gap-based sessionization via lag + cumulative flag sum —
+    * the batch form (streaming form: graft.streaming.EventStream). */
+  def q11Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_s").isNull || col("ts").cast("long") - col("prev_s") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q12: 7-day moving average of daily revenue — trend analysis
+    * (VIZ plan §3.3). Exact decimal window sums → double at the end. */
+  def q12MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", dbl(sum(col("rev_dec")).over(w)) / count(lit(1)).over(w))
+      .select(col("day"), dbl(col("rev_dec")).as("revenue"), col("ma7"))
+      .orderBy(col("day"))
+  }
+
+  /** q15: latest-N quality sample (VIZ plan §3.1 "質量抽樣台";
+    * ref /games endpoint main.py:514-523). */
+  def q15LatestSample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), dbl(dec2(col("value"))).as("value"))
+
+  /** q18: tumbling-window aggregation — batch-equivalent of the
+    * streaming job in graft.streaming.EventStream, so the DuckDB
+    * oracle can check the same semantics. */
+  def q18StreamTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

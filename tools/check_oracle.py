@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table by basename, runs every oracle SQL,
+and compares against the Spark-written parquet: schema (column names,
+sorted), row count, and exact value equality after sorting columns by
+name and rows by all columns.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f)[:-len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for qname, sql in sorted(oracle.items()):
+    spark_path = f"{out_dir}/{qname}"
+    if not os.path.isdir(spark_path):
+        print(f"FAIL {qname}: no spark output dir"); fails += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {qname}: {e}"); fails += 1; continue
+    g_cols, e_cols = sorted(got.columns), sorted(exp.columns)
+    if g_cols != e_cols:
+        print(f"FAIL {qname}: cols {g_cols} != {e_cols}"); fails += 1; continue
+    got = got[g_cols].sort_values(g_cols).reset_index(drop=True)
+    exp = exp[e_cols].sort_values(e_cols).reset_index(drop=True)
+    if len(got) != len(exp):
+        print(f"FAIL {qname}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+        print(f"OK   {qname} ({len(got)} rows)")
+    except AssertionError as e:
+        print(f"FAIL {qname}: values differ: {str(e)[:400]}")
+        fails += 1
+sys.exit(1 if fails else 0)
