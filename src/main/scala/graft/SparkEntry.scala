@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, Timeseries}
+import graft.operators.{Dedup, Relational, Similarity, Timeseries}
+import graft.functions.TextFunctions
+import graft.sources.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -36,6 +38,17 @@ object SparkEntry {
     "q16_json_flatten"   -> Relational.q16JsonFlatten _,
     "q17_recommend"      -> Relational.q17Recommend _,
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
+    "dedup_exact"         -> Dedup.dedupExact _,
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash"       -> Dedup.minhashCandidates _,
+    "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
+    "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
+    "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
+    "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
+    "text_stats"          -> TextFunctions.textStats _,
+    "text_langid"         -> TextFunctions.langId _,
+    "text_fingerprint"    -> TextFunctions.fingerprint _,
+    "multimodal_meta"     -> Multimodal.features _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,5 +220,112 @@ object SparkEntry {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "dedup_exact" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50)
+      SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+      FROM docs GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keeper_id""",
+
+    "dedup_ngram_jaccard" -> """
+      WITH docs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, lang, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      tok AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM docs),
+      sh AS (
+        SELECT DISTINCT doc_id, lang,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                           AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, shared,
+        CAST(shared AS DOUBLE) / (n1.n_sh + n2.n_sh - shared) AS jaccard
+      FROM shared JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+      WHERE CAST(shared AS DOUBLE) / (n1.n_sh + n2.n_sh - shared) >= 0.5
+      ORDER BY d1, d2""",
+
+    "dedup_emb_cosine" -> """
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+      ORDER BY v1, v2""",
+
+    "ann_bruteforce" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+          round(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "text_stats" -> """
+      WITH t AS (
+        SELECT doc_id, lang, text,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, lang,
+          CAST(len(toks) AS INT) AS n_tokens,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS INT) AS n_punct,
+          CAST(len(list_filter(toks,
+            x -> x IN ('the','a','of','and','to','in','is','on'))) AS INT) AS n_stopwords
+        FROM t),
+      r AS (
+        SELECT *, CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+          CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+          CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len
+        FROM m)
+      SELECT doc_id, lang, n_tokens, n_chars, n_punct, n_stopwords,
+        stopword_ratio, punct_ratio, avg_token_len,
+        CASE WHEN n_tokens < 5 THEN 0.0
+             ELSE 1.0 - punct_ratio * 2.0 - abs(stopword_ratio - 0.4) END AS quality_score
+      FROM r ORDER BY doc_id""",
+
+    "text_langid" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id, lang AS labeled_lang,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS INT) AS hits_en,
+          CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS hits_de,
+          CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS INT) AS hits_es,
+          CAST(len(list_filter(toks, x -> x IN ('le','les','des','est','et'))) AS INT) AS hits_fr
+        FROM t)
+      SELECT doc_id, labeled_lang, hits_en, hits_de, hits_es, hits_fr,
+        CASE WHEN hits_en = 0 AND hits_de = 0 AND hits_es = 0 AND hits_fr = 0 THEN 'und'
+             WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+             WHEN hits_es >= hits_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM h ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication suite (SURVEY.md §2b).
+  *
+  * The driver corpus is duplicate-free, so the exact/ngram/minhash/
+  * simhash queries PLANT deterministic duplicates (doc_id + 100000,
+  * text perturbed) before deduplicating — the oracle SQL plants the
+  * same rows, so detection is still hash-checked end-to-end.
+  *
+  * Scale shape: every pair-generation step is an equi-join on a
+  * blocking key (content hash, shingle, LSH band bucket, simhash
+  * chunk) — the cross product is never materialized, and each join
+  * shuffles once on its bucket key. This is the standard shape for
+  * trillion-row dedup (cf. MinHashLSH in Spark MLlib and the
+  * SimHash near-dup literature).
+  */
+object Dedup {
+
+  /** Documents plus planted duplicates: docs 0-24 duplicated verbatim
+    * (exact dups) and docs 25-49 with a small suffix (near dups). */
+  def withPlants(docs: DataFrame): DataFrame = {
+    val exact = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val near = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zz qq")))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  /** Exact dedup: md5 content hash → group → keep min id.
+    * md5 is shared with DuckDB so the oracle verifies the hashes
+    * themselves, not just the grouping. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    withPlants(Tables.documents(s, d))
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("keeper_id"))
+
+  /** Word n-gram shingles, distinct per doc. Built with array
+    * higher-order functions (no window, no shuffle) — stays inside
+    * whole-stage codegen and scales embarrassingly parallel. */
+  /** Tokenization shared by the typed shingle/signature paths — must
+    * match the oracle SQL exactly: lower → split \s+ → drop empties. */
+  private def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** doc_id, lang, shingle rows via a typed flatMap.
+    *
+    * Deliberately NOT a `transform`/`explode` column pipeline: Spark's
+    * higher-order functions are CodegenFallback, and a fallback
+    * expression fused into a codegen'd Generate stage is re-evaluated
+    * per output element (measured 20-40x slowdown). A typed flatMap
+    * runs the per-row string loop natively and stays embarrassingly
+    * parallel. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        shingleSet(text, n).iterator.map(sh => (id, lang, sh)) }
+      .toDF("doc_id", "lang", "shingle")
+  }
+
+  /** Near-dedup via word-3-gram Jaccard ≥ tau, language-blocked.
+    * Inverted-index join on the shingle: pairs only materialize for
+    * docs that actually share a shingle. */
+  def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val docs = withPlants(Tables.documents(s, d))
+    val sh = shingles(docs, 3)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Generate-output stats are badly underestimated by Catalyst, so
+    // without a hint this self-join broadcasts millions of exploded
+    // shingle rows; shuffle-hash on the shingle key is the shape that
+    // survives at corpus scale.
+    val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
+    val shared = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private val NumHashes = 64
+  private val BandRows = 4 // 16 bands x 4 rows
+
+  /** Deterministic permutation parameters (seeded, engine-internal). */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+                         rnd.nextInt(Int.MaxValue - 1).toLong))
+  }
+
+  /** Deterministic 64-bit FNV-1a string hash with a finalizing mix
+    * (engine-internal; the minhash/simhash oracles are rows-only). */
+  private[operators] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // fmix64 from MurmurHash3 to break up FNV's weak low bits
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** doc_id → 16 LSH band buckets of the 64-wide minhash signature,
+    * computed in one typed pass (tight loop per doc, no shuffle until
+    * the band-bucket join). */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ps = perms.toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = Array.fill(NumHashes)(Long.MaxValue)
+        shingleSet(text, 3).foreach { sh =>
+          val h = ((hash64(sh) % MersennePrime) + MersennePrime) % MersennePrime
+          var i = 0
+          while (i < NumHashes) {
+            val (a, b) = ps(i)
+            val v = (a * h + b) % MersennePrime
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        (0 until NumHashes / BandRows).iterator.map { bi =>
+          var bh = 17L
+          var j = bi * BandRows
+          while (j < (bi + 1) * BandRows) { bh = bh * 31 + sig(j); j += 1 }
+          (id, bi, bh)
+        }
+      }
+      .toDF("doc_id", "band", "sig")
+  }
+
+  /** LSH candidate pairs: equal band signature in ≥1 of 16 bands. */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = withPlants(Tables.documents(s, d))
+    val buckets = minhashBands(docs)
+    buckets.as("x").join(buckets.hint("shuffle_hash").as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash per doc: sign of per-bit ±1 sums over token
+    * hashes (token multiset, not set — classic SimHash weighting),
+    * computed in one typed shuffle-free pass. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sums = new Array[Int](64)
+        tokenize(text).foreach { t =>
+          val h = hash64(t)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+            j += 1
+          }
+        }
+        var packed = 0L
+        var j = 0
+        while (j < 64) { if (sums(j) > 0) packed |= (1L << j); j += 1 }
+        (id, packed)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ 3, found by pigeonhole
+    * banding on 4 × 16-bit chunks (≤3 differing bits ⇒ ≥1 chunk
+    * equal) — join on (chunk_idx, chunk_value), never all-pairs. */
+  def simhashNearDups(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val docs = withPlants(Tables.documents(s, d))
+    val sig = simhashSignatures(docs)
+    val chunks = (0 until 4).map { ci =>
+      struct(lit(ci).as("ci"),
+        shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(0xFFFFL).as("cv"))
+    }
+    val idx = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+    idx.as("x").join(idx.hint("shuffle_hash").as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Embedding near-dup: cosine ≥ tau, label-blocked (the generic
+    * scale path replaces the label with an LSH bucket — see
+    * Similarity.annLsh). Cosine is computed in double and rounded to
+    * 6 dp on both engines before thresholding. */
+  def embCosineDups(s: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
+    // Norms are computed once per vector BEFORE pair generation (n
+    // passes, not n² — the difference between hours and minutes at
+    // corpus scale); the pair join then only evaluates the dot.
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = e.as("a"); val b = e.as("b")
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(dot / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("v1"), col("v2"))
+  }
+}

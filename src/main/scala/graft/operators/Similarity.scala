@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §2b). Brute-force cosine is the correctness baseline;
+  * random-hyperplane LSH is the 100 TB path (bucketing turns the
+  * O(n·q) scan into an equi-join on the code).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float arrays, computed in double with a
+    * sequential left fold — the same expression tree the oracle uses,
+    * so results are bit-reproducible across engines. Stays inside
+    * whole-stage codegen (higher-order functions, no UDF). */
+  def cosineD(a: Column, b: Column): Column = {
+    def fold(f: (Column, Column) => Column) =
+      aggregate(zip_with(a, b, (x, y) => f(x.cast("double"), y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val dot = fold((x, y) => x * y)
+    val na = sqrt(fold((x, _) => x * x))
+    val nb = sqrt(fold((_, y) => y * y))
+    dot / (na * nb)
+  }
+
+  /** Corpus projection with the vector pre-cast to double and its
+    * norm computed once — pair evaluation then costs one dot product,
+    * not three array folds. */
+  private def withNorm(e: DataFrame, id: String, v: String): DataFrame =
+    e.select(col("vec_id").as(id),
+        transform(col("embedding"), x => x.cast("double")).as(v))
+      .withColumn(s"${v}_norm",
+        sqrt(aggregate(col(v), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def pairCos(v1: String, v2: String): Column = {
+    val dot = aggregate(zip_with(col(v1), col(v2), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (col(s"${v1}_norm") * col(s"${v2}_norm"))
+  }
+
+  /** Brute-force top-k: broadcast the (small) query set, one pass
+    * over the corpus, per-query top-k via ranking window. */
+  def annBruteforce(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d), "neighbor_id", "v")
+    val q = broadcast(
+      withNorm(Tables.embeddings(s, d).filter(col("vec_id") < nQueries), "query_id", "qv"))
+    val scored = e.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pairCos("qv", "v"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val NumPlanes = 8
+
+  /** Deterministic random hyperplanes (seeded; 64-dim to match the
+    * embedding column). */
+  private lazy val planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH code (NumPlanes bits) for a vector col. */
+  def lshCode(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(v, plane, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: same-code candidates reranked by exact cosine.
+    * Recall < 1 by construction; the bench compares it against the
+    * brute-force baseline. At scale the corpus side is bucketed once
+    * (write-side partitioning) and queries probe their bucket only. */
+  def annLsh(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d), "neighbor_id", "v")
+      .withColumn("code", lshCode(col("v")))
+    val q = broadcast(
+      withNorm(Tables.embeddings(s, d).filter(col("vec_id") < nQueries), "query_id", "qv")
+        .withColumn("code", lshCode(col("qv"))))
+    val cand = e.join(q, Seq("code")).filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        round(pairCos("qv", "v"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
