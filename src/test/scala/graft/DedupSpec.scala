@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The planted duplicates (exact ids 0-24 → +100000, near 25-49 →
+  * +100000 with a 2-token suffix) must be detected by every dedup
+  * flavor. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup finds all 25 planted exact duplicates") {
+    val got = Dedup.dedupExact(spark, sf).collect()
+    assert(got.length == 25)
+    assert(got.forall(_.getAs[Long]("n_copies") == 2))
+    assert(got.map(_.getAs[Long]("keeper_id")).toSet == (0L until 25L).toSet)
+  }
+
+  test("ngram jaccard finds all 25 planted near-duplicates") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (25L until 50L).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("minhash LSH candidates cover all 50 planted pairs") {
+    val pairs = Dedup.minhashCandidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 50L).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("simhash finds planted near-dups within hamming 3") {
+    val rows = Dedup.simhashNearDups(spark, sf).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact plants have identical token multisets -> hamming 0
+    val exact = (0L until 25L).map(i => (i, i + 100000)).toSet
+    assert(exact.subsetOf(pairs))
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("embedding cosine pairs are label-blocked and thresholded") {
+    val rows = Dedup.embCosineDups(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.35))
+  }
+}

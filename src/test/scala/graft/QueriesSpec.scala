@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SparkEntry query runs at sf0.001, returns rows, and keeps
+  * its oracle column names (the driver hash-compares by sorted column
+  * name — a drifted alias breaks the gate before values are even
+  * looked at). */
+class QueriesSpec extends SparkSpec {
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh",
+      "text_fingerprint", "multimodal_meta")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 groups by returnflag x linestatus") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("count_order")).sum > 5000)
+  }
+
+  test("q5 upsert keeps exactly one row per user") {
+    val df = SparkEntry.queries("q5_upsert_latest")(spark, sf)
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("q9 potential score is rank-ordered") {
+    val scores = SparkEntry.queries("q9_potential_score")(spark, sf)
+      .collect().map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumbling counts over a file-source stream match the batch query") {
+    // stage the events parquet as a source directory
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.readEvents(spark, dir), "tumbling_test")
+    // watermark in append mode withholds the max-event-time windows,
+    // so compare as subset of the batch result
+    val batch = EventStream.tumblingCounts(Tables.events(spark, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val got = streamed.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch))
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0),
+      Event(3, ts("2024-01-01 02:00:00"), 7, "click", 1.0), // gap > 30min
+      Event(4, ts("2024-01-01 02:05:00"), 7, "view", 1.0))
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_test").as[SessionOut].collect()
+    // the first session (events 1-2) closed when event 3 arrived
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2)
+    assert(closed.head.session_start == ts("2024-01-01 00:00:00"))
+    assert(closed.head.session_end == ts("2024-01-01 00:10:00"))
+  }
+}
