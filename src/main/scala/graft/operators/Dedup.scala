@@ -226,19 +226,12 @@ object Dedup {
     * Similarity.annLsh). Cosine is computed in double and rounded to
     * 6 dp on both engines before thresholding. */
   def embCosineDups(s: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
-    // Norms are computed once per vector BEFORE pair generation (n
-    // passes, not n² — the difference between hours and minutes at
-    // corpus scale); the pair join then only evaluates the dot.
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val e = Tables.embeddings(s, d)
     val a = e.as("a"); val b = e.as("b")
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(dot / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy(col("v1"), col("v2"))
   }

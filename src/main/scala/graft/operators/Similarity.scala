@@ -26,30 +26,22 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Corpus projection with the vector pre-cast to double and its
-    * norm computed once — pair evaluation then costs one dot product,
-    * not three array folds. */
-  private def withNorm(e: DataFrame, id: String, v: String): DataFrame =
-    e.select(col("vec_id").as(id),
-        transform(col("embedding"), x => x.cast("double")).as(v))
-      .withColumn(s"${v}_norm",
-        sqrt(aggregate(col(v), lit(0.0), (acc, x) => acc + x * x)))
-
-  private def pairCos(v1: String, v2: String): Column = {
-    val dot = aggregate(zip_with(col(v1), col(v2), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    dot / (col(s"${v1}_norm") * col(s"${v2}_norm"))
-  }
+  /** Pair scoring uses the native codegen'd [[CosineSimilarity]]
+    * expression — one fused primitive loop per pair, inside
+    * whole-stage codegen (the HOF formulation is CodegenFallback and
+    * an order of magnitude slower). */
+  private val cos = graft.functions.CosineSimilarity.cosineSim _
 
   /** Brute-force top-k: broadcast the (small) query set, one pass
     * over the corpus, per-query top-k via ranking window. */
   def annBruteforce(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d), "neighbor_id", "v")
-    val q = broadcast(
-      withNorm(Tables.embeddings(s, d).filter(col("vec_id") < nQueries), "query_id", "qv"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+    val q = broadcast(Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
     val scored = e.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(pairCos("qv", "v"), 6).as("cos_sim"))
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,16 +72,17 @@ object Similarity {
     * brute-force baseline. At scale the corpus side is bucketed once
     * (write-side partitioning) and queries probe their bucket only. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d), "neighbor_id", "v")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
       .withColumn("code", lshCode(col("v")))
-    val q = broadcast(
-      withNorm(Tables.embeddings(s, d).filter(col("vec_id") < nQueries), "query_id", "qv")
-        .withColumn("code", lshCode(col("qv"))))
+    val q = broadcast(Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("code", lshCode(col("qv"))))
     val cand = e.join(q, Seq("code")).filter(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"),
-        round(pairCos("qv", "v"), 6).as("cos_sim"))
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
