@@ -23,6 +23,8 @@ object Explain {
       val t0 = System.nanoTime()
       val n = df.count()
       println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
+      println("== Final adaptive plan ==")
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
