@@ -38,6 +38,9 @@ object SparkEntry {
     "q16_json_flatten"   -> Relational.q16JsonFlatten _,
     "q17_recommend"      -> Relational.q17Recommend _,
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
+    "q19_asof"            -> operators.AsOfJoin.q19AsOf _,
+    "q20_percentiles"     -> Timeseries.q20Percentiles _,
+    "q21_pivot"           -> Timeseries.q21Pivot _,
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> Dedup.minhashCandidates _,
@@ -220,6 +223,29 @@ object SparkEntry {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q19_asof" -> """
+      WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, ts, user_id FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts, c.click_id
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
+
+    "q20_percentiles" -> """
+      SELECT event_type, COUNT(*) AS n,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.9), 6) AS p90,
+        round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q21_pivot" -> """
+      SELECT CAST(ts AS DATE) AS day,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      FROM events GROUP BY 1 ORDER BY day""",
 
     "dedup_exact" -> """
       WITH docs AS (

@@ -65,6 +65,32 @@ object Timeseries {
       .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), dbl(dec2(col("value"))).as("value"))
 
+  /** q20: exact value percentiles per event type — the distribution
+    * sampling behind the "quality sampling" dashboards (VIZ plan
+    * §3.1). Exact `percentile` (not approx) so the oracle can check
+    * it; rounded to 6 dp to absorb interpolation-formula ulps. */
+  def q20Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** q21: daily event counts pivoted into one column per event type —
+    * the wide health-dashboard table (VIZ plan §3.1). Pivot values
+    * are pinned so the schema is static (no collect job) and the
+    * oracle can enumerate the same columns. */
+  def q21Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
   /** q18: tumbling-window aggregation — batch-equivalent of the
     * streaming job in graft.streaming.EventStream, so the DuckDB
     * oracle can check the same semantics. */
