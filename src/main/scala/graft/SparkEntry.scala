@@ -52,6 +52,7 @@ object SparkEntry {
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "multimodal_meta"     -> Multimodal.features _,
+    "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,6 +318,7 @@ object SparkEntry {
       m AS (
         SELECT doc_id, lang,
           CAST(len(toks) AS INT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]', 0)) AS INT) AS n_tokens_bpe,
           CAST(length(text) AS INT) AS n_chars,
           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS INT) AS n_punct,
           CAST(len(list_filter(toks,
@@ -327,7 +329,7 @@ object SparkEntry {
           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len
         FROM m)
-      SELECT doc_id, lang, n_tokens, n_chars, n_punct, n_stopwords,
+      SELECT doc_id, lang, n_tokens, n_tokens_bpe, n_chars, n_punct, n_stopwords,
         stopword_ratio, punct_ratio, avg_token_len,
         CASE WHEN n_tokens < 5 THEN 0.0
              ELSE 1.0 - punct_ratio * 2.0 - abs(stopword_ratio - 0.4) END AS quality_score

@@ -25,9 +25,13 @@ object TextFunctions {
     val nChars = length(col("text"))
     val nPunct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
     val nStop = size(filter(t, x => x.isInCollection(Stopwords)))
+    // BPE-ish subword proxy: word tokens + standalone punctuation,
+    // the usual cheap estimator for LLM token budgeting
+    val nTokBpe = size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        nTok.as("n_tokens"), nChars.as("n_chars"), nPunct.as("n_punct"),
+        nTok.as("n_tokens"), nTokBpe.as("n_tokens_bpe"),
+        nChars.as("n_chars"), nPunct.as("n_punct"),
         nStop.as("n_stopwords"),
         (nStop.cast("double") / nTok).as("stopword_ratio"),
         (nPunct.cast("double") / nChars).as("punct_ratio"),

@@ -59,4 +59,33 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** A sampled "frame" of a media payload (video frame-sample stub:
+    * fixed-stride byte slices stand in for decoded frames). */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int,
+                   frame_len: Int, frame_checksum: Long)
+
+  /** STUB frame sampler: emits up to `maxFrames` fixed-stride slices
+    * per payload — the real implementation would seek keyframes with
+    * a codec; the fan-out shape (flatMap, one row per frame, bounded
+    * per input row) is what survives at scale. */
+  def frameSample(s: SparkSession, d: String,
+                  frameLen: Int = 32, maxFrames: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .flatMap { r =>
+        // ??? <- real keyframe decode goes here; deterministic fake below
+        val n = math.min(maxFrames, math.max(1, r.payload.length / frameLen))
+        (0 until n).iterator.map { i =>
+          val off = i * frameLen
+          val len = math.min(frameLen, r.payload.length - off)
+          var sum = 0L
+          var j = off
+          while (j < off + len) { sum += (r.payload(j) & 0xff); j += 1 }
+          Frame(r.doc_id, i, off, len, sum)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }
