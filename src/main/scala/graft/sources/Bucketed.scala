@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle fact tables by their join key
+  * at write time so repeated joins/aggregations on that key run with
+  * NO exchange — the single biggest shuffle saver for a fact table
+  * that is joined on the same key by every query (at 100 TB, one
+  * avoided shuffle is the whole game).
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed managed table (sorted within buckets,
+    * so sort-merge joins also skip the sort). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

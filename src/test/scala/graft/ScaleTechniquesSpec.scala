@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.sources.Bucketed
+import org.apache.spark.sql.functions._
+
+class ScaleTechniquesSpec extends SparkSpec {
+
+  test("salted join matches the plain join result") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(part, "l_partkey")
+    val salted = SkewJoin.saltedJoin(li, part, "l_partkey",
+      largeIdCol = "l_orderkey", saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("p_brand").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = salted.groupBy("p_brand").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketed.writeBucketed(o, "orders_b", "o_orderkey", 8)
+    Bucketed.writeBucketed(li, "lineitem_b", "o_orderkey", 8)
+    val joined = Bucketed.read(spark, "orders_b")
+      .join(Bucketed.read(spark, "lineitem_b"), "o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(800)}")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+}

@@ -9,6 +9,8 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
