@@ -22,6 +22,17 @@ class ScaleTechniquesSpec extends SparkSpec {
   }
 
   test("bucketed tables join without an exchange") {
+    // the in-memory catalog is fresh per JVM but the warehouse dir
+    // persists — clear stale table locations from previous runs
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
       .withColumnRenamed("l_orderkey", "o_orderkey")
