@@ -35,7 +35,10 @@ object Dedup {
     * md5 is shared with DuckDB so the oracle verifies the hashes
     * themselves, not just the grouping. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    withPlants(Tables.documents(s, d))
+    dedupExact(withPlants(Tables.documents(s, d)))
+
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
       .filter(col("n_copies") >= 2)
@@ -76,8 +79,10 @@ object Dedup {
   /** Near-dedup via word-3-gram Jaccard ≥ tau, language-blocked.
     * Inverted-index join on the shingle: pairs only materialize for
     * docs that actually share a shingle. */
-  def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val docs = withPlants(Tables.documents(s, d))
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(withPlants(Tables.documents(s, d)))
+
+  def ngramJaccard(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val sh = shingles(docs, 3)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Generate-output stats are badly underestimated by Catalyst, so
@@ -161,8 +166,10 @@ object Dedup {
   }
 
   /** LSH candidate pairs: equal band signature in ≥1 of 16 bands. */
-  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val docs = withPlants(Tables.documents(s, d))
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(withPlants(Tables.documents(s, d)))
+
+  def minhashCandidates(docs: DataFrame): DataFrame = {
     val buckets = minhashBands(docs)
     buckets.as("x").join(buckets.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -202,8 +209,10 @@ object Dedup {
   /** Near-dup pairs with hamming(simhash) ≤ 3, found by pigeonhole
     * banding on 4 × 16-bit chunks (≤3 differing bits ⇒ ≥1 chunk
     * equal) — join on (chunk_idx, chunk_value), never all-pairs. */
-  def simhashNearDups(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val docs = withPlants(Tables.documents(s, d))
+  def simhashNearDups(s: SparkSession, d: String): DataFrame =
+    simhashNearDups(withPlants(Tables.documents(s, d)))
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(docs)
     val chunks = (0 until 4).map { ci =>
       struct(lit(ci).as("ci"),
@@ -225,8 +234,10 @@ object Dedup {
     * scale path replaces the label with an LSH bucket — see
     * Similarity.annLsh). Cosine is computed in double and rounded to
     * 6 dp on both engines before thresholding. */
-  def embCosineDups(s: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def embCosineDups(s: SparkSession, d: String): DataFrame =
+    embCosineDups(Tables.embeddings(s, d))
+
+  def embCosineDups(e: DataFrame, tau: Double = 0.35): DataFrame = {
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
