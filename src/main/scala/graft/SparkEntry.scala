@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,

@@ -49,6 +49,94 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  /** Spherical k-means on a driver-side sample — the coarse quantizer
+    * for IVF. Deterministic: seeded by taking evenly-spaced sample
+    * vectors as initial centroids. Centroids are unit-normalized so
+    * assignment is argmax dot. */
+  private[operators] def trainCentroids(sample: Array[Array[Float]],
+                                        nlist: Int, iters: Int): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val dim = sample.head.length
+    val stride = math.max(1, sample.length / nlist)
+    var cents = (0 until nlist)
+      .map(i => normalize(sample(i * stride % sample.length).map(_.toDouble)))
+      .toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val b = nearestCentroid(cents, v)
+        var j = 0
+        while (j < dim) { sums(b)(j) += v(j); j += 1 }
+        counts(b) += 1
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else normalize(sums(i))
+      }.toArray
+    }
+    cents
+  }
+
+  private[operators] def nearestCentroid(cents: Array[Array[Double]],
+                                         v: Array[Float]): Int = {
+    var best = 0; var bestDot = Double.MinValue
+    var i = 0
+    while (i < cents.length) {
+      var dot = 0.0; var j = 0
+      while (j < v.length) { dot += cents(i)(j) * v(j); j += 1 }
+      if (dot > bestDot) { bestDot = dot; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private def topCentroids(cents: Array[Array[Double]], v: Array[Float],
+                           nprobe: Int): Seq[Int] =
+    cents.indices.map { i =>
+      var dot = 0.0; var j = 0
+      while (j < v.length) { dot += cents(i)(j) * v(j); j += 1 }
+      (i, dot)
+    }.sortBy(-_._2).take(nprobe).map(_._1)
+
+  /** IVF ANN: corpus bucketed by nearest centroid (write-side
+    * partitioning at scale), queries probe their `nprobe` nearest
+    * buckets, candidates reranked by exact cosine. The quantizer is
+    * trained on a bounded sample (standard IVF practice — sample size
+    * is independent of corpus size, so the collect is O(1) at 100 TB). */
+  def annIvf(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val sample = emb.orderBy("vec_id").limit(2048)
+      .select("embedding").as[Array[Float]].collect()
+    val cents = trainCentroids(sample, nlist, iters = 10)
+    val bc = s.sparkContext.broadcast(cents)
+    val bucketed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("neighbor_id", "bucket", "v")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    val cand = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val NumPlanes = 8
 
   /** Deterministic random hyperplanes (seeded; 64-dim to match the

@@ -79,6 +79,37 @@ object EventStream {
       }
   }
 
+  /** Maintain an SCD-1 snapshot from a stream — the streaming analog
+    * of the reference's batch loop (fetch batch → upsert into
+    * Postgres, main.py:432-482): every micro-batch merges
+    * last-write-wins into a versioned parquet snapshot
+    * (`dir/v{batchId}`; the highest version is current — versioning
+    * keeps the read/overwrite cycle atomic).
+    */
+  def upsertSink(updates: DataFrame, snapshotDir: String, keys: Seq[String],
+                 versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val current = latestSnapshot(spark, snapshotDir)
+          .getOrElse(batch.limit(0))
+        graft.operators.Upsert.upsert(current, batch, keys, versionCol)
+          .write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+        ()
+      }
+      .start()
+
+  /** Highest-versioned snapshot under `dir`, if any. */
+  def latestSnapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val d = new java.io.File(dir)
+    val versions = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(versions.maxBy(_._1)._2.getAbsolutePath))
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

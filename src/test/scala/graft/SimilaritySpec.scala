@@ -17,6 +17,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recalls a meaningful fraction of true neighbors") {
+    val bf = Similarity.annBruteforce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annIvf(spark, sf, nQueries = 10, k = 5).collect()
+    assert(ivf.nonEmpty)
+    val hits = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(bf.contains)
+    // nprobe=4 of nlist=16 buckets: expect well above random recall
+    assert(hits >= 5, s"IVF recalled only $hits of ${bf.size} true top-5 pairs")
+  }
+
   test("LSH ANN is a subset-quality approximation of brute force") {
     val bf = Similarity.annBruteforce(spark, sf, nQueries = 5, k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

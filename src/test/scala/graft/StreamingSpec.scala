@@ -27,6 +27,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(batch))
   }
 
+  test("streaming upsert sink maintains a last-write-wins snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val input = MemoryStream[(String, String, Long)]
+    val q = EventStream.upsertSink(
+      input.toDS().toDF("id", "payload", "v"), dir, Seq("id"), "v")
+    input.addData(("a", "a1", 1L), ("b", "b1", 1L))
+    q.processAllAvailable()
+    input.addData(("b", "b2", 2L), ("c", "c1", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val snap = EventStream.latestSnapshot(spark, dir).get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("a" -> "a1", "b" -> "b2", "c" -> "c1"))
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
