@@ -32,8 +32,26 @@ object Similarity {
     * an order of magnitude slower). */
   private val cos = graft.functions.CosineSimilarity.cosineSim _
 
+  /** Per-query top-k via [[graft.functions.TopK.TopKAggregator]] —
+    * bounded buffers, map-side partial top-k, no per-group sort (the
+    * window/row_number alternative sorts each query's whole candidate
+    * list before discarding all but k). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopK.Scored(t._2, t._3))
+      .agg(new graft.functions.TopK.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, arr) =>
+        arr.iterator.zipWithIndex.map { case (sc, i) => (qid, sc.id, sc.score, i + 1) } }
+      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force top-k: broadcast the (small) query set, one pass
-    * over the corpus, per-query top-k via ranking window. */
+    * over the corpus, per-query top-k via bounded aggregation. */
   def annBruteforce(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
@@ -42,11 +60,7 @@ object Similarity {
     val scored = e.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   // ---- IVF (inverted-file) ANN -----------------------------------------
@@ -128,13 +142,8 @@ object Similarity {
       .toDF("query_id", "bucket", "qv")
     val cand = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
-        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(cand.select(col("query_id"), col("neighbor_id"),
+      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
   }
 
   private val NumPlanes = 8
@@ -167,12 +176,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("code", lshCode(col("qv"))))
     val cand = e.join(q, Seq("code")).filter(col("neighbor_id") =!= col("query_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
-        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(cand.select(col("query_id"), col("neighbor_id"),
+      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
   }
 }

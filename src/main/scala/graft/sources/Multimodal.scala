@@ -20,9 +20,12 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, payload: Array[Byte],
                          width: Int, height: Int, fmt: String)
 
-  /** Features a decoder would emit per record. */
+  /** Features a decoder would emit per record, including the resize
+    * stub's thumbnail outputs. */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
-                           width: Int, height: Int, n_pixels: Long, fmt: String)
+                           width: Int, height: Int, n_pixels: Long,
+                           thumb_w: Int, thumb_h: Int, thumb_checksum: Long,
+                           fmt: String)
 
   /** Manufacture a binary "media" column from the documents table —
     * payload = UTF-8 bytes of the text (stands in for image bytes),
@@ -47,8 +50,14 @@ object Multimodal {
     var sum = 0L
     var i = 0
     while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+    // resize stub: 4x downscale — real impl would interpolate pixels;
+    // the fake samples every 4th byte so output depends on content
+    var tsum = 0L
+    var j = 0
+    while (j < r.payload.length) { tsum += (r.payload(j) & 0xff); j += 4 }
     MediaFeatures(r.doc_id, r.payload.length, sum % 100000,
-      r.width, r.height, r.width.toLong * r.height, r.fmt)
+      r.width, r.height, r.width.toLong * r.height,
+      r.width / 4, r.height / 4, tsum % 100000, r.fmt)
   }
 
   /** multimodal_meta query: batch-decode features over partitions. */
