@@ -356,5 +356,32 @@ object SparkEntry {
              WHEN hits_es >= hits_fr THEN 'es'
              ELSE 'fr' END AS pred_lang
       FROM h ORDER BY doc_id""",
+
+    "text_fingerprint" -> """
+      WITH g AS (
+        SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                         i -> md5(text[i:i+7])) AS hs
+        FROM documents)
+      SELECT doc_id,
+        list_aggregate(hs, 'min') AS fp_min,
+        list_aggregate(hs, 'max') AS fp_max,
+        CAST(len(list_distinct(hs)) AS INT) AS n_distinct_shingles
+      FROM g ORDER BY doc_id""",
+
+    "multimodal_meta" -> """
+      SELECT doc_id,
+        CAST(length(text) AS INT) AS n_bytes,
+        CAST(list_sum(list_transform(range(1, length(text) + 1),
+          i -> unicode(text[i:i]))) % 100000 AS BIGINT) AS checksum,
+        CAST((doc_id % 64 + 16) * 8 AS INT) AS width,
+        CAST((doc_id % 48 + 12) * 8 AS INT) AS height,
+        CAST((doc_id % 64 + 16) * 8 * (doc_id % 48 + 12) * 8 AS BIGINT) AS n_pixels,
+        CAST((doc_id % 64 + 16) * 8 // 4 AS INT) AS thumb_w,
+        CAST((doc_id % 48 + 12) * 8 // 4 AS INT) AS thumb_h,
+        CAST(list_sum(list_transform(range(1, length(text) + 1, 4),
+          i -> unicode(text[i:i]))) % 100000 AS BIGINT) AS thumb_checksum,
+        'fake/raw' AS fmt
+      FROM documents ORDER BY doc_id""",
   )
 }

@@ -69,14 +69,15 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
-  /** text_fingerprint: Karp-Rabin-style character-8-gram sketch —
-    * min/max/count of shingle hashes (winnowing-lite). Engine-
-    * internal hash (xxhash64) → rows-only oracle. */
+  /** text_fingerprint: rolling character-8-gram sketch — min/max/
+    * distinct-count over shingle hashes (winnowing-lite). Hash is md5
+    * (shared with DuckDB), so the fingerprints themselves are
+    * oracle-checked, not just row counts. */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val n = 8
     val grams = transform(
       sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
-      i => xxhash64(col("text").substr(i, lit(n))))
+      i => md5(col("text").substr(i, lit(n))))
     Tables.documents(s, d)
       .select(col("doc_id"),
         array_min(grams).as("fp_min"),

@@ -10,7 +10,7 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh",
-      "ann_ivf", "text_fingerprint", "multimodal_meta", "multimodal_frames")
+      "ann_ivf", "multimodal_frames")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
