@@ -286,6 +286,79 @@ object SparkEntry {
       WHERE CAST(shared AS DOUBLE) / (n1.n_sh + n2.n_sh - shared) >= 0.5
       ORDER BY d1, d2""",
 
+    "dedup_minhash" -> s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      tok AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM docs),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      h AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 9),
+            k -> (strpos('0123456789abcdef', md5(shingle)[k:k]) - 1)
+                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT)
+            % 2147483647 AS hv
+        FROM sh),
+      perms(pid, a, b) AS (VALUES
+        ${operators.Dedup.permsSqlValues}),
+      mins AS (
+        SELECT doc_id, pid, MIN((a * hv + b) % 2147483647) AS m
+        FROM h CROSS JOIN perms GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, pid // 4 AS band,
+          string_agg(CAST(m AS VARCHAR), '_' ORDER BY pid) AS sig
+        FROM mins GROUP BY 1, 2)
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      ORDER BY d1, d2""",
+
+    "dedup_simhash" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      tokmult AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> length(x) > 0)) AS tok
+        FROM docs),
+      th AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 16),
+            k -> CAST((strpos('0123456789abcdef', md5(tok)[k:k]) - 1)
+                 * CAST(16 ** (15 - k) AS BIGINT) AS BIGINT))) AS BIGINT) AS hv
+        FROM tokmult),
+      bits AS (
+        SELECT doc_id, j,
+          SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN range(0, 60) r(j) GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1),
+      chunks AS (
+        SELECT doc_id, simhash, ci, (simhash >> CAST(ci * 15 AS INT)) & 32767 AS cv
+        FROM sig CROSS JOIN range(0, 4) c(ci)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+          x.simhash AS sx, y.simhash AS sy
+        FROM chunks x JOIN chunks y
+          ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(sx, sy)) AS INT) AS hamming
+      FROM pairs WHERE bit_count(xor(sx, sy)) <= 3
+      ORDER BY d1, d2""",
+
     "dedup_emb_cosine" -> """
       SELECT a.vec_id AS v1, b.vec_id AS v2,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -357,6 +430,28 @@ object SparkEntry {
              ELSE 'fr' END AS pred_lang
       FROM h ORDER BY doc_id""",
 
+    "ann_lsh" -> s"""
+      WITH planes(pid, p) AS (VALUES
+        ${operators.Similarity.planesSqlValues}),
+      codes AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p) >= 0
+                        THEN 1 << pid ELSE 0 END) AS INT) AS code
+        FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+      e AS (SELECT embeddings.vec_id, embedding, code
+            FROM embeddings JOIN codes USING (vec_id)),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, code FROM e WHERE vec_id < 10),
+      cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM e JOIN q ON e.code = q.code AND e.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
     "text_fingerprint" -> """
       WITH g AS (
         SELECT doc_id,
@@ -383,5 +478,19 @@ object SparkEntry {
           i -> unicode(text[i:i]))) % 100000 AS BIGINT) AS thumb_checksum,
         'fake/raw' AS fmt
       FROM documents ORDER BY doc_id""",
+
+    "multimodal_frames" -> """
+      WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      f AS (
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+          CAST(fi * 32 AS INT) AS "offset",
+          CAST(least(32, L - fi * 32) AS INT) AS frame_len, text
+        FROM d CROSS JOIN range(0, 4) r(fi)
+        WHERE fi < least(4, greatest(1, L // 32)))
+      SELECT doc_id, frame_idx, "offset", frame_len,
+        CAST(list_sum(list_transform(
+          range("offset" + 1, "offset" + frame_len + 1),
+          i -> unicode(text[i:i]))) AS BIGINT) AS frame_checksum
+      FROM f ORDER BY doc_id, frame_idx""",
   )
 }

@@ -118,48 +118,62 @@ object Dedup {
                          rnd.nextInt(Int.MaxValue - 1).toLong))
   }
 
-  /** Deterministic 64-bit FNV-1a string hash with a finalizing mix
-    * (engine-internal; the minhash/simhash oracles are rows-only). */
-  private[operators] def hash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    // fmix64 from MurmurHash3 to break up FNV's weak low bits
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^ (h >>> 33)
+  /** The permutation parameters as a DuckDB VALUES list `(pid, a, b)`
+    * so the minhash oracle uses the identical permutations. */
+  def permsSqlValues: String =
+    perms.zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString(",\n        ")
+
+  /** md5-derived hashes — md5 is the one hash both engines share, so
+    * deriving minhash/simhash inputs from its hex digits makes those
+    * pipelines oracle-checkable end-to-end. */
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
+
+  /** First 8 md5 hex digits as an unsigned 32-bit value. */
+  private[operators] def md5Hash32(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+
+  /** First 15 md5 hex digits as a 60-bit value (60 = 4 chunks x 15
+    * bits for the simhash pigeonhole banding; also keeps every SQL
+    * intermediate exactly representable). */
+  private[operators] def md5Hash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
 
   /** doc_id → 16 LSH band buckets of the 64-wide minhash signature,
     * computed in one typed pass (tight loop per doc, no shuffle until
-    * the band-bucket join). */
+    * the band-bucket join). Band signatures are the joined min values
+    * as a string — reproducible in plain SQL. Docs with no shingles
+    * emit no bands. */
   def minhashBands(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ps = perms.toArray
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val sig = Array.fill(NumHashes)(Long.MaxValue)
-        shingleSet(text, 3).foreach { sh =>
-          val h = ((hash64(sh) % MersennePrime) + MersennePrime) % MersennePrime
-          var i = 0
-          while (i < NumHashes) {
-            val (a, b) = ps(i)
-            val v = (a * h + b) % MersennePrime
-            if (v < sig(i)) sig(i) = v
-            i += 1
+        val shs = shingleSet(text, 3)
+        if (shs.isEmpty) Iterator.empty
+        else {
+          val sig = Array.fill(NumHashes)(Long.MaxValue)
+          shs.foreach { sh =>
+            val h = md5Hash32(sh) % MersennePrime
+            var i = 0
+            while (i < NumHashes) {
+              val (a, b) = ps(i)
+              val v = (a * h + b) % MersennePrime
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
           }
-        }
-        (0 until NumHashes / BandRows).iterator.map { bi =>
-          var bh = 17L
-          var j = bi * BandRows
-          while (j < (bi + 1) * BandRows) { bh = bh * 31 + sig(j); j += 1 }
-          (id, bi, bh)
+          (0 until NumHashes / BandRows).iterator.map { bi =>
+            (id, bi, (bi * BandRows until (bi + 1) * BandRows)
+              .map(sig).mkString("_"))
+          }
         }
       }
       .toDF("doc_id", "band", "sig")
@@ -181,26 +195,29 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash per doc: sign of per-bit ±1 sums over token
+  private[operators] val SimhashBits = 60 // 4 chunks x 15 bits
+
+  /** 60-bit SimHash per doc: sign of per-bit ±1 sums over token
     * hashes (token multiset, not set — classic SimHash weighting),
-    * computed in one typed shuffle-free pass. */
+    * computed in one typed shuffle-free pass. 60 bits = 15 md5 hex
+    * digits, which keeps the SQL oracle's arithmetic exact. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val sums = new Array[Int](64)
+        val sums = new Array[Int](SimhashBits)
         tokenize(text).foreach { t =>
-          val h = hash64(t)
+          val h = md5Hash60(t)
           var j = 0
-          while (j < 64) {
+          while (j < SimhashBits) {
             if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
             j += 1
           }
         }
         var packed = 0L
         var j = 0
-        while (j < 64) { if (sums(j) > 0) packed |= (1L << j); j += 1 }
+        while (j < SimhashBits) { if (sums(j) > 0) packed |= (1L << j); j += 1 }
         (id, packed)
       }
       .toDF("doc_id", "simhash")
@@ -216,7 +233,7 @@ object Dedup {
     val sig = simhashSignatures(docs)
     val chunks = (0 until 4).map { ci =>
       struct(lit(ci).as("ci"),
-        shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(0xFFFFL).as("cv"))
+        shiftrightunsigned(col("simhash"), ci * 15).bitwiseAND(0x7FFFL).as("cv"))
     }
     val idx = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))

@@ -155,6 +155,14 @@ object Similarity {
     Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** The hyperplanes as a DuckDB VALUES list `(pid, plane)` — doubles
+    * are printed in shortest round-trip form, so the oracle hashes
+    * with the exact same planes. */
+  def planesSqlValues: String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+
   /** Sign-of-projection LSH code (NumPlanes bits) for a vector col. */
   def lshCode(v: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSpec {
 
   test("every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh",
-      "ann_ivf", "multimodal_frames")
+    // ann_ivf stays rows-only: its quantizer centroids are data-
+    // dependent (trained on the corpus sample), so a static SQL
+    // oracle can't reproduce them across scale factors.
+    val rowsOnly = Set("ann_ivf")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
