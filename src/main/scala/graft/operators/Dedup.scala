@@ -126,24 +126,38 @@ object Dedup {
 
   /** md5-derived hashes — md5 is the one hash both engines share, so
     * deriving minhash/simhash inputs from its hex digits makes those
-    * pipelines oracle-checkable end-to-end. */
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    * pipelines oracle-checkable end-to-end. The digest instance is
+    * thread-local (getInstance per call dominated the signature pass)
+    * and values are read straight from the digest bytes — no hex
+    * string materialization. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def digest(s: String): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** First 8 md5 hex digits as an unsigned 32-bit value. */
-  private[operators] def md5Hash32(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+  private[operators] def md5Hash32(s: String): Long = {
+    val d = digest(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
   /** First 15 md5 hex digits as a 60-bit value (60 = 4 chunks x 15
     * bits for the simhash pigeonhole banding; also keeps every SQL
     * intermediate exactly representable). */
-  private[operators] def md5Hash60(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+  private[operators] def md5Hash60(s: String): Long = {
+    val d = digest(s)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
 
   /** doc_id → 16 LSH band buckets of the 64-wide minhash signature,
     * computed in one typed pass (tight loop per doc, no shuffle until
@@ -154,25 +168,30 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val ps = perms.toArray
+    val pa = ps.map(_._1); val pb = ps.map(_._2)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val shs = shingleSet(text, 3)
-        if (shs.isEmpty) Iterator.empty
-        else {
-          val sig = Array.fill(NumHashes)(Long.MaxValue)
-          shs.foreach { sh =>
-            val h = md5Hash32(sh) % MersennePrime
-            var i = 0
-            while (i < NumHashes) {
-              val (a, b) = ps(i)
-              val v = (a * h + b) % MersennePrime
-              if (v < sig(i)) sig(i) = v
-              i += 1
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, text) =>
+          val shs = shingleSet(text, 3)
+          if (shs.isEmpty) Iterator.empty
+          else {
+            val sig = Array.fill(NumHashes)(Long.MaxValue)
+            shs.foreach { sh =>
+              var hv = cache.get(sh)
+              if (hv == null) { hv = md5Hash32(sh) % MersennePrime; cache.put(sh, hv) }
+              val h = hv.longValue()
+              var i = 0
+              while (i < NumHashes) {
+                val v = (pa(i) * h + pb(i)) % MersennePrime
+                if (v < sig(i)) sig(i) = v
+                i += 1
+              }
             }
-          }
-          (0 until NumHashes / BandRows).iterator.map { bi =>
-            (id, bi, (bi * BandRows until (bi + 1) * BandRows)
-              .map(sig).mkString("_"))
+            (0 until NumHashes / BandRows).iterator.map { bi =>
+              (id, bi, (bi * BandRows until (bi + 1) * BandRows)
+                .map(sig).mkString("_"))
+            }
           }
         }
       }
@@ -205,20 +224,26 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val sums = new Array[Int](SimhashBits)
-        tokenize(text).foreach { t =>
-          val h = md5Hash60(t)
-          var j = 0
-          while (j < SimhashBits) {
-            if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
-            j += 1
+      .mapPartitions { it =>
+        // token vocabularies repeat heavily — memoize hashes per task
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        it.map { case (id, text) =>
+          val sums = new Array[Int](SimhashBits)
+          tokenize(text).foreach { t =>
+            var hv = cache.get(t)
+            if (hv == null) { hv = md5Hash60(t); cache.put(t, hv) }
+            val h = hv.longValue()
+            var j = 0
+            while (j < SimhashBits) {
+              if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+              j += 1
+            }
           }
+          var packed = 0L
+          var j = 0
+          while (j < SimhashBits) { if (sums(j) > 0) packed |= (1L << j); j += 1 }
+          (id, packed)
         }
-        var packed = 0L
-        var j = 0
-        while (j < SimhashBits) { if (sums(j) > 0) packed |= (1L << j); j += 1 }
-        (id, packed)
       }
       .toDF("doc_id", "simhash")
   }
