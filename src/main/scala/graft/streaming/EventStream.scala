@@ -79,6 +79,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: purchases enriched with the clicks
+    * of the same user in the preceding 30 minutes. Watermarks on both
+    * sides bound the join state, so state size tracks the interval —
+    * not the stream length — at any scale. Works identically on batch
+    * inputs (spec checks stream/batch parity). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks, expr(
+      """user_id = c_user AND
+         click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"""),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+              col("click_id"), col("click_ts"))
+  }
+
   /** Maintain an SCD-1 snapshot from a stream — the streaming analog
     * of the reference's batch loop (fetch batch → upsert into
     * Postgres, main.py:432-482): every micro-batch merges
