@@ -22,4 +22,17 @@ object Bucketed {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write a timeseries-shaped frame partitioned by day — the layout
+    * that turns time-range queries into partition pruning (the scan
+    * reads only matching day directories; `PartitionFilters` in the
+    * plan, verified in ScaleTechniquesSpec). At 100 TB this is the
+    * difference between scanning a day and scanning a decade. */
+  def writeDayPartitioned(df: DataFrame, path: String, tsCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("day", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("day")
+      .parquet(path)
+  }
 }

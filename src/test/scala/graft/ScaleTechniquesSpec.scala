@@ -21,6 +21,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("day-partitioned layout prunes partitions on time filters") {
+    val dir = java.nio.file.Files.createTempDirectory("evpart").toString
+    Bucketed.writeDayPartitioned(Tables.events(spark, sf), dir, "ts")
+    val filtered = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-03")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition filter at the scan:\n${plan.take(600)}")
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(filtered.count() == expected)
+  }
+
   test("bucketed tables join without an exchange") {
     // the in-memory catalog is fresh per JVM but the warehouse dir
     // persists — clear stale table locations from previous runs
