@@ -41,6 +41,7 @@ object SparkEntry {
     "q19_asof"            -> operators.AsOfJoin.q19AsOf _,
     "q20_percentiles"     -> Timeseries.q20Percentiles _,
     "q21_pivot"           -> Timeseries.q21Pivot _,
+    "q22_above_avg"       -> Relational.q22AboveAvg _,
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> Dedup.minhashCandidates _,
@@ -225,6 +226,13 @@ object SparkEntry {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q22_above_avg" -> """
+      SELECT p_partkey, p_brand, p_retailprice FROM part p
+      WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM part p2 WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_partkey""",
 
     "q19_asof" -> """
       WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),

@@ -151,6 +151,21 @@ object Relational {
       .select(col("p_partkey"), col("p_name"), col("norm_name"))
       .orderBy(col("p_partkey"))
 
+  /** q22: correlated scalar subquery — parts above their brand's
+    * average price (Catalyst decorrelates to an aggregate+join; the
+    * SQL front door is exercised deliberately, `spark.sql` being as
+    * first-class as the DataFrame API). Exact-decimal average both
+    * sides. */
+  def q22AboveAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql("""
+      SELECT p_partkey, p_brand, p_retailprice FROM part_v p
+      WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_partkey""")
+  }
+
   /** q13: semi/anti join — entities lacking downstream data
     * ("apps that returned no timeseries", ref main.py:460-477). */
   def q13AntiSemi(s: SparkSession, d: String): DataFrame = {
