@@ -29,6 +29,35 @@ object Scale10 {
     t(s"q1_${mult}x")(li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(Util.sum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")).count())
+    val ev = rep(Tables.events(spark, d),
+      Seq("event_id", "user_id"), 100000000L)
+    t(s"sessionize_${mult}x") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("ts").cast("long"), 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id")).agg(sum(col("ns")).as("n_sessions"))
+        .count()
+    }
+    t(s"asof_${mult}x") {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+      operators.AsOfJoin.asOf(p, c, "user_id", "ts", Seq("click_id")).count()
+    }
+    t(s"ann_bruteforce_${mult}x") {
+      // inline brute-force against the replicated corpus (queries
+      // stay 10): mult x corpus -> mult x pair evaluations
+      val e = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+      val q = broadcast(Tables.embeddings(spark, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      e.join(q, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          functions.CosineSimilarity.cosineSim(col("qv"), col("v")).as("cos_sim"))
+        .groupBy(col("query_id")).agg(max(col("cos_sim"))).count()
+    }
     spark.stop()
   }
 }
