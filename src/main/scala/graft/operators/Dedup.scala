@@ -84,17 +84,65 @@ object Dedup {
 
   def ngramJaccard(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val sh = shingles(docs, 3)
+    val shared = sharedCounts(sh)
+    jaccardFromShared(shared, sh, tau)
+  }
+
+  /** Prefix-filtered variant (AllPairs/PPJoin): under a global
+    * rare-first shingle order, any pair with J ≥ tau must share a
+    * shingle within each doc's first (n - ceil(tau*n) + 1) shingles —
+    * the smallest common shingle is provably inside both prefixes.
+    * Exact (no false negatives), so results are identical to
+    * [[ngramJaccard]] (equivalence spec in DedupSpec).
+    *
+    * Strategy choice: on mostly-unique corpora the candidate space
+    * collapses to pairs sharing a RARE shingle and this wins big; on
+    * duplication-heavy corpora (every shingle frequent — e.g. the
+    * replicated Scale10 probe) rarity prunes nothing and the plain
+    * counting form is faster. */
+  def ngramJaccardPrefix(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, 3)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // Generate-output stats are badly underestimated by Catalyst, so
-    // without a hint this self-join broadcasts millions of exploded
-    // shingle rows; shuffle-hash on the shingle key is the shape that
-    // survives at corpus scale.
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+      .select(col("doc_id"), col("lang"), col("shingle"))
+    val cand = prefix.as("pa").join(prefix.hint("shuffle_hash").as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+        col("pa.lang") === col("pb.lang") &&
+        col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("d1"), col("pb.doc_id").as("d2"))
+      .distinct()
+    // exact verification restricted to candidates BEFORE the count
+    // shuffle (the broadcast semi filter runs map-side)
+    val shared = sharedCounts(sh, Some(cand))
+    jaccardFromShared(shared, sh, tau)
+  }
+
+  /** (d1, d2, shared) — shared-shingle counts via the inverted-index
+    * self-join, optionally restricted to a candidate pair set.
+    * shuffle_hash hints: Generate-output stats are badly
+    * underestimated by Catalyst, which would otherwise broadcast
+    * millions of exploded shingle rows. */
+  private def sharedCounts(sh: DataFrame,
+                           cand: Option[DataFrame] = None): DataFrame = {
     val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
-    val shared = a.join(b,
+    val pairs = a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    cand.fold(pairs)(c => pairs.join(broadcast(c), Seq("d1", "d2"), "left_semi"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  private def jaccardFromShared(shared: DataFrame, sh: DataFrame,
+                                tau: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")

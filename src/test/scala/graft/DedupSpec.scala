@@ -22,6 +22,14 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(pairs))
   }
 
+  test("prefix-filtered jaccard equals the counting formulation") {
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val plain = Dedup.ngramJaccard(docs).collect().map(_.toSeq).toSet
+    val prefixed = Dedup.ngramJaccardPrefix(docs).collect().map(_.toSeq).toSet
+    assert(plain == prefixed)
+    assert(plain.nonEmpty)
+  }
+
   test("minhash LSH candidates cover all 50 planted pairs") {
     val pairs = Dedup.minhashCandidates(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
