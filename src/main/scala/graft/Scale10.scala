@@ -47,6 +47,22 @@ object Scale10 {
         .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
       operators.AsOfJoin.asOf(p, c, "user_id", "ts", Seq("click_id")).count()
     }
+    // mostly-unique corpus: per-replica word suffix makes every
+    // shingle replica-local, so prefix filtering has rare shingles to
+    // work with — the workload shape of a real (non-replicated) corpus
+    locally {
+      import spark.implicits._
+      val uniqDocs = docs.select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, text) =>
+          val r = id / 1000000L
+          (id, lang, text.split(" ").map(w => s"${w}r$r").mkString(" "))
+        }
+        .toDF("doc_id", "lang", "text")
+      t(s"jaccard_uniq_${mult}x")(operators.Dedup.ngramJaccard(uniqDocs).count())
+      t(s"jaccard_uniq_prefix_${mult}x")(
+        operators.Dedup.ngramJaccardPrefix(uniqDocs).count())
+    }
     t(s"ann_bruteforce_${mult}x") {
       // inline brute-force against the replicated corpus (queries
       // stay 10): mult x corpus -> mult x pair evaluations
