@@ -44,9 +44,6 @@ object Dedup {
       .filter(col("n_copies") >= 2)
       .orderBy(col("keeper_id"))
 
-  /** Word n-gram shingles, distinct per doc. Built with array
-    * higher-order functions (no window, no shuffle) — stays inside
-    * whole-stage codegen and scales embarrassingly parallel. */
   /** Tokenization shared by the typed shingle/signature paths — must
     * match the oracle SQL exactly: lower → split \s+ → drop empties. */
   private def tokenize(text: String): Array[String] =
