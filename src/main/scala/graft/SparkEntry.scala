@@ -55,6 +55,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    "curate_corpus"       -> operators.Curate.curateCorpus _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -233,6 +234,40 @@ object SparkEntry {
         SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         FROM part p2 WHERE p2.p_brand = p.p_brand)
       ORDER BY p_partkey""",
+
+    "curate_corpus" -> """
+      WITH docs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, lang, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+      t AS (
+        SELECT d.doc_id, d.lang, d.text,
+          list_filter(string_split_regex(lower(d.text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM docs d JOIN keepers k ON d.doc_id = k.doc_id),
+      stats AS (
+        SELECT doc_id, lang,
+          CAST(len(toks) AS INT) AS n_tokens,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio,
+          CAST(len(list_filter(toks,
+            x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+            / len(toks) AS stopword_ratio
+        FROM t),
+      q AS (
+        SELECT *, CASE WHEN n_tokens < 5 THEN 0.0
+                       ELSE 1.0 - punct_ratio * 2.0 - abs(stopword_ratio - 0.4)
+                  END AS quality_score
+        FROM stats)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM q WHERE quality_score > 0.2
+      GROUP BY lang ORDER BY lang""",
 
     "q19_asof" -> """
       WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
