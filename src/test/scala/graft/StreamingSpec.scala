@@ -65,6 +65,34 @@ class StreamingSpec extends SparkSpec {
     assert(snap == Map("a" -> "a1", "b" -> "b2", "c" -> "c1"))
   }
 
+  test("checkpointed query resumes after stop without duplicating output") {
+    // graceful shutdown + resume: the engine-side analog of the
+    // reference's restart-safe batch loop (runner.py / lock table)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ckptout").toString
+    val input = MemoryStream[Event]
+    def start() = input.toDS().toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+
+    val q1 = start()
+    input.addData(Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+    q1.processAllAvailable()
+    q1.stop() // graceful shutdown mid-stream
+
+    val q2 = start() // resume from the checkpoint
+    input.addData(Event(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L)), s"got ${got.toList}")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
