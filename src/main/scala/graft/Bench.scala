@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark: best-of-2 wall time per query at
+  * SPARK_GRAFT_SF_DIR, one JSON metric line on stdout AND written to
+  * SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json) so the driver
+  * can parse it even if a logger wraps stdout. A query that throws is
+  * reported as -1 with its name in "failed" and a nonzero exit — a
+  * crash must never masquerade as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,20 +23,56 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time JVM/codegen/scheduler init outside the timings
     spark.range(1000000).selectExpr("sum(id)").collect()
+    var failed = List.empty[String]
     // best-of-2 per query: steady-state wall time, less sensitive to
     // GC/scheduler noise on a shared box
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> math.min(once(), once())
+      val t = math.min(once(), once())
+      if (t < 0 && !failed.contains(name)) failed ::= name
+      name -> t
     }.toMap
+    val recall = annRecall(spark, sfDir)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rc = recall.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rc,"failed":$fl,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** recall@k of the approximate ANN paths vs the brute-force
+    * baseline: |approx ∩ exact| / |exact| over (query_id, neighbor_id)
+    * pairs. The scale paths (LSH buckets, IVF probes) trade recall for
+    * candidate-set size — this quantifies the trade per round. */
+  def annRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).select("query_id", "neighbor_id")
+    try {
+      val exact = pairs("ann_bruteforce").cache()
+      val n = exact.count().toDouble
+      val out = Seq("ann_lsh", "ann_ivf").map { q =>
+        q -> (if (n == 0) 0.0 else pairs(q).join(exact, Seq("query_id", "neighbor_id"), "left_semi").count() / n)
+      }.toMap
+      exact.unpersist()
+      out
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
+        Map.empty
+    }
   }
 }

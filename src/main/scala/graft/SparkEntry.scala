@@ -58,6 +58,13 @@ object SparkEntry {
     "curate_corpus"       -> operators.Curate.curateCorpus _,
   )
 
+  /** Full oracle map for a concrete dataset: the static SQL plus the
+    * data-dependent entries (ann_ivf embeds its trained centroids as
+    * literals, so it can only be rendered once the data is known).
+    * Verify dumps THIS map — the driver replays it in DuckDB. */
+  def oracleSqlFor(s: SparkSession, d: String): Map[String, String] =
+    oracleSql + ("ann_ivf" -> Similarity.annIvfOracleSql(s, d))
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
@@ -169,7 +176,7 @@ object SparkEntry {
         SELECT user_id,
           CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM m GROUP BY user_id ORDER BY user_id""",
 
     "q12_moving_avg" -> """
@@ -474,25 +481,29 @@ object SparkEntry {
       FROM h ORDER BY doc_id""",
 
     "ann_lsh" -> s"""
-      WITH planes(pid, p) AS (VALUES
+      WITH planes(tid, pid, p) AS (VALUES
         ${operators.Similarity.planesSqlValues}),
       codes AS (
-        SELECT vec_id,
+        SELECT vec_id, tid,
           CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p) >= 0
                         THEN 1 << pid ELSE 0 END) AS INT) AS code
-        FROM embeddings CROSS JOIN planes GROUP BY vec_id),
-      e AS (SELECT embeddings.vec_id, embedding, code
-            FROM embeddings JOIN codes USING (vec_id)),
-      q AS (SELECT vec_id AS query_id, embedding AS qv, code FROM e WHERE vec_id < 10),
+        FROM embeddings CROSS JOIN planes GROUP BY vec_id, tid),
+      q AS (SELECT vec_id AS query_id, tid, code FROM codes WHERE vec_id < 10),
       cand AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-          round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
-        FROM e JOIN q ON e.code = q.code AND e.vec_id <> q.query_id)
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM codes c JOIN q
+          ON c.tid = q.tid AND c.code = q.code AND c.vec_id <> q.query_id),
+      rer AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cand cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ne ON ne.vec_id = cd.neighbor_id)
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-        FROM cand)
+        FROM rer)
       WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "text_fingerprint" -> """

@@ -36,8 +36,18 @@ for qname, sql in sorted(oracle.items()):
     exp = exp[e_cols].sort_values(e_cols).reset_index(drop=True)
     if len(got) != len(exp):
         print(f"FAIL {qname}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+    # dtype-STRICT compare: the driver's hash is type-sensitive (a
+    # DuckDB HUGEINT vs Spark BIGINT mismatch hashes differently even
+    # when values are equal — that's how q11 slipped in round 1), so
+    # local OK must imply driver OK.
+    dt_mismatch = [(c, str(got[c].dtype), str(exp[c].dtype))
+                   for c in g_cols if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt_mismatch:
+        print(f"FAIL {qname}: dtypes differ (spark, oracle): {dt_mismatch}")
+        fails += 1
+        continue
     try:
-        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+        pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                       check_exact=True)
         print(f"OK   {qname} ({len(got)} rows)")
     except AssertionError as e:
