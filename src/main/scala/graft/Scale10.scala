@@ -25,6 +25,12 @@ object Scale10 {
     t(s"jaccard_${mult}x")(operators.Dedup.ngramJaccard(docs).count())
     t(s"minhash_${mult}x")(operators.Dedup.minhashCandidates(docs).count())
     t(s"simhash_${mult}x")(operators.Dedup.simhashNearDups(docs).count())
+    // bucket-occupancy probe: candidate pairs BEFORE the hamming
+    // filter per banding geometry — wider keys trade index rows for
+    // exponentially larger key space (fewer junk candidates)
+    for (nc <- Seq(4, 5, 6))
+      t(s"simhash_cand_${mult}x_chunks$nc")(
+        operators.Dedup.simhashCandidates(docs, 3, nc).count())
     t(s"embcos_${mult}x")(operators.Dedup.embCosineDups(emb).count())
     t(s"q1_${mult}x")(li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))

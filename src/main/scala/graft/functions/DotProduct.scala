@@ -11,10 +11,17 @@ import org.apache.spark.sql.types._
   * sequential left fold — bit-identical to the
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` higher-order-function
   * tree it replaces (see [[graft.plans.RewriteDotProduct]]), but
-  * codegen'd instead of interpreted. NaN on length mismatch.
+  * codegen'd instead of interpreted. NULL if either array holds a
+  * null element (matching the HOF tree's null propagation); NaN on
+  * length mismatch (the HOF tree yields NULL there — the rewrite
+  * rule wraps this expression in a length guard to preserve that).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null elements in a containsNull array make the result null even
+  // when both array arguments are non-null
+  override def nullable: Boolean = true
 
   private def okType(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -41,6 +48,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
@@ -54,6 +62,7 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val anyNull = ctx.freshName("anyNull")
       val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
@@ -62,10 +71,19 @@ case class DotProduct(left: Expression, right: Expression)
          |  ${ev.value} = Double.NaN;
          |} else {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ($getX) * ($getY);
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      $anyNull = true;
+         |    } else {
+         |      $dot += ($getX) * ($getY);
+         |    }
          |  }
-         |  ${ev.value} = $dot;
+         |  if ($anyNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

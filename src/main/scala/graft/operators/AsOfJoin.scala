@@ -25,13 +25,21 @@ object AsOfJoin {
 
   /** Generic as-of: left/right share `key` and `ts`; `payload` names
     * right-side columns (absent on the left) that every left row
-    * gains from its as-of match. */
+    * gains from its as-of match.
+    *
+    * Determinism: the payload columns join the window ordering as a
+    * final tie-break, so when several right rows share (key, ts) the
+    * pick is stable across runs and partitionings (the highest payload
+    * tuple wins) instead of hinging on shuffle arrival order. All
+    * payload values come from that same winning row (each `last` sees
+    * the identical total order; a genuinely-null payload value falls
+    * back to the previous non-null one — document, don't hide). */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
     val union = left.withColumn("_side", lit(1))
       .unionByName(right.withColumn("_side", lit(0)), allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("_side"))
+      .orderBy(col(ts) +: col("_side") +: payload.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     payload.foldLeft(union) { (df, c) =>
         df.withColumn(c, last(when(col("_side") === 0, col(c)),

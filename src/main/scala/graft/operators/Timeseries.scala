@@ -44,7 +44,11 @@ object Timeseries {
   }
 
   /** q12: 7-day moving average of daily revenue — trend analysis
-    * (VIZ plan §3.3). Exact decimal window sums → double at the end. */
+    * (VIZ plan §3.3). Exact decimal window sums → double at the end.
+    *
+    * INVARIANT (PlanSpec-guarded): the un-partitioned window is safe
+    * ONLY because its input is the per-day pre-aggregate — bounded by
+    * the calendar, not by data volume. Never feed it raw order rows. */
   def q12MovingAvg(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))

@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   * accumulation order, so results are bit-equal. Users who write the
   * idiomatic HOF formulation get native speed transparently when the
   * [[graft.GraftExtensions]] are installed.
+  *
+  * Edge-case parity with the HOF tree: null elements propagate to a
+  * NULL result (DotProduct checks per element), and a length mismatch
+  * — where zip_with pads with nulls and the sum goes NULL — is
+  * preserved by wrapping the rewrite in a size guard (DotProduct
+  * alone returns NaN there, which is its documented direct-call
+  * contract).
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -76,6 +83,9 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             isAddOfVars(addBody,
               addVars.collect { case v: NamedLambdaVariable => v }) &&
             isIdentity(finish) =>
-        DotProduct(a, b)
+        If(EqualTo(Size(a, legacySizeOfNull = false),
+                   Size(b, legacySizeOfNull = false)),
+           DotProduct(a, b),
+           Literal(null, DoubleType))
     }
 }

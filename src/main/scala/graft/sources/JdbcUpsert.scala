@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.sql.{DriverManager, PreparedStatement, Types}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** JDBC upsert sink — engine-side parity with the reference's actual
+  * database sink (`pg_insert ... on_conflict_do_update` of
+  * games_metadata + `bulk_insert_mappings` of timeseries rows,
+  * ref main.py:451-457, 474-477).
+  *
+  * Scale shape: the batch is first reduced to one row per key
+  * (last-write-wins by the version column — one shuffle), then each
+  * PARTITION opens its own connection and merges with batched
+  * UPDATE-else-INSERT statements. The driver never collects rows, so
+  * sink throughput scales with executor count, bounded only by the
+  * target database.
+  *
+  * The merge pair is portable JDBC (UPDATE, then INSERT where the
+  * update count is 0), which lets the spec prove the semantics on
+  * embedded Derby with no network; against Postgres the same shell
+  * would issue the reference's `INSERT ... ON CONFLICT DO UPDATE`
+  * instead — only the two SQL strings change.
+  *
+  * Delivery: `foreachBatch` is at-least-once; the merge is idempotent
+  * per (key, version), so replays converge — the same
+  * effectively-once contract the reference gets from primary-key
+  * upsert.
+  */
+object JdbcUpsert {
+
+  private def sqlType(dt: DataType): Int = dt match {
+    case LongType       => Types.BIGINT
+    case IntegerType    => Types.INTEGER
+    case DoubleType     => Types.DOUBLE
+    case FloatType      => Types.REAL
+    case BooleanType    => Types.BOOLEAN
+    case TimestampType  => Types.TIMESTAMP
+    case DateType       => Types.DATE
+    case _: DecimalType => Types.DECIMAL
+    case _              => Types.VARCHAR
+  }
+
+  private def setParam(st: PreparedStatement, pos: Int, r: Row, ci: Int,
+                       sqlT: Int): Unit =
+    if (r.isNullAt(ci)) st.setNull(pos, sqlT)
+    else st.setObject(pos, r.get(ci), sqlT)
+
+  /** Merge `batch` into the JDBC table, last write per key winning
+    * (ties on `versionCol` broken arbitrarily within the batch, as in
+    * any concurrent upsert). Safe to re-run with the same batch. */
+  def upsertBatch(batch: DataFrame, url: String, table: String,
+                  keys: Seq[String], versionCol: String,
+                  jdbcBatchSize: Int = 500): Unit = {
+    val schema = batch.schema
+    val cols = schema.fieldNames.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val types = schema.fields.map(f => sqlType(f.dataType))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    val deduped = batch
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val updSql = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
+    val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val updOrder = (nonKeys ++ keys).map(cols.indexOf).toArray
+    deduped.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updSql)
+          val ins = conn.prepareStatement(insSql)
+          rows.grouped(jdbcBatchSize).foreach { group =>
+            group.foreach { r =>
+              updOrder.zipWithIndex.foreach { case (ci, pi) =>
+                setParam(upd, pi + 1, r, ci, types(ci))
+              }
+              upd.addBatch()
+            }
+            val counts = upd.executeBatch()
+            group.iterator.zip(counts.iterator)
+              .filter(_._2 == 0) // no row matched -> fresh key -> INSERT
+              .foreach { case (r, _) =>
+                cols.indices.foreach(ci => setParam(ins, ci + 1, r, ci, types(ci)))
+                ins.addBatch()
+              }
+            ins.executeBatch()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Streaming form: every micro-batch merges into the JDBC table —
+    * the Structured Streaming analog of the reference's batch loop
+    * (fetch 20 apps → upsert → sleep, main.py:432-482). */
+  def streamSink(updates: DataFrame, url: String, table: String,
+                 keys: Seq[String], versionCol: String): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        upsertBatch(b.toDF(), url, table, keys, versionCol)
+        ()
+      }
+      .start()
+}

@@ -46,6 +46,18 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("hamming") <= 3))
   }
 
+  test("Manku 6x10-bit banding finds the same pairs as 4x15 pigeonhole") {
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val manku = Dedup.simhashNearDups(docs).collect().map(_.toSeq).toSet
+    val pigeonhole = Dedup.simhashNearDups(docs, numChunks = 4).collect().map(_.toSeq).toSet
+    // both geometries guarantee hamming<=3 exactly, so outputs are equal
+    assert(pigeonhole == manku)
+    assert(pigeonhole.nonEmpty)
+    // C(5,2)=10-table middle geometry agrees too
+    val five = Dedup.simhashNearDups(docs, numChunks = 5).collect().map(_.toSeq).toSet
+    assert(pigeonhole == five)
+  }
+
   test("embedding cosine pairs are label-blocked and thresholded") {
     val rows = Dedup.embCosineDups(spark, sf).collect()
     assert(rows.nonEmpty)

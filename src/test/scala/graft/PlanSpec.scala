@@ -46,6 +46,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q12's global window only ever sees the daily pre-aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("q12_moving_avg")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "q12 lost its moving-average window")
+    // the un-partitioned window is only scale-safe over the bounded
+    // per-day aggregate; raw rows below it would serialize the job
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "q12's global window input is not the daily pre-aggregate")
+    }
+  }
+
   test("q13 anti join pushes the date filter into the orders scan") {
     val plan = planOf("q13_anti_semi")
     assert(plan.contains("PushedFilters"))
