@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> Dedup.minhashCandidates _,
+    "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
@@ -53,6 +54,8 @@ object SparkEntry {
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
+    "text_repetition"     -> TextFunctions.textRepetition _,
+    "split_assign"        -> operators.Curate.splitAssign _,
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "curate_corpus"       -> operators.Curate.curateCorpus _,
@@ -64,6 +67,44 @@ object SparkEntry {
     * Verify dumps THIS map — the driver replays it in DuckDB. */
   def oracleSqlFor(s: SparkSession, d: String): Map[String, String] =
     oracleSql + ("ann_ivf" -> Similarity.annIvfOracleSql(s, d))
+
+  /** Shared CTE chain reconstructing the minhash LSH band buckets and
+    * candidate pairs in pure SQL — used by dedup_minhash and as the
+    * edge set for dedup_clusters' recursive connected components. */
+  private def minhashCtes: String = s"""docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      tok AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM docs),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      h AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 9),
+            k -> (strpos('0123456789abcdef', md5(shingle)[k:k]) - 1)
+                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT)
+            % 2147483647 AS hv
+        FROM sh),
+      perms(pid, a, b) AS (VALUES
+        ${operators.Dedup.permsSqlValues}),
+      mins AS (
+        SELECT doc_id, pid, MIN((a * hv + b) % 2147483647) AS m
+        FROM h CROSS JOIN perms GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, pid // 4 AS band,
+          string_agg(CAST(m AS VARCHAR), '_' ORDER BY pid) AS sig
+        FROM mins GROUP BY 1, 2),
+      mh_pairs AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -337,40 +378,20 @@ object SparkEntry {
       ORDER BY d1, d2""",
 
     "dedup_minhash" -> s"""
-      WITH docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
-        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
-          WHERE doc_id >= 25 AND doc_id < 50),
-      tok AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                   x -> length(x) > 0) AS toks
-        FROM docs),
-      sh AS (
-        SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-        FROM tok WHERE len(toks) >= 3),
-      h AS (
-        SELECT doc_id,
-          CAST(list_sum(list_transform(range(1, 9),
-            k -> (strpos('0123456789abcdef', md5(shingle)[k:k]) - 1)
-                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT)
-            % 2147483647 AS hv
-        FROM sh),
-      perms(pid, a, b) AS (VALUES
-        ${operators.Dedup.permsSqlValues}),
-      mins AS (
-        SELECT doc_id, pid, MIN((a * hv + b) % 2147483647) AS m
-        FROM h CROSS JOIN perms GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, pid // 4 AS band,
-          string_agg(CAST(m AS VARCHAR), '_' ORDER BY pid) AS sig
-        FROM mins GROUP BY 1, 2)
-      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-      FROM bands x JOIN bands y
-        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-      ORDER BY d1, d2""",
+      WITH $minhashCtes
+      SELECT d1, d2 FROM mh_pairs ORDER BY d1, d2""",
+
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM mh_pairs
+        UNION ALL SELECT d2, d1 FROM mh_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+      SELECT node AS doc_id, MIN(root) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id""",
 
     "dedup_simhash" -> """
       WITH docs AS (
@@ -505,6 +526,54 @@ object SparkEntry {
                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         FROM rer)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "text_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> length(x) > 0) AS toks
+        FROM documents),
+      g2 AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+          len(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS n2,
+          len(list_distinct(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1]))) AS d2,
+          len(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS n3,
+          len(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS d3
+        FROM t),
+      topt AS (
+        SELECT doc_id, MAX(c) AS mx FROM (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY 1, 2)
+        GROUP BY 1),
+      r AS (
+        SELECT g2.doc_id, CAST(g2.n_tokens AS INT) AS n_tokens,
+          round(CASE WHEN n2 > 0 THEN CAST(n2 - d2 AS DOUBLE) / n2 ELSE 0.0 END, 6)
+            AS dup_2gram_ratio,
+          round(CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3 ELSE 0.0 END, 6)
+            AS dup_3gram_ratio,
+          round(CASE WHEN g2.n_tokens > 0 THEN CAST(topt.mx AS DOUBLE) / g2.n_tokens
+                ELSE 0.0 END, 6) AS top_tok_ratio
+        FROM g2 LEFT JOIN topt USING (doc_id))
+      SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio, top_tok_ratio,
+        (dup_3gram_ratio > 0.2 OR top_tok_ratio > 0.2) AS repetitive
+      FROM r ORDER BY doc_id""",
+
+    "split_assign" -> """
+      WITH b AS (
+        SELECT doc_id,
+          CAST(CAST(list_sum(list_transform(range(1, 9),
+            k -> (strpos('0123456789abcdef', md5('split:' || doc_id)[k:k]) - 1)
+                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) % 100 AS INT) AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""",
 
     "text_fingerprint" -> """
       WITH g AS (

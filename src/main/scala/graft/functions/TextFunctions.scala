@@ -69,6 +69,56 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** text_repetition: C4/Gopher-style intra-document repetition
+    * signals — duplicate word-2/3-gram fractions, the top token's
+    * mass fraction, and a composite `repetitive` flag (the filters
+    * that drop boilerplate/SEO-spam docs before training). One typed
+    * pass per doc: the top-token count as a column HOF would be
+    * quadratic per row (count of each distinct token), while the JVM
+    * pass is linear with two hash maps. Ratios round to 6 dp on both
+    * engines; the flag compares the ROUNDED values so the boolean is
+    * boundary-safe cross-engine. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    textRepetition(Tables.documents(s, d))
+
+  def textRepetition(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val raw = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        def dupRatio(k: Int): Double = {
+          val total = math.max(n - k + 1, 0)
+          if (total <= 0) 0.0
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i + k <= n) {
+              seen.add(toks.slice(i, i + k).mkString(" "))
+              i += 1
+            }
+            (total - seen.size).toDouble / total
+          }
+        }
+        val top = if (n == 0) 0.0 else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Int]
+          toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+          counts.values.max.toDouble / n
+        }
+        (id, n, dupRatio(2), dupRatio(3), top)
+      }
+      .toDF("doc_id", "n_tokens", "r2", "r3", "rt")
+    raw.select(col("doc_id"), col("n_tokens"),
+        round(col("r2"), 6).as("dup_2gram_ratio"),
+        round(col("r3"), 6).as("dup_3gram_ratio"),
+        round(col("rt"), 6).as("top_tok_ratio"))
+      .withColumn("repetitive",
+        col("dup_3gram_ratio") > 0.2 || col("top_tok_ratio") > 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** text_fingerprint: rolling character-8-gram sketch — min/max/
     * distinct-count over shingle hashes (winnowing-lite). Hash is md5
     * (shared with DuckDB), so the fingerprints themselves are

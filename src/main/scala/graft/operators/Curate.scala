@@ -49,4 +49,22 @@ object Curate {
            sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
   }
+
+  /** split_assign: deterministic train/val/test assignment — md5 of a
+    * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
+    * doc's split NEVER changes as the corpus grows or repartitions
+    * (the property that keeps eval sets honest across pipeline runs),
+    * and assignment is embarrassingly parallel. md5 is shared with
+    * DuckDB, so the oracle checks the actual assignments. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val hex = md5(concat(lit("split:"), col("doc_id")))
+    val bucket = (conv(substring(hex, 1, 8), 16, 10).cast("long") % 100).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -353,6 +353,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("d1"), col("d2"))
 
+  // ---- Dedup clustering (pairs -> connected components) -----------------
+
+  /** Connected components over candidate near-dup pairs — the step
+    * that turns pairwise hits into KEEP/DROP decisions (a doc can be
+    * transitively near-duplicate of a doc it shares no band with).
+    *
+    * Min-label propagation: every node starts labeled with its own
+    * id; each round every node takes the min label in its
+    * neighborhood; fixpoint = per-component min id. Each round is one
+    * shuffle (join on the edge endpoint + groupBy min) over
+    * `localCheckpoint`-ed frames (lineage stays flat), and rounds are
+    * bounded by the component DIAMETER — near-dup graphs are
+    * star/clique-shaped (every member collides with the keeper's
+    * bands), so this converges in a handful of rounds. For
+    * adversarially chain-shaped graphs the alternating
+    * large-star/small-star scheme (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") bounds rounds at O(log²n)
+    * with the same per-round join shape — swap the propagation step,
+    * keep the loop.
+    *
+    * Convergence detection: labels only ever decrease, so the label
+    * sum is strictly decreasing until fixpoint — one cheap aggregate
+    * per round instead of a change-count join. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("cluster_id"))
+      val next = labels.unionByName(neighborMin)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** dedup_clusters query: minhash-LSH candidate pairs → connected
+    * components → (doc_id, cluster_id); cluster_id is the component's
+    * min doc id, i.e. the keeper under keep-min-id policy. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(minhashCandidates(withPlants(Tables.documents(s, d))))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** Embedding near-dup: cosine ≥ tau, label-blocked (the generic
     * scale path replaces the label with an LSH bucket — see
     * Similarity.annLsh). Cosine is computed in double and rounded to

@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(pigeonhole == five)
   }
 
+  test("connected components cluster planted copies with their originals") {
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // every planted copy lands in its original's cluster
+    for (i <- 0L until 50L if labels.contains(i + 100000)) {
+      assert(labels.contains(i) && labels(i + 100000) == labels(i),
+        s"copy ${i + 100000} not clustered with $i")
+    }
+    // cluster_id is the component minimum (the keep-min-id keeper)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
+
   test("embedding cosine pairs are label-blocked and thresholded") {
     val rows = Dedup.embCosineDups(spark, sf).collect()
     assert(rows.nonEmpty)

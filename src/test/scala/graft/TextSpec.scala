@@ -29,6 +29,45 @@ class TextSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("repetition stats flag boilerplate and pass natural text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over the lazy sleeping dog"))
+      .toDF("doc_id", "text")
+    val rows = TextFunctions.textRepetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("repetitive"),
+      "pure boilerplate must be flagged")
+    assert(!rows(2L).getAs[Boolean]("repetitive"),
+      "natural text must pass")
+    assert(rows(2L).getAs[Double]("dup_2gram_ratio") == 0.0)
+    // ratios live in [0,1] over the real corpus
+    val real = TextFunctions.textRepetition(spark, sf).collect()
+    assert(real.length == 500)
+    real.foreach { r =>
+      for (c <- Seq("dup_2gram_ratio", "dup_3gram_ratio", "top_tok_ratio")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+      }
+    }
+  }
+
+  test("split assignment is deterministic and stable under corpus growth") {
+    val full = operators.Curate.splitAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(full.size == 500)
+    // roughly 80/10/10 (md5 buckets; exact fractions are data-dependent)
+    val train = full.values.count(_ == "train").toDouble / full.size
+    assert(train > 0.65 && train < 0.92, s"train fraction $train")
+    // the property that matters: a doc's split does not depend on what
+    // else is in the corpus — recompute on a subset, assignments agree
+    val sub = operators.Curate.splitAssign(spark, sf)
+    val subset = sub.filter(sub("doc_id") < 100).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    subset.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
+
   test("multimodal features preserve payload size and metadata") {
     val rows = Multimodal.features(spark, sf).collect()
     assert(rows.length == 500)
