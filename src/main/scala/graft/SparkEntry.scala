@@ -56,6 +56,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_repetition"     -> TextFunctions.textRepetition _,
     "split_assign"        -> operators.Curate.splitAssign _,
+    "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "curate_corpus"       -> operators.Curate.curateCorpus _,
@@ -574,6 +575,22 @@ object SparkEntry {
              WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    "pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+      SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        CAST(cum_before // 512 AS INT) AS bin_id,
+        CAST(cum_before % 512 AS INT) AS bin_offset
+      FROM c ORDER BY lang, doc_id""",
 
     "text_fingerprint" -> """
       WITH g AS (

@@ -50,6 +50,50 @@ object Curate {
       .orderBy(col("lang"))
   }
 
+  /** pack_sequences: concat-and-chunk packing — the step that turns a
+    * curated corpus into fixed-size training windows. Documents are
+    * concatenated in (lang, doc_id) order and cut every `cap` tokens;
+    * each doc gets its window id and offset.
+    *
+    * Scale shape — distributed prefix sum, NOT one window per
+    * language (a `Window.partitionBy(lang)` over doc rows serializes
+    * each language onto one task; at 100 TB with a handful of
+    * languages that is the whole job on 5 cores):
+    *   1. per-(lang, shard) token totals — one partial agg,
+    *   2. shard-level running totals — a window over SHARD rows
+    *      (thousands, not billions),
+    *   3. broadcast the shard prefixes back, local cumsum within each
+    *      (lang, shard) partition.
+    * Integer arithmetic end-to-end, so the decomposition is exactly
+    * equal to the naive single-window form (spec'd), and the oracle
+    * is the naive form in DuckDB. */
+  def packSequences(s: SparkSession, d: String, cap: Int = 512,
+                    shardSize: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(graft.functions.TextFunctions.tokens(col("text")))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val shardTotals = docs.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+    val wShards = Window.partitionBy(col("lang")).orderBy(col("shard"))
+    val shardPrefix = shardTotals
+      .withColumn("shard_prefix",
+        coalesce(sum(col("shard_tokens"))
+          .over(wShards.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("shard"), col("shard_prefix"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    docs.join(broadcast(shardPrefix), Seq("lang", "shard"))
+      .withColumn("cum_before",
+        col("shard_prefix") +
+          coalesce(sum(col("n_tokens"))
+            .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"CAST(cum_before div $cap AS INT)").as("bin_id"),
+        expr(s"CAST(cum_before % $cap AS INT)").as("bin_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
     * doc's split NEVER changes as the corpus grows or repartitions

@@ -132,6 +132,33 @@ object EventStream {
     else Some(spark.read.parquet(versions.maxBy(_._1)._2.getAbsolutePath))
   }
 
+  case class DocIn(doc_id: Long, content_hash: String)
+
+  /** Streaming exact dedup: first-seen filter keyed by content hash
+    * via flatMapGroupsWithState — the streaming form of
+    * Dedup.dedupExact. Emits (content_hash, keeper_id) once per novel
+    * hash; later arrivals of the same content are silently dropped
+    * (streams can't retract, so the keeper is the FIRST arrival —
+    * min doc_id within its micro-batch group for determinism). State
+    * is one long per distinct hash, partitioned by hash — scales
+    * horizontally; production streams bound it with the RocksDB state
+    * store + state TTL (dedup-within-horizon), which is a config, not
+    * a code change. */
+  def streamingDedup(docs: Dataset[DocIn]): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[DocIn], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = rows.map(_.doc_id).min
+            state.update(keeper)
+            Iterator.single((hash, keeper))
+          }
+      }
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -93,6 +93,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 2L)), s"got ${got.toList}")
   }
 
+  test("streaming exact dedup matches the batch keeper set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DocIn]
+    val q = EventStream.streamingDedup(input.toDS())
+      .toDF("content_hash", "keeper_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream_test").start()
+    // batch 1: the original corpus; batch 2: the planted duplicates —
+    // first-seen keepers must equal the batch keep-min-id keepers
+    val docs = operators.Dedup.withPlants(Tables.documents(spark, sf))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .as[EventStream.DocIn].collect()
+    val (originals, plants) = docs.partition(_.doc_id < 100000)
+    input.addData(originals.toSeq)
+    q.processAllAvailable()
+    input.addData(plants.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_stream_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchKeepers = operators.Dedup.withPlants(Tables.documents(spark, sf))
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batchKeepers)
+    // replaying the duplicate batch emits nothing new (idempotent)
+    assert(streamed.size == batchKeepers.size)
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

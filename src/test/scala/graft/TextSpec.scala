@@ -68,6 +68,32 @@ class TextSpec extends SparkSpec {
     subset.foreach { case (id, sp) => assert(full(id) == sp) }
   }
 
+  test("sharded sequence packing equals the naive single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = operators.Curate.packSequences(spark, sf, cap = 512)
+      .collect().map(_.toSeq).toSet
+    // naive form: one global window per language (correct, unscalable)
+    val nTok = size(TextFunctions.tokens(col("text")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr("CAST(cum_before div 512 AS INT)").as("bin_id"),
+        expr("CAST(cum_before % 512 AS INT)").as("bin_offset"))
+      .collect().map(_.toSeq).toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+    // packing invariants: offsets in [0, cap); bins monotone per lang
+    got.foreach { r =>
+      val off = r(4).asInstanceOf[Int]
+      assert(off >= 0 && off < 512)
+    }
+  }
+
   test("multimodal features preserve payload size and metadata") {
     val rows = Multimodal.features(spark, sf).collect()
     assert(rows.length == 500)
