@@ -32,6 +32,9 @@ object Scale10 {
       t(s"simhash_cand_${mult}x_chunks$nc")(
         operators.Dedup.simhashCandidates(docs, 3, nc).count())
     t(s"embcos_${mult}x")(operators.Dedup.embCosineDups(emb).count())
+    t(s"cc_clusters_${mult}x")(operators.Dedup.connectedComponents(
+      operators.Dedup.minhashCandidates(docs)).count())
+    t(s"pack_${mult}x")(operators.Curate.packSequences(docs, 512, 100).count())
     t(s"q1_${mult}x")(li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(Util.sum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")).count())

@@ -68,10 +68,13 @@ object Curate {
     * equal to the naive single-window form (spec'd), and the oracle
     * is the naive form in DuckDB. */
   def packSequences(s: SparkSession, d: String, cap: Int = 512,
-                    shardSize: Long = 100): DataFrame = {
+                    shardSize: Long = 100): DataFrame =
+    packSequences(Tables.documents(s, d), cap, shardSize)
+
+  def packSequences(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(graft.functions.TextFunctions.tokens(col("text")))
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
     val shardTotals = docs.groupBy(col("lang"), col("shard"))

@@ -298,6 +298,21 @@ object Dedup {
   def simhashNearDups(s: SparkSession, d: String): DataFrame =
     simhashNearDups(withPlants(Tables.documents(s, d)))
 
+  /** Pure mirror of the banding key extraction below (ScalaCheck
+    * proves the pigeonhole guarantee on it over random signatures —
+    * BandingProps): the compound keys for one signature. */
+  private[graft] def bandingKeys(sig: Long, maxHamming: Int,
+                                 numChunks: Int): Seq[(Int, Long)] = {
+    val width = SimhashBits / numChunks
+    val mask = (1L << width) - 1
+    (0 until numChunks).combinations(numChunks - maxHamming)
+      .toSeq.zipWithIndex.map { case (combo, comboId) =>
+        comboId -> combo.foldLeft(0L) { (acc, ci) =>
+          (acc << width) | ((sig >>> (ci * width)) & mask)
+        }
+      }
+  }
+
   /** Candidate pairs from the banding join, BEFORE the hamming filter
     * — distinct (d1, d2) with the pair's hamming distance. Exposed so
     * the Scale10 occupancy probe can measure candidate volume per
