@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * looked at). */
 class QueriesSpec extends SparkSpec {
 
-  test("every query has an oracle or is explicitly rows-only") {
-    // ann_ivf stays rows-only: its quantizer centroids are data-
-    // dependent (trained on the corpus sample), so a static SQL
-    // oracle can't reproduce them across scale factors.
-    val rowsOnly = Set("ann_ivf")
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  test("every query has an oracle — ann_ivf's via oracleSqlFor") {
+    // ann_ivf's oracle is data-dependent (its trained centroids are
+    // embedded as SQL literals), so it is emitted by oracleSqlFor at
+    // Verify time rather than from the static map. Net: the dumped
+    // oracle_sql.json covers EVERY query.
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("ann_ivf"))
+    assert(SparkEntry.queries.keySet --
+      SparkEntry.oracleSqlFor(spark, sf).keySet == Set.empty[String])
   }
 
   for ((name, fn) <- SparkEntry.queries) {
