@@ -60,6 +60,7 @@ object SparkEntry {
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "curate_corpus"       -> operators.Curate.curateCorpus _,
+    "curate_neardup"      -> operators.Curate.curateNearDup _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -73,9 +74,9 @@ object SparkEntry {
     * candidate pairs in pure SQL — used by dedup_minhash and as the
     * edge set for dedup_clusters' recursive connected components. */
   private def minhashCtes: String = s"""docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
-        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, lang, text || ' zz qq' FROM documents
           WHERE doc_id >= 25 AND doc_id < 50),
       tok AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -381,6 +382,45 @@ object SparkEntry {
     "dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d1, d2 FROM mh_pairs ORDER BY d1, d2""",
+
+    "curate_neardup" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM mh_pairs
+        UNION ALL SELECT d2, d1 FROM mh_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      losers AS (
+        SELECT node AS doc_id FROM (
+          SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+        WHERE node <> cluster_id),
+      t AS (
+        SELECT d.doc_id, d.lang, d.text,
+          list_filter(string_split_regex(lower(d.text), '\\s+'),
+                      x -> length(x) > 0) AS toks2
+        FROM docs d WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+      stats AS (
+        SELECT doc_id, lang,
+          CAST(len(toks2) AS INT) AS n_tokens,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio,
+          CAST(len(list_filter(toks2,
+            x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+            / len(toks2) AS stopword_ratio
+        FROM t),
+      q AS (
+        SELECT *, CASE WHEN n_tokens < 5 THEN 0.0
+                       ELSE 1.0 - punct_ratio * 2.0 - abs(stopword_ratio - 0.4)
+                  END AS quality_score
+        FROM stats)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM q WHERE quality_score > 0.2
+      GROUP BY lang ORDER BY lang""",
 
     "dedup_clusters" -> s"""
       WITH RECURSIVE $minhashCtes,

@@ -14,23 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curateCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Dedup.withPlants(Tables.documents(s, d))
-
-    // 1. exact dedup: keep the min doc_id of every content group
-    val keepers = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-
-    // 2. per-doc stats (tokens / chars / punct / stopwords / quality)
+  /** Per-doc stats → quality gate → per-language accounting of the
+    * given (already deduped) docs — the shared tail of both capstones. */
+  private def qualityAccounting(kept: DataFrame): DataFrame = {
     val t = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
     val nTok = size(t)
     val nChars = length(col("text"))
     val nPunct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
     val nStop = size(filter(t, x => x.isInCollection(
       Seq("the", "a", "of", "and", "to", "in", "is", "on"))))
-    val stats = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val stats = kept
       .select(col("doc_id"), col("lang"),
         nTok.as("n_tokens"), nChars.as("n_chars"),
         (nPunct.cast("double") / nChars).as("punct_ratio"),
@@ -39,8 +32,6 @@ object Curate {
         when(col("n_tokens") < 5, 0.0).otherwise(
           lit(1.0) - col("punct_ratio") * 2.0 -
             abs(col("stopword_ratio") - 0.4)))
-
-    // 3. quality gate + per-language accounting
     stats
       .filter(col("quality_score") > 0.2)
       .groupBy(col("lang"))
@@ -48,6 +39,31 @@ object Curate {
            sum(col("n_tokens")).as("total_tokens"),
            sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
+  }
+
+  def curateCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Dedup.withPlants(Tables.documents(s, d))
+    // exact dedup: keep the min doc_id of every content group
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    qualityAccounting(docs.join(keepers, Seq("doc_id"), "left_semi"))
+  }
+
+  /** curate_neardup: the stricter capstone — NEAR-duplicate removal.
+    * minhash-LSH candidate pairs → connected components → drop every
+    * doc that is in a cluster but is not its minimum (transitive
+    * near-dups die even when they share no band with the keeper
+    * directly), then the same quality gate + accounting. This is the
+    * full production shape: banding, clustering, and curation
+    * composed end-to-end, each stage an equi-join or aggregate. */
+  def curateNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Dedup.withPlants(Tables.documents(s, d))
+    val clusters = Dedup.connectedComponents(Dedup.minhashCandidates(docs))
+    val losers = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    qualityAccounting(docs.join(losers, Seq("doc_id"), "left_anti"))
   }
 
   /** pack_sequences: concat-and-chunk packing — the step that turns a

@@ -35,6 +35,34 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(filtered.count() == expected)
   }
 
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evdpp").toString
+    Bucketed.writeDayPartitioned(Tables.events(spark, sf), dir, "ts")
+    val fact = spark.read.parquet(dir)
+    val days = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.toString)
+    // dim: every 5th day tagged 0 — the selective dim filter must
+    // prune the fact's day partitions AT RUNTIME via DPP. The dim is
+    // written to parquet because a LocalRelation's filter is folded
+    // away by ConvertToLocalRelation and DPP then sees no selective
+    // predicate on the pruning side.
+    val dimDir = java.nio.file.Files.createTempDirectory("dppdim").toString
+    days.zipWithIndex.map { case (d, i) => (d, i % 5) }
+      .toSeq.toDF("day", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === 0), "day")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in plan:\n${plan.take(800)}")
+    val keepDays = days.zipWithIndex.filter(_._2 % 5 == 0).map(_._1.toString).toSet
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).cast("string").isin(keepDays.toSeq: _*)).count()
+    assert(joined.count() == expected)
+  }
+
   test("bucketed tables join without an exchange") {
     // the in-memory catalog is fresh per JVM but the warehouse dir
     // persists — clear stale table locations from previous runs
