@@ -249,6 +249,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Write the corpus partitioned by IVF bucket — the write-side
+    * layout that turns a query's nprobe probe into PARTITION PRUNING:
+    * the scan reads only the probed bucket directories and never
+    * touches the rest of the corpus (ScaleTechniquesSpec asserts the
+    * PartitionFilters). At 100 TB this is the difference between
+    * scanning nprobe/nlist of the corpus and all of it. */
+  def writeIvfPartitioned(s: SparkSession, d: String, dir: String,
+                          nlist: Int = IvfNlist): Array[Array[Double]] = {
+    import s.implicits._
+    val cents = ivfCentroids(s, d, nlist)
+    val bc = s.sparkContext.broadcast(cents)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("vec_id", "bucket", "embedding")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    cents
+  }
+
+  /** ANN over the bucket-partitioned layout: per query, probe the
+    * nprobe nearest centroid partitions (a pushed-down `bucket IN
+    * (...)` filter) and rerank exactly — identical results to
+    * [[annIvf]] by construction, but the corpus scan is pruned at the
+    * source instead of filtered after a full read. */
+  def annIvfPartitioned(s: SparkSession, dir: String, cents: Array[Array[Double]],
+                        queries: DataFrame, k: Int = 5,
+                        nprobe: Int = IvfNprobe): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val corpus = s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val cand = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+    topKPerQuery(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(cos(col("qv"), col("embedding")), 6).as("cos_sim")), k)
+  }
+
   /** DuckDB oracle for [[annIvf]]: the trained centroids are embedded
     * as DOUBLE[] literals (shortest round-trip printing — same recipe
     * as [[planesSqlValues]]), and assignment (argmax dot, lowest

@@ -63,6 +63,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("IVF-partitioned corpus prunes to the probed buckets and matches annIvf") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfpart").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, dir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+    val part = Similarity.annIvfPartitioned(spark, dir, cents, queries)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe not pruned at the partitioned scan:\n${plan.take(800)}")
+    // identical results to the filter-after-read formulation
+    val viaFilter = Similarity.annIvf(spark, sf).collect().map(_.toSeq).toSet
+    assert(part.collect().map(_.toSeq).toSet == viaFilter)
+  }
+
   test("bucketed tables join without an exchange") {
     // the in-memory catalog is fresh per JVM but the warehouse dir
     // persists — clear stale table locations from previous runs
