@@ -55,6 +55,7 @@ object SparkEntry {
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_repetition"     -> TextFunctions.textRepetition _,
+    "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "split_assign"        -> operators.Curate.splitAssign _,
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
@@ -602,6 +603,13 @@ object SparkEntry {
       SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio, top_tok_ratio,
         (dup_3gram_ratio > 0.2 OR top_tok_ratio > 0.2) AS repetitive
       FROM r ORDER BY doc_id""",
+
+    "vocab_topk" -> """
+      SELECT tok AS token, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0)) AS tok
+        FROM documents)
+      GROUP BY tok ORDER BY n DESC, token LIMIT 200""",
 
     "split_assign" -> """
       WITH b AS (

@@ -119,6 +119,21 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** vocab_topk: corpus-wide token counts, top-k by frequency — the
+    * input to tokenizer/vocabulary training. Plain explode(split) —
+    * split() is a codegen'd expression, NOT a CodegenFallback HOF, so
+    * the Generate stays cheap — then one partial-aggregated groupBy
+    * and a TakeOrderedAndProject head (only k rows reach the driver
+    * regardless of vocabulary size). Ties broken by token for
+    * determinism. */
+  def vocabTopK(s: SparkSession, d: String, k: Int = 200): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** text_fingerprint: rolling character-8-gram sketch — min/max/
     * distinct-count over shingle hashes (winnowing-lite). Hash is md5
     * (shared with DuckDB), so the fingerprints themselves are
