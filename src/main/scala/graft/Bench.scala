@@ -39,7 +39,14 @@ object Bench {
       if (t < 0 && !failed.contains(name)) failed ::= name
       name -> t
     }.toMap
-    val recall = annRecall(spark, sfDir)
+    // a recall-path crash is a failure like any other: marked in
+    // failed[] and a nonzero exit, never a silently-empty recall map
+    val recall = try annRecall(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
+        failed ::= "ann_recall"
+        Map.empty[String, Double]
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rc = recall.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -61,18 +68,14 @@ object Bench {
   def annRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
     def pairs(name: String) =
       SparkEntry.queries(name)(spark, sfDir).select("query_id", "neighbor_id")
-    try {
-      val exact = pairs("ann_bruteforce").cache()
-      val n = exact.count().toDouble
-      val out = Seq("ann_lsh", "ann_ivf").map { q =>
-        q -> (if (n == 0) 0.0 else pairs(q).join(exact, Seq("query_id", "neighbor_id"), "left_semi").count() / n)
-      }.toMap
-      exact.unpersist()
-      out
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
-        Map.empty
-    }
+    val exact = pairs("ann_bruteforce").cache()
+    val n = exact.count().toDouble
+    val out = Seq("ann_lsh", "ann_ivf").map { q =>
+      q -> (if (n == 0) 0.0
+            else pairs(q).join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+              .count() / n)
+    }.toMap
+    exact.unpersist()
+    out
   }
 }

@@ -28,12 +28,15 @@ object AsOfJoin {
     * gains from its as-of match.
     *
     * Determinism: the payload columns join the window ordering as a
-    * final tie-break, so when several right rows share (key, ts) the
-    * pick is stable across runs and partitionings (the highest payload
-    * tuple wins) instead of hinging on shuffle arrival order. All
-    * payload values come from that same winning row (each `last` sees
-    * the identical total order; a genuinely-null payload value falls
-    * back to the previous non-null one — document, don't hide). */
+    * final tie-break, so when several right rows share (key, ts) each
+    * column's pick is stable across runs and partitionings instead of
+    * hinging on shuffle arrival order. Note each payload column is
+    * independently last-NON-NULL over that total order: when the
+    * latest right row holds a null in one payload column, that column
+    * falls back to an earlier row — single-payload joins (like q19)
+    * always get one row's value, but multi-payload rows with nulls
+    * can mix rows. Pack payloads into one struct column if an
+    * all-or-nothing tuple is required. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
     val union = left.withColumn("_side", lit(1))

@@ -318,7 +318,7 @@ object Dedup {
     * the Scale10 occupancy probe can measure candidate volume per
     * (maxHamming, numChunks) geometry. */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
-                        numChunks: Int = 4): DataFrame = {
+                        numChunks: Int = 6): DataFrame = {
     require(SimhashBits % numChunks == 0, s"numChunks must divide $SimhashBits")
     require(numChunks > maxHamming, "need more chunks than the hamming budget")
     val width = SimhashBits / numChunks
@@ -415,6 +415,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // partial labels are silently WRONG (and would fail the oracle in
+    // confusing ways) — fail loudly if a pathological graph outruns
+    // the round budget instead of returning them
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component diameter exceeds the budget — raise maxIters or " +
+        "switch the propagation step to large-star/small-star)")
     labels
   }
 

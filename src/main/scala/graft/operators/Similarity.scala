@@ -124,16 +124,22 @@ object Similarity {
   private[graft] val IvfNlist = 32
   private[graft] val IvfNprobe = 12
 
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
+
   /** Train the IVF coarse quantizer from a bounded, deterministic
     * sample of the corpus (first 2048 vectors by id). Shared by the
-    * query and its oracle so both see bit-identical centroids. */
+    * query and its oracle so both see bit-identical centroids —
+    * which also makes it cacheable: one (dir, nlist) training per
+    * JVM instead of one per query/oracle/spec call. */
   private[graft] def ivfCentroids(s: SparkSession, d: String,
-                                  nlist: Int = IvfNlist): Array[Array[Double]] = {
-    import s.implicits._
-    val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
-      .select("embedding").as[Array[Float]].collect()
-    trainCentroids(sample, nlist, iters = 10)
-  }
+                                  nlist: Int = IvfNlist): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((d, nlist), {
+      import s.implicits._
+      val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+        .select("embedding").as[Array[Float]].collect()
+      trainCentroids(sample, nlist, iters = 10)
+    })
 
   /** IVF ANN: corpus bucketed by nearest centroid (write-side
     * partitioning at scale), queries probe their `nprobe` nearest

@@ -50,48 +50,82 @@ object JdbcUpsert {
     else st.setObject(pos, r.get(ci), sqlT)
 
   /** Merge `batch` into the JDBC table, last write per key winning
-    * (ties on `versionCol` broken arbitrarily within the batch, as in
-    * any concurrent upsert). Safe to re-run with the same batch. */
+    * ACROSS batches: the UPDATE is guarded by `versionCol <= ?`, so
+    * replaying an old batch (or applying batches out of order) never
+    * regresses a newer stored row. Safe to re-run with any batch any
+    * number of times — the table converges to the per-key max-version
+    * row it has ever seen. */
   def upsertBatch(batch: DataFrame, url: String, table: String,
                   keys: Seq[String], versionCol: String,
                   jdbcBatchSize: Int = 500): Unit = {
     val schema = batch.schema
     val cols = schema.fieldNames.toSeq
     val nonKeys = cols.filterNot(keys.contains)
+    require(nonKeys.nonEmpty,
+      s"upsertBatch into $table: every column is a key — nothing to " +
+        "merge; use a plain INSERT-if-absent writer for presence tables")
+    require(nonKeys.contains(versionCol),
+      s"versionCol $versionCol must be a stored non-key column")
     val types = schema.fields.map(f => sqlType(f.dataType))
+    val vIdx = cols.indexOf(versionCol)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
     val deduped = batch
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     val updSql = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
-      s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
+      s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")} AND $versionCol <= ?"
     val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val updOrder = (nonKeys ++ keys).map(cols.indexOf).toArray
     deduped.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url)
+        var upd: PreparedStatement = null
+        var ins: PreparedStatement = null
         try {
           conn.setAutoCommit(false)
-          val upd = conn.prepareStatement(updSql)
-          val ins = conn.prepareStatement(insSql)
+          upd = conn.prepareStatement(updSql)
+          ins = conn.prepareStatement(insSql)
           rows.grouped(jdbcBatchSize).foreach { group =>
             group.foreach { r =>
               updOrder.zipWithIndex.foreach { case (ci, pi) =>
                 setParam(upd, pi + 1, r, ci, types(ci))
               }
+              setParam(upd, updOrder.length + 1, r, vIdx, types(vIdx))
               upd.addBatch()
             }
+            // relies on per-statement update counts (Derby and
+            // Postgres both return them); a driver answering
+            // SUCCESS_NO_INFO (-2) would need its native upsert SQL
+            // instead of this portable pair
             val counts = upd.executeBatch()
-            group.iterator.zip(counts.iterator)
-              .filter(_._2 == 0) // no row matched -> fresh key -> INSERT
-              .foreach { case (r, _) =>
-                cols.indices.foreach(ci => setParam(ins, ci + 1, r, ci, types(ci)))
-                ins.addBatch()
+            // count == 0: key absent, OR present with a NEWER version
+            // (guard skipped it). INSERT the absent ones; a duplicate-
+            // key error identifies the newer-version case — drop to
+            // row-at-a-time for the remainder and ignore exactly that
+            // error (keeping the newer row IS the merge semantics).
+            val pending = group.iterator.zip(counts.iterator)
+              .filter(_._2 == 0).map(_._1).toList
+            pending.foreach { r =>
+              cols.indices.foreach(ci => setParam(ins, ci + 1, r, ci, types(ci)))
+              try { ins.executeUpdate(); () }
+              catch {
+                // SQLState class 23 = integrity violation (not every
+                // driver subclasses SQLIntegrityConstraintViolation)
+                case e: java.sql.SQLException
+                    if e.getSQLState != null && e.getSQLState.startsWith("23") => ()
               }
-            ins.executeBatch()
+            }
           }
           conn.commit()
-        } finally conn.close()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        } finally {
+          if (upd != null) upd.close()
+          if (ins != null) ins.close()
+          conn.close()
+        }
       }
     }
   }

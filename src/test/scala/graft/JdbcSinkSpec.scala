@@ -51,6 +51,12 @@ class JdbcSinkSpec extends SparkSpec {
     val again = readTable("games_metadata").collect()
       .map(r => r.getAs[Long]("APP_ID") -> r.getAs[Double]("PRICE")).toMap
     assert(again == got)
+    // cross-batch last-write-wins: replaying the OLDER batch 1 must
+    // not regress rows the newer batch already wrote (version guard)
+    JdbcUpsert.upsertBatch(b1, url, "games_metadata", Seq("app_id"), "updated_at")
+    val afterOldReplay = readTable("games_metadata").collect()
+      .map(r => r.getAs[Long]("APP_ID") -> r.getAs[Double]("PRICE")).toMap
+    assert(afterOldReplay == got, "older replayed batch regressed newer rows")
   }
 
   test("streaming foreachBatch upsert maintains the JDBC table") {
