@@ -56,6 +56,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
+    "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
@@ -603,6 +604,28 @@ object SparkEntry {
       SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio, top_tok_ratio,
         (dup_3gram_ratio > 0.2 OR top_tok_ratio > 0.2) AS repetitive
       FROM r ORDER BY doc_id""",
+
+    "text_redact" -> """
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+               THEN text || ' contact user' || doc_id || '@example.com from 192.168.'
+                    || (doc_id % 256) || '.1'
+               ELSE text END AS t
+        FROM documents),
+      e AS (
+        SELECT doc_id, t,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t2
+        FROM p)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(t2,
+          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', 0)) AS INT) AS n_ips,
+        regexp_replace(t2, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')
+          AS redacted
+      FROM e ORDER BY doc_id""",
 
     "vocab_topk" -> """
       SELECT tok AS token, COUNT(*) AS n FROM (

@@ -119,6 +119,36 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared by Spark and the oracle: PII-ish patterns restricted to
+    * the regex subset where Java (backtracking) and RE2 (DuckDB,
+    * leftmost-longest) agree — greedy character classes, no ambiguous
+    * alternation. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** text_redact: C4-style PII scrubbing — email and IPv4 redaction
+    * with per-doc match counts. The corpus is synthetic, so PII is
+    * PLANTED deterministically inside the query (doc_id % 10 == 0
+    * docs gain an email + IP suffix derived from doc_id) exactly as
+    * the oracle plants it — the redaction itself is therefore
+    * hash-verified cross-engine, not just on no-op text. Emails are
+    * redacted first, IPs counted/redacted on the email-redacted text
+    * (fixed stage order keeps both engines identical). */
+  def textRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 192.168."),
+        (col("doc_id") % 256).cast("string"), lit(".1")))
+      .otherwise(col("text"))
+    val afterEmail = regexp_replace(planted, EmailPattern, "<EMAIL>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(planted, lit(EmailPattern)).cast("int").as("n_emails"),
+        regexp_count(afterEmail, lit(Ipv4Pattern)).cast("int").as("n_ips"),
+        regexp_replace(afterEmail, Ipv4Pattern, "<IP>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** vocab_topk: corpus-wide token counts, top-k by frequency — the
     * input to tokenizer/vocabulary training. Plain explode(split) —
     * split() is a codegen'd expression, NOT a CodegenFallback HOF, so

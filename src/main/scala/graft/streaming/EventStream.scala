@@ -159,6 +159,41 @@ object EventStream {
       }
   }
 
+  case class BandRow(doc_id: Long, band: Int, sig: String)
+
+  /** Streaming NEAR-dup candidate detection: the incremental form of
+    * the batch minhash-LSH band join. Keyed by (band, sig) bucket,
+    * the state holds the bucket's member doc ids; each arriving doc
+    * emits a candidate pair against every earlier member, exactly
+    * once (new members are paired with existing ones and with earlier
+    * same-batch arrivals). Pairs may repeat ACROSS bands — exactly
+    * like the batch join before its distinct — so downstream
+    * consumers dedupe, and the spec compares distinct sets. State per
+    * bucket is bounded by bucket occupancy, which is what LSH banding
+    * bounds by construction. */
+  def streamingMinhashPairs(bands: Dataset[BandRow]): Dataset[(Long, Long)] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.sig))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          val existing = state.getOption.getOrElse(Seq.empty)
+          val seen = existing.toSet
+          val incoming = rows.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var members = existing
+          incoming.foreach { id =>
+            members.foreach { m =>
+              out += (if (m < id) (m, id) else (id, m))
+            }
+            members = members :+ id
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

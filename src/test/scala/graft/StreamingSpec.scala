@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batchKeepers.size)
   }
 
+  test("streaming minhash pair detection matches the batch band join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = operators.Dedup.withPlants(Tables.documents(spark, sf))
+    val bands = operators.Dedup.minhashBands(docs)
+      .as[(Long, Int, String)].collect()
+      .map { case (d, b, s) => EventStream.BandRow(d, b, s) }
+    val (originals, plants) = bands.partition(_.doc_id < 100000)
+    val input = MemoryStream[EventStream.BandRow]
+    val q = EventStream.streamingMinhashPairs(input.toDS())
+      .toDF("d1", "d2")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mh_stream_test").start()
+    input.addData(originals.toSeq)
+    q.processAllAvailable()
+    input.addData(plants.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mh_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = operators.Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -94,6 +94,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("redaction finds and masks the planted email+IP, leaves others alone") {
+    val rows = TextFunctions.textRedact(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 500)
+    rows.foreach { case (id, r) =>
+      if (id % 10 == 0) {
+        assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_ips") == 1)
+        val red = r.getAs[String]("redacted")
+        assert(red.contains("<EMAIL>") && red.contains("<IP>"))
+        assert(!red.contains("@example.com") && !red.contains("192.168."))
+      } else {
+        assert(r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_ips") == 0)
+      }
+    }
+  }
+
   test("multimodal features preserve payload size and metadata") {
     val rows = Multimodal.features(spark, sf).collect()
     assert(rows.length == 500)
