@@ -193,9 +193,9 @@ object Dedup {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** First 15 md5 hex digits as a 60-bit value (60 = 4 chunks x 15
-    * bits for the simhash pigeonhole banding; also keeps every SQL
-    * intermediate exactly representable). */
+  /** First 15 md5 hex digits as a 60-bit value (60 divides evenly
+    * into every supported banding geometry — 4×15, 5×12, 6×10 — and
+    * keeps every SQL intermediate exactly representable). */
   private[operators] def md5Hash60(s: String): Long = {
     val d = digest(s)
     var v = 0L
@@ -259,7 +259,7 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  private[operators] val SimhashBits = 60 // 4 chunks x 15 bits
+  private[operators] val SimhashBits = 60 // divides into 4/5/6 equal chunks
 
   /** 60-bit SimHash per doc: sign of per-bit ±1 sums over token
     * hashes (token multiset, not set — classic SimHash weighting),
@@ -401,7 +401,9 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
-    while (!done && iter < maxIters) {
+    // maxIters buys maxIters PROPAGATION rounds; the sum-equality
+    // check needs one extra no-change round to confirm, hence the +1
+    while (!done && iter < maxIters + 1) {
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("cluster_id"))
@@ -419,9 +421,9 @@ object Dedup {
     // confusing ways) — fail loudly if a pathological graph outruns
     // the round budget instead of returning them
     if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(component diameter exceeds the budget — raise maxIters or " +
-        "switch the propagation step to large-star/small-star)")
+      s"connectedComponents did not converge in $maxIters propagation " +
+        "rounds (component diameter exceeds the budget — raise maxIters " +
+        "or switch the propagation step to large-star/small-star)")
     labels
   }
 

@@ -54,7 +54,14 @@ object JdbcUpsert {
     * replaying an old batch (or applying batches out of order) never
     * regresses a newer stored row. Safe to re-run with any batch any
     * number of times — the table converges to the per-key max-version
-    * row it has ever seen. */
+    * row it has ever seen.
+    *
+    * REQUIRES a unique/PRIMARY KEY constraint on the key columns
+    * (the reference's games_metadata has one — main.py:79-105): the
+    * duplicate-key error is how a newer stored row is recognized on
+    * the INSERT path; without the constraint, a replayed old batch
+    * would insert a second, stale row for the key. Rows with a NULL
+    * versionCol are rejected loudly (the guard can't order NULL). */
   def upsertBatch(batch: DataFrame, url: String, table: String,
                   keys: Seq[String], versionCol: String,
                   jdbcBatchSize: Int = 500): Unit = {
@@ -85,34 +92,57 @@ object JdbcUpsert {
           conn.setAutoCommit(false)
           upd = conn.prepareStatement(updSql)
           ins = conn.prepareStatement(insSql)
+          // SQLState class 23 = integrity violation (not every driver
+          // subclasses SQLIntegrityConstraintViolation)
+          def isDupKey(e: java.sql.SQLException): Boolean =
+            e.getSQLState != null && e.getSQLState.startsWith("23")
+          def bindInsert(r: Row): Unit =
+            cols.indices.foreach(ci => setParam(ins, ci + 1, r, ci, types(ci)))
           rows.grouped(jdbcBatchSize).foreach { group =>
             group.foreach { r =>
+              if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+                s"upsertBatch into $table: NULL $versionCol — the version " +
+                  "guard cannot order it; filter or default such rows upstream")
               updOrder.zipWithIndex.foreach { case (ci, pi) =>
                 setParam(upd, pi + 1, r, ci, types(ci))
               }
               setParam(upd, updOrder.length + 1, r, vIdx, types(vIdx))
               upd.addBatch()
             }
-            // relies on per-statement update counts (Derby and
-            // Postgres both return them); a driver answering
-            // SUCCESS_NO_INFO (-2) would need its native upsert SQL
-            // instead of this portable pair
             val counts = upd.executeBatch()
+            // fail loudly on drivers that answer SUCCESS_NO_INFO (-2):
+            // fresh rows would silently never be inserted — use the
+            // DB's native upsert SQL there instead of this pair
+            require(counts.forall(_ >= 0),
+              s"$table: driver returned no per-statement update counts; " +
+                "portable UPDATE-else-INSERT cannot run safely")
             // count == 0: key absent, OR present with a NEWER version
-            // (guard skipped it). INSERT the absent ones; a duplicate-
-            // key error identifies the newer-version case — drop to
-            // row-at-a-time for the remainder and ignore exactly that
-            // error (keeping the newer row IS the merge semantics).
+            // (guard skipped it). Batch-INSERT the pending rows — the
+            // common bulk path is all-fresh keys, one round-trip per
+            // group. A duplicate key identifies the newer-version
+            // case: roll back to the savepoint (on Postgres the whole
+            // transaction is aborted otherwise) and retry row-at-a-
+            // time, tolerating exactly the duplicate-key error.
             val pending = group.iterator.zip(counts.iterator)
               .filter(_._2 == 0).map(_._1).toList
-            pending.foreach { r =>
-              cols.indices.foreach(ci => setParam(ins, ci + 1, r, ci, types(ci)))
-              try { ins.executeUpdate(); () }
-              catch {
-                // SQLState class 23 = integrity violation (not every
-                // driver subclasses SQLIntegrityConstraintViolation)
-                case e: java.sql.SQLException
-                    if e.getSQLState != null && e.getSQLState.startsWith("23") => ()
+            if (pending.nonEmpty) {
+              val spBatch = conn.setSavepoint()
+              try {
+                pending.foreach { r => bindInsert(r); ins.addBatch() }
+                ins.executeBatch()
+                ()
+              } catch {
+                case _: java.sql.BatchUpdateException =>
+                  conn.rollback(spBatch)
+                  pending.foreach { r =>
+                    bindInsert(r)
+                    val sp = conn.setSavepoint()
+                    try { ins.executeUpdate(); () }
+                    catch {
+                      case e: java.sql.SQLException if isDupKey(e) =>
+                        conn.rollback(sp)
+                    }
+                  }
               }
             }
           }
