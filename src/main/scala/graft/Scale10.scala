@@ -34,6 +34,8 @@ object Scale10 {
     t(s"embcos_${mult}x")(operators.Dedup.embCosineDups(emb).count())
     t(s"cc_clusters_${mult}x")(operators.Dedup.connectedComponents(
       operators.Dedup.minhashCandidates(docs)).count())
+    t(s"cc_star_${mult}x")(operators.Dedup.connectedComponentsStar(
+      operators.Dedup.minhashCandidates(docs)).count())
     t(s"pack_${mult}x")(operators.Curate.packSequences(docs, 512, 100).count())
     t(s"q1_${mult}x")(li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -382,11 +382,9 @@ object Dedup {
     * bounded by the component DIAMETER — near-dup graphs are
     * star/clique-shaped (every member collides with the keeper's
     * bands), so this converges in a handful of rounds. For
-    * adversarially chain-shaped graphs the alternating
-    * large-star/small-star scheme (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") bounds rounds at O(log²n)
-    * with the same per-round join shape — swap the propagation step,
-    * keep the loop.
+    * adversarially chain-shaped graphs use
+    * [[connectedComponentsStar]] — O(log²n) rounds regardless of
+    * diameter, equivalence-spec'd against this implementation.
     *
     * Convergence detection: labels only ever decrease, so the label
     * sum is strictly decreasing until fixpoint — one cheap aggregate
@@ -425,6 +423,66 @@ object Dedup {
         "rounds (component diameter exceeds the budget — raise maxIters " +
         "or switch the propagation step to large-star/small-star)")
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-graph-safe alternative to [[connectedComponents]]:
+    * rounds are bounded by O(log² n) regardless of component DIAMETER
+    * (min-label propagation pays diameter rounds, which a pathological
+    * near-dup chain can stretch).
+    *
+    *   - large-star(u): every neighbor larger than u re-attaches to
+    *     the minimum of u's neighborhood (incl. u),
+    *   - small-star(u): u and its smaller neighbors re-attach to the
+    *     smallest of them.
+    *
+    * Both steps are groupBy-min + equi-join — the same per-round
+    * shuffle shape as label propagation. Fixpoint = star edge sets
+    * (component-min → member), detected by edge-set equality.
+    * Equivalence with [[connectedComponents]] and a union-find ground
+    * truth is spec'd in DedupSpec, including a 100-hop chain that the
+    * default label-propagation budget cannot finish. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    def symmetrize(edges: DataFrame): DataFrame =
+      edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = symmetrize(edges)
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val smaller = symmetrize(edges).filter(col("v") < col("u"))
+      val mins = smaller.groupBy("u").agg(min(col("v")).as("m"))
+      val fromNeighbors = smaller.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val fromSelf = mins.select(col("u"), col("m").as("v"))
+      canon(fromNeighbors.unionByName(fromSelf))
+    }
+    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // canon-deduped sets: equal counts + next ⊆ edges ⇒ equal sets
+      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // fixpoint edges are (center=min, member) stars
+    edges.select(col("v").as("node"), col("u").as("cluster_id"))
+      .unionByName(edges.select(col("u").as("node"), col("u").as("cluster_id")))
+      .distinct()
   }
 
   /** dedup_clusters query: minhash-LSH candidate pairs → connected

@@ -73,6 +73,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC equals label propagation and union-find truth") {
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-id labels: one more find pass after all unions
+      nodes.map(n => n -> find(n)).toMap
+    }
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(11)
+    val graphs = Seq(
+      // random sparse graphs of assorted shapes
+      Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)),
+      Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)),
+      // stars + disjoint cliques
+      (1L to 20L).map(i => (0L, i)) ++ Seq((30L, 31L), (31L, 32L), (30L, 32L))
+    ).map(_.filter(e => e._1 != e._2))
+    graphs.foreach { g =>
+      val pairs = g.toDF("d1", "d2")
+      val truth = unionFind(g)
+      assert(labelsOf(Dedup.connectedComponentsStar(pairs)) == truth)
+      assert(labelsOf(Dedup.connectedComponents(pairs)) == truth)
+    }
+    // adversarial 100-hop chain: diameter 100 >> the label-propagation
+    // default budget; star contraction converges in O(log^2) rounds
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    assert(labelsOf(Dedup.connectedComponentsStar(chain.toDF("d1", "d2"))) ==
+      unionFind(chain))
+    // same pairs through the production entry point agree too
+    val corpus = Dedup.minhashCandidates(Dedup.withPlants(Tables.documents(spark, sf)))
+    assert(labelsOf(Dedup.connectedComponentsStar(corpus)
+      .select("node", "cluster_id")) ==
+      labelsOf(Dedup.connectedComponents(corpus).select("node", "cluster_id")))
+  }
+
   test("embedding cosine pairs are label-blocked and thresholded") {
     val rows = Dedup.embCosineDups(spark, sf).collect()
     assert(rows.nonEmpty)
