@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

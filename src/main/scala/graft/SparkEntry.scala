@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> Dedup.minhashCandidates _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
+    "dedup_clusters_star" -> Dedup.dedupClustersStar _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
@@ -109,6 +110,22 @@ object SparkEntry {
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+
+  /** Connected-components oracle (recursive reachability, component
+    * id = min reachable node) — shared verbatim by dedup_clusters
+    * (min-label propagation) and dedup_clusters_star (Kiveris
+    * star-contraction): both must hash-match it exactly. */
+  private def ccOracleSql: String = s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM mh_pairs
+        UNION ALL SELECT d2, d1 FROM mh_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+      SELECT node AS doc_id, MIN(root) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -424,17 +441,10 @@ object SparkEntry {
       FROM q WHERE quality_score > 0.2
       GROUP BY lang ORDER BY lang""",
 
-    "dedup_clusters" -> s"""
-      WITH RECURSIVE $minhashCtes,
-      edges AS (
-        SELECT d1 AS u, d2 AS v FROM mh_pairs
-        UNION ALL SELECT d2, d1 FROM mh_pairs),
-      reach(node, root) AS (
-        SELECT u, u FROM edges
-        UNION
-        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
-      SELECT node AS doc_id, MIN(root) AS cluster_id
-      FROM reach GROUP BY node ORDER BY doc_id""",
+    "dedup_clusters" -> ccOracleSql,
+    // the star-contraction algorithm must produce the exact same
+    // component labels — one oracle, two implementations under test
+    "dedup_clusters_star" -> ccOracleSql,
 
     "dedup_simhash" -> """
       WITH docs AS (

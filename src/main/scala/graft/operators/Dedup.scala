@@ -493,6 +493,15 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** Same clustering through [[connectedComponentsStar]] — exposed as
+    * its own query so the star algorithm is ALSO hash-verified
+    * against the DuckDB reachability oracle, not just against the
+    * label-propagation implementation. */
+  def dedupClustersStar(s: SparkSession, d: String): DataFrame =
+    connectedComponentsStar(minhashCandidates(withPlants(Tables.documents(s, d))))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** Embedding near-dup: cosine ≥ tau, label-blocked (the generic
     * scale path replaces the label with an LSH bucket — see
     * Similarity.annLsh). Cosine is computed in double and rounded to
