@@ -24,9 +24,17 @@ object Bench {
     // absorb one-time JVM/codegen/scheduler init outside the timings
     spark.range(1000000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one untimed pass over EVERY query first: r2 measured the
+    // alphabetically-first queries (ann_*) absorbing residual JIT/
+    // codegen warmup that the r1 map-order run had spread elsewhere —
+    // timings must reflect steady state, not loop position
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
     // best-of-2 per query: steady-state wall time, less sensitive to
     // GC/scheduler noise on a shared box
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -63,8 +71,10 @@ object Bench {
 
   /** recall@k of the approximate ANN paths vs the brute-force
     * baseline: |approx ∩ exact| / |exact| over (query_id, neighbor_id)
-    * pairs. The scale paths (LSH buckets, IVF probes) trade recall for
-    * candidate-set size — this quantifies the trade per round. */
+    * pairs — plus dedup_emb_lsh PAIR recall vs the exact all-pairs
+    * ground truth at the same τ. The scale paths (LSH buckets, IVF
+    * probes) trade recall for candidate-set size — this quantifies the
+    * trade per round. */
   def annRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
     def pairs(name: String) =
       SparkEntry.queries(name)(spark, sfDir).select("query_id", "neighbor_id")
@@ -76,6 +86,14 @@ object Bench {
               .count() / n)
     }.toMap
     exact.unpersist()
-    out
+    val embExact = operators.Dedup
+      .embCosineAllPairs(Tables.embeddings(spark, sfDir))
+      .select("v1", "v2").cache()
+    val nPairs = embExact.count().toDouble
+    val lshPairs = operators.Dedup.embLshDups(spark, sfDir)
+      .select("v1", "v2")
+      .join(embExact, Seq("v1", "v2"), "left_semi").count()
+    embExact.unpersist()
+    out + ("dedup_emb_lsh" -> (if (nPairs == 0) 0.0 else lshPairs / nPairs))
   }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersStar _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
+    "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
+    "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "curate_corpus"       -> operators.Curate.curateCorpus _,
@@ -493,6 +495,30 @@ object SparkEntry {
                                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
       ORDER BY v1, v2""",
 
+    // same planes/codes CTE as ann_lsh, used as a DEDUP blocking key:
+    // candidate = collision in ANY table, verified by exact cosine
+    "dedup_emb_lsh" -> s"""
+      WITH planes(tid, pid, p) AS (VALUES
+        ${operators.Similarity.planesSqlValues}),
+      codes AS (
+        SELECT vec_id, tid,
+          CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p) >= 0
+                        THEN 1 << pid ELSE 0 END) AS INT) AS code
+        FROM embeddings CROSS JOIN planes GROUP BY vec_id, tid),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+        FROM codes x JOIN codes y
+          ON x.tid = y.tid AND x.code = y.code AND x.vec_id < y.vec_id),
+      rer AS (
+        SELECT cand.v1, cand.v2,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.v1
+        JOIN embeddings b ON b.vec_id = cand.v2)
+      SELECT v1, v2, cos_sim FROM rer WHERE cos_sim >= 0.35
+      ORDER BY v1, v2""",
+
     "ann_bruteforce" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                  FROM embeddings WHERE vec_id < 10),
@@ -672,6 +698,34 @@ object SparkEntry {
         CAST(cum_before // 512 AS INT) AS bin_id,
         CAST(cum_before % 512 AS INT) AS bin_offset
       FROM c ORDER BY lang, doc_id""",
+
+    // same prefix-sum CTE as pack_sequences, then one row per
+    // (doc, window) segment via generate_series over the exact offsets
+    "pack_segments" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+        FROM t),
+      seg AS (
+        SELECT lang, doc_id, n_tokens, cum_before,
+          unnest(range(cum_before // 512,
+                       (cum_before + n_tokens - 1) // 512 + 1)) AS bin_id
+        FROM c WHERE n_tokens > 0)
+      SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        CAST(bin_id - cum_before // 512 AS INT) AS seg_idx,
+        CAST(bin_id AS INT) AS bin_id,
+        CAST(greatest(0, cum_before - bin_id * 512) AS INT) AS bin_offset,
+        CAST(greatest(0, bin_id * 512 - cum_before) AS INT) AS seg_start,
+        CAST(least(n_tokens, (bin_id + 1) * 512 - cum_before)
+             - greatest(0, bin_id * 512 - cum_before) AS INT) AS seg_len
+      FROM seg ORDER BY lang, doc_id, bin_id""",
 
     "text_fingerprint" -> """
       WITH g AS (

@@ -58,9 +58,11 @@ object Curate {
     * directly), then the same quality gate + accounting. This is the
     * full production shape: banding, clustering, and curation
     * composed end-to-end, each stage an equi-join or aggregate. */
-  def curateNearDup(s: SparkSession, d: String): DataFrame = {
-    val docs = Dedup.withPlants(Tables.documents(s, d))
-    val clusters = Dedup.connectedComponents(Dedup.minhashCandidates(docs))
+  def curateNearDup(s: SparkSession, d: String): DataFrame =
+    curateNearDupOn(Dedup.withPlants(Tables.documents(s, d)))
+
+  def curateNearDupOn(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.connectedComponentsSafe(Dedup.minhashCandidates(docs))
     val losers = clusters.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))
     qualityAccounting(docs.join(losers, Seq("doc_id"), "left_anti"))
@@ -87,11 +89,13 @@ object Curate {
                     shardSize: Long = 100): DataFrame =
     packSequences(Tables.documents(s, d), cap, shardSize)
 
-  def packSequences(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame = {
+  /** (lang, doc_id, n_tokens, cum_before): the distributed prefix sum
+    * shared by [[packSequences]] and [[packSegments]]. */
+  private def cumBefore(docsIn: DataFrame, shardSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(graft.functions.TextFunctions.tokens(col("text")))
     val docs = docsIn
-      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
     val shardTotals = docs.groupBy(col("lang"), col("shard"))
       .agg(sum(col("n_tokens")).as("shard_tokens"))
@@ -107,11 +111,50 @@ object Curate {
         col("shard_prefix") +
           coalesce(sum(col("n_tokens"))
             .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("lang"), col("doc_id"), col("n_tokens"),
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_before"))
+  }
+
+  def packSequences(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame =
+    cumBefore(docsIn, shardSize)
+      .select(col("lang"), col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         expr(s"CAST(cum_before div $cap AS INT)").as("bin_id"),
         expr(s"CAST(cum_before % $cap AS INT)").as("bin_offset"))
       .orderBy(col("lang"), col("doc_id"))
-  }
+
+  /** pack_segments: TRUE concat-and-chunk packing — where
+    * [[packSequences]] assigns each doc the window its first token
+    * lands in, this emits one row per (doc, window) SEGMENT: a doc
+    * whose tokens span a window boundary is split, so every window
+    * holds exactly `cap` tokens (except each language's tail). This is
+    * the row set a training loader materializes.
+    *
+    * The fan-out is a bounded Generate over the already-computed exact
+    * offsets: a doc covers windows cum_before/cap ..
+    * (cum_before+n_tokens-1)/cap — ⌈n_tokens/cap⌉+1 rows at most, so
+    * output is Θ(total_tokens / cap + n_docs) regardless of skew. The
+    * sequence() is a plain codegen'd expression (NOT a lambda HOF —
+    * those are CodegenFallback and pathological under Generate). */
+  def packSegments(s: SparkSession, d: String, cap: Int = 512,
+                   shardSize: Long = 100): DataFrame =
+    packSegments(Tables.documents(s, d), cap, shardSize)
+
+  def packSegments(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame =
+    cumBefore(docsIn, shardSize)
+      .filter(col("n_tokens") > 0)
+      .withColumn("bin_id", explode(sequence(
+        expr(s"cum_before div $cap"),
+        expr(s"(cum_before + n_tokens - 1) div $cap"))))
+      .select(col("lang"), col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        expr(s"CAST(bin_id - (cum_before div $cap) AS INT)").as("seg_idx"),
+        col("bin_id").cast("int").as("bin_id"),
+        expr(s"CAST(greatest(0L, cum_before - bin_id * $cap) AS INT)")
+          .as("bin_offset"),
+        expr(s"CAST(greatest(0L, bin_id * $cap - cum_before) AS INT)")
+          .as("seg_start"),
+        expr(s"CAST(least(n_tokens, (bin_id + 1) * $cap - cum_before) - " +
+             s"greatest(0L, bin_id * $cap - cum_before) AS INT)").as("seg_len"))
+      .orderBy(col("lang"), col("doc_id"), col("bin_id"))
 
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a

@@ -485,11 +485,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Production CC entry point: min-label propagation first (diameter-
+    * bound rounds — measured fastest on star/clique-shaped near-dup
+    * graphs), falling back to [[connectedComponentsStar]] (O(log²n)
+    * rounds regardless of diameter) when a chain-shaped graph exhausts
+    * the propagation budget. Both algorithms hash-match the same
+    * reachability oracle, so the fallback changes cost, never results
+    * — and a pathological graph degrades to the slower-but-terminating
+    * algorithm instead of failing the pipeline. */
+  def connectedComponentsSafe(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    try connectedComponents(pairs, maxIters)
+    catch {
+      case e: IllegalStateException =>
+        System.err.println(
+          s"[graft] ${e.getMessage} — falling back to large-star/small-star")
+        connectedComponentsStar(pairs)
+    }
+
   /** dedup_clusters query: minhash-LSH candidate pairs → connected
     * components → (doc_id, cluster_id); cluster_id is the component's
     * min doc id, i.e. the keeper under keep-min-id policy. */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(minhashCandidates(withPlants(Tables.documents(s, d))))
+    connectedComponentsSafe(minhashCandidates(withPlants(Tables.documents(s, d))))
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
@@ -517,5 +534,75 @@ object Dedup {
           col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Embedding near-dup, LSH-blocked — the generic 100 TB path for
+    * [[embCosineDups]]: the blocking key is the multi-table random-
+    * hyperplane code ([[Similarity.lshCodes]] — the same planes and
+    * geometry as ann_lsh), not a low-cardinality label. Candidates
+    * are pairs colliding in ANY table (an equi-join on (tid, code) —
+    * the cross product is never materialized), verified with the
+    * native codegen'd CosineSimilarity expression and thresholded at
+    * `tau`.
+    *
+    * Recall/occupancy trade (measured per round in Bench as
+    * `dedup_emb_lsh` pair-recall vs the exact all-pairs ground truth,
+    * floored at 0.8 by RecallSpec): bucket count is 2^bits per table,
+    * a PARAMETER — unlike the label key, whose cardinality is fixed by
+    * the data. The default 16×4 geometry measures ≈0.93 recall at
+    * τ=0.35 on the deliberately isotropic synthetic corpus (threshold
+    * pairs sit barely 2.5σ above random — LSH's hardest regime, hence
+    * coarse buckets); real near-dup corpora thresholded at τ≥0.8 use
+    * 16+ bits/table (p_bit = 1 − θ/π ≥ 0.85, so 32×16 keeps recall
+    * ≥0.9 with 65k buckets per table), keeping candidate volume
+    * output-bound — the Scale10 occupancy probe measures both
+    * geometries. */
+  def embLshDups(s: SparkSession, d: String): DataFrame =
+    embLshDups(Tables.embeddings(s, d))
+
+  /** Distinct candidate pairs from the LSH bucket join, BEFORE the
+    * cosine verify — exposed so the Scale10 occupancy probe can
+    * measure candidate volume per (tables, bits) geometry, exactly
+    * like [[simhashCandidates]] does for the simhash bandings. */
+  def embLshCandidates(e: DataFrame,
+                       numBits: Int = Similarity.LshBits,
+                       numTables: Int = Similarity.LshTables): DataFrame = {
+    val bc = e.sparkSession.sparkContext.broadcast(
+      Similarity.lshPlanes(numTables, numBits))
+    val codes = Similarity.lshCodes(e, bc)
+    // shuffle_hash: the code table is |e| × numTables rows — Catalyst
+    // underestimates it and would broadcast the exploded side
+    codes.as("x").join(codes.hint("shuffle_hash").as("y"),
+        col("x.tid") === col("y.tid") && col("x.code") === col("y.code") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+  }
+
+  def embLshDups(e: DataFrame, tau: Double = 0.35,
+                 numBits: Int = Similarity.LshBits,
+                 numTables: Int = Similarity.LshTables): DataFrame = {
+    embLshCandidates(e, numBits, numTables)
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+      .select(col("v1"), col("v2"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("e1"), col("e2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Exact all-pairs ground truth for measuring [[embLshDups]] pair
+    * recall — O(n²) BY CONSTRUCTION and used ONLY as the recall
+    * baseline in Bench/RecallSpec/Scale10 (the correctness analog of
+    * ann_bruteforce), never as a production query. */
+  def embCosineAllPairs(e: DataFrame, tau: Double = 0.35): DataFrame = {
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("e1"), col("e2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
   }
 }

@@ -203,8 +203,10 @@ object Similarity {
 
   /** (vec_id, tid, code) sign-of-projection codes for every table, in
     * one typed pass (tight primitive loops — the HOF formulation is
-    * CodegenFallback and would re-evaluate per exploded element). */
-  private def lshCodes(df: DataFrame,
+    * CodegenFallback and would re-evaluate per exploded element).
+    * Shared with [[Dedup.embLshDups]], which uses the codes as a
+    * DEDUP blocking key rather than an ANN probe. */
+  private[operators] def lshCodes(df: DataFrame,
                        bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
