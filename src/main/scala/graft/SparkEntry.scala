@@ -739,6 +739,8 @@ object SparkEntry {
         CAST(len(list_distinct(hs)) AS INT) AS n_distinct_shingles
       FROM g ORDER BY doc_id""",
 
+    // img_w/img_h/pixel_sum re-derive the ImageIO-decoded plane: BMP is
+    // uncompressed, pixel (x,y) = byte (y*w+x) mod len of the payload
     "multimodal_meta" -> """
       SELECT doc_id,
         CAST(length(text) AS INT) AS n_bytes,
@@ -751,6 +753,12 @@ object SparkEntry {
         CAST((doc_id % 48 + 12) * 8 // 4 AS INT) AS thumb_h,
         CAST(list_sum(list_transform(range(1, length(text) + 1, 4),
           i -> unicode(text[i:i]))) % 100000 AS BIGINT) AS thumb_checksum,
+        CAST(doc_id % 16 + 4 AS INT) AS img_w,
+        CAST(doc_id % 12 + 4 AS INT) AS img_h,
+        CAST(list_sum(list_transform(range(0, (doc_id % 16 + 4) * (doc_id % 12 + 4)),
+          i -> unicode(text[CAST(i % length(text) AS INT) + 1
+                            : CAST(i % length(text) AS INT) + 1])))
+          % 100000 AS BIGINT) AS pixel_sum,
         'fake/raw' AS fmt
       FROM documents ORDER BY doc_id""",
 

@@ -110,6 +110,10 @@ class DedupSpec extends SparkSpec {
     val chain = (0L until 100L).map(i => (i, i + 1))
     assert(labelsOf(Dedup.connectedComponentsStar(chain.toDF("d1", "d2"))) ==
       unionFind(chain))
+    // the production entry point survives the same chain by falling
+    // back to star contraction instead of throwing
+    assert(labelsOf(Dedup.connectedComponentsSafe(chain.toDF("d1", "d2"))
+      .select("node", "cluster_id")) == unionFind(chain))
     // same pairs through the production entry point agree too
     val corpus = Dedup.minhashCandidates(Dedup.withPlants(Tables.documents(spark, sf)))
     assert(labelsOf(Dedup.connectedComponentsStar(corpus)

@@ -94,6 +94,47 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("pack_segments splits boundary-crossing docs; windows fill to cap") {
+    val cap = 512
+    val segs = operators.Curate.packSegments(spark, sf, cap = cap).collect()
+    assert(segs.nonEmpty)
+    // per doc: segment lengths sum to n_tokens, indices contiguous
+    segs.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .foreach { case ((_, id), rs) =>
+        val sorted = rs.sortBy(_.getAs[Int]("seg_idx"))
+        assert(sorted.map(_.getAs[Int]("seg_len")).sum ==
+          sorted.head.getAs[Int]("n_tokens"), s"doc $id lengths")
+        assert(sorted.map(_.getAs[Int]("seg_idx")).toSeq ==
+          sorted.indices.toSeq, s"doc $id seg indices")
+        // only the first segment starts mid-window; followers start at 0
+        sorted.tail.foreach(r => assert(r.getAs[Int]("bin_offset") == 0))
+        // seg_start is the doc-internal token offset: cumulative
+        assert(sorted.map(_.getAs[Int]("seg_start")).toSeq ==
+          sorted.scanLeft(0)((a, r) => a + r.getAs[Int]("seg_len")).init.toSeq)
+      }
+    // per (lang, bin): every window holds exactly cap tokens except
+    // each language's tail window
+    segs.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBin = rs.groupBy(_.getAs[Int]("bin_id"))
+        .view.mapValues(_.map(_.getAs[Int]("seg_len")).sum).toMap
+      val lastBin = byBin.keys.max
+      byBin.foreach { case (bin, tot) =>
+        if (bin != lastBin) assert(tot == cap, s"$lang bin $bin holds $tot")
+        else assert(tot <= cap)
+      }
+      // bins are dense 0..lastBin
+      assert(byBin.keySet == (0 to lastBin).toSet)
+    }
+    // first segment of every doc agrees with pack_sequences' assignment
+    val assign = operators.Curate.packSequences(spark, sf, cap = cap).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Int]("bin_id"), r.getAs[Int]("bin_offset"))).toMap
+    segs.filter(_.getAs[Int]("seg_idx") == 0).foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
+      assert(assign(k) == (r.getAs[Int]("bin_id"), r.getAs[Int]("bin_offset")))
+    }
+  }
+
   test("redaction finds and masks the planted email+IP, leaves others alone") {
     val rows = TextFunctions.textRedact(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -122,6 +163,26 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Int]("n_bytes") == docs(id))
       assert(r.getAs[Long]("n_pixels") ==
         r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
+      // decoded dims come from the actual ImageIO decode
+      assert(r.getAs[Int]("img_w") == (id % 16 + 4).toInt)
+      assert(r.getAs[Int]("img_h") == (id % 12 + 4).toInt)
+    }
+  }
+
+  test("BMP encode/ImageIO decode roundtrips the exact pixel plane") {
+    val payload = "The quick brown fox".getBytes("UTF-8")
+    val (w, h) = (7, 5)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.bmpBytes(payload, w, h)))
+    assert(img != null, "JDK has no BMP reader?")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = payload((y * w + x) % payload.length) & 0xff
+      val rgb = img.getRGB(x, y)
+      // grayscale plane: all three channels carry the payload byte
+      assert((rgb & 0xff) == expected, s"B at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == expected, s"G at ($x,$y)")
+      assert(((rgb >> 16) & 0xff) == expected, s"R at ($x,$y)")
     }
   }
 }
