@@ -44,10 +44,14 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts) +: col("_side") +: payload.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    payload.foldLeft(union) { (df, c) =>
-        df.withColumn(c, last(when(col("_side") === 0, col(c)),
-          ignoreNulls = true).over(w))
-      }
+    // every payload window resolves in ONE select against the original
+    // union, so each column's tie-break ordering sees the raw right-
+    // side values (a sequential fold would rewrite c1 before c2's
+    // window resolves and order c2 by the already-filled c1)
+    val others = union.columns.filterNot(payload.contains).map(col).toSeq
+    val filled = payload.map(c =>
+      last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w).as(c))
+    union.select(others ++ filled: _*)
       .filter(col("_side") === 1)
       .drop("_side")
   }

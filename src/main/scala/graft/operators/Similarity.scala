@@ -125,16 +125,35 @@ object Similarity {
   private[graft] val IvfNprobe = 12
 
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), Array[Array[Double]]]
+
+  /** Fingerprint of the embeddings files backing `d` (name, length,
+    * mtime) — keys the centroid cache on the DATA, not just the path,
+    * so a rewritten/regenerated dataset retrains instead of silently
+    * reusing stale centroids within the same JVM. */
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(path)) "absent"
+    else {
+      val statuses =
+        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path)
+        else Array(fs.getFileStatus(path))
+      statuses.map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    }
+  }
 
   /** Train the IVF coarse quantizer from a bounded, deterministic
     * sample of the corpus (first 2048 vectors by id). Shared by the
     * query and its oracle so both see bit-identical centroids —
-    * which also makes it cacheable: one (dir, nlist) training per
-    * JVM instead of one per query/oracle/spec call. */
+    * which also makes it cacheable: one training per (dir, nlist,
+    * data-fingerprint) per JVM instead of one per query/oracle/spec
+    * call, and a dataset rewrite invalidates the entry. */
   private[graft] def ivfCentroids(s: SparkSession, d: String,
                                   nlist: Int = IvfNlist): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate((d, nlist), {
+    centroidCache.getOrElseUpdate((d, nlist, dataFingerprint(s, d)), {
       import s.implicits._
       val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
         .select("embedding").as[Array[Float]].collect()

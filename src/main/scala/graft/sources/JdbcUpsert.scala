@@ -75,7 +75,13 @@ object JdbcUpsert {
       s"versionCol $versionCol must be a stored non-key column")
     val types = schema.fields.map(f => sqlType(f.dataType))
     val vIdx = cols.indexOf(versionCol)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    // in-batch dedup: version desc, then the remaining non-key columns
+    // as a deterministic tie-break — two same-key same-version rows in
+    // one batch resolve identically on every run/replay instead of by
+    // shuffle arrival order
+    val tieBreak = nonKeys.filterNot(_ == versionCol).map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieBreak: _*)
     val deduped = batch
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     val updSql = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +

@@ -122,14 +122,22 @@ object EventStream {
       }
       .start()
 
-  /** Highest-versioned snapshot under `dir`, if any. */
+  /** Highest-versioned snapshot under `dir`, if any. Listed through
+    * the Hadoop FileSystem API, so the sink works against any
+    * supported scheme (hdfs://, s3a://, file:/), not just the local
+    * filesystem. */
   def latestSnapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val d = new java.io.File(dir)
-    val versions = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
-    if (versions.isEmpty) None
-    else Some(spark.read.parquet(versions.maxBy(_._1)._2.getAbsolutePath))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val versions = fs.listStatus(path)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+        .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong)
+          .toOption.map(_ -> st.getPath))
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+    }
   }
 
   case class DocIn(doc_id: Long, content_hash: String)
@@ -141,9 +149,9 @@ object EventStream {
     * (streams can't retract, so the keeper is the FIRST arrival —
     * min doc_id within its micro-batch group for determinism). State
     * is one long per distinct hash, partitioned by hash — scales
-    * horizontally; production streams bound it with the RocksDB state
-    * store + state TTL (dedup-within-horizon), which is a config, not
-    * a code change. */
+    * horizontally; production streams bound it with
+    * [[streamingDedupTtl]] (event-time TTL eviction, dedup-within-
+    * horizon) under the RocksDB state store provider. */
   def streamingDedup(docs: Dataset[DocIn]): Dataset[(String, Long)] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.content_hash)
@@ -155,6 +163,50 @@ object EventStream {
             val keeper = rows.map(_.doc_id).min
             state.update(keeper)
             Iterator.single((hash, keeper))
+          }
+      }
+  }
+
+  case class DocInTs(doc_id: Long, content_hash: String, ts: java.sql.Timestamp)
+
+  /** [[streamingDedup]] with BOUNDED state: dedup-within-horizon. Each
+    * hash's state carries an event-time TTL `horizonMs` past its
+    * newest arrival (sliding); when the watermark passes it, the state
+    * is REMOVED — so a hash that re-appears after the horizon is
+    * emitted again, and total state is bounded by the distinct-hash
+    * ARRIVAL RATE × horizon instead of the stream's lifetime
+    * cardinality. This is the semantics production dedup runs at 100
+    * TB/day: state cannot grow without bound, and the horizon is the
+    * declared dedup guarantee. StreamingSpec runs this under the
+    * RocksDB state store provider and asserts eviction from the query
+    * progress state-operator metrics. */
+  def streamingDedupTtl(docs: Dataset[DocInTs], horizonMs: Long,
+                        watermarkDelay: String = "10 minutes"): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .as[DocInTs]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hash: String, rows: Iterator[DocInTs], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var keeper = Long.MaxValue
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (r.doc_id < keeper) keeper = r.doc_id
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+            }
+            val out =
+              if (state.exists) Iterator.empty
+              else { state.update(keeper); Iterator.single((hash, keeper)) }
+            // TTL must stay ahead of the watermark or the update throws
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + horizonMs)
+            out
           }
       }
   }

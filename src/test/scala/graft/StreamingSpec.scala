@@ -5,6 +5,7 @@ import graft.streaming.EventStream.{Event, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends SparkSpec {
 
@@ -147,6 +148,65 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch,
       s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
+  test("TTL'd streaming dedup bounds state under RocksDB: rows evict past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // run THIS query on the RocksDB state store — the provider that
+    // makes large state feasible in production (spills to local disk,
+    // no JVM-heap residency); restore the default afterwards
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.DocInTs]
+      val q = EventStream.streamingDedupTtl(input.toDS(), horizonMs = 3600 * 1000L)
+        .toDF("content_hash", "keeper_id")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("dedup_ttl_test").start()
+      def stateRows: Long = {
+        val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        ps.last.stateOperators.head.numRowsTotal
+      }
+      // batch 1: ten distinct hashes at t=0 — all emitted, state = 10
+      input.addData((1L to 10L).map(i =>
+        EventStream.DocInTs(i, s"h$i", ts("2024-01-01 00:00:00"))))
+      q.processAllAvailable()
+      assert(stateRows == 10, s"state after batch 1: $stateRows")
+      // proof the query really runs on RocksDB, not the default HDFS store
+      assert(q.recentProgress.filter(_.stateOperators.nonEmpty).last
+        .stateOperators.head.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+      // batch 2: the same hashes again within the horizon — deduped,
+      // no growth
+      input.addData((11L to 20L).map(i =>
+        EventStream.DocInTs(i, s"h${i - 10}", ts("2024-01-01 00:30:00"))))
+      q.processAllAvailable()
+      assert(spark.table("dedup_ttl_test").count() == 10)
+      assert(stateRows == 10, s"state after batch 2: $stateRows")
+      // batch 3 advances event time far past every TTL (watermark
+      // catches up at batch end); batch 4 triggers timeout processing
+      input.addData(Seq(EventStream.DocInTs(100, "hx", ts("2024-01-01 05:00:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(EventStream.DocInTs(101, "hy", ts("2024-01-01 05:05:00"))))
+      q.processAllAvailable()
+      assert(stateRows <= 3, s"state after eviction: $stateRows") // hx, hy (+h1 below)
+      // horizon semantics: an evicted hash re-emits on re-arrival
+      input.addData(Seq(EventStream.DocInTs(200, "h1", ts("2024-01-01 05:10:00"))))
+      q.processAllAvailable()
+      q.stop()
+      val h1Keepers = spark.table("dedup_ttl_test")
+        .filter(col("content_hash") === "h1")
+        .collect().map(_.getAs[Long]("keeper_id")).sorted
+      assert(h1Keepers.sameElements(Array(1L, 200L)),
+        s"h1 emitted ${h1Keepers.toList} — expected once per horizon window")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("stateful sessionization emits gap-separated sessions") {
