@@ -32,13 +32,22 @@ object Scale10 {
       t(s"simhash_cand_${mult}x_chunks$nc")(
         operators.Dedup.simhashCandidates(docs, 3, nc).count())
     t(s"embcos_${mult}x")(operators.Dedup.embCosineDups(emb).count())
-    t(s"emblsh_${mult}x")(operators.Dedup.embLshDups(emb).count())
+    // full LSH-blocked query at the default 16×4 geometry: coarse
+    // buckets (the price of recall at a 2.5σ threshold on isotropic
+    // data) — measurably candidate-heavy by 10×, so capped there; the
+    // occupancy probes below are the geometry comparison
+    if (mult <= 10)
+      t(s"emblsh_${mult}x")(operators.Dedup.embLshDups(emb).count())
     // occupancy probe: candidate pairs per LSH geometry — buckets are
     // 2^bits per table, so bits is the knob that keeps the bucket join
     // output-bound as the corpus grows (the label key has no knob)
     for ((tb, b) <- Seq((16, 4), (32, 8), (32, 16)))
       t(s"emblsh_cand_${mult}x_${tb}t${b}b")(
         operators.Dedup.embLshCandidates(emb, b, tb).count())
+    // production-threshold shape: tight buckets at a real near-dup τ
+    // (p_bit(0.9)=0.857 ⇒ 32×16 recall ≈0.94) — output-bound cost
+    t(s"emblsh_strict_${mult}x")(
+      operators.Dedup.embLshDups(emb, tau = 0.9, numBits = 16, numTables = 32).count())
     t(s"cc_clusters_${mult}x")(operators.Dedup.connectedComponents(
       operators.Dedup.minhashCandidates(docs)).count())
     t(s"cc_star_${mult}x")(operators.Dedup.connectedComponentsStar(

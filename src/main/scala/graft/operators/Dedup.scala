@@ -519,10 +519,13 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
-  /** Embedding near-dup: cosine ≥ tau, label-blocked (the generic
-    * scale path replaces the label with an LSH bucket — see
-    * Similarity.annLsh). Cosine is computed in double and rounded to
-    * 6 dp on both engines before thresholding. */
+  /** Embedding near-dup: cosine ≥ tau, label-blocked — the exact
+    * WITHIN-BLOCK baseline, not the generic dedup: blocking on a
+    * semantic label only ever finds same-label pairs (measured 9.5%
+    * of the corpus's true ≥τ pairs; [[embLshDups]] finds 92.5%) and
+    * its per-block pairing is O(n²/L) with L fixed by the data.
+    * Cosine is computed in double and rounded to 6 dp on both engines
+    * before thresholding. */
   def embCosineDups(s: SparkSession, d: String): DataFrame =
     embCosineDups(Tables.embeddings(s, d))
 
@@ -545,18 +548,24 @@ object Dedup {
     * native codegen'd CosineSimilarity expression and thresholded at
     * `tau`.
     *
+    * Semantically this is the GENERIC corpus-wide near-dup: the
+    * label-blocked baseline only sees same-label pairs (measured
+    * 9.5% pair recall vs ground truth); this path measures 92.5%.
+    *
     * Recall/occupancy trade (measured per round in Bench as
     * `dedup_emb_lsh` pair-recall vs the exact all-pairs ground truth,
     * floored at 0.8 by RecallSpec): bucket count is 2^bits per table,
     * a PARAMETER — unlike the label key, whose cardinality is fixed by
-    * the data. The default 16×4 geometry measures ≈0.93 recall at
-    * τ=0.35 on the deliberately isotropic synthetic corpus (threshold
-    * pairs sit barely 2.5σ above random — LSH's hardest regime, hence
-    * coarse buckets); real near-dup corpora thresholded at τ≥0.8 use
-    * 16+ bits/table (p_bit = 1 − θ/π ≥ 0.85, so 32×16 keeps recall
-    * ≥0.9 with 65k buckets per table), keeping candidate volume
-    * output-bound — the Scale10 occupancy probe measures both
-    * geometries. */
+    * the data — and it must be chosen JOINTLY with τ. The default
+    * 16×4 geometry holds 0.93 recall at τ=0.35 on the deliberately
+    * isotropic synthetic corpus (threshold pairs sit barely 2.5σ above
+    * random — LSH's hardest regime), at the price of coarse buckets:
+    * Scale10 measures 128M candidates at 10× — still ~10× below the
+    * 1.25G all-pairs, but candidate-heavy. Real near-dup corpora
+    * thresholded at τ≥0.8 use 16 bits/table (p_bit = 1 − θ/π ≥ 0.85
+    * ⇒ 32×16 holds recall ≥0.9 with 65k buckets per table), which
+    * Scale10 measures OUTPUT-BOUND (294k candidates at 10×, 433×
+    * fewer than 16×4). */
   def embLshDups(s: SparkSession, d: String): DataFrame =
     embLshDups(Tables.embeddings(s, d))
 

@@ -38,7 +38,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup pair-generation joins never broadcast the corpus side") {
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash")) {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+                  "dedup_emb_lsh")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
