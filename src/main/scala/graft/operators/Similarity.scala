@@ -248,6 +248,33 @@ object Similarity {
       }.toDF("vec_id", "tid", "code")
   }
 
+  /** [[lshCodes]] variant that carries the embedding alongside each
+    * (vec_id, tid, code) row — lets [[Dedup.embLshDups]] score
+    * collisions inside the bucket join instead of re-joining the
+    * corpus per candidate. */
+  private[operators] def lshCodesWithVec(df: DataFrame,
+                       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val pls = bc.value
+        Iterator.tabulate(pls.length) { t =>
+          var code = 0
+          var i = 0
+          while (i < pls(t).length) {
+            val p = pls(t)(i)
+            var dot = 0.0
+            var j = 0
+            while (j < v.length) { dot += p(j) * v(j); j += 1 }
+            if (dot >= 0) code |= (1 << i)
+            i += 1
+          }
+          (id, t, code, v)
+        }
+      }.toDF("vec_id", "tid", "code", "embedding")
+  }
+
   /** Multi-table LSH ANN: a pair is a candidate if it collides in ANY
     * table (union-of-tables recall amplification — the same banding
     * idea as MinHash LSH); candidates are deduped then reranked by

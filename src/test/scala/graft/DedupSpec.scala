@@ -126,4 +126,15 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.35))
   }
+
+  test("emb LSH score-in-join and rerank-join strategies are result-identical") {
+    val e = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val inJoin = rows(Dedup.embLshDups(e))
+    val rerank = rows(Dedup.embLshDupsRerank(e))
+    assert(inJoin.nonEmpty)
+    assert(inJoin == rerank)
+  }
 }
