@@ -101,6 +101,22 @@ object CosineSimilarity {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Plain-JVM scalar form over float arrays — same accumulation
+    * order as the expression, for stateful streaming operators that
+    * verify candidates outside a Catalyst plan (results agree after
+    * the shared 6-dp round). */
+  def cosineScalar(x: Array[Float], y: Array[Float]): Double = {
+    if (x.length != y.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xv = x(i).toDouble; val yv = y(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -252,7 +252,7 @@ object Similarity {
     * (vec_id, tid, code) row — lets [[Dedup.embLshDups]] score
     * collisions inside the bucket join instead of re-joining the
     * corpus per candidate. */
-  private[operators] def lshCodesWithVec(df: DataFrame,
+  private[graft] def lshCodesWithVec(df: DataFrame,
                        bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -246,6 +246,63 @@ object EventStream {
       }
   }
 
+  case class EmbCodeRow(vec_id: Long, tid: Int, code: Int,
+                        embedding: Array[Float])
+
+  /** Multi-table LSH code rows for an embedding stream (or batch
+    * frame) — the streaming front half of [[streamingEmbLshPairs]];
+    * same planes/geometry as the batch `Dedup.embLshDups`, so stream
+    * and batch bucket identically. */
+  def embLshCodes(emb: DataFrame,
+                  numBits: Int = graft.operators.Similarity.LshBits,
+                  numTables: Int = graft.operators.Similarity.LshTables): Dataset[EmbCodeRow] = {
+    import emb.sparkSession.implicits._
+    val bc = emb.sparkSession.sparkContext.broadcast(
+      graft.operators.Similarity.lshPlanes(numTables, numBits))
+    graft.operators.Similarity.lshCodesWithVec(emb, bc).as[EmbCodeRow]
+  }
+
+  /** Streaming embedding near-dup pairs: the incremental form of the
+    * batch `Dedup.embLshDups`. Keyed by (tid, code) bucket; the state
+    * holds the bucket's member (id, vector)s; each arriving vector is
+    * cosine-verified against every earlier member AT THE BUCKET —
+    * candidates never leave the state operator — and a pair is
+    * emitted once per bucket when it clears `tau` (pairs may repeat
+    * ACROSS tables, exactly like the batch join before its distinct;
+    * consumers dedupe, the parity spec compares distinct sets). State
+    * per bucket is member count × vector bytes, bounded by bucket
+    * occupancy — the same quantity the (bits, τ) geometry choice
+    * bounds in batch; production streams add event-time TTL exactly
+    * as [[streamingDedupTtl]] does. */
+  def streamingEmbLshPairs(codes: Dataset[EmbCodeRow],
+                           tau: Double = 0.35): Dataset[(Long, Long, Double)] = {
+    import codes.sparkSession.implicits._
+    codes.groupByKey(c => (c.tid, c.code))
+      .flatMapGroupsWithState[Seq[(Long, Array[Float])], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), rows: Iterator[EmbCodeRow], state: GroupState[Seq[(Long, Array[Float])]]) =>
+          val existing = state.getOption.getOrElse(Seq.empty)
+          val seen = existing.map(_._1).toSet
+          val incoming = rows.toSeq.filterNot(r => seen(r.vec_id))
+            .groupBy(_.vec_id).map(_._2.head).toSeq.sortBy(_.vec_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var members = existing
+          incoming.foreach { r =>
+            members.foreach { case (mid, mv) =>
+              val cos = BigDecimal(graft.functions.CosineSimilarity
+                .cosineScalar(mv, r.embedding))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (cos >= tau)
+                out += (if (mid < r.vec_id) (mid, r.vec_id, cos)
+                        else (r.vec_id, mid, cos))
+            }
+            members = members :+ (r.vec_id -> r.embedding)
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -150,6 +150,32 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("streaming embedding LSH pair detection matches the batch bucket join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf)
+    val codes = EventStream.embLshCodes(emb).collect()
+    val (early, late) = codes.partition(_.vec_id < 250)
+    val input = MemoryStream[EventStream.EmbCodeRow]
+    val q = EventStream.streamingEmbLshPairs(input.toDS())
+      .toDF("v1", "v2", "cos_sim")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("emb_lsh_stream_test").start()
+    input.addData(early.toSeq)
+    q.processAllAvailable()
+    input.addData(late.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("emb_lsh_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = operators.Dedup.embLshDups(emb).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"),
+        r.getAs[Double]("cos_sim"))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("TTL'd streaming dedup bounds state under RocksDB: rows evict past the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
