@@ -32,4 +32,29 @@ class AsOfJoinSpec extends SparkSpec {
     val got = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("click_id")).collect()
     assert(got.head.getAs[Long]("click_id") == 100L)
   }
+
+  test("multi-payload tie-break orders by RAW right columns, not filled ones") {
+    // two right rows share (key, ts); the total order sorts them by
+    // (c1, c2) = (5, 9) < (6, 1), so the as-of pick is the LAST row
+    // in that order: c1=6, c2=1. Before the single-select fix, c2's
+    // window ordered by the already-filled c1 values — same pick
+    // here, but the ordering input was wrong; this pins the contract
+    // that each payload column resolves against the original union.
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 7L)).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (5L, 9L, ts("2024-01-01 09:00:00"), 7L),
+      (6L, 1L, ts("2024-01-01 09:00:00"), 7L))
+      .toDF("c1", "c2", "ts", "user_id")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("c1", "c2"))
+      .select("c1", "c2").collect().head
+    assert(got.getLong(0) == 6L && got.getLong(1) == 1L,
+      s"picked (${got.getLong(0)}, ${got.getLong(1)}), expected the " +
+        "(c1,c2)-max right row (6, 1)")
+    // determinism across repartitionings: same pick under a different
+    // input layout
+    val got2 = AsOfJoin.asOf(left, right.repartition(7), "user_id", "ts",
+        Seq("c1", "c2"))
+      .select("c1", "c2").collect().head
+    assert(got2.getLong(0) == 6L && got2.getLong(1) == 1L)
+  }
 }
