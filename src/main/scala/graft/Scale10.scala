@@ -9,10 +9,14 @@ object Scale10 {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"SCALE $name rows=$n time=${(System.nanoTime()-t0)/1e9}%.2fs")
-    }
+    // optional substring filter: `runMain graft.Scale10 20 emblsh`
+    // re-measures one probe family without the full sweep
+    val only = args.lift(1)
+    def t(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"SCALE $name rows=$n time=${(System.nanoTime()-t0)/1e9}%.2fs")
+      }
     // synthesize mult x corpora with disjoint id spaces
     def rep(df: DataFrame, idCols: Seq[String], step: Long): DataFrame =
       (0 until mult).map { i =>
@@ -34,9 +38,10 @@ object Scale10 {
     t(s"embcos_${mult}x")(operators.Dedup.embCosineDups(emb).count())
     // full LSH-blocked query at the default 16×4 geometry: coarse
     // buckets (the price of recall at a 2.5σ threshold on isotropic
-    // data) — measurably candidate-heavy by 10×, so capped there; the
-    // occupancy probes below are the geometry comparison
-    if (mult <= 10)
+    // data) — measurably candidate-heavy by 10×, so capped there in
+    // the full sweep (run explicitly via the filter arg beyond that);
+    // the occupancy probes below are the geometry comparison
+    if (mult <= 10 || only.nonEmpty)
       t(s"emblsh_${mult}x")(operators.Dedup.embLshDups(emb).count())
     // occupancy probe: candidate pairs per LSH geometry — buckets are
     // 2^bits per table, so bits is the knob that keeps the bucket join

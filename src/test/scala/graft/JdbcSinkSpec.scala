@@ -59,6 +59,24 @@ class JdbcSinkSpec extends SparkSpec {
     assert(afterOldReplay == got, "older replayed batch regressed newer rows")
   }
 
+  test("equal-version duplicates in one batch resolve deterministically") {
+    exec("""CREATE TABLE eqv_state (
+      app_id BIGINT PRIMARY KEY, payload VARCHAR(100), v BIGINT)""")
+    import spark.implicits._
+    // same key, same version, different payloads — the in-batch dedup
+    // orders by (v DESC, payload DESC), so "zz" must win on every run
+    // and replay, independent of shuffle arrival order
+    val dup = Seq((1L, "aa", 5L), (1L, "zz", 5L), (1L, "mm", 5L))
+    for (i <- 1 to 3) {
+      val batch = scala.util.Random.shuffle(dup).toDF("app_id", "payload", "v")
+        .repartition(if (i % 2 == 0) 3 else 7)
+      JdbcUpsert.upsertBatch(batch, url, "eqv_state", Seq("app_id"), "v")
+      val got = readTable("eqv_state").collect()
+        .map(r => r.getAs[Long]("APP_ID") -> r.getAs[String]("PAYLOAD")).toMap
+      assert(got == Map(1L -> "zz"), s"run $i picked ${got(1L)}")
+    }
+  }
+
   test("streaming foreachBatch upsert maintains the JDBC table") {
     exec("""CREATE TABLE app_state (
       app_id BIGINT PRIMARY KEY, payload VARCHAR(100), v BIGINT)""")
