@@ -29,6 +29,7 @@ object Scale10 {
     t(s"jaccard_${mult}x")(operators.Dedup.ngramJaccard(docs).count())
     t(s"minhash_${mult}x")(operators.Dedup.minhashCandidates(docs).count())
     t(s"simhash_${mult}x")(operators.Dedup.simhashNearDups(docs).count())
+    t(s"spans_${mult}x")(operators.Dedup.dedupSpans(docs).count())
     // bucket-occupancy probe: candidate pairs BEFORE the hamming
     // filter per banding geometry — wider keys trade index rows for
     // exponentially larger key space (fewer junk candidates)
