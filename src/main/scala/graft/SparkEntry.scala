@@ -721,7 +721,7 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         FROM t)
       SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
-        CAST(cum_before // 512 AS INT) AS bin_id,
+        CAST(cum_before // 512 AS BIGINT) AS bin_id,
         CAST(cum_before % 512 AS INT) AS bin_offset
       FROM c ORDER BY lang, doc_id""",
 
@@ -746,7 +746,7 @@ object SparkEntry {
         FROM c WHERE n_tokens > 0)
       SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
         CAST(bin_id - cum_before // 512 AS INT) AS seg_idx,
-        CAST(bin_id AS INT) AS bin_id,
+        bin_id,
         CAST(greatest(0, cum_before - bin_id * 512) AS INT) AS bin_offset,
         CAST(greatest(0, bin_id * 512 - cum_before) AS INT) AS seg_start,
         CAST(least(n_tokens, (bin_id + 1) * 512 - cum_before)

@@ -114,10 +114,13 @@ object Curate {
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_before"))
   }
 
+  // bin_id stays BIGINT: at 100 TB (~2e13 tokens / cap 512) window
+  // ids pass 4e10 and would overflow INT; offsets/lengths are < cap
+  // and per-doc counts bounded, so those stay INT
   def packSequences(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame =
     cumBefore(docsIn, shardSize)
       .select(col("lang"), col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-        expr(s"CAST(cum_before div $cap AS INT)").as("bin_id"),
+        expr(s"cum_before div $cap").as("bin_id"),
         expr(s"CAST(cum_before % $cap AS INT)").as("bin_offset"))
       .orderBy(col("lang"), col("doc_id"))
 
@@ -147,7 +150,7 @@ object Curate {
       .select(col("lang"), col("doc_id"),
         col("n_tokens").cast("int").as("n_tokens"),
         expr(s"CAST(bin_id - (cum_before div $cap) AS INT)").as("seg_idx"),
-        col("bin_id").cast("int").as("bin_id"),
+        col("bin_id"),
         expr(s"CAST(greatest(0L, cum_before - bin_id * $cap) AS INT)")
           .as("bin_offset"),
         expr(s"CAST(greatest(0L, bin_id * $cap - cum_before) AS INT)")

@@ -82,7 +82,7 @@ class TextSpec extends SparkSpec {
         coalesce(sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("lang"), col("doc_id"), col("n_tokens"),
-        expr("CAST(cum_before div 512 AS INT)").as("bin_id"),
+        expr("cum_before div 512").as("bin_id"),
         expr("CAST(cum_before % 512 AS INT)").as("bin_offset"))
       .collect().map(_.toSeq).toSet
     assert(got == naive)
@@ -115,7 +115,7 @@ class TextSpec extends SparkSpec {
     // per (lang, bin): every window holds exactly cap tokens except
     // each language's tail window
     segs.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
-      val byBin = rs.groupBy(_.getAs[Int]("bin_id"))
+      val byBin = rs.groupBy(_.getAs[Long]("bin_id"))
         .view.mapValues(_.map(_.getAs[Int]("seg_len")).sum).toMap
       val lastBin = byBin.keys.max
       byBin.foreach { case (bin, tot) =>
@@ -123,15 +123,15 @@ class TextSpec extends SparkSpec {
         else assert(tot <= cap)
       }
       // bins are dense 0..lastBin
-      assert(byBin.keySet == (0 to lastBin).toSet)
+      assert(byBin.keySet == (0L to lastBin).toSet)
     }
     // first segment of every doc agrees with pack_sequences' assignment
     val assign = operators.Curate.packSequences(spark, sf, cap = cap).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")) ->
-        (r.getAs[Int]("bin_id"), r.getAs[Int]("bin_offset"))).toMap
+        (r.getAs[Long]("bin_id"), r.getAs[Int]("bin_offset"))).toMap
     segs.filter(_.getAs[Int]("seg_idx") == 0).foreach { r =>
       val k = (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
-      assert(assign(k) == (r.getAs[Int]("bin_id"), r.getAs[Int]("bin_offset")))
+      assert(assign(k) == (r.getAs[Long]("bin_id"), r.getAs[Int]("bin_offset")))
     }
   }
 
