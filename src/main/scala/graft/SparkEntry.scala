@@ -57,6 +57,7 @@ object SparkEntry {
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
+    "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
@@ -688,6 +689,26 @@ object SparkEntry {
         regexp_replace(t2, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')
           AS redacted
       FROM e ORDER BY doc_id""",
+
+    // tf/df ordering == tf-idf ordering for a fixed corpus; the score
+    // is one IEEE division, bit-identical across engines (no log)
+    "text_keywords" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> length(x) > 0)) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      sc AS (
+        SELECT t.doc_id, t.token, t.tf, df.df,
+          CAST(t.tf AS DOUBLE) / df.df AS score
+        FROM tf t JOIN df USING (token))
+      SELECT doc_id, rank, token, tf, df, score FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS INT) AS rank
+        FROM sc)
+      WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "vocab_topk" -> """
       SELECT tok AS token, COUNT(*) AS n FROM (

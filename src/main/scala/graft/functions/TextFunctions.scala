@@ -164,6 +164,41 @@ object TextFunctions {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** text_keywords: per-doc characteristic terms — top-k tokens by
+    * tf/df ratio (the rank-equivalent of tf-idf for a fixed corpus:
+    * tf·idf ordering ≡ tf/df ordering, and the ratio needs no
+    * logarithm, so the score is a single correctly-rounded IEEE
+    * division that both engines reproduce bit-identically — the
+    * libm-free way to keep a scored ranking hash-exact).
+    *
+    * Scale shape: token rows come from one typed pass (the
+    * HOF-under-Generate trap again); tf is a partial-aggregated
+    * groupBy; df is vocab-sized and BROADCAST to the tf side; the
+    * top-k window partitions by doc_id — no global window, no
+    * driver-side anything. */
+  def textKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).map(id -> _) }
+      .toDF("doc_id", "token")
+    val tf = tokRows.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tokRows.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(docFreq), "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** text_fingerprint: rolling character-8-gram sketch — min/max/
     * distinct-count over shingle hashes (winnowing-lite). Hash is md5
     * (shared with DuckDB), so the fingerprints themselves are
