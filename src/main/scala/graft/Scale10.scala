@@ -8,10 +8,12 @@ object Scale10 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val mult = args.headOption.map(_.toInt).getOrElse(10)
-    // optional substring filter: `runMain graft.Scale10 20 emblsh`
-    // re-measures one probe family without the full sweep
+    // `Scale10 [N] [filter]` — a non-numeric first arg is the filter
+    // (so `Scale10 emblsh` works), N defaults to 10
+    val mult = args.headOption
+      .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
     val only = args.lift(1)
+      .orElse(args.headOption.filter(a => scala.util.Try(a.toInt).isFailure))
     def t(name: String)(f: => Long): Unit =
       if (only.forall(name.contains)) {
         val t0 = System.nanoTime(); val n = f

@@ -186,8 +186,9 @@ object TextFunctions {
       .toDF("doc_id", "token")
     val tf = tokRows.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = tokRows.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf already holds one row per (doc, token) — df falls out of it
+    // without a second corpus scan or a distinct shuffle
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     tf.join(broadcast(docFreq), "token")

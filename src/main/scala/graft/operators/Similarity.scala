@@ -152,13 +152,20 @@ object Similarity {
     * data-fingerprint) per JVM instead of one per query/oracle/spec
     * call, and a dataset rewrite invalidates the entry. */
   private[graft] def ivfCentroids(s: SparkSession, d: String,
-                                  nlist: Int = IvfNlist): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate((d, nlist, dataFingerprint(s, d)), {
+                                  nlist: Int = IvfNlist): Array[Array[Double]] = {
+    val key = (d, nlist, dataFingerprint(s, d))
+    centroidCache.getOrElseUpdate(key, {
+      // a rewritten dataset supersedes its old fingerprints — drop
+      // them so a long-lived JVM holds one live entry per (dir, nlist)
+      centroidCache.keySet
+        .filter(k => k._1 == d && k._2 == nlist && k != key)
+        .foreach(centroidCache.remove)
       import s.implicits._
       val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
         .select("embedding").as[Array[Float]].collect()
       trainCentroids(sample, nlist, iters = 10)
     })
+  }
 
   /** IVF ANN: corpus bucketed by nearest centroid (write-side
     * partitioning at scale), queries probe their `nprobe` nearest

@@ -92,6 +92,10 @@ object Multimodal {
     * the codec plugin is process-wide, so per-partition amortization
     * is the registry lookup, not an init cost. */
   private def decode(r: MediaRecord): MediaFeatures = {
+    // empty payloads are rejected LOUDLY: the pixel plane (and the
+    // oracle's modular arithmetic over it) is undefined on zero bytes,
+    // and a silent zeroed row would diverge from the oracle anyway —
+    // invalid media must fail the pipeline, not pass as features
     require(r.payload.nonEmpty, s"doc ${r.doc_id}: empty media payload")
     var sum = 0L
     var i = 0

@@ -172,10 +172,14 @@ object EventStream {
   /** [[streamingDedup]] with BOUNDED state: dedup-within-horizon. Each
     * hash's state carries an event-time TTL `horizonMs` past its
     * newest arrival (sliding); when the watermark passes it, the state
-    * is REMOVED — so a hash that re-appears after the horizon is
-    * emitted again, and total state is bounded by the distinct-hash
+    * is REMOVED, and total state is bounded by the distinct-hash
     * ARRIVAL RATE × horizon instead of the stream's lifetime
-    * cardinality. This is the semantics production dedup runs at 100
+    * cardinality. A hash re-appearing after the horizon is emitted
+    * again — the expiry is checked against the ARRIVAL's own event
+    * time as well as the timeout, so the guarantee holds even on a
+    * quiet stream whose watermark has not advanced past the TTL yet
+    * (watermark timeouts only fire when other traffic moves the
+    * clock). This is the semantics production dedup runs at 100
     * TB/day: state cannot grow without bound, and the horizon is the
     * declared dedup guarantee. StreamingSpec runs this under the
     * RocksDB state store provider and asserts eviction from the query
@@ -186,23 +190,37 @@ object EventStream {
     docs.withWatermark("ts", watermarkDelay)
       .as[DocInTs]
       .groupByKey(_.content_hash)
-      .flatMapGroupsWithState[Long, (String, Long)](
+      // state = (keeper, lastSeenMs): lastSeen defines the sliding
+      // expiry independently of the watermark-driven cleanup timeout
+      .flatMapGroupsWithState[(Long, Long), (String, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (hash: String, rows: Iterator[DocInTs], state: GroupState[Long]) =>
+        (hash: String, rows: Iterator[DocInTs], state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             var keeper = Long.MaxValue
             var maxTs = Long.MinValue
+            var minTs = Long.MaxValue
             rows.foreach { r =>
               if (r.doc_id < keeper) keeper = r.doc_id
               val t = r.ts.getTime
               if (t > maxTs) maxTs = t
+              if (t < minTs) minTs = t
             }
-            val out =
-              if (state.exists) Iterator.empty
-              else { state.update(keeper); Iterator.single((hash, keeper)) }
+            // an entry whose horizon elapsed before this batch's
+            // EARLIEST arrival is expired even if the watermark never
+            // fired the cleanup timeout
+            val live = state.getOption
+              .filter { case (_, lastSeen) => minTs <= lastSeen + horizonMs }
+            val out = live match {
+              case Some((k, lastSeen)) =>
+                state.update((k, math.max(lastSeen, maxTs)))
+                Iterator.empty
+              case None =>
+                state.update((keeper, maxTs))
+                Iterator.single((hash, keeper))
+            }
             // TTL must stay ahead of the watermark or the update throws
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs()) + horizonMs)
@@ -289,12 +307,18 @@ object EventStream {
           var members = existing
           incoming.foreach { r =>
             members.foreach { case (mid, mv) =>
-              val cos = BigDecimal(graft.functions.CosineSimilarity
-                .cosineScalar(mv, r.embedding))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (cos >= tau)
-                out += (if (mid < r.vec_id) (mid, r.vec_id, cos)
-                        else (r.vec_id, mid, cos))
+              val raw = graft.functions.CosineSimilarity
+                .cosineScalar(mv, r.embedding)
+              // NaN (zero-norm or length-mismatched vector) must drop
+              // the pair exactly like the batch path's round+filter
+              // does — BigDecimal(NaN) would kill the whole query
+              if (!raw.isNaN) {
+                val cos = BigDecimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cos >= tau)
+                  out += (if (mid < r.vec_id) (mid, r.vec_id, cos)
+                          else (r.vec_id, mid, cos))
+              }
             }
             members = members :+ (r.vec_id -> r.embedding)
           }

@@ -235,6 +235,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL'd dedup re-emits a post-horizon re-arrival even on a quiet stream") {
+    // no other traffic advances the watermark here, so the cleanup
+    // timeout never fires — the expiry must be honored against the
+    // arrival's own event time
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DocInTs]
+    val q = EventStream.streamingDedupTtl(input.toDS(), horizonMs = 3600 * 1000L)
+      .toDF("content_hash", "keeper_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_ttl_quiet_test").start()
+    input.addData(Seq(EventStream.DocInTs(1, "h", ts("2024-01-01 00:00:00"))))
+    q.processAllAvailable()
+    input.addData(Seq(EventStream.DocInTs(2, "h", ts("2024-01-01 00:30:00"))))
+    q.processAllAvailable() // within horizon: swallowed
+    input.addData(Seq(EventStream.DocInTs(3, "h", ts("2024-01-01 05:00:00"))))
+    q.processAllAvailable() // past horizon: re-emitted
+    q.stop()
+    val keepers = spark.table("dedup_ttl_quiet_test")
+      .collect().map(_.getAs[Long]("keeper_id")).sorted
+    assert(keepers.sameElements(Array(1L, 3L)), s"got ${keepers.toList}")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
