@@ -62,6 +62,7 @@ object SparkEntry {
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
+    "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
@@ -716,6 +717,24 @@ object SparkEntry {
                       x -> length(x) > 0)) AS tok
         FROM documents)
       GROUP BY tok ORDER BY n DESC, token LIMIT 200""",
+
+    "decontaminate" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+      SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY train_id, eval_id""",
 
     "split_assign" -> """
       WITH b AS (

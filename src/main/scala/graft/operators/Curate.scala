@@ -159,6 +159,33 @@ object Curate {
              s"greatest(0L, bin_id * $cap - cum_before) AS INT)").as("seg_len"))
       .orderBy(col("lang"), col("doc_id"), col("bin_id"))
 
+  /** decontaminate: benchmark-decontamination — find TRAINING docs
+    * that share ≥ `minShared` word n-grams with an EVAL-set doc (the
+    * GPT-3-style 13-gram overlap check, scaled to this corpus's short
+    * synthetic docs as 3-grams/2 hits). The eval set here is carved
+    * deterministically from the corpus (doc_id % 50 == 0) so the
+    * check is self-contained and oracle-verifiable; in production the
+    * eval side is the benchmark suite.
+    *
+    * Scale shape: the eval index is benchmark-sized (thousands of
+    * docs, not billions) — it is BROADCAST, so the training-corpus
+    * shingle stream joins map-side with no shuffle of the big side;
+    * the only shuffle is the (train_id, eval_id) count aggregation,
+    * whose cardinality is bounded by actual contamination. */
+  def decontaminate(s: SparkSession, d: String, n: Int = 3,
+                    minShared: Long = 2): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalSh = Dedup.shingles(docs.filter(col("doc_id") % 50 === 0), n)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = Dedup.shingles(docs.filter(col("doc_id") % 50 =!= 0), n)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
     * doc's split NEVER changes as the corpus grows or repartitions

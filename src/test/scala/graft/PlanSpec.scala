@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate broadcasts the benchmark-sized eval index") {
+    // the training-corpus shingle stream must join map-side — only
+    // the eval index (benchmark-sized) may be broadcast
+    val plan = planOf("decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), "eval index not broadcast")
+  }
+
   test("q12's global window only ever sees the daily pre-aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry.queries("q12_moving_avg")(spark, sf)
