@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, Dedup}
+import graft.functions.TextFunctions
+
+/** End-to-end training-data curation pipeline — the library's
+  * verified operators composed into the shape a real corpus run has
+  * (the engine-side analog of the reference's daily batch loop,
+  * ref main.py:432-482, generalized to corpus curation):
+  *
+  *   1. near-dedup: minhash-LSH pairs → connected components
+  *      (star-contraction fallback) → keep each cluster's min id,
+  *   2. split: deterministic md5 train/val/test assignment,
+  *   3. decontaminate: drop TRAIN docs sharing n-grams with the
+  *      val/test docs (broadcast eval index),
+  *   4. quality gate: per-doc stats → composite score threshold,
+  *   5. pack: segment-emitting concat-and-chunk into `cap`-token
+  *      windows (per split × lang),
+  *   6. write: parquet partitioned by (split, lang) — the layout a
+  *      training loader reads split-pruned and language-pruned.
+  *
+  * Every stage is an operator that is individually oracle- or
+  * spec-verified; PipelineSpec checks the COMPOSITION: stage counts
+  * are monotone, splits are disjoint, no contaminated train doc
+  * survives, written segments reload with windows filled to cap.
+  */
+object Pipeline {
+
+  /** Per-stage accounting — returned to the caller and also written
+    * to `outDir/report` as a one-row frame for lineage. */
+  case class Report(input: Long, afterDedup: Long, contaminated: Long,
+                    afterQuality: Long, train: Long, eval: Long,
+                    segments: Long)
+
+  def curateAndPack(spark: SparkSession, srcDir: String, outDir: String,
+                    cap: Int = 512, qualityFloor: Double = 0.2,
+                    contamNgram: Int = 3, contamMinShared: Long = 2): Report = {
+    val docs = Tables.documents(spark, srcDir)
+    val input = docs.count()
+
+    // 1. near-dedup (transitive: CC over candidate pairs)
+    val clusters = Dedup.connectedComponentsSafe(Dedup.minhashCandidates(docs))
+    val losers = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // reused by three downstream stages
+    val afterDedup = deduped.count()
+
+    // 2. deterministic split, then 3. decontaminate train vs val/test
+    val split = Curate.splitAssign(deduped).select("doc_id", "split")
+    val withSplit = deduped.join(split, "doc_id")
+    val trainDocs = withSplit.filter(col("split") === "train")
+    val evalDocs = withSplit.filter(col("split") =!= "train")
+    val contaminatedIds = Curate
+      .decontaminate(trainDocs, evalDocs, contamNgram, contamMinShared)
+      .select(col("train_id").as("doc_id")).distinct()
+    val contaminated = contaminatedIds.count()
+    val clean = withSplit.join(contaminatedIds, Seq("doc_id"), "left_anti")
+
+    // 4. quality gate on the cleaned corpus
+    val keepIds = TextFunctions.textStats(clean)
+      .filter(col("quality_score") > qualityFloor)
+      .select("doc_id")
+    val curated = clean.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val afterQuality = curated.count()
+    val train = curated.filter(col("split") === "train").count()
+    val eval = afterQuality - train
+
+    // 5. pack each split independently (eval windows must never mix
+    // with train windows), 6. write partitioned by (split, lang)
+    val segments = Seq("train", "val", "test").map { sp =>
+      Curate.packSegments(curated.filter(col("split") === sp), cap,
+          shardSize = 100)
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionByName _)
+    segments.write.mode("overwrite")
+      .partitionBy("split", "lang").parquet(s"$outDir/segments")
+    val nSegments = spark.read.parquet(s"$outDir/segments").count()
+
+    val report = Report(input, afterDedup, contaminated, afterQuality,
+      train, eval, nSegments)
+    import spark.implicits._
+    Seq(report).toDF().write.mode("overwrite").parquet(s"$outDir/report")
+    report
+  }
+}

@@ -19,7 +19,10 @@ object TextFunctions {
   /** text_stats: token count, char/punct/stopword ratios and a
     * composite quality score (length-, punctuation- and stopword-
     * based — the usual pre-training heuerstic trio). */
-  def textStats(s: SparkSession, d: String): DataFrame = {
+  def textStats(s: SparkSession, d: String): DataFrame =
+    textStats(Tables.documents(s, d))
+
+  def textStats(docs: org.apache.spark.sql.DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val nChars = length(col("text"))
@@ -28,7 +31,7 @@ object TextFunctions {
     // BPE-ish subword proxy: word tokens + standalone punctuation,
     // the usual cheap estimator for LLM token budgeting
     val nTokBpe = size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"),
         nTok.as("n_tokens"), nTokBpe.as("n_tokens_bpe"),
         nChars.as("n_chars"), nPunct.as("n_punct"),

@@ -175,9 +175,17 @@ object Curate {
   def decontaminate(s: SparkSession, d: String, n: Int = 3,
                     minShared: Long = 2): DataFrame = {
     val docs = Tables.documents(s, d)
-    val evalSh = Dedup.shingles(docs.filter(col("doc_id") % 50 === 0), n)
+    decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n, minShared)
+  }
+
+  /** General form: contamination pairs between any training frame and
+    * any (benchmark-sized, broadcastable) eval frame. */
+  def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame,
+                    n: Int, minShared: Long): DataFrame = {
+    val evalSh = Dedup.shingles(evalDocs, n)
       .select(col("doc_id").as("eval_id"), col("shingle"))
-    val trainSh = Dedup.shingles(docs.filter(col("doc_id") % 50 =!= 0), n)
+    val trainSh = Dedup.shingles(trainDocs, n)
       .select(col("doc_id").as("train_id"), col("shingle"))
     trainSh.join(broadcast(evalSh), "shingle")
       .groupBy(col("train_id"), col("eval_id"))
@@ -192,10 +200,13 @@ object Curate {
     * (the property that keeps eval sets honest across pipeline runs),
     * and assignment is embarrassingly parallel. md5 is shared with
     * DuckDB, so the oracle checks the actual assignments. */
-  def splitAssign(s: SparkSession, d: String): DataFrame = {
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    splitAssign(Tables.documents(s, d))
+
+  def splitAssign(docs: DataFrame): DataFrame = {
     val hex = md5(concat(lit("split:"), col("doc_id")))
     val bucket = (conv(substring(hex, 1, 8), 16, 10).cast("long") % 100).cast("int")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), bucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train")

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The composed pipeline: each stage is individually verified
+  * elsewhere — this spec checks the composition semantics and the
+  * written training layout. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val outDir =
+    java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+  private lazy val report = Pipeline.curateAndPack(spark, sf, outDir)
+
+  test("stage accounting is monotone and complete") {
+    assert(report.input == 500)
+    assert(report.afterDedup <= report.input)
+    assert(report.afterQuality <= report.afterDedup - report.contaminated ||
+      report.contaminated == 0)
+    assert(report.train + report.eval == report.afterQuality)
+    assert(report.train > 0 && report.segments > 0)
+    // the report frame round-trips
+    val persisted = spark.read.parquet(s"$outDir/report").collect()
+    assert(persisted.length == 1)
+    assert(persisted.head.getAs[Long]("segments") == report.segments)
+  }
+
+  test("no contaminated train doc survives curation") {
+    val segs = spark.read.parquet(s"$outDir/segments")
+    val trainIds = segs.filter(col("split") === "train")
+      .select(col("doc_id")).distinct()
+    val evalDocs = Tables.documents(spark, sf)
+      .join(segs.filter(col("split") =!= "train").select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+    val trainDocs = Tables.documents(spark, sf)
+      .join(trainIds, Seq("doc_id"), "left_semi")
+    // re-running the contamination check on the OUTPUT finds nothing
+    assert(operators.Curate.decontaminate(trainDocs, evalDocs, 3, 2).count() == 0)
+  }
+
+  test("written segments are split-pruned and fill windows to cap") {
+    val segs = spark.read.parquet(s"$outDir/segments")
+    // partition pruning: a split filter must prune the directory scan
+    val plan = segs.filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      "split filter is not a partition filter")
+    // splits are disjoint on doc ids
+    val bySplit = segs.select("split", "doc_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (a <- bySplit.keys; b <- bySplit.keys if a < b)
+      assert((bySplit(a) & bySplit(b)).isEmpty, s"$a and $b share docs")
+    // within each (split, lang), windows fill to cap except the tail
+    segs.collect().groupBy(r => (r.getAs[String]("split"), r.getAs[String]("lang")))
+      .foreach { case ((sp, lang), rows) =>
+        val byBin = rows.groupBy(_.getAs[Long]("bin_id"))
+          .view.mapValues(_.map(_.getAs[Int]("seg_len")).sum).toMap
+        val last = byBin.keys.max
+        byBin.foreach { case (bin, tot) =>
+          if (bin != last) assert(tot == 512, s"$sp/$lang bin $bin holds $tot")
+        }
+      }
+  }
+}
