@@ -828,18 +828,24 @@ object SparkEntry {
         'fake/raw' AS fmt
       FROM documents ORDER BY doc_id""",
 
+    // container layout: [n:int32][offset,len pairs] + n 198-byte
+    // 8x6 BMP frames; frame i's decoded plane is the payload window
+    // at byte i*32 (mod len) — all SQL-recomputable because BMP is
+    // uncompressed and the index arithmetic is closed-form
     "multimodal_frames" -> """
       WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
       f AS (
-        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-          CAST(fi * 32 AS INT) AS "offset",
-          CAST(least(32, L - fi * 32) AS INT) AS frame_len, text
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx, text, L,
+          least(4, greatest(1, L // 32)) AS n
         FROM d CROSS JOIN range(0, 4) r(fi)
         WHERE fi < least(4, greatest(1, L // 32)))
-      SELECT doc_id, frame_idx, "offset", frame_len,
-        CAST(list_sum(list_transform(
-          range("offset" + 1, "offset" + frame_len + 1),
-          i -> unicode(text[i:i]))) AS BIGINT) AS frame_checksum
+      SELECT doc_id, frame_idx,
+        CAST(4 + 8 * n + frame_idx * 198 AS INT) AS "offset",
+        CAST(198 AS INT) AS frame_len,
+        CAST(list_sum(list_transform(range(0, 48),
+          j -> unicode(text[CAST((frame_idx * 32 + j) % L AS INT) + 1
+                            : CAST((frame_idx * 32 + j) % L AS INT) + 1])))
+          % 100000 AS BIGINT) AS frame_checksum
       FROM f ORDER BY doc_id, frame_idx""",
   )
 }

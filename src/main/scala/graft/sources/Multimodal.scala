@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * `binary` payloads + typed metadata, processed in per-partition
   * batches.
   *
-  * The image path is a REAL decode: each payload is rendered as an
+  * Both media paths are REAL decodes through `javax.imageio` — the
+  * codec the JDK ships. Images: each payload is rendered as an
   * uncompressed 24-bit BMP (deterministic bytes, synthesized
-  * in-query) and decoded through `javax.imageio` — the codec the JDK
-  * ships — with the decoded dimensions and pixel statistics emitted
-  * as features; the oracle recomputes them from the same bytes (BMP
-  * is uncompressed, so the pixel plane is SQL-expressible). The
-  * video frame sampler remains a clearly-marked deterministic stub
-  * (no video codec in the JDK): its fan-out shape — bounded flatMap,
-  * one row per frame — is the part that matters at scale.
+  * in-query) and decoded, with the decoded dimensions and pixel
+  * statistics emitted as features. Frames: the payload is packed
+  * into a minimal indexed container ([n][offset,len pairs] + BMP
+  * frames) and the sampler does what a consumer does — parse the
+  * index, seek each frame's extent, decode it, emit decoded pixel
+  * sums via a bounded flatMap (one row per frame). The oracles
+  * recompute both from the same bytes: BMP is uncompressed, so pixel
+  * planes and index arithmetic are SQL-expressible.
   */
 object Multimodal {
 
@@ -131,29 +133,76 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** A sampled "frame" of a media payload (video frame-sample stub:
-    * fixed-stride byte slices stand in for decoded frames). */
+  /** A sampled frame of a media container: its byte extent in the
+    * container plus the decoded pixel-plane sum. */
   case class Frame(doc_id: Long, frame_idx: Int, offset: Int,
                    frame_len: Int, frame_checksum: Long)
 
-  /** STUB frame sampler: emits up to `maxFrames` fixed-stride slices
-    * per payload — the real implementation would seek keyframes with
-    * a codec; the fan-out shape (flatMap, one row per frame, bounded
-    * per input row) is what survives at scale. */
+  /** Frame geometry of the synthetic container: every frame is a
+    * FrameW×FrameH 24-bit BMP; frame i's pixel plane is the payload
+    * window starting at byte i*FrameStride (mod len) — a moving
+    * window, so successive frames sample successive payload regions
+    * like keyframes sample a stream. */
+  private val FrameW = 8
+  private val FrameH = 6
+  private val FrameStride = 32
+  /** 54-byte BMP header + rows padded to 4 bytes. */
+  private[graft] val FrameBytes = 54 + ((FrameW * 3 + 3) / 4 * 4) * FrameH
+
+  /** Deterministic multi-frame container: `[n:int32][offset,len:int32
+    * pairs]` index followed by `n` concatenated BMP frames — the
+    * minimal honest shape of a video container (an index to seek by +
+    * per-frame codec payloads). */
+  private[graft] def containerBytes(payload: Array[Byte], nFrames: Int): Array[Byte] = {
+    val headerLen = 4 + 8 * nFrames
+    val buf = java.nio.ByteBuffer.allocate(headerLen + nFrames * FrameBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(nFrames)
+    (0 until nFrames).foreach { i =>
+      buf.putInt(headerLen + i * FrameBytes).putInt(FrameBytes)
+    }
+    val len = payload.length
+    (0 until nFrames).foreach { i =>
+      // frame plane j = payload[(i*stride + j) mod len]: materialize
+      // the window, reuse the single-image BMP encoder
+      val plane = Array.tabulate(FrameW * FrameH)(j =>
+        payload((i * FrameStride + j) % len))
+      buf.put(bmpBytes(plane, FrameW, FrameH))
+    }
+    buf.array()
+  }
+
+  /** REAL frame sampling: build the container from the payload, then
+    * decode it the way a consumer would — parse the index, seek each
+    * frame's extent, ImageIO-decode the frame bytes, and emit the
+    * decoded pixel sum. Up to `maxFrames` frames per record — the
+    * bounded flatMap fan-out that survives at scale. */
   def frameSample(s: SparkSession, d: String,
-                  frameLen: Int = 32, maxFrames: Int = 4): DataFrame = {
+                  maxFrames: Int = 4): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .flatMap { r =>
-        // ??? <- real keyframe decode goes here; deterministic fake below
-        val n = math.min(maxFrames, math.max(1, r.payload.length / frameLen))
-        (0 until n).iterator.map { i =>
-          val off = i * frameLen
-          val len = math.min(frameLen, r.payload.length - off)
+        require(r.payload.nonEmpty, s"doc ${r.doc_id}: empty media payload")
+        val n = math.min(maxFrames, math.max(1, r.payload.length / FrameStride))
+        val container = containerBytes(r.payload, n)
+        val idx = java.nio.ByteBuffer.wrap(container)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nStored = idx.getInt()
+        require(nStored == n, s"doc ${r.doc_id}: corrupt container index")
+        (0 until nStored).iterator.map { i =>
+          val off = idx.getInt(4 + 8 * i)
+          val len = idx.getInt(4 + 8 * i + 4)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(container, off, len))
+          require(img != null, s"doc ${r.doc_id} frame $i: no BMP reader")
           var sum = 0L
-          var j = off
-          while (j < off + len) { sum += (r.payload(j) & 0xff); j += 1 }
-          Frame(r.doc_id, i, off, len, sum)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          Frame(r.doc_id, i, off, len, sum % 100000)
         }
       }
       .toDF()

@@ -169,6 +169,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("frame container parses and decodes to the expected moving windows") {
+    val payload = "the quick brown fox jumps over the lazy dog again and again".getBytes("UTF-8")
+    val n = 3
+    val container = Multimodal.containerBytes(payload, n)
+    val idx = java.nio.ByteBuffer.wrap(container)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(idx.getInt(0) == n)
+    for (i <- 0 until n) {
+      val off = idx.getInt(4 + 8 * i)
+      val len = idx.getInt(4 + 8 * i + 4)
+      assert(len == Multimodal.FrameBytes)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(container, off, len))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val expected = payload((i * 32 + y * 8 + x) % payload.length) & 0xff
+        assert((img.getRGB(x, y) & 0xff) == expected, s"frame $i ($x,$y)")
+      }
+    }
+  }
+
   test("BMP encode/ImageIO decode roundtrips the exact pixel plane") {
     val payload = "The quick brown fox".getBytes("UTF-8")
     val (w, h) = (7, 5)
