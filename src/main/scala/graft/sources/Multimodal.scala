@@ -88,12 +88,42 @@ object Multimodal {
   private def imgDims(docId: Long): (Int, Int) =
     ((docId % 16 + 4).toInt, (docId % 12 + 4).toInt)
 
+  /** Per-partition BMP decoder: the ImageIO reader is looked up once
+    * per task and re-used for every record — the codec-init
+    * amortization shape partition-batched decode exists for (the
+    * `ImageIO.read` convenience API re-scans the plugin registry and
+    * allocates a reader per call). For this tiny-frame workload the
+    * decode work itself dominates (measured ≈unchanged), but for a
+    * real codec with expensive init this structure is the difference
+    * that matters — which is why the helper exists. */
+  private class BmpDecoder {
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+    def decode(bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      try {
+        reader.setInput(iis)
+        reader.read(0)
+      } finally iis.close()
+    }
+    def pixelSum(img: java.awt.image.BufferedImage): Long = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      sum
+    }
+  }
+
   /** REAL decode: synthesize the BMP from the payload, decode it with
-    * the JDK's ImageIO BMP codec, and read features off the decoded
-    * BufferedImage. Runs once per record inside a partition batch —
-    * the codec plugin is process-wide, so per-partition amortization
-    * is the registry lookup, not an init cost. */
-  private def decode(r: MediaRecord): MediaFeatures = {
+    * the JDK's ImageIO BMP codec (one reader per partition — see
+    * [[BmpDecoder]]), and read features off the decoded
+    * BufferedImage. */
+  private def decode(r: MediaRecord, dec: BmpDecoder): MediaFeatures = {
     // empty payloads are rejected LOUDLY: the pixel plane (and the
     // oracle's modular arithmetic over it) is undefined on zero bytes,
     // and a silent zeroed row would diverge from the oracle anyway —
@@ -108,27 +138,22 @@ object Multimodal {
     var j = 0
     while (j < r.payload.length) { tsum += (r.payload(j) & 0xff); j += 4 }
     val (w, h) = imgDims(r.doc_id)
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bmpBytes(r.payload, w, h)))
-    require(img != null, s"doc ${r.doc_id}: ImageIO found no BMP reader")
-    var psum = 0L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) { psum += img.getRGB(x, y) & 0xff; x += 1 }
-      y += 1
-    }
+    val bytes = bmpBytes(r.payload, w, h)
+    val img = dec.decode(bytes, 0, bytes.length)
     MediaFeatures(r.doc_id, r.payload.length, sum % 100000,
       r.width, r.height, r.width.toLong * r.height,
       r.width / 4, r.height / 4, tsum % 100000,
-      img.getWidth, img.getHeight, psum % 100000, r.fmt)
+      img.getWidth, img.getHeight, dec.pixelSum(img) % 100000, r.fmt)
   }
 
   /** multimodal_meta query: batch-decode features over partitions. */
   def features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
-      .mapPartitions(_.map(decode))
+      .mapPartitions { it =>
+        val dec = new BmpDecoder
+        it.map(r => decode(r, dec))
+      }
       .toDF()
       .orderBy(col("doc_id"))
   }
@@ -181,28 +206,22 @@ object Multimodal {
                   maxFrames: Int = 4): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
-      .flatMap { r =>
-        require(r.payload.nonEmpty, s"doc ${r.doc_id}: empty media payload")
-        val n = math.min(maxFrames, math.max(1, r.payload.length / FrameStride))
-        val container = containerBytes(r.payload, n)
-        val idx = java.nio.ByteBuffer.wrap(container)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val nStored = idx.getInt()
-        require(nStored == n, s"doc ${r.doc_id}: corrupt container index")
-        (0 until nStored).iterator.map { i =>
-          val off = idx.getInt(4 + 8 * i)
-          val len = idx.getInt(4 + 8 * i + 4)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(container, off, len))
-          require(img != null, s"doc ${r.doc_id} frame $i: no BMP reader")
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
-            y += 1
+      .mapPartitions { records =>
+        val dec = new BmpDecoder
+        records.flatMap { r =>
+          require(r.payload.nonEmpty, s"doc ${r.doc_id}: empty media payload")
+          val n = math.min(maxFrames, math.max(1, r.payload.length / FrameStride))
+          val container = containerBytes(r.payload, n)
+          val idx = java.nio.ByteBuffer.wrap(container)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nStored = idx.getInt()
+          require(nStored == n, s"doc ${r.doc_id}: corrupt container index")
+          (0 until nStored).iterator.map { i =>
+            val off = idx.getInt(4 + 8 * i)
+            val len = idx.getInt(4 + 8 * i + 4)
+            val img = dec.decode(container, off, len)
+            Frame(r.doc_id, i, off, len, dec.pixelSum(img) % 100000)
           }
-          Frame(r.doc_id, i, off, len, sum % 100000)
         }
       }
       .toDF()
