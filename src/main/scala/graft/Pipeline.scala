@@ -53,9 +53,16 @@ object Pipeline {
     val withSplit = deduped.join(split, "doc_id")
     val trainDocs = withSplit.filter(col("split") === "train")
     val evalDocs = withSplit.filter(col("split") =!= "train")
+    // broadcastEval = false: the eval side here is the 20% holdout —
+    // a corpus-scale slice, not a benchmark-sized index — so the
+    // contamination join must shuffle on the shingle, not broadcast.
+    // localCheckpoint: this is the pipeline's heaviest subtree and
+    // three downstream frames would otherwise recompute it.
     val contaminatedIds = Curate
-      .decontaminate(trainDocs, evalDocs, contamNgram, contamMinShared)
+      .decontaminate(trainDocs, evalDocs, contamNgram, contamMinShared,
+        broadcastEval = false)
       .select(col("train_id").as("doc_id")).distinct()
+      .localCheckpoint()
     val contaminated = contaminatedIds.count()
     val clean = withSplit.join(contaminatedIds, Seq("doc_id"), "left_anti")
 

@@ -176,18 +176,28 @@ object Curate {
                     minShared: Long = 2): DataFrame = {
     val docs = Tables.documents(s, d)
     decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
-      docs.filter(col("doc_id") % 50 === 0), n, minShared)
+      docs.filter(col("doc_id") % 50 === 0), n, minShared,
+      broadcastEval = true)
   }
 
   /** General form: contamination pairs between any training frame and
-    * any (benchmark-sized, broadcastable) eval frame. */
+    * any eval frame. `broadcastEval = true` is for the usual case of
+    * a benchmark-sized eval set (map-side join, no shuffle of the
+    * corpus shingles); pass false when the eval side is itself a
+    * corpus-scale slice (e.g. a 20% holdout split) — the join then
+    * shuffles on the shingle like the other inverted-index dedups,
+    * instead of broadcasting an index that cannot fit. */
   def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame,
-                    n: Int, minShared: Long): DataFrame = {
+                    n: Int, minShared: Long,
+                    broadcastEval: Boolean): DataFrame = {
     val evalSh = Dedup.shingles(evalDocs, n)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val trainSh = Dedup.shingles(trainDocs, n)
       .select(col("doc_id").as("train_id"), col("shingle"))
-    trainSh.join(broadcast(evalSh), "shingle")
+    val joined =
+      if (broadcastEval) trainSh.join(broadcast(evalSh), "shingle")
+      else trainSh.join(evalSh.hint("shuffle_hash"), "shingle")
+    joined
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

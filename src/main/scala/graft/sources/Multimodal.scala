@@ -100,7 +100,10 @@ object Multimodal {
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
     def decode(bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream explicitly: the createImageInputStream
+      // convenience defaults to a FILE-backed cache (a temp-file
+      // create/delete per record) even for in-memory byte arrays
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes, off, len))
       try {
         reader.setInput(iis)

@@ -199,32 +199,32 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            var keeper = Long.MaxValue
-            var maxTs = Long.MinValue
-            var minTs = Long.MaxValue
-            rows.foreach { r =>
-              if (r.doc_id < keeper) keeper = r.doc_id
+            // fold the batch in EVENT-TIME order so horizon
+            // transitions INSIDE one micro-batch are honored: a row
+            // landing past lastSeen+horizon starts a new window and
+            // re-emits, even when in-horizon rows share the batch.
+            // Window keeper = its first arrival ((ts, doc_id) order —
+            // deterministic; equals min-doc_id for same-ts batches).
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+            var st = state.getOption.orNull
+            sorted.foreach { r =>
               val t = r.ts.getTime
-              if (t > maxTs) maxTs = t
-              if (t < minTs) minTs = t
+              if (st == null || t > st._2 + horizonMs) {
+                out += ((hash, r.doc_id))
+                st = (r.doc_id, t)
+              } else {
+                st = (st._1, math.max(st._2, t)) // late rows never rewind
+              }
             }
-            // an entry whose horizon elapsed before this batch's
-            // EARLIEST arrival is expired even if the watermark never
-            // fired the cleanup timeout
-            val live = state.getOption
-              .filter { case (_, lastSeen) => minTs <= lastSeen + horizonMs }
-            val out = live match {
-              case Some((k, lastSeen)) =>
-                state.update((k, math.max(lastSeen, maxTs)))
-                Iterator.empty
-              case None =>
-                state.update((keeper, maxTs))
-                Iterator.single((hash, keeper))
-            }
-            // TTL must stay ahead of the watermark or the update throws
+            state.update(st)
+            // cleanup timeout tracks the UPDATED lastSeen (never the
+            // batch's own max — a fully-late batch must not shrink the
+            // TTL); must also stay ahead of the watermark or the
+            // update throws
             state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs()) + horizonMs)
-            out
+              math.max(st._2, state.getCurrentWatermarkMs()) + horizonMs)
+            out.iterator
           }
       }
   }

@@ -34,16 +34,21 @@ class PipelineSpec extends SparkSpec {
     val trainDocs = Tables.documents(spark, sf)
       .join(trainIds, Seq("doc_id"), "left_semi")
     // re-running the contamination check on the OUTPUT finds nothing
-    assert(operators.Curate.decontaminate(trainDocs, evalDocs, 3, 2).count() == 0)
+    assert(operators.Curate.decontaminate(trainDocs, evalDocs, 3, 2,
+      broadcastEval = true).count() == 0)
   }
 
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
-    // partition pruning: a split filter must prune the directory scan
+    // partition pruning: the split predicate must appear INSIDE the
+    // scan's PartitionFilters bracket (every file scan prints a
+    // — possibly empty — PartitionFilters list, so bare contains()
+    // checks would pass vacuously)
     val plan = segs.filter(col("split") === "train")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("split"),
-      "split filter is not a partition filter")
+    val pruned = "PartitionFilters: \\[[^\\]]*split[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pruned.isDefined, s"split not in PartitionFilters:\n${plan.take(800)}")
     // splits are disjoint on doc ids
     val bySplit = segs.select("split", "doc_id").distinct().collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

@@ -248,10 +248,16 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("dedup_ttl_quiet_test").start()
     input.addData(Seq(EventStream.DocInTs(1, "h", ts("2024-01-01 00:00:00"))))
     q.processAllAvailable()
-    input.addData(Seq(EventStream.DocInTs(2, "h", ts("2024-01-01 00:30:00"))))
-    q.processAllAvailable() // within horizon: swallowed
-    input.addData(Seq(EventStream.DocInTs(3, "h", ts("2024-01-01 05:00:00"))))
-    q.processAllAvailable() // past horizon: re-emitted
+    // ONE batch spanning the horizon: the in-horizon row is swallowed
+    // but the post-horizon row must still re-emit (event-time fold,
+    // not a per-batch liveness decision)
+    input.addData(Seq(
+      EventStream.DocInTs(2, "h", ts("2024-01-01 00:30:00")),
+      EventStream.DocInTs(3, "h", ts("2024-01-01 05:00:00"))))
+    q.processAllAvailable()
+    // and a row within the NEW window is swallowed again
+    input.addData(Seq(EventStream.DocInTs(4, "h", ts("2024-01-01 05:30:00"))))
+    q.processAllAvailable()
     q.stop()
     val keepers = spark.table("dedup_ttl_quiet_test")
       .collect().map(_.getAs[Long]("keeper_id")).sorted
