@@ -63,6 +63,7 @@ object SparkEntry {
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
+    "decontaminate_shuffle" -> ((s, d) => operators.Curate.decontaminateShuffle(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
@@ -131,6 +132,24 @@ object SparkEntry {
         SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
       SELECT node AS doc_id, MIN(root) AS cluster_id
       FROM reach GROUP BY node ORDER BY doc_id"""
+
+  private def decontaminateOracleSql: String = """
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+      SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY train_id, eval_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -718,23 +737,10 @@ object SparkEntry {
         FROM documents)
       GROUP BY tok ORDER BY n DESC, token LIMIT 200""",
 
-    "decontaminate" -> """
-      WITH tok AS (
-        SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-                      x -> length(x) > 0) AS toks
-        FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-        FROM tok WHERE len(toks) >= 3),
-      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0),
-      tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0)
-      SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
-      FROM tr JOIN ev USING (shingle)
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
-      ORDER BY train_id, eval_id""",
+    "decontaminate" -> decontaminateOracleSql,
+    // the shuffle-join form is result-identical to the broadcast form
+    // by construction — one oracle, two physical plans under test
+    "decontaminate_shuffle" -> decontaminateOracleSql,
 
     "split_assign" -> """
       WITH b AS (

@@ -180,6 +180,22 @@ object Curate {
       broadcastEval = true)
   }
 
+  /** The shuffle-form of [[decontaminate]]: identical result set, but
+    * the contamination join shuffles on the shingle (shuffle_hash)
+    * instead of broadcasting the eval index — the plan the pipeline
+    * runs when the eval side is itself corpus-scale (a 20% holdout
+    * can't be broadcast). Exposed as its own query key so the
+    * shuffle-join path is oracle-verified, not just plan-spec'd; it
+    * shares decontaminate's oracle because the two forms are
+    * result-identical by construction. */
+  def decontaminateShuffle(s: SparkSession, d: String, n: Int = 3,
+                           minShared: Long = 2): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n, minShared,
+      broadcastEval = false)
+  }
+
   /** General form: contamination pairs between any training frame and
     * any eval frame. `broadcastEval = true` is for the usual case of
     * a benchmark-sized eval set (map-side join, no shuffle of the

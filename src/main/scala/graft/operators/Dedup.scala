@@ -641,10 +641,16 @@ object Dedup {
     * through one shuffle — ~16·256B per vector, flat in corpus size
     * per row. Both strategies are result-identical (spec'd). */
   def embLshDups(e: DataFrame, tau: Double = 0.35,
-                 numBits: Int = Similarity.LshBits,
-                 numTables: Int = Similarity.LshTables): DataFrame = {
+                 numBits: Int = 0, numTables: Int = 0): DataFrame = {
+    // geometry defaults are derived from τ (Similarity.geometryFor):
+    // (bits, τ) is a JOINT choice, and the coarse 4-bit buckets that
+    // τ=0.35 forces must never be silently applied at production
+    // thresholds where 16-bit buckets hold recall output-bound
+    val g = Similarity.geometryFor(tau)
+    val bits = if (numBits > 0) numBits else g.bits
+    val tables = if (numTables > 0) numTables else g.tables
     val bc = e.sparkSession.sparkContext.broadcast(
-      Similarity.lshPlanes(numTables, numBits))
+      Similarity.lshPlanes(tables, bits))
     val codes = Similarity.lshCodesWithVec(e, bc)
     codes.as("x").join(codes.hint("shuffle_hash").as("y"),
         col("x.tid") === col("y.tid") && col("x.code") === col("y.code") &&
@@ -663,9 +669,11 @@ object Dedup {
     * [[embLshDups]]; kept for the documented strategy comparison
     * (like ngramJaccardPrefix vs the counting form). */
   def embLshDupsRerank(e: DataFrame, tau: Double = 0.35,
-                       numBits: Int = Similarity.LshBits,
-                       numTables: Int = Similarity.LshTables): DataFrame = {
-    embLshCandidates(e, numBits, numTables)
+                       numBits: Int = 0, numTables: Int = 0): DataFrame = {
+    val g = Similarity.geometryFor(tau)
+    val bits = if (numBits > 0) numBits else g.bits
+    val tables = if (numTables > 0) numTables else g.tables
+    embLshCandidates(e, bits, tables)
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
       .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
       .select(col("v1"), col("v2"),

@@ -204,6 +204,51 @@ object Similarity {
   private[graft] val LshBits = 4
   private[graft] val LshTables = 16
 
+  /** A multi-table hyperplane-LSH geometry: `tables` hash tables of
+    * `bits` sign bits each (2^bits buckets per table). */
+  case class LshGeometry(tables: Int, bits: Int)
+
+  /** Probability that ONE random hyperplane puts a pair at cosine τ on
+    * the same side: p = 1 − θ/π (Goemans–Williamson / Charikar). */
+  def pBit(tau: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+
+  /** Expected pair recall of a geometry at threshold τ: a pair at
+    * exactly τ collides in one table w.p. p^bits, and in ≥1 of
+    * `tables` independent tables w.p. 1 − (1 − p^bits)^tables. Pairs
+    * above τ only do better, so this is the recall FLOOR the geometry
+    * guarantees at its threshold. */
+  def expectedRecall(tau: Double, g: LshGeometry): Double = {
+    val p = pBit(tau)
+    1.0 - math.pow(1.0 - math.pow(p, g.bits), g.tables)
+  }
+
+  /** The measured geometry ladder (SURVEY §6), finest buckets first.
+    * Scale10 occupancy: 16×4 at τ=0.35 is candidate-quadratic by 10×
+    * (128M→513M candidates, forced by the isotropic corpus's at-noise
+    * threshold); 32×16 at τ=0.9 is output-bound (433× fewer
+    * candidates). */
+  private[graft] val GeometryLadder: Seq[LshGeometry] =
+    Seq(LshGeometry(32, 16), LshGeometry(32, 8), LshGeometry(16, 4))
+
+  /** Joint (bits, τ) choice, codified: the FINEST geometry on the
+    * ladder whose analytic recall floor at τ clears `targetRecall`.
+    * This is what keeps the candidate join output-bound wherever τ
+    * allows it — the coarse 4-bit buckets (whose candidate volume is
+    * measured quadratic) can only be selected when τ is so low that
+    * finer buckets would lose the pairs, never silently at production
+    * thresholds. Throws below τ≈0.33 (even 16×4 cannot hold 0.9 there)
+    * — callers with a sub-noise threshold must pick a geometry
+    * explicitly rather than get one that quietly misses pairs.
+    * Validated: predicts 0.914 for 16×4@0.35 (measured 0.925) and
+    * 0.939 for 32×16@0.9 (measured ≥0.94). */
+  def geometryFor(tau: Double, targetRecall: Double = 0.9): LshGeometry =
+    GeometryLadder.find(g => expectedRecall(tau, g) >= targetRecall)
+      .getOrElse(throw new IllegalArgumentException(
+        f"no LSH geometry holds recall >= $targetRecall at tau=$tau%.3f " +
+          "(threshold below the geometry ladder's floor) — pass an " +
+          "explicit (numTables, numBits) instead"))
+
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Array[Double]]]]
 

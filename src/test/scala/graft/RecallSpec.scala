@@ -29,13 +29,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_ivf recall@5 = $recall")
   }
 
+  private def ppairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+
   test("LSH-blocked embedding dedup pair recall vs all-pairs >= 0.8") {
     // ground truth = exact all-pairs cosine at the same τ (O(n²),
     // recall-measurement only); the LSH blocking must retain ≥0.8 of
     // the true near-dup pairs (numpy sim + Spark both measure ≈0.93
     // for 16×4 on this isotropic corpus)
-    def ppairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.collect().map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
     val e = graft.Tables.embeddings(spark, sf01)
     val truth = ppairs(graft.operators.Dedup.embCosineAllPairs(e))
     val got = ppairs(graft.operators.Dedup.embLshDups(e))
@@ -43,6 +44,36 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"dedup_emb_lsh pair recall = $recall")
     // LSH-blocked output is a SUBSET of the all-pairs truth by
     // construction (blocking can only lose pairs, never invent them)
+    assert((got -- truth).isEmpty)
+  }
+
+  test("geometryFor codifies the measured joint (bits, τ) choice") {
+    // the Scale10-measured ladder: coarse 4-bit buckets ONLY at the
+    // isotropic at-noise threshold; 16-bit output-bound buckets at
+    // production τ — never the reverse
+    assert(Similarity.geometryFor(0.35) == Similarity.LshGeometry(16, 4))
+    assert(Similarity.geometryFor(0.9) == Similarity.LshGeometry(32, 16))
+    // analytic floor matches the measured recalls (0.925 / ≥0.94)
+    assert(Similarity.expectedRecall(0.35, Similarity.LshGeometry(16, 4)) >= 0.9)
+    assert(Similarity.expectedRecall(0.9, Similarity.LshGeometry(32, 16)) >= 0.9)
+    // sub-noise thresholds fail LOUDLY instead of quietly losing pairs
+    intercept[IllegalArgumentException](Similarity.geometryFor(0.1))
+  }
+
+  test("production-τ (0.9) derived geometry pair recall vs all-pairs >= 0.8") {
+    import org.apache.spark.sql.functions._
+    // the raw corpus is isotropic — no natural ≥0.9 pairs — so plant
+    // exact replicas (disjoint id space) to give τ=0.9 a ground truth,
+    // the same construction as the dedup plants
+    val e = graft.Tables.embeddings(spark, sf01)
+    val planted = e.unionByName(
+      e.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 100000))
+    val truth = ppairs(graft.operators.Dedup.embCosineAllPairs(planted, tau = 0.9))
+    assert(truth.nonEmpty)
+    // geometry comes from geometryFor(0.9) — the 32×16 production shape
+    val got = ppairs(graft.operators.Dedup.embLshDups(planted, tau = 0.9))
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"dedup_emb_lsh@0.9 pair recall = $recall")
     assert((got -- truth).isEmpty)
   }
 }
