@@ -812,27 +812,41 @@ object SparkEntry {
       FROM g ORDER BY doc_id""",
 
     // img_w/img_h/pixel_sum re-derive the ImageIO-decoded plane: BMP is
-    // uncompressed, pixel (x,y) = byte (y*w+x) mod len of the payload
+    // uncompressed, pixel (x,y) = byte (y*w+x) mod len of the payload.
+    // thumb_* re-derives the REAL nearest-neighbor 2x downscale of that
+    // decoded plane: thumb pixel (tx,ty) = source pixel
+    // (tx*w//tw, ty*h//th) — the same integer arithmetic the Spark
+    // resize runs on the decoded BufferedImage
     "multimodal_meta" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS L,
+          CAST(doc_id % 16 + 4 AS INT) AS w,
+          CAST(doc_id % 12 + 4 AS INT) AS h
+        FROM documents),
+      t AS (
+        SELECT *, greatest(1, w // 2) AS tw, greatest(1, h // 2) AS th
+        FROM d)
       SELECT doc_id,
-        CAST(length(text) AS INT) AS n_bytes,
-        CAST(list_sum(list_transform(range(1, length(text) + 1),
+        CAST(L AS INT) AS n_bytes,
+        CAST(list_sum(list_transform(range(1, L + 1),
           i -> unicode(text[i:i]))) % 100000 AS BIGINT) AS checksum,
         CAST((doc_id % 64 + 16) * 8 AS INT) AS width,
         CAST((doc_id % 48 + 12) * 8 AS INT) AS height,
         CAST((doc_id % 64 + 16) * 8 * (doc_id % 48 + 12) * 8 AS BIGINT) AS n_pixels,
-        CAST((doc_id % 64 + 16) * 8 // 4 AS INT) AS thumb_w,
-        CAST((doc_id % 48 + 12) * 8 // 4 AS INT) AS thumb_h,
-        CAST(list_sum(list_transform(range(1, length(text) + 1, 4),
-          i -> unicode(text[i:i]))) % 100000 AS BIGINT) AS thumb_checksum,
-        CAST(doc_id % 16 + 4 AS INT) AS img_w,
-        CAST(doc_id % 12 + 4 AS INT) AS img_h,
-        CAST(list_sum(list_transform(range(0, (doc_id % 16 + 4) * (doc_id % 12 + 4)),
-          i -> unicode(text[CAST(i % length(text) AS INT) + 1
-                            : CAST(i % length(text) AS INT) + 1])))
+        CAST(tw AS INT) AS thumb_w,
+        CAST(th AS INT) AS thumb_h,
+        CAST(list_sum(list_transform(range(0, tw * th),
+          i -> unicode(text[CAST((((i // tw) * h // th) * w + (i % tw) * w // tw) % L AS INT) + 1
+                            : CAST((((i // tw) * h // th) * w + (i % tw) * w // tw) % L AS INT) + 1])))
+          % 100000 AS BIGINT) AS thumb_checksum,
+        CAST(w AS INT) AS img_w,
+        CAST(h AS INT) AS img_h,
+        CAST(list_sum(list_transform(range(0, w * h),
+          i -> unicode(text[CAST(i % L AS INT) + 1
+                            : CAST(i % L AS INT) + 1])))
           % 100000 AS BIGINT) AS pixel_sum,
         'fake/raw' AS fmt
-      FROM documents ORDER BY doc_id""",
+      FROM t ORDER BY doc_id""",
 
     // container layout: [n:int32][offset,len pairs] + n 198-byte
     // 8x6 BMP frames; frame i's decoded plane is the payload window

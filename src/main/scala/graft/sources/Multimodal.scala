@@ -27,10 +27,11 @@ object Multimodal {
                          width: Int, height: Int, fmt: String)
 
   /** Features the decoder emits per record: raw-byte stats, the
-    * resize stub's thumbnail outputs, and the ImageIO-decoded
-    * dimensions + pixel sum (img_w/img_h/pixel_sum come from the
-    * DECODED BufferedImage, not the metadata — a decode that silently
-    * produced the wrong plane would hash-mismatch). */
+    * nearest-neighbor thumbnail of the decoded image (thumb_w/thumb_h/
+    * thumb_checksum), and the ImageIO-decoded dimensions + pixel sum
+    * (img_w/img_h/pixel_sum/thumb_* all come from the DECODED
+    * BufferedImage, not the metadata — a decode or resize that
+    * silently produced the wrong plane would hash-mismatch). */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
                            width: Int, height: Int, n_pixels: Long,
                            thumb_w: Int, thumb_h: Int, thumb_checksum: Long,
@@ -122,6 +123,32 @@ object Multimodal {
     }
   }
 
+  /** REAL resize: nearest-neighbor downscale of a DECODED image by
+    * `factor` — thumb pixel (tx, ty) samples source pixel
+    * (tx*w/tw, ty*h/th), the standard NN mapping. Returns
+    * (thumb_w, thumb_h, gray-plane sum). The arithmetic is pure
+    * integer division over the decoded plane, so the oracle recomputes
+    * the exact thumbnail in SQL (same modular plane as pixel_sum).
+    * Dims floor at 1 so degenerate sources still thumbnail. */
+  private[graft] def nearestNeighborThumb(img: java.awt.image.BufferedImage,
+                                          factor: Int): (Int, Int, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val tw = math.max(1, w / factor)
+    val th = math.max(1, h / factor)
+    var sum = 0L
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * h / th
+      var tx = 0
+      while (tx < tw) {
+        sum += img.getRGB(tx * w / tw, sy) & 0xff
+        tx += 1
+      }
+      ty += 1
+    }
+    (tw, th, sum)
+  }
+
   /** REAL decode: synthesize the BMP from the payload, decode it with
     * the JDK's ImageIO BMP codec (one reader per partition — see
     * [[BmpDecoder]]), and read features off the decoded
@@ -135,17 +162,16 @@ object Multimodal {
     var sum = 0L
     var i = 0
     while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-    // resize stub: 4x downscale — real impl would interpolate pixels;
-    // the fake samples every 4th byte so output depends on content
-    var tsum = 0L
-    var j = 0
-    while (j < r.payload.length) { tsum += (r.payload(j) & 0xff); j += 4 }
     val (w, h) = imgDims(r.doc_id)
     val bytes = bmpBytes(r.payload, w, h)
     val img = dec.decode(bytes, 0, bytes.length)
+    // real resize of the real decode: thumb_* comes from a
+    // nearest-neighbor downscale of the DECODED BufferedImage (2× —
+    // decoded dims are 4..19, so the thumb keeps ≥2 px per axis)
+    val (tw, th, tsum) = nearestNeighborThumb(img, factor = 2)
     MediaFeatures(r.doc_id, r.payload.length, sum % 100000,
       r.width, r.height, r.width.toLong * r.height,
-      r.width / 4, r.height / 4, tsum % 100000,
+      tw, th, tsum % 100000,
       img.getWidth, img.getHeight, dec.pixelSum(img) % 100000, r.fmt)
   }
 

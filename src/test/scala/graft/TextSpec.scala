@@ -166,7 +166,30 @@ class TextSpec extends SparkSpec {
       // decoded dims come from the actual ImageIO decode
       assert(r.getAs[Int]("img_w") == (id % 16 + 4).toInt)
       assert(r.getAs[Int]("img_h") == (id % 12 + 4).toInt)
+      // thumb dims come from the 2x NN downscale of the DECODED image
+      assert(r.getAs[Int]("thumb_w") == (id % 16 + 4).toInt / 2)
+      assert(r.getAs[Int]("thumb_h") == (id % 12 + 4).toInt / 2)
     }
+  }
+
+  test("nearest-neighbor thumb samples the exact decoded-plane pixels") {
+    val payload = "The quick brown fox jumps over".getBytes("UTF-8")
+    val (w, h) = (9, 7) // odd dims: the NN index mapping must round down
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.bmpBytes(payload, w, h)))
+    val (tw, th, sum) = Multimodal.nearestNeighborThumb(img, 2)
+    assert(tw == 4 && th == 3)
+    // brute-force the same mapping straight from the payload plane
+    var expected = 0L
+    for (ty <- 0 until th; tx <- 0 until tw) {
+      val sy = ty * h / th; val sx = tx * w / tw
+      expected += payload((sy * w + sx) % payload.length) & 0xff
+    }
+    assert(sum == expected)
+    // degenerate 1×1 source still thumbnails (dims floor at 1)
+    val tiny = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.bmpBytes(payload, 1, 1)))
+    assert(Multimodal.nearestNeighborThumb(tiny, 2)._1 == 1)
   }
 
   test("frame container parses and decodes to the expected moving windows") {
