@@ -36,8 +36,15 @@ object Pipeline {
 
   def curateAndPack(spark: SparkSession, srcDir: String, outDir: String,
                     cap: Int = 512, qualityFloor: Double = 0.2,
-                    contamNgram: Int = 3, contamMinShared: Long = 2): Report = {
-    val docs = Tables.documents(spark, srcDir)
+                    contamNgram: Int = 3, contamMinShared: Long = 2): Report =
+    curateAndPack(spark, Tables.documents(spark, srcDir), outDir, cap,
+      qualityFloor, contamNgram, contamMinShared)
+
+  /** Same run over an arbitrary documents frame (doc_id, lang, text)
+    * — the entry the Scale10 probe drives with replicated corpora. */
+  def curateAndPack(spark: SparkSession, docs: DataFrame, outDir: String,
+                    cap: Int, qualityFloor: Double,
+                    contamNgram: Int, contamMinShared: Long): Report = {
     val input = docs.count()
 
     // 1. near-dedup (transitive: CC over candidate pairs)

@@ -3,31 +3,33 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Distributed BPE (byte-pair-encoding) merge training — the actual
+/** BPE (byte-pair-encoding) merge training — the actual
   * tokenizer-training step downstream of `vocab_topk`'s corpus
   * counts (Sennrich et al., "Neural Machine Translation of Rare
   * Words with Subword Units", ACL'16).
   *
   * Scale shape: classic BPE trains on the WORD VOCABULARY with
-  * frequencies, not on raw tokens — so the corpus is reduced once to
-  * `(word, count)` (one shuffle over the corpus; the vocab is then
-  * millions of rows at 100 TB, not trillions), and each merge round
-  * over the vocab is:
+  * frequencies, not on raw tokens — the corpus reduces ONCE to
+  * `(word, count)` (one shuffle over the corpus, shared with
+  * vocab_topk via [[TextFunctions.tokenCounts]]). After that
+  * reduction the vocab is millions of rows at 100 TB, not trillions
+  * — it fits on the driver, so the production path is the same as
+  * IVF's centroid training ([[graft.operators.Similarity]]
+  * ivfCentroids): distributed reduction, bounded deterministic
+  * driver-side training. [[trainMergesLocal]] is INCREMENTAL — a
+  * pair→words inverted index plus an ordered count set make each
+  * merge cost O(affected words × log pairs), independent of total
+  * vocab — so 10k-100k merges don't rescan the vocabulary per round.
   *
-  *   1. flatMap each word's symbol sequence to adjacent pairs,
-  *      weighted by the word count (no shuffle),
-  *   2. groupBy pair + sum — partial-aggregated shuffle over PAIR
-  *      cardinality,
-  *   3. argmax with a deterministic tie-break — ONE row to the
-  *      driver,
-  *   4. broadcast the winning pair, apply the merge per word (map,
-  *      no shuffle).
-  *
-  * Rounds are `numMerges` (a config, typically 10k-100k); each is
-  * one bounded shuffle, so the trainer is the same iterative shape
-  * as connected components. Per-round frames are localCheckpoint'd
-  * to keep lineage flat. Verified in BpeSpec against an independent
-  * single-process reference implementation.
+  * [[trainMergesDistributed]] is the out-of-core fallback for a
+  * vocab that genuinely cannot fit (no min-count pruning allowed):
+  * the pair counts live in a Dataset that is DELTA-updated — each
+  * round shuffles only the pair-count deltas of words CONTAINING the
+  * merged pair (a co-partitioned outer join against the standing
+  * counts), never a full-vocab pair recount. [[trainMerges]]
+  * dispatches between the two on measured vocab size; both paths are
+  * equality-spec'd against an independent reference implementation
+  * (BpeSpec).
   */
 object Bpe {
 
@@ -42,21 +44,154 @@ object Bpe {
   }
 
   /** (word, count) vocabulary of the documents' whitespace tokens —
-    * the one corpus-wide pass. */
-  def wordVocab(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("text")).as[String]
-      .flatMap(_.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty))
-      .groupByKey(identity).count()
-      .toDF("word", "count")
-  }
+    * the one corpus-wide pass, THE SAME aggregate vocab_topk heads
+    * ([[TextFunctions.tokenCounts]]): one code path, one oracle
+    * family. */
+  def wordVocab(docs: DataFrame): DataFrame =
+    TextFunctions.tokenCounts(docs)
+      .select(col("token").as("word"), col("n").as("count"))
+
+  /** Vocab row budget for driver-side training: ~4M (word, count)
+    * rows is a few hundred MB — comfortably inside a production
+    * driver, and far above real post-reduction vocabularies. */
+  private[graft] val DriverVocabLimit = 4000000
 
   /** Train `numMerges` merges over the given word vocabulary.
     * Returns the ordered merge list — the tokenizer artifact. Ties
     * on pair frequency break lexicographically, so training is
-    * deterministic across partitionings and engines. */
+    * deterministic across partitionings and engines.
+    *
+    * Production path: collect the (already-reduced) vocab and train
+    * incrementally on the driver. Falls back to the distributed
+    * delta-update loop only when the vocab exceeds
+    * [[DriverVocabLimit]]. */
   def trainMerges(vocab: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    // limit+1 probe: cheap size check without a separate count() pass
+    // (the collected prefix is discarded on overflow)
+    val probe = vocab.select(col("word"), col("count"))
+      .limit(DriverVocabLimit + 1).collect()
+    if (probe.length > DriverVocabLimit)
+      trainMergesDistributed(vocab, numMerges)
+    else
+      trainMergesLocal(
+        probe.map(r => r.getString(0) -> r.getLong(1)).toSeq, numMerges)
+  }
+
+  /** Incremental driver-side BPE trainer. State:
+    *   - per-word symbol sequences + an (a, b) → word-ids inverted
+    *     index over the pairs each word currently contains,
+    *   - pair counts, mirrored into a TreeSet ordered by
+    *     (count desc, pair asc) so argmax is O(log P).
+    * A merge touches ONLY the words the index lists for the winning
+    * pair: each such word retracts its old adjacent-pair counts, is
+    * merged, and adds its new ones — O(affected words × word length ×
+    * log P) per round, independent of total vocab size (the full-scan
+    * trainer this replaces paid O(vocab) per round). Result-identical
+    * to the naive reference trainer (BpeSpec). */
+  def trainMergesLocal(vocab: Seq[(String, Long)],
+                       numMerges: Int,
+                       verbose: Boolean = false): Seq[(String, String)] = {
+    type Pair = (String, String)
+    val t0 = System.nanoTime()
+    val words = vocab.map(v => toSymbols(v._1).toArray).toArray
+    val counts = vocab.map(_._2).toArray
+    val pairCounts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.Set[Int]]
+    // argmax order: frequency desc, then lexicographic pair
+    val ord = Ordering.by[(Long, String, String), (Long, String, String)](
+      t => (-t._1, t._2, t._3))
+    val byCount = scala.collection.mutable.TreeSet.empty[(Long, String, String)](ord)
+
+    def adjCounts(syms: Array[String]): scala.collection.mutable.HashMap[Pair, Int] = {
+      val m = scala.collection.mutable.HashMap.empty[Pair, Int]
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = pairCounts.getOrElse(p, 0L)
+      if (old > 0) byCount.remove((old, p._1, p._2))
+      val nu = old + delta
+      if (nu > 0) { pairCounts(p) = nu; byCount.add((nu, p._1, p._2)) }
+      else pairCounts.remove(p)
+    }
+
+    words.indices.foreach { wi =>
+      adjCounts(words(wi)).foreach { case (p, n) =>
+        bump(p, n.toLong * counts(wi))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      }
+    }
+
+    if (verbose) println(
+      f"BPE local init: ${words.length} words, ${pairCounts.size} distinct " +
+        f"pairs, ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val tLoop = System.nanoTime()
+    var affectedTotal = 0L
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    var round = 0
+    while (round < numMerges && byCount.nonEmpty) {
+      val (_, a, b) = byCount.head
+      val best = (a, b)
+      merges += best
+      val affected = pairWords.get(best).map(_.size).getOrElse(0)
+      affectedTotal += affected
+      // only words CONTAINING the winning pair recount
+      pairWords.get(best).map(_.toArray).getOrElse(Array.empty).foreach { wi =>
+        val c = counts(wi)
+        val before = adjCounts(words(wi))
+        words(wi) = applyMerge(words(wi).toSeq, best).toArray
+        val after = adjCounts(words(wi))
+        before.foreach { case (p, n) =>
+          val kept = after.getOrElse(p, 0)
+          if (kept != n) bump(p, (kept - n).toLong * c)
+          if (kept == 0) pairWords.get(p).foreach { s =>
+            s -= wi; if (s.isEmpty) pairWords.remove(p)
+          }
+        }
+        after.foreach { case (p, n) =>
+          if (!before.contains(p)) {
+            bump(p, n.toLong * c)
+            pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+          }
+        }
+      }
+      round += 1
+    }
+    if (verbose) println(
+      f"BPE local loop: $round merges touched $affectedTotal word-updates " +
+        f"(full recount would pay ${round.toLong * words.length}) in " +
+        f"${(System.nanoTime() - tLoop) / 1e9}%.2fs")
+    merges.toSeq
+  }
+
+  private def adjPairs(syms: Seq[String]): Iterator[(String, String)] =
+    syms.iterator.zip(syms.iterator.drop(1))
+
+  private def containsAdj(syms: Seq[String], p: (String, String)): Boolean =
+    adjPairs(syms).contains(p)
+
+  /** Out-of-core fallback: the distributed merge loop with
+    * DELTA-updated pair counts. Standing state per round:
+    *   - `words` — the vocab's symbol sequences (map-only updates),
+    *   - `pairCounts` — (a, b, cnt), hash-partitioned by (a, b) from
+    *     its aggregation and kept so through `localCheckpoint`.
+    * Each round: one-row argmax to the driver; the DELTA frame
+    * (old-pairs retracted, merged-pairs added, ONLY from words
+    * containing the winning pair) is aggregated — a shuffle bounded
+    * by affected words' pairs, not the vocab — and outer-joined into
+    * the standing counts, which are already partitioned on the join
+    * key and so do not re-shuffle. The full-vocab work left per round
+    * is a map-side filter/merge scan with NO shuffle; the old
+    * implementation re-flatMapped and re-shuffled every word's pairs
+    * every round. */
+  def trainMergesDistributed(vocab: DataFrame, numMerges: Int,
+                             verbose: Boolean = false): Seq[(String, String)] = {
     val spark = vocab.sparkSession
     import spark.implicits._
     var words: Dataset[(Seq[String], Long)] = vocab
@@ -64,27 +199,48 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, c) => (toSymbols(w), c) }
       .localCheckpoint()
+    var pairCounts: DataFrame = words
+      .flatMap { case (syms, c) => adjPairs(syms).map(p => (p._1, p._2, c)) }
+      .toDF("a", "b", "cnt")
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      // adjacent-pair counts weighted by word frequency
-      val best = words.flatMap { case (syms, c) =>
-          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p, c)) }
-        .groupByKey(_._1).agg(sum($"_2").as[Long])
-        .toDF("pair", "cnt")
-        .orderBy(col("cnt").desc, col("pair._1"), col("pair._2"))
-        .limit(1) // argmax — one row to the driver
-        .collect()
+      val best = pairCounts
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // argmax — one row to the driver
       if (best.isEmpty) done = true
       else {
-        val p = best.head.getStruct(0)
-        val pair = (p.getString(0), p.getString(1))
+        val pair = (best.head.getString(0), best.head.getString(1))
         merges += pair
         val bc = spark.sparkContext.broadcast(pair)
+        val t0 = System.nanoTime()
+        val nAffected =
+          if (verbose) words.filter(w => containsAdj(w._1, bc.value)).count()
+          else -1L
+        // pair-count deltas from AFFECTED words only
+        val delta = words
+          .filter(w => containsAdj(w._1, bc.value))
+          .flatMap { case (syms, c) =>
+            adjPairs(syms).map(p => (p._1, p._2, -c)) ++
+              adjPairs(applyMerge(syms, bc.value)).map(p => (p._1, p._2, c))
+          }
+          .toDF("a", "b", "d")
+          .groupBy(col("a"), col("b")).agg(sum(col("d")).as("d"))
+        pairCounts = pairCounts
+          .join(delta.hint("shuffle_hash"), Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
         words = words.map { case (syms, c) =>
-          (applyMerge(syms, bc.value), c)
+          (if (containsAdj(syms, bc.value)) applyMerge(syms, bc.value) else syms, c)
         }.localCheckpoint()
+        if (verbose)
+          println(f"BPE round $round merge=$pair affected=$nAffected " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
       round += 1
     }

@@ -160,12 +160,20 @@ object TextFunctions {
     * regardless of vocabulary size). Ties broken by token for
     * determinism. */
   def vocabTopK(s: SparkSession, d: String, k: Int = 200): DataFrame =
-    Tables.documents(s, d)
+    tokenCounts(Tables.documents(s, d))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Corpus-wide (token, count) aggregate — the one code path behind
+    * both [[vocabTopK]] (its oracle-gated top-k head) and
+    * [[graft.functions.Bpe.wordVocab]] (the BPE trainer's input), so
+    * the two stay semantically identical by construction rather than
+    * by parallel implementations. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
 
   /** text_keywords: per-doc characteristic terms — top-k tokens by
     * tf/df ratio (the rank-equivalent of tf-idf for a fixed corpus:

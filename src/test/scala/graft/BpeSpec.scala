@@ -33,19 +33,38 @@ class BpeSpec extends SparkSpec {
     merges.toSeq
   }
 
-  test("distributed merges equal the reference implementation on the corpus") {
+  test("trained merges equal the reference implementation on the corpus") {
     val docs = Tables.documents(spark, sf)
     val vocabDf = Bpe.wordVocab(docs)
     val vocab = vocabDf.collect()
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
     assert(vocab.nonEmpty)
     val k = 12
+    // production path (driver-side incremental trainer)
     val got = Bpe.trainMerges(vocabDf, k)
     val expected = referenceMerges(vocab, k)
     assert(got == expected, s"got $got\nexpected $expected")
     // merges are deterministic across repartitionings
     val again = Bpe.trainMerges(vocabDf.repartition(7), k)
     assert(again == got)
+    // the distributed out-of-core fallback trains the SAME merges
+    val dist = Bpe.trainMergesDistributed(vocabDf, k)
+    assert(dist == expected, s"distributed $dist\nexpected $expected")
+  }
+
+  test("incremental local trainer handles overlap/retraction edge cases") {
+    // overlapping pair occurrences ("aaaa"), merges that create new
+    // pairs of merged symbols, and exhaustion before numMerges — the
+    // cases where incremental count maintenance can silently drift
+    // from the full-recount reference
+    val vocab = Map("aaaa" -> 5L, "aab" -> 3L, "abab" -> 2L, "b" -> 7L)
+    for (k <- Seq(1, 3, 8, 50)) {
+      val got = Bpe.trainMergesLocal(vocab.toSeq, k)
+      assert(got == referenceMerges(vocab, k), s"k=$k")
+    }
+    // vocab order must not matter
+    assert(Bpe.trainMergesLocal(vocab.toSeq.reverse, 8) ==
+      Bpe.trainMergesLocal(vocab.toSeq, 8))
   }
 
   test("trained merges tokenize: frequent words collapse to fewer symbols") {
