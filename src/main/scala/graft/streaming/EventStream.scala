@@ -240,7 +240,9 @@ object EventStream {
     * like the batch join before its distinct — so downstream
     * consumers dedupe, and the spec compares distinct sets. State per
     * bucket is bounded by bucket occupancy, which is what LSH banding
-    * bounds by construction. */
+    * bounds by construction — but it lives for the stream's lifetime;
+    * production streams run [[streamingMinhashPairsTtl]], which also
+    * bounds it in TIME (event-time horizon + watermark eviction). */
   def streamingMinhashPairs(bands: Dataset[BandRow]): Dataset[(Long, Long)] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(b => (b.band, b.sig))
@@ -261,6 +263,68 @@ object EventStream {
           }
           state.update(members)
           out.iterator
+      }
+  }
+
+  case class BandRowTs(doc_id: Long, band: Int, sig: String,
+                       ts: java.sql.Timestamp)
+
+  /** [[streamingMinhashPairs]] with BOUNDED state: near-dup detection
+    * within an event-time horizon. Each bucket's member list carries a
+    * per-member lastSeen; an arriving doc pairs only against members
+    * seen within `horizonMs` of its own event time (stale members are
+    * evicted inline as the batch folds in event-time order), and the
+    * whole bucket's state is REMOVED once the watermark passes its
+    * newest member + horizon — so total state is bounded by the bucket
+    * ARRIVAL RATE × horizon, not the stream's lifetime membership. A
+    * doc re-arriving within the horizon refreshes its lastSeen without
+    * re-pairing; one returning after eviction pairs anew (that IS the
+    * horizon semantics — the same contract as [[streamingDedupTtl]]).
+    * Lateness is bounded by the watermark delay, so a late arrival
+    * pairs against members at most watermark-lag newer than itself.
+    * With all arrivals inside one horizon this reduces exactly to the
+    * unbounded form (parity spec'd); eviction is spec'd under RocksDB
+    * via the state-operator metrics. */
+  def streamingMinhashPairsTtl(bands: Dataset[BandRowTs], horizonMs: Long,
+                               watermarkDelay: String = "10 minutes"): Dataset[(Long, Long)] = {
+    import bands.sparkSession.implicits._
+    bands.withWatermark("ts", watermarkDelay)
+      .as[BandRowTs]
+      .groupByKey(b => (b.band, b.sig))
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), rows: Iterator[BandRowTs], state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // timeout fires horizon past the newest member — every
+            // member is stale by construction
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var members = state.getOption.getOrElse(Seq.empty)
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              members = members.filter(_._2 >= t - horizonMs)
+              val idx = members.indexWhere(_._1 == r.doc_id)
+              if (idx >= 0) {
+                val (id, seen) = members(idx)
+                members = members.updated(idx, (id, math.max(seen, t)))
+              } else {
+                members.foreach { case (m, _) =>
+                  out += (if (m < r.doc_id) (m, r.doc_id) else (r.doc_id, m))
+                }
+                members = members :+ ((r.doc_id, t))
+              }
+            }
+            state.update(members)
+            val newest = members.map(_._2).max
+            // cleanup tracks the newest member and must stay ahead of
+            // the watermark or the update throws
+            state.setTimeoutTimestamp(
+              math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
+            out.iterator
+          }
       }
   }
 
@@ -290,8 +354,9 @@ object EventStream {
     * consumers dedupe, the parity spec compares distinct sets). State
     * per bucket is member count × vector bytes, bounded by bucket
     * occupancy — the same quantity the (bits, τ) geometry choice
-    * bounds in batch; production streams add event-time TTL exactly
-    * as [[streamingDedupTtl]] does. */
+    * bounds in batch; production streams run
+    * [[streamingEmbLshPairsTtl]], which also bounds it in TIME
+    * (event-time horizon + watermark eviction). */
   def streamingEmbLshPairs(codes: Dataset[EmbCodeRow],
                            tau: Double = 0.35): Dataset[(Long, Long, Double)] = {
     import codes.sparkSession.implicits._
@@ -324,6 +389,68 @@ object EventStream {
           }
           state.update(members)
           out.iterator
+      }
+  }
+
+  case class EmbCodeRowTs(vec_id: Long, tid: Int, code: Int,
+                          embedding: Array[Float], ts: java.sql.Timestamp)
+
+  /** [[streamingEmbLshPairs]] with BOUNDED state — the embedding
+    * analog of [[streamingMinhashPairsTtl]]: per-bucket members carry
+    * (vector, lastSeen), arrivals are cosine-verified only against
+    * members within the event-time horizon (stale members evicted
+    * inline), and the bucket's state is removed when the watermark
+    * passes its newest member + horizon. State is bounded by bucket
+    * arrival rate × horizon × vector bytes instead of the stream's
+    * lifetime bucket membership. */
+  def streamingEmbLshPairsTtl(codes: Dataset[EmbCodeRowTs], horizonMs: Long,
+                              tau: Double = 0.35,
+                              watermarkDelay: String = "10 minutes"): Dataset[(Long, Long, Double)] = {
+    import codes.sparkSession.implicits._
+    codes.withWatermark("ts", watermarkDelay)
+      .as[EmbCodeRowTs]
+      .groupByKey(c => (c.tid, c.code))
+      .flatMapGroupsWithState[Seq[(Long, Array[Float], Long)], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Int), rows: Iterator[EmbCodeRowTs],
+         state: GroupState[Seq[(Long, Array[Float], Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var members = state.getOption.getOrElse(Seq.empty)
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              members = members.filter(_._3 >= t - horizonMs)
+              val idx = members.indexWhere(_._1 == r.vec_id)
+              if (idx >= 0) {
+                val (id, v, seen) = members(idx)
+                members = members.updated(idx, (id, v, math.max(seen, t)))
+              } else {
+                members.foreach { case (mid, mv, _) =>
+                  val raw = graft.functions.CosineSimilarity
+                    .cosineScalar(mv, r.embedding)
+                  // NaN (zero-norm / length-mismatch) drops the pair,
+                  // matching the batch path's round+filter
+                  if (!raw.isNaN) {
+                    val cos = BigDecimal(raw)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    if (cos >= tau)
+                      out += (if (mid < r.vec_id) (mid, r.vec_id, cos)
+                              else (r.vec_id, mid, cos))
+                  }
+                }
+                members = members :+ ((r.vec_id, r.embedding, t))
+              }
+            }
+            state.update(members)
+            val newest = members.map(_._3).max
+            state.setTimeoutTimestamp(
+              math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
+            out.iterator
+          }
       }
   }
 

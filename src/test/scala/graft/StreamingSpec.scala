@@ -176,6 +176,137 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("TTL'd minhash pairs equal the batch band join when arrivals share a horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = operators.Dedup.withPlants(Tables.documents(spark, sf))
+    val bands = operators.Dedup.minhashBands(docs)
+      .as[(Long, Int, String)].collect()
+    val (originals, plants) = bands.partition(_._1 < 100000)
+    // two batches 30min apart, both inside the 1h horizon: the TTL
+    // form must reduce exactly to the unbounded form = the batch join
+    val input = MemoryStream[EventStream.BandRowTs]
+    val q = EventStream.streamingMinhashPairsTtl(input.toDS(), horizonMs = 3600 * 1000L)
+      .toDF("d1", "d2")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mh_ttl_parity_test").start()
+    input.addData(originals.toSeq.map { case (d, b, s) =>
+      EventStream.BandRowTs(d, b, s, ts("2024-01-01 00:00:00")) })
+    q.processAllAvailable()
+    input.addData(plants.toSeq.map { case (d, b, s) =>
+      EventStream.BandRowTs(d, b, s, ts("2024-01-01 00:30:00")) })
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mh_ttl_parity_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = operators.Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
+  test("TTL'd minhash pair state bounds under RocksDB: buckets evict past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.BandRowTs]
+      val q = EventStream.streamingMinhashPairsTtl(input.toDS(), horizonMs = 3600 * 1000L)
+        .toDF("d1", "d2")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("mh_ttl_evict_test").start()
+      def stateRows: Long = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators.head.numRowsTotal
+      // batch 1: docs 1-2 share bucket A, doc 3 alone in bucket B
+      input.addData(Seq(
+        EventStream.BandRowTs(1, 0, "A", ts("2024-01-01 00:00:00")),
+        EventStream.BandRowTs(2, 0, "A", ts("2024-01-01 00:00:00")),
+        EventStream.BandRowTs(3, 0, "B", ts("2024-01-01 00:00:00"))))
+      q.processAllAvailable()
+      assert(stateRows == 2, s"state after batch 1: $stateRows") // 2 buckets
+      assert(q.recentProgress.filter(_.stateOperators.nonEmpty).last
+        .stateOperators.head.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+      // batches 2+3: advance event time far past the horizon; timeouts
+      // remove BOTH stale buckets even though bucket B never pairs
+      input.addData(Seq(EventStream.BandRowTs(10, 1, "C", ts("2024-01-01 05:00:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(EventStream.BandRowTs(11, 1, "D", ts("2024-01-01 05:05:00"))))
+      q.processAllAvailable()
+      assert(stateRows <= 3, s"state after eviction: $stateRows")
+      // a doc arriving in bucket A past the horizon must NOT pair with
+      // the evicted member — only the in-horizon member that follows
+      input.addData(Seq(EventStream.BandRowTs(20, 0, "A", ts("2024-01-01 05:10:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(EventStream.BandRowTs(21, 0, "A", ts("2024-01-01 05:15:00"))))
+      q.processAllAvailable()
+      q.stop()
+      val pairs = spark.table("mh_ttl_evict_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (20L, 21L)), s"got $pairs")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("TTL'd embedding LSH pairs: in-horizon parity with batch, stale members evict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val codes = EventStream.embLshCodes(emb).collect()
+      val (early, late) = codes.partition(_.vec_id < 250)
+      val input = MemoryStream[EventStream.EmbCodeRowTs]
+      val q = EventStream.streamingEmbLshPairsTtl(input.toDS(), horizonMs = 3600 * 1000L)
+        .toDF("v1", "v2", "cos_sim")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("emb_ttl_test").start()
+      def stateRows: Long = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators.head.numRowsTotal
+      // both halves inside one horizon → exact batch parity
+      input.addData(early.toSeq.map(c => EventStream.EmbCodeRowTs(
+        c.vec_id, c.tid, c.code, c.embedding, ts("2024-01-01 00:00:00"))))
+      q.processAllAvailable()
+      input.addData(late.toSeq.map(c => EventStream.EmbCodeRowTs(
+        c.vec_id, c.tid, c.code, c.embedding, ts("2024-01-01 00:30:00"))))
+      q.processAllAvailable()
+      val streamed = spark.table("emb_ttl_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = operators.Dedup.embLshDups(emb).collect()
+        .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"),
+          r.getAs[Double]("cos_sim"))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+      val populated = stateRows
+      assert(populated > 0)
+      // advance past the horizon; timeout processing drains the state
+      input.addData(Seq(EventStream.EmbCodeRowTs(
+        900001L, 0, 0, Array.fill(64)(0.1f), ts("2024-01-01 05:00:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(EventStream.EmbCodeRowTs(
+        900002L, 1, 0, Array.fill(64)(0.1f), ts("2024-01-01 05:05:00"))))
+      q.processAllAvailable()
+      q.stop()
+      assert(stateRows <= 3,
+        s"state after eviction: $stateRows (was $populated)")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("TTL'd streaming dedup bounds state under RocksDB: rows evict past the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
