@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
+    "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
     "dedup_spans"         -> Dedup.dedupSpans _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
@@ -150,6 +151,31 @@ object SparkEntry {
       FROM tr JOIN ev USING (shingle)
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY train_id, eval_id"""
+
+  /** Shared CTE chain reconstructing the multi-table hyperplane codes
+    * and the cosine-verified near-dup pair set in pure SQL — used by
+    * dedup_emb_lsh and as the edge set for dedup_emb_clusters'
+    * recursive connected components (the same sharing pattern as
+    * [[minhashCtes]]). */
+  private def embLshCtes: String = s"""planes(tid, pid, p) AS (VALUES
+        ${operators.Similarity.planesSqlValues}),
+      codes AS (
+        SELECT vec_id, tid,
+          CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p) >= 0
+                        THEN 1 << pid ELSE 0 END) AS INT) AS code
+        FROM embeddings CROSS JOIN planes GROUP BY vec_id, tid),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+        FROM codes x JOIN codes y
+          ON x.tid = y.tid AND x.code = y.code AND x.vec_id < y.vec_id),
+      rer AS (
+        SELECT cand.v1, cand.v2,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.v1
+        JOIN embeddings b ON b.vec_id = cand.v2),
+      emb_pairs AS (SELECT v1, v2, cos_sim FROM rer WHERE cos_sim >= 0.35)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -545,26 +571,22 @@ object SparkEntry {
     // same planes/codes CTE as ann_lsh, used as a DEDUP blocking key:
     // candidate = collision in ANY table, verified by exact cosine
     "dedup_emb_lsh" -> s"""
-      WITH planes(tid, pid, p) AS (VALUES
-        ${operators.Similarity.planesSqlValues}),
-      codes AS (
-        SELECT vec_id, tid,
-          CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p) >= 0
-                        THEN 1 << pid ELSE 0 END) AS INT) AS code
-        FROM embeddings CROSS JOIN planes GROUP BY vec_id, tid),
-      cand AS (
-        SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-        FROM codes x JOIN codes y
-          ON x.tid = y.tid AND x.code = y.code AND x.vec_id < y.vec_id),
-      rer AS (
-        SELECT cand.v1, cand.v2,
-          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-        FROM cand
-        JOIN embeddings a ON a.vec_id = cand.v1
-        JOIN embeddings b ON b.vec_id = cand.v2)
-      SELECT v1, v2, cos_sim FROM rer WHERE cos_sim >= 0.35
-      ORDER BY v1, v2""",
+      WITH $embLshCtes
+      SELECT v1, v2, cos_sim FROM emb_pairs ORDER BY v1, v2""",
+
+    // the embedding analog of dedup_clusters: recursive reachability
+    // over the emb_pairs edge set, component id = min reachable vec_id
+    "dedup_emb_clusters" -> s"""
+      WITH RECURSIVE $embLshCtes,
+      edges AS (
+        SELECT v1 AS u, v2 AS v FROM emb_pairs
+        UNION ALL SELECT v2, v1 FROM emb_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+      SELECT node AS vec_id, MIN(root) AS cluster_id
+      FROM reach GROUP BY node ORDER BY vec_id""",
 
     "ann_bruteforce" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

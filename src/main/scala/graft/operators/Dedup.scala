@@ -663,6 +663,22 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** dedup_emb_clusters: embedding near-dup pairs → connected
+    * components → (vec_id, cluster_id) — the step that turns the
+    * pairwise [[embLshDups]] hits into KEEP/DROP decisions (a vector
+    * can be transitively near-duplicate of one it shares no bucket
+    * with), exactly parallel to [[dedupClusters]] over the minhash
+    * pairs. cluster_id is the component's min vec_id — the keeper
+    * under keep-min-id. Same scale shape as the minhash capstone:
+    * bucketed pair generation + the safe CC (label propagation with
+    * star-contraction fallback). */
+  def dedupEmbClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponentsSafe(
+      embLshDups(Tables.embeddings(s, d))
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("node").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
   /** The rerank-join strategy (distinct candidates → fetch embeddings
     * → score): the write-side-friendly shape when codes are
     * precomputed without embeddings. Result-identical to
