@@ -66,15 +66,14 @@ object Bpe {
     * delta-update loop only when the vocab exceeds
     * [[DriverVocabLimit]]. */
   def trainMerges(vocab: DataFrame, numMerges: Int): Seq[(String, String)] = {
-    // limit+1 probe: cheap size check without a separate count() pass
-    // (the collected prefix is discarded on overflow)
-    val probe = vocab.select(col("word"), col("count"))
-      .limit(DriverVocabLimit + 1).collect()
-    if (probe.length > DriverVocabLimit)
+    val slim = vocab.select(col("word"), col("count"))
+    // limit+1 count probe answers the dispatch question without
+    // shipping any rows; only the under-limit path pays a collect
+    if (slim.limit(DriverVocabLimit + 1).count() > DriverVocabLimit)
       trainMergesDistributed(vocab, numMerges)
     else
       trainMergesLocal(
-        probe.map(r => r.getString(0) -> r.getLong(1)).toSeq, numMerges)
+        slim.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, numMerges)
   }
 
   /** Incremental driver-side BPE trainer. State:
