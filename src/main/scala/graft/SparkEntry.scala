@@ -61,6 +61,7 @@ object SparkEntry {
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
+    "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
@@ -78,7 +79,9 @@ object SparkEntry {
     * literals, so it can only be rendered once the data is known).
     * Verify dumps THIS map — the driver replays it in DuckDB. */
   def oracleSqlFor(s: SparkSession, d: String): Map[String, String] =
-    oracleSql + ("ann_ivf" -> Similarity.annIvfOracleSql(s, d))
+    oracleSql +
+      ("ann_ivf" -> Similarity.annIvfOracleSql(s, d)) +
+      ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d))
 
   /** Shared CTE chain reconstructing the minhash LSH band buckets and
     * candidate pairs in pure SQL — used by dedup_minhash and as the

@@ -273,4 +273,133 @@ object Bpe {
     * merges actually tokenize). */
   def encode(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(toSymbols(word))((syms, m) => applyMerge(syms, m))
+
+  // ---- bpe_segment: oracle-gated merge APPLICATION ----------------------
+
+  /** bpe_segment defaults: merges trained per dataset, top-k ASCII
+    * words segmented. Both are parameters; the defaults size the
+    * oracle's recursive replay (k rows × ~(merges + word length)
+    * recursion steps) well inside DuckDB comfort. */
+  private[graft] val SegMerges = 60
+  private[graft] val SegTopK = 200
+
+  private val mergesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), Seq[(String, String)]]
+
+  /** Fingerprint of the documents files backing `d` — keys the merge
+    * cache on the DATA, not just the path (the ivfCentroids recipe:
+    * a rewritten dataset retrains instead of silently reusing stale
+    * merges within the same JVM). */
+  private def docsFingerprint(s: SparkSession, d: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(path)) "absent"
+    else {
+      val statuses =
+        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path)
+        else Array(fs.getFileStatus(path))
+      statuses.map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    }
+  }
+
+  /** Train-once-per-dataset merges shared by [[bpeSegment]] and its
+    * oracle renderer, so the query and the SQL replay tokenize with
+    * bit-identical merge lists (the ann_ivf centroid pattern). */
+  private[graft] def trainedMerges(s: SparkSession, d: String,
+                                   numMerges: Int): Seq[(String, String)] = {
+    val key = (d, numMerges, docsFingerprint(s, d))
+    mergesCache.getOrElseUpdate(key, {
+      mergesCache.keySet
+        .filter(k => k._1 == d && k._2 == numMerges && k != key)
+        .foreach(mergesCache.remove)
+      trainMerges(s, d, numMerges)
+    })
+  }
+
+  /** Only words the oracle can replay char-for-char are segmented:
+    * ASCII alphanumerics sidestep Java-UTF-16 vs DuckDB-codepoint
+    * indexing drift. Training still sees the FULL vocabulary (merges
+    * travel to the oracle as literals, so they need no SQL replay). */
+  private[graft] val SegWordRe = "^[a-z0-9]+$"
+
+  /** bpe_segment: tokenize the top-k corpus words with the trained
+    * merge list — BPE merge APPLICATION as an oracle-gated query
+    * (training itself is equality-spec'd in BpeSpec; a merges-literal
+    * oracle for training would be self-fulfilling, but application
+    * COMPUTES from data + merges on both engines).
+    *
+    * Scale shape: the merge list is a tokenizer artifact (tiny,
+    * broadcast in the closure); segmentation is a stateless per-word
+    * typed map — at 100 TB the same map runs over the full vocabulary
+    * (or raw corpus) with no shuffle beyond the vocab reduction. */
+  def bpeSegment(s: SparkSession, d: String,
+                 numMerges: Int = SegMerges, k: Int = SegTopK): DataFrame = {
+    import s.implicits._
+    val merges = trainedMerges(s, d, numMerges)
+    wordVocab(graft.Tables.documents(s, d))
+      .filter(col("word").rlike(SegWordRe))
+      .orderBy(col("count").desc, col("word"))
+      .limit(k)
+      .select(col("word")).as[String]
+      .map { w =>
+        val toks = encode(w, merges)
+        (w, toks.mkString(" "), toks.length)
+      }
+      .toDF("word", "tokens", "n_tokens")
+      .orderBy(col("word"))
+  }
+
+  /** DuckDB replay of [[bpeSegment]]: the trained merges become a
+    * (mi, pattern, replacement) VALUES table over space-delimited
+    * symbol strings, and a recursive CTE applies ITERATED LEFTMOST
+    * REPLACE-FIRST — replace the leftmost occurrence of ' a b ' with
+    * ' ab ' until none remain, then advance to the next merge. That
+    * iteration equals [[applyMerge]]'s single left-to-right pass
+    * (property-spec'd in BpeSpec: a naive replace-ALL chain diverges
+    * on runs like [a,a,a,a], where consumed delimiters hide the next
+    * overlapping occurrence; leftmost-one-at-a-time re-scans and
+    * collapses them exactly as the greedy pass does). */
+  def bpeSegmentOracleSql(s: SparkSession, d: String,
+                          numMerges: Int = SegMerges, k: Int = SegTopK): String = {
+    val merges = trainedMerges(s, d, numMerges)
+    def lit(x: String) = "'" + x.replace("'", "''") + "'"
+    val rows = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"($i, ${lit(s" $a $b ")}, ${lit(s" $a$b ")})"
+    }.mkString(",\n        ")
+    raw"""
+      WITH RECURSIVE tok AS (
+        SELECT tok AS word, COUNT(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> length(x) > 0)) AS tok
+          FROM documents)
+        GROUP BY tok),
+      words AS (
+        SELECT word FROM tok WHERE regexp_matches(word, '$SegWordRe')
+        ORDER BY n DESC, word LIMIT $k),
+      merges(mi, pat, rep) AS (VALUES
+        $rows),
+      init AS (
+        SELECT word,
+          ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+            i -> substr(word, i, 1) ||
+                 CASE WHEN i = length(word) THEN '</w>' ELSE '' END), ' ')
+              || ' ' AS s
+        FROM words),
+      seg(word, mi, s) AS (
+        SELECT word, 0, s FROM init
+        UNION ALL
+        SELECT word,
+          CASE WHEN strpos(s, pat) > 0 THEN mi ELSE mi + 1 END,
+          CASE WHEN strpos(s, pat) > 0
+            THEN substr(s, 1, strpos(s, pat) - 1) || rep
+                 || substr(s, strpos(s, pat) + length(pat))
+            ELSE s END
+        FROM seg JOIN merges USING (mi))
+      SELECT word, trim(s) AS tokens,
+        CAST(len(string_split(trim(s), ' ')) AS INT) AS n_tokens
+      FROM seg WHERE mi = ${merges.length}
+      ORDER BY word"""
+  }
 }

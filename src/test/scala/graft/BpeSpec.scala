@@ -67,6 +67,65 @@ class BpeSpec extends SparkSpec {
       Bpe.trainMergesLocal(vocab.toSeq, 8))
   }
 
+  /** Scala mirror of the bpe_segment ORACLE's recursion step:
+    * iterated leftmost replace-FIRST of ' a b ' → ' ab ' on the
+    * space-delimited symbol string, one merge at a time in training
+    * order. The oracle's correctness rests on this equaling
+    * Bpe.encode's greedy left-to-right pass. */
+  private def oracleEncode(word: String,
+                           merges: Seq[(String, String)]): Seq[String] = {
+    var s = " " + Bpe.toSymbols(word).mkString(" ") + " "
+    merges.foreach { case (a, b) =>
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      var i = s.indexOf(pat)
+      while (i >= 0) {
+        s = s.substring(0, i) + rep + s.substring(i + pat.length)
+        i = s.indexOf(pat)
+      }
+    }
+    s.trim.split(" ").toSeq
+  }
+
+  test("oracle replay (iterated leftmost replace-first) equals Bpe.encode") {
+    // the adversarial shapes: odd/even runs of one symbol (where a
+    // replace-ALL chain diverges because consumed delimiters hide the
+    // next overlapping occurrence), merges whose output feeds later
+    // merges, and a merge pair that is a suffix of another symbol
+    val merges1 = Seq(("a", "a"), ("aa", "aa"), ("aa", "a"))
+    for (w <- Seq("a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaaa", "baaab"))
+      assert(oracleEncode(w, merges1) == Bpe.encode(w, merges1), s"word $w")
+    val merges2 = Seq(("x", "a"), ("a", "b"), ("xa", "b"), ("b", "xa"))
+    for (w <- Seq("xab", "xaxab", "abxa", "xaab", "bxaxa"))
+      assert(oracleEncode(w, merges2) == Bpe.encode(w, merges2), s"word $w")
+    // randomized sweep over a 3-letter alphabet (dense in run/overlap
+    // collisions) with REAL trained merges for the same vocab
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(300)(
+      (0 until (1 + rnd.nextInt(10))).map(_ => "ab c"(rnd.nextInt(4))).mkString
+        .replace(" ", "")).filter(_.nonEmpty)
+    val vocab = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val trained = Bpe.trainMergesLocal(vocab.toSeq, 25)
+    words.foreach { w =>
+      assert(oracleEncode(w, trained) == Bpe.encode(w, trained),
+        s"word $w merges $trained")
+    }
+  }
+
+  test("bpe_segment query matches a driver-side re-encode of its words") {
+    val df = SparkEntry.queries("bpe_segment")(spark, sf)
+    val merges = Bpe.trainedMerges(spark, sf, Bpe.SegMerges)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val toks = Bpe.encode(w, merges)
+      assert(r.getAs[String]("tokens") == toks.mkString(" "), s"word $w")
+      assert(r.getAs[Int]("n_tokens") == toks.length, s"word $w")
+      assert(toks.mkString.stripSuffix("</w>") == w, s"round-trip $w")
+    }
+  }
+
   test("trained merges tokenize: frequent words collapse to fewer symbols") {
     val merges = Bpe.trainMerges(spark, sf, numMerges = 30)
     assert(merges.length == 30)

@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * looked at). */
 class QueriesSpec extends SparkSpec {
 
-  test("every query has an oracle — ann_ivf's via oracleSqlFor") {
-    // ann_ivf's oracle is data-dependent (its trained centroids are
-    // embedded as SQL literals), so it is emitted by oracleSqlFor at
-    // Verify time rather than from the static map. Net: the dumped
-    // oracle_sql.json covers EVERY query.
+  test("every query has an oracle — data-dependent ones via oracleSqlFor") {
+    // ann_ivf's oracle embeds its trained centroids and bpe_segment's
+    // its trained merges as SQL literals, so they are emitted by
+    // oracleSqlFor at Verify time rather than from the static map.
+    // Net: the dumped oracle_sql.json covers EVERY query.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("ann_ivf"))
+      Set("ann_ivf", "bpe_segment"))
     assert(SparkEntry.queries.keySet --
       SparkEntry.oracleSqlFor(spark, sf).keySet == Set.empty[String])
   }
