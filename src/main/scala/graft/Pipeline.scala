@@ -38,17 +38,33 @@ object Pipeline {
                     cap: Int = 512, qualityFloor: Double = 0.2,
                     contamNgram: Int = 3, contamMinShared: Long = 2): Report =
     curateAndPack(spark, Tables.documents(spark, srcDir), outDir, cap,
-      qualityFloor, contamNgram, contamMinShared)
+      qualityFloor, contamNgram, contamMinShared, embeddings = None,
+      embTau = 0.9)
 
   /** Same run over an arbitrary documents frame (doc_id, lang, text)
-    * — the entry the Scale10 probe drives with replicated corpora. */
+    * — the entry the Scale10 probe drives with replicated corpora.
+    *
+    * `embeddings`: when given a (vec_id, embedding) frame aligned
+    * with doc_id, stage 1 dedups on EMBEDDING near-duplicates
+    * ([[Dedup.embLshDups]] at `embTau`, geometry τ-derived via
+    * geometryFor and salted when coarse) instead of minhash text
+    * shingles — the semantic-dedup front-end (same CC → keeper →
+    * anti-join flow, so the composition is identical downstream). */
   def curateAndPack(spark: SparkSession, docs: DataFrame, outDir: String,
                     cap: Int, qualityFloor: Double,
-                    contamNgram: Int, contamMinShared: Long): Report = {
+                    contamNgram: Int, contamMinShared: Long,
+                    embeddings: Option[DataFrame],
+                    embTau: Double): Report = {
     val input = docs.count()
 
-    // 1. near-dedup (transitive: CC over candidate pairs)
-    val clusters = Dedup.connectedComponentsSafe(Dedup.minhashCandidates(docs))
+    // 1. near-dedup (transitive: CC over candidate pairs) — textual
+    // (minhash bands) or semantic (embedding LSH buckets)
+    val pairs = embeddings match {
+      case Some(emb) => Dedup.embLshDups(emb, tau = embTau)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      case None => Dedup.minhashCandidates(docs)
+    }
+    val clusters = Dedup.connectedComponentsSafe(pairs)
     val losers = clusters.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))
     val deduped = docs.join(losers, Seq("doc_id"), "left_anti")

@@ -56,6 +56,36 @@ object Scale10 {
     // (p_bit(0.9)=0.857 ⇒ 32×16 recall ≈0.94) — output-bound cost
     t(s"emblsh_strict_${mult}x")(
       operators.Dedup.embLshDups(emb, tau = 0.9, numBits = 16, numTables = 32).count())
+    // bucket-occupancy probe for the coarse 16×4 geometry: 256 (tid,
+    // code) join keys total — print the occupancy distribution to show
+    // the parallelism ceiling is STRUCTURAL (near-uniform buckets of
+    // ~n/16 each), then measure the salted join (G=8 ⇒ 16k keys,
+    // each bucket's quadratic pairing spread over 64 shuffle keys)
+    // against the unsalted before-shape
+    t(s"emblsh_occ_${mult}x") {
+      val bc = spark.sparkContext.broadcast(
+        operators.Similarity.lshPlanes(16, 4))
+      val occ = operators.Similarity.lshCodes(emb, bc)
+        .groupBy(col("tid"), col("code")).count()
+        .agg(count(lit(1)).as("keys"), min("count").as("min"),
+          avg("count").as("mean"), max("count").as("max"),
+          expr("percentile(count, 0.99)").as("p99"))
+        .collect().head
+      println(s"SCALE emblsh_occ_${mult}x keys=${occ.getAs[Long]("keys")} " +
+        f"min=${occ.getAs[Long]("min")} mean=${occ.getAs[Double]("mean")}%.0f " +
+        f"p99=${occ.getAs[Double]("p99")}%.0f max=${occ.getAs[Long]("max")}")
+      occ.getAs[Long]("keys")
+    }
+    t(s"emblsh_nosalt_${mult}x")(
+      operators.Dedup.embLshDups(emb, saltGroups = 1).count())
+    t(s"emblsh_salt8_${mult}x")(
+      operators.Dedup.embLshDups(emb, saltGroups = 8).count())
+    // the dedup_emb_clusters capstone composition (pairs → CC →
+    // keeper map) end-to-end — the most expensive bench query, probed
+    // at mult× like the minhash capstone
+    t(s"emb_clusters_${mult}x")(operators.Dedup.connectedComponentsSafe(
+      operators.Dedup.embLshDups(emb)
+        .select(col("v1").as("d1"), col("v2").as("d2"))).count())
     t(s"cc_clusters_${mult}x")(operators.Dedup.connectedComponents(
       operators.Dedup.minhashCandidates(docs)).count())
     t(s"cc_star_${mult}x")(operators.Dedup.connectedComponentsStar(
@@ -71,7 +101,7 @@ object Scale10 {
     // measured end-to-end with its per-stage accounting (VERDICT r3 #7)
     t(s"pipeline_${mult}x") {
       val r = Pipeline.curateAndPack(spark, docs, s"/tmp/scale_pipeline_$mult",
-        512, 0.2, 3, 2)
+        512, 0.2, 3, 2, embeddings = None, embTau = 0.9)
       println(s"SCALE pipeline_${mult}x report=$r")
       r.segments
     }
@@ -140,6 +170,32 @@ object Scale10 {
           .map(r => r.getString(0) -> r.getLong(1)).toSeq
         functions.Bpe.trainMergesLocal(rows, 100, verbose = true).length.toLong
       }
+    }
+    // ann_ivf nprobe sweep at 1× (recall is a property of the DATA,
+    // not the replica count): recall@5 vs brute force, candidate
+    // fraction of the corpus scanned, and query wall per nprobe —
+    // the measured knee behind the IvfNprobe default
+    locally {
+      lazy val exact = SparkEntry.queries("ann_bruteforce")(spark, d)
+        .select("query_id", "neighbor_id").cache()
+      lazy val nExact = exact.count().toDouble
+      lazy val nEmb = Tables.embeddings(spark, d).count().toDouble
+      for (np <- Seq(8, 12, 16, 20))
+        t(s"ivf_sweep_np$np") {
+          val q0 = System.nanoTime()
+          val got = operators.Similarity.annIvf(spark, d, nprobe = np)
+            .select("query_id", "neighbor_id").cache()
+          val rows = got.count()
+          val qSec = (System.nanoTime() - q0) / 1e9
+          val hit = got.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          val cand = operators.Similarity
+            .annIvfCandidates(spark, d, nprobe = np).count()
+          got.unpersist()
+          println(f"SCALE ivf_sweep_np$np recall=${hit / nExact}%.3f " +
+            f"candFrac=${cand / (10 * nEmb)}%.3f query=${qSec}%.2fs")
+          rows
+        }
     }
     t(s"ann_bruteforce_${mult}x") {
       // inline brute-force against the replicated corpus (queries

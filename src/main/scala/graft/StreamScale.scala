@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+/** Streaming scale probe (the Scale10 analog for the TTL-bounded
+  * streaming operators): drives `streamingDedupTtl` and
+  * `streamingMinhashPairsTtl` through a MemoryStream under the
+  * RocksDB state store provider at `mult`× volume and measures what a
+  * user sizing a production stream needs first:
+  *
+  *   - throughput (input rows/s end-to-end over all micro-batches),
+  *   - batch latency (mean/max triggerExecution),
+  *   - state size (`stateOperators.numRowsTotal`) at quartile
+  *     checkpoints, against the analytic bound arrival-rate ×
+  *     (horizon + watermark delay) — the point being that state
+  *     tracks the HORIZON, not stream lifetime: distinct keys grow
+  *     linearly while state plateaus.
+  *
+  * Usage: `runMain graft.StreamScale [mult]` (default 10; 10 ⇒ 500k
+  * dedup rows / 1M band rows). Every hash is unique, so dedup state
+  * sees the worst case (each arrival inserts); event time advances
+  * 20ms per row, horizon 10 simulated minutes, watermark delay 10
+  * minutes ⇒ expected plateau ≈ 1200s / 0.02s = 60k entries
+  * regardless of mult.
+  */
+object StreamScale {
+  private val RowsPerMult = 50000L
+  private val StepMs = 20L
+  private val HorizonMs = 10 * 60 * 1000L
+  private val WatermarkDelay = "10 minutes"
+  private val Batches = 25
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val n = mult * RowsPerMult
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val perBatch = n / Batches
+    val bound = (HorizonMs + 10 * 60 * 1000L) / StepMs
+
+    // ---- streamingDedupTtl: every hash unique (worst-case inserts) --
+    locally {
+      val input = MemoryStream[EventStream.DocInTs]
+      val q = EventStream.streamingDedupTtl(input.toDS(), HorizonMs, WatermarkDelay)
+        .toDF("content_hash", "keeper")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ss_dedup").start()
+      val t0 = System.nanoTime()
+      val stateAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fed = 0L
+      (0 until Batches).foreach { b =>
+        val rows = (0L until perBatch).map { j =>
+          val i = b * perBatch + j
+          EventStream.DocInTs(i, s"h$i",
+            new java.sql.Timestamp(t0Ms + i * StepMs))
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+        fed += rows.length
+        if ((b + 1) % (Batches / 4) == 0)
+          stateAt += ((fed,
+            q.recentProgress.filter(_.stateOperators.nonEmpty)
+              .last.stateOperators.head.numRowsTotal))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val trig = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      q.stop()
+      val emitted = spark.table("ss_dedup").count()
+      println(f"SCALE stream_dedup_ttl_${mult}x rows=$n time=$sec%.1fs " +
+        f"rps=${n / sec}%.0f emitted=$emitted " +
+        s"state@checkpoints=${stateAt.map { case (f, s) => s"$f:$s" }.mkString(",")} " +
+        f"stateBound=$bound batchMs_mean=${trig.sum / math.max(1, trig.size)} " +
+        s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
+    }
+
+    // ---- streamingMinhashPairsTtl: 2 bands/doc, small buckets -------
+    locally {
+      val input = MemoryStream[EventStream.BandRowTs]
+      val q = EventStream.streamingMinhashPairsTtl(input.toDS(), HorizonMs, WatermarkDelay)
+        .toDF("d1", "d2")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ss_mh").start()
+      val t0 = System.nanoTime()
+      val stateAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fed = 0L
+      (0 until Batches).foreach { b =>
+        val rows = (0L until perBatch).flatMap { j =>
+          val i = b * perBatch + j
+          val ts = new java.sql.Timestamp(t0Ms + i * StepMs)
+          // band 0 pairs consecutive docs; band 1 pairs across a
+          // stride of 3 — bounded bucket occupancy like real banding
+          Seq(EventStream.BandRowTs(i, 0, s"a${i / 2}", ts),
+              EventStream.BandRowTs(i, 1, s"b${i / 3}", ts))
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+        fed += rows.length
+        if ((b + 1) % (Batches / 4) == 0)
+          stateAt += ((fed,
+            q.recentProgress.filter(_.stateOperators.nonEmpty)
+              .last.stateOperators.head.numRowsTotal))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val trig = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      q.stop()
+      val emitted = spark.table("ss_mh").count()
+      // band rows per doc = 2, buckets ≈ rows (stride-2 + stride-3)
+      println(f"SCALE stream_minhash_ttl_${mult}x bandRows=${2 * n} time=$sec%.1fs " +
+        f"rps=${2 * n / sec}%.0f pairs=$emitted " +
+        s"state@checkpoints=${stateAt.map { case (f, s) => s"$f:$s" }.mkString(",")} " +
+        f"stateBound=${2 * bound} batchMs_mean=${trig.sum / math.max(1, trig.size)} " +
+        s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
+    }
+    spark.stop()
+  }
+}

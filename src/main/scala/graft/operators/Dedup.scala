@@ -640,8 +640,22 @@ object Dedup {
     * The extra cost is carrying numTables copies of each embedding
     * through one shuffle — ~16·256B per vector, flat in corpus size
     * per row. Both strategies are result-identical (spec'd). */
+  /** Coarse geometries are salted by default: 16 tables × 2⁴ codes is
+    * only 256 distinct join keys, so without salting the bucket join
+    * caps at 256 tasks and each task pairs ~n/16 of the corpus
+    * internally — a parallelism/straggler ceiling that candidate-
+    * volume numbers don't capture (occupancy on the isotropic corpus
+    * is near-UNIFORM, so every bucket is oversized at scale: the
+    * ceiling is structural, not a hot-key anomaly, and uniform
+    * salting — not per-key detection — is the fix). Fine geometries
+    * (≥4096 keys) already spread; salting them would only pay the
+    * groups× replication. */
+  private[graft] def defaultSaltGroups(numTables: Int, numBits: Int): Int =
+    if ((numTables.toLong << numBits) < 4096) 8 else 1
+
   def embLshDups(e: DataFrame, tau: Double = 0.35,
-                 numBits: Int = 0, numTables: Int = 0): DataFrame = {
+                 numBits: Int = 0, numTables: Int = 0,
+                 saltGroups: Int = 0): DataFrame = {
     // geometry defaults are derived from τ (Similarity.geometryFor):
     // (bits, τ) is a JOINT choice, and the coarse 4-bit buckets that
     // τ=0.35 forces must never be silently applied at production
@@ -649,12 +663,33 @@ object Dedup {
     val g = Similarity.geometryFor(tau)
     val bits = if (numBits > 0) numBits else g.bits
     val tables = if (numTables > 0) numTables else g.tables
+    val groups = if (saltGroups > 0) saltGroups else defaultSaltGroups(tables, bits)
     val bc = e.sparkSession.sparkContext.broadcast(
       Similarity.lshPlanes(tables, bits))
     val codes = Similarity.lshCodesWithVec(e, bc)
-    codes.as("x").join(codes.hint("shuffle_hash").as("y"),
+    // the SkewJoin replicate-salt pattern adapted to a pair-generating
+    // SELF-join: each member gets a deterministic group in [0, G); side
+    // x fans out over the OTHER side's group, side y over x's, and the
+    // join keys on (tid, code, gx, gy) — a (u, v) pair meets exactly
+    // once, at (gu, gv), so each bucket's quadratic pairing spreads
+    // over G² shuffle keys at the linear cost of G extra copies of
+    // each (code, embedding) row per side
+    val (x, y) =
+      if (groups <= 1) (codes.as("x"), codes.hint("shuffle_hash").as("y"))
+      else {
+        val grouped = codes.withColumn("_g",
+          pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
+        (grouped.withColumnRenamed("_g", "_gx")
+           .withColumn("_gy", explode(sequence(lit(0), lit(groups - 1)))).as("x"),
+         grouped.withColumnRenamed("_g", "_gy")
+           .withColumn("_gx", explode(sequence(lit(0), lit(groups - 1))))
+           .hint("shuffle_hash").as("y"))
+      }
+    val saltCond = if (groups <= 1) lit(true)
+      else col("x._gx") === col("y._gx") && col("x._gy") === col("y._gy")
+    x.join(y,
         col("x.tid") === col("y.tid") && col("x.code") === col("y.code") &&
-        col("x.vec_id") < col("y.vec_id"))
+        saltCond && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         round(graft.functions.CosineSimilarity.cosineSim(
           col("x.embedding"), col("y.embedding")), 6).as("cos_sim"))

@@ -117,12 +117,18 @@ object Similarity {
       (i, dot)
     }.sortBy(-_._2).take(nprobe).map(_._1)
 
-  /** Default IVF geometry: 32 lists, 12 probed. Like the LSH default,
-    * sized by measured recall@5 on the isotropic synthetic corpus
-    * (≈0.90 at ~0.38 candidate fraction); clustered real data reaches
-    * the same recall with far fewer probes. Parameters, not constants. */
+  /** Default IVF geometry: 32 lists, 16 probed. Like the LSH default,
+    * sized by the measured recall@5 sweep on the isotropic synthetic
+    * corpus (Scale10 ivf_sweep: nprobe 8/12/16/20 → recall
+    * 0.78/0.84/0.94/0.96 at candidate fraction 0.25/0.38/0.50/0.63):
+    * 16 is the knee — +0.10 recall over 12 for 1.33× candidates,
+    * while 20 buys only +0.02 more for another 1.25×. The old default
+    * of 12 sat 0.04 above RecallSpec's 0.8 floor — one data drift
+    * from red; 16 holds a 0.14 margin. Clustered real data reaches
+    * the same recall with far fewer probes. Parameters, not
+    * constants. */
   private[graft] val IvfNlist = 32
-  private[graft] val IvfNprobe = 12
+  private[graft] val IvfNprobe = 16
 
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, String), Array[Array[Double]]]
@@ -174,6 +180,21 @@ object Similarity {
     * is independent of corpus size, so the collect is O(1) at 100 TB). */
   def annIvf(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
              nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    val cand = annIvfCandidatesWithVecs(s, d, nQueries, nlist, nprobe)
+    topKPerQuery(cand.select(col("query_id"), col("neighbor_id"),
+      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+  }
+
+  /** (query_id, neighbor_id) candidates BEFORE the exact rerank —
+    * exposed so the Scale10 nprobe sweep can measure candidate
+    * fraction (probed corpus share) alongside recall and time. */
+  def annIvfCandidates(s: SparkSession, d: String, nQueries: Int = 10,
+                       nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame =
+    annIvfCandidatesWithVecs(s, d, nQueries, nlist, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+
+  private def annIvfCandidatesWithVecs(s: SparkSession, d: String, nQueries: Int,
+                                       nlist: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d, nlist)
@@ -188,10 +209,8 @@ object Similarity {
       .flatMap { case (id, v) =>
         topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
       .toDF("query_id", "bucket", "qv")
-    val cand = bucketed.join(broadcast(probes), Seq("bucket"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-    topKPerQuery(cand.select(col("query_id"), col("neighbor_id"),
-      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
   }
 
   /** Default LSH geometry: 16 tables × 4 hyperplane bits. Chosen by
@@ -277,7 +296,7 @@ object Similarity {
     * CodegenFallback and would re-evaluate per exploded element).
     * Shared with [[Dedup.embLshDups]], which uses the codes as a
     * DEDUP blocking key rather than an ANN probe. */
-  private[operators] def lshCodes(df: DataFrame,
+  private[graft] def lshCodes(df: DataFrame,
                        bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -158,5 +158,13 @@ class DedupSpec extends SparkSpec {
     val rerank = rows(Dedup.embLshDupsRerank(e))
     assert(inJoin.nonEmpty)
     assert(inJoin == rerank)
+    // the salted self-join (coarse-geometry default) must generate the
+    // SAME pair set: a (u, v) pair meets exactly once, at key
+    // (tid, code, g(u), g(v)) — no pair lost, none double-counted
+    assert(rows(Dedup.embLshDups(e, saltGroups = 1)) == inJoin)
+    assert(rows(Dedup.embLshDups(e, saltGroups = 5)) == inJoin)
+    // fine-geometry default stays unsalted; coarse default salts
+    assert(Dedup.defaultSaltGroups(16, 4) == 8)
+    assert(Dedup.defaultSaltGroups(32, 16) == 1)
   }
 }

@@ -38,6 +38,36 @@ class PipelineSpec extends SparkSpec {
       broadcastEval = true).count() == 0)
   }
 
+  test("embedding-dedup front-end: semantic near-dups removed, composition intact") {
+    // the raw corpus is isotropic (no natural ≥0.9 pairs), so plant
+    // exact doc+embedding replicas in a disjoint id space — the
+    // RecallSpec construction; the front-end must collapse each
+    // replica cluster to its keeper (min id = the original)
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val plantedDocs = docs.unionByName(
+      docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 100000))
+    val plantedEmb = emb.unionByName(
+      emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 100000))
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline-emb").toString
+    val r = Pipeline.curateAndPack(spark, plantedDocs, out, 512, 0.2, 3, 2,
+      Some(plantedEmb), embTau = 0.9)
+    assert(r.input == 550)
+    // every planted replica clusters with its original under the
+    // τ-derived 32×16 geometry (RecallSpec measures ≥0.94 there) and
+    // keep-min-id retains the original — none of the planted ids
+    // survive into the written segments
+    assert(r.afterDedup <= 500, s"afterDedup=${r.afterDedup}")
+    val segIds = spark.read.parquet(s"$out/segments")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(segIds.forall(_ < 100000), "a planted replica survived")
+    // per-stage accounting stays monotone and complete
+    assert(r.train + r.eval == r.afterQuality)
+    assert(r.afterQuality <= r.afterDedup - r.contaminated ||
+      r.contaminated == 0)
+    assert(r.segments > 0)
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the

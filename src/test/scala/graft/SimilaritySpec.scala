@@ -24,7 +24,7 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
     val hits = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .count(bf.contains)
-    // nprobe=12 of nlist=32 buckets: expect well above random recall
+    // nprobe=16 of nlist=32 buckets: expect well above random recall
     // (RecallSpec asserts the real >=0.8 floor at sf0.01)
     assert(hits >= 5, s"IVF recalled only $hits of ${bf.size} true top-5 pairs")
   }
