@@ -91,6 +91,12 @@ object Scale10 {
     t(s"cc_star_${mult}x")(operators.Dedup.connectedComponentsStar(
       operators.Dedup.minhashCandidates(docs)).count())
     t(s"pack_${mult}x")(operators.Curate.packSequences(docs, 512, 100).count())
+    // stratified split / mixture sample: one lang-partitioned window
+    // sort each — cost tracks the stratum sort, quotas stay exact
+    t(s"split_stratified_${mult}x")(
+      operators.Curate.splitStratified(docs).count())
+    t(s"sample_mixture_${mult}x")(operators.Curate.sampleMixture(docs,
+      operators.Curate.DefaultMixWeights, 25000L * mult).count())
     t(s"pack_segments_${mult}x")(operators.Curate.packSegments(docs, 512, 100).count())
     // the composed capstone — banding + CC + anti-join + quality agg
     // end-to-end, so the PIPELINE's scaling is measured, not just its
@@ -103,6 +109,20 @@ object Scale10 {
       val r = Pipeline.curateAndPack(spark, docs, s"/tmp/scale_pipeline_$mult",
         512, 0.2, 3, 2, embeddings = None, embTau = 0.9)
       println(s"SCALE pipeline_${mult}x report=$r")
+      r.segments
+    }
+    // the embedding-dedup front-end composed end-to-end: replicas are
+    // EXACT embedding dups, so τ=0.9 (32×16 geometry, output-bound)
+    // collapses each replica cluster; downstream stages identical.
+    // Restricted to docs that HAVE embeddings (sf0.1 embeds 2000 of
+    // 5000) — semantic dedup only ever covers the embedded corpus
+    t(s"pipeline_emb_${mult}x") {
+      val embDocs = docs.join(
+        emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val r = Pipeline.curateAndPack(spark, embDocs,
+        s"/tmp/scale_pipeline_emb_$mult", 512, 0.2, 3, 2,
+        embeddings = Some(emb), embTau = 0.9)
+      println(s"SCALE pipeline_emb_${mult}x report=$r")
       r.segments
     }
     t(s"q1_${mult}x")(li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))

@@ -64,6 +64,8 @@ object SparkEntry {
     "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
+    "split_stratified"    -> operators.Curate.splitStratified _,
+    "sample_mixture"      -> operators.Curate.sampleMixture _,
     "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
     "decontaminate_shuffle" -> ((s, d) => operators.Curate.decontaminateShuffle(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
@@ -779,6 +781,38 @@ object SparkEntry {
              WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // rank-based stratified split: exact floor(n·cut) quotas per lang
+    // (0.8 / 0.9 parse to identical doubles in both engines, and
+    // n·cut is a single IEEE multiply — floor boundaries agree)
+    "split_stratified" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5('strat:' || doc_id), doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN rn <= floor(n * 0.8) THEN 'train'
+             WHEN rn <= floor(n * 0.9) THEN 'val'
+             ELSE 'test' END AS split
+      FROM s ORDER BY doc_id""",
+
+    // quotas are driver-computed integers (Curate.mixQuotas) embedded
+    // as literals on BOTH sides — no cross-engine float math
+    "sample_mixture" -> s"""
+      WITH s AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5('mix:' || doc_id), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, lang FROM s
+      WHERE rn <= CASE lang ${operators.Curate
+        .mixQuotas(operators.Curate.DefaultMixWeights,
+          operators.Curate.DefaultMixBudget).toSeq.sorted
+        .map { case (k, q) => s"WHEN '$k' THEN $q" }.mkString(" ")}
+        ELSE 0 END
+      ORDER BY doc_id""",
 
     "pack_sequences" -> """
       WITH t AS (

@@ -125,6 +125,46 @@ object StreamScale {
         f"stateBound=${2 * bound} batchMs_mean=${trig.sum / math.max(1, trig.size)} " +
         s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
     }
+    // ---- streamingEmbLshPairsTtl: cosine-verified bucket state ------
+    locally {
+      val rnd = new scala.util.Random(11)
+      val input = MemoryStream[EventStream.EmbCodeRowTs]
+      val q = EventStream.streamingEmbLshPairsTtl(input.toDS(), HorizonMs)
+        .toDF("v1", "v2", "cos_sim")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ss_emb").start()
+      val t0 = System.nanoTime()
+      val stateAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fed = 0L
+      (0 until Batches).foreach { b =>
+        val rows = (0L until perBatch).map { j =>
+          val i = b * perBatch + j
+          // 2 members per bucket on average (stride-2 codes over one
+          // table id), unit-ish random vectors — state carries the
+          // vector, so per-entry weight is the 64-float payload
+          EventStream.EmbCodeRowTs(i, 0, (i / 2).toInt,
+            Array.fill(64)(rnd.nextGaussian().toFloat),
+            new java.sql.Timestamp(t0Ms + i * StepMs))
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+        fed += rows.length
+        if ((b + 1) % (Batches / 4) == 0)
+          stateAt += ((fed,
+            q.recentProgress.filter(_.stateOperators.nonEmpty)
+              .last.stateOperators.head.numRowsTotal))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val trig = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      q.stop()
+      val emitted = spark.table("ss_emb").count()
+      println(f"SCALE stream_emblsh_ttl_${mult}x rows=$n time=$sec%.1fs " +
+        f"rps=${n / sec}%.0f candPairs=$emitted " +
+        s"state@checkpoints=${stateAt.map { case (f, s) => s"$f:$s" }.mkString(",")} " +
+        f"stateBound=$bound batchMs_mean=${trig.sum / math.max(1, trig.size)} " +
+        s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
+    }
     spark.stop()
   }
 }

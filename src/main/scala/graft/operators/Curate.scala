@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus curation capstone: the operators composed into the actual
@@ -238,6 +239,79 @@ object Curate {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** split_stratified: train/val/test with EXACT per-stratum quotas —
+    * every language contributes floor(n·0.8)/floor(n·0.9) cut points
+    * of its own population, so small strata are never starved by
+    * hash variance (the property data-mixing recipes need;
+    * [[splitAssign]]'s per-doc hash bucket only hits the 80/10/10
+    * ratios in expectation). Order within a stratum is the md5 of a
+    * salted doc key — deterministic, RNG-free, engine-portable.
+    *
+    * Trade vs splitAssign (both kept, different contracts):
+    * stratified assignment is RANK-based, so it pays one window sort
+    * per stratum (a single lang-partitioned shuffle) and a doc's
+    * split CAN change when the stratum grows; the hash split is
+    * growth-stable and sort-free. Exactness or stability — choose per
+    * use. */
+  def splitStratified(s: SparkSession, d: String): DataFrame =
+    splitStratified(Tables.documents(s, d))
+
+  def splitStratified(docs: DataFrame, trainCut: Double = 0.8,
+                      valCut: Double = 0.9): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("strat:"), col("doc_id"))), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(col("rn") <= floor(col("n") * trainCut), "train")
+          .when(col("rn") <= floor(col("n") * valCut), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** sample_mixture: deterministic weighted mixture sample — the
+    * data-mixing step of a training run ("40% en, 20% zh, ..." of a
+    * `budget`): each stratum contributes its floor(weight·budget)
+    * quota, selected by salted-md5 rank (RNG-free, so the mix is
+    * reproducible and engine-replayable; a stratum smaller than its
+    * quota contributes everything it has). Quotas are computed
+    * DRIVER-side and embedded as literals — no cross-engine float
+    * math in the query. Scale shape: one lang-partitioned window
+    * shuffle, same as [[splitStratified]]; languages not in the mix
+    * are filtered before the sort. */
+  def sampleMixture(s: SparkSession, d: String): DataFrame =
+    sampleMixture(Tables.documents(s, d), DefaultMixWeights, DefaultMixBudget)
+
+  /** Default mix over the corpus's five languages; budget 250 ≈ half
+    * the sf0.01 corpus, so quotas bind (en capped) without starving
+    * any stratum. */
+  private[graft] val DefaultMixWeights = Map(
+    "en" -> 0.40, "zh" -> 0.20, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.10)
+  private[graft] val DefaultMixBudget = 250L
+
+  private[graft] def mixQuotas(weights: Map[String, Double],
+                               budget: Long): Map[String, Long] =
+    weights.map { case (k, frac) => k -> math.floor(frac * budget).toLong }
+
+  def sampleMixture(docs: DataFrame, weights: Map[String, Double],
+                    budget: Long): DataFrame = {
+    val quotas = mixQuotas(weights, budget)
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(col("lang") === k, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("mix:"), col("doc_id"))), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .filter(col("lang").isin(quotas.keys.toSeq: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
 }
