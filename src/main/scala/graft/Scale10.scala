@@ -32,6 +32,15 @@ object Scale10 {
     t(s"minhash_${mult}x")(operators.Dedup.minhashCandidates(docs).count())
     t(s"simhash_${mult}x")(operators.Dedup.simhashNearDups(docs).count())
     t(s"spans_${mult}x")(operators.Dedup.dedupSpans(docs).count())
+    // incremental (batch-vs-corpus) dedup: the corpus grows mult×,
+    // the arriving batch stays the 5k base docs — cost must track
+    // one corpus banding scan + the batch join, never a corpus
+    // self-join (output = 5k × mult replica hits, linear)
+    t(s"dedup_incremental_${mult}x") {
+      val batch = Tables.documents(spark, d)
+        .withColumn("doc_id", col("doc_id") + 900000000L)
+      operators.Dedup.dedupIncremental(docs, batch).count()
+    }
     // bucket-occupancy probe: candidate pairs BEFORE the hamming
     // filter per banding geometry — wider keys trade index rows for
     // exponentially larger key space (fewer junk candidates)

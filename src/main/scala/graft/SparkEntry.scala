@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> Dedup.minhashCandidates _,
+    "dedup_incremental"   -> Dedup.dedupIncremental _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_clusters_star" -> Dedup.dedupClustersStar _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
@@ -456,6 +457,15 @@ object SparkEntry {
     "dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d1, d2 FROM mh_pairs ORDER BY d1, d2""",
+
+    // corpus ids are < 100000 and the planted "arriving batch" ids
+    // are >= 100000, so the batch-vs-corpus join is exactly the
+    // cross-boundary slice of the band collisions
+    "dedup_incremental" -> s"""
+      WITH $minhashCtes
+      SELECT d1 AS corpus_id, d2 AS batch_id FROM mh_pairs
+      WHERE d1 < 100000 AND d2 >= 100000
+      ORDER BY corpus_id, batch_id""",
 
     "dedup_spans" -> """
       WITH docs AS (

@@ -294,6 +294,30 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** dedup_incremental: NEW-BATCH vs CORPUS near-dup detection — the
+    * production shape at 100 TB, where the standing corpus's band
+    * index is computed once (and at scale stored bucketed by
+    * (band, sig) — the [[graft.sources.Bucketed]] layout) and each
+    * arriving batch bands only ITS docs and equi-joins the index:
+    * cost tracks the BATCH, never a corpus self-join. Output is the
+    * (corpus_id, batch_id) collision pairs; batch-internal dups are
+    * the streaming detectors' job ([[graft.streaming.EventStream]]
+    * streamingMinhashPairsTtl). The planted docs (id ≥ 100000) play
+    * the arriving batch against the raw corpus. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = withPlants(Tables.documents(s, d))
+    dedupIncremental(all.filter(col("doc_id") < 100000),
+      all.filter(col("doc_id") >= 100000))
+  }
+
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame): DataFrame =
+    minhashBands(corpus).as("c")
+      .join(minhashBands(batch).hint("shuffle_hash").as("b"),
+        col("c.band") === col("b.band") && col("c.sig") === col("b.sig"))
+      .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("batch_id"))
+      .distinct()
+      .orderBy(col("corpus_id"), col("batch_id"))
+
   // ---- SimHash ----------------------------------------------------------
 
   private[operators] val SimhashBits = 60 // divides into 4/5/6 equal chunks

@@ -149,6 +149,29 @@ class DedupSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("incremental dedup: batch pairs only against the corpus") {
+    val all = Dedup.withPlants(Tables.documents(spark, sf))
+    val corpus = all.filter(col("doc_id") < 100000)
+    val batch = all.filter(col("doc_id") >= 100000)
+    val pairs = Dedup.dedupIncremental(corpus, batch).collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    // sides never mix: corpus ids left, batch ids right
+    assert(pairs.forall { case (c, b) => c < 100000 && b >= 100000 })
+    // every EXACT plant collides with its original (identical text ⇒
+    // identical signature in all bands)
+    val exactPlants = batch.filter(col("doc_id") < 100025)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactPlants.foreach { b =>
+      assert(pairs.contains((b - 100000, b)), s"plant $b missed its original")
+    }
+    // and the result is exactly the cross-boundary slice of the full
+    // self-join — the incremental form loses nothing at the boundary
+    val full = Dedup.minhashCandidates(all).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .filter { case (a, b) => a < 100000 && b >= 100000 }.toSet
+    assert(pairs == full)
+  }
+
   test("emb LSH score-in-join and rerank-join strategies are result-identical") {
     val e = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
