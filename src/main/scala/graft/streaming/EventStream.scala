@@ -167,6 +167,30 @@ object EventStream {
       }
   }
 
+  /** Streaming INCREMENTAL dedup: arrivals are dropped when their
+    * content hash already exists in a STATIC standing-corpus index
+    * (stream-static join — stateless, re-read per micro-batch, so at
+    * scale the index lives bucketed/broadcastable by hash), then
+    * first-seen-deduped within the stream itself. The streaming form
+    * of [[graft.operators.Dedup.dedupIncremental]]'s exact tier:
+    * corpus membership costs NO streaming state — only intra-stream
+    * novelty pays the flatMapGroupsWithState state, which production
+    * bounds with the TTL variant. The anti-join is expressed as
+    * stream-static left_outer + IS NULL (the supported stream-static
+    * join shapes; anti is not in the list). */
+  def streamingIncrementalDedup(docs: Dataset[DocIn],
+                                corpusHashes: DataFrame): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    val novel = docs.toDF()
+      .join(corpusHashes.select(col("content_hash"),
+          lit(1).as("_corpus_hit")),
+        Seq("content_hash"), "left_outer")
+      .filter(col("_corpus_hit").isNull)
+      .select(col("doc_id"), col("content_hash"))
+      .as[DocIn]
+    streamingDedup(novel)
+  }
+
   case class DocInTs(doc_id: Long, content_hash: String, ts: java.sql.Timestamp)
 
   /** [[streamingDedup]] with BOUNDED state: dedup-within-horizon. Each

@@ -124,6 +124,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batchKeepers.size)
   }
 
+  test("streaming incremental dedup: corpus hashes drop statelessly, stream novelty dedups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus = the raw docs' hashes (static frame)
+    val corpus = Tables.documents(spark, sf)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val input = MemoryStream[EventStream.DocIn]
+    val q = EventStream.streamingIncrementalDedup(input.toDS(), corpus)
+      .toDF("content_hash", "keeper_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("inc_dedup_stream_test").start()
+    // arriving batch: the exact plants (corpus dups — must ALL drop)
+    // plus two genuinely novel docs, the second repeated in-stream
+    val plants = operators.Dedup.withPlants(Tables.documents(spark, sf))
+      .filter(col("doc_id") >= 100000 && col("doc_id") < 100025)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .as[EventStream.DocIn].collect()
+    input.addData(plants.toSeq :+ EventStream.DocIn(900001L, "novelhash1"))
+    q.processAllAvailable()
+    input.addData(Seq(EventStream.DocIn(900002L, "novelhash2"),
+      EventStream.DocIn(900003L, "novelhash2"),   // in-batch dup
+      EventStream.DocIn(900004L, "novelhash1")))  // cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inc_dedup_stream_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("novelhash1" -> 900001L, "novelhash2" -> 900002L))
+  }
+
   test("streaming minhash pair detection matches the batch band join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
