@@ -63,6 +63,7 @@ object SparkEntry {
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
+    "bpe_token_count"     -> ((s, d) => functions.Bpe.bpeTokenCount(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "split_stratified"    -> operators.Curate.splitStratified _,
@@ -84,7 +85,8 @@ object SparkEntry {
   def oracleSqlFor(s: SparkSession, d: String): Map[String, String] =
     oracleSql +
       ("ann_ivf" -> Similarity.annIvfOracleSql(s, d)) +
-      ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d))
+      ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
+      ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d))
 
   /** Shared CTE chain reconstructing the minhash LSH band buckets and
     * candidate pairs in pure SQL — used by dedup_minhash and as the

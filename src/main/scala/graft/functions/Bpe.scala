@@ -361,24 +361,16 @@ object Bpe {
     * on runs like [a,a,a,a], where consumed delimiters hide the next
     * overlapping occurrence; leftmost-one-at-a-time re-scans and
     * collapses them exactly as the greedy pass does). */
-  def bpeSegmentOracleSql(s: SparkSession, d: String,
-                          numMerges: Int = SegMerges, k: Int = SegTopK): String = {
-    val merges = trainedMerges(s, d, numMerges)
+  /** The shared oracle recursion: `merges` VALUES + per-word symbol
+    * init + the iterated leftmost replace-first CTE, parameterized on
+    * an upstream `words(word)` CTE. Callers append their final
+    * SELECT over `seg WHERE mi = <n>`. */
+  private def segCtes(merges: Seq[(String, String)]): String = {
     def lit(x: String) = "'" + x.replace("'", "''") + "'"
     val rows = merges.zipWithIndex.map { case ((a, b), i) =>
       s"($i, ${lit(s" $a $b ")}, ${lit(s" $a$b ")})"
     }.mkString(",\n        ")
-    raw"""
-      WITH RECURSIVE tok AS (
-        SELECT tok AS word, COUNT(*) AS n FROM (
-          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                        x -> length(x) > 0)) AS tok
-          FROM documents)
-        GROUP BY tok),
-      words AS (
-        SELECT word FROM tok WHERE regexp_matches(word, '$SegWordRe')
-        ORDER BY n DESC, word LIMIT $k),
-      merges(mi, pat, rep) AS (VALUES
+    raw"""merges(mi, pat, rep) AS (VALUES
         $rows),
       init AS (
         SELECT word,
@@ -396,10 +388,76 @@ object Bpe {
             THEN substr(s, 1, strpos(s, pat) - 1) || rep
                  || substr(s, strpos(s, pat) + length(pat))
             ELSE s END
-        FROM seg JOIN merges USING (mi))
+        FROM seg JOIN merges USING (mi))"""
+  }
+
+  def bpeSegmentOracleSql(s: SparkSession, d: String,
+                          numMerges: Int = SegMerges, k: Int = SegTopK): String = {
+    val merges = trainedMerges(s, d, numMerges)
+    raw"""
+      WITH RECURSIVE tok AS (
+        SELECT tok AS word, COUNT(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> length(x) > 0)) AS tok
+          FROM documents)
+        GROUP BY tok),
+      words AS (
+        SELECT word FROM tok WHERE regexp_matches(word, '$SegWordRe')
+        ORDER BY n DESC, word LIMIT $k),
+      ${segCtes(merges)}
       SELECT word, trim(s) AS tokens,
         CAST(len(string_split(trim(s), ' ')) AS INT) AS n_tokens
       FROM seg WHERE mi = ${merges.length}
       ORDER BY word"""
+  }
+
+  /** bpe_token_count: per-document token accounting under the REAL
+    * tokenizer — the budget numbers packing/pricing actually needs
+    * (whitespace word counts under- or over-state BPE sequence
+    * length). Encoding runs once per DISTINCT word (vocab-sized typed
+    * map) and broadcasts back onto the corpus word stream — at 100 TB
+    * the same shape: tokenizing cost tracks the vocabulary, the
+    * corpus pays one explode + broadcast join + partial agg. Counts
+    * cover the replayable alphanumeric tokens (SegWordRe) on both
+    * engines. */
+  def bpeTokenCount(s: SparkSession, d: String,
+                    numMerges: Int = SegMerges): DataFrame = {
+    import s.implicits._
+    val merges = trainedMerges(s, d, numMerges)
+    val words = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(SegWordRe))
+    val wordTokens = words.select(col("word")).distinct().as[String]
+      .map(w => (w, encode(w, merges).length))
+      .toDF("word", "w_tokens")
+    words.join(broadcast(wordTokens), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_tokens")).as("bpe_tokens"),
+        count(org.apache.spark.sql.functions.lit(1)).as("words"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeTokenCountOracleSql(s: SparkSession, d: String,
+                             numMerges: Int = SegMerges): String = {
+    val merges = trainedMerges(s, d, numMerges)
+    raw"""
+      WITH RECURSIVE tokstream AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> length(x) > 0)) AS word
+        FROM documents),
+      words AS (
+        SELECT DISTINCT word FROM tokstream
+        WHERE regexp_matches(word, '$SegWordRe')),
+      ${segCtes(merges)},
+      wtok AS (
+        SELECT word,
+          CAST(len(string_split(trim(s), ' ')) AS INT) AS w_tokens
+        FROM seg WHERE mi = ${merges.length})
+      SELECT t.doc_id, CAST(SUM(w.w_tokens) AS BIGINT) AS bpe_tokens,
+        COUNT(*) AS words
+      FROM tokstream t JOIN wtok w USING (word)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 }

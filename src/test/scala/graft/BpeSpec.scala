@@ -126,6 +126,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe_token_count matches a driver-side recount under the same merges") {
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val merges = Bpe.trainedMerges(spark, sf, Bpe.SegMerges)
+    val got = SparkEntry.queries("bpe_token_count")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bpe_tokens"), r.getAs[Long]("words"))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val re = "^[a-z0-9]+$".r
+    docs.foreach { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(w =>
+        w.nonEmpty && re.findFirstIn(w).isDefined)
+      if (ws.isEmpty) assert(!got.contains(id), s"doc $id should be absent")
+      else {
+        val (bt, n) = got(id)
+        assert(n == ws.length, s"doc $id word count")
+        assert(bt == ws.map(w => Bpe.encode(w, merges).length.toLong).sum,
+          s"doc $id token count")
+      }
+    }
+  }
+
   test("trained merges tokenize: frequent words collapse to fewer symbols") {
     val merges = Bpe.trainMerges(spark, sf, numMerges = 30)
     assert(merges.length == 30)
