@@ -62,6 +62,7 @@ object SparkEntry {
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
+    "ngram_lm_score"      -> TextFunctions.ngramLmScore _,
     "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
     "bpe_token_count"     -> ((s, d) => functions.Bpe.bpeTokenCount(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
@@ -775,6 +776,39 @@ object SparkEntry {
                       x -> length(x) > 0)) AS tok
         FROM documents)
       GROUP BY tok ORDER BY n DESC, token LIMIT 200""",
+
+    // MLE bigram LM trained on the corpus itself: ln(cnt/ctx) rounded
+    // to 1e-9, decimal-weighted-summed (exact), one double division,
+    // 6 dp; ppl = exp of the already-rounded mean
+    "ngram_lm_score" -> """
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      bgl AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
+      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs GROUP BY 1),
+      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs GROUP BY 1),
+      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.k,
+          CAST(round(ln(CAST(m.cnt AS DOUBLE) / c.ctx), 9) AS DECIMAL(13,9)) AS lp
+        FROM docbg d JOIN model m USING (bigram) JOIN ctx c USING (w1)),
+      agg AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
+        FROM scored GROUP BY doc_id),
+      fin AS (
+        SELECT doc_id, n_bigrams,
+          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
+        FROM agg)
+      SELECT doc_id, n_bigrams, avg_neg_logp,
+        round(exp(avg_neg_logp), 6) AS ppl
+      FROM fin ORDER BY doc_id""",
 
     "decontaminate" -> decontaminateOracleSql,
     // the shuffle-join form is result-identical to the broadcast form

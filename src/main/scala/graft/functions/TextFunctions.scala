@@ -211,6 +211,99 @@ object TextFunctions {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** ngram_lm_score: bigram language-model quality scoring — the
+    * CCNet/KenLM-style perplexity filter (Wenzek et al. 2020): train
+    * MLE bigram counts on the corpus, score each document by its mean
+    * negative bigram log-likelihood and perplexity. High-ppl docs are
+    * the out-of-distribution/garbage candidates a pre-training
+    * pipeline drops. Reference has no LM scoring; this extends the
+    * quality-filter family (text_stats, text_repetition).
+    *
+    * Scale shape: ONE posexplode of the corpus; bigrams come from a
+    * lead() window partitioned by doc_id (millions of small
+    * partitions — no skew), NOT transform()+explode (a HOF under a
+    * codegen'd Generate re-evaluates per output element). Model
+    * (bigram→count) and context (w1→count) are map-side-combinable
+    * aggregates of that same exploded frame; the doc side is
+    * pre-aggregated to (doc_id, bigram, k) before the model join, so
+    * the shuffle carries distinct doc-bigrams, not occurrences. Both
+    * joins shuffle on the bigram/w1 key — at 100 TB the model is too
+    * big to broadcast and this is the standard co-partitioned shape.
+    *
+    * Determinism: every doc bigram is in the model by construction
+    * (the corpus trains on itself), so MLE needs no smoothing and
+    * p > 0. p = cnt/ctx is one IEEE division; ln(p) rounds to the
+    * 1e-9 grid and sums in exact decimal (Util recipe, weighted by
+    * the exact integer k); the mean is a single double division
+    * rounded to 6 dp, and ppl = exp() of that ALREADY-ROUNDED value
+    * (identical input bits in both engines), rounded to 6 dp. */
+  /** Per-document bigram occurrences, pre-aggregated to
+    * (doc_id, w1, bigram, k) — ONE corpus pass: posexplode + a lead()
+    * window partitioned by doc_id (millions of small partitions), and
+    * the count collapses inside the same stage (the window exchange
+    * already clusters by doc_id). */
+  def docBigrams(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"),
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"))
+      .groupBy(col("doc_id"), col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("k"))
+  }
+
+  /** Train the MLE bigram model: (bigram→cnt, w1→ctx) from the
+    * doc-bigram frame. At 100 TB this is the KenLM-style artifact you
+    * WRITE ONCE (parquet, partitioned by a bigram hash) and reuse for
+    * every scoring run — `ngramLmScoreWith` then needs a single
+    * corpus pass. Both are second-level aggregates over distinct
+    * doc-bigrams, not token occurrences. */
+  def ngramLmModel(docBg: DataFrame): (DataFrame, DataFrame) = (
+    docBg.groupBy(col("bigram")).agg(sum(col("k")).as("cnt")),
+    docBg.groupBy(col("w1")).agg(sum(col("k")).as("ctx")))
+
+  /** Score docs against a trained model: shuffle join on the bigram
+    * key (the model is corpus-vocabulary-sized — too big to
+    * broadcast at scale), broadcast-able ctx (unigram-vocab-sized),
+    * then one exact-decimal per-doc aggregate. */
+  def ngramLmScoreWith(docBg: DataFrame, model: DataFrame,
+                       ctx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // DECIMAL(13,9) × DECIMAL(9,0) → DECIMAL(23,9): exact in both
+    // engines (|ln p| < 1e4 even at 1e13 corpus bigrams; k per
+    // doc-bigram < 1e9)
+    val lp = round(log(col("cnt").cast("double") / col("ctx")), 9)
+      .cast(DecimalType(13, 9))
+    docBg
+      .join(model, "bigram")
+      .join(ctx, "w1")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast(DecimalType(9, 0)) * lp).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("slp").cast("double") / col("n_bigrams")), 6)
+          .as("avg_neg_logp"))
+      .withColumn("ppl", round(exp(col("avg_neg_logp")), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def ngramLmScore(s: SparkSession, d: String): DataFrame =
+    ngramLmScore(Tables.documents(s, d))
+
+  /** Self-trained composition (the oracle-gated query): trains on the
+    * input corpus and scores it. Lineage recomputes the explode per
+    * aggregate here; the production path materializes `ngramLmModel`
+    * once instead (see its Scaladoc) — that artifact split, not a
+    * cache, is the scale answer. */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val docBg = docBigrams(docs)
+    val (model, ctx) = ngramLmModel(docBg)
+    ngramLmScoreWith(docBg, model, ctx)
+  }
+
   /** text_fingerprint: rolling character-8-gram sketch — min/max/
     * distinct-count over shingle hashes (winnowing-lite). Hash is md5
     * (shared with DuckDB), so the fingerprints themselves are

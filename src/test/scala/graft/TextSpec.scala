@@ -229,4 +229,56 @@ class TextSpec extends SparkSpec {
       assert(((rgb >> 16) & 0xff) == expected, s"R at ($x,$y)")
     }
   }
+
+  test("ngram LM score matches a hand-computed bigram MLE") {
+    import spark.implicits._
+    // corpus bigrams: "a b" ×2 (doc1, doc2), "b a" ×1 (doc2)
+    // contexts: a→2, b→1
+    // doc1: ln P(b|a) = ln(2/2) = 0          → avg_neg_logp 0
+    // doc2: [a b, b a] = ln(2/2) + ln(1/1)   → avg_neg_logp 0
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextFunctions.ngramLmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L), "single-token docs have no bigrams")
+    assert(rows(1L).getAs[Long]("n_bigrams") == 1L)
+    assert(rows(2L).getAs[Long]("n_bigrams") == 2L)
+    assert(rows(1L).getAs[Double]("avg_neg_logp") == 0.0)
+    assert(rows(2L).getAs[Double]("avg_neg_logp") == 0.0)
+    assert(rows(1L).getAs[Double]("ppl") == 1.0)
+
+    // a rare continuation scores worse than the dominant one:
+    // corpus "c d" ×3, "c e" ×1 → P(d|c)=3/4, P(e|c)=1/4
+    val docs2 = Seq((1L, "c d"), (2L, "c d"), (3L, "c d"), (4L, "c e"))
+      .toDF("doc_id", "text")
+    val m = TextFunctions.ngramLmScore(docs2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logp")).toMap
+    assert(math.abs(m(1L) - (-math.log(0.75))) < 1e-6)
+    assert(math.abs(m(4L) - (-math.log(0.25))) < 1e-6)
+    assert(m(4L) > m(1L), "rare continuation must score higher (worse)")
+  }
+
+  test("ngram LM: scoring against a materialized model artifact matches self-trained") {
+    val tmp = java.nio.file.Files.createTempDirectory("lm_model").toString
+    val docs = Tables.documents(spark, sf)
+    val docBg = TextFunctions.docBigrams(docs)
+    val (model, ctx) = TextFunctions.ngramLmModel(docBg)
+    model.write.mode("overwrite").parquet(s"$tmp/model")
+    ctx.write.mode("overwrite").parquet(s"$tmp/ctx")
+    val viaArtifact = TextFunctions.ngramLmScoreWith(docBg,
+      spark.read.parquet(s"$tmp/model"), spark.read.parquet(s"$tmp/ctx"))
+      .collect().map(_.toSeq)
+    val selfTrained = TextFunctions.ngramLmScore(docs).collect().map(_.toSeq)
+    assert(viaArtifact.sameElements(selfTrained))
+  }
+
+  test("ngram LM scores are non-negative on the corpus (p <= 1 always)") {
+    val rows = TextFunctions.ngramLmScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("avg_neg_logp")
+      assert(s >= 0.0, s"doc ${r.getAs[Long]("doc_id")} scored $s")
+      assert(r.getAs[Double]("ppl") >= 1.0)
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+    }
+  }
 }
