@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_sq8"             -> ((s, d) => Similarity.annSq8(s, d)),
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
@@ -614,6 +615,35 @@ object SparkEntry {
           round(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
                                        CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // SQ8: per-dim min/max grid retrained in SQL (order-independent
+    // exact aggregates), symmetric quantize→dequantize→cosine replay
+    "ann_sq8" -> """
+      WITH idx AS (
+        SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+      stats AS (
+        SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, idx GROUP BY i),
+      grid AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+      dq AS (
+        SELECT vec_id,
+          list_transform(range(1, len(embedding) + 1),
+            i -> CASE WHEN mxs[i] > mns[i]
+                 THEN mns[i] + CAST(CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                        / (mxs[i] - mns[i])) AS INT) AS DOUBLE) * (mxs[i] - mns[i]) / 255.0
+                 ELSE mns[i] END) AS v
+        FROM embeddings, grid),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 10),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+          round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+        FROM dq e CROSS JOIN q WHERE e.vec_id <> query_id)
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank

@@ -29,6 +29,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_ivf recall@5 = $recall")
   }
 
+  test("SQ8 recall@5 vs brute force >= 0.9") {
+    // int8 quantization error on this grid is ~0.4% of the value
+    // range per dim — far below the neighbor/non-neighbor cosine gap,
+    // so SQ8 should track the exact top-5 almost perfectly
+    val recall = (pairs(Similarity.annSq8(spark, sf01)) & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ann_sq8 recall@5 = $recall")
+  }
+
   private def ppairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
 

@@ -39,4 +39,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
     assert(bf.nonEmpty)
   }
+
+  test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (mns, mxs) = Similarity.sq8Grid(emb)
+    assert(mns.length == mxs.length && mns.zip(mxs).forall { case (a, b) => a <= b })
+    val rows = emb.select(col("vec_id"), col("embedding"),
+        Similarity.sq8Codes(col("embedding"), mns, mxs).as("codes"))
+      .withColumn("dq", Similarity.sq8Dequant(col("codes"), mns, mxs))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      val dq = r.getAs[scala.collection.Seq[Double]]("dq")
+      assert(codes.forall(q => q >= 0 && q <= 255))
+      v.indices.foreach { i =>
+        val step = (mxs(i) - mns(i)) / 255.0
+        assert(math.abs(dq(i) - v(i)) <= step / 2 + 1e-12,
+          s"dim $i: |${dq(i)} - ${v(i)}| > ${step / 2}")
+      }
+    }
+  }
 }
