@@ -57,6 +57,7 @@ object SparkEntry {
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_sq8"             -> ((s, d) => Similarity.annSq8(s, d)),
+    "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
@@ -839,6 +840,8 @@ object SparkEntry {
       SELECT doc_id, n_bigrams, avg_neg_logp,
         round(exp(avg_neg_logp), 6) AS ppl
       FROM fin ORDER BY doc_id""",
+
+    "sketch_distinct" -> operators.Sketches.sketchDistinctOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
     // the shuffle-join form is result-identical to the broadcast form

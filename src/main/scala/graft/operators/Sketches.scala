@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators. At 100 TB exact COUNT(DISTINCT) is a
+  * full shuffle of every distinct key; a HyperLogLog register set is
+  * 4 KB per group, merges with MAX, and answers within ~1.6%
+  * (b=12 → σ ≈ 1.04/√4096). Spark's own approx_count_distinct is the
+  * production shortcut, but its HLL++ register layout is engine-
+  * internal — this implementation derives every register from the
+  * shared md5 hash (the [[Dedup.md5Hash60]] recipe), so the whole
+  * sketch — registers, harmonic sum, estimate — is reproduced bit-
+  * for-bit by the DuckDB oracle (Flajolet et al. 2007 formulas).
+  *
+  * Exactness trick: the harmonic-mean denominator Σ 2^(−M_j) is kept
+  * as an exact BIGINT in units of 2^(−49) (register term
+  * 2^(49−M_j) ≤ 2^48, total ≤ 4096·2^49 < 2^63), so no float
+  * accumulation happens anywhere — both engines do ONE final
+  * int→double cast and division. rho comes from the top-12/low-48
+  * bit split of the 60-bit md5 value.
+  */
+object Sketches {
+  val HllB = 12
+  val HllM: Int = 1 << HllB // 4096 registers
+
+  /** sketch_distinct: per-group HLL distinct-count estimate with the
+    * exact count alongside (the oracle checks BOTH — the sketch
+    * mechanics and its accuracy are graded, not assumed). Groups:
+    * distinct user_id per event_type (n≈1.5k → the linear-counting
+    * small-range branch) plus one '_all_events' row over event_id
+    * (n≈60k+ → the raw-estimate branch); one pipeline exercises both
+    * correction regimes. One typed linear pass computes (register,
+    * rho); registers reduce with MAX (map-side combinable — at most
+    * m rows per group leave each task, whatever the data volume). */
+  /** The HLL register set for (grp, key) rows: (grp, idx, m) with m =
+    * MAX(rho). This is the mergeable sketch state — registers of two
+    * corpus slices combine with a further groupBy-MAX (spec'd), which
+    * is what makes the sketch shippable across executors/days at
+    * 100 TB: 4 KB per group crosses the wire, never the keys. */
+  def hllRegisters(keyed: DataFrame): DataFrame = {
+    val s = keyed.sparkSession
+    import s.implicits._
+    keyed.as[(String, String)]
+      .map { case (g, k) =>
+        val h = Dedup.md5Hash60(k)
+        val idx = (h >>> 48).toInt // top 12 of the 60-bit value
+        val w = h & ((1L << 48) - 1)
+        val hb = 64 - java.lang.Long.numberOfLeadingZeros(w) // 0 for w=0
+        (g, idx, 49 - hb) // rho: leading zeros in the 48-bit window + 1
+      }
+      .toDF("grp", "idx", "rho")
+      .groupBy(col("grp"), col("idx")).agg(max(col("rho")).as("m"))
+  }
+
+  /** Estimate from a register set: exact-BIGINT harmonic sum, one
+    * cast, one division, branch to linear counting below 2.5m. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("CAST(pow(2, 49 - m) AS BIGINT)")).as("s_present"))
+      .withColumn("v_zero", lit(HllM.toLong) - col("present"))
+      .withColumn("s", col("s_present") + col("v_zero") * lit(1L << 49))
+      .withColumn("raw_est",
+        lit(HllAlpha) * lit(math.pow(2.0, 73)) / col("s").cast("double"))
+      .withColumn("estimate",
+        round(when(col("raw_est") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
+          .otherwise(col("raw_est")), 6))
+
+  // alpha_4096 from the same literal arithmetic the oracle runs
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  def sketchDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val keyed = ev.select(col("event_type").as("grp"),
+        col("user_id").cast("string").as("key"))
+      .unionAll(ev.select(lit("_all_events").as("grp"),
+        col("event_id").cast("string").as("key")))
+    val per = hllEstimate(hllRegisters(keyed))
+    val exact = keyed.groupBy(col("grp"))
+      .agg(countDistinct(col("key")).as("n_exact"))
+    per.join(exact, "grp")
+      .select(col("grp"), col("n_exact"), col("present").as("n_registers"),
+        col("v_zero"), col("s"), round(col("raw_est"), 6).as("raw_est"),
+        col("estimate"))
+      .orderBy(col("grp"))
+  }
+
+  /** The oracle replays the full sketch in SQL: 60-bit md5 via the
+    * hex-digit fold (the dedup_spans recipe), idx/w via integer
+    * div/mod by 2^48, rho via length(ltrim(bin(w),'0')). */
+  val sketchDistinctOracleSql: String = """
+      WITH keyed AS (
+        SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS key FROM events
+        UNION ALL
+        SELECT '_all_events', CAST(event_id AS VARCHAR) FROM events),
+      h AS (
+        SELECT grp,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', hx[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) AS h
+        FROM (SELECT grp, md5(key) AS hx FROM keyed)),
+      r AS (
+        SELECT grp,
+          CAST(h // CAST(2 ** 48 AS BIGINT) AS INT) AS idx,
+          49 - length(ltrim(bin(h % CAST(2 ** 48 AS BIGINT)), '0')) AS rho
+        FROM h),
+      regs AS (SELECT grp, idx, MAX(rho) AS m FROM r GROUP BY 1, 2),
+      per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS present,
+          CAST(SUM(CAST(2 ** (49 - m) AS BIGINT)) AS BIGINT) AS s_present
+        FROM regs GROUP BY grp),
+      per2 AS (
+        SELECT grp, present, 4096 - present AS v_zero,
+          s_present + (4096 - present) * CAST(2 ** 49 AS BIGINT) AS s
+        FROM per),
+      exact AS (SELECT grp, COUNT(DISTINCT key) AS n_exact FROM keyed GROUP BY grp),
+      est AS (
+        SELECT grp, n_exact, present AS n_registers, v_zero, s,
+          (0.7213 / (1 + 1.079 / 4096)) * (2 ** 73) / CAST(s AS DOUBLE) AS raw_est
+        FROM per2 JOIN exact USING (grp))
+      SELECT grp, n_exact, n_registers, v_zero, s,
+        round(raw_est, 6) AS raw_est,
+        round(CASE WHEN raw_est <= 10240.0 AND v_zero > 0
+                   THEN 4096.0 * ln(4096.0 / v_zero)
+                   ELSE raw_est END, 6) AS estimate
+      FROM est ORDER BY grp"""
+}
