@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_sq8"             -> ((s, d) => Similarity.annSq8(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
+    "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
@@ -842,6 +843,7 @@ object SparkEntry {
       FROM fin ORDER BY doc_id""",
 
     "sketch_distinct" -> operators.Sketches.sketchDistinctOracleSql,
+    "sketch_heavyhitters" -> operators.Sketches.sketchHeavyHittersOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
     // the shuffle-join form is result-identical to the broadcast form

@@ -88,6 +88,75 @@ object Sketches {
       .orderBy(col("grp"))
   }
 
+  val CmsD = 4
+  val CmsW = 1024
+
+  private def cmsBucket(token: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("cms"), col("j"), lit(":"), token)), 1, 8), 16, 10)
+      .cast("long") % CmsW
+
+  /** sketch_heavyhitters: Count-Min Sketch (Cormode & Muthukrishnan
+    * 2005) over the token frequencies, read back for the exact top-50
+    * tokens so the oracle checks estimate vs truth side by side. The
+    * sketch state is d×w = 4×1024 counters that ADD across corpus
+    * slices/executors/days (same merge story as [[hllRegisters]]);
+    * est(t) = min_j counter[j][h_j(t)] ≥ true count, with the
+    * overestimate bounded by collisions. Hashes are md5 with a
+    * per-row salt, so both engines compute identical buckets (the
+    * split_assign 8-hex-digit fold recipe) and the whole counter
+    * table — not just row counts — is hash-verified. All arithmetic
+    * is integer: nothing to round anywhere. */
+  def sketchHeavyHitters(s: SparkSession, d: String): DataFrame =
+    sketchHeavyHitters(Tables.documents(s, d), 50)
+
+  def sketchHeavyHitters(docs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = graft.functions.TextFunctions.tokenCounts(docs)
+    val js = typedlit((0 until CmsD).toArray)
+    val buck = tc.select(explode(js).as("j"), col("token"), col("n"))
+      .withColumn("b", cmsBucket(col("token")))
+    val counters = buck.groupBy(col("j"), col("b")).agg(sum(col("n")).as("c"))
+    // exact top-k via TakeOrderedAndProject (no single-partition
+    // window over the vocabulary); rank re-derived on the k-row frame
+    val cand = tc.orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    cand.join(buck.drop("n"), "token")
+      .join(counters, Seq("j", "b"))
+      .groupBy(col("rank"), col("token"), col("n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("rank"), col("token"), col("n").as("n_exact"), col("cms_est"))
+      .orderBy(col("rank"))
+  }
+
+  val sketchHeavyHittersOracleSql: String = """
+      WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0)) AS token
+        FROM documents),
+      tc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+      j(j) AS (VALUES (0), (1), (2), (3)),
+      buck AS (
+        SELECT j, token, n,
+          CAST(list_sum(list_transform(range(1, 9),
+            kk -> CAST((strpos('0123456789abcdef', hx[kk:kk]) - 1)
+                 * CAST(16 ** (8 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) % 1024 AS b
+        FROM (SELECT j, token, n, md5('cms' || j || ':' || token) AS hx
+              FROM tc CROSS JOIN j)),
+      counters AS (SELECT j, b, CAST(SUM(n) AS BIGINT) AS c FROM buck GROUP BY 1, 2),
+      cand AS (
+        SELECT token, n, rank FROM (
+          SELECT token, n,
+            CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+          FROM tc)
+        WHERE rank <= 50)
+      SELECT cd.rank, cd.token, cd.n AS n_exact, MIN(ct.c) AS cms_est
+      FROM cand cd
+      JOIN buck bk ON bk.token = cd.token
+      JOIN counters ct ON ct.j = bk.j AND ct.b = bk.b
+      GROUP BY 1, 2, 3
+      ORDER BY rank"""
+
   /** The oracle replays the full sketch in SQL: 60-bit md5 via the
     * hex-digit fold (the dedup_spans recipe), idx/w via integer
     * div/mod by 2^48, rho via length(ltrim(bin(w),'0')). */

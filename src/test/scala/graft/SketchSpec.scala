@@ -52,6 +52,38 @@ class SketchSpec extends SparkSpec {
     assert(em == ef)
   }
 
+  test("CMS never underestimates and tracks the exact top-50 closely") {
+    // the testdata vocab is 31 tokens — collision-free in 4×1024
+    val rows = Sketches.sketchHeavyHitters(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") == r.getAs[Long]("n_exact"),
+        s"${r.getAs[String]("token")}: 31 tokens in 4096 counters must not collide")
+    }
+  }
+
+  test("CMS in the collision regime: est >= exact, overestimate epsilon-bounded") {
+    import spark.implicits._
+    // 8000 distinct tokens >> w=1024 forces collisions in every row;
+    // zipf-ish mass via doc_id repetition keeps heavy hitters distinct
+    val docs = (0 until 2000).map { i =>
+      val reps = 1 + (i % 40)
+      (i.toLong, Seq.fill(reps)(s"tok${i % 8000} tok${(i * 7) % 8000}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Sketches.sketchHeavyHitters(docs, 50).collect()
+    assert(rows.length == 50)
+    val totalMass = 2000 * 2 * 20.5 // Σ reps·2 tokens ≈ exact corpus mass
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"${r.getAs[String]("token")}: CMS $est < exact $exact")
+      // CMS bound: overestimate ≤ e/w · N with prob 1−e^−d per query;
+      // assert a loose deterministic multiple of it
+      assert(est - exact <= (3 * math.E / Sketches.CmsW * totalMass).toLong + 1,
+        s"${r.getAs[String]("token")}: overestimate ${est - exact} beyond bound")
+    }
+  }
+
   test("sketch output is deterministic across runs") {
     val a = Sketches.sketchDistinct(spark, sf).collect().map(_.toSeq)
     val b = Sketches.sketchDistinct(spark, sf).collect().map(_.toSeq)
