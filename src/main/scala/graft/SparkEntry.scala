@@ -59,6 +59,7 @@ object SparkEntry {
     "ann_sq8"             -> ((s, d) => Similarity.annSq8(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
+    "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
@@ -844,6 +845,7 @@ object SparkEntry {
 
     "sketch_distinct" -> operators.Sketches.sketchDistinctOracleSql,
     "sketch_heavyhitters" -> operators.Sketches.sketchHeavyHittersOracleSql,
+    "sketch_quantiles" -> operators.Sketches.sketchQuantilesOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
     // the shuffle-join form is result-identical to the broadcast form

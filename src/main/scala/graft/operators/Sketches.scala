@@ -157,6 +157,113 @@ object Sketches {
       GROUP BY 1, 2, 3
       ORDER BY rank"""
 
+  val QsB = 256 // histogram buckets
+
+  /** sketch_quantiles: mergeable fixed-grid histogram quantiles over
+    * events.value per event_type — the third sketch family (HLL =
+    * distinct, CMS = frequency, histogram = quantiles). The grid is
+    * [min,max] split into 256 buckets; bucket counters ADD across
+    * corpus slices, and a quantile reads back as the upper edge of
+    * the bucket where the cumulative count crosses ceil(p·n) — error
+    * bounded by one grid step (spec'd against the exact rank
+    * statistic, which is also emitted so the oracle checks sketch AND
+    * truth). Everything is min/max/count/floor arithmetic on
+    * identical expression trees: deterministic cross-engine with no
+    * rounding anywhere except the 6-dp display round.
+    *
+    * At 100 TB: pass 1 is a per-group min/max (map-side combined),
+    * pass 2 builds ≤256 counters per group; the exact rank statistic
+    * here is for verification only — at scale you'd ship just the
+    * counters. The window rank over value is per-group (event_type),
+    * the same partitioning the data already shuffled for. */
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      col("value").cast("double").as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+    val bucketed = ev.join(broadcast(stats), "event_type")
+      .withColumn("b",
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")) * lit(QsB.toDouble) / (col("mx") - col("mn"))),
+            lit((QsB - 1).toDouble)).cast("int"))
+          .otherwise(lit(0)))
+    val counters = bucketed.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val ps = typedlit(Array(0.5, 0.9, 0.99))
+    val targets = stats.select(col("event_type"), col("mn"), col("mx"), col("n"),
+        explode(ps).as("p"))
+      .withColumn("target", ceil(col("p") * col("n").cast("double")))
+    // sketch read-out: first bucket whose cumulative count reaches the target
+    val cum = counters.withColumn("cumc",
+      sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("b"))))
+    val est = targets.join(cum, "event_type")
+      .filter(col("cumc") >= col("target"))
+      .groupBy(col("event_type"), col("p"), col("mn"), col("mx"), col("n"))
+      .agg(min(col("b")).as("qb"))
+      .withColumn("q_est",
+        round(col("mn") + (col("qb") + 1).cast("double") * (col("mx") - col("mn"))
+          / lit(QsB.toDouble), 6))
+    // exact rank statistic (verification channel): value at rank ceil(p·n)
+    val ranked = ev.withColumn("rn",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))))
+    val exact = targets.select(col("event_type"), col("p"), col("target"))
+      .join(ranked.select(col("event_type"), col("v"), col("rn")), Seq("event_type"))
+      .filter(col("rn") === col("target"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(round(min(col("v")), 6).as("q_exact"))
+    est.join(exact, Seq("event_type", "p"))
+      .select(col("event_type"), col("p"), col("n"), col("qb"),
+        col("q_est"), col("q_exact"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  val sketchQuantilesOracleSql: String = """
+      WITH ev AS (
+        SELECT event_type, event_id, CAST("value" AS DOUBLE) AS v FROM events),
+      stats AS (
+        SELECT event_type, MIN(v) AS mn, MAX(v) AS mx,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1),
+      bucketed AS (
+        SELECT e.event_type,
+          CASE WHEN mx > mn
+               THEN CAST(least(floor((v - mn) * 256.0 / (mx - mn)), 255.0) AS INT)
+               ELSE 0 END AS b
+        FROM ev e JOIN stats USING (event_type)),
+      counters AS (
+        SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bucketed GROUP BY 1, 2),
+      targets AS (
+        SELECT event_type, mn, mx, n, p,
+          CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT) AS target
+        FROM stats CROSS JOIN (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p)),
+      cum AS (
+        SELECT event_type, b,
+          CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cumc
+        FROM counters),
+      est AS (
+        SELECT t.event_type, t.p, t.mn, t.mx, t.n, MIN(cm.b) AS qb
+        FROM targets t JOIN cum cm
+          ON cm.event_type = t.event_type AND cm.cumc >= t.target
+        GROUP BY 1, 2, 3, 4, 5),
+      ranked AS (
+        SELECT event_type, v,
+          row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn
+        FROM ev),
+      exact AS (
+        SELECT t.event_type, t.p, round(MIN(r.v), 6) AS q_exact
+        FROM targets t JOIN ranked r
+          ON r.event_type = t.event_type AND r.rn = t.target
+        GROUP BY 1, 2)
+      SELECT e.event_type, e.p, e.n, e.qb,
+        round(e.mn + CAST(e.qb + 1 AS DOUBLE) * (e.mx - e.mn) / 256.0, 6) AS q_est,
+        x.q_exact
+      FROM est e JOIN exact x ON x.event_type = e.event_type AND x.p = e.p
+      ORDER BY e.event_type, e.p"""
+
   /** The oracle replays the full sketch in SQL: 60-bit md5 via the
     * hex-digit fold (the dedup_spans recipe), idx/w via integer
     * div/mod by 2^48, rho via length(ltrim(bin(w),'0')). */

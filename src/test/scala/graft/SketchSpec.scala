@@ -84,6 +84,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile sketch is within one grid step of the exact rank statistic") {
+    import spark.implicits._
+    val rows = Sketches.sketchQuantiles(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 15) // 5 event types × 3 quantiles
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .selectExpr("event_type", "cast(value as double) v")
+    val ranges = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.expr("max(v) - min(v)").as("r"))
+      .as[(String, Double)].collect().toMap
+    rows.foreach { r =>
+      val step = ranges(r.getAs[String]("event_type")) / Sketches.QsB
+      val diff = math.abs(r.getAs[Double]("q_est") - r.getAs[Double]("q_exact"))
+      assert(diff <= step + 1e-9,
+        s"${r.getAs[String]("event_type")} p=${r.getAs[Double]("p")}: |est-exact|=$diff > step $step")
+    }
+    // quantile estimates are monotone in p within a group
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, g) =>
+      val byP = g.sortBy(_.getAs[Double]("p")).map(_.getAs[Double]("q_est"))
+      assert(byP.sameElements(byP.sorted))
+    }
+  }
+
   test("sketch output is deterministic across runs") {
     val a = Sketches.sketchDistinct(spark, sf).collect().map(_.toSeq)
     val b = Sketches.sketchDistinct(spark, sf).collect().map(_.toSeq)
