@@ -198,7 +198,7 @@ object Sketches {
     // sketch read-out: first bucket whose cumulative count reaches the target
     val cum = counters.withColumn("cumc",
       sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("b"))))
-    val est = targets.join(cum, "event_type")
+    val est = broadcast(targets).join(cum, "event_type")
       .filter(col("cumc") >= col("target"))
       .groupBy(col("event_type"), col("p"), col("mn"), col("mx"), col("n"))
       .agg(min(col("b")).as("qb"))
@@ -209,12 +209,12 @@ object Sketches {
     val ranked = ev.withColumn("rn",
       row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col("v"), col("event_id"))))
-    val exact = targets.select(col("event_type"), col("p"), col("target"))
+    val exact = broadcast(targets.select(col("event_type"), col("p"), col("target")))
       .join(ranked.select(col("event_type"), col("v"), col("rn")), Seq("event_type"))
       .filter(col("rn") === col("target"))
       .groupBy(col("event_type"), col("p"))
       .agg(round(min(col("v")), 6).as("q_exact"))
-    est.join(exact, Seq("event_type", "p"))
+    est.join(broadcast(exact), Seq("event_type", "p"))
       .select(col("event_type"), col("p"), col("n"), col("qb"),
         col("q_est"), col("q_exact"))
       .orderBy(col("event_type"), col("p"))
