@@ -226,6 +226,31 @@ object Scale10 {
           rows
         }
     }
+    // bigram LM: the explode+window pass scales with token volume;
+    // the model join shuffles distinct doc-bigrams (replicas add
+    // occurrences, not distinct bigrams — the shuffle stays put)
+    t(s"ngramlm_${mult}x")(functions.TextFunctions.ngramLmScore(docs).count())
+    // stage accounting: one docBigrams pass vs the composed query
+    // (which recomputes that lineage for model and ctx — 3 passes)
+    t(s"ngramlm_bigrams_${mult}x")(
+      functions.TextFunctions.docBigrams(docs).count())
+    t(s"ngramlm_artifact_${mult}x") {
+      // the production artifact path: materialize docBg + model once,
+      // then score — the shape that avoids the 3x lineage recompute
+      val docBg = functions.TextFunctions.docBigrams(docs).localCheckpoint()
+      val (model, ctx) = functions.TextFunctions.ngramLmModel(docBg)
+      functions.TextFunctions.ngramLmScoreWith(docBg, model, ctx).count()
+    }
+    // SQ8: grid train is a dim-sized map-side-combined aggregate +
+    // the same broadcast-query corpus pass as brute force
+    t(s"annsq8_${mult}x")(operators.Similarity.annSq8(emb, 10, 5).count())
+    // sketches: counter tables are FIXED-size (4096 registers / 4x1024
+    // counters / 256 buckets per group) — cost must track the input
+    // scan, state never grows with the corpus
+    t(s"sketch_hll_${mult}x")(operators.Sketches.sketchDistinct(ev).count())
+    t(s"sketch_cms_${mult}x")(
+      operators.Sketches.sketchHeavyHitters(docs, 50).count())
+    t(s"sketch_quant_${mult}x")(operators.Sketches.sketchQuantiles(ev).count())
     t(s"ann_bruteforce_${mult}x") {
       // inline brute-force against the replicated corpus (queries
       // stay 10): mult x corpus -> mult x pair evaluations

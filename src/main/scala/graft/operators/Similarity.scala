@@ -522,8 +522,10 @@ object Similarity {
     * Recall@5 vs the exact baseline is measured in Bench/RecallSpec.
     * Grid min/max are order-independent aggregates, so the oracle
     * retrains them in SQL — no trained-artifact literal needed. */
-  def annSq8(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  def annSq8(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    annSq8(Tables.embeddings(s, d), nQueries, k)
+
+  def annSq8(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val (mns, mxs) = sq8Grid(emb)
     def dq(c: Column): Column = sq8Dequant(sq8Codes(c, mns, mxs), mns, mxs)
     val e = emb.select(col("vec_id").as("neighbor_id"), dq(col("embedding")).as("v"))

@@ -72,8 +72,10 @@ object Sketches {
   // alpha_4096 from the same literal arithmetic the oracle runs
   val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
 
-  def sketchDistinct(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def sketchDistinct(s: SparkSession, d: String): DataFrame =
+    sketchDistinct(Tables.events(s, d))
+
+  def sketchDistinct(ev: DataFrame): DataFrame = {
     val keyed = ev.select(col("event_type").as("grp"),
         col("user_id").cast("string").as("key"))
       .unionAll(ev.select(lit("_all_events").as("grp"),
@@ -176,9 +178,12 @@ object Sketches {
     * here is for verification only — at scale you'd ship just the
     * counters. The window rank over value is per-group (event_type),
     * the same partitioning the data already shuffled for. */
-  def sketchQuantiles(s: SparkSession, d: String): DataFrame = {
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame =
+    sketchQuantiles(Tables.events(s, d))
+
+  def sketchQuantiles(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+    val ev = events.select(col("event_type"), col("event_id"),
       col("value").cast("double").as("v"))
     val stats = ev.groupBy(col("event_type"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
