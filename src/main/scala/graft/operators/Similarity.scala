@@ -509,6 +509,32 @@ object Similarity {
     })
   }
 
+  /** Write the corpus in the SQ8 code layout: (vec_id, 1 byte/dim
+    * codes as signed bytes, offset −128) — the stored form behind the
+    * 4× scan-I/O claim, measured against the float32 layout in
+    * SimilaritySpec. [[readSq8Dequant]] restores dequantized double
+    * vectors for scoring; round-trip parity with the inline
+    * quantize-dequantize is spec'd. */
+  def writeSq8(emb: DataFrame, dir: String,
+               mns: Array[Double], mxs: Array[Double]): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.select(col("vec_id"), sq8Codes(col("embedding"), mns, mxs).as("codes"))
+      .as[(Long, Array[Int])]
+      .map { case (id, q) => (id, q.map(x => (x - 128).toByte)) }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def readSq8Dequant(s: SparkSession, dir: String,
+                     mns: Array[Double], mxs: Array[Double]): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir).as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, b.map(x => x.toInt + 128)) }
+      .toDF("vec_id", "codes")
+      .select(col("vec_id"), sq8Dequant(col("codes"), mns, mxs).as("v"))
+  }
+
   /** ann_sq8: brute-force top-k over the scalar-quantized corpus —
     * FAISS's SQ8 flat index re-expressed relationally. Same join
     * shape as [[annBruteforce]] (broadcast the query set, one corpus

@@ -39,16 +39,43 @@ object Sketches {
     * corpus slices combine with a further groupBy-MAX (spec'd), which
     * is what makes the sketch shippable across executors/days at
     * 100 TB: 4 KB per group crosses the wire, never the keys. */
+  /** (register index, rho) of one key: top-12/low-48 split of the
+    * 60-bit md5 value; rho = leading zeros in the 48-bit window + 1
+    * (w=0 → 49). Shared by the batch registers and the streaming
+    * per-group state ([[graft.streaming.EventStream]]). */
+  def hllIdxRho(k: String): (Int, Int) = {
+    val h = Dedup.md5Hash60(k)
+    val idx = (h >>> 48).toInt // top 12 of the 60-bit value
+    val w = h & ((1L << 48) - 1)
+    val hb = 64 - java.lang.Long.numberOfLeadingZeros(w) // 0 for w=0
+    (idx, 49 - hb)
+  }
+
+  /** Estimate from a local register array — the same arithmetic as
+    * [[hllEstimate]] (exact-BIGINT harmonic sum, linear-counting
+    * branch), for streaming state read-out; equality with the
+    * DataFrame form is spec'd. */
+  def hllEstimateLocal(regs: Array[Int]): Double = {
+    var s = 0L; var vZero = 0; var i = 0
+    while (i < HllM) {
+      val r = regs(i)
+      if (r == 0) { vZero += 1; s += 1L << 49 } else s += 1L << (49 - r)
+      i += 1
+    }
+    val raw = HllAlpha * math.pow(2.0, 73) / s.toDouble
+    val est = if (raw <= 2.5 * HllM && vZero > 0)
+      HllM.toDouble * math.log(HllM.toDouble / vZero)
+    else raw
+    BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   def hllRegisters(keyed: DataFrame): DataFrame = {
     val s = keyed.sparkSession
     import s.implicits._
     keyed.as[(String, String)]
       .map { case (g, k) =>
-        val h = Dedup.md5Hash60(k)
-        val idx = (h >>> 48).toInt // top 12 of the 60-bit value
-        val w = h & ((1L << 48) - 1)
-        val hb = 64 - java.lang.Long.numberOfLeadingZeros(w) // 0 for w=0
-        (g, idx, 49 - hb) // rho: leading zeros in the 48-bit window + 1
+        val (idx, rho) = hllIdxRho(k)
+        (g, idx, rho)
       }
       .toDF("grp", "idx", "rho")
       .groupBy(col("grp"), col("idx")).agg(max(col("rho")).as("m"))

@@ -478,6 +478,36 @@ object EventStream {
       }
   }
 
+  /** Streaming HyperLogLog: per-group register state updated
+    * incrementally via mapGroupsWithState — the streaming form of
+    * [[graft.operators.Sketches.sketchDistinct]]. State per group is
+    * the FIXED 4096-int register array (the keys never enter state —
+    * the property that makes a distinct-count over an unbounded
+    * stream feasible at all); each micro-batch emits the group's
+    * refreshed estimate (Update mode). The registers a stream builds
+    * are by construction the MAX-merge of its batches, so the final
+    * streaming estimate equals the batch sketch over the union of all
+    * arrivals — spec'd against [[graft.operators.Sketches
+    * .hllRegisters]]/[[graft.operators.Sketches.hllEstimateLocal]]
+    * on a two-batch split. */
+  def streamingSketchDistinct(rows: Dataset[(String, String)]
+                             ): Dataset[(String, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], (String, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, String)], state: GroupState[Array[Int]]) =>
+          val regs = state.getOption
+            .getOrElse(new Array[Int](graft.operators.Sketches.HllM))
+          it.foreach { case (_, k) =>
+            val (idx, rho) = graft.operators.Sketches.hllIdxRho(k)
+            if (rho > regs(idx)) regs(idx) = rho
+          }
+          state.update(regs)
+          (grp, graft.operators.Sketches.hllEstimateLocal(regs))
+      }
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -40,6 +40,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bf.nonEmpty)
   }
 
+  test("SQ8 stored-code layout round-trips exactly and shrinks storage vs float32") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (mns, mxs) = Similarity.sq8Grid(emb)
+    val tmp = java.nio.file.Files.createTempDirectory("sq8").toString
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(s"$tmp/f32")
+    Similarity.writeSq8(emb, s"$tmp/sq8", mns, mxs)
+    // round-trip: dequantized vectors from the stored bytes == inline
+    val stored = Similarity.readSq8Dequant(spark, s"$tmp/sq8", mns, mxs)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v")).toMap
+    val inline = emb.select(col("vec_id"),
+        Similarity.sq8Dequant(
+          Similarity.sq8Codes(col("embedding"), mns, mxs), mns, mxs).as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v")).toMap
+    assert(stored == inline)
+    // storage: random floats don't compress — 1 byte/dim must win big
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles.filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val ratio = bytes(s"$tmp/f32").toDouble / bytes(s"$tmp/sq8")
+    assert(ratio > 2.5, s"SQ8 layout only ${ratio}x smaller than float32")
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)

@@ -153,6 +153,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("novelhash1" -> 900001L, "novelhash2" -> 900002L))
   }
 
+  test("streaming HLL estimate equals the batch sketch on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keyed = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)].collect()
+    val (a, b) = keyed.splitAt(keyed.length / 2)
+    val input = MemoryStream[(String, String)]
+    val q = EventStream.streamingSketchDistinct(input.toDS())
+      .toDF("grp", "estimate")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hll_stream_test").start()
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // Update sink: the LAST estimate per group is the live one
+    val streamed = spark.table("hll_stream_test").collect()
+      .zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (g, rows) => g -> rows.maxBy(_._2)._1.getDouble(1) }
+    val batch = operators.Sketches
+      .hllEstimate(operators.Sketches.hllRegisters(
+        Tables.events(spark, sf).select(col("event_type").as("grp"),
+          col("user_id").cast("string").as("key"))))
+      .select("grp", "estimate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch,
+      s"streaming HLL $streamed != batch $batch")
+  }
+
   test("streaming minhash pair detection matches the batch band join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
