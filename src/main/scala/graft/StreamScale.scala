@@ -125,6 +125,45 @@ object StreamScale {
         f"stateBound=${2 * bound} batchMs_mean=${trig.sum / math.max(1, trig.size)} " +
         s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
     }
+    // ---- streamingSketchDistinct: state FIXED at #groups ------------
+    // every key unique (worst case for exact distinct-count state:
+    // linear growth) — HLL state must stay at 8 register-array rows
+    // whatever the volume, and the final estimates must sit within
+    // the ~1.6% HLL band of the true n/8 per group
+    locally {
+      val input = MemoryStream[(String, String)]
+      val q = EventStream.streamingSketchDistinct(input.toDS())
+        .toDF("grp", "estimate")
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("ss_hll").start()
+      val t0 = System.nanoTime()
+      val stateAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fed = 0L
+      (0 until Batches).foreach { b =>
+        val rows = (0L until perBatch).map { j =>
+          val i = b * perBatch + j
+          (s"g${i % 8}", s"k$i")
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+        fed += rows.length
+        if ((b + 1) % (Batches / 4) == 0)
+          stateAt += ((fed,
+            q.recentProgress.filter(_.stateOperators.nonEmpty)
+              .last.stateOperators.head.numRowsTotal))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val finalEst = spark.table("ss_hll").collect()
+        .zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (g, rs) => g -> rs.maxBy(_._2)._1.getDouble(1) }
+      val truth = n / 8.0
+      val worstErr = finalEst.values.map(e => math.abs(e - truth) / truth).max
+      println(f"SCALE stream_hll_${mult}x rows=$n time=$sec%.1fs " +
+        f"rps=${n / sec}%.0f " +
+        s"state@checkpoints=${stateAt.map { case (f, s) => s"$f:$s" }.mkString(",")} " +
+        f"stateBound=8 worstRelErr=$worstErr%.4f")
+    }
     // ---- streamingEmbLshPairsTtl: cosine-verified bucket state ------
     locally {
       val rnd = new scala.util.Random(11)
