@@ -226,6 +226,14 @@ object Scale10 {
           rows
         }
     }
+    // batch-vs-corpus embedding near-dup: corpus grows mult×, the
+    // arriving batch stays the 2k base vectors — cost must track the
+    // corpus CODE SCAN + batch join, never a corpus self-join
+    t(s"dedup_emb_incremental_${mult}x") {
+      val batch = Tables.embeddings(spark, d)
+        .withColumn("vec_id", col("vec_id") + 900000000L)
+      operators.Dedup.dedupEmbIncremental(emb, batch).count()
+    }
     // bigram LM: the explode+window pass scales with token volume;
     // the model join shuffles distinct doc-bigrams (replicas add
     // occurrences, not distinct bigrams — the shuffle stays put)

@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
     "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
+    "dedup_emb_incremental" -> Dedup.dedupEmbIncremental _,
     "dedup_spans"         -> Dedup.dedupSpans _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
@@ -595,6 +596,30 @@ object SparkEntry {
     "dedup_emb_lsh" -> s"""
       WITH $embLshCtes
       SELECT v1, v2, cos_sim FROM emb_pairs ORDER BY v1, v2""",
+
+    // batch-vs-corpus slice of the same LSH code space: x restricted
+    // to the 80% corpus split, y to the 20% batch (vec_id % 5)
+    "dedup_emb_incremental" -> s"""
+      WITH planes(tid, pid, p) AS (VALUES
+        ${operators.Similarity.planesSqlValues}),
+      codes AS (
+        SELECT vec_id, tid,
+          CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p) >= 0
+                        THEN 1 << pid ELSE 0 END) AS INT) AS code
+        FROM embeddings CROSS JOIN planes GROUP BY vec_id, tid),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS corpus_id, y.vec_id AS batch_id
+        FROM codes x JOIN codes y ON x.tid = y.tid AND x.code = y.code
+        WHERE x.vec_id % 5 <> 4 AND y.vec_id % 5 = 4),
+      rer AS (
+        SELECT cand.corpus_id, cand.batch_id,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.corpus_id
+        JOIN embeddings b ON b.vec_id = cand.batch_id)
+      SELECT corpus_id, batch_id, cos_sim FROM rer WHERE cos_sim >= 0.35
+      ORDER BY corpus_id, batch_id""",
 
     // the embedding analog of dedup_clusters: recursive reachability
     // over the emb_pairs edge set, component id = min reachable vec_id

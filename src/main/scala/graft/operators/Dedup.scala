@@ -722,6 +722,40 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** dedup_emb_incremental: NEW-BATCH vs STANDING-CORPUS embedding
+    * near-dup — the semantic-dedup production shape (the embedding
+    * analog of [[dedupIncremental]]): the corpus's LSH codes are a
+    * write-once artifact at 100 TB, the arriving batch's codes
+    * equi-join them on (tid, code), and every collision is scored
+    * in-join by the native cosine (the [[embLshDups]] strategy — the
+    * candidate set never shuffles twice). Cost tracks the BATCH and
+    * the corpus code scan; there is NO corpus self-join, and the
+    * batch side of the shuffle-hash join is the small build side.
+    * The query splits the embeddings table 80/20 by vec_id%5 so the
+    * oracle can replay the same split. */
+  def dedupEmbIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    dedupEmbIncremental(e.filter(col("vec_id") % 5 =!= 4),
+      e.filter(col("vec_id") % 5 === 4))
+  }
+
+  def dedupEmbIncremental(corpus: DataFrame, batch: DataFrame,
+                          tau: Double = 0.35): DataFrame = {
+    val g = Similarity.geometryFor(tau)
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      Similarity.lshPlanes(g.tables, g.bits))
+    val c = Similarity.lshCodesWithVec(corpus, bc)
+    val b = Similarity.lshCodesWithVec(batch, bc)
+    c.as("c").join(b.hint("shuffle_hash").as("b"),
+        col("c.tid") === col("b.tid") && col("c.code") === col("b.code"))
+      .select(col("c.vec_id").as("corpus_id"), col("b.vec_id").as("batch_id"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("c.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .distinct()
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** dedup_emb_clusters: embedding near-dup pairs → connected
     * components → (vec_id, cluster_id) — the step that turns the
     * pairwise [[embLshDups]] hits into KEEP/DROP decisions (a vector

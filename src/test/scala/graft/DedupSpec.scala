@@ -190,4 +190,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.defaultSaltGroups(16, 4) == 8)
     assert(Dedup.defaultSaltGroups(32, 16) == 1)
   }
+
+  test("incremental embedding dedup equals the cross-set slice of the full LSH pairs") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val isBatch = (id: Long) => id % 5 == 4
+    val inc = Dedup.dedupEmbIncremental(
+        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4))
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    // full self-join pairs (unsalted default geometry), cross-set only,
+    // reoriented to (corpus, batch)
+    val full = Dedup.embLshDups(e).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")))
+      .filter { case (a, b) => isBatch(a) != isBatch(b) }
+      .map { case (a, b) => if (isBatch(b)) (a, b) else (b, a) }
+      .toSet
+    assert(inc == full,
+      s"incremental ${inc.size} pairs != cross-set slice ${full.size}")
+    // and no batch-batch or corpus-corpus pair leaks in
+    assert(inc.forall { case (c, b) => !isBatch(c) && isBatch(b) })
+  }
 }
