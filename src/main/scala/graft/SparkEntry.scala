@@ -38,6 +38,8 @@ object SparkEntry {
     "q16_json_flatten"   -> Relational.q16JsonFlatten _,
     "q17_recommend"      -> Relational.q17Recommend _,
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
+    "funnel_steps"        -> Timeseries.funnelSteps _,
+    "retention_cohorts"   -> Timeseries.retentionCohorts _,
     "q19_asof"            -> operators.AsOfJoin.q19AsOf _,
     "q20_percentiles"     -> Timeseries.q20Percentiles _,
     "q21_pivot"           -> Timeseries.q21Pivot _,
@@ -336,6 +338,40 @@ object SparkEntry {
       SELECT event_id, ts, user_id, event_type,
         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
       FROM events ORDER BY ts DESC, event_id DESC LIMIT 100""",
+
+    "funnel_steps" -> """
+      WITH ev AS (SELECT user_id, event_type, ts FROM events),
+      s1 AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click
+        FROM ev GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, s1.t_click,
+          MIN(CASE WHEN e.event_type = 'view' AND e.ts > s1.t_click
+              THEN e.ts END) AS t_view
+        FROM ev e JOIN s1 USING (user_id) GROUP BY 1, 2),
+      s3 AS (
+        SELECT e.user_id, s2.t_click, s2.t_view,
+          MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_view
+              THEN e.ts END) AS t_purchase
+        FROM ev e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+      SELECT user_id, t_click, t_view, t_purchase,
+        CAST(CASE WHEN t_click IS NULL THEN 0
+                  WHEN t_view IS NULL THEN 1
+                  WHEN t_purchase IS NULL THEN 2
+                  ELSE 3 END AS INT) AS stages_completed
+      FROM s3 ORDER BY user_id""",
+
+    "retention_cohorts" -> """
+      WITH cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY 1)
+      SELECT c.cohort_week,
+        CAST(floor(date_diff('day', CAST(c.cohort_week AS DATE),
+                             CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_offset,
+        COUNT(DISTINCT e.user_id) AS n_users
+      FROM events e JOIN cohort c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q16_json_flatten" -> """
       SELECT event_id,

@@ -25,6 +25,56 @@ object Timeseries {
            sum2(col("value")).as("sum_value"))
       .orderBy(col("day"))
 
+  /** funnel_steps: ordered conversion funnel click → view → purchase
+    * per user — each stage's first completion must be strictly after
+    * the previous stage's (the classic product-analytics funnel).
+    * Three conditional min-aggregates, each a further aggregate of
+    * the SAME user_id-clustered shuffle (the first groupBy's
+    * partitioning is reused — no extra exchange per stage); stage
+    * counts fall out of the null pattern. */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("ts"))).as("t_click"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_click"))
+      .agg(min(when(col("event_type") === "view" && col("ts") > col("t_click"),
+        col("ts"))).as("t_view"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_click"), col("t_view"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_view"),
+        col("ts"))).as("t_purchase"))
+    s3.withColumn("stages_completed",
+        when(col("t_click").isNull, 0)
+          .when(col("t_view").isNull, 1)
+          .when(col("t_purchase").isNull, 2)
+          .otherwise(3).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
+  /** retention_cohorts: weekly cohort retention — users grouped by
+    * first-seen week, counted distinct per week offset (the matrix
+    * behind every retention dashboard). Cohort assignment is one
+    * min-aggregate; offsets are integer day-diffs / 7 (identical
+    * truncation both engines, offsets ≥ 0); the (cohort, offset)
+    * count is map-side combinable. At 100 TB the cohort frame is
+    * user-dimension-sized — broadcast-joined back onto the stream. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(broadcast(cohort), "user_id")
+      .withColumn("week_offset",
+        // explicit floor: DuckDB CAST(double AS INT) rounds-to-nearest
+        // while Spark truncates — floor() agrees on both
+        floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / 7)
+          .cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** q11: gap-based sessionization via lag + cumulative flag sum —
     * the batch form (streaming form: graft.streaming.EventStream). */
   def q11Sessionize(s: SparkSession, d: String): DataFrame = {
