@@ -63,6 +63,7 @@ object SparkEntry {
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
+    "sketch_bloom"        -> operators.Sketches.sketchBloom _,
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
@@ -907,6 +908,7 @@ object SparkEntry {
     "sketch_distinct" -> operators.Sketches.sketchDistinctOracleSql,
     "sketch_heavyhitters" -> operators.Sketches.sketchHeavyHittersOracleSql,
     "sketch_quantiles" -> operators.Sketches.sketchQuantilesOracleSql,
+    "sketch_bloom" -> operators.Sketches.sketchBloomOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
     // the shuffle-join form is result-identical to the broadcast form

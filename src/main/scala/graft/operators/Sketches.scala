@@ -186,6 +186,84 @@ object Sketches {
       GROUP BY 1, 2, 3
       ORDER BY rank"""
 
+  val BloomM = 32768 // bits
+  val BloomK = 4 // hash functions
+
+  private def bloomPos(h: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("bloom"), col("j"), lit(":"), h)), 1, 8), 16, 10)
+      .cast("long") % BloomM
+
+  /** sketch_bloom: membership sketch — the fourth family (HLL =
+    * distinct, CMS = frequency, histogram = quantiles, Bloom =
+    * membership). A Bloom filter over the standing corpus's content
+    * hashes (m=32768 bits, k=4 md5-salted hashes) probed by an
+    * arriving batch — the approximate fast-path in front of
+    * [[Dedup.dedupIncremental]]: at 100 TB the filter is m/8 bytes
+    * per corpus shard, OR-mergeable across shards, broadcastable to
+    * every executor, and the exact (expensive) membership join only
+    * runs for batch rows the filter flags. NO false negatives by
+    * construction (spec'd: every true duplicate hits); false
+    * positives are the tunable m/k trade. The exact membership
+    * verdict is emitted alongside so the oracle checks filter
+    * mechanics AND truth; the filter itself is the distinct
+    * set-bit-position relation — engine-checked bit for bit. */
+  def sketchBloom(s: SparkSession, d: String): DataFrame = {
+    val all = Dedup.withPlants(Tables.documents(s, d))
+    sketchBloom(all.filter(col("doc_id") < 100000),
+      all.filter(col("doc_id") >= 100000))
+  }
+
+  def sketchBloom(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val js = typedlit((0 until BloomK).toArray)
+    val ch = corpus.select(md5(col("text")).as("h")).distinct()
+    val bits = ch.select(explode(js).as("j"), col("h"))
+      .select(bloomPos(col("h")).as("pos")).distinct()
+    val bh = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val hits = bh.select(col("doc_id"), explode(js).as("j"), col("h"))
+      .select(col("doc_id"), bloomPos(col("h")).as("pos"))
+      .join(bits, Seq("pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nhit"))
+    bh.join(ch.withColumnRenamed("h", "ch"), col("h") === col("ch"), "left_outer")
+      .select(col("doc_id"), col("ch").isNotNull.as("in_corpus"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("in_corpus"),
+        (coalesce(col("nhit"), lit(0L)) === BloomK).as("bloom_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sketchBloomOracleSql: String = """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id < 100000),
+      j(j) AS (VALUES (0), (1), (2), (3)),
+      bits AS (
+        SELECT DISTINCT
+          CAST(list_sum(list_transform(range(1, 9),
+            kk -> CAST((strpos('0123456789abcdef', hx[kk:kk]) - 1)
+                 * CAST(16 ** (8 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) % 32768 AS pos
+        FROM (SELECT md5('bloom' || j || ':' || h) AS hx FROM corpus CROSS JOIN j)),
+      batch AS (
+        SELECT doc_id, md5(text) AS h FROM docs WHERE doc_id >= 100000),
+      probes AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 9),
+            kk -> CAST((strpos('0123456789abcdef', hx[kk:kk]) - 1)
+                 * CAST(16 ** (8 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) % 32768 AS pos
+        FROM (SELECT doc_id, md5('bloom' || j || ':' || h) AS hx
+              FROM batch CROSS JOIN j)),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS nhit
+        FROM probes JOIN bits USING (pos) GROUP BY 1)
+      SELECT b.doc_id,
+        b.h IN (SELECT h FROM corpus) AS in_corpus,
+        COALESCE(ht.nhit, 0) = 4 AS bloom_hit
+      FROM batch b LEFT JOIN hits ht USING (doc_id)
+      ORDER BY b.doc_id"""
+
   val QsB = 256 // histogram buckets
 
   /** sketch_quantiles: mergeable fixed-grid histogram quantiles over

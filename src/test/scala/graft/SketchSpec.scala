@@ -106,6 +106,42 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter has no false negatives and flags the planted dups") {
+    val rows = Sketches.sketchBloom(spark, sf).collect()
+    assert(rows.length == 50) // the 50 planted batch docs
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("in_corpus"))
+        assert(r.getAs[Boolean]("bloom_hit"),
+          s"doc ${r.getAs[Long]("doc_id")}: TRUE member missed — bloom must have no false negatives")
+    }
+    // the 25 exact plants are members; the 25 near plants (novel text) are not
+    assert(rows.count(_.getAs[Boolean]("in_corpus")) == 25)
+    // m=32768 bits, ~500·4 set bits ⇒ FP prob ≈ (1-e^-kn/m)^k ≈ 3e-5:
+    // the 25 novel docs should essentially never false-positive
+    val fp = rows.count(r => !r.getAs[Boolean]("in_corpus") && r.getAs[Boolean]("bloom_hit"))
+    assert(fp <= 2, s"$fp false positives out of 25 novel docs")
+  }
+
+  test("bloom membership is monotone under corpus union (OR-merge semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the filter is a distinct set-bit relation, so build(A∪B) =
+    // build(A) ∪ build(B) by construction; observable consequence:
+    // any probe that hits against a slice must still hit against the
+    // union, and every doc hits its own slice's filter
+    val docs = Tables.documents(spark, sf)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val hitsHalf = Sketches.sketchBloom(half, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("bloom_hit")).toMap
+    val hitsFull = Sketches.sketchBloom(docs, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("bloom_hit")).toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(hitsFull(id), s"doc $id must hit the full-corpus filter")
+      if (hitsHalf(id)) assert(hitsFull(id))
+      if (id % 2 == 0) assert(hitsHalf(id), s"doc $id missed by its own slice filter")
+    }
+  }
+
   test("sketch output is deterministic across runs") {
     val a = Sketches.sketchDistinct(spark, sf).collect().map(_.toSeq)
     val b = Sketches.sketchDistinct(spark, sf).collect().map(_.toSeq)
