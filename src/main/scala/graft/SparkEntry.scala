@@ -40,6 +40,8 @@ object SparkEntry {
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
     "retention_cohorts"   -> Timeseries.retentionCohorts _,
+    "events_anomaly"      -> Timeseries.eventsAnomaly _,
+    "ewma_trend"          -> ((s, d) => Timeseries.ewmaTrend(s, d)),
     "q19_asof"            -> operators.AsOfJoin.q19AsOf _,
     "q20_percentiles"     -> Timeseries.q20Percentiles _,
     "q21_pivot"           -> Timeseries.q21Pivot _,
@@ -373,6 +375,50 @@ object SparkEntry {
         COUNT(DISTINCT e.user_id) AS n_users
       FROM events e JOIN cohort c USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // EWMA closed form: w_1=(1-a)^(n-1), w_i=a(1-a)^(n-i); terms
+    // snapped to 1e-9 then decimal-summed (the transcendental recipe)
+    "ewma_trend" -> """
+      WITH r AS (
+        SELECT user_id, "value",
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+      t AS (
+        -- (1 - 0.2), NOT the literal 0.8: the Spark side computes
+        -- 1.0-alpha, which is one ulp BELOW the parsed 0.8 — the
+        -- oracle must run the same subtraction to get the same bits
+        SELECT user_id, n,
+          CAST(round(CASE WHEN rn = 1 THEN power(1 - 0.2, n - 1)
+                          ELSE 0.2 * power(1 - 0.2, n - rn) END * "value", 9)
+               AS DECIMAL(22,9)) AS term
+        FROM r)
+      SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+        round(CAST(SUM(term) AS DOUBLE), 6) AS ewma
+      FROM t GROUP BY user_id ORDER BY user_id""",
+
+    // exact-decimal moments: S1 (2dp) and S2 (4dp) sums are exact;
+    // variance/std/z derive from identical IEEE trees; the filter
+    // compares the ROUNDED z (boundary-safe)
+    "events_anomaly" -> """
+      WITH stats AS (
+        SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST("value" * "value" AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        FROM events GROUP BY 1),
+      st2 AS (
+        SELECT user_id, s1 / n AS mean,
+          s2 / n - (s1 / n) * (s1 / n) AS variance
+        FROM stats),
+      st3 AS (
+        SELECT user_id, mean, sqrt(variance) AS std
+        FROM st2 WHERE variance > 0)
+      SELECT e.user_id, e.event_id,
+        CAST(CAST(e."value" AS DECIMAL(18,2)) AS DOUBLE) AS "value",
+        round((e."value" - s.mean) / s.std, 6) AS z
+      FROM events e JOIN st3 s USING (user_id)
+      WHERE abs(round((e."value" - s.mean) / s.std, 6)) > 3
+      ORDER BY e.user_id, e.event_id""",
 
     "q16_json_flatten" -> """
       SELECT event_id,

@@ -75,6 +75,62 @@ object Timeseries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** events_anomaly: per-user z-score outliers — mean/std from the
+    * exact-decimal sum recipe (S1 on the 2-dp grid, S2 on the 4-dp
+    * grid → both sums exact, variance/std/z derived by identical
+    * IEEE expression trees cross-engine; the q8 corr recipe's
+    * moment form). Stats are user-dimension-sized and broadcast back
+    * onto the stream; the z filter compares the ROUNDED z so the
+    * boundary is engine-safe. variance>0 guards the constant-series
+    * NaN channel identically on both engines. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec2(col("value")))).as("s1"),
+        dbl(sum(dec4(col("value") * col("value")))).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        col("s2") / col("n") - col("mean") * col("mean"))
+      .filter(col("variance") > 0)
+      .withColumn("std", sqrt(col("variance")))
+      .select(col("user_id"), col("mean"), col("std"))
+    ev.join(broadcast(stats), "user_id")
+      .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) > 3)
+      .select(col("user_id"), col("event_id"),
+        dbl(dec2(col("value"))).as("value"), col("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ewma_trend: per-user exponentially-weighted moving average of
+    * value (α=0.2), final state per user — the decayed-trend analog
+    * of q12's windowed MA. The sequential recurrence is re-expressed
+    * as its closed form Σ w_i·x_i (w_1=(1-α)^(n-1), w_i=α(1-α)^(n-i))
+    * so it's one window pass + one aggregate instead of a per-row
+    * loop; each term is snapped to the 1e-9 grid and summed in exact
+    * decimal (the ngram_lm transcendental recipe — pow() is the only
+    * libm call and its output is grid-snapped before any
+    * accumulation). Weights underflow to a clean 0 at the grid for
+    * old rows, so unbounded history costs nothing. */
+  def ewmaTrend(s: SparkSession, d: String, alpha: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w = when(col("rn") === 1, pow(lit(1.0 - alpha), col("n") - 1))
+      .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("n") - col("rn")))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("term", round(w * col("value"), 9).cast(DecimalType(22, 9)))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        round(dbl(sum(col("term"))), 6).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
   /** q11: gap-based sessionization via lag + cumulative flag sum —
     * the batch form (streaming form: graft.streaming.EventStream). */
   def q11Sessionize(s: SparkSession, d: String): DataFrame = {

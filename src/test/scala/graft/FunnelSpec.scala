@@ -24,6 +24,35 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("EWMA closed form equals the sequential recurrence") {
+    val got = Timeseries.ewmaTrend(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("ewma")).toMap
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rs) =>
+      val xs = rs.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+      val e = xs.tail.foldLeft(xs.head)((acc, x) => 0.2 * x + (1.0 - 0.2) * acc)
+      assert(math.abs(got(u) - e) < 1e-4, s"user $u: ${got(u)} vs recurrence $e")
+    }
+  }
+
+  test("anomaly rows really are 3-sigma outliers of their user's distribution") {
+    import org.apache.spark.sql.functions._
+    val rows = Timeseries.eventsAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val stats = Tables.events(spark, sf).groupBy("user_id")
+      .agg(avg(col("value")).as("m"), stddev_pop(col("value")).as("sd"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (m, sd) = stats(r.getAs[Long]("user_id"))
+      val z = (r.getAs[Double]("value") - m) / sd
+      assert(math.abs(z) > 2.99, s"event ${r.getAs[Long]("event_id")}: z=$z")
+    }
+  }
+
   test("retention week-0 row equals the cohort size and offsets are non-negative") {
     import org.apache.spark.sql.functions._
     val rows = Timeseries.retentionCohorts(spark, sf).collect()
