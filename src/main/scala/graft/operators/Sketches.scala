@@ -124,6 +124,22 @@ object Sketches {
     conv(substring(md5(concat(lit("cms"), col("j"), lit(":"), token)), 1, 8), 16, 10)
       .cast("long") % CmsW
 
+  /** JVM form of the column bucket — identical value (md5Hash32 IS
+    * the first-8-hex-digits fold); used by the streaming counter
+    * state ([[graft.streaming.EventStream.streamingCmsCounters]]),
+    * equality with the batch counters spec'd. */
+  def cmsBucketLocal(j: Int, token: String): Long =
+    Dedup.md5Hash32(s"cms$j:$token") % CmsW
+
+  /** The CMS counter table of a (token, n) frame — the mergeable
+    * sketch state (counters ADD across slices/batches). */
+  def cmsCounters(tc: DataFrame): DataFrame = {
+    val js = typedlit((0 until CmsD).toArray)
+    tc.select(explode(js).as("j"), col("token"), col("n"))
+      .withColumn("b", cmsBucket(col("token")))
+      .groupBy(col("j"), col("b")).agg(sum(col("n")).as("c"))
+  }
+
   /** sketch_heavyhitters: Count-Min Sketch (Cormode & Muthukrishnan
     * 2005) over the token frequencies, read back for the exact top-50
     * tokens so the oracle checks estimate vs truth side by side. The
@@ -144,7 +160,7 @@ object Sketches {
     val js = typedlit((0 until CmsD).toArray)
     val buck = tc.select(explode(js).as("j"), col("token"), col("n"))
       .withColumn("b", cmsBucket(col("token")))
-    val counters = buck.groupBy(col("j"), col("b")).agg(sum(col("n")).as("c"))
+    val counters = cmsCounters(tc)
     // exact top-k via TakeOrderedAndProject (no single-partition
     // window over the vocabulary); rank re-derived on the k-row frame
     val cand = tc.orderBy(col("n").desc, col("token")).limit(topK)

@@ -508,6 +508,31 @@ object EventStream {
       }
   }
 
+  /** Streaming Count-Min counters: the CMS state (d×w = 4×1024 Long
+    * counters) maintained incrementally — arrivals fan out to their
+    * d buckets, each (j, b) key's counter ADDS the batch's hits
+    * (mapGroupsWithState keyed by the bucket, state = one Long). The
+    * state is FIXED at ≤ 4096 rows whatever the token volume — the
+    * same never-store-the-keys property as
+    * [[streamingSketchDistinct]]; final counters equal the batch
+    * [[graft.operators.Sketches.cmsCounters]] over the union of all
+    * arrivals (spec'd). Heavy-hitter read-out stays a batch lookup
+    * against the counter table. */
+  def streamingCmsCounters(toks: Dataset[String]): Dataset[(Int, Long, Long)] = {
+    import toks.sparkSession.implicits._
+    toks
+      .flatMap(t => (0 until graft.operators.Sketches.CmsD)
+        .map(j => (j, graft.operators.Sketches.cmsBucketLocal(j, t))))
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Int, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          (key._1, key._2, c)
+      }
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -185,6 +185,34 @@ class StreamingSpec extends SparkSpec {
       s"streaming HLL $streamed != batch $batch")
   }
 
+  test("streaming CMS counters equal the batch sketch on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .as[String].collect()
+    val (a, b) = toks.splitAt(toks.length / 2)
+    val input = MemoryStream[String]
+    val q = EventStream.streamingCmsCounters(input.toDS())
+      .toDF("j", "b", "c")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cms_stream_test").start()
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream_test").collect()
+      .zipWithIndex.groupBy(r => (r._1.getInt(0), r._1.getLong(1)))
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1.getLong(2) }
+    val batch = operators.Sketches.cmsCounters(
+        graft.functions.TextFunctions.tokenCounts(Tables.documents(spark, sf)))
+      .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("b")) -> r.getAs[Long]("c"))
+      .toMap
+    assert(streamed == batch,
+      s"${streamed.size} streaming counters vs ${batch.size} batch")
+  }
+
   test("streaming minhash pair detection matches the batch band join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
