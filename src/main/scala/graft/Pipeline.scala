@@ -39,7 +39,7 @@ object Pipeline {
                     contamNgram: Int = 3, contamMinShared: Long = 2): Report =
     curateAndPack(spark, Tables.documents(spark, srcDir), outDir, cap,
       qualityFloor, contamNgram, contamMinShared, embeddings = None,
-      embTau = 0.9)
+      embTau = 0.9, pplCeiling = None)
 
   /** Same run over an arbitrary documents frame (doc_id, lang, text)
     * — the entry the Scale10 probe drives with replicated corpora.
@@ -50,11 +50,17 @@ object Pipeline {
     * geometryFor and salted when coarse) instead of minhash text
     * shingles — the semantic-dedup front-end (same CC → keeper →
     * anti-join flow, so the composition is identical downstream). */
+  /** `pplCeiling`: when set, stage 4 additionally drops documents
+    * whose bigram-LM perplexity (model self-trained on the CLEANED
+    * corpus — the CCNet shape with the corpus as its own reference)
+    * exceeds the ceiling; documents with no bigrams (<2 tokens) fail
+    * the gate by construction. */
   def curateAndPack(spark: SparkSession, docs: DataFrame, outDir: String,
                     cap: Int, qualityFloor: Double,
                     contamNgram: Int, contamMinShared: Long,
                     embeddings: Option[DataFrame],
-                    embTau: Double): Report = {
+                    embTau: Double,
+                    pplCeiling: Option[Double]): Report = {
     val input = docs.count()
 
     // 1. near-dedup (transitive: CC over candidate pairs) — textual
@@ -89,10 +95,18 @@ object Pipeline {
     val contaminated = contaminatedIds.count()
     val clean = withSplit.join(contaminatedIds, Seq("doc_id"), "left_anti")
 
-    // 4. quality gate on the cleaned corpus
-    val keepIds = TextFunctions.textStats(clean)
+    // 4. quality gate on the cleaned corpus (heuristic score, plus
+    // the optional LM-perplexity gate)
+    val heuristicKeep = TextFunctions.textStats(clean)
       .filter(col("quality_score") > qualityFloor)
       .select("doc_id")
+    val keepIds = pplCeiling match {
+      case Some(ceiling) =>
+        val lmKeep = TextFunctions.ngramLmScore(clean)
+          .filter(col("ppl") <= ceiling).select("doc_id")
+        heuristicKeep.join(lmKeep, Seq("doc_id"), "left_semi")
+      case None => heuristicKeep
+    }
     val curated = clean.join(keepIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val afterQuality = curated.count()

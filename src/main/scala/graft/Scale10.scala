@@ -116,7 +116,7 @@ object Scale10 {
     // measured end-to-end with its per-stage accounting (VERDICT r3 #7)
     t(s"pipeline_${mult}x") {
       val r = Pipeline.curateAndPack(spark, docs, s"/tmp/scale_pipeline_$mult",
-        512, 0.2, 3, 2, embeddings = None, embTau = 0.9)
+        512, 0.2, 3, 2, embeddings = None, embTau = 0.9, pplCeiling = None)
       println(s"SCALE pipeline_${mult}x report=$r")
       r.segments
     }
@@ -130,7 +130,7 @@ object Scale10 {
         emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
       val r = Pipeline.curateAndPack(spark, embDocs,
         s"/tmp/scale_pipeline_emb_$mult", 512, 0.2, 3, 2,
-        embeddings = Some(emb), embTau = 0.9)
+        embeddings = Some(emb), embTau = 0.9, pplCeiling = None)
       println(s"SCALE pipeline_emb_${mult}x report=$r")
       r.segments
     }
@@ -147,6 +147,28 @@ object Scale10 {
           col("ts").cast("long") - col("prev") > 1800, 1).otherwise(0))
         .groupBy(col("user_id")).agg(sum(col("ns")).as("n_sessions"))
         .count()
+    }
+    // event analytics: funnel/anomaly are conditional-agg + broadcast
+    // shapes, retention one broadcast join, ewma one user-window pass
+    t(s"funnel_${mult}x") {
+      val s1 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("t_click"))
+      ev.join(s1, "user_id")
+        .groupBy(col("user_id"), col("t_click"))
+        .agg(min(when(col("event_type") === "view" && col("ts") > col("t_click"),
+          col("ts"))).as("t_view")).count()
+    }
+    t(s"ewma_${mult}x") {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(byUser))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .withColumn("term", round(
+          when(col("rn") === 1, pow(lit(0.8), col("n") - 1))
+            .otherwise(lit(0.2) * pow(lit(0.8), col("n") - col("rn"))) * col("value"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(22, 9)))
+        .groupBy(col("user_id")).agg(sum(col("term"))).count()
     }
     t(s"asof_${mult}x") {
       val p = ev.filter(col("event_type") === "purchase")

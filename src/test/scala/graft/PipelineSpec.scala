@@ -51,7 +51,7 @@ class PipelineSpec extends SparkSpec {
       emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 100000))
     val out = java.nio.file.Files.createTempDirectory("graft-pipeline-emb").toString
     val r = Pipeline.curateAndPack(spark, plantedDocs, out, 512, 0.2, 3, 2,
-      Some(plantedEmb), embTau = 0.9)
+      Some(plantedEmb), embTau = 0.9, pplCeiling = None)
     assert(r.input == 550)
     // every planted replica clusters with its original under the
     // τ-derived 32×16 geometry (RecallSpec measures ≥0.94 there) and
@@ -66,6 +66,38 @@ class PipelineSpec extends SparkSpec {
     assert(r.afterQuality <= r.afterDedup - r.contaminated ||
       r.contaminated == 0)
     assert(r.segments > 0)
+  }
+
+  test("LM perplexity gate drops exactly the docs scoring above the ceiling") {
+    import spark.implicits._
+    // the synthetic corpus is a uniform token soup — every doc's
+    // bigram ppl sits in a narrow band (26-38), so no planted
+    // gibberish can stand out and the test instead pins the gate
+    // MECHANISM: with a median ceiling, the gated run's kept set
+    // must equal baseline-kept minus precisely the LM's over-ceiling
+    // docs (trained on the same cleaned corpus the pipeline trains on)
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val outA = java.nio.file.Files.createTempDirectory("graft-ppl-a").toString
+    val outB = java.nio.file.Files.createTempDirectory("graft-ppl-b").toString
+    val base = Pipeline.curateAndPack(spark, docs, outA, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None)
+    def kept(dir: String): Set[Long] = spark.read.parquet(s"$dir/segments")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val keptBase = kept(outA)
+    // the heuristic gate passes the whole corpus here, so the
+    // pipeline's cleaned (pre-gate) corpus IS the baseline kept set
+    assert(keptBase.size.toLong == base.afterQuality)
+    val ceiling = 30.0
+    val over = graft.functions.TextFunctions.ngramLmScore(
+        docs.join(keptBase.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"))
+      .filter(col("ppl") > ceiling)
+      .select("doc_id").as[Long].collect().toSet
+    assert(over.nonEmpty && over.size < keptBase.size,
+      s"median ceiling should split the corpus, got ${over.size}/${keptBase.size}")
+    Pipeline.curateAndPack(spark, docs, outB, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = Some(ceiling))
+    assert(kept(outB) == keptBase -- over,
+      s"gated kept ${kept(outB).size} != baseline ${keptBase.size} minus ${over.size}")
   }
 
   test("written segments are split-pruned and fill windows to cap") {
