@@ -533,6 +533,38 @@ object EventStream {
       }
   }
 
+  /** Streaming histogram-quantile counters: the
+    * [[graft.operators.Sketches.sketchQuantiles]] bucket state
+    * maintained incrementally against a FIXED grid (the per-group
+    * [min,max] trained on a reference corpus — at scale the grid is
+    * a write-once artifact exactly like the SQ8 grid; a streaming
+    * operator cannot re-derive a global min/max anyway). Arrivals
+    * bucket on the grid (values outside clamp to the edge bins),
+    * each ((grp, b)) counter ADDS its batch hits — state ≤ 256 rows
+    * per group whatever the volume. Quantile read-out stays the
+    * batch cumulative walk over the counter table. */
+  def streamingQuantileCounters(rows: Dataset[(String, Double)],
+                                grid: Map[String, (Double, Double)]
+                               ): Dataset[(String, Int, Long)] = {
+    import rows.sparkSession.implicits._
+    val b = graft.operators.Sketches.QsB
+    rows
+      .flatMap { case (g, v) =>
+        grid.get(g).map { case (mn, mx) =>
+          val raw = if (mx > mn) math.floor((v - mn) * b / (mx - mn)) else 0.0
+          (g, math.max(0, math.min(b - 1, raw.toInt)))
+        }
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Int, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), it: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          (key._1, key._2, c)
+      }
+  }
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.size} streaming counters vs ${batch.size} batch")
   }
 
+  test("streaming quantile counters match a driver-side recount on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+    val grid = ev.groupBy(_._1).map { case (g, rs) =>
+      g -> (rs.map(_._2).min, rs.map(_._2).max) }
+    val (a, b) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[(String, Double)]
+    val q = EventStream.streamingQuantileCounters(input.toDS(), grid)
+      .toDF("grp", "b", "c")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("qs_stream_test").start()
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qs_stream_test").collect()
+      .zipWithIndex.groupBy(r => (r._1.getString(0), r._1.getInt(1)))
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1.getLong(2) }
+    val expected = ev.groupBy { case (g, v) =>
+      val (mn, mx) = grid(g)
+      val raw = if (mx > mn) math.floor((v - mn) * operators.Sketches.QsB / (mx - mn)) else 0.0
+      (g, math.max(0, math.min(operators.Sketches.QsB - 1, raw.toInt)))
+    }.map { case (k, rs) => k -> rs.length.toLong }
+    assert(streamed == expected)
+    // counters account for every arrival
+    assert(streamed.values.sum == ev.length.toLong)
+  }
+
   test("streaming minhash pair detection matches the batch band join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
