@@ -85,6 +85,7 @@ object SparkEntry {
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    "multimodal_audio"    -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "curate_corpus"       -> operators.Curate.curateCorpus _,
     "curate_neardup"      -> operators.Curate.curateNearDup _,
   )
@@ -955,6 +956,7 @@ object SparkEntry {
     "sketch_heavyhitters" -> operators.Sketches.sketchHeavyHittersOracleSql,
     "sketch_quantiles" -> operators.Sketches.sketchQuantilesOracleSql,
     "sketch_bloom" -> operators.Sketches.sketchBloomOracleSql,
+    "multimodal_audio" -> sources.Multimodal.audioOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
     // the shuffle-join form is result-identical to the broadcast form

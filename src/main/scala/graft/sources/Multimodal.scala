@@ -256,4 +256,105 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  // ---- audio ------------------------------------------------------------
+
+  /** One analysis window of a decoded audio record: sample_rate and
+    * n_samples come from the DECODED stream (javax.sound's WAV
+    * parser — the JDK's audio codec, the ImageIO analog), not the
+    * claimed metadata; energy/zero-crossings/peak are integer
+    * features of the decoded 16-bit samples (nothing to round). */
+  case class AudioWindow(doc_id: Long, sample_rate: Int, n_samples: Int,
+                         win: Int, win_n: Int, energy: Long,
+                         zero_crossings: Int, peak: Int)
+
+  /** Deterministic sample synthesis shared with the oracle:
+    * s(i) = (unicode(text[(i mod L)+1]) − 96) · 256 — letters land
+    * positive, spaces negative, so zero crossings actually occur. */
+  private def sampleAt(text: String, i: Int): Short =
+    ((text.charAt(i % text.length).toInt - 96) * 256).toShort
+
+  /** Minimal canonical RIFF/WAVE: 16-bit little-endian mono PCM. */
+  private[graft] def wavBytes(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** multimodal_audio: binary audio columns decoded for REAL — each
+    * doc synthesizes a WAV payload (samples byte-derived from its
+    * text, n and rate from doc_id), and the feature pass parses it
+    * through `javax.sound.sampled.AudioSystem` (format and frame
+    * count read from the DECODER) before windowed integer features:
+    * energy Σs², sign-change count, peak |s|. A wrong WAV writer,
+    * a wrong parser, or a wrong window split all hash-mismatch the
+    * oracle, which recomputes every sample from the text in SQL.
+    * Bounded fan-out: one row per 64-sample window (≤ 12/doc). */
+  def audioFeatures(s: SparkSession, d: String, winLen: Int = 64): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = (id % 512 + 256).toInt
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val wav = wavBytes(Array.tabulate(n)(i => sampleAt(text, i)), rate)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+          !fmt.isBigEndian, s"doc $id: unexpected decoded format $fmt")
+        val decRate = fmt.getSampleRate.toInt
+        val decN = ais.getFrameLength.toInt
+        val raw = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dec = Array.fill(decN)(bb.getShort)
+        (0 until (decN + winLen - 1) / winLen).iterator.map { w =>
+          val lo = w * winLen
+          val hi = math.min(lo + winLen, decN)
+          var energy = 0L; var zc = 0; var peak = 0
+          var i = lo
+          while (i < hi) {
+            val v = dec(i).toInt
+            energy += v.toLong * v
+            if (i > lo && (v < 0) != (dec(i - 1) < 0)) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioWindow(id, decRate, decN, w, hi - lo, energy, zc, peak)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("win"))
+  }
+
+  val audioOracleSql: String = """
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS L,
+          CAST(doc_id % 512 + 256 AS INT) AS n,
+          CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+        FROM documents),
+      w AS (
+        SELECT doc_id, text, L, n, rate,
+          unnest(range(0, (n + 63) // 64)) AS win
+        FROM d),
+      f AS (
+        SELECT doc_id, rate, n, win,
+          CAST(least((win + 1) * 64, n) - win * 64 AS INT) AS win_n,
+          list_transform(range(win * 64, least((win + 1) * 64, n)),
+            i -> (unicode(text[CAST(i % L AS INT) + 1 : CAST(i % L AS INT) + 1]) - 96) * 256) AS s
+        FROM w)
+      SELECT doc_id,
+        rate AS sample_rate, n AS n_samples, CAST(win AS INT) AS win, win_n,
+        CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+        CAST(len(list_filter(range(1, len(s)),
+          j -> (s[CAST(j AS INT) + 1] < 0) <> (s[CAST(j AS INT)] < 0))) AS INT) AS zero_crossings,
+        CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
+      FROM f ORDER BY doc_id, win"""
 }

@@ -230,6 +230,32 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("WAV bytes round-trip through the JDK audio codec sample-exact") {
+    val samples = Array.tabulate(300)(i => ((i % 97 - 48) * 256).toShort)
+    val wav = Multimodal.wavBytes(samples, 16000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate.toInt == 16000 && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    assert(ais.getFrameLength == 300)
+    val bb = java.nio.ByteBuffer.wrap(ais.readAllBytes())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val decoded = Array.fill(300)(bb.getShort)
+    assert(decoded.sameElements(samples))
+  }
+
+  test("audio windows tile the decoded stream exactly") {
+    val rows = Multimodal.audioFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ws) =>
+      val n = ws.head.getAs[Int]("n_samples")
+      assert(n == (id % 512 + 256).toInt, s"doc $id decoded $n samples")
+      assert(ws.map(_.getAs[Int]("win_n")).sum == n, s"doc $id windows don't tile")
+      assert(ws.head.getAs[Int]("sample_rate") == (8000 + (id % 4) * 4000).toInt)
+    }
+  }
+
   test("ngram LM score matches a hand-computed bigram MLE") {
     import spark.implicits._
     // corpus bigrams: "a b" ×2 (doc1, doc2), "b a" ×1 (doc2)
