@@ -256,6 +256,11 @@ object Scale10 {
         .withColumn("vec_id", col("vec_id") + 900000000L)
       operators.Dedup.dedupEmbIncremental(emb, batch).count()
     }
+    // audio decode: per-doc WAV synth + javax.sound parse + windowed
+    // features — embarrassingly parallel, cost tracks docs
+    t(s"audio_${mult}x")(
+      sources.Multimodal.audioFeaturesOn(
+        docs.select(col("doc_id"), col("text"))).count())
     // bigram LM: the explode+window pass scales with token volume;
     // the model join shuffles distinct doc-bigrams (replicas add
     // occurrences, not distinct bigrams — the shuffle stays put)

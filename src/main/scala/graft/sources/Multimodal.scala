@@ -296,10 +296,14 @@ object Multimodal {
     * a wrong parser, or a wrong window split all hash-mismatch the
     * oracle, which recomputes every sample from the text in SQL.
     * Bounded fan-out: one row per 64-sample window (≤ 12/doc). */
-  def audioFeatures(s: SparkSession, d: String, winLen: Int = 64): DataFrame = {
+  def audioFeatures(s: SparkSession, d: String, winLen: Int = 64): DataFrame =
+    audioFeaturesOn(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      winLen)
+
+  def audioFeaturesOn(docs: DataFrame, winLen: Int = 64): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.as[(Long, String)]
       .flatMap { case (id, text) =>
         val n = (id % 512 + 256).toInt
         val rate = (8000 + (id % 4) * 4000).toInt
