@@ -1,0 +1,35 @@
+package graft
+
+import graft.sources.Compact
+import org.apache.spark.sql.functions._
+
+class CompactSpec extends SparkSpec {
+
+  test("compaction collapses small files to the byte-sized target, data intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val ev = Tables.events(spark, sf)
+    // 64 tiny files — the streaming-sink accretion shape
+    ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+    val sizeOfOne = {
+      val d = new java.io.File(s"$tmp/small")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    // target ≈ a quarter of the total → ~4 output files
+    val r = Compact.compact(spark, s"$tmp/small", s"$tmp/big", sizeOfOne / 4)
+    assert(r.filesIn == 64)
+    assert(r.filesOut <= 5 && r.filesOut >= 3, s"got ${r.filesOut} files")
+    assert(r.rows == ev.count())
+    // content equality, not just counts
+    val a = spark.read.parquet(s"$tmp/small")
+    val b = spark.read.parquet(s"$tmp/big")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("compaction of an already-compact directory is a no-op in file count") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact2").toString
+    Tables.events(spark, sf).coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/one")
+    val r = Compact.compact(spark, s"$tmp/one", s"$tmp/out", 1L << 30)
+    assert(r.filesIn == 1 && r.filesOut == 1)
+  }
+}
