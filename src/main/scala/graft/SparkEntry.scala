@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_incremental"   -> Dedup.dedupIncremental _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_clusters_star" -> Dedup.dedupClustersStar _,
+    "dedup_keep_best"     -> Dedup.dedupKeepBest _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
@@ -622,6 +623,43 @@ object SparkEntry {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM q WHERE quality_score > 0.2
       GROUP BY lang ORDER BY lang""",
+
+    // keeper by quality (argmax quality_score, ties min id) over the
+    // same CC clusters — the production keeper policy
+    "dedup_keep_best" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM mh_pairs
+        UNION ALL SELECT d2, d1 FROM mh_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+             FROM reach GROUP BY node),
+      m AS (
+        SELECT t.doc_id,
+          CAST(len(t.toks) AS INT) AS n_tokens,
+          CAST(length(d.text) AS INT) AS n_chars,
+          CAST(length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+          CAST(len(list_filter(t.toks,
+            x -> x IN ('the','a','of','and','to','in','is','on'))) AS INT) AS n_stop
+        FROM tok t JOIN docs d USING (doc_id)),
+      q AS (
+        SELECT doc_id,
+          CASE WHEN n_tokens < 5 THEN 0.0
+               ELSE 1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 2.0
+                    - abs(CAST(n_stop AS DOUBLE) / n_tokens - 0.4) END AS quality_score
+        FROM m),
+      ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, q.quality_score,
+          row_number() OVER (PARTITION BY cc.cluster_id
+            ORDER BY q.quality_score DESC, cc.doc_id) AS rn
+        FROM cc JOIN q USING (doc_id))
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+        MAX(CASE WHEN rn = 1 THEN quality_score END) AS keeper_quality
+      FROM ranked GROUP BY cluster_id ORDER BY cluster_id""",
 
     "dedup_clusters" -> ccOracleSql,
     // the star-contraction algorithm must produce the exact same

@@ -722,6 +722,31 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** dedup_keep_best: keeper by QUALITY, not min-id — the production
+    * keeper policy (of a near-dup cluster you keep the best-scoring
+    * copy, e.g. the least boilerplate-damaged crawl of a page). Per
+    * CC cluster: argmax quality_score, ties to min doc_id. Composes
+    * the verified CC with the verified text_stats score; the per-
+    * cluster window partitions on cluster_id (cluster-count
+    * parallelism, clusters are small). */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withPlants(Tables.documents(s, d))
+    val clusters = connectedComponentsSafe(minhashCandidates(docs))
+    val quality = graft.functions.TextFunctions.textStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.select(col("node").as("doc_id"), col("cluster_id"))
+      .join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keeper_id"),
+        max(when(col("rn") === 1, col("quality_score"))).as("keeper_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** dedup_emb_incremental: NEW-BATCH vs STANDING-CORPUS embedding
     * near-dup — the semantic-dedup production shape (the embedding
     * analog of [[dedupIncremental]]): the corpus's LSH codes are a

@@ -191,6 +191,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.defaultSaltGroups(32, 16) == 1)
   }
 
+  test("keep-best keeper carries the max quality of its cluster") {
+    import org.apache.spark.sql.functions._
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val quality = graft.functions.TextFunctions.textStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val byCluster = Dedup.connectedComponentsSafe(Dedup.minhashCandidates(docs))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val rows = Dedup.dedupKeepBest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_id"))
+      val k = r.getAs[Long]("keeper_id")
+      assert(members.contains(k))
+      assert(quality(k) == members.map(quality).max,
+        s"cluster ${r.getAs[Long]("cluster_id")}: keeper $k not max-quality")
+      assert(r.getAs[Long]("n_members") == members.length)
+      assert(r.getAs[Double]("keeper_quality") == quality(k))
+    }
+  }
+
   test("incremental embedding dedup equals the cross-set slice of the full LSH pairs") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
