@@ -677,6 +677,16 @@ object Dedup {
   private[graft] def defaultSaltGroups(numTables: Int, numBits: Int): Int =
     if ((numTables.toLong << numBits) < 4096) 8 else 1
 
+  /** Inputs below this row count bypass coarse-geometry salting: at
+    * bench scale (2k vectors) the G× replication costs more than the
+    * 256-key ceiling it removes (~0.5s on dedup_emb_clusters), while
+    * at 10×/20× (20k/40k rows) salting measured 1.6×/2.5× faster.
+    * The count that answers the dispatch is one pass — footer-only on
+    * a parquet-backed frame — paid only when the geometry is coarse
+    * enough to be salting-eligible, and the choice is output-invariant
+    * (spec'd: salted == unsalted). */
+  private[graft] val SaltBypassRows = 10000L
+
   def embLshDups(e: DataFrame, tau: Double = 0.35,
                  numBits: Int = 0, numTables: Int = 0,
                  saltGroups: Int = 0): DataFrame = {
@@ -687,7 +697,13 @@ object Dedup {
     val g = Similarity.geometryFor(tau)
     val bits = if (numBits > 0) numBits else g.bits
     val tables = if (numTables > 0) numTables else g.tables
-    val groups = if (saltGroups > 0) saltGroups else defaultSaltGroups(tables, bits)
+    // auto mode sizes the salt from the geometry AND the input: small
+    // inputs skip the replication (the 1× overhead the bench pays)
+    val groups =
+      if (saltGroups > 0) saltGroups
+      else if (defaultSaltGroups(tables, bits) <= 1) 1
+      else if (e.count() < SaltBypassRows) 1
+      else defaultSaltGroups(tables, bits)
     val bc = e.sparkSession.sparkContext.broadcast(
       Similarity.lshPlanes(tables, bits))
     val codes = Similarity.lshCodesWithVec(e, bc)
@@ -765,14 +781,35 @@ object Dedup {
   }
 
   def dedupEmbIncremental(corpus: DataFrame, batch: DataFrame,
-                          tau: Double = 0.35): DataFrame = {
+                          tau: Double = 0.35, saltGroups: Int = 0): DataFrame = {
     val g = Similarity.geometryFor(tau)
+    // coarse geometries (16×4 at the at-noise default τ = 256 (tid,
+    // code) keys) cap the corpus-batch join at 256 shuffle keys, the
+    // same structural ceiling the self-join path salts. Here the salt
+    // is one-sided and cheaper than the pair-join's G² form: the
+    // corpus keeps one deterministic group per row, the (small) BATCH
+    // side replicates over all G groups, and the join adds _g to the
+    // key — each (corpus, batch) pair still meets exactly once, at the
+    // corpus row's group, so the output is invariant (spec'd) while
+    // every bucket's work spreads over G keys at the cost of G copies
+    // of the batch rows only.
+    val groups = if (saltGroups > 0) saltGroups
+                 else defaultSaltGroups(g.tables, g.bits)
     val bc = corpus.sparkSession.sparkContext.broadcast(
       Similarity.lshPlanes(g.tables, g.bits))
-    val c = Similarity.lshCodesWithVec(corpus, bc)
-    val b = Similarity.lshCodesWithVec(batch, bc)
-    c.as("c").join(b.hint("shuffle_hash").as("b"),
-        col("c.tid") === col("b.tid") && col("c.code") === col("b.code"))
+    val c0 = Similarity.lshCodesWithVec(corpus, bc)
+    val b0 = Similarity.lshCodesWithVec(batch, bc)
+    val (c, b, saltCond) =
+      if (groups <= 1) (c0.as("c"), b0.hint("shuffle_hash").as("b"), lit(true))
+      else (
+        c0.withColumn("_g",
+          pmod(xxhash64(col("vec_id")), lit(groups)).cast("int")).as("c"),
+        b0.withColumn("_g", explode(sequence(lit(0), lit(groups - 1))))
+          .hint("shuffle_hash").as("b"),
+        col("c._g") === col("b._g"))
+    c.join(b,
+        col("c.tid") === col("b.tid") && col("c.code") === col("b.code") &&
+        saltCond)
       .select(col("c.vec_id").as("corpus_id"), col("b.vec_id").as("batch_id"),
         round(graft.functions.CosineSimilarity.cosineSim(
           col("c.embedding"), col("b.embedding")), 6).as("cos_sim"))

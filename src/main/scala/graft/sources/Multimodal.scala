@@ -269,8 +269,14 @@ object Multimodal {
                          zero_crossings: Int, peak: Int)
 
   /** Deterministic sample synthesis shared with the oracle:
-    * s(i) = (unicode(text[(i mod L)+1]) − 96) · 256 — letters land
-    * positive, spaces negative, so zero crossings actually occur. */
+    * s(i) = (unicode(text[(i mod L)+1]) − 96) · 256, wrapped to 16
+    * bits — letters land positive, spaces negative, so zero crossings
+    * actually occur. The `.toShort` wraparound is mirrored EXACTLY by
+    * the oracle's ((v + 32768) % 65536) − 32768 (codepoints ≥ 224
+    * overflow a short; on such text an unwrapped oracle would silently
+    * diverge). Empty text is the CALLER's guard ([[audioFeaturesOn]]
+    * filters it) — there is no sample stream to synthesize from zero
+    * bytes. */
   private def sampleAt(text: String, i: Int): Short =
     ((text.charAt(i % text.length).toInt - 96) * 256).toShort
 
@@ -303,7 +309,10 @@ object Multimodal {
   def audioFeaturesOn(docs: DataFrame, winLen: Int = 64): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.as[(Long, String)]
+    // empty text has no byte stream to synthesize samples from — skip
+    // those docs on BOTH sides (the oracle filters length(text) > 0)
+    // instead of crashing the task on i % 0
+    docs.filter(length(col("text")) > 0).as[(Long, String)]
       .flatMap { case (id, text) =>
         val n = (id % 512 + 256).toInt
         val rate = (8000 + (id % 4) * 4000).toInt
@@ -343,7 +352,7 @@ object Multimodal {
         SELECT doc_id, text, length(text) AS L,
           CAST(doc_id % 512 + 256 AS INT) AS n,
           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
-        FROM documents),
+        FROM documents WHERE length(text) > 0),
       w AS (
         SELECT doc_id, text, L, n, rate,
           unnest(range(0, (n + 63) // 64)) AS win
@@ -352,7 +361,10 @@ object Multimodal {
         SELECT doc_id, rate, n, win,
           CAST(least((win + 1) * 64, n) - win * 64 AS INT) AS win_n,
           list_transform(range(win * 64, least((win + 1) * 64, n)),
-            i -> (unicode(text[CAST(i % L AS INT) + 1 : CAST(i % L AS INT) + 1]) - 96) * 256) AS s
+            -- ((v + 32768) % 65536) - 32768 == Scala's .toShort wrap
+            -- (v >= (0-96)*256 = -24576, so v + 32768 is never negative)
+            i -> (((unicode(text[CAST(i % L AS INT) + 1 : CAST(i % L AS INT) + 1]) - 96)
+                   * 256 + 32768) % 65536) - 32768) AS s
         FROM w)
       SELECT doc_id,
         rate AS sample_rate, n AS n_samples, CAST(win AS INT) AS win, win_n,

@@ -32,4 +32,39 @@ class CompactSpec extends SparkSpec {
     val r = Compact.compact(spark, s"$tmp/one", s"$tmp/out", 1L << 30)
     assert(r.filesIn == 1 && r.filesOut == 1)
   }
+
+  test("compacting a directory onto itself is rejected before any write") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact3").toString
+    Tables.events(spark, sf).coalesce(2).write.mode("overwrite")
+      .parquet(s"$tmp/d")
+    intercept[IllegalArgumentException] {
+      Compact.compact(spark, s"$tmp/d", s"$tmp/d")
+    }
+    // equivalent path spellings must also be caught — overwrite-before-
+    // read would destroy the input mid-job
+    intercept[IllegalArgumentException] {
+      Compact.compact(spark, s"$tmp/d", s"$tmp/./d")
+    }
+    // input untouched
+    assert(spark.read.parquet(s"$tmp/d").count() ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("partitioned input is sized from its recursive file listing") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact4").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/p")
+    val r = Compact.compact(spark, s"$tmp/p", s"$tmp/flat", 1L << 30)
+    // files live under day=... subdirectories — a non-recursive
+    // listing would report filesIn=0/bytesIn=0
+    assert(r.filesIn > 0 && r.bytesIn > 0, s"sizing missed nested files: $r")
+    assert(r.rows == Tables.events(spark, sf).count())
+    // partition column survives as a data column in the flat rewrite
+    val flat = spark.read.parquet(s"$tmp/flat")
+    assert(flat.columns.contains("day"))
+    assert(flat.select("day").distinct().count() ==
+      spark.read.parquet(s"$tmp/p").select("day").distinct().count())
+  }
 }

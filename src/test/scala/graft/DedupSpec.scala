@@ -231,5 +231,14 @@ class DedupSpec extends SparkSpec {
       s"incremental ${inc.size} pairs != cross-set slice ${full.size}")
     // and no batch-batch or corpus-corpus pair leaks in
     assert(inc.forall { case (c, b) => !isBatch(c) && isBatch(b) })
+    // the one-sided batch salt (coarse-geometry default) is output-
+    // invariant: each (corpus, batch) pair meets exactly once, at the
+    // corpus row's group
+    val unsalted = Dedup.dedupEmbIncremental(
+        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
+        saltGroups = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(unsalted == inc)
   }
 }

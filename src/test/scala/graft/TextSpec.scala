@@ -256,6 +256,28 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("audio features skip empty text and wrap high codepoints like the oracle") {
+    import spark.implicits._
+    // empty text: no byte stream to synthesize — skipped, not a crash;
+    // ÿ (0xff ≥ 224): (255-96)*256 = 40704 overflows a short — the
+    // sample must wrap to (40704+32768)%65536-32768 = -24832 exactly
+    // as the oracle's modular form computes it
+    val docs = Seq((0L, ""), (1L, "abc"), (2L, "ÿ"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.audioFeaturesOn(docs).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[Long]("doc_id") == 0L), "empty doc not skipped")
+    val hi = rows.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(hi.nonEmpty)
+    // every sample of doc 2 is -24832, so peak = 24832 per window and
+    // energy = win_n * 24832^2 — the wrapped value, not 40704
+    hi.foreach { r =>
+      assert(r.getAs[Int]("peak") == 24832, s"peak ${r.getAs[Int]("peak")}")
+      assert(r.getAs[Long]("energy") ==
+        r.getAs[Int]("win_n").toLong * 24832L * 24832L)
+    }
+  }
+
   test("ngram LM score matches a hand-computed bigram MLE") {
     import spark.implicits._
     // corpus bigrams: "a b" ×2 (doc1, doc2), "b a" ×1 (doc2)
