@@ -32,6 +32,10 @@ object Scale10 {
     t(s"minhash_${mult}x")(operators.Dedup.minhashCandidates(docs).count())
     t(s"simhash_${mult}x")(operators.Dedup.simhashNearDups(docs).count())
     t(s"spans_${mult}x")(operators.Dedup.dedupSpans(docs).count())
+    // excision adds the hit semi-join, the per-doc island window and
+    // the typed surgery on top of the spans scan — output is one row
+    // per doc, so cost must track the scan + the hit volume
+    t(s"spans_excise_${mult}x")(operators.Dedup.dedupSpansExcise(docs).count())
     // incremental (batch-vs-corpus) dedup: the corpus grows mult×,
     // the arriving batch stays the 5k base docs — cost must track
     // one corpus banding scan + the batch join, never a corpus

@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
     "dedup_emb_incremental" -> Dedup.dedupEmbIncremental _,
     "dedup_spans"         -> Dedup.dedupSpans _,
+    "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -584,6 +585,73 @@ object SparkEntry {
         MIN(doc_id) AS keeper_id
       FROM k GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY span_hash""",
+
+    // same 60-bit window hashes as dedup_spans, WITH offsets; islands
+    // coalesce overlapping/adjacent repeated windows (ends are
+    // offset+32, monotone, so lag(off) decides breaks); the surgery
+    // joins kept pieces with '~' — pieces via substr (never slicing,
+    // which misbehaves on empty ranges), tail piece at ord=2^31-1
+    "dedup_spans_excise" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      w AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS off, md5(text[i:i+31]) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS i
+              FROM docs WHERE length(text) >= 32)),
+      k AS (
+        SELECT doc_id, off,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', h[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS span_hash
+        FROM w),
+      rep AS (
+        SELECT span_hash FROM k
+        GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+      hit AS (SELECT doc_id, off FROM k JOIN rep USING (span_hash)),
+      fl AS (
+        SELECT doc_id, off,
+          CASE WHEN lag(off) OVER win IS NULL
+                 OR off > lag(off) OVER win + 32 THEN 1 ELSE 0 END AS brk
+        FROM hit WINDOW win AS (PARTITION BY doc_id ORDER BY off)),
+      isl AS (
+        SELECT doc_id, off,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        FROM fl),
+      iv AS (
+        SELECT doc_id, grp, MIN(off) AS s, MAX(off) + 32 AS e
+        FROM isl GROUP BY 1, 2),
+      pc AS (
+        SELECT doc_id, s, e,
+          COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        FROM iv),
+      parts AS (
+        SELECT p.doc_id, p.s AS ord, substr(d.text, CAST(p.pe + 1 AS INT),
+          CAST(p.s - p.pe AS INT)) AS piece
+        FROM pc p JOIN docs d USING (doc_id)
+        UNION ALL
+        SELECT t.doc_id, 2147483647 AS ord,
+          substr(d.text, CAST(t.le + 1 AS INT)) AS piece
+        FROM (SELECT doc_id, MAX(e) AS le FROM iv GROUP BY 1) t
+        JOIN docs d USING (doc_id)),
+      agg AS (
+        SELECT doc_id, string_agg(piece, '~' ORDER BY ord) AS excised_text
+        FROM parts GROUP BY doc_id),
+      rem AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_intervals,
+          CAST(SUM(e - s) AS INT) AS chars_removed
+        FROM iv GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(rem.n_intervals, 0) AS n_intervals,
+        COALESCE(rem.chars_removed, 0) AS chars_removed,
+        COALESCE(agg.excised_text, d.text) AS excised_text
+      FROM docs d
+      LEFT JOIN rem USING (doc_id)
+      LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "curate_neardup" -> s"""
       WITH RECURSIVE $minhashCtes,

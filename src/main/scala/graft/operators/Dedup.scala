@@ -169,22 +169,102 @@ object Dedup {
   def dedupSpans(s: SparkSession, d: String): DataFrame =
     dedupSpans(withPlants(Tables.documents(s, d)))
 
-  def dedupSpans(docs: DataFrame, spanLen: Int = 32): DataFrame = {
+  /** (doc_id, off, span_hash) rolling-window hashes WITH their
+    * offsets — the shared front-end of [[dedupSpans]] (which discards
+    * offsets at its aggregate) and [[dedupSpansExcise]] (which needs
+    * them for the interval surgery). One typed scan, no shuffle. */
+  private def spansWithOffsets(docs: DataFrame, spanLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         if (t.length < spanLen) Iterator.empty
         else (0 to t.length - spanLen).iterator
-          .map(i => (id, md5Hash60(t.substring(i, i + spanLen))))
+          .map(i => (id, i, md5Hash60(t.substring(i, i + spanLen))))
       }
-      .toDF("doc_id", "span_hash")
+      .toDF("doc_id", "off", "span_hash")
+  }
+
+  def dedupSpans(docs: DataFrame, spanLen: Int = 32): DataFrame = {
+    val spans = spansWithOffsets(docs, spanLen)
     spans.groupBy(col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
            count(lit(1)).as("n_occurrences"),
            min(col("doc_id")).as("keeper_id"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("span_hash"))
+  }
+
+  /** dedup_spans_excise: the REMOVAL half of span dedup — the
+    * remove-substring surgery real pipelines run on the [[dedupSpans]]
+    * detections (the C4/RefinedWeb boilerplate-excision step; cf. Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better"). Per doc: every offset whose `spanLen`-char window hash
+    * repeats ACROSS documents is marked, overlapping/adjacent marks
+    * coalesce into maximal intervals (gaps-and-islands — window ends
+    * are offset+spanLen, monotone in offset, so one lag per doc
+    * decides island breaks), and the intervals are cut out of the
+    * text, each replaced by one `marker` char.
+    *
+    * The marker seals the surgery: every seam carries it, so any
+    * marker-free window of the excised text is a window of the
+    * ORIGINAL text — and had it been a cross-doc repeat it would have
+    * been excised. Hence no detected span survives anywhere
+    * (spec'd: original repeated hashes ∩ excised window hashes = ∅).
+    *
+    * Scale shape: the detection is [[dedupSpans]]'s scan + one
+    * partial-agg shuffle; marking is a semi join on the span hash;
+    * islands are one window pass partitioned by doc_id (doc-count
+    * parallelism); surgery is a typed map over (text, interval list).
+    * Nothing touches the driver. */
+  def dedupSpansExcise(s: SparkSession, d: String): DataFrame =
+    dedupSpansExcise(withPlants(Tables.documents(s, d)))
+
+  def dedupSpansExcise(docs: DataFrame, spanLen: Int = 32,
+                       marker: String = "~"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = spansWithOffsets(docs, spanLen)
+    val repeated = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_hash"))
+    val hits = spans.join(repeated, Seq("span_hash"), "left_semi")
+      .select(col("doc_id"), col("off"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val prev = lag(col("off"), 1).over(byDoc)
+    val islands = hits
+      .withColumn("brk",
+        when(prev.isNull || col("off") > prev + spanLen, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+    val intervals = islands.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("off")).as("s"), (max(col("off")) + spanLen).as("e"))
+    val perDoc = intervals.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("s").as("_1"), col("e").as("_2")))).as("ivs"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id").as("_1"), col("text").as("_2"),
+        col("ivs").as("_3"))
+      .as[(Long, String, Option[Seq[(Int, Int)]])]
+      .map { case (id, text, ivsOpt) =>
+        val ivs = ivsOpt.getOrElse(Seq.empty)
+        // java.lang.StringBuilder: the (CharSequence, start, end)
+        // overload (scala's StringBuilder lacks it and would silently
+        // auto-tuple the arguments into one appended Tuple3 string)
+        val sb = new java.lang.StringBuilder
+        var pos = 0
+        ivs.foreach { case (st, en) =>
+          sb.append(text, pos, st).append(marker)
+          pos = en
+        }
+        sb.append(text, pos, text.length)
+        (id, ivs.length, ivs.iterator.map { case (st, en) => en - st }.sum,
+          sb.toString)
+      }
+      .toDF("doc_id", "n_intervals", "chars_removed", "excised_text")
+      .orderBy(col("doc_id"))
   }
 
   // ---- MinHash + LSH ----------------------------------------------------
@@ -229,6 +309,12 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** Test hook: the span-window key of a string (the [[md5Hash60]]
+    * value [[dedupSpans]]/[[dedupSpansExcise]] group on) — lets the
+    * excision spec recompute hashes of excised text outside this
+    * package. */
+  private[graft] def spanHashOf(s: String): Long = md5Hash60(s)
 
   /** First 15 md5 hex digits as a 60-bit value (60 divides evenly
     * into every supported banding geometry — 4×15, 5×12, 6×10 — and

@@ -172,6 +172,56 @@ class DedupSpec extends SparkSpec {
     assert(pairs == full)
   }
 
+  test("span excision removes exactly the shared block, coalesced maximally") {
+    import spark.implicits._
+    // two docs share ONLY the 40-char block X: its 9 repeated windows
+    // (offsets xs..xs+8) must coalesce into ONE maximal interval
+    // [xs, xs+40) — exactly X — and the surrounding unique text stays
+    val x = "SHARED-BOILERPLATE-0123456789-ABCDEF" + "QRST" // 40 chars
+    assert(x.length == 40)
+    // boundary chars deliberately DIFFER across docs (':' vs ';', '!'
+    // vs '?') — a shared boundary char would itself extend the
+    // repeated region by one window on each side
+    val p1 = "alpha beta gamma:"; val s1 = "!delta epsilon"
+    val p2 = "one two;"; val s2 = "?three four five six"
+    val docs = Seq((1L, p1 + x + s1), (2L, p2 + x + s2))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupSpansExcise(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("n_intervals") == 1)
+    assert(rows(1L).getAs[Int]("chars_removed") == 40)
+    assert(rows(1L).getAs[String]("excised_text") == p1 + "~" + s1)
+    assert(rows(2L).getAs[String]("excised_text") == p2 + "~" + s2)
+  }
+
+  test("excised corpus retains no detected cross-doc repeated span") {
+    import spark.implicits._
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val detected = Dedup.dedupSpans(docs).select("span_hash").collect()
+      .map(_.getLong(0)).toSet
+    assert(detected.nonEmpty)
+    val excised = Dedup.dedupSpansExcise(docs)
+    // every doc comes back exactly once
+    assert(excised.count() == docs.count())
+    // recompute ALL window hashes of the excised corpus: none of the
+    // originally-detected repeated spans may survive in ANY doc —
+    // marker-free windows are original-text windows (so detected ones
+    // were cut), and a seam window carries '~', which no original
+    // span contains (the corpus is marker-free, asserted below)
+    assert(docs.filter(org.apache.spark.sql.functions.col("text")
+      .contains("~")).count() == 0)
+    val survived = excised
+      .select(col("doc_id"), col("excised_text"))
+      .as[(Long, String)]
+      .flatMap { case (_, t) =>
+        if (t.length < 32) Iterator.empty
+        else (0 to t.length - 32).iterator.map(i => t.substring(i, i + 32)) }
+      .map(w => Dedup.spanHashOf(w))
+      .filter(h => detected.contains(h))
+      .count()
+    assert(survived == 0, s"$survived detected repeated spans survived excision")
+  }
+
   test("emb LSH score-in-join and rerank-join strategies are result-identical") {
     val e = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
