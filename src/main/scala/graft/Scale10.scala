@@ -283,6 +283,11 @@ object Scale10 {
     // SQ8: grid train is a dim-sized map-side-combined aggregate +
     // the same broadcast-query corpus pass as brute force
     t(s"annsq8_${mult}x")(operators.Similarity.annSq8(emb, 10, 5).count())
+    // the composed IVF×SQ8 probe over the replicated corpus: assign +
+    // quantize + nprobe/nlist candidate join — at 1× the sweep showed
+    // candFrac 0.50; the replicated corpus scales candidates linearly
+    t(s"annivfsq8_${mult}x")(operators.Similarity.annIvfSq8On(emb,
+      operators.Similarity.ivfCentroids(spark, d)).count())
     // sketches: counter tables are FIXED-size (4096 registers / 4x1024
     // counters / 256 buckets per group) — cost must track the input
     // scan, state never grows with the corpus

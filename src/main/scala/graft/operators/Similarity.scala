@@ -562,4 +562,180 @@ object Similarity {
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
     topKPerQuery(scored, k)
   }
+
+  // ---- IVF × SQ8 (the composed production index) -------------------------
+
+  /** ann_ivf_sq8: the composed production index — FAISS's
+    * IVF+SQ8 shape re-expressed relationally. The corpus lives
+    * bucketed by IVF coarse centroid AND stored as 1-byte/dim SQ8
+    * codes; a query probes its `nprobe` nearest buckets (at 100 TB a
+    * partition-pruned scan — see [[writeIvfSq8Partitioned]]) and
+    * reranks ASYMMETRICALLY: the query keeps full precision, only the
+    * corpus side pays quantization error (the FAISS default — better
+    * recall than the symmetric form at identical scan cost). Combined
+    * effect: the probe scan reads nprobe/nlist of the corpus at 1/4
+    * the bytes per vector — a ~8× I/O reduction at the default
+    * geometry vs the flat float32 scan.
+    *
+    * Both trained artifacts are oracle-replayable: centroids travel
+    * as SQL literals ([[annIvfOracleSql]]'s recipe) while the SQ8
+    * grid retrains in SQL (order-independent min/max — [[annSq8]]'s
+    * recipe); emitted by [[annIvfSq8OracleSql]] at Verify time. */
+  def annIvfSq8(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame =
+    annIvfSq8On(Tables.embeddings(s, d), ivfCentroids(s, d, nlist),
+      nQueries, k, nprobe)
+
+  /** [[annIvfSq8]] over an arbitrary embeddings frame with given
+    * centroids — the entry the Scale10 probe drives with replicated
+    * corpora (centroids are a property of the DATA geometry, so the
+    * 1× trained quantizer serves the replicated corpus too). */
+  def annIvfSq8On(emb: DataFrame, cents: Array[Array[Double]],
+                  nQueries: Int = 10, k: Int = 5,
+                  nprobe: Int = IvfNprobe): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val (mns, mxs) = sq8Grid(emb)
+    val bc = s.sparkContext.broadcast(cents)
+    // bucket assignment on the FULL-precision vector (write-side work
+    // at scale), storage = SQ8 codes; the dequantize is one per-row
+    // expression ahead of the join, so each corpus vector
+    // reconstructs once, not once per probing query
+    val bucketed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("neighbor_id", "bucket", "v0")
+      .select(col("neighbor_id"), col("bucket"),
+        sq8Dequant(sq8Codes(col("v0"), mns, mxs), mns, mxs).as("v"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    val cand = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    topKPerQuery(cand.select(col("query_id"), col("neighbor_id"),
+      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+  }
+
+  /** Write the corpus in the composed layout: bucket-partitioned
+    * directories ([[writeIvfPartitioned]]) of SQ8 code rows
+    * ([[writeSq8]]) — the stored form where a probe is a partition-
+    * pruned scan over 1-byte/dim codes. Returns the trained
+    * (centroids, grid) artifacts the probe side needs. */
+  def writeIvfSq8Partitioned(s: SparkSession, d: String, dir: String,
+                             nlist: Int = IvfNlist)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d, nlist)
+    val (mns, mxs) = sq8Grid(emb)
+    val bc = s.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("vec_id", "bucket", "embedding")
+      .select(col("vec_id"), col("bucket"),
+        sq8Codes(col("embedding"), mns, mxs).as("q"))
+      .as[(Long, Int, Array[Int])]
+      .map { case (id, b, q) => (id, b, q.map(x => (x - 128).toByte)) }
+      .toDF("vec_id", "bucket", "codes")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    (cents, mns, mxs)
+  }
+
+  /** ANN over the composed layout: probe the nprobe nearest centroid
+    * PARTITIONS (pushed-down `bucket IN (...)` — the scan never
+    * touches unprobed directories, ScaleTechniquesSpec asserts the
+    * PartitionFilters), dequantize the stored codes, rerank
+    * asymmetrically. Result-identical to [[annIvfSq8]] by
+    * construction (spec'd). */
+  def annIvfSq8Partitioned(s: SparkSession, dir: String,
+                           cents: Array[Array[Double]],
+                           mns: Array[Double], mxs: Array[Double],
+                           queries: DataFrame, k: Int = 5,
+                           nprobe: Int = IvfNprobe): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val corpus = s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+      .as[(Long, Int, Array[Byte])] // codes land as parquet BINARY
+      .map { case (id, b, codes) => (id, b, codes.map(x => x.toInt + 128)) }
+      .toDF("vec_id", "bucket", "q")
+      .select(col("vec_id"), col("bucket"),
+        sq8Dequant(col("q"), mns, mxs).as("v"))
+    val cand = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+    topKPerQuery(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+  }
+
+  /** DuckDB oracle for [[annIvfSq8]]: centroid literals + SQL-retrained
+    * SQ8 grid + asymmetric rerank. Data-dependent (the centroids), so
+    * emitted by [[graft.SparkEntry.oracleSqlFor]] at Verify time. */
+  def annIvfSq8OracleSql(s: SparkSession, d: String, nQueries: Int = 10,
+                         k: Int = 5, nlist: Int = IvfNlist,
+                         nprobe: Int = IvfNprobe): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""
+      WITH cents(cid, c) AS (VALUES
+        $centsSql),
+      idx AS (
+        SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+      stats AS (
+        SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, idx GROUP BY i),
+      grid AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+      dq AS (
+        SELECT vec_id,
+          list_transform(range(1, len(embedding) + 1),
+            i -> CASE WHEN mxs[i] > mns[i]
+                 THEN mns[i] + CAST(CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                        / (mxs[i] - mns[i])) AS INT) AS DOUBLE) * (mxs[i] - mns[i]) / 255.0
+                 ELSE mns[i] END) AS v
+        FROM embeddings, grid),
+      scoredc AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scoredc) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scoredc WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probes p
+          ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+      rer AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), ne.v), 6) AS cos_sim
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN dq ne ON ne.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 }

@@ -37,6 +37,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_sq8 recall@5 = $recall")
   }
 
+  test("composed IVF×SQ8 recall@5 vs brute force >= 0.8") {
+    // the composition can only lose what its parts lose: IVF probe
+    // misses (0.94 alone at nprobe=16) and SQ8 rank perturbation
+    // (0.96 alone) — measured ≈0.9 together on the isotropic corpus
+    val recall = (pairs(Similarity.annIvfSq8(spark, sf01)) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ann_ivf_sq8 recall@5 = $recall")
+  }
+
   private def ppairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
 

@@ -77,6 +77,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(part.collect().map(_.toSeq).toSet == viaFilter)
   }
 
+  test("IVF×SQ8 partitioned code layout prunes to probed buckets, matches inline") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    val (cents, mns, mxs) = Similarity.writeIvfSq8Partitioned(spark, sf, dir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+    val part = Similarity.annIvfSq8Partitioned(spark, dir, cents, mns, mxs, queries)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe not pruned at the partitioned code scan:\n${plan.take(800)}")
+    // the stored-code path must reproduce the inline quantize exactly
+    val inline = Similarity.annIvfSq8(spark, sf).collect().map(_.toSeq).toSet
+    assert(part.collect().map(_.toSeq).toSet == inline)
+    // and the code layout is materially smaller than the float32 one:
+    // 1 byte/dim + parquet overhead vs 4 bytes/dim
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length else 0L)
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val floatDir = java.nio.file.Files.createTempDirectory("ivff32").toString
+    Similarity.writeIvfPartitioned(spark, sf, floatDir)
+    assert(bytesUnder(dir) < bytesUnder(floatDir) / 2,
+      s"codes ${bytesUnder(dir)}B not < half of float32 ${bytesUnder(floatDir)}B")
+  }
+
   test("bucketed tables join without an exchange") {
     // the in-memory catalog is fresh per JVM but the warehouse dir
     // persists — clear stale table locations from previous runs
