@@ -45,6 +45,26 @@ object Scale10 {
         .withColumn("doc_id", col("doc_id") + 900000000L)
       operators.Dedup.dedupIncremental(docs, batch).count()
     }
+    // the maintained-artifact loop: the corpus (mult×) is banded and
+    // persisted ONCE; each subsequent day bands only its 5k-doc batch
+    // and joins the stored index — per-day cost must track the batch
+    // + the index scan, and stay flat as days accumulate
+    locally {
+      val idxDir = s"/tmp/scale_bandindex_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"band_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        operators.Dedup.writeBandIndex(docs, idxDir)
+        spark.read.parquet(idxDir).count()
+      }
+      for (day <- 1 to 2)
+        t(s"band_index_day${day}_${mult}x") {
+          val batch = Tables.documents(spark, d)
+            .withColumn("doc_id", col("doc_id") + lit(900000000L * day))
+          operators.Dedup.dedupIncrementalStep(spark, idxDir, batch).count()
+        }
+    }
     // bucket-occupancy probe: candidate pairs BEFORE the hamming
     // filter per banding geometry — wider keys trade index rows for
     // exponentially larger key space (fewer junk candidates)

@@ -404,6 +404,47 @@ object Dedup {
       .distinct()
       .orderBy(col("corpus_id"), col("batch_id"))
 
+  // ---- Maintained band-index artifact (the daily incremental loop) ------
+
+  /** Persist the corpus's minhash band index — the write-once artifact
+    * [[dedupIncremental]]'s design assumes, made real: at 100 TB the
+    * standing corpus is banded exactly once, the index (doc_id, band,
+    * sig — a few hundred bytes per doc, orders of magnitude smaller
+    * than the text) lives as parquet, and every arriving batch joins
+    * it without ever re-scanning corpus text. At scale the index is
+    * written bucketed by (band, sig) ([[graft.sources.Bucketed]]) so
+    * the daily probe join is co-located. */
+  def writeBandIndex(docs: DataFrame, dir: String): Unit =
+    minhashBands(docs).write.mode("overwrite").parquet(dir)
+
+  /** One day of the production loop (the cadence of the reference's
+    * daily batch runs): band the arriving batch ONCE, detect its
+    * near-dups against the maintained index, then append the batch's
+    * bands so tomorrow's batch sees today's docs. Detection is
+    * materialized BEFORE the append (a lazy plan would re-list the
+    * index after the write and report every batch doc as its own
+    * duplicate). Per-day cost tracks the day's batch + the index
+    * scan — the corpus text is never touched again.
+    *
+    * Loop invariant (spec'd in DedupSpec): running day-1 then day-2
+    * against the maintained artifact yields exactly the one-shot
+    * [[minhashCandidates]] pairs of corpus ∪ batch₁ ∪ batch₂ sliced
+    * to cross-arrival pairs — nothing is lost or invented by
+    * maintaining the index incrementally. (Batch-INTERNAL pairs are
+    * the streaming detectors' job, exactly as in [[dedupIncremental]].) */
+  def dedupIncrementalStep(s: SparkSession, indexDir: String,
+                           batch: DataFrame): DataFrame = {
+    val bands = minhashBands(batch).localCheckpoint()
+    val hits = s.read.parquet(indexDir).as("c")
+      .join(bands.hint("shuffle_hash").as("b"),
+        col("c.band") === col("b.band") && col("c.sig") === col("b.sig"))
+      .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("batch_id"))
+      .distinct()
+      .localCheckpoint() // eager: detect strictly before the append
+    bands.write.mode("append").parquet(indexDir)
+    hits.orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   private[operators] val SimhashBits = 60 // divides into 4/5/6 equal chunks

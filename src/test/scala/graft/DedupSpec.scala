@@ -172,6 +172,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs == full)
   }
 
+  test("maintained band index: daily steps equal the one-shot cross-arrival pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("bandindex").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    // day 1 batch: copies of corpus docs 0-2; day 2 batch: a copy of
+    // corpus doc 3 AND a copy of DAY-1 doc 1001 — the latter is only
+    // detectable if day 1's append actually reached the artifact
+    val b1 = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val b2 = base.filter(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + 2000)
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 2001))
+    Dedup.writeBandIndex(base, dir)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    val day1 = pairsOf(Dedup.dedupIncrementalStep(spark, dir, b1))
+    val day2 = pairsOf(Dedup.dedupIncrementalStep(spark, dir, b2))
+    // exact copies must hit their originals each day
+    assert(Set((0L, 1000L), (1L, 1001L), (2L, 1002L)).subsetOf(day1))
+    assert(Set((3L, 2003L), (1L, 2002L)).subsetOf(day2))
+    // the appended day-1 docs are part of day 2's standing corpus
+    assert(day2.contains((1001L, 2002L)),
+      "day-2 batch did not see the day-1 docs appended to the artifact")
+    // loop invariant: the union of daily detections == the one-shot
+    // candidate pairs over corpus ∪ b1 ∪ b2, sliced to CROSS-arrival
+    // pairs (ids here increase with arrival, so d1 < d2 orients them)
+    val arrival = (id: Long) => if (id < 1000) 0 else if (id < 2000) 1 else 2
+    val oneShot = Dedup.minhashCandidates(
+        base.unionByName(b1).unionByName(b2)).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .filter { case (u, v) => arrival(u) != arrival(v) }.toSet
+    assert((day1 ++ day2) == oneShot,
+      s"loop ${day1.size}+${day2.size} pairs != one-shot ${oneShot.size}")
+  }
+
   test("span excision removes exactly the shared block, coalesced maximally") {
     import spark.implicits._
     // two docs share ONLY the 40-char block X: its 9 repeated windows
