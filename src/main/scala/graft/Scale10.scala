@@ -172,6 +172,27 @@ object Scale10 {
         .groupBy(col("user_id")).agg(sum(col("ns")).as("n_sessions"))
         .count()
     }
+    // the range-sorted (key, ts) layout vs an unsorted write: a keyed
+    // time-range probe over mult× events must read a small fraction
+    // of the sorted layout's row groups (the composite-index analog)
+    locally {
+      val sortedDir = s"/tmp/scale_rangesorted_$mult"
+      val plainDir = s"/tmp/scale_rangeplain_$mult"
+      t(s"range_write_${mult}x") {
+        sources.Bucketed.writeRangeSorted(ev, sortedDir, "user_id", "ts",
+          numFiles = 32, rowGroupBytes = 1 << 20)
+        ev.repartition(32).write.mode("overwrite")
+          .option("parquet.block.size", 1 << 20).parquet(plainDir)
+        ev.count()
+      }
+      def probe(dir: String): Long = spark.read.parquet(dir)
+        .filter(col("user_id") === 5 &&
+          col("ts") >= lit("2024-01-02").cast("timestamp") &&
+          col("ts") < lit("2024-01-05").cast("timestamp"))
+        .agg(count(lit(1)), sum(col("value"))).collect().head.getLong(0)
+      t(s"range_probe_sorted_${mult}x")(probe(sortedDir))
+      t(s"range_probe_plain_${mult}x")(probe(plainDir))
+    }
     // event analytics: funnel/anomaly are conditional-agg + broadcast
     // shapes, retention one broadcast join, ewma one user-window pass
     t(s"funnel_${mult}x") {

@@ -63,6 +63,46 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("range-sorted layout skips row groups on (key, time-range) probes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sf0.01 (10k events): enough rows that files hold several 16 KB
+    // row groups — the sf0.001 table is one granule per file
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val sortedDir = java.nio.file.Files.createTempDirectory("evsorted").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("evplain").toString
+    // tiny row groups so the small test table yields many skipping
+    // granules; same granule size for the unsorted baseline
+    Bucketed.writeRangeSorted(ev, sortedDir, "user_id", "ts",
+      numFiles = 8, rowGroupBytes = 16 * 1024)
+    ev.repartition(8).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(plainDir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    def probe(dir: String) = spark.read.parquet(dir)
+      .filter(col("user_id") === 5 && col("ts") >= lo && col("ts") < hi)
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scan.nonEmpty, "no FileSourceScanExec in the probe plan")
+      scan.map(_.metrics("numOutputRows").value).sum
+    }
+    // identical answers from both layouts
+    val a = probe(sortedDir).collect().map(_.toSeq).toSet
+    val b = probe(plainDir).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // the filters reach the scan…
+    val plan = probe(sortedDir).queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(user_id,5)"),
+      s"probe filters not pushed:\n${plan.take(600)}")
+    // …and the sorted layout's tight stats make the reader emit a
+    // small fraction of what the unsorted layout decodes
+    val sortedRows = scanRows(probe(sortedDir))
+    val plainRows = scanRows(probe(plainDir))
+    assert(sortedRows * 5 <= plainRows,
+      s"no data skipping: sorted scan emitted $sortedRows vs plain $plainRows")
+  }
+
   test("IVF-partitioned corpus prunes to the probed buckets and matches annIvf") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("ivfpart").toString
