@@ -301,6 +301,12 @@ object Scale10 {
         .withColumn("vec_id", col("vec_id") + 900000000L)
       operators.Dedup.dedupEmbIncremental(emb, batch).count()
     }
+    // image perceptual hash: per-doc BMP synth + ImageIO decode +
+    // dHash + banding join — decode cost tracks docs, pair join
+    // tracks collisions (replicas are exact image dups by id ≡ 0 mod
+    // 48 construction only when aligned — here mostly hash-random)
+    t(s"phash_${mult}x")(sources.Multimodal.phashDups(
+      docs.select(col("doc_id"), col("text"))).count())
     // audio decode: per-doc WAV synth + javax.sound parse + windowed
     // features — embarrassingly parallel, cost tracks docs
     t(s"audio_${mult}x")(

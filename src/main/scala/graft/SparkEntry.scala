@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_emb_incremental" -> Dedup.dedupEmbIncremental _,
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
+    "dedup_phash"         -> ((s, d) => Multimodal.phashDups(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -767,6 +768,43 @@ object SparkEntry {
       pairs AS (
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
           x.simhash AS sx, y.simhash AS sy
+        FROM chunks x JOIN chunks y
+          ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(sx, sy)) AS INT) AS hamming
+      FROM pairs WHERE bit_count(xor(sx, sy)) <= 3
+      ORDER BY d1, d2""",
+
+    // the decoded plane (pixel (x,y) = text byte (y*w+x) mod L — the
+    // multimodal_meta recipe), 11×6 nearest-neighbor downscale and
+    // horizontal-gradient bits are all integer arithmetic; banding
+    // replayed as the 4×15 pigeonhole (same exact final pair set as
+    // the Spark side's C(6,3) — banding geometries are result-equal)
+    "dedup_phash" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 96000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 96000, substr(text, 1, length(text) - 1) || 'q'
+          FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+      d AS (
+        SELECT doc_id, text, length(text) AS L,
+          CAST(doc_id % 16 + 4 AS INT) AS w,
+          CAST(doc_id % 12 + 4 AS INT) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN
+            unicode(text[CAST((((j // 10) * h // 6) * w + ((j % 10) + 1) * w // 11) % L AS INT) + 1
+                         : CAST((((j // 10) * h // 6) * w + ((j % 10) + 1) * w // 11) % L AS INT) + 1])
+            > unicode(text[CAST((((j // 10) * h // 6) * w + (j % 10) * w // 11) % L AS INT) + 1
+                           : CAST((((j // 10) * h // 6) * w + (j % 10) * w // 11) % L AS INT) + 1])
+            THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+        FROM d CROSS JOIN range(0, 60) r(j) GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, phash, ci, (phash >> CAST(ci * 15 AS INT)) & 32767 AS cv
+        FROM sig CROSS JOIN range(0, 4) c(ci)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+          x.phash AS sx, y.phash AS sy
         FROM chunks x JOIN chunks y
           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
       SELECT d1, d2, CAST(bit_count(xor(sx, sy)) AS INT) AS hamming

@@ -506,28 +506,38 @@ object Dedup {
     * the Scale10 occupancy probe can measure candidate volume per
     * (maxHamming, numChunks) geometry. */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
-                        numChunks: Int = 6): DataFrame = {
+                        numChunks: Int = 6): DataFrame =
+    bandedHammingCandidates(simhashSignatures(docs), "simhash",
+      maxHamming, numChunks)
+
+  /** The Manku banding join over ANY (doc_id, <hashCol>) 60-bit
+    * signature frame — shared by the text simhash and the image
+    * perceptual hash ([[graft.sources.Multimodal.phashDups]]): the
+    * hamming-ball guarantee is a property of the banding, not of how
+    * the signature was computed. */
+  private[graft] def bandedHammingCandidates(sig: DataFrame, hashCol: String,
+                                             maxHamming: Int,
+                                             numChunks: Int): DataFrame = {
     require(SimhashBits % numChunks == 0, s"numChunks must divide $SimhashBits")
     require(numChunks > maxHamming, "need more chunks than the hamming budget")
     val width = SimhashBits / numChunks
     val mask = (1L << width) - 1
-    val sig = simhashSignatures(docs)
     // every (numChunks - maxHamming)-subset of chunks is a compound key
     val keys = (0 until numChunks).combinations(numChunks - maxHamming)
       .toSeq.zipWithIndex.map { case (combo, comboId) =>
         val key = combo.foldLeft(lit(0L)) { (acc, ci) =>
           shiftleft(acc, width).bitwiseOR(
-            shiftrightunsigned(col("simhash"), ci * width).bitwiseAND(lit(mask)))
+            shiftrightunsigned(col(hashCol), ci * width).bitwiseAND(lit(mask)))
         }
         struct(lit(comboId).as("ci"), key.as("cv"))
       }
-    val idx = sig.select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+    val idx = sig.select(col("doc_id"), col(hashCol), explode(array(keys: _*)).as("c"))
+      .select(col("doc_id"), col(hashCol), col("c.ci"), col("c.cv"))
     idx.as("x").join(idx.hint("shuffle_hash").as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
       .distinct()
   }
 

@@ -257,6 +257,93 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ---- image perceptual-hash near-dup (dedup_phash) ----------------------
+
+  /** Image plants for [[phashDups]] (the [[graft.operators.Dedup
+    * .withPlants]] construction moved to image space): ids shift by
+    * 96000 — divisible by BOTH 16 and 12, so the planted copy decodes
+    * at the SAME dimensions as its original (any other offset changes
+    * the plane geometry and the hashes diverge entirely). Docs 0-24
+    * replant their payload verbatim (identical image ⇒ hamming 0);
+    * docs 25-49 replant with the LAST CHAR swapped — the decoded
+    * plane changes only at indices ≡ L−1 (mod L), a handful of
+    * pixels, so the dHash lands within a few bits of the original
+    * (the image near-dup case). */
+  def withPhashPlants(docs: DataFrame): DataFrame = {
+    val exact = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 96000)
+    val near = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 96000)
+      .withColumn("text",
+        concat(col("text").substr(lit(1), length(col("text")) - 1), lit("q")))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  /** 60-bit dHash of a decoded image: nearest-neighbor downscale to
+    * an 11×6 grid (the [[nearestNeighborThumb]] index mapping), one
+    * horizontal-gradient bit per adjacent pair — 10 bits × 6 rows.
+    * 60 bits (not the classic 64) so the signature drops into the
+    * existing Manku banding machinery and the oracle's exact 2^j
+    * BIGINT arithmetic (bit 63 would overflow DuckDB's power). */
+  private[graft] def dHash60(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var sig = 0L
+    var y = 0
+    while (y < 6) {
+      val sy = y * h / 6
+      var x = 0
+      while (x < 10) {
+        val p1 = img.getRGB(x * w / 11, sy) & 0xff
+        val p2 = img.getRGB((x + 1) * w / 11, sy) & 0xff
+        if (p2 > p1) sig |= (1L << (y * 10 + x))
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** (doc_id, phash) signatures: REAL decode (payload → BMP → ImageIO,
+    * one reader per partition) then [[dHash60]] — one typed
+    * shuffle-free pass, embarrassingly parallel. */
+  def phashSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val dec = new BmpDecoder
+        it.map { case (id, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          require(payload.nonEmpty, s"doc $id: empty media payload")
+          val (w, h) = imgDims(id)
+          val bytes = bmpBytes(payload, w, h)
+          (id, dHash60(dec.decode(bytes, 0, bytes.length)))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** dedup_phash: image NEAR-duplicate pairs — the multimodal analog
+    * of text simhash (and the pipeline step image corpora run instead
+    * of shingle dedup): decoded planes hash to [[dHash60]], and pairs
+    * within hamming ≤ `maxHamming` surface through the exact Manku
+    * banding ([[graft.operators.Dedup.bandedHammingCandidates]] — an
+    * equi-join on compound chunk keys, never all-pairs). A recompressed
+    * or slightly-retouched image moves a few gradient bits; a
+    * different image moves ~half of them. The oracle recomputes
+    * plane → downscale → gradient → banding in pure integer SQL. */
+  def phashDups(s: SparkSession, d: String): DataFrame =
+    phashDups(withPhashPlants(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  def phashDups(docs: DataFrame, maxHamming: Int = 3,
+                numChunks: Int = 6): DataFrame =
+    graft.operators.Dedup
+      .bandedHammingCandidates(phashSignatures(docs), "phash",
+        maxHamming, numChunks)
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+
   // ---- audio ------------------------------------------------------------
 
   /** One analysis window of a decoded audio record: sample_rate and

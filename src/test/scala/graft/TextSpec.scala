@@ -256,6 +256,31 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("image phash: exact replant collides at hamming 0, near plant within radius") {
+    import org.apache.spark.sql.functions._
+    val docs = Multimodal.withPhashPlants(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val pairs = Multimodal.phashDups(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Int]("hamming")).toMap
+    // identical payload + 96000-aligned id shift ⇒ identical decoded
+    // image ⇒ hamming 0, for every exact plant
+    (0L until 25L).foreach { i =>
+      assert(pairs.get((i, i + 96000)).contains(0), s"exact plant $i missed")
+    }
+    // reported hamming equals the direct signature distance
+    val sigs = Multimodal.phashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    pairs.foreach { case ((a, b), hm) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == hm)
+      assert(hm <= 3)
+    }
+    // the last-char swap moves only plane pixels ≡ L−1 (mod L): at
+    // least some near plants stay within the banding radius
+    assert((25L until 50L).exists(i => pairs.contains((i, i + 96000))),
+      "no near-image plant within hamming 3")
+  }
+
   test("audio features skip empty text and wrap high codepoints like the oracle") {
     import spark.implicits._
     // empty text: no byte stream to synthesize — skipped, not a crash;
