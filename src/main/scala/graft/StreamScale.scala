@@ -204,6 +204,41 @@ object StreamScale {
         f"stateBound=$bound batchMs_mean=${trig.sum / math.max(1, trig.size)} " +
         s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
     }
+
+    // ---- streamingAnnIvf: stream-static probe of the sf0.1 corpus --
+    // state-FREE serving path: throughput is the number the operator
+    // exists for (queries/s against a standing partitioned corpus);
+    // queries replay the corpus vectors with shifted ids
+    locally {
+      val d = "/root/testdata/sf0.1"
+      val ivfDir = "/tmp/streamscale_ivf"
+      val cents = graft.operators.Similarity.writeIvfPartitioned(spark, d, ivfDir)
+      val corpus = spark.read.parquet(ivfDir)
+      val qVecs = graft.Tables.embeddings(spark, d)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val nq = math.min(mult * 100L, qVecs.length.toLong).toInt
+      val input = MemoryStream[EventStream.QueryVec]
+      var emitted = 0L
+      val q = EventStream.streamingAnnIvfTopK(input.toDS(), corpus, cents) {
+        topk => emitted += topk.count()
+      }
+      val t0 = System.nanoTime()
+      val qBatches = 10
+      (0 until qBatches).foreach { b =>
+        val rows = (0 until nq / qBatches).map { j =>
+          val (id, v) = qVecs((b * (nq / qBatches) + j) % qVecs.length)
+          EventStream.QueryVec(id + 1000000L * (b + 1), v)
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      println(f"SCALE stream_ann_ivf_${mult}x queries=$nq time=$sec%.1fs " +
+        f"qps=${nq / sec}%.1f topkRows=$emitted")
+    }
     spark.stop()
   }
 }

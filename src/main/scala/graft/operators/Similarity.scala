@@ -36,7 +36,7 @@ object Similarity {
     * bounded buffers, map-side partial top-k, no per-group sort (the
     * window/row_number alternative sorts each query's whole candidate
     * list before discarding all but k). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
@@ -109,7 +109,7 @@ object Similarity {
     best
   }
 
-  private def topCentroids(cents: Array[Array[Double]], v: Array[Float],
+  private[graft] def topCentroids(cents: Array[Array[Double]], v: Array[Float],
                            nprobe: Int): Seq[Int] =
     cents.indices.map { i =>
       var dot = 0.0; var j = 0

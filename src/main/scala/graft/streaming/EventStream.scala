@@ -565,6 +565,65 @@ object EventStream {
       }
   }
 
+  // ---- streaming semantic search (stream-static IVF probe) ---------------
+
+  case class QueryVec(query_id: Long, embedding: Array[Float])
+
+  /** Streaming semantic search: arriving query vectors probe a
+    * STANDING IVF corpus — the serving half of the ANN family
+    * ([[graft.operators.Similarity.annIvf]] is the batch form, this
+    * is the online form). Each arrival fans out to its `nprobe`
+    * nearest coarse centroids (broadcast centroids, stateless
+    * flatMap) and stream-static-joins the (vec_id, bucket, embedding)
+    * corpus on the bucket key, scoring candidates in-join with the
+    * native cosine. Completely STATE-FREE: the corpus is the static
+    * side (at 100 TB stored bucketed by `bucket` —
+    * [[graft.operators.Similarity.writeIvfPartitioned]]'s layout — so
+    * the per-batch join co-locates against the standing files and the
+    * stream side is only batch-sized), and no watermark or group
+    * state is needed because a query's candidates are complete within
+    * its arrival batch. */
+  def streamingAnnIvf(queries: Dataset[QueryVec], corpus: DataFrame,
+                      cents: Array[Array[Double]],
+                      nprobe: Int = graft.operators.Similarity.IvfNprobe): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries
+      .flatMap { q =>
+        graft.operators.Similarity.topCentroids(bc.value, q.embedding, nprobe)
+          .iterator.map(b => (q.query_id, b, q.embedding)) }
+      .toDF("query_id", "bucket", "qv")
+    probes.join(
+        corpus.select(col("vec_id").as("neighbor_id"), col("bucket"),
+          col("embedding").as("v")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("qv"), col("v")), 6).as("cos_sim"))
+  }
+
+  /** [[streamingAnnIvf]] with exact per-query top-k, delivered through
+    * `foreachBatch`: under a stream-static join a query's ENTIRE
+    * candidate set materializes in its arrival micro-batch, so the
+    * per-batch bounded top-k ([[graft.operators.Similarity]]'s TopK
+    * aggregator) IS the global answer for that query — no cross-batch
+    * state, Update/Append semantics don't arise. Parity with the
+    * batch [[graft.operators.Similarity.annIvf]] on a two-batch split
+    * is spec'd in StreamingSpec. */
+  def streamingAnnIvfTopK(queries: Dataset[QueryVec], corpus: DataFrame,
+                          cents: Array[Array[Double]], k: Int = 5,
+                          nprobe: Int = graft.operators.Similarity.IvfNprobe)(
+                          writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingAnnIvf(queries, corpus, cents, nprobe)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(graft.operators.Similarity.topKPerQuery(batch, k))
+      }
+      .start()
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

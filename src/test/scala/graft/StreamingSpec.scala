@@ -153,6 +153,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("novelhash1" -> 900001L, "novelhash2" -> 900002L))
   }
 
+  test("streaming IVF search matches the batch annIvf on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    // the standing corpus = the bucket-partitioned IVF layout (the
+    // serving shape); centroids are the same trained artifact the
+    // batch query uses
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, dir)
+    val corpus = spark.read.parquet(dir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingAnnIvfTopK(input.toDS(), corpus, cents) {
+      topk => results ++= topk.collect().map(_.toSeq)
+    }
+    // a query's candidates are complete within its arrival batch, so
+    // the split must not change any answer
+    input.addData(queries.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(queries.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Similarity.annIvf(spark, sf).collect().map(_.toSeq).toSet
+    assert(results.nonEmpty)
+    assert(results.toSet == batch,
+      s"streaming ${results.size} rows != batch ${batch.size}")
+  }
+
   test("streaming HLL estimate equals the batch sketch on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
