@@ -422,9 +422,24 @@ object Bpe {
     * engines. */
   def bpeTokenCount(s: SparkSession, d: String,
                     numMerges: Int = SegMerges): DataFrame = {
-    import s.implicits._
     val merges = trainedMerges(s, d, numMerges)
-    val words = graft.Tables.documents(s, d)
+    docTokenCounts(graft.Tables.documents(s, d), merges)
+      .select(col("doc_id"), col("n_tokens").as("bpe_tokens"), col("words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, n_tokens, words) under a PRECOMPUTED merge artifact —
+    * the reusable core of [[bpeTokenCount]], and the budget producer
+    * [[graft.Pipeline]] plugs into packing when a tokenizer artifact
+    * is supplied (whitespace word counts under- or over-state BPE
+    * sequence length; a training loader packs by what the tokenizer
+    * will actually emit). Same scale shape: encode once per DISTINCT
+    * word, broadcast back. */
+  def docTokenCounts(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("word"))
       .filter(col("word").rlike(SegWordRe))
@@ -433,9 +448,8 @@ object Bpe {
       .toDF("word", "w_tokens")
     words.join(broadcast(wordTokens), "word")
       .groupBy(col("doc_id"))
-      .agg(sum(col("w_tokens")).as("bpe_tokens"),
+      .agg(sum(col("w_tokens")).as("n_tokens"),
         count(org.apache.spark.sql.functions.lit(1)).as("words"))
-      .orderBy(col("doc_id"))
   }
 
   def bpeTokenCountOracleSql(s: SparkSession, d: String,

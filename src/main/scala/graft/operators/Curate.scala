@@ -91,12 +91,27 @@ object Curate {
     packSequences(Tables.documents(s, d), cap, shardSize)
 
   /** (lang, doc_id, n_tokens, cum_before): the distributed prefix sum
-    * shared by [[packSequences]] and [[packSegments]]. */
-  private def cumBefore(docsIn: DataFrame, shardSize: Long): DataFrame = {
+    * shared by [[packSequences]] and [[packSegments]].
+    *
+    * `tokenCounts`: optional PRECOMPUTED per-doc budget (doc_id,
+    * n_tokens) — e.g. real-tokenizer counts from
+    * [[graft.functions.Bpe.docTokenCounts]] — replacing the default
+    * whitespace count; docs absent from it pack as 0 tokens (they
+    * emit no segments). */
+  private def cumBefore(docsIn: DataFrame, shardSize: Long,
+                        tokenCounts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(graft.functions.TextFunctions.tokens(col("text")))
-    val docs = docsIn
-      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
+    val base = tokenCounts match {
+      case Some(tc) => docsIn.join(
+          tc.select(col("doc_id"), col("n_tokens").as("_tc")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("_tc"), lit(0L)).cast("long").as("n_tokens"))
+      case None => docsIn
+        .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
+    }
+    val docs = base
       .withColumn("shard", expr(s"doc_id div $shardSize"))
     val shardTotals = docs.groupBy(col("lang"), col("shard"))
       .agg(sum(col("n_tokens")).as("shard_tokens"))
@@ -143,7 +158,14 @@ object Curate {
     packSegments(Tables.documents(s, d), cap, shardSize)
 
   def packSegments(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame =
-    cumBefore(docsIn, shardSize)
+    packSegments(docsIn, cap, shardSize, None)
+
+  /** [[packSegments]] over an optional precomputed token budget (see
+    * [[cumBefore]]) — the entry [[graft.Pipeline]] uses when a BPE
+    * merge artifact supplies real-tokenizer counts. */
+  def packSegments(docsIn: DataFrame, cap: Int, shardSize: Long,
+                   tokenCounts: Option[DataFrame]): DataFrame =
+    cumBefore(docsIn, shardSize, tokenCounts)
       .filter(col("n_tokens") > 0)
       .withColumn("bin_id", explode(sequence(
         expr(s"cum_before div $cap"),

@@ -100,6 +100,51 @@ class PipelineSpec extends SparkSpec {
       s"gated kept ${kept(outB).size} != baseline ${keptBase.size} minus ${over.size}")
   }
 
+  test("artifact-fed LM gate reproduces the self-trained run exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val outA = java.nio.file.Files.createTempDirectory("graft-lma").toString
+    val outB = java.nio.file.Files.createTempDirectory("graft-lmb").toString
+    // run 1 trains the LM on its cleaned corpus AND persists it
+    val a = Pipeline.curateAndPack(spark, docs, outA, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = Some(30.0))
+    assert(new java.io.File(s"$outA/lm_model").exists, "artifact not written")
+    // run 2 feeds run 1's artifact back — the daily production shape
+    val artifact = (spark.read.parquet(s"$outA/lm_model"),
+      spark.read.parquet(s"$outA/lm_ctx"))
+    val b = Pipeline.curateAndPack(spark, docs, outB, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = Some(30.0),
+      lmArtifact = Some(artifact))
+    assert(a == b, s"reports differ: $a vs $b")
+    def kept(dir: String): Set[Long] = spark.read.parquet(s"$dir/segments")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept(outA) == kept(outB))
+    // and no artifact is (re)written by the artifact-fed run
+    assert(!new java.io.File(s"$outB/lm_model").exists)
+  }
+
+  test("tokenizer-artifact packing budgets segments by real BPE counts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // a tiny merge artifact is enough — the point is the budget path
+    val merges = graft.functions.Bpe.trainMerges(
+      graft.functions.Bpe.wordVocab(docs), 30)
+    val r = Pipeline.curateAndPack(spark, docs, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      bpeMerges = Some(merges))
+    assert(r.segments > 0)
+    val segs = spark.read.parquet(s"$out/segments")
+    // total packed budget == the tokenizer's count over the packed docs
+    val packedIds = segs.select("doc_id").distinct().as[Long].collect().toSet
+    val expected = graft.functions.Bpe.docTokenCounts(
+        docs.join(packedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        merges)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val got = segs.agg(sum("seg_len")).collect().head.getLong(0)
+    assert(got == expected, s"packed $got tokens != tokenizer count $expected")
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the
