@@ -185,11 +185,19 @@ object Scale10 {
           .option("parquet.block.size", 1 << 20).parquet(plainDir)
         ev.count()
       }
-      def probe(dir: String): Long = spark.read.parquet(dir)
-        .filter(col("user_id") === 5 &&
-          col("ts") >= lit("2024-01-02").cast("timestamp") &&
-          col("ts") < lit("2024-01-05").cast("timestamp"))
-        .agg(count(lit(1)), sum(col("value"))).collect().head.getLong(0)
+      // wall time at this scale is fixed-cost dominated; the scale
+      // signal is rows EMITTED by the scan (row groups the reader
+      // could not skip) — print it alongside
+      def probe(dir: String): Long = {
+        val df = spark.read.parquet(dir)
+          .filter(col("user_id") === 5 &&
+            col("ts") >= lit("2024-01-02").cast("timestamp") &&
+            col("ts") < lit("2024-01-05").cast("timestamp"))
+        df.collect() // filter-only plan: no exchange, no AQE wrapper
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value }.sum
+      }
       t(s"range_probe_sorted_${mult}x")(probe(sortedDir))
       t(s"range_probe_plain_${mult}x")(probe(plainDir))
     }
