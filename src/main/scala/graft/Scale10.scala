@@ -188,18 +188,31 @@ object Scale10 {
       // wall time at this scale is fixed-cost dominated; the scale
       // signal is rows EMITTED by the scan (row groups the reader
       // could not skip) — print it alongside
-      def probe(dir: String): Long = {
-        val df = spark.read.parquet(dir)
-          .filter(col("user_id") === 5 &&
-            col("ts") >= lit("2024-01-02").cast("timestamp") &&
-            col("ts") < lit("2024-01-05").cast("timestamp"))
+      def probe(dir: String, cond: org.apache.spark.sql.Column): Long = {
+        val df = spark.read.parquet(dir).filter(cond)
         df.collect() // filter-only plan: no exchange, no AQE wrapper
         df.queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec =>
             s.metrics("numOutputRows").value }.sum
       }
-      t(s"range_probe_sorted_${mult}x")(probe(sortedDir))
-      t(s"range_probe_plain_${mult}x")(probe(plainDir))
+      val keyAndTs = col("user_id") === 5 &&
+        col("ts") >= lit("2024-01-02").cast("timestamp") &&
+        col("ts") < lit("2024-01-05").cast("timestamp")
+      val tsOnly = col("ts") >= lit("2024-01-02").cast("timestamp") &&
+        col("ts") < lit("2024-01-03").cast("timestamp")
+      t(s"range_probe_sorted_${mult}x")(probe(sortedDir, keyAndTs))
+      t(s"range_probe_plain_${mult}x")(probe(plainDir, keyAndTs))
+      // z-order: BOTH single-axis probes must skip, where the (key,
+      // ts) sort only helps the key axis
+      val zDir = s"/tmp/scale_zorder_$mult"
+      t(s"zorder_write_${mult}x") {
+        sources.Bucketed.writeZOrdered(ev, zDir, "user_id", "ts",
+          bits = 12, numFiles = 32, rowGroupBytes = 1 << 20)
+        ev.count()
+      }
+      t(s"zorder_probe_key_${mult}x")(probe(zDir, col("user_id") === 5))
+      t(s"zorder_probe_ts_${mult}x")(probe(zDir, tsOnly))
+      t(s"range_probe_ts_${mult}x")(probe(sortedDir, tsOnly))
     }
     // event analytics: funnel/anomaly are conditional-agg + broadcast
     // shapes, retention one broadcast join, ewma one user-window pass

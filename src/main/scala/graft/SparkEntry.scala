@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
     "dedup_phash"         -> ((s, d) => Multimodal.phashDups(s, d)),
+    "dedup_phash_clusters" -> Multimodal.phashClusters _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -201,6 +202,40 @@ object SparkEntry {
         JOIN embeddings a ON a.vec_id = cand.v1
         JOIN embeddings b ON b.vec_id = cand.v2),
       emb_pairs AS (SELECT v1, v2, cos_sim FROM rer WHERE cos_sim >= 0.35)"""
+
+  /** Shared CTE chain reconstructing the image dHash signatures and
+    * hamming-≤3 near-dup pairs in pure integer SQL — used by
+    * dedup_phash and as the edge set for dedup_phash_clusters'
+    * recursive connected components (the minhashCtes pattern). */
+  private def phashCtes: String = """docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 96000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 96000, substr(text, 1, length(text) - 1) || 'q'
+          FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+      d AS (
+        SELECT doc_id, text, length(text) AS L,
+          CAST(doc_id % 16 + 4 AS INT) AS w,
+          CAST(doc_id % 12 + 4 AS INT) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN
+            unicode(text[CAST((((j // 10) * h // 6) * w + ((j % 10) + 1) * w // 11) % L AS INT) + 1
+                         : CAST((((j // 10) * h // 6) * w + ((j % 10) + 1) * w // 11) % L AS INT) + 1])
+            > unicode(text[CAST((((j // 10) * h // 6) * w + (j % 10) * w // 11) % L AS INT) + 1
+                           : CAST((((j // 10) * h // 6) * w + (j % 10) * w // 11) % L AS INT) + 1])
+            THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+        FROM d CROSS JOIN range(0, 60) r(j) GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, phash, ci, (phash >> CAST(ci * 15 AS INT)) & 32767 AS cv
+        FROM sig CROSS JOIN range(0, 4) c(ci)),
+      ph_pairs AS (
+        SELECT d1, d2, CAST(bit_count(xor(sx, sy)) AS INT) AS hamming FROM (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+            x.phash AS sx, y.phash AS sy
+          FROM chunks x JOIN chunks y
+            ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        WHERE bit_count(xor(sx, sy)) <= 3)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -779,37 +814,23 @@ object SparkEntry {
     // horizontal-gradient bits are all integer arithmetic; banding
     // replayed as the 4×15 pigeonhole (same exact final pair set as
     // the Spark side's C(6,3) — banding geometries are result-equal)
-    "dedup_phash" -> """
-      WITH docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 96000, text FROM documents WHERE doc_id < 25
-        UNION ALL SELECT doc_id + 96000, substr(text, 1, length(text) - 1) || 'q'
-          FROM documents WHERE doc_id >= 25 AND doc_id < 50),
-      d AS (
-        SELECT doc_id, text, length(text) AS L,
-          CAST(doc_id % 16 + 4 AS INT) AS w,
-          CAST(doc_id % 12 + 4 AS INT) AS h
-        FROM docs),
-      sig AS (
-        SELECT doc_id,
-          CAST(SUM(CASE WHEN
-            unicode(text[CAST((((j // 10) * h // 6) * w + ((j % 10) + 1) * w // 11) % L AS INT) + 1
-                         : CAST((((j // 10) * h // 6) * w + ((j % 10) + 1) * w // 11) % L AS INT) + 1])
-            > unicode(text[CAST((((j // 10) * h // 6) * w + (j % 10) * w // 11) % L AS INT) + 1
-                           : CAST((((j // 10) * h // 6) * w + (j % 10) * w // 11) % L AS INT) + 1])
-            THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
-        FROM d CROSS JOIN range(0, 60) r(j) GROUP BY doc_id),
-      chunks AS (
-        SELECT doc_id, phash, ci, (phash >> CAST(ci * 15 AS INT)) & 32767 AS cv
-        FROM sig CROSS JOIN range(0, 4) c(ci)),
-      pairs AS (
-        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-          x.phash AS sx, y.phash AS sy
-        FROM chunks x JOIN chunks y
-          ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
-      SELECT d1, d2, CAST(bit_count(xor(sx, sy)) AS INT) AS hamming
-      FROM pairs WHERE bit_count(xor(sx, sy)) <= 3
-      ORDER BY d1, d2""",
+    "dedup_phash" -> s"""
+      WITH $phashCtes
+      SELECT d1, d2, hamming FROM ph_pairs ORDER BY d1, d2""",
+
+    // the image analog of dedup_clusters: recursive reachability over
+    // the ph_pairs edge set, component id = min reachable doc_id
+    "dedup_phash_clusters" -> s"""
+      WITH RECURSIVE $phashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM ph_pairs
+        UNION ALL SELECT d2, d1 FROM ph_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+      SELECT node AS doc_id, MIN(root) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id""",
 
     "dedup_emb_cosine" -> """
       SELECT a.vec_id AS v1, b.vec_id AS v2,

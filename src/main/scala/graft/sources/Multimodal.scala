@@ -344,6 +344,18 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("d1"), col("d2"))
 
+  /** dedup_phash_clusters: the image-dedup CAPSTONE — [[phashDups]]
+    * pairs → connected components → (doc_id, cluster_id) keeper map,
+    * exactly parallel to the text capstones (dedup_clusters over
+    * minhash, dedup_emb_clusters over embedding LSH): an image can be
+    * transitively near-duplicate of one it shares no chunk key with.
+    * Same scale shape — banded pair generation + the safe CC. */
+  def phashClusters(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.connectedComponentsSafe(
+      phashDups(s, d).select(col("d1"), col("d2")))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   // ---- audio ------------------------------------------------------------
 
   /** One analysis window of a decoded audio record: sample_rate and

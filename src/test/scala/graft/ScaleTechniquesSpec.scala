@@ -103,6 +103,49 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"no data skipping: sorted scan emitted $sortedRows vs plain $plainRows")
   }
 
+  test("z-ordered layout skips on BOTH probe axes where the sorted layout skips on one") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val zDir = java.nio.file.Files.createTempDirectory("evz").toString
+    val sortedDir = java.nio.file.Files.createTempDirectory("evzs").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("evzp").toString
+    Bucketed.writeZOrdered(ev, zDir, "user_id", "ts",
+      bits = 12, numFiles = 8, rowGroupBytes = 16 * 1024)
+    Bucketed.writeRangeSorted(ev, sortedDir, "user_id", "ts",
+      numFiles = 8, rowGroupBytes = 16 * 1024)
+    ev.repartition(8).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(plainDir)
+    def scanRows(dir: String, cond: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(cond)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+    }
+    def rowsOf(dir: String, cond: org.apache.spark.sql.Column) =
+      spark.read.parquet(dir).filter(cond).collect().map(_.toSeq).toSet
+    val lo = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val userProbe = col("user_id") === 5
+    val tsProbe = col("ts") >= lo && col("ts") < hi
+    // correctness first: every layout answers identically
+    for (cond <- Seq(userProbe, tsProbe)) {
+      val expect = rowsOf(plainDir, cond)
+      assert(expect.nonEmpty)
+      assert(rowsOf(zDir, cond) == expect && rowsOf(sortedDir, cond) == expect)
+    }
+    // key-axis probe: both clustered layouts beat the unsorted one
+    val zUser = scanRows(zDir, userProbe)
+    val plainUser = scanRows(plainDir, userProbe)
+    assert(zUser * 2 <= plainUser,
+      s"z-order key probe: $zUser vs plain $plainUser")
+    // time-axis probe: the (key, ts) sort gives NO ts clustering —
+    // z-order must decode materially less than the key-sorted layout
+    val zTs = scanRows(zDir, tsProbe)
+    val sortedTs = scanRows(sortedDir, tsProbe)
+    assert(zTs * 2 <= sortedTs,
+      s"z-order ts probe: $zTs vs range-sorted $sortedTs")
+  }
+
   test("IVF-partitioned corpus prunes to the probed buckets and matches annIvf") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("ivfpart").toString
