@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Small-file compaction — the table-maintenance op every long-lived
   * 100 TB lake needs: streaming sinks and fine-grained partitions
@@ -59,5 +59,96 @@ object Compact {
     // footer-count scan) — never a second pass over the input
     CompactReport(in.length, bytesIn, dataFiles(s, out).length,
       s.read.parquet(out).count())
+  }
+
+  // ---- compacting streaming sink (log-structured generations) -----------
+
+  /** Streaming APPEND sink with built-in small-file maintenance — the
+    * compaction loop run AS the sink instead of as a separate job. A
+    * micro-batch sink accretes one tiny parquet directory per batch;
+    * left alone, a year-lived stream is a million-file table. This
+    * sink keeps a two-tier log-structured layout:
+    *
+    *   - `dir/live/b{batchId}` — one directory per micro-batch,
+    *     written with OVERWRITE so an at-least-once foreachBatch
+    *     replay rewrites the same directory instead of duplicating,
+    *   - `dir/g{N}` — compacted generations; the NAME records the
+    *     highest batch id folded in, so recovery needs no manifest:
+    *     the newest generation plus live batches with id > N is
+    *     always exactly-once data, and stale live directories (from a
+    *     crash between compaction and cleanup, or a replay) are
+    *     IGNORED by id, never double-counted.
+    *
+    * Every `compactEvery` batches the current view rewrites into the
+    * next generation (size-targeted like [[compact]]), then
+    * superseded generations and folded live directories are removed —
+    * a failure anywhere in that cleanup affects garbage, not
+    * correctness. Readers go through [[readCompacting]]. (Snapshot
+    * isolation across concurrent readers/writers is a table-format
+    * concern — Delta/Iceberg; this component is the maintenance SHAPE
+    * with crash-safe accounting.) */
+  def compactingSink(rows: DataFrame, dir: String, compactEvery: Int = 10,
+                     targetBytes: Long = 128L << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$dir/live/b$batchId")
+        if ((batchId + 1) % compactEvery == 0)
+          compactGenerations(s, dir, batchId, targetBytes)
+        ()
+      }
+      .start()
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def numberedDirs(s: SparkSession, dir: String,
+                           prefix: String): Seq[(Long, String)] = {
+    val fs = fsOf(s, dir); val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches(prefix + "\\d+"))
+      .map(st => (st.getPath.getName.drop(prefix.length).toLong,
+        st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  private[graft] def currentGen(s: SparkSession, dir: String): Option[(Long, String)] =
+    numberedDirs(s, dir, "g").lastOption
+
+  /** The sink's current contents: newest generation + live batches
+    * NEWER than it (older live dirs are already folded in — ignored
+    * by id, so replayed or crash-orphaned directories cannot
+    * double-count). */
+  def readCompacting(s: SparkSession, dir: String): DataFrame = {
+    val gen = currentGen(s, dir)
+    val upTo = gen.map(_._1).getOrElse(-1L)
+    val parts = gen.map(_._2).toSeq ++
+      numberedDirs(s, s"$dir/live", "b").filter(_._1 > upTo).map(_._2)
+    require(parts.nonEmpty, s"no data under $dir")
+    parts.map(s.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  private def compactGenerations(s: SparkSession, dir: String,
+                                 batchId: Long, targetBytes: Long): Unit = {
+    val gen = currentGen(s, dir)
+    val upTo = gen.map(_._1).getOrElse(-1L)
+    val lives = numberedDirs(s, s"$dir/live", "b").filter(_._1 > upTo)
+    val inputs = gen.map(_._2).toSeq ++ lives.map(_._2)
+    if (inputs.isEmpty) return
+    val bytesIn = inputs.flatMap(d => dataFiles(s, d)).map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
+    inputs.map(s.read.parquet(_)).reduce(_ unionByName _)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(s"$dir/g$batchId")
+    // cleanup is pure garbage collection: the new generation's name
+    // already supersedes everything removed here
+    val fs = fsOf(s, dir)
+    numberedDirs(s, dir, "g").filter(_._1 < batchId)
+      .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    numberedDirs(s, s"$dir/live", "b").filter(_._1 <= batchId)
+      .foreach { case (_, p) => fs.delete(new Path(p), true) }
   }
 }

@@ -50,6 +50,43 @@ class CompactSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("compacting sink folds batch files into generations, data intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("lsm").toString + "/t"
+    val input = MemoryStream[(Long, String)]
+    val q = Compact.compactingSink(input.toDS().toDF("id", "v"), dir,
+      compactEvery = 4, targetBytes = 1L << 30)
+    var fed = Set.empty[(Long, String)]
+    for (b <- 0 until 10) {
+      val rows = (0 until 50).map(i => (b * 100L + i, s"r$b-$i"))
+      fed ++= rows
+      input.addData(rows)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def got() = Compact.readCompacting(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got() == fed)
+    // compactions fired at batch ids 3 and 7; g7 supersedes g3, and
+    // batches 0..7 collapsed to ONE file (tiny bytes, 1 GB target)
+    val g = Compact.currentGen(spark, dir)
+    assert(g.exists(_._1 == 7L), s"current generation: $g")
+    val genFiles = new java.io.File(g.get._2.stripPrefix("file:"))
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(genFiles == 1, s"generation holds $genFiles files")
+    // live/ holds only b8, b9 — folded dirs were cleaned up
+    val live = new java.io.File(s"$dir/live").listFiles
+      .map(_.getName).filter(_.startsWith("b")).toSet
+    assert(live == Set("b8", "b9"), s"live dirs: $live")
+    // a stale/replayed live dir OLDER than the generation is ignored
+    // by id, never double-counted
+    spark.range(5).selectExpr("id", "'junk' AS v")
+      .write.mode("overwrite").parquet(s"$dir/live/b2")
+    assert(got() == fed, "stale live dir leaked into the read")
+  }
+
   test("partitioned input is sized from its recursive file listing") {
     val tmp = java.nio.file.Files.createTempDirectory("compact4").toString
     Tables.events(spark, sf)
