@@ -205,6 +205,41 @@ object StreamScale {
         s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
     }
 
+    // ---- compactingSink: file-count maintenance under load ---------
+    // the signal is the LAYOUT, not throughput: after many tiny
+    // batches the current view must be a handful of files, not
+    // batches × partitions
+    locally {
+      val dir = s"/tmp/streamscale_lsm_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val input = MemoryStream[(Long, Double)]
+      val q = graft.sources.Compact.compactingSink(
+        input.toDS().toDF("id", "v"), dir, compactEvery = 10)
+      val batches = 5 * mult
+      val rowsPerBatch = 2000
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        input.addData((0 until rowsPerBatch).map(i =>
+          (b * 10000L + i, i / 7.0)))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val n = graft.sources.Compact.readCompacting(spark, dir).count()
+      def filesUnder(p: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+        walk(new java.io.File(p))
+      }
+      println(f"SCALE stream_compact_sink_${mult}x batches=$batches " +
+        f"rows=$n time=$sec%.1fs rps=${batches.toLong * rowsPerBatch / sec}%.0f " +
+        s"filesNow=${filesUnder(dir)} " +
+        s"filesWithoutCompaction>=${batches}")
+    }
+
     // ---- streamingAnnIvf: stream-static probe of the sf0.1 corpus --
     // state-FREE serving path: throughput is the number the operator
     // exists for (queries/s against a standing partitioned corpus);
