@@ -92,6 +92,13 @@ object Bucketed {
       max(col(colA).cast("double")).as("mxa"),
       min(col(colB).cast("double")).as("mnb"),
       max(col(colB).cast("double")).as("mxb")).collect().head
+    if (r.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      withMicrosTimestamps(df) {
+        df.write.mode("overwrite")
+          .option("parquet.block.size", rowGroupBytes).parquet(path)
+      }
+      return
+    }
     val (mna, mxa) = (r.getAs[Double]("mna"), r.getAs[Double]("mxa"))
     val (mnb, mxb) = (r.getAs[Double]("mnb"), r.getAs[Double]("mxb"))
     def quant(c: Column, mn: Double, mx: Double): Column =

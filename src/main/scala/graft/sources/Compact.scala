@@ -93,7 +93,11 @@ object Compact {
     rows.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        batch.write.mode("overwrite").parquet(s"$dir/live/b$batchId")
+        // an empty micro-batch would write a schema-less directory
+        // that poisons every later read — skip the write, still run
+        // the compaction cadence
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$dir/live/b$batchId")
         if ((batchId + 1) % compactEvery == 0)
           compactGenerations(s, dir, batchId, targetBytes)
         ()
