@@ -240,39 +240,57 @@ object StreamScale {
         s"filesWithoutCompaction>=${batches}")
     }
 
-    // ---- streamingAnnIvf: stream-static probe of the sf0.1 corpus --
-    // state-FREE serving path: throughput is the number the operator
-    // exists for (queries/s against a standing partitioned corpus);
-    // queries replay the corpus vectors with shifted ids
+    // ---- streamingAnnIvf: pruned probe of a standing IVF corpus ----
+    // state-FREE serving path: the per-batch probe reads ONLY the
+    // probed bucket partitions (bucket.isin over the partitioned
+    // layout), so per-batch cost must track nprobe×queries, NOT
+    // corpus size. Measured directly: the same query stream is run
+    // against the 1× corpus AND a mult×-replicated corpus — the qps
+    // ratio is the pruning's scorecard (an unpruned scan would slow
+    // down ~mult×; the pruned probe only pays the larger probed
+    // buckets, ~linear in bucket occupancy but never the full scan).
     locally {
       val d = "/root/testdata/sf0.1"
-      val ivfDir = "/tmp/streamscale_ivf"
-      val cents = graft.operators.Similarity.writeIvfPartitioned(spark, d, ivfDir)
-      val corpus = spark.read.parquet(ivfDir)
-      val qVecs = graft.Tables.embeddings(spark, d)
-        .select(org.apache.spark.sql.functions.col("vec_id"),
-          org.apache.spark.sql.functions.col("embedding"))
+      import org.apache.spark.sql.functions.{col, lit}
+      val emb1 = graft.Tables.embeddings(spark, d)
+      val cents = graft.operators.Similarity.ivfCentroids(spark, d)
+      val embN = (0 until mult).map { i =>
+        emb1.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+      val qVecs = emb1
+        .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect()
       val nq = math.min(mult * 100L, qVecs.length.toLong).toInt
-      val input = MemoryStream[EventStream.QueryVec]
-      var emitted = 0L
-      val q = EventStream.streamingAnnIvfTopK(input.toDS(), corpus, cents) {
-        topk => emitted += topk.count()
-      }
-      val t0 = System.nanoTime()
-      val qBatches = 10
-      (0 until qBatches).foreach { b =>
-        val rows = (0 until nq / qBatches).map { j =>
-          val (id, v) = qVecs((b * (nq / qBatches) + j) % qVecs.length)
-          EventStream.QueryVec(id + 1000000L * (b + 1), v)
+      def serve(ivfDir: String, tag: String): Double = {
+        val input = MemoryStream[EventStream.QueryVec]
+        var emitted = 0L
+        val q = EventStream.streamingAnnIvfTopK(input.toDS(), ivfDir, cents) {
+          topk => emitted += topk.count()
         }
-        input.addData(rows)
-        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        val qBatches = 10
+        (0 until qBatches).foreach { b =>
+          val rows = (0 until nq / qBatches).map { j =>
+            val (id, v) = qVecs((b * (nq / qBatches) + j) % qVecs.length)
+            EventStream.QueryVec(id + 1000000L * (b + 1), v)
+          }
+          input.addData(rows)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_ann_ivf_$tag queries=$nq time=$sec%.1fs " +
+          f"qps=${nq / sec}%.1f topkRows=$emitted")
+        sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      println(f"SCALE stream_ann_ivf_${mult}x queries=$nq time=$sec%.1fs " +
-        f"qps=${nq / sec}%.1f topkRows=$emitted")
+      graft.operators.Similarity.writeIvfPartitionedOn(
+        emb1, cents, "/tmp/streamscale_ivf1")
+      graft.operators.Similarity.writeIvfPartitionedOn(
+        embN, cents, s"/tmp/streamscale_ivf$mult")
+      val s1 = serve("/tmp/streamscale_ivf1", "corpus1x")
+      val sN = serve(s"/tmp/streamscale_ivf$mult", s"corpus${mult}x")
+      println(f"SCALE stream_ann_ivf_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
+        f"(unpruned would be ~${mult}x)")
     }
     spark.stop()
   }

@@ -382,16 +382,26 @@ object Similarity {
     * scanning nprobe/nlist of the corpus and all of it. */
   def writeIvfPartitioned(s: SparkSession, d: String, dir: String,
                           nlist: Int = IvfNlist): Array[Array[Double]] = {
-    import s.implicits._
     val cents = ivfCentroids(s, d, nlist)
+    writeIvfPartitionedOn(Tables.embeddings(s, d), cents, dir)
+    cents
+  }
+
+  /** [[writeIvfPartitioned]] over an arbitrary `(vec_id, embedding)`
+    * frame with pre-trained centroids — the form the scale probes use
+    * to lay out a replicated corpus under the 1× quantizer (centroids
+    * are a property of the data GEOMETRY, so the 1× training serves
+    * the replicated corpus too). */
+  def writeIvfPartitionedOn(emb: DataFrame, cents: Array[Array[Double]],
+                            dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
       .toDF("vec_id", "bucket", "embedding")
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    cents
   }
 
   /** ANN over the bucket-partitioned layout: per query, probe the
@@ -401,11 +411,34 @@ object Similarity {
     * source instead of filtered after a full read. */
   def annIvfPartitioned(s: SparkSession, dir: String, cents: Array[Array[Double]],
                         queries: DataFrame, k: Int = 5,
-                        nprobe: Int = IvfNprobe): DataFrame = {
+                        nprobe: Int = IvfNprobe): DataFrame =
+    annIvfServeBatch(s, dir, cents,
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe, excludeSelf = true)
+
+  /** Serve ONE batch of queries against the stored bucket-partitioned
+    * layout ([[writeIvfPartitioned]]): fan each query out to its
+    * `nprobe` nearest centroids, collect the batch's probed bucket set
+    * (bounded by nlist — driver-safe), and read the corpus with a
+    * pushed-down `bucket IN (...)` so the scan touches ONLY the probed
+    * partition directories — per-batch cost tracks probes, not corpus
+    * size. This is the per-micro-batch body of the streaming serving
+    * path ([[graft.streaming.EventStream.streamingAnnIvfTopK]]) and
+    * the shared core of [[annIvfPartitioned]].
+    *
+    * `queries` must have `(query_id, embedding)`. `excludeSelf`
+    * defaults to FALSE: in the serving form query ids are an
+    * INDEPENDENT id space from corpus `vec_id`s, so a numeric
+    * collision must not silently drop a corpus candidate; the batch
+    * benchmark form (queries drawn from the corpus itself) opts in. */
+  def annIvfServeBatch(s: SparkSession, dir: String, cents: Array[Array[Double]],
+                       queries: DataFrame, k: Int = 5,
+                       nprobe: Int = IvfNprobe,
+                       excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
     val probes = queries
-      .select(col("vec_id"), col("embedding"))
+      .select(col("query_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
@@ -414,8 +447,9 @@ object Similarity {
       .as[Int].collect().sorted // bounded by nlist — driver-safe
     val corpus = s.read.parquet(dir)
       .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
-    val cand = corpus.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
+    val cand = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
+               else cand0
     topKPerQuery(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
       round(cos(col("qv"), col("embedding")), 6).as("cos_sim")), k)
   }

@@ -80,13 +80,18 @@ object Compact {
     *     IGNORED by id, never double-counted.
     *
     * Every `compactEvery` batches the current view rewrites into the
-    * next generation (size-targeted like [[compact]]), then
-    * superseded generations and folded live directories are removed —
-    * a failure anywhere in that cleanup affects garbage, not
-    * correctness. Readers go through [[readCompacting]]. (Snapshot
-    * isolation across concurrent readers/writers is a table-format
-    * concern — Delta/Iceberg; this component is the maintenance SHAPE
-    * with crash-safe accounting.) */
+    * next generation (size-targeted like [[compact]]). Only
+    * directories carrying Spark's `_SUCCESS` marker count as
+    * committed — a torn write from a mid-job crash stays invisible
+    * instead of masquerading as the current generation — and cleanup
+    * runs with a ONE-COMPACTION GRACE: the directories a compaction
+    * folds are deleted by the NEXT compaction, not immediately, so a
+    * reader holding the pre-compaction listing can finish. A failure
+    * anywhere in cleanup affects garbage, not correctness. Readers go
+    * through [[readCompacting]]. (Full snapshot isolation across
+    * concurrent readers/writers is a table-format concern —
+    * Delta/Iceberg; this component is the maintenance SHAPE with
+    * crash-safe accounting.) */
   def compactingSink(rows: DataFrame, dir: String, compactEvery: Int = 10,
                      targetBytes: Long = 128L << 20)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -113,7 +118,14 @@ object Compact {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory &&
-        st.getPath.getName.matches(prefix + "\\d+"))
+        st.getPath.getName.matches(prefix + "\\d+") &&
+        // only COMMITTED directories count: a write that crashed
+        // mid-job leaves no _SUCCESS marker, and a torn generation
+        // that became 'current' by name alone would silently hide the
+        // live batches it failed to fold (and the next compaction
+        // would bake the loss in). A torn dir stays invisible until
+        // its batch replays and overwrites it.
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
       .map(st => (st.getPath.getName.drop(prefix.length).toLong,
         st.getPath.toString))
       .sortBy(_._1)
@@ -135,9 +147,14 @@ object Compact {
     parts.map(s.read.parquet(_)).reduce(_ unionByName _)
   }
 
-  private def compactGenerations(s: SparkSession, dir: String,
-                                 batchId: Long, targetBytes: Long): Unit = {
+  private[graft] def compactGenerations(s: SparkSession, dir: String,
+                                        batchId: Long, targetBytes: Long): Unit = {
     val gen = currentGen(s, dir)
+    // at-least-once replay guard: if a generation at or past this
+    // batch is already committed, this compaction already ran —
+    // proceeding would read g{batchId} while overwrite-writing the
+    // same path, which Spark rejects on every retry (a wedged stream)
+    if (gen.exists(_._1 >= batchId)) return
     val upTo = gen.map(_._1).getOrElse(-1L)
     val lives = numberedDirs(s, s"$dir/live", "b").filter(_._1 > upTo)
     val inputs = gen.map(_._2).toSeq ++ lives.map(_._2)
@@ -147,12 +164,17 @@ object Compact {
     inputs.map(s.read.parquet(_)).reduce(_ unionByName _)
       .repartition(nOut)
       .write.mode("overwrite").parquet(s"$dir/g$batchId")
-    // cleanup is pure garbage collection: the new generation's name
-    // already supersedes everything removed here
+    // cleanup is pure garbage collection with a ONE-COMPACTION GRACE:
+    // the directories folded into g{batchId} (the prior generation
+    // and its live batches) survive until the NEXT compaction, so a
+    // reader that listed the pre-compaction view can finish its scan.
+    // Readers never double-count them — readCompacting filters by id
+    // against the newest generation. What IS deleted here is one full
+    // cycle old: superseded before this compaction even started.
     val fs = fsOf(s, dir)
-    numberedDirs(s, dir, "g").filter(_._1 < batchId)
+    numberedDirs(s, dir, "g").filter(_._1 < upTo)
       .foreach { case (_, p) => fs.delete(new Path(p), true) }
-    numberedDirs(s, s"$dir/live", "b").filter(_._1 <= batchId)
+    numberedDirs(s, s"$dir/live", "b").filter(_._1 <= upTo)
       .foreach { case (_, p) => fs.delete(new Path(p), true) }
   }
 }

@@ -569,58 +569,42 @@ object EventStream {
 
   case class QueryVec(query_id: Long, embedding: Array[Float])
 
-  /** Streaming semantic search: arriving query vectors probe a
-    * STANDING IVF corpus — the serving half of the ANN family
-    * ([[graft.operators.Similarity.annIvf]] is the batch form, this
-    * is the online form). Each arrival fans out to its `nprobe`
-    * nearest coarse centroids (broadcast centroids, stateless
-    * flatMap) and stream-static-joins the (vec_id, bucket, embedding)
-    * corpus on the bucket key, scoring candidates in-join with the
-    * native cosine. Completely STATE-FREE: the corpus is the static
-    * side (at 100 TB stored bucketed by `bucket` —
-    * [[graft.operators.Similarity.writeIvfPartitioned]]'s layout — so
-    * the per-batch join co-locates against the standing files and the
-    * stream side is only batch-sized), and no watermark or group
-    * state is needed because a query's candidates are complete within
-    * its arrival batch. */
-  def streamingAnnIvf(queries: Dataset[QueryVec], corpus: DataFrame,
-                      cents: Array[Array[Double]],
-                      nprobe: Int = graft.operators.Similarity.IvfNprobe): DataFrame = {
-    val s = queries.sparkSession
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(cents)
-    val probes = queries
-      .flatMap { q =>
-        graft.operators.Similarity.topCentroids(bc.value, q.embedding, nprobe)
-          .iterator.map(b => (q.query_id, b, q.embedding)) }
-      .toDF("query_id", "bucket", "qv")
-    probes.join(
-        corpus.select(col("vec_id").as("neighbor_id"), col("bucket"),
-          col("embedding").as("v")),
-        Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(graft.functions.CosineSimilarity.cosineSim(
-          col("qv"), col("v")), 6).as("cos_sim"))
-  }
-
-  /** [[streamingAnnIvf]] with exact per-query top-k, delivered through
-    * `foreachBatch`: under a stream-static join a query's ENTIRE
-    * candidate set materializes in its arrival micro-batch, so the
-    * per-batch bounded top-k ([[graft.operators.Similarity]]'s TopK
-    * aggregator) IS the global answer for that query — no cross-batch
-    * state, Update/Append semantics don't arise. Parity with the
-    * batch [[graft.operators.Similarity.annIvf]] on a two-batch split
-    * is spec'd in StreamingSpec. */
-  def streamingAnnIvfTopK(queries: Dataset[QueryVec], corpus: DataFrame,
+  /** Streaming semantic search with exact per-query top-k: arriving
+    * query vectors probe a STANDING bucket-partitioned IVF corpus
+    * ([[graft.operators.Similarity.writeIvfPartitioned]]'s layout) —
+    * the serving half of the ANN family
+    * ([[graft.operators.Similarity.annIvf]] is the batch form).
+    *
+    * The probe join runs INSIDE `foreachBatch` (as a batch plan), not
+    * as a stream-static join: the batch's probed bucket set (bounded
+    * by nlist) is collected and the corpus is read with a pushed-down
+    * `bucket IN (...)` — the scan touches only the probed partition
+    * directories, so per-batch cost tracks nprobe×queries, NOT corpus
+    * size ([[graft.operators.Similarity.annIvfServeBatch]] is the
+    * shared body; a stream-static join cannot be pruned this way
+    * because DPP does not run in streaming plans). Completely
+    * STATE-FREE: a query's candidate set is complete within its
+    * arrival micro-batch, so the per-batch bounded top-k
+    * ([[graft.operators.Similarity]]'s TopK aggregator) IS the global
+    * answer for that query — no watermark, no group state.
+    *
+    * `query_id` and corpus `vec_id` are UNRELATED id spaces;
+    * self-exclusion is opt-in (`excludeSelf`) for benchmark runs that
+    * replay corpus vectors as queries. Parity with the batch
+    * [[graft.operators.Similarity.annIvf]] on a two-batch split is
+    * spec'd in StreamingSpec. */
+  def streamingAnnIvfTopK(queries: Dataset[QueryVec], ivfDir: String,
                           cents: Array[Array[Double]], k: Int = 5,
-                          nprobe: Int = graft.operators.Similarity.IvfNprobe)(
+                          nprobe: Int = graft.operators.Similarity.IvfNprobe,
+                          excludeSelf: Boolean = false)(
                           writeBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    streamingAnnIvf(queries, corpus, cents, nprobe)
-      .writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatch(graft.operators.Similarity.topKPerQuery(batch, k))
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annIvfServeBatch(
+          s, ivfDir, cents, batch.toDF("query_id", "embedding"),
+          k, nprobe, excludeSelf))
       }
       .start()
 

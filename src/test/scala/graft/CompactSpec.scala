@@ -76,15 +76,83 @@ class CompactSpec extends SparkSpec {
     val genFiles = new java.io.File(g.get._2.stripPrefix("file:"))
       .listFiles.count(_.getName.endsWith(".parquet"))
     assert(genFiles == 1, s"generation holds $genFiles files")
-    // live/ holds only b8, b9 — folded dirs were cleaned up
+    // one-compaction grace: the batch-7 compaction deletes what the
+    // batch-3 compaction folded (b0..b3), but keeps g3 and b4..b7 so
+    // a reader pinned on the pre-compaction listing can finish; the
+    // retained dirs are ignored by id, never double-counted (checked
+    // by the got() == fed assertion above)
     val live = new java.io.File(s"$dir/live").listFiles
       .map(_.getName).filter(_.startsWith("b")).toSet
-    assert(live == Set("b8", "b9"), s"live dirs: $live")
+    assert(live == Set("b4", "b5", "b6", "b7", "b8", "b9"),
+      s"live dirs: $live")
+    val gens = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.startsWith("g")).toSet
+    assert(gens == Set("g3", "g7"), s"generation dirs: $gens")
     // a stale/replayed live dir OLDER than the generation is ignored
     // by id, never double-counted
     spark.range(5).selectExpr("id", "'junk' AS v")
       .write.mode("overwrite").parquet(s"$dir/live/b2")
     assert(got() == fed, "stale live dir leaked into the read")
+  }
+
+  test("a torn (uncommitted) generation stays invisible and is never 'current'") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsmtorn").toString + "/t"
+    for (b <- 0 until 6)
+      (0 until 20).map(i => (b * 100L + i, s"r$b-$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/live/b$b")
+    // simulate a crash mid-generation-write: a g5 directory with data
+    // files but NO _SUCCESS marker
+    spark.range(3).selectExpr("id", "'torn' AS v")
+      .write.mode("overwrite").parquet(s"$dir/g5")
+    assert(new java.io.File(s"$dir/g5/_SUCCESS").delete())
+    // the torn generation must not become current — if it did, live
+    // batches 0..5 (never actually folded) would silently vanish
+    assert(Compact.currentGen(spark, dir).isEmpty)
+    assert(Compact.readCompacting(spark, dir).count() == 6 * 20)
+    // the replayed compaction overwrites the torn dir and commits
+    Compact.compactGenerations(spark, dir, 5L, 1L << 30)
+    assert(Compact.currentGen(spark, dir).exists(_._1 == 5L))
+    assert(Compact.readCompacting(spark, dir).count() == 6 * 20)
+  }
+
+  test("replayed compaction batch is a no-op, not a wedged stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsmreplay").toString + "/t"
+    for (b <- 0 until 4)
+      (0 until 20).map(i => (b * 100L + i, s"r$b-$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/live/b$b")
+    Compact.compactGenerations(spark, dir, 3L, 1L << 30)
+    // an at-least-once restart between compaction and checkpoint
+    // commit replays the batch: without the guard this reads g3 while
+    // overwrite-writing g3 — Spark throws on every retry, permanently
+    // wedging the stream
+    Compact.compactGenerations(spark, dir, 3L, 1L << 30)
+    assert(Compact.currentGen(spark, dir).exists(_._1 == 3L))
+    assert(Compact.readCompacting(spark, dir).count() == 4 * 20)
+  }
+
+  test("a reader pinned on the pre-compaction listing survives the compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsmgrace").toString + "/t"
+    def feed(range: Range): Unit = for (b <- range)
+      (0 until 20).map(i => (b * 100L + i, s"r$b-$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/live/b$b")
+    feed(0 until 4)
+    Compact.compactGenerations(spark, dir, 3L, 1L << 30)
+    feed(4 until 8)
+    // pin a read on the current view (g3 + b4..b7), then compact
+    val pinned = Compact.readCompacting(spark, dir)
+    Compact.compactGenerations(spark, dir, 7L, 1L << 30)
+    // grace: g3 and b4..b7 still exist, so the pinned scan completes
+    assert(pinned.count() == 8 * 20)
+    // ...and the NEXT compaction collects them
+    feed(8 until 12)
+    Compact.compactGenerations(spark, dir, 11L, 1L << 30)
+    val gens = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.startsWith("g")).toSet
+    assert(gens == Set("g7", "g11"), s"generation dirs: $gens")
+    assert(Compact.readCompacting(spark, dir).count() == 12 * 20)
   }
 
   test("partitioned input is sized from its recursive file listing") {

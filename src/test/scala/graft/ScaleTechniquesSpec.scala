@@ -160,6 +160,56 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(part.collect().map(_.toSeq).toSet == viaFilter)
   }
 
+  test("ANN serve batch reads ONLY the probed bucket partitions") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivfserve").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, dir)
+    // ONE query probes exactly nprobe buckets — the scan's partition
+    // count must equal that, strictly below the nlist total
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val vec = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probed = Similarity.topCentroids(cents, vec, Similarity.IvfNprobe).toSet
+    val topk = Similarity.annIvfServeBatch(spark, dir, cents, qv)
+    topk.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val corpusScans = scans(topk.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivfserve")))
+    assert(corpusScans.nonEmpty, "no corpus scan found in the executed plan")
+    val partsRead = corpusScans.map(_.metrics("numPartitions").value).sum
+    val totalBuckets = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(partsRead == probed.size,
+      s"scan read $partsRead partitions, probed ${probed.size}")
+    assert(partsRead < totalBuckets,
+      s"scan read all $totalBuckets buckets — no pruning")
+  }
+
+  test("ANN serve batch treats query ids as an independent id space") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfserveid").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, dir)
+    // a query whose id numerically collides with a corpus vec_id must
+    // STILL see that corpus vector as a candidate (default serve form)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.annIvfServeBatch(spark, dir, cents, qv)
+      .filter(col("neighbor_id") === 3).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 1.0,
+      s"corpus vector lost to an id collision: ${got.mkString(",")}")
+  }
+
   test("IVF×SQ8 partitioned code layout prunes to probed buckets, matches inline") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toString

@@ -162,14 +162,16 @@ class StreamingSpec extends SparkSpec {
     // batch query uses
     val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
     val cents = Similarity.writeIvfPartitioned(spark, sf, dir)
-    val corpus = spark.read.parquet(dir)
     val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) => EventStream.QueryVec(id, v) }
     val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     val input = MemoryStream[EventStream.QueryVec]
-    val q = EventStream.streamingAnnIvfTopK(input.toDS(), corpus, cents) {
+    // queries here REPLAY corpus vectors (the benchmark form), so
+    // self-exclusion is opted in to match the batch annIvf semantics
+    val q = EventStream.streamingAnnIvfTopK(input.toDS(), dir, cents,
+      excludeSelf = true) {
       topk => results ++= topk.collect().map(_.toSeq)
     }
     // a query's candidates are complete within its arrival batch, so
