@@ -65,6 +65,26 @@ object Scale10 {
           operators.Dedup.dedupIncrementalStep(spark, idxDir, batch).count()
         }
     }
+    // the embedding analog: the mult× corpus is coded and persisted
+    // ONCE; each day codes only its 2k-vector batch and joins the
+    // stored index — per-day cost must track the batch + the index
+    // scan, flat as days accumulate (the semantic-dedup daily loop)
+    locally {
+      val idxDir = s"/tmp/scale_embindex_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"emb_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        operators.Dedup.writeEmbCodeIndex(emb, idxDir)
+        spark.read.parquet(idxDir).count()
+      }
+      for (day <- 1 to 2)
+        t(s"emb_index_day${day}_${mult}x") {
+          val batch = Tables.embeddings(spark, d)
+            .withColumn("vec_id", col("vec_id") + lit(900000000L * day))
+          operators.Dedup.dedupEmbIncrementalStep(spark, idxDir, batch).count()
+        }
+    }
     // bucket-occupancy probe: candidate pairs BEFORE the hamming
     // filter per banding geometry — wider keys trade index rows for
     // exponentially larger key space (fewer junk candidates)

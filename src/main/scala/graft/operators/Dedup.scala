@@ -216,7 +216,13 @@ object Dedup {
     * partial-agg shuffle; marking is a semi join on the span hash;
     * islands are one window pass partitioned by doc_id (doc-count
     * parallelism); surgery is a typed map over (text, interval list).
-    * Nothing touches the driver. */
+    * Nothing touches the driver. The span stream feeds BOTH the
+    * repeated-hash aggregate and the semi join, and their exchanges
+    * differ, so ReuseExchange cannot dedupe the subtree — the stream
+    * is localCheckpoint'ed so the window-hash scan (the dominant
+    * cost, ~len(text) rows per doc) executes ONCE; the materialized
+    * index is ~3x the corpus text bytes, spilled past memory, and
+    * its lineage is cut so nothing upstream recomputes. */
   def dedupSpansExcise(s: SparkSession, d: String): DataFrame =
     dedupSpansExcise(withPlants(Tables.documents(s, d)))
 
@@ -225,7 +231,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = spansWithOffsets(docs, spanLen)
+    val spans = spansWithOffsets(docs, spanLen).localCheckpoint()
     val repeated = spans.groupBy(col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -953,6 +959,85 @@ object Dedup {
       .filter(col("cos_sim") >= tau)
       .distinct()
       .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
+  // ---- Maintained embedding code-index artifact (the semantic daily loop) -
+
+  /** Persist the corpus's LSH code index — the write-once artifact
+    * [[dedupEmbIncremental]]'s design assumes, made real (the
+    * embedding analog of [[writeBandIndex]]): at 100 TB the standing
+    * corpus is coded exactly once and every arriving batch joins the
+    * stored codes without re-hashing corpus vectors. Each row carries
+    * its EMBEDDING through the index — `numTables` copies per vector —
+    * because scoring collisions inside the bucket join measured
+    * 1.2-2× faster than the distinct-then-rerank shape that a
+    * codes-only layout forces ([[embLshDupsRerank]]); the payload is
+    * bounded (tables × dim × 4 B per vector, independent of corpus
+    * text size). The salt group is precomputed per row (`_g` —
+    * deterministic in vec_id), so the daily one-sided salted join
+    * ([[dedupEmbIncremental]]'s shape) needs no corpus-side rewrite.
+    * `saltGroups` (default: geometry-derived) must match between the
+    * writer and every later [[dedupEmbIncrementalStep]] — the stored
+    * `_g` domain is [0, G). */
+  def writeEmbCodeIndex(e: DataFrame, dir: String, tau: Double = 0.35,
+                        saltGroups: Int = 0): Unit = {
+    val g = Similarity.geometryFor(tau)
+    val groups = if (saltGroups > 0) saltGroups
+                 else defaultSaltGroups(g.tables, g.bits)
+    val bc = e.sparkSession.sparkContext.broadcast(
+      Similarity.lshPlanes(g.tables, g.bits))
+    Similarity.lshCodesWithVec(e, bc)
+      .withColumn("_g", pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** One day of the semantic-dedup production loop (the embedding
+    * analog of [[dedupIncrementalStep]]): code the arriving batch
+    * ONCE, detect its near-dups against the maintained index —
+    * collisions scored in-join by the native cosine, the batch side
+    * replicated over the stored salt groups exactly as in
+    * [[dedupEmbIncremental]] — then append the batch's coded rows so
+    * tomorrow's batch sees today's vectors. Detection is materialized
+    * BEFORE the append (a lazy plan would re-list the index after the
+    * write and report every batch vector as its own duplicate).
+    * Per-day cost tracks the day's batch and the index scan; corpus
+    * embeddings are never re-hashed.
+    *
+    * Loop invariant (spec'd in DedupSpec, mirroring the band-index
+    * one): day-1 then day-2 against the maintained artifact yields
+    * exactly the one-shot [[embLshDups]] pairs of corpus ∪ batch₁ ∪
+    * batch₂ sliced to cross-arrival pairs. */
+  def dedupEmbIncrementalStep(s: SparkSession, indexDir: String,
+                              batch: DataFrame, tau: Double = 0.35,
+                              saltGroups: Int = 0): DataFrame = {
+    val g = Similarity.geometryFor(tau)
+    val groups = if (saltGroups > 0) saltGroups
+                 else defaultSaltGroups(g.tables, g.bits)
+    val bc = s.sparkContext.broadcast(
+      Similarity.lshPlanes(g.tables, g.bits))
+    // the batch's index rows: coded once, with their own one-group
+    // salt assignment (what gets APPENDED — the join-side replication
+    // below is never persisted)
+    val bCodes = Similarity.lshCodesWithVec(batch, bc)
+      .withColumn("_g", pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
+      .localCheckpoint()
+    val bJoin =
+      if (groups <= 1) bCodes.hint("shuffle_hash").as("b")
+      else bCodes.drop("_g")
+        .withColumn("_g", explode(sequence(lit(0), lit(groups - 1))))
+        .hint("shuffle_hash").as("b")
+    val hits = s.read.parquet(indexDir).as("c")
+      .join(bJoin,
+        col("c.tid") === col("b.tid") && col("c.code") === col("b.code") &&
+        col("c._g") === col("b._g"))
+      .select(col("c.vec_id").as("corpus_id"), col("b.vec_id").as("batch_id"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("c.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .distinct()
+      .localCheckpoint() // eager: detect strictly before the append
+    bCodes.write.mode("append").parquet(indexDir)
+    hits.orderBy(col("corpus_id"), col("batch_id"))
   }
 
   /** dedup_emb_clusters: embedding near-dup pairs → connected

@@ -207,6 +207,41 @@ class DedupSpec extends SparkSpec {
       s"loop ${day1.size}+${day2.size} pairs != one-shot ${oneShot.size}")
   }
 
+  test("maintained emb code index: daily steps equal one-shot cross-arrival pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("embindex").toString + "/idx"
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+    // day 1: copies of corpus vectors 0-2; day 2: a copy of corpus
+    // vector 3 AND a copy of DAY-1 vector 1001 — the latter is only
+    // detectable if day 1's append actually reached the artifact
+    val b1 = base.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000)
+    val b2 = base.filter(col("vec_id") === 3)
+      .withColumn("vec_id", col("vec_id") + 2000)
+      .unionByName(base.filter(col("vec_id") === 1)
+        .withColumn("vec_id", col("vec_id") + 2001))
+    Dedup.writeEmbCodeIndex(base, dir)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    val day1 = pairsOf(Dedup.dedupEmbIncrementalStep(spark, dir, b1))
+    val day2 = pairsOf(Dedup.dedupEmbIncrementalStep(spark, dir, b2))
+    // identical vectors collide in every table at cosine 1 ≥ τ
+    assert(Set((0L, 1000L), (1L, 1001L), (2L, 1002L)).subsetOf(day1))
+    assert(Set((3L, 2003L), (1L, 2002L)).subsetOf(day2))
+    // the appended day-1 vectors are part of day 2's standing corpus
+    assert(day2.contains((1001L, 2002L)),
+      "day-2 batch did not see the day-1 vectors appended to the artifact")
+    // loop invariant: the union of daily detections == the one-shot
+    // embLshDups pairs over corpus ∪ b1 ∪ b2, sliced to CROSS-arrival
+    // pairs (ids increase with arrival, so v1 < v2 orients them)
+    val arrival = (id: Long) => if (id < 1000) 0 else if (id < 2000) 1 else 2
+    val oneShot = Dedup.embLshDups(base.unionByName(b1).unionByName(b2))
+      .collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")))
+      .filter { case (u, v) => arrival(u) != arrival(v) }.toSet
+    assert((day1 ++ day2) == oneShot,
+      s"loop ${day1.size}+${day2.size} pairs != one-shot ${oneShot.size}")
+  }
+
   test("span excision removes exactly the shared block, coalesced maximally") {
     import spark.implicits._
     // two docs share ONLY the 40-char block X: its 9 repeated windows
