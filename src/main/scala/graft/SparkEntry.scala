@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
     "dedup_phash"         -> ((s, d) => Multimodal.phashDups(s, d)),
+    "dedup_phash_incremental" -> ((s, d) => Multimodal.phashIncremental(s, d)),
     "dedup_phash_clusters" -> Multimodal.phashClusters _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
@@ -817,6 +818,16 @@ object SparkEntry {
     "dedup_phash" -> s"""
       WITH $phashCtes
       SELECT d1, d2, hamming FROM ph_pairs ORDER BY d1, d2""",
+
+    // batch-vs-corpus slice of the same banded hamming space: plants
+    // (ids >= 96000) are the arriving batch, originals the corpus —
+    // ph_pairs orients d1 < d2, so the cross-set pairs are exactly the
+    // rows straddling the boundary
+    "dedup_phash_incremental" -> s"""
+      WITH $phashCtes
+      SELECT d1 AS corpus_id, d2 AS batch_id, hamming FROM ph_pairs
+      WHERE d1 < 96000 AND d2 >= 96000
+      ORDER BY corpus_id, batch_id""",
 
     // the image analog of dedup_clusters: recursive reachability over
     // the ph_pairs edge set, component id = min reachable doc_id

@@ -521,14 +521,16 @@ object Dedup {
     * perceptual hash ([[graft.sources.Multimodal.phashDups]]): the
     * hamming-ball guarantee is a property of the banding, not of how
     * the signature was computed. */
-  private[graft] def bandedHammingCandidates(sig: DataFrame, hashCol: String,
-                                             maxHamming: Int,
-                                             numChunks: Int): DataFrame = {
+  /** The banding key index for one signature frame: every
+    * (numChunks − maxHamming)-subset of chunks becomes a compound
+    * (ci, cv) key row per doc — the exploded form both the self-join
+    * and the cross-set join shuffle on. */
+  private def hammingIndex(sig: DataFrame, hashCol: String,
+                           maxHamming: Int, numChunks: Int): DataFrame = {
     require(SimhashBits % numChunks == 0, s"numChunks must divide $SimhashBits")
     require(numChunks > maxHamming, "need more chunks than the hamming budget")
     val width = SimhashBits / numChunks
     val mask = (1L << width) - 1
-    // every (numChunks - maxHamming)-subset of chunks is a compound key
     val keys = (0 until numChunks).combinations(numChunks - maxHamming)
       .toSeq.zipWithIndex.map { case (combo, comboId) =>
         val key = combo.foldLeft(lit(0L)) { (acc, ci) =>
@@ -537,12 +539,39 @@ object Dedup {
         }
         struct(lit(comboId).as("ci"), key.as("cv"))
       }
-    val idx = sig.select(col("doc_id"), col(hashCol), explode(array(keys: _*)).as("c"))
+    sig.select(col("doc_id"), col(hashCol), explode(array(keys: _*)).as("c"))
       .select(col("doc_id"), col(hashCol), col("c.ci"), col("c.cv"))
+  }
+
+  private[graft] def bandedHammingCandidates(sig: DataFrame, hashCol: String,
+                                             maxHamming: Int,
+                                             numChunks: Int): DataFrame = {
+    val idx = hammingIndex(sig, hashCol, maxHamming, numChunks)
     idx.as("x").join(idx.hint("shuffle_hash").as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
+      .distinct()
+  }
+
+  /** The CROSS-SET banding join — batch-vs-corpus near-dup for any
+    * 60-bit signature family (the [[dedupIncremental]] shape moved to
+    * hamming space): corpus and batch each build their key index, the
+    * equi-join on (ci, cv) pairs them, and there is NO corpus
+    * self-join. The (small) batch side is the shuffle-hash build
+    * side; at 100 TB the corpus index is a write-once artifact
+    * (exactly [[writeBandIndex]]'s role for minhash). */
+  private[graft] def bandedHammingCandidatesAcross(corpusSig: DataFrame,
+                                                   batchSig: DataFrame,
+                                                   hashCol: String,
+                                                   maxHamming: Int,
+                                                   numChunks: Int): DataFrame = {
+    val c = hammingIndex(corpusSig, hashCol, maxHamming, numChunks)
+    val b = hammingIndex(batchSig, hashCol, maxHamming, numChunks)
+    c.as("x").join(b.hint("shuffle_hash").as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv"))
+      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("batch_id"),
         bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
       .distinct()
   }

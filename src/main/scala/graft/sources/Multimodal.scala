@@ -344,6 +344,33 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("d1"), col("d2"))
 
+  /** dedup_phash_incremental: NEW-BATCH vs STANDING-CORPUS image
+    * near-dup — the production shape for the image modality, completing
+    * the per-modality incremental triple (text has
+    * [[graft.operators.Dedup.dedupIncremental]], embeddings have
+    * [[graft.operators.Dedup.dedupEmbIncremental]]): arriving images
+    * hash to [[dHash60]] and meet the corpus through the cross-set
+    * Manku banding join ([[graft.operators.Dedup
+    * .bandedHammingCandidatesAcross]]) — no corpus self-join, batch as
+    * the small build side, corpus keys a write-once artifact at scale.
+    * The query splits the planted set at the 96000 id boundary (plants
+    * are the arriving batch, originals the corpus), so the oracle is
+    * the cross-set slice of the one-shot ph_pairs CTE. */
+  def phashIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = withPhashPlants(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    phashIncremental(all.filter(col("doc_id") < 96000),
+      all.filter(col("doc_id") >= 96000))
+  }
+
+  def phashIncremental(corpus: DataFrame, batch: DataFrame,
+                       maxHamming: Int = 3, numChunks: Int = 6): DataFrame =
+    graft.operators.Dedup
+      .bandedHammingCandidatesAcross(phashSignatures(corpus),
+        phashSignatures(batch), "phash", maxHamming, numChunks)
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("corpus_id"), col("batch_id"))
+
   /** dedup_phash_clusters: the image-dedup CAPSTONE — [[phashDups]]
     * pairs → connected components → (doc_id, cluster_id) keeper map,
     * exactly parallel to the text capstones (dedup_clusters over

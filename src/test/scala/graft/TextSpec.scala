@@ -281,6 +281,27 @@ class TextSpec extends SparkSpec {
       "no near-image plant within hamming 3")
   }
 
+  test("incremental phash equals the cross-boundary slice of the self-join") {
+    import org.apache.spark.sql.functions._
+    val all = Multimodal.withPhashPlants(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val inc = Multimodal.phashIncremental(
+        all.filter(col("doc_id") < 96000), all.filter(col("doc_id") >= 96000))
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"),
+        r.getAs[Int]("hamming"))).toSet
+    // every exact plant hits its original across the boundary
+    (0L until 25L).foreach { i =>
+      assert(inc.contains((i, i + 96000, 0)), s"exact plant $i missed") }
+    // the incremental form is exactly the cross-boundary slice of the
+    // one-shot self-join — nothing lost or invented at the boundary
+    val full = Multimodal.phashDups(all).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming")))
+      .filter { case (a, b, _) => a < 96000 && b >= 96000 }.toSet
+    assert(inc == full)
+  }
+
   test("audio features skip empty text and wrap high codepoints like the oracle") {
     import spark.implicits._
     // empty text: no byte stream to synthesize — skipped, not a crash;
