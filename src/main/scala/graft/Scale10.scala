@@ -36,6 +36,7 @@ object Scale10 {
     // the typed surgery on top of the spans scan — output is one row
     // per doc, so cost must track the scan + the hit volume
     t(s"spans_excise_${mult}x")(operators.Dedup.dedupSpansExcise(docs).count())
+    t(s"spans_maximal_${mult}x")(operators.Dedup.dedupSpansMaximal(docs).count())
     // incremental (batch-vs-corpus) dedup: the corpus grows mult×,
     // the arriving batch stays the 5k base docs — cost must track
     // one corpus banding scan + the batch join, never a corpus

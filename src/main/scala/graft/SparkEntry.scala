@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_emb_incremental" -> Dedup.dedupEmbIncremental _,
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
+    "dedup_spans_maximal" -> Dedup.dedupSpansMaximal _,
     "dedup_phash"         -> ((s, d) => Multimodal.phashDups(s, d)),
     "dedup_phash_incremental" -> ((s, d) => Multimodal.phashIncremental(s, d)),
     "dedup_phash_clusters" -> Multimodal.phashClusters _,
@@ -691,6 +692,47 @@ object SparkEntry {
       LEFT JOIN rem USING (doc_id)
       LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // seed-and-extend replayed in SQL: window matches per doc pair lie
+    // on a constant alignment diagonal (o1 - o2); islands of
+    // CONSECUTIVE o1 per (d1, d2, diag) — gap 1, not the excise
+    // query's spanLen — are exactly the maximal shared substrings
+    "dedup_spans_maximal" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      w AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS off, md5(text[i:i+31]) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS i
+              FROM docs WHERE length(text) >= 32)),
+      k AS (
+        SELECT doc_id, off,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', h[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS span_hash
+        FROM w),
+      m AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, a.off AS o1,
+          a.off - b.off AS diag
+        FROM k a JOIN k b
+          ON a.span_hash = b.span_hash AND a.doc_id < b.doc_id),
+      fl AS (
+        SELECT d1, d2, o1, diag,
+          CASE WHEN lag(o1) OVER win IS NULL
+                 OR o1 <> lag(o1) OVER win + 1 THEN 1 ELSE 0 END AS brk
+        FROM m WINDOW win AS (PARTITION BY d1, d2, diag ORDER BY o1)),
+      isl AS (
+        SELECT d1, d2, o1, diag,
+          SUM(brk) OVER (PARTITION BY d1, d2, diag ORDER BY o1) AS grp
+        FROM fl)
+      SELECT d1, d2, MIN(o1) AS off1,
+        CAST(MIN(o1) - diag AS INT) AS off2,
+        CAST(MAX(o1) - MIN(o1) + 32 AS INT) AS match_len
+      FROM isl GROUP BY d1, d2, diag, grp
+      ORDER BY d1, d2, off1, off2""",
 
     "curate_neardup" -> s"""
       WITH RECURSIVE $minhashCtes,

@@ -273,6 +273,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_spans_maximal: VARIABLE-LENGTH repeated-substring dedup —
+    * the suffix-array semantics of Lee et al.'s dedup (maximal shared
+    * substrings of length ≥ `spanLen` between document PAIRS), built
+    * seed-and-extend on the fixed-window machinery: [[dedupSpans]]'
+    * windows are the seeds, and runs of CONSECUTIVE matching windows
+    * along a pair's alignment diagonal extend them to maximal
+    * matches. A shared substring of length ℓ contributes exactly
+    * ℓ − spanLen + 1 consecutive window matches at constant diagonal
+    * (off1 − off2), so per (d1, d2, diag) the gaps-and-islands pass
+    * (the [[dedupSpansExcise]] recipe with gap 1) recovers (off1,
+    * off2, ℓ) exactly. Maximality is structural: the run cannot
+    * extend by one window iff the characters just outside differ —
+    * the flanking window's other spanLen−1 chars already lie in the
+    * known-equal region (property-spec'd in DedupSpec).
+    *
+    * Scale shape: window scan (once — localCheckpoint'ed, both join
+    * sides), equi-join on span_hash (bucketed, never all-pairs), one
+    * keyed window pass, one partial agg. Hot span hashes (boilerplate
+    * shared by g docs) cost C(g,2) matched seeds — the output-bound
+    * combinatorics every pair-reporting dedup here shares; islands of
+    * window-granule detections stay pair-local, so parallelism is
+    * pair-count, not doc-count. */
+  def dedupSpansMaximal(s: SparkSession, d: String): DataFrame =
+    dedupSpansMaximal(withPlants(Tables.documents(s, d)))
+
+  def dedupSpansMaximal(docs: DataFrame, spanLen: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spansWithOffsets(docs, spanLen).localCheckpoint()
+    val m = spans.as("a").join(spans.hint("shuffle_hash").as("b"),
+        col("a.span_hash") === col("b.span_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.off").as("o1"), (col("a.off") - col("b.off")).as("diag"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("o1"))
+    val prev = lag(col("o1"), 1).over(w)
+    m.withColumn("brk",
+        when(prev.isNull || col("o1") =!= prev + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(min(col("o1")).as("off1"),
+        (max(col("o1")) - min(col("o1")) + spanLen).as("match_len"))
+      .select(col("d1"), col("d2"), col("off1"),
+        (col("off1") - col("diag")).as("off2"), col("match_len"))
+      .orderBy(col("d1"), col("d2"), col("off1"), col("off2"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   private val MersennePrime = 2147483647L // 2^31 - 1

@@ -242,6 +242,46 @@ class DedupSpec extends SparkSpec {
       s"loop ${day1.size}+${day2.size} pairs != one-shot ${oneShot.size}")
   }
 
+  test("maximal span matches report the exact shared block per pair") {
+    import spark.implicits._
+    val x = "SHARED-BOILERPLATE-0123456789-ABCDEF" + "QRST" // 40 chars
+    val p1 = "alpha beta gamma:"; val s1 = "!delta epsilon"
+    val p2 = "one two;"; val s2 = "?three four five six"
+    val docs = Seq((1L, p1 + x + s1), (2L, p2 + x + s2))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupSpansMaximal(docs).collect()
+    assert(rows.length == 1, s"expected one maximal match, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L)
+    assert(r.getAs[Int]("off1") == p1.length)
+    assert(r.getAs[Int]("off2") == p2.length)
+    assert(r.getAs[Int]("match_len") == 40)
+  }
+
+  test("every reported maximal span is a shared substring and truly maximal") {
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val text = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Dedup.dedupSpansMaximal(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d1, d2) = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      val (o1, o2) = (r.getAs[Int]("off1"), r.getAs[Int]("off2"))
+      val len = r.getAs[Int]("match_len")
+      val (t1, t2) = (text(d1), text(d2))
+      assert(len >= 32)
+      // the reported region IS shared
+      assert(t1.substring(o1, o1 + len) == t2.substring(o2, o2 + len),
+        s"($d1,$d2)@($o1,$o2)+$len not equal")
+      // and MAXIMAL: the characters just outside differ (or a doc ends)
+      assert(o1 == 0 || o2 == 0 || t1(o1 - 1) != t2(o2 - 1),
+        s"($d1,$d2)@($o1,$o2) extends left")
+      assert(o1 + len == t1.length || o2 + len == t2.length ||
+        t1(o1 + len) != t2(o2 + len),
+        s"($d1,$d2)@($o1,$o2)+$len extends right")
+    }
+  }
+
   test("span excision removes exactly the shared block, coalesced maximally") {
     import spark.implicits._
     // two docs share ONLY the 40-char block X: its 9 repeated windows
