@@ -900,11 +900,21 @@ object Dedup {
     * bench scale (2k vectors) the G× replication costs more than the
     * 256-key ceiling it removes (~0.5s on dedup_emb_clusters), while
     * at 10×/20× (20k/40k rows) salting measured 1.6×/2.5× faster.
-    * The count that answers the dispatch is one pass — footer-only on
-    * a parquet-backed frame — paid only when the geometry is coarse
-    * enough to be salting-eligible, and the choice is output-invariant
-    * (spec'd: salted == unsalted). */
+    * The dispatch probe is a LIMIT-bounded count (the BPE vocab
+    * dispatch pattern): it stops after SaltBypassRows rows, so a
+    * DERIVED input (plants, transforms — no parquet footer to answer
+    * from) pays bounded work, never a full recomputation, and a big
+    * input answers "not below" after 10k rows regardless of its true
+    * size. Paid only when the geometry is coarse enough to be
+    * salting-eligible; hot callers pass `saltGroups` explicitly to
+    * skip the probe entirely. Output-invariant (spec'd: salted ==
+    * unsalted). */
   private[graft] val SaltBypassRows = 10000L
+
+  /** True iff `df` has fewer than [[SaltBypassRows]] rows, decided by
+    * scanning AT MOST that many. */
+  private def belowSaltBypass(df: DataFrame): Boolean =
+    df.limit(SaltBypassRows.toInt).count() < SaltBypassRows
 
   def embLshDups(e: DataFrame, tau: Double = 0.35,
                  numBits: Int = 0, numTables: Int = 0,
@@ -921,7 +931,7 @@ object Dedup {
     val groups =
       if (saltGroups > 0) saltGroups
       else if (defaultSaltGroups(tables, bits) <= 1) 1
-      else if (e.count() < SaltBypassRows) 1
+      else if (belowSaltBypass(e)) 1
       else defaultSaltGroups(tables, bits)
     val bc = e.sparkSession.sparkContext.broadcast(
       Similarity.lshPlanes(tables, bits))
