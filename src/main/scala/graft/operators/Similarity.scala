@@ -689,11 +689,30 @@ object Similarity {
                            cents: Array[Array[Double]],
                            mns: Array[Double], mxs: Array[Double],
                            queries: DataFrame, k: Int = 5,
-                           nprobe: Int = IvfNprobe): DataFrame = {
+                           nprobe: Int = IvfNprobe): DataFrame =
+    annIvfSq8ServeBatch(s, dir, cents, mns, mxs,
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe, excludeSelf = true)
+
+  /** Serve ONE batch of queries against the composed SQ8 stored-code
+    * layout ([[writeIvfSq8Partitioned]]) — the [[annIvfServeBatch]]
+    * shape over 1-byte/dim codes: probed buckets collected (bounded
+    * by nlist), partition-pruned scan, per-row dequantize, asymmetric
+    * rerank. The per-micro-batch body of
+    * [[graft.streaming.EventStream.streamingAnnIvfSq8TopK]] and the
+    * shared core of [[annIvfSq8Partitioned]]. `queries` must have
+    * `(query_id, embedding)`; `excludeSelf` as in
+    * [[annIvfServeBatch]] (serving ids are an independent space). */
+  def annIvfSq8ServeBatch(s: SparkSession, dir: String,
+                          cents: Array[Array[Double]],
+                          mns: Array[Double], mxs: Array[Double],
+                          queries: DataFrame, k: Int = 5,
+                          nprobe: Int = IvfNprobe,
+                          excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
     val probes = queries
-      .select(col("vec_id"), col("embedding"))
+      .select(col("query_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
@@ -708,8 +727,9 @@ object Similarity {
       .toDF("vec_id", "bucket", "q")
       .select(col("vec_id"), col("bucket"),
         sq8Dequant(col("q"), mns, mxs).as("v"))
-    val cand = corpus.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
+    val cand = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
+               else cand0
     topKPerQuery(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
       round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
   }

@@ -608,6 +608,29 @@ object EventStream {
       }
       .start()
 
+  /** [[streamingAnnIvfTopK]] over the composed IVF×SQ8 stored-code
+    * layout ([[graft.operators.Similarity.writeIvfSq8Partitioned]]) —
+    * the full production serving stack: state-free micro-batch probe,
+    * partition-pruned scan, 1-byte/dim storage dequantized per row,
+    * asymmetric rerank. Same per-batch-complete top-k argument, same
+    * independent-id-space default. */
+  def streamingAnnIvfSq8TopK(queries: Dataset[QueryVec], ivfSq8Dir: String,
+                             cents: Array[Array[Double]],
+                             mns: Array[Double], mxs: Array[Double],
+                             k: Int = 5,
+                             nprobe: Int = graft.operators.Similarity.IvfNprobe,
+                             excludeSelf: Boolean = false)(
+                             writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annIvfSq8ServeBatch(
+          s, ivfSq8Dir, cents, mns, mxs, batch.toDF("query_id", "embedding"),
+          k, nprobe, excludeSelf))
+      }
+      .start()
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */
