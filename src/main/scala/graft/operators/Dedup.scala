@@ -668,14 +668,26 @@ object Dedup {
     *
     * Convergence detection: labels only ever decrease, so the label
     * sum is strictly decreasing until fixpoint — one cheap aggregate
-    * per round instead of a change-count join. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * per round instead of a change-count join.
+    *
+    * Checkpointing: the per-round lineage cut defaults to
+    * `localCheckpoint` (executor-resident — fast, but an executor
+    * loss on a real cluster kills the cached blocks and fails the job
+    * LOUDLY). Cluster runs pass `reliable = true` to use RELIABLE
+    * checkpoints instead: rounds persist to the session's checkpoint
+    * directory (`sparkContext.setCheckpointDir` — HDFS/object store),
+    * surviving executor loss at the price of a write per round.
+    * Output-identical (spec'd). */
+  private def cpRound(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
     val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
-    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("cluster_id", col("node"))
-      .localCheckpoint()
+    val sym = cpRound(
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))), reliable)
+    var labels = cpRound(sym.select(col("u").as("node")).distinct()
+      .withColumn("cluster_id", col("node")), reliable)
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
@@ -685,9 +697,9 @@ object Dedup {
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("cluster_id"))
-      val next = labels.unionByName(neighborMin)
-        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      val next = cpRound(labels.unionByName(neighborMin)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id")),
+        reliable)
       val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head.getDecimal(0)
       done = s == prevSum
@@ -723,7 +735,8 @@ object Dedup {
     * Equivalence with [[connectedComponents]] and a union-find ground
     * truth is spec'd in DedupSpec, including a 100-hop chain that the
     * default label-propagation budget cannot finish. */
-  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50,
+                              reliable: Boolean = false): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
@@ -746,12 +759,12 @@ object Dedup {
       val fromSelf = mins.select(col("u"), col("m").as("v"))
       canon(fromNeighbors.unionByName(fromSelf))
     }
-    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
-      .localCheckpoint()
+    var edges = cpRound(
+      canon(pairs.select(col("d1").as("u"), col("d2").as("v"))), reliable)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = cpRound(smallStar(largeStar(edges)), reliable)
       // canon-deduped sets: equal counts + next ⊆ edges ⇒ equal sets
       done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
@@ -773,13 +786,14 @@ object Dedup {
     * reachability oracle, so the fallback changes cost, never results
     * — and a pathological graph degrades to the slower-but-terminating
     * algorithm instead of failing the pipeline. */
-  def connectedComponentsSafe(pairs: DataFrame, maxIters: Int = 25): DataFrame =
-    try connectedComponents(pairs, maxIters)
+  def connectedComponentsSafe(pairs: DataFrame, maxIters: Int = 25,
+                              reliable: Boolean = false): DataFrame =
+    try connectedComponents(pairs, maxIters, reliable)
     catch {
       case e: IllegalStateException =>
         System.err.println(
           s"[graft] ${e.getMessage} — falling back to large-star/small-star")
-        connectedComponentsStar(pairs)
+        connectedComponentsStar(pairs, reliable = reliable)
     }
 
   /** dedup_clusters query: minhash-LSH candidate pairs → connected

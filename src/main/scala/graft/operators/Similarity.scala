@@ -393,7 +393,28 @@ object Similarity {
     * are a property of the data GEOMETRY, so the 1× training serves
     * the replicated corpus too). */
   def writeIvfPartitionedOn(emb: DataFrame, cents: Array[Array[Double]],
-                            dir: String): Unit = {
+                            dir: String): Unit =
+    ivfAssign(emb, cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Append a batch of arriving vectors to the standing
+    * bucket-partitioned serving layout — the ANN corpus's daily
+    * maintenance step (the serving-side analog of the dedup index
+    * artifacts [[graft.operators.Dedup.dedupIncrementalStep]]): the
+    * batch assigns against the SAME trained centroids and its rows
+    * land inside the existing bucket directories, so tomorrow's
+    * probes see today's vectors with no corpus rewrite and partition
+    * pruning keeps working unchanged. Quantizer drift is a retrain-
+    * and-rewrite decision (centroids are a property of the data
+    * geometry — stable under arrivals drawn from it); spec'd:
+    * append-then-serve ≡ serve over a one-shot layout of the union. */
+  def appendIvfPartitioned(batch: DataFrame, cents: Array[Array[Double]],
+                           dir: String): Unit =
+    ivfAssign(batch, cents)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+
+  private def ivfAssign(emb: DataFrame,
+                        cents: Array[Array[Double]]): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
@@ -401,7 +422,6 @@ object Similarity {
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
       .toDF("vec_id", "bucket", "embedding")
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 
   /** ANN over the bucket-partitioned layout: per query, probe the

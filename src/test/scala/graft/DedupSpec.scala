@@ -73,6 +73,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint CC mode is output-identical to localCheckpoint") {
+    // cluster runs use reliable checkpoints (executor-resident
+    // localCheckpoint blocks die with an executor); the mode must be
+    // a pure durability choice, never a semantic one
+    val dir = java.nio.file.Files.createTempDirectory("ccreliable").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Dedup.minhashCandidates(
+      Dedup.withPlants(Tables.documents(spark, sf)))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    assert(m(Dedup.connectedComponents(pairs, reliable = true)) ==
+      m(Dedup.connectedComponents(pairs)))
+    assert(m(Dedup.connectedComponentsStar(pairs, reliable = true)) ==
+      m(Dedup.connectedComponentsStar(pairs)))
+    // the reliable rounds actually persisted to the checkpoint dir
+    assert(new java.io.File(dir).listFiles.nonEmpty,
+      "reliable mode wrote nothing to the checkpoint directory")
+  }
+
   test("star-contraction CC equals label propagation and union-find truth") {
     import spark.implicits._
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -196,6 +196,27 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"scan read all $totalBuckets buckets — no pruning")
   }
 
+  test("appended serving corpus answers exactly like a one-shot layout") {
+    import graft.operators.Similarity
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 =!= 4)
+    val batch = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 4)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val grownDir = java.nio.file.Files.createTempDirectory("ivfgrow").toString
+    val oneShotDir = java.nio.file.Files.createTempDirectory("ivfone").toString
+    Similarity.writeIvfPartitionedOn(base, cents, grownDir)
+    Similarity.appendIvfPartitioned(batch, cents, grownDir)
+    Similarity.writeIvfPartitionedOn(base.unionByName(batch), cents, oneShotDir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(dir: String) =
+      Similarity.annIvfServeBatch(spark, dir, cents, queries)
+        .collect().map(_.toSeq).toSet
+    val grown = rows(grownDir)
+    assert(grown.nonEmpty)
+    assert(grown == rows(oneShotDir),
+      "append-maintained layout diverged from the one-shot layout")
+  }
+
   test("ANN serve batch treats query ids as an independent id space") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("ivfserveid").toString
