@@ -416,6 +416,64 @@ object EventStream {
       }
   }
 
+  case class HashKeyRow(doc_id: Long, sig: Long, ci: Int, cv: Long)
+
+  /** Manku banding key rows for an image stream (or batch frame) —
+    * the streaming front half of [[streamingPhashPairs]]: REAL decode
+    * → dHash60 → the SAME compound chunk keys as the batch
+    * `Dedup.bandedHammingCandidates` (via `Dedup.bandingKeys`, the
+    * pure mirror ScalaCheck already proves the pigeonhole guarantee
+    * on), so stream and batch bucket identically. */
+  def phashKeyRows(docs: DataFrame, maxHamming: Int = 3,
+                   numChunks: Int = 6): Dataset[HashKeyRow] = {
+    import docs.sparkSession.implicits._
+    graft.sources.Multimodal.phashSignatures(docs)
+      .as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        graft.operators.Dedup.bandingKeys(sig, maxHamming, numChunks)
+          .iterator.map { case (ci, cv) => HashKeyRow(id, sig, ci, cv) }
+      }
+  }
+
+  /** Streaming image near-dup pairs: the incremental form of the
+    * batch `Multimodal.phashDups`, completing the streaming near-dup
+    * triple (minhash ✓ embedding ✓ image ✓). Keyed by (ci, cv)
+    * compound chunk bucket; the state holds the bucket's member
+    * (doc_id, signature)s; each arriving image is hamming-verified
+    * against every earlier member AT THE BUCKET — the banding is
+    * exact (a pair within the budget shares ≥1 bucket), so emitted
+    * pairs may repeat across buckets exactly like the batch join
+    * before its distinct (consumers dedupe; the parity spec compares
+    * distinct sets). State per bucket is member count × 16 bytes —
+    * bounded by bucket occupancy, the quantity the 2^30 key space
+    * bounds by construction. */
+  def streamingPhashPairs(keys: Dataset[HashKeyRow],
+                          maxHamming: Int = 3): Dataset[(Long, Long, Int)] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(k => (k.ci, k.cv))
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[HashKeyRow], state: GroupState[Seq[(Long, Long)]]) =>
+          val existing = state.getOption.getOrElse(Seq.empty)
+          val seen = existing.map(_._1).toSet
+          val incoming = rows.toSeq.filterNot(r => seen(r.doc_id))
+            .groupBy(_.doc_id).map(_._2.head).toSeq.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var members = existing
+          incoming.foreach { r =>
+            members.foreach { case (mid, msig) =>
+              val hm = java.lang.Long.bitCount(msig ^ r.sig)
+              if (hm <= maxHamming)
+                out += (if (mid < r.doc_id) (mid, r.doc_id, hm)
+                        else (r.doc_id, mid, hm))
+            }
+            members = members :+ ((r.doc_id, r.sig))
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   case class EmbCodeRowTs(vec_id: Long, tid: Int, code: Int,
                           embedding: Array[Float], ts: java.sql.Timestamp)
 

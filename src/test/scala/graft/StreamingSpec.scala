@@ -332,6 +332,33 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("streaming phash pair detection matches the batch banding join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Multimodal
+    val docs = Multimodal.withPhashPlants(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val keys = EventStream.phashKeyRows(docs).collect()
+    val (originals, plants) = keys.partition(_.doc_id < 96000)
+    val input = MemoryStream[EventStream.HashKeyRow]
+    val q = EventStream.streamingPhashPairs(input.toDS())
+      .toDF("d1", "d2", "hamming")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("phash_stream_test").start()
+    input.addData(originals.toSeq)
+    q.processAllAvailable()
+    input.addData(plants.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("phash_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Multimodal.phashDups(docs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("streaming embedding LSH pair detection matches the batch bucket join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
