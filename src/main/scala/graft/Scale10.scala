@@ -66,6 +66,25 @@ object Scale10 {
           operators.Dedup.dedupIncrementalStep(spark, idxDir, batch).count()
         }
     }
+    // the span-granularity analog: the mult× corpus's distinct window
+    // hashes are persisted ONCE; each day windows only its 5k-doc
+    // batch and joins the stored (hash, keeper) index
+    locally {
+      val idxDir = s"/tmp/scale_spanindex_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"span_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        operators.Dedup.writeSpanIndex(docs, idxDir)
+        spark.read.parquet(idxDir).count()
+      }
+      for (day <- 1 to 2)
+        t(s"span_index_day${day}_${mult}x") {
+          val batch = Tables.documents(spark, d)
+            .withColumn("doc_id", col("doc_id") + lit(900000000L * day))
+          operators.Dedup.dedupSpansIncrementalStep(spark, idxDir, batch).count()
+        }
+    }
     // the embedding analog: the mult× corpus is coded and persisted
     // ONCE; each day codes only its 2k-vector batch and joins the
     // stored index — per-day cost must track the batch + the index

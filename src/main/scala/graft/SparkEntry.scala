@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
     "dedup_spans_maximal" -> Dedup.dedupSpansMaximal _,
+    "dedup_spans_incremental" -> Dedup.dedupSpansIncremental _,
     "dedup_phash"         -> ((s, d) => Multimodal.phashDups(s, d)),
     "dedup_phash_incremental" -> ((s, d) => Multimodal.phashIncremental(s, d)),
     "dedup_phash_clusters" -> Multimodal.phashClusters _,
@@ -692,6 +693,37 @@ object SparkEntry {
       LEFT JOIN rem USING (doc_id)
       LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // batch-vs-corpus slice of the window-hash space: the corpus side
+    // reduces to a (span_hash, min keeper) index, the batch's window
+    // stream joins it — one row per corpus-known hash seen in the batch
+    "dedup_spans_incremental" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      w AS (
+        SELECT doc_id, md5(text[i:i+31]) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS i
+              FROM docs WHERE length(text) >= 32)),
+      k AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', h[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS span_hash
+        FROM w),
+      cidx AS (
+        SELECT span_hash, MIN(doc_id) AS keeper_id
+        FROM k WHERE doc_id < 100000 GROUP BY span_hash)
+      SELECT span_hash, keeper_id,
+        COUNT(DISTINCT b.doc_id) AS n_batch_docs,
+        COUNT(*) AS n_batch_occurrences
+      FROM (SELECT * FROM k WHERE doc_id >= 100000) b
+      JOIN cidx USING (span_hash)
+      GROUP BY span_hash, keeper_id
+      ORDER BY span_hash""",
 
     // seed-and-extend replayed in SQL: window matches per doc pair lie
     // on a constant alignment diagonal (o1 - o2); islands of

@@ -273,6 +273,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_spans_incremental: NEW-BATCH vs STANDING-CORPUS span
+    * dedup — the substring-granularity member of the incremental
+    * family (doc-level has minhash/embedding/phash): which windows of
+    * the ARRIVING batch already exist somewhere in the corpus, keyed
+    * to the corpus keeper. The corpus side reduces to a (span_hash,
+    * keeper_id) index — at 100 TB a write-once artifact
+    * ([[writeSpanIndex]] / [[dedupSpansIncrementalStep]] are the
+    * maintained-loop form) — and the batch's window stream equi-joins
+    * it on the hash; there is NO corpus self-join and no cross-batch
+    * pairing. Output: one row per corpus-known span hash seen in the
+    * batch, with batch doc/occurrence counts (the excision step then
+    * cuts those spans from the batch exactly as [[dedupSpansExcise]]
+    * does). */
+  def dedupSpansIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = withPlants(Tables.documents(s, d))
+    dedupSpansIncremental(all.filter(col("doc_id") < 100000),
+      all.filter(col("doc_id") >= 100000))
+  }
+
+  def dedupSpansIncremental(corpus: DataFrame, batch: DataFrame,
+                            spanLen: Int = 32): DataFrame = {
+    val cIdx = spansWithOffsets(corpus, spanLen)
+      .groupBy(col("span_hash")).agg(min(col("doc_id")).as("keeper_id"))
+    spansWithOffsets(batch, spanLen)
+      .join(cIdx, "span_hash")
+      .groupBy(col("span_hash"), col("keeper_id"))
+      .agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        count(lit(1)).as("n_batch_occurrences"))
+      .orderBy(col("span_hash"))
+  }
+
+  /** Persist the corpus's span index — (span_hash, keeper_id), one
+    * row per DISTINCT window hash (orders of magnitude smaller than
+    * the raw window stream): the write-once artifact
+    * [[dedupSpansIncremental]]'s corpus side assumes. Appends from
+    * [[dedupSpansIncrementalStep]] may repeat a hash across
+    * generations; readers re-aggregate min(keeper_id) per hash (the
+    * step does), and a periodic [[graft.sources.Compact]] pass
+    * re-collapses the log. */
+  def writeSpanIndex(docs: DataFrame, dir: String, spanLen: Int = 32): Unit =
+    spansWithOffsets(docs, spanLen)
+      .groupBy(col("span_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** One day of the span-dedup production loop (the substring analog
+    * of [[dedupIncrementalStep]]): window the arriving batch ONCE,
+    * detect its corpus-known spans against the maintained index, then
+    * append the batch's own (hash, keeper) rows so tomorrow's batch
+    * sees today's spans. Detection is materialized BEFORE the append.
+    * Loop invariant spec'd in DedupSpec: day-N detection ≡
+    * [[dedupSpansIncremental]] of (corpus ∪ earlier batches, day-N
+    * batch). */
+  def dedupSpansIncrementalStep(s: SparkSession, indexDir: String,
+                                batch: DataFrame,
+                                spanLen: Int = 32): DataFrame = {
+    val bSpans = spansWithOffsets(batch, spanLen).localCheckpoint()
+    val idx = s.read.parquet(indexDir)
+      .groupBy(col("span_hash")).agg(min(col("keeper_id")).as("keeper_id"))
+    val hits = bSpans.join(idx, "span_hash")
+      .groupBy(col("span_hash"), col("keeper_id"))
+      .agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        count(lit(1)).as("n_batch_occurrences"))
+      .localCheckpoint() // eager: detect strictly before the append
+    bSpans.groupBy(col("span_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("append").parquet(indexDir)
+    hits.orderBy(col("span_hash"))
+  }
+
   /** dedup_spans_maximal: VARIABLE-LENGTH repeated-substring dedup —
     * the suffix-array semantics of Lee et al.'s dedup (maximal shared
     * substrings of length ≥ `spanLen` between document PAIRS), built

@@ -474,6 +474,62 @@ object EventStream {
       }
   }
 
+  case class HashKeyRowTs(doc_id: Long, sig: Long, ci: Int, cv: Long,
+                          ts: java.sql.Timestamp)
+
+  /** [[streamingPhashPairs]] with BOUNDED state — the image analog of
+    * [[streamingMinhashPairsTtl]]: per-bucket members carry
+    * (signature, lastSeen), arrivals hamming-verify only against
+    * members within the event-time horizon (stale members evicted
+    * inline), and the bucket's state is removed when the watermark
+    * passes its newest member + horizon. State is bounded by bucket
+    * arrival rate × horizon × 24 bytes instead of the stream's
+    * lifetime bucket membership; with all arrivals inside one horizon
+    * this reduces exactly to the unbounded form (parity spec'd). */
+  def streamingPhashPairsTtl(keys: Dataset[HashKeyRowTs], horizonMs: Long,
+                             maxHamming: Int = 3,
+                             watermarkDelay: String = "10 minutes"): Dataset[(Long, Long, Int)] = {
+    import keys.sparkSession.implicits._
+    keys.withWatermark("ts", watermarkDelay)
+      .as[HashKeyRowTs]
+      .groupByKey(k => (k.ci, k.cv))
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[HashKeyRowTs],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            var members = state.getOption.getOrElse(Seq.empty)
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              members = members.filter(_._3 >= t - horizonMs)
+              val idx = members.indexWhere(_._1 == r.doc_id)
+              if (idx >= 0) {
+                val (id, sig, seen) = members(idx)
+                members = members.updated(idx, (id, sig, math.max(seen, t)))
+              } else {
+                members.foreach { case (mid, msig, _) =>
+                  val hm = java.lang.Long.bitCount(msig ^ r.sig)
+                  if (hm <= maxHamming)
+                    out += (if (mid < r.doc_id) (mid, r.doc_id, hm)
+                            else (r.doc_id, mid, hm))
+                }
+                members = members :+ ((r.doc_id, r.sig, t))
+              }
+            }
+            state.update(members)
+            val newest = members.map(_._3).max
+            state.setTimeoutTimestamp(
+              math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   case class EmbCodeRowTs(vec_id: Long, tid: Int, code: Int,
                           embedding: Array[Float], ts: java.sql.Timestamp)
 

@@ -261,6 +261,35 @@ class DedupSpec extends SparkSpec {
       s"loop ${day1.size}+${day2.size} pairs != one-shot ${oneShot.size}")
   }
 
+  test("maintained span index: daily steps equal the one-shot cross-set detection") {
+    val dir = java.nio.file.Files.createTempDirectory("spanindex").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    // day 1: copies of corpus docs 0-2; day 2: a copy of corpus doc 3
+    // AND a copy of DAY-1 doc 1001 — detectable only via the append
+    val b1 = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val b2 = base.filter(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + 2000)
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 2001))
+    Dedup.writeSpanIndex(base, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("span_hash"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("n_batch_docs"), r.getAs[Long]("n_batch_occurrences")))
+      .toSet
+    val day1 = rows(Dedup.dedupSpansIncrementalStep(spark, dir, b1))
+    val day2 = rows(Dedup.dedupSpansIncrementalStep(spark, dir, b2))
+    assert(day1.nonEmpty && day2.nonEmpty)
+    // loop invariant: each day's detection equals the one-shot
+    // cross-set form over (corpus ∪ earlier batches, that day's batch)
+    assert(day1 == rows(Dedup.dedupSpansIncremental(base, b1)))
+    assert(day2 == rows(Dedup.dedupSpansIncremental(base.unionByName(b1), b2)))
+    // the day-2 copy of day-1 doc 1001 binds to keeper 1 (the corpus
+    // original is the min-id holder of those spans, through the index)
+    assert(day2.exists { case (_, keeper, _, _) => keeper == 1L },
+      "day-2 copy of a day-1 doc not detected through the appended index")
+  }
+
   test("maximal span matches report the exact shared block per pair") {
     import spark.implicits._
     val x = "SHARED-BOILERPLATE-0123456789-ABCDEF" + "QRST" // 40 chars

@@ -463,6 +463,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL'd phash pairs: in-horizon parity with batch, stale members evict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Multimodal
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Multimodal.withPhashPlants(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      val keys = EventStream.phashKeyRows(docs).collect()
+      val (originals, plants) = keys.partition(_.doc_id < 96000)
+      val input = MemoryStream[EventStream.HashKeyRowTs]
+      val q = EventStream.streamingPhashPairsTtl(input.toDS(),
+          horizonMs = 3600 * 1000L)
+        .toDF("d1", "d2", "hamming")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("phash_ttl_test").start()
+      def stateRows: Long = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators.head.numRowsTotal
+      // both halves inside one horizon → exact batch parity
+      input.addData(originals.toSeq.map(k => EventStream.HashKeyRowTs(
+        k.doc_id, k.sig, k.ci, k.cv, ts("2024-01-01 00:00:00"))))
+      q.processAllAvailable()
+      input.addData(plants.toSeq.map(k => EventStream.HashKeyRowTs(
+        k.doc_id, k.sig, k.ci, k.cv, ts("2024-01-01 00:30:00"))))
+      q.processAllAvailable()
+      val streamed = spark.table("phash_ttl_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = Multimodal.phashDups(docs).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+      val populated = stateRows
+      assert(populated > 0)
+      // advance past the horizon; timeout processing drains the state
+      input.addData(Seq(EventStream.HashKeyRowTs(
+        900001L, 0L, 0, 0L, ts("2024-01-01 05:00:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(EventStream.HashKeyRowTs(
+        900002L, 1L, 1, 0L, ts("2024-01-01 05:05:00"))))
+      q.processAllAvailable()
+      q.stop()
+      assert(stateRows <= 3,
+        s"state after eviction: $stateRows (was $populated)")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("TTL'd embedding LSH pairs: in-horizon parity with batch, stale members evict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
