@@ -1144,9 +1144,9 @@ object Dedup {
     * text size). The salt group is precomputed per row (`_g` —
     * deterministic in vec_id), so the daily one-sided salted join
     * ([[dedupEmbIncremental]]'s shape) needs no corpus-side rewrite.
-    * `saltGroups` (default: geometry-derived) must match between the
-    * writer and every later [[dedupEmbIncrementalStep]] — the stored
-    * `_g` domain is [0, G). */
+    * [[dedupEmbIncrementalStep]] DERIVES the group count from the
+    * stored `_g` domain (max + 1), so the writer's `saltGroups`
+    * choice can never silently disagree with a later step. */
   def writeEmbCodeIndex(e: DataFrame, dir: String, tau: Double = 0.35,
                         saltGroups: Int = 0): Unit = {
     val g = Similarity.geometryFor(tau)
@@ -1176,11 +1176,16 @@ object Dedup {
     * exactly the one-shot [[embLshDups]] pairs of corpus ∪ batch₁ ∪
     * batch₂ sliced to cross-arrival pairs. */
   def dedupEmbIncrementalStep(s: SparkSession, indexDir: String,
-                              batch: DataFrame, tau: Double = 0.35,
-                              saltGroups: Int = 0): DataFrame = {
+                              batch: DataFrame,
+                              tau: Double = 0.35): DataFrame = {
     val g = Similarity.geometryFor(tau)
-    val groups = if (saltGroups > 0) saltGroups
-                 else defaultSaltGroups(g.tables, g.bits)
+    // the salt-group count is a property of the ARTIFACT, not a
+    // parameter: a step run with a different G than the writer would
+    // silently lose every pair whose corpus group the batch never
+    // replicated into — so read it from the stored _g domain (a
+    // stats-only max over one int column)
+    val groups = s.read.parquet(indexDir)
+      .agg(max(col("_g"))).head.getInt(0) + 1
     val bc = s.sparkContext.broadcast(
       Similarity.lshPlanes(g.tables, g.bits))
     // the batch's index rows: coded once, with their own one-group

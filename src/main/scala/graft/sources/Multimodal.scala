@@ -371,6 +371,35 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("corpus_id"), col("batch_id"))
 
+  /** Persist the corpus's image signatures — (doc_id, phash), the
+    * write-once artifact [[phashIncremental]]'s corpus side assumes
+    * (the image analog of [[graft.operators.Dedup.writeBandIndex]]).
+    * What the index saves daily is the DECODE: 8 bytes per image vs
+    * re-running ImageIO over the standing corpus — the banding keys
+    * re-derive from the stored signature in pure column arithmetic. */
+  def writePhashIndex(docs: DataFrame, dir: String): Unit =
+    phashSignatures(docs).write.mode("overwrite").parquet(dir)
+
+  /** One day of the image-dedup production loop: decode + hash the
+    * arriving batch ONCE, detect its near-dups against the maintained
+    * signature index (cross-set banding join — corpus images never
+    * re-decoded), then append the batch's signatures so tomorrow's
+    * batch sees today's images. Detection is materialized BEFORE the
+    * append. Loop invariant spec'd in TextSpec: day-N detection ≡
+    * [[phashIncremental]] of (corpus ∪ earlier batches, day-N batch). */
+  def dedupPhashIncrementalStep(s: SparkSession, indexDir: String,
+                                batch: DataFrame, maxHamming: Int = 3,
+                                numChunks: Int = 6): DataFrame = {
+    val bSigs = phashSignatures(batch).localCheckpoint()
+    val hits = graft.operators.Dedup
+      .bandedHammingCandidatesAcross(s.read.parquet(indexDir), bSigs,
+        "phash", maxHamming, numChunks)
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint() // eager: detect strictly before the append
+    bSigs.write.mode("append").parquet(indexDir)
+    hits.orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** dedup_phash_clusters: the image-dedup CAPSTONE — [[phashDups]]
     * pairs → connected components → (doc_id, cluster_id) keeper map,
     * exactly parallel to the text capstones (dedup_clusters over

@@ -302,6 +302,37 @@ class TextSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("maintained phash index: daily steps equal one-shot cross-set detection") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("phidx").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+    // id shifts are multiples of 48 (≡ 0 mod 16 AND 12) so copies
+    // decode at their original's dimensions and collide at hamming 0.
+    // day 2 copies corpus doc 3 AND day-1 doc 96001 (base doc 1's
+    // payload at 96001 + 96000 = 192001 — same dims class as 96001)
+    val b1 = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 96000)
+    val b2 = base.filter(col("doc_id").isin(1, 3))
+      .withColumn("doc_id", col("doc_id") + 192000)
+    Multimodal.writePhashIndex(base, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"),
+        r.getAs[Int]("hamming"))).toSet
+    val day1 = rows(Multimodal.dedupPhashIncrementalStep(spark, dir, b1))
+    val day2 = rows(Multimodal.dedupPhashIncrementalStep(spark, dir, b2))
+    // exact copies hit their originals at hamming 0
+    assert(Set((0L, 96000L, 0), (1L, 96001L, 0), (2L, 96002L, 0))
+      .subsetOf(day1))
+    assert(Set((1L, 192001L, 0), (3L, 192003L, 0)).subsetOf(day2))
+    // the day-2 copy of a day-1 image is only findable via the append
+    assert(day2.contains((96001L, 192001L, 0)),
+      "day-2 copy of a day-1 image not detected through the index")
+    // loop invariant: each day equals the one-shot cross-set form
+    assert(day1 == rows(Multimodal.phashIncremental(base, b1)))
+    assert(day2 == rows(Multimodal.phashIncremental(base.unionByName(b1), b2)))
+  }
+
   test("audio features skip empty text and wrap high codepoints like the oracle") {
     import spark.implicits._
     // empty text: no byte stream to synthesize — skipped, not a crash;
