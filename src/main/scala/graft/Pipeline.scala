@@ -67,7 +67,18 @@ object Pipeline {
     * `bpeMerges`: optional tokenizer merge artifact; when present,
     * stage 5 packs by REAL tokenizer token counts
     * ([[graft.functions.Bpe.docTokenCounts]]) instead of whitespace
-    * words — the budget a training loader actually consumes. */
+    * words — the budget a training loader actually consumes.
+    *
+    * `exciseSpanLen`: when set, a stage 0 cuts cross-doc repeated
+    * spans of that window length out of every document BEFORE
+    * doc-level dedup ([[Dedup.dedupSpansExcise]]'s surgery — the
+    * C4/RefinedWeb/Lee-et-al. order: boilerplate excision first, so
+    * shared headers/footers neither glue unrelated docs into one
+    * near-dup cluster nor survive into training windows). Downstream
+    * stages run on the excised text, so the packed segments carry no
+    * cross-doc repeated span of the excised corpus (the operator's
+    * no-surviving-span theorem lifts through the composition —
+    * spec'd). */
   def curateAndPack(spark: SparkSession, docs: DataFrame, outDir: String,
                     cap: Int, qualityFloor: Double,
                     contamNgram: Int, contamMinShared: Long,
@@ -75,20 +86,31 @@ object Pipeline {
                     embTau: Double,
                     pplCeiling: Option[Double],
                     lmArtifact: Option[(DataFrame, DataFrame)] = None,
-                    bpeMerges: Option[Seq[(String, String)]] = None): Report = {
-    val input = docs.count()
+                    bpeMerges: Option[Seq[(String, String)]] = None,
+                    exciseSpanLen: Option[Int] = None): Report = {
+    // 0. boilerplate excision (optional): replace each doc's text
+    // with its span-excised form; lang and ids pass through
+    val src = exciseSpanLen match {
+      case Some(len) =>
+        val ex = Dedup.dedupSpansExcise(docs, len)
+          .select(col("doc_id"), col("excised_text").as("text"))
+        docs.drop("text").join(ex, "doc_id")
+          .localCheckpoint() // the scan+surgery subtree feeds everything
+      case None => docs
+    }
+    val input = src.count()
 
     // 1. near-dedup (transitive: CC over candidate pairs) — textual
     // (minhash bands) or semantic (embedding LSH buckets)
     val pairs = embeddings match {
       case Some(emb) => Dedup.embLshDups(emb, tau = embTau)
         .select(col("v1").as("d1"), col("v2").as("d2"))
-      case None => Dedup.minhashCandidates(docs)
+      case None => Dedup.minhashCandidates(src)
     }
     val clusters = Dedup.connectedComponentsSafe(pairs)
     val losers = clusters.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))
-    val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+    val deduped = src.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint() // reused by three downstream stages
     val afterDedup = deduped.count()
 

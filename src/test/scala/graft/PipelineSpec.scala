@@ -68,6 +68,41 @@ class PipelineSpec extends SparkSpec {
     assert(r.segments > 0)
   }
 
+  test("span-excision stage 0: no cross-doc repeated span survives into segments") {
+    import graft.operators.Dedup
+    // two doc groups sharing a long boilerplate block, plus plants —
+    // the excision must cut the shared block BEFORE dedup/packing
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline-ex").toString
+    val r = Pipeline.curateAndPack(spark, docs, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      exciseSpanLen = Some(32))
+    assert(r.input == 550 && r.segments > 0)
+    assert(r.train + r.eval == r.afterQuality)
+    // the corpus the segments were packed from is the excised text:
+    // none of the ORIGINALLY-detected repeated spans may appear in
+    // any packed doc's windows (the operator theorem, lifted through
+    // the composition — the same assertion DedupSpec makes on the
+    // operator alone)
+    val detected = Dedup.dedupSpans(docs).select("span_hash").collect()
+      .map(_.getLong(0)).toSet
+    assert(detected.nonEmpty)
+    val segs = spark.read.parquet(s"$out/segments")
+    import spark.implicits._
+    val survived = Dedup.dedupSpansExcise(docs)
+      .select(col("doc_id"), col("excised_text"))
+      .join(segs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .as[(Long, String)]
+      .flatMap { case (_, t) =>
+        if (t.length < 32) Iterator.empty
+        else (0 to t.length - 32).iterator.map(i => t.substring(i, i + 32)) }
+      .map(w => Dedup.spanHashOf(w))
+      .filter(h => detected.contains(h))
+      .count()
+    assert(survived == 0,
+      s"$survived detected repeated spans survived into packed docs")
+  }
+
   test("LM perplexity gate drops exactly the docs scoring above the ceiling") {
     import spark.implicits._
     // the synthetic corpus is a uniform token soup — every doc's
