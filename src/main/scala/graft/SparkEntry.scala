@@ -96,6 +96,7 @@ object SparkEntry {
     "multimodal_audio"    -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "curate_corpus"       -> operators.Curate.curateCorpus _,
     "curate_neardup"      -> operators.Curate.curateNearDup _,
+    "bm25_topk"           -> ((s, d) => operators.Search.bm25TopK(s, d)),
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1372,5 +1373,7 @@ object SparkEntry {
                             : CAST((frame_idx * 32 + j) % L AS INT) + 1])))
           % 100000 AS BIGINT) AS frame_checksum
       FROM f ORDER BY doc_id, frame_idx""",
+
+    "bm25_topk" -> operators.Search.bm25OracleSql(),
   )
 }

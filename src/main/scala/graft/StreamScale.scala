@@ -291,6 +291,32 @@ object StreamScale {
       val sN = serve(s"/tmp/streamscale_ivf$mult", s"corpus${mult}x")
       println(f"SCALE stream_ann_ivf_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
         f"(unpruned would be ~${mult}x)")
+
+      // the composed SQ8 serving stack: same pruned per-batch probe
+      // over 1-byte/dim stored codes (partition-pruned scan + per-row
+      // dequantize + asymmetric rerank)
+      val sq8Dir = "/tmp/streamscale_ivfsq8"
+      val (sqCents, mns, mxs) = graft.operators.Similarity
+        .writeIvfSq8Partitioned(spark, d, sq8Dir)
+      locally {
+        val input = MemoryStream[EventStream.QueryVec]
+        var emitted = 0L
+        val q = EventStream.streamingAnnIvfSq8TopK(input.toDS(), sq8Dir,
+          sqCents, mns, mxs) { topk => emitted += topk.count() }
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          val rows = (0 until nq / 10).map { j =>
+            val (id, v) = qVecs((b * (nq / 10) + j) % qVecs.length)
+            EventStream.QueryVec(id + 1000000L * (b + 1), v)
+          }
+          input.addData(rows)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_ann_ivf_sq8 queries=$nq time=$sec%.1fs " +
+          f"qps=${nq / sec}%.1f topkRows=$emitted")
+      }
     }
     spark.stop()
   }

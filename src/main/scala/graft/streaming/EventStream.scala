@@ -745,6 +745,35 @@ object EventStream {
       }
       .start()
 
+  // ---- streaming lexical search (pruned inverted-index probe) ------------
+
+  case class QueryTerms(query_id: Long, terms: Seq[String])
+
+  /** Streaming lexical search: arriving term queries probe a STANDING
+    * inverted index ([[graft.operators.Search.writeInvertedIndex]]'s
+    * layout) — the lexical twin of [[streamingAnnIvfTopK]], built the
+    * same way: the probe runs INSIDE `foreachBatch` as a batch plan,
+    * the batch's distinct terms prune the postings scan via a
+    * pushed-down `token IN (...)`, so per-batch cost tracks the probed
+    * posting lists, never the corpus. STATE-FREE for the same reason
+    * (a query's candidates are complete within its batch — BM25 stats
+    * live in the index, not in stream state). Parity with the batch
+    * [[graft.operators.Search.bm25TopK]] on a two-batch split is
+    * spec'd in SearchSpec. */
+  def streamingBm25TopK(queries: Dataset[QueryTerms], indexDir: String,
+                        k: Int = graft.operators.Search.DefaultK)(
+                        writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryTerms], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val flat = batch.flatMap(q => q.terms.map(q.query_id -> _))
+          .toDF("query_id", "term")
+        writeBatch(graft.operators.Search.bm25ServeBatch(s, indexDir, flat, k))
+      }
+      .start()
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Search
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval (BM25) — the index-served and streaming paths
+  * must answer exactly like the inline oracle-gated query, and the
+  * served probe must be partition-pruned to the query's terms. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val queriesDf =
+    Search.BmQueries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+
+  private lazy val indexDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("invidx").toString
+    Search.writeInvertedIndex(Tables.documents(spark, sf), dir)
+    dir
+  }
+
+  test("index-served BM25 equals the inline query") {
+    val inline = Search.bm25TopK(spark, sf).collect().map(_.toSeq)
+    val served = Search.bm25ServeBatch(spark, indexDir, queriesDf)
+      .collect().map(_.toSeq)
+    assert(inline.nonEmpty)
+    assert(served.toSeq == inline.toSeq) // identical rows AND order
+  }
+
+  test("BM25 serve reads ONLY the probed term partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = Seq((1L, "hash"), (1L, "dup")).toDF("query_id", "term")
+    val topk = Search.bm25ServeBatch(spark, indexDir, q)
+    topk.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val postScans = scans(topk.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("invidx")))
+    assert(postScans.nonEmpty, "no postings scan in the executed plan")
+    val partsRead = postScans.map(_.metrics("numPartitions").value).sum
+    val totalTerms = new java.io.File(s"$indexDir/postings").listFiles()
+      .count(_.getName.startsWith("token="))
+    assert(partsRead == 2, s"scan read $partsRead term partitions, probed 2")
+    assert(partsRead < totalTerms,
+      s"scan read all $totalTerms term partitions — no pruning")
+  }
+
+  test("out-of-vocabulary terms contribute nothing and never fail") {
+    val q = Seq((9L, "warehouse"), (9L, "zzz")).toDF("query_id", "term")
+    assert(Search.bm25ServeBatch(spark, indexDir, q).count() == 0)
+  }
+
+  test("streaming BM25 on a two-batch split equals the batch query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStream.QueryTerms]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingBm25TopK(input.toDS(), indexDir) { topk =>
+      out ++= topk.collect().map(_.toSeq)
+    }
+    val (b1, b2) = Search.BmQueries.splitAt(2)
+    input.addData(b1.map { case (id, ts) => EventStream.QueryTerms(id, ts) })
+    q.processAllAvailable()
+    input.addData(b2.map { case (id, ts) => EventStream.QueryTerms(id, ts) })
+    q.processAllAvailable()
+    q.stop()
+    val batch = Search.bm25TopK(spark, sf).collect().map(_.toSeq)
+    assert(out.toSet == batch.toSet)
+    assert(out.size == batch.length)
+  }
+}
