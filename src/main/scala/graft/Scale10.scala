@@ -15,7 +15,7 @@ object Scale10 {
     val only = args.lift(1)
       .orElse(args.headOption.filter(a => scala.util.Try(a.toInt).isFailure))
     def t(name: String)(f: => Long): Unit =
-      if (only.forall(name.contains)) {
+      if (only.forall(_.split(",").exists(name.contains))) {
         val t0 = System.nanoTime(); val n = f
         println(f"SCALE $name rows=$n time=${(System.nanoTime()-t0)/1e9}%.2fs")
       }
@@ -413,6 +413,64 @@ object Scale10 {
         .select(col("query_id"), col("neighbor_id"),
           functions.CosineSimilarity.cosineSim(col("qv"), col("v")).as("cos_sim"))
         .groupBy(col("query_id")).agg(max(col("cos_sim"))).count()
+    }
+    // lexical index over the mult× corpus: serve cost must track the
+    // probed terms' posting volume (the BmQueries set touches 14 of
+    // the 31 vocabulary terms), never the index total — the full-scan
+    // row is the unpruned comparison; the append row is the daily
+    // maintenance cost (one 5k-doc day folded in place)
+    locally {
+      import operators.Search
+      import spark.implicits._
+      val invDir = s"/tmp/scale_invidx_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val queriesDf = Search.BmQueries
+        .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+      t(s"inv_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(invDir), true)
+        Search.writeInvertedIndex(docs, invDir)
+        spark.read.parquet(s"$invDir/postings").count()
+      }
+      t(s"bm25_serve_${mult}x")(
+        Search.bm25ServeBatch(spark, invDir, queriesDf).count())
+      t(s"bm25_postings_fullscan_${mult}x")(
+        spark.read.parquet(s"$invDir/postings").count())
+      t(s"inv_index_append_day_${mult}x") {
+        val day = Tables.documents(spark, d)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        Search.appendInvertedIndex(day, invDir)
+        day.count()
+      }
+      t(s"bm25_serve_after_append_${mult}x")(
+        Search.bm25ServeBatch(spark, invDir, queriesDf).count())
+    }
+    // SCD-2 over mult× orders (disjoint key spaces, so per-key
+    // history depth stays constant): the daily apply must cost the
+    // history SCAN plus window work on the day's keys only — the
+    // one-shot rebuild re-windows the whole corpus
+    locally {
+      import operators.Upsert
+      val ordN = rep(Tables.orders(spark, d),
+        Seq("o_orderkey", "o_custkey"), 100000000L)
+      val histDir = s"/tmp/scale_scd2_$mult"
+      val (k, a, ts, tie) = ("o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+      t(s"scd2_build_${mult}x") {
+        Upsert.scd2Build(ordN, k, a, ts, tie)
+          .write.mode("overwrite").parquet(histDir)
+        spark.read.parquet(histDir).count()
+      }
+      val day = Tables.orders(spark, d)
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("o_orderdate",
+          col("o_orderdate") + expr("INTERVAL 10 YEARS"))
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      t(s"scd2_apply_day_${mult}x")(
+        Upsert.scd2Apply(spark.read.parquet(histDir), day, k, a, ts, tie)
+          .count())
+      t(s"scd2_rebuild_${mult}x")(
+        Upsert.scd2Build(ordN.unionByName(day), k, a, ts, tie).count())
     }
     spark.stop()
   }

@@ -97,6 +97,9 @@ object SparkEntry {
     "curate_corpus"       -> operators.Curate.curateCorpus _,
     "curate_neardup"      -> operators.Curate.curateNearDup _,
     "bm25_topk"           -> ((s, d) => operators.Search.bm25TopK(s, d)),
+    "search_hybrid_rrf"   -> ((s, d) => operators.Search.hybridRrf(s, d)),
+    "scd2_history"        -> operators.Upsert.scd2History _,
+    "profile_columns"     -> operators.Profile.profileColumns _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1375,5 +1378,28 @@ object SparkEntry {
       FROM f ORDER BY doc_id, frame_idx""",
 
     "bm25_topk" -> operators.Search.bm25OracleSql(),
+    "search_hybrid_rrf" -> operators.Search.hybridRrfOracleSql(),
+
+    // SCD-2: run-collapse on (custkey, priority) ordered by
+    // (date, orderkey), each run one validity interval
+    "scd2_history" -> """
+      WITH ch AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+          lag(o_orderpriority) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      seg AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+      SELECT o_custkey, o_orderpriority, o_orderkey,
+        o_orderdate AS valid_from,
+        lead(o_orderdate) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INT) AS version,
+        (lead(o_orderdate) OVER w IS NULL) AS is_current
+      FROM seg
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, version""",
+
+    "profile_columns" -> operators.Profile.profileOracleSql,
   )
 }

@@ -134,32 +134,68 @@ object Search {
 
   // ---- inverted-index artifact + pruned serving ------------------------
 
-  /** Write the inverted index: postings partitioned BY TERM — rows
-    * `(doc_id, tf, dl, df)` under `postings/token=.../` — plus the
-    * corpus scalars as a 1-row `stats` table. df and dl are
-    * denormalized into the posting row so a probe is ONE pruned scan
-    * (no side joins); at 100 TB each term's posting list is its own
-    * partition directory and a query batch reads only its terms'
-    * directories — the write-side layout that makes lexical serving
-    * partition-pruned, exactly like [[Similarity.writeIvfPartitioned]]
-    * does for ANN. */
+  /** Write the inverted index as THREE tables under `dir`:
+    *
+    *   - `postings/token=.../` — `(doc_id, tf, dl)` partitioned BY
+    *     TERM, so a query batch's scan is pruned to its terms'
+    *     partition directories (the lexical analog of
+    *     [[Similarity.writeIvfPartitioned]]'s bucket layout),
+    *   - `df` — the vocabulary-sized `(token, df)` table,
+    *   - `stats` — the 1-row corpus scalars (n_docs, s_tok).
+    *
+    * df/stats live OUTSIDE the posting rows (not denormalized) so the
+    * index is incrementally maintainable: appending a batch of NEW
+    * docs ([[appendInvertedIndex]]) appends postings in place and
+    * ADDS the batch's df/stats deltas — exact, because a new doc
+    * contributes to each count once. A denormalized df would go stale
+    * corpus-wide on every append. */
   def writeInvertedIndex(docs: DataFrame, dir: String): Unit = {
-    val s = docs.sparkSession
     val tf = termFreqs(docs).localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(dl, "doc_id").join(broadcast(df), "token")
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("df"))
+    tf.join(dl, "doc_id")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
       .write.mode("overwrite").partitionBy("token").parquet(s"$dir/postings")
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Daily index maintenance: fold a batch of NEW docs into the
+    * standing index — postings append INSIDE the existing term
+    * partition directories (pruned probes see the new docs with no
+    * index rewrite, the [[Similarity.appendIvfPartitioned]] shape),
+    * and the df/stats tables merge the batch's exact deltas (both are
+    * materialized via localCheckpoint BEFORE their overwrite — Spark
+    * refuses a lazy overwrite-while-reading plan). Docs must be new
+    * (append-only corpus, the dedup_incremental posture): re-appended
+    * doc_ids would double-count df. Spec'd: append-then-serve ≡
+    * one-shot index of the union. */
+  def appendInvertedIndex(batch: DataFrame, dir: String): Unit = {
+    val s = batch.sparkSession
+    val tf = termFreqs(batch).localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("append").partitionBy("token").parquet(s"$dir/postings")
+    val mergedDf = s.read.parquet(s"$dir/df")
+      .unionByName(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    mergedDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+    val mergedStats = s.read.parquet(s"$dir/stats")
+      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_tok")).as("s_tok"))
+      .localCheckpoint()
+    mergedStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** Serve ONE batch of term queries against the stored index: the
     * batch's distinct terms (bounded by the batch) prune the postings
-    * scan via pushed-down `token IN (...)` — per-batch cost tracks
-    * the probed posting lists, never the corpus. Result-identical to
-    * [[bm25TopK]] over the same corpus and queries (spec'd). */
+    * scan via pushed-down `token IN (...)` (and the df lookup the
+    * same way) — per-batch cost tracks the probed posting lists,
+    * never the corpus. Result-identical to [[bm25TopK]] over the same
+    * corpus and queries (spec'd). */
   def bm25ServeBatch(s: SparkSession, dir: String, queries: DataFrame,
                      k: Int = DefaultK): DataFrame = {
     import s.implicits._
@@ -167,9 +203,164 @@ object Search {
       .as[String].collect().sorted // bounded by the query batch
     val post = s.read.parquet(s"$dir/postings")
       .filter(col("token").isin(terms: _*))
+      .join(broadcast(s.read.parquet(s"$dir/df")
+        .filter(col("token").isin(terms: _*))), "token")
     val Array(nDocs, sTok) = s.read.parquet(s"$dir/stats")
       .as[(Long, Long)].collect().flatMap(t => Array(t._1, t._2))
     scoreAndRank(queries, post, nDocs, sTok, k)
+  }
+
+  // ---- hybrid retrieval: reciprocal-rank fusion ------------------------
+
+  /** search_hybrid_rrf — fuse the lexical ([[bm25TopK]]) and semantic
+    * (exact cosine top-k, the ANN family's correctness baseline)
+    * rankings per query via reciprocal-rank fusion:
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)) (Cormack et al.'s k=60).
+    * The query set pairs each [[BmQueries]] term set with the
+    * embedding of the SAME id — doc_id and vec_id are an aligned id
+    * space in this corpus. RRF consumes ANY ranked lists, so the
+    * production form feeds the IVF-served semantic list
+    * ([[Similarity.annIvfServeBatch]]) and the index-served lexical
+    * list ([[bm25ServeBatch]]) — rank fusion itself is a tiny
+    * groupBy over 2·depth rows per query.
+    *
+    * Determinism: each 1/(60+rank) is one IEEE division of exact
+    * integers, snapped to the 1e-9 grid and summed in exact decimal;
+    * final score is one double cast rounded to 6 dp; ranking orders
+    * by (rounded rrf, doc_id) in both engines. */
+  /** Fuse ANY ranked lists `(query_id, doc_id, rank)` via RRF — list-
+    * agnostic: the gate query feeds it exact rankings, the serving
+    * path feeds it the index-served lexical and IVF-served semantic
+    * lists. Fusion itself is one tiny groupBy over Σ|lists| rows per
+    * query. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = DefaultK): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val s = lists.head.sparkSession
+    import s.implicits._
+    val rrfTerm = round(lit(1).cast("double") /
+      (lit(60) + col("rank")).cast("double"), 9).cast(DecimalType(13, 9))
+    lists.map(_.select(col("query_id"), col("doc_id"), rrfTerm.as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("rrf"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopK.Scored(t._2, t._3))
+      .agg(new graft.functions.TopK.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, arr) =>
+        arr.iterator.zipWithIndex.map { case (sc, i) => (qid, sc.id, sc.score, i + 1) } }
+      .toDF("query_id", "doc_id", "rrf", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def hybridRrf(s: SparkSession, d: String, k: Int = DefaultK,
+                depth: Int = 20): DataFrame = {
+    val cosSim = graft.functions.CosineSimilarity.cosineSim _
+    val lex = bm25TopK(s, d, depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qids = BmQueries.map(_._1)
+    val qv = broadcast(Tables.embeddings(s, d)
+      .filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val semScored = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+      .join(qv)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosSim(col("qv"), col("v")), 6).as("cos_sim"))
+    val sem = Similarity.topKPerQuery(semScored, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k)
+  }
+
+  /** Serve ONE batch of hybrid queries against the STORED layouts:
+    * the index-served lexical list ([[bm25ServeBatch]], term-pruned)
+    * fused with the IVF-served semantic list
+    * ([[Similarity.annIvfServeBatch]], bucket-pruned). Both probes
+    * read only what the batch touches, so hybrid serving inherits
+    * both pruning stories. With `nprobe` = nlist the semantic list is
+    * exhaustive and this is result-identical to [[hybridRrf]]
+    * (spec'd); at serving nprobe it trades that for the probe cost,
+    * exactly the IVF recall trade documented in [[Similarity]]. */
+  def hybridServeBatch(s: SparkSession, invDir: String, ivfDir: String,
+                       cents: Array[Array[Double]],
+                       termQueries: DataFrame, vecQueries: DataFrame,
+                       k: Int = DefaultK, depth: Int = 20,
+                       nprobe: Int = Similarity.IvfNprobe): DataFrame = {
+    val lex = bm25ServeBatch(s, invDir, termQueries, depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = Similarity.annIvfServeBatch(s, ivfDir, cents, vecQueries,
+        depth, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k)
+  }
+
+  /** DuckDB oracle for [[hybridRrf]] — the bm25 pipeline as CTEs, the
+    * brute-force cosine ranking, and the fused decimal sum. */
+  def hybridRrfOracleSql(k: Int = DefaultK, depth: Int = 20): String = {
+    val qids = BmQueries.map(_._1).mkString(", ")
+    val qvals = BmQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"(CAST($q AS BIGINT), '$t')") }.mkString(",\n        ")
+    raw"""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> length(x) > 0)) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      qt(query_id, term) AS (VALUES
+        $qvals),
+      contrib AS (
+        SELECT q.query_id, f.doc_id,
+          CAST(round(ln(CAST(2 * s.n_docs + 2 AS DOUBLE) /
+                        CAST(2 * d.df + 1 AS DOUBLE)), 9) AS DECIMAL(13,9)) *
+          CAST(round(CAST(22 * f.tf * s.s_tok AS DOUBLE) /
+                     CAST(10 * f.tf * s.s_tok + 3 * s.s_tok
+                          + 9 * l.dl * s.n_docs AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM qt q
+        JOIN tf f ON f.token = q.term
+        JOIN df d ON d.token = q.term
+        JOIN dl l ON l.doc_id = f.doc_id
+        CROSS JOIN stats s),
+      bm AS (
+        SELECT query_id, doc_id,
+          round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        FROM contrib GROUP BY 1, 2),
+      lex AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id) AS rank
+          FROM bm) WHERE rank <= $depth),
+      qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+             WHERE vec_id IN ($qids)),
+      semscore AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])), 6) AS cs
+        FROM qv q CROSS JOIN embeddings e),
+      sem AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cs DESC, doc_id) AS rank
+          FROM semscore) WHERE rank <= $depth),
+      rrlists AS (
+        SELECT query_id, doc_id,
+          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+      fused AS (
+        SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
+        FROM rrlists GROUP BY 1, 2)
+      SELECT query_id, doc_id, rrf, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        FROM fused)
+      WHERE rank <= $k
+      ORDER BY query_id, rank"""
   }
 
   /** DuckDB oracle for [[bm25TopK]] — replays the tokenization, the

@@ -147,6 +147,36 @@ object Compact {
     parts.map(s.read.parquet(_)).reduce(_ unionByName _)
   }
 
+  /** Committed generation ids retained under `dir`, oldest first —
+    * the time-travel catalog. The one-compaction grace means the
+    * newest TWO generations (plus live batches newer than the older
+    * one) are always on disk, so one full compaction cycle of history
+    * is queryable at any time without a manifest. */
+  def listGenerations(s: SparkSession, dir: String): Seq[Long] =
+    numberedDirs(s, dir, "g").map(_._1)
+
+  /** Time-travel read: the sink's contents AS OF `batchId` — the
+    * newest committed generation at or before it plus the live batch
+    * directories in between. Sound exactly for the retained window
+    * (batchId ≥ oldest retained generation): beyond it, folded live
+    * directories are already garbage-collected and a silent partial
+    * read would masquerade as history, so this REFUSES instead
+    * (fail-loud, the [[readCompacting]] contract). Deeper history is
+    * a table-format/retention decision, not a maintenance-sink one. */
+  def readAsOf(s: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val gens = numberedDirs(s, dir, "g")
+    require(gens.isEmpty || batchId >= gens.head._1,
+      s"batch $batchId predates the retained window (oldest generation " +
+        s"${gens.head._1}) — its folded live directories are collected")
+    val gen = gens.filter(_._1 <= batchId).lastOption
+    val upTo = gen.map(_._1).getOrElse(-1L)
+    val parts = gen.map(_._2).toSeq ++
+      numberedDirs(s, s"$dir/live", "b")
+        .filter(t => t._1 > upTo && t._1 <= batchId).map(_._2)
+    require(parts.nonEmpty, s"no data as of batch $batchId under $dir")
+    parts.map(s.read.parquet(_)).reduce(_ unionByName _)
+  }
+
   private[graft] def compactGenerations(s: SparkSession, dir: String,
                                         batchId: Long, targetBytes: Long): Unit = {
     val gen = currentGen(s, dir)

@@ -774,6 +774,36 @@ object EventStream {
       }
       .start()
 
+  case class QueryHybrid(query_id: Long, terms: Seq[String],
+                         embedding: Array[Float])
+
+  /** Streaming HYBRID search: each arriving query carries a term set
+    * and an embedding; per micro-batch the term-pruned lexical probe
+    * and the bucket-pruned IVF probe both run as batch plans and fuse
+    * via RRF ([[graft.operators.Search.hybridServeBatch]]) — the
+    * serving stack a retrieval pipeline actually runs, inheriting
+    * both pruning stories and staying state-free. */
+  def streamingHybridTopK(queries: Dataset[QueryHybrid], invDir: String,
+                          ivfDir: String, cents: Array[Array[Double]],
+                          k: Int = graft.operators.Search.DefaultK,
+                          depth: Int = 20,
+                          nprobe: Int = graft.operators.Similarity.IvfNprobe)(
+                          writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryHybrid], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.localCheckpoint() // two probes, one materialization
+        val terms = b.flatMap(q => q.terms.map(q.query_id -> _))
+          .toDF("query_id", "term")
+        val vecs = b.map(q => (q.query_id, q.embedding))
+          .toDF("query_id", "embedding")
+        writeBatch(graft.operators.Search.hybridServeBatch(
+          s, invDir, ivfDir, cents, terms, vecs, k, depth, nprobe))
+      }
+      .start()
+
   /** Run the tumbling aggregation as a real streaming query into an
     * in-memory sink and return the sink contents (used by specs and
     * local smoke runs; `processAllAvailable` drains the source). */

@@ -95,6 +95,39 @@ class CompactSpec extends SparkSpec {
     assert(got() == fed, "stale live dir leaked into the read")
   }
 
+  test("time travel: readAsOf replays retained history, refuses collected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("tt").toString + "/t"
+    val input = MemoryStream[(Long, String)]
+    val q = Compact.compactingSink(input.toDS().toDF("id", "v"), dir,
+      compactEvery = 5, targetBytes = 1L << 30)
+    val perBatch = scala.collection.mutable.Map.empty[Int, Set[(Long, String)]]
+    for (b <- 0 until 15) {
+      val rows = (0 until 20).map(i => (b * 100L + i, s"r$b-$i"))
+      perBatch(b) = rows.toSet
+      input.addData(rows)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asOf(b: Long) = Compact.readAsOf(spark, dir, b).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def upTo(b: Int) = (0 to b).flatMap(perBatch).toSet
+    // compactions fired at 4, 9, 14; grace retains g9 + g14 and
+    // live b10..b14 — one full cycle of queryable history
+    assert(Compact.listGenerations(spark, dir) == Seq(9L, 14L))
+    assert(asOf(14) == upTo(14)) // now
+    assert(asOf(12) == upTo(12)) // generation 9 + lives b10..b12
+    assert(asOf(9) == upTo(9))   // exactly the old generation
+    // beyond the retained window: REFUSE, never a silent partial read
+    val e = intercept[IllegalArgumentException](asOf(4))
+    assert(e.getMessage.contains("retained window"))
+    // and the current read still matches readAsOf(now)
+    assert(Compact.readCompacting(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == upTo(14))
+  }
+
   test("a torn (uncommitted) generation stays invisible and is never 'current'") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lsmtorn").toString + "/t"

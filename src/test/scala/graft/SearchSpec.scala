@@ -44,9 +44,10 @@ class SearchSpec extends SparkSpec {
       case other => (other.children ++ other.subqueries).flatMap(scans)
     }
     val postScans = scans(topk.queryExecution.executedPlan)
-      .filter(_.metadata.get("Location").exists(_.contains("invidx")))
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
     assert(postScans.nonEmpty, "no postings scan in the executed plan")
-    val partsRead = postScans.map(_.metrics("numPartitions").value).sum
+    val partsRead = postScans.flatMap(_.metrics.get("numPartitions"))
+      .map(_.value).sum
     val totalTerms = new java.io.File(s"$indexDir/postings").listFiles()
       .count(_.getName.startsWith("token="))
     assert(partsRead == 2, s"scan read $partsRead term partitions, probed 2")
@@ -57,6 +58,65 @@ class SearchSpec extends SparkSpec {
   test("out-of-vocabulary terms contribute nothing and never fail") {
     val q = Seq((9L, "warehouse"), (9L, "zzz")).toDF("query_id", "term")
     assert(Search.bm25ServeBatch(spark, indexDir, q).count() == 0)
+  }
+
+  test("appended index serves exactly like a one-shot index of the union") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val grown = java.nio.file.Files.createTempDirectory("invgrow").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("invone").toString
+    Search.writeInvertedIndex(base, grown)
+    Search.appendInvertedIndex(batch, grown)
+    Search.writeInvertedIndex(docs, oneShot)
+    val g = Search.bm25ServeBatch(spark, grown, queriesDf)
+      .collect().map(_.toSeq)
+    val o = Search.bm25ServeBatch(spark, oneShot, queriesDf)
+      .collect().map(_.toSeq)
+    assert(g.nonEmpty && g.toSeq == o.toSeq)
+  }
+
+  test("hybrid serving with exhaustive nprobe equals the inline hybrid query") {
+    import graft.operators.Similarity
+    val ivfDir = java.nio.file.Files.createTempDirectory("hybivf").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, ivfDir)
+    val vecQueries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isInCollection(Search.BmQueries.map(_._1)))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = Search.hybridServeBatch(spark, indexDir, ivfDir, cents,
+        queriesDf, vecQueries, nprobe = cents.length) // probe ALL buckets
+      .collect().map(_.toSeq)
+    val inline = Search.hybridRrf(spark, sf).collect().map(_.toSeq)
+    assert(served.nonEmpty && served.toSeq == inline.toSeq)
+  }
+
+  test("streaming hybrid on a two-batch split equals the serve-batch results") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ivfDir = java.nio.file.Files.createTempDirectory("hybivf2").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, ivfDir)
+    val embById = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isInCollection(Search.BmQueries.map(_._1)))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val input = MemoryStream[EventStream.QueryHybrid]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingHybridTopK(input.toDS(), indexDir, ivfDir,
+      cents) { topk => out ++= topk.collect().map(_.toSeq) }
+    val (b1, b2) = Search.BmQueries.splitAt(2)
+    Seq(b1, b2).foreach { b =>
+      input.addData(b.map { case (id, ts) =>
+        EventStream.QueryHybrid(id, ts, embById(id)) })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val vecQueries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isInCollection(Search.BmQueries.map(_._1)))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Search.hybridServeBatch(spark, indexDir, ivfDir, cents,
+      queriesDf, vecQueries).collect().map(_.toSeq)
+    assert(out.toSet == batch.toSet && out.size == batch.length)
   }
 
   test("streaming BM25 on a two-batch split equals the batch query") {

@@ -30,4 +30,71 @@ class UpsertSpec extends SparkSpec {
     // one row per user, and it is a max-ts row for that user
     assert(merged.count() == ev.select("user_id").distinct().count())
   }
+
+  // ---- SCD-2 -------------------------------------------------------------
+
+  private def scd2args = ("o_custkey", "o_orderpriority",
+    "o_orderdate", "o_orderkey")
+
+  test("scd2 intervals tile each key's timeline: v1 opens, current is open") {
+    val (k, a, ts, tie) = scd2args
+    val hist = Upsert.scd2Build(Tables.orders(spark, sf), k, a, ts, tie)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(k)).orderBy(col("version"))
+    val bad = hist
+      .withColumn("_next_from", lead(col("valid_from"), 1).over(w))
+      .filter(
+        // interval chain must be gapless: valid_to == next valid_from
+        (col("_next_from").isNotNull && col("valid_to") =!= col("_next_from")) ||
+        // exactly the last version is current/open
+        (col("_next_from").isNull && (!col("is_current") || col("valid_to").isNotNull)) ||
+        (col("_next_from").isNotNull && col("is_current")))
+    assert(bad.count() == 0)
+    // consecutive versions never repeat the attribute (true run collapse)
+    val rep = hist.withColumn("_next_attr", lead(col(a), 1).over(w))
+      .filter(col("_next_attr").isNotNull && col("_next_attr") === col(a))
+    assert(rep.count() == 0)
+  }
+
+  test("scd2Apply on an in-order split equals the one-shot build") {
+    val (k, a, ts, tie) = scd2args
+    val orders = Tables.orders(spark, sf)
+    val cut = orders.selectExpr(s"percentile_approx($ts, 0.5)").head().get(0)
+    val day1 = orders.filter(col(ts) <= lit(cut))
+    val day2 = orders.filter(col(ts) > lit(cut))
+    assert(day1.count() > 0 && day2.count() > 0)
+    val applied = Upsert.scd2Apply(
+      Upsert.scd2Build(day1, k, a, ts, tie), day2, k, a, ts, tie)
+    val oneShot = Upsert.scd2Build(orders, k, a, ts, tie)
+    assert(applied.collect().map(_.toSeq).toSet ==
+      oneShot.collect().map(_.toSeq).toSet)
+    // and the split genuinely exercises cross-batch continuation:
+    // some keys must appear in both days
+    val overlap = day1.select(col(k)).intersect(day2.select(col(k))).count()
+    assert(overlap > 0)
+  }
+
+  test("scd2 cross-batch run merge: repeating the current attr adds no version") {
+    import spark.implicits._
+    val day1 = Seq((1L, "A", 10L, 100L), (1L, "B", 20L, 101L))
+      .toDF("k", "a", "ts", "tie")
+    val day2 = Seq((1L, "B", 30L, 102L), (1L, "C", 40L, 103L))
+      .toDF("k", "a", "ts", "tie")
+    val applied = Upsert.scd2Apply(
+      Upsert.scd2Build(day1, "k", "a", "ts", "tie"), day2, "k", "a", "ts", "tie")
+      .orderBy("version")
+      .select("a", "valid_from", "version", "is_current")
+      .collect().map(_.toSeq).toList
+    // B@20 extends through the day-2 repeat; C@40 opens version 3
+    assert(applied == List(
+      Seq("A", 10L, 1, false), Seq("B", 20L, 2, false), Seq("C", 40L, 3, true)))
+  }
+
+  test("scd2Build plans a single exchange (windows share the key partitioning)") {
+    val (k, a, ts, tie) = scd2args
+    val plan = Upsert.scd2Build(Tables.orders(spark, sf), k, a, ts, tie)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange ".length).count(_ == "Exchange ")
+    assert(exchanges == 1, s"expected 1 exchange, plan had $exchanges:\n$plan")
+  }
 }
