@@ -100,6 +100,9 @@ object SparkEntry {
     "search_hybrid_rrf"   -> ((s, d) => operators.Search.hybridRrf(s, d)),
     "scd2_history"        -> operators.Upsert.scd2History _,
     "profile_columns"     -> operators.Profile.profileColumns _,
+    "chunk_overlap"       -> ((s, d) => operators.Curate.chunkOverlap(s, d)),
+    "contrastive_triplets" -> ((s, d) => operators.Curate.contrastiveTriplets(s, d)),
+    "feature_lags"        -> Timeseries.featureLags _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1401,5 +1404,77 @@ object SparkEntry {
       ORDER BY o_custkey, version""",
 
     "profile_columns" -> operators.Profile.profileOracleSql,
+
+    // RAG chunking: starts are multiples of 24 below max(n-32+24, 1);
+    // DuckDB list slices are 1-based inclusive
+    "chunk_overlap" -> raw"""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      st AS (
+        SELECT doc_id, toks, len(toks) AS n,
+          unnest(range(0, greatest(len(toks) - 32 + 24, 1), 24)) AS s
+        FROM tok)
+      SELECT doc_id,
+        CAST(s // 24 AS INT) AS chunk_idx,
+        CAST(s AS INT) AS start_tok,
+        CAST(least(s + 32, n) - s AS INT) AS n_tok,
+        CAST(length(array_to_string(toks[s + 1 : least(s + 32, n)], ' '))
+          AS INT) AS n_chars,
+        md5(array_to_string(toks[s + 1 : least(s + 32, n)], ' ')) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_idx""",
+
+    "contrastive_triplets" -> s"""
+      WITH $minhashCtes,
+      pool AS (
+        SELECT doc_id AS neg_cand FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 16),
+      cand AS (
+        SELECT p.d1, p.d2, n.neg_cand
+        FROM mh_pairs p CROSS JOIN pool n
+        WHERE n.neg_cand <> p.d1 AND n.neg_cand <> p.d2
+          AND NOT EXISTS (
+            SELECT 1 FROM mh_pairs q
+            WHERE (q.d1 = p.d1 AND q.d2 = n.neg_cand)
+               OR (q.d2 = p.d1 AND q.d1 = n.neg_cand))),
+      ranked AS (
+        SELECT d1, d2, neg_cand,
+          row_number() OVER (PARTITION BY d1, d2
+            ORDER BY md5(CAST(d1 AS VARCHAR) || '_'
+                         || CAST(neg_cand AS VARCHAR)),
+                     neg_cand) AS neg_rank
+        FROM cand)
+      SELECT d1 AS anchor, d2 AS positive, neg_cand AS negative,
+        CAST(neg_rank AS INT) AS neg_rank
+      FROM ranked WHERE neg_rank <= 2
+      ORDER BY anchor, positive, neg_rank""",
+
+    // calendar-aligned RANGE frames over the integer day number;
+    // DuckDB window sums are HUGEINT -> cast BIGINT
+    "feature_lags" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      d2 AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_n
+             FROM daily),
+      f AS (
+        SELECT user_id, day, n_events,
+          CAST(COALESCE(sum(n_events) OVER (PARTITION BY user_id ORDER BY day_n
+            RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lag1,
+          CAST(COALESCE(sum(n_events) OVER (PARTITION BY user_id ORDER BY day_n
+            RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 0) AS BIGINT) AS lag7,
+          CAST(sum(n_events) OVER w7 AS BIGINT) AS roll7_sum,
+          CAST(count(*) OVER w7 AS BIGINT) AS roll7_days,
+          CAST(sum(n_events) OVER w7 AS DOUBLE) / 7 AS roll7_mean,
+          sum(n_events) OVER (PARTITION BY user_id ORDER BY day_n
+            RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS next_n0
+        FROM d2
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY day_n
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT user_id, day, n_events, lag1, lag7, roll7_sum, roll7_days,
+        roll7_mean, CAST(next_n0 AS BIGINT) AS next_n
+      FROM f WHERE next_n0 IS NOT NULL
+      ORDER BY user_id, day""",
   )
 }

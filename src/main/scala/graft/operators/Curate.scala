@@ -336,4 +336,77 @@ object Curate {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** chunk_overlap — RAG-style overlapping token chunking: each doc
+    * splits into `win`-token windows advancing by `stride` (default
+    * 32/24 → 8-token overlap), the retrieval-indexing complement of
+    * [[packSegments]]' training packing (packing fills windows across
+    * doc boundaries; chunking stays within the doc and overlaps so
+    * no query phrase straddles a boundary unseen). Start positions
+    * are the multiples of `stride` below max(n − win + stride, 1),
+    * so the tail is always covered and a short doc yields exactly
+    * one chunk. One typed pass per doc (the HOF-under-Generate
+    * trap); chunk CONTENT is hash-verified via md5 of the token-
+    * joined text, not just counted. */
+  def chunkOverlap(s: SparkSession, d: String, win: Int = 32,
+                   stride: Int = 24): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        val g = math.max(n - win + stride, 1)
+        val nStarts = (g - 1) / stride + 1
+        (0 until nStarts).iterator.map { i =>
+          val st = i * stride
+          val end = math.min(st + win, n)
+          (id, i, st, end - st, toks.slice(st, end).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tok"), length(col("chunk_text")).as("n_chars"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** contrastive_triplets — (anchor, positive, negative) training
+    * triplets for embedding/reranker training: positives are the
+    * verified minhash near-dup pairs ([[Dedup.minhashCandidates]]),
+    * negatives are drawn deterministically (salted-md5 rank, RNG-free
+    * like every sampler here) from a FIXED small candidate pool —
+    * pool membership is corpus-wide md5 order (so the pool is a
+    * bounded broadcast, never an all-pairs join), and each pair
+    * ranks the pool by md5(anchor ‖ candidate), skipping the
+    * anchor's OWN near-dup partners (a known positive must never be
+    * labeled negative — the standard false-negative filter). Scale
+    * shape: pairs × 16-row broadcast pool, one window over ≤16 rows
+    * per pair. */
+  def contrastiveTriplets(s: SparkSession, d: String, poolSize: Int = 16,
+                          kNeg: Int = 2): DataFrame = {
+    val pairs = Dedup.minhashCandidates(s, d)
+    val pool = broadcast(Tables.documents(s, d)
+      .select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(poolSize)
+      .select(col("doc_id").as("neg_cand")))
+    val partners = pairs.select(col("d1").as("a"), col("d2").as("p"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("p")))
+    val cand = pairs
+      .join(pool, col("neg_cand") =!= col("d1") && col("neg_cand") =!= col("d2"))
+      // pairs-sized exclusion side: hash beats sort-merge (no sort
+      // pass, the CLAUDE.md exploded-join hint), and the join stays
+      // co-partitioned at scale — never broadcast a pairs-sized frame
+      .join(partners.hint("shuffle_hash"),
+        col("a") === col("d1") && col("p") === col("neg_cand"), "left_anti")
+    val w = Window.partitionBy(col("d1"), col("d2"))
+      .orderBy(md5(concat(col("d1").cast("string"), lit("_"),
+        col("neg_cand").cast("string"))), col("neg_cand"))
+    cand.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= kNeg)
+      .select(col("d1").as("anchor"), col("d2").as("positive"),
+        col("neg_cand").as("negative"), col("neg_rank"))
+      .orderBy(col("anchor"), col("positive"), col("neg_rank"))
+  }
 }

@@ -209,4 +209,45 @@ object Timeseries {
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** feature_lags — supervised feature engineering over the event
+    * stream: per (user, day) activity with CALENDAR-aligned lag and
+    * rolling features plus the next-day target — the standard
+    * forecasting/training-matrix op. Days are sparse, so row-based
+    * lag() would read "previous active day", not "yesterday"; every
+    * feature therefore uses RANGE frames over the integer day number
+    * (absent days contribute 0 via coalesce), and the label is the
+    * 1-FOLLOWING range sum — rows without a next-day label are
+    * dropped (no nullable columns, no dtype drift). Rolling mean
+    * divides the exact integer sum by the constant window length
+    * (one IEEE division). Scale: one groupBy + one window, both
+    * partitioned by user_id — millions of small partitions, no skew,
+    * no global sort. */
+  def featureLags(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+    def rangeSum(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      coalesce(sum(col("n_events")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+          .rangeBetween(lo, hi)), lit(0L))
+    val roll7 = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("lag1", rangeSum(-1, -1))
+      .withColumn("lag7", rangeSum(-7, -7))
+      .withColumn("roll7_sum", sum(col("n_events")).over(roll7))
+      .withColumn("roll7_days", count(lit(1)).over(roll7))
+      .withColumn("roll7_mean", col("roll7_sum").cast("double") / lit(7.0))
+      .withColumn("next_n", sum(col("n_events")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+          .rangeBetween(1, 1)))
+      .filter(col("next_n").isNotNull)
+      .select(col("user_id"), col("day"), col("n_events"), col("lag1"),
+        col("lag7"), col("roll7_sum"), col("roll7_days"),
+        col("roll7_mean"), col("next_n"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

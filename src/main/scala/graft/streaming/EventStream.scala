@@ -774,6 +774,38 @@ object EventStream {
       }
       .start()
 
+  /** Streaming SCD-2 sink: maintain a type-2 dimension history as a
+    * parquet snapshot updated per micro-batch via
+    * [[graft.operators.Upsert.scd2Apply]] — the SCD-2 twin of the
+    * foreachBatch SCD-1 upsert sink. Each batch's affected keys
+    * replay their stored change points + the batch; untouched
+    * history passes through. The merged frame is materialized
+    * (localCheckpoint) BEFORE the overwrite — Spark refuses a lazy
+    * plan that reads the path it is writing. At-least-once replays
+    * are IDEMPOTENT by construction: a change event already present
+    * as a change point collapses against itself in the run-collapse
+    * (spec'd). In-order batches per key, like the batch operator. */
+  def streamingScd2Sink(events: DataFrame, dir: String, key: String,
+                        attr: String, ts: String, tie: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+        val hist =
+          if (committed)
+            graft.operators.Upsert.scd2Apply(
+              s.read.parquet(dir), batch, key, attr, ts, tie)
+          else graft.operators.Upsert.scd2Build(batch, key, attr, ts, tie)
+        hist.localCheckpoint()
+          .write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .start()
+
   case class QueryHybrid(query_id: Long, terms: Seq[String],
                          embedding: Array[Float])
 

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Upsert
+import graft.streaming.EventStream
 
 class UpsertSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
@@ -88,6 +89,52 @@ class UpsertSpec extends SparkSpec {
     // B@20 extends through the day-2 repeat; C@40 opens version 3
     assert(applied == List(
       Seq("A", 10L, 1, false), Seq("B", 20L, 2, false), Seq("C", 40L, 3, true)))
+  }
+
+  test("streaming SCD-2 sink on a three-batch split equals the one-shot build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (k, a, ts, tie) = scd2args
+    val orders = Tables.orders(spark, sf)
+      // normalize NTZ -> instant: the MemoryStream round-trip below
+      // produces TimestampType, and the parity compare must see the
+      // same type on both sides (session TZ is UTC)
+      .withColumn(ts, col(ts).cast("timestamp"))
+      .select(col(k), col(a), col(ts), col(tie)).localCheckpoint()
+    val cuts = orders.selectExpr(
+      s"percentile_approx($ts, 0.33)", s"percentile_approx($ts, 0.66)").head()
+    val (c1, c2) = (cuts.get(0), cuts.get(1))
+    val batches = Seq(
+      orders.filter(col(ts) <= lit(c1)),
+      orders.filter(col(ts) > lit(c1) && col(ts) <= lit(c2)),
+      orders.filter(col(ts) > lit(c2)))
+    val dir = java.nio.file.Files.createTempDirectory("scd2sink").toString + "/h"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = EventStream.streamingScd2Sink(
+      input.toDS().toDF(k, a, ts, tie), dir, k, a, ts, tie)
+    batches.foreach { b =>
+      input.addData(b.as[(Long, String, java.sql.Timestamp, Long)].collect())
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val oneShot = Upsert.scd2Build(orders, k, a, ts, tie)
+      .collect().map(_.toSeq).toSet
+    assert(got == oneShot && got.nonEmpty)
+  }
+
+  test("scd2Apply replay of an already-applied batch is idempotent") {
+    val (k, a, ts, tie) = scd2args
+    val orders = Tables.orders(spark, sf)
+    val cut = orders.selectExpr(s"percentile_approx($ts, 0.5)").head().get(0)
+    val day2 = orders.filter(col(ts) > lit(cut))
+    val once = Upsert.scd2Apply(
+      Upsert.scd2Build(orders.filter(col(ts) <= lit(cut)), k, a, ts, tie),
+      day2, k, a, ts, tie).localCheckpoint()
+    val twice = Upsert.scd2Apply(once, day2, k, a, ts, tie)
+    assert(twice.collect().map(_.toSeq).toSet ==
+      once.collect().map(_.toSeq).toSet)
   }
 
   test("scd2Build plans a single exchange (windows share the key partitioning)") {
