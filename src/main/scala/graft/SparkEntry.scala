@@ -103,6 +103,8 @@ object SparkEntry {
     "chunk_overlap"       -> ((s, d) => operators.Curate.chunkOverlap(s, d)),
     "contrastive_triplets" -> ((s, d) => operators.Curate.contrastiveTriplets(s, d)),
     "feature_lags"        -> Timeseries.featureLags _,
+    "regress_trend"       -> Timeseries.regressTrend _,
+    "quality_distill"     -> TextFunctions.qualityDistill _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -115,6 +117,35 @@ object SparkEntry {
       ("ann_ivf_sq8" -> Similarity.annIvfSq8OracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d))
+
+  /** Shared CTE chain for the bigram-LM per-doc score (`fin` =
+    * (doc_id, n_bigrams, avg_neg_logp)) — used by ngram_lm_score and
+    * as the regression target for quality_distill. */
+  private def ngramLmCtes: String = raw"""t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      bgl AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
+      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs GROUP BY 1),
+      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs GROUP BY 1),
+      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.k,
+          CAST(round(ln(CAST(m.cnt AS DOUBLE) / c.ctx), 9) AS DECIMAL(13,9)) AS lp
+        FROM docbg d JOIN model m USING (bigram) JOIN ctx c USING (w1)),
+      agg AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
+        FROM scored GROUP BY doc_id),
+      fin AS (
+        SELECT doc_id, n_bigrams,
+          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
+        FROM agg)"""
 
   /** Shared CTE chain reconstructing the minhash LSH band buckets and
     * candidate pairs in pure SQL — used by dedup_minhash and as the
@@ -1181,32 +1212,8 @@ object SparkEntry {
     // MLE bigram LM trained on the corpus itself: ln(cnt/ctx) rounded
     // to 1e-9, decimal-weighted-summed (exact), one double division,
     // 6 dp; ppl = exp of the already-rounded mean
-    "ngram_lm_score" -> """
-      WITH t AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-                                   x -> length(x) > 0) AS toks
-        FROM documents),
-      bgl AS (
-        SELECT doc_id,
-          unnest(list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
-        FROM t WHERE len(toks) >= 2),
-      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
-      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs GROUP BY 1),
-      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs GROUP BY 1),
-      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
-      scored AS (
-        SELECT d.doc_id, d.k,
-          CAST(round(ln(CAST(m.cnt AS DOUBLE) / c.ctx), 9) AS DECIMAL(13,9)) AS lp
-        FROM docbg d JOIN model m USING (bigram) JOIN ctx c USING (w1)),
-      agg AS (
-        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
-        FROM scored GROUP BY doc_id),
-      fin AS (
-        SELECT doc_id, n_bigrams,
-          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
-        FROM agg)
+    "ngram_lm_score" -> s"""
+      WITH $ngramLmCtes
       SELECT doc_id, n_bigrams, avg_neg_logp,
         round(exp(avg_neg_logp), 6) AS ppl
       FROM fin ORDER BY doc_id""",
@@ -1476,5 +1483,85 @@ object SparkEntry {
         roll7_mean, CAST(next_n0 AS BIGINT) AS next_n
       FROM f WHERE next_n0 IS NOT NULL
       ORDER BY user_id, day""",
+
+    // least-squares trend from exact integer moments; the int64-
+    // overflowing products go through exact DECIMAL(18,0) like the
+    // Spark side
+    "regress_trend" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      d2 AS (SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x, y
+             FROM daily),
+      m AS (
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM d2 GROUP BY 1),
+      r AS (
+        SELECT event_type, n,
+          n * sxy - sx * sy AS nn,
+          n * sxx - sx * sx AS dd,
+          n * syy - sy * sy AS dy, sx, sy
+        FROM m)
+      SELECT event_type, n AS n_days,
+        round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS slope,
+        round(CAST(CAST(sy AS DECIMAL(18,0)) * CAST(dd AS DECIMAL(18,0))
+                   - CAST(nn AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0))
+                   AS DOUBLE)
+              / CAST(n * dd AS DOUBLE), 6) AS intercept,
+        round(CAST(CAST(nn AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(18,0))
+                   AS DOUBLE)
+              / CAST(CAST(dd AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))
+                     AS DOUBLE), 6) AS r2
+      FROM r ORDER BY event_type""",
+
+    // OLS distillation of the LM score onto cheap features: exact
+    // decimal moments -> one double cast each -> the SAME Cramer
+    // cofactor expression tree as the Spark side
+    "quality_distill" -> s"""
+      WITH $ngramLmCtes,
+      feat AS (
+        SELECT doc_id,
+          CAST(round(CAST(length(text) AS DOUBLE) / len(toks), 9)
+            AS DECIMAL(13,9)) AS x1,
+          CAST(round(CAST(len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is','on')))
+               AS DOUBLE) / len(toks), 9) AS DECIMAL(13,9)) AS x2
+        FROM documents JOIN t USING (doc_id)),
+      j AS (
+        SELECT f.x1, f.x2, CAST(l.avg_neg_logp AS DECIMAL(13,9)) AS y
+        FROM feat f JOIN fin l USING (doc_id)),
+      mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+          CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x1*x2) AS DOUBLE) AS s12,
+          CAST(sum(x2*x2) AS DOUBLE) AS s22,
+          CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x1*y) AS DOUBLE) AS s1y,
+          CAST(sum(x2*y) AS DOUBLE) AS s2y, CAST(sum(y*y) AS DOUBLE) AS syy,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM j),
+      det AS (
+        SELECT *,
+          n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+            s2 * (s1 * s12 - s11 * s2) AS dd,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+            s2 * (s1y * s12 - s11 * s2y) AS d0,
+          n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+            s2 * (s1 * s2y - s1y * s2) AS d1,
+          n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+            sy * (s1 * s12 - s11 * s2) AS d2
+        FROM mom)
+      SELECT n_docs,
+        round(d0 / dd, 6) AS intercept,
+        round(d1 / dd, 6) AS b_len,
+        round(d2 / dd, 6) AS b_stop,
+        round(1.0 - (syy - (d0 * sy + d1 * s1y + d2 * s2y) / dd) /
+          (syy - sy * sy / n), 6) AS r2
+      FROM det""",
   )
 }

@@ -304,6 +304,72 @@ object TextFunctions {
     ngramLmScoreWith(docBg, model, ctx)
   }
 
+  /** quality_distill — train a quality model IN the engine: OLS
+    * regression of the expensive bigram-LM score ([[ngramLmScore]])
+    * on two cheap per-doc features (avg token length, stopword ratio) —
+    * the distillation pattern real pipelines use to replace a
+    * costly filter with a linear proxy scored in one cheap pass at
+    * 100 TB. Closed-form fit: the nine feature/target moments are
+    * EXACT decimal aggregates (features snapped to the 1e-9 grid,
+    * target already on the 6-dp grid; products exact in
+    * DECIMAL(13,9)² — no summation-order ambiguity), each cast ONCE
+    * to double; coefficients come from the 3×3 Cramer cofactor
+    * expansion written as an IDENTICAL scalar expression tree in
+    * both engines (fixed-size double arithmetic on identical inputs
+    * is bit-deterministic — only data-dependent accumulation needs
+    * the decimal recipe). Output: one row
+    * (n_docs, intercept, b_len, b_stop, r2), all rounded 6 dp.
+    *
+    * Scale shape: one corpus pass for features, the LM score's own
+    * passes for the target (at scale the LM model is the write-once
+    * artifact — ngramLmModel), one inner join on doc_id, ONE
+    * 10-value aggregate. Training cost is the moment aggregation;
+    * the solve is O(1) on 10 scalars. */
+  def qualityDistill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // features must VARY on this corpus: the synthetic soup has zero
+    // punctuation, so punct_ratio is identically 0 (a singular moment
+    // matrix — ANSI divide-by-zero found it); avg token length and
+    // stopword ratio both vary per doc
+    val feats = textStats(Tables.documents(s, d))
+      .select(col("doc_id"),
+        round(col("avg_token_len"), 9).cast(DecimalType(13, 9)).as("x1"),
+        round(col("stopword_ratio"), 9).cast(DecimalType(13, 9)).as("x2"))
+    val target = ngramLmScore(s, d)
+      .select(col("doc_id"), col("avg_neg_logp").cast(DecimalType(13, 9)).as("y"))
+    val m = feats.join(target, "doc_id").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).cast("double").as("s1"),
+      sum(col("x2")).cast("double").as("s2"),
+      sum(col("x1") * col("x1")).cast("double").as("s11"),
+      sum(col("x1") * col("x2")).cast("double").as("s12"),
+      sum(col("x2") * col("x2")).cast("double").as("s22"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x1") * col("y")).cast("double").as("s1y"),
+      sum(col("x2") * col("y")).cast("double").as("s2y"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      count(lit(1)).as("n_docs"))
+    val (n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy) =
+      (col("n"), col("s1"), col("s2"), col("s11"), col("s12"), col("s22"),
+        col("sy"), col("s1y"), col("s2y"), col("syy"))
+    // 3x3 Cramer cofactor expansions — the EXACT same parenthesized
+    // tree as the oracle SQL (bit-identical double evaluation)
+    val dd = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    m.select(col("n_docs"),
+      round(d0 / dd, 6).as("intercept"),
+      round(d1 / dd, 6).as("b_len"),
+      round(d2 / dd, 6).as("b_stop"),
+      round(lit(1.0) - (syy - (d0 * sy + d1 * s1y + d2 * s2y) / dd) /
+        (syy - sy * sy / n), 6).as("r2"))
+  }
+
   /** text_fingerprint: rolling character-8-gram sketch — min/max/
     * distinct-count over shingle hashes (winnowing-lite). Hash is md5
     * (shared with DuckDB), so the fingerprints themselves are

@@ -337,6 +337,37 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Export the (curated) docs as JSONL training shards — the final
+    * step of the pipeline, what a training loader actually consumes:
+    * `dir/shards/lang=../shard_id=../part-N.json` plus a
+    * `(lang, shard_id, n_docs, n_tokens)` manifest parquet. Shard
+    * assignment is the [[packSequences]] prefix-sum at shard
+    * granularity (shard_id = token-cumsum div budget): docs never
+    * split across shards, shards fill to `budget` (+ at most one
+    * doc's overhang), assignment is deterministic and append-stable
+    * in doc_id order. Scale shape: the same two-level prefix sum as
+    * packing (shard totals → shard-prefix window → local cumsum — no
+    * global window), one partitioned JSON write, one manifest agg.
+    * Returns the manifest as read back from disk. */
+  def writeTrainingShards(docs: DataFrame, dir: String,
+                          budget: Long = 20000,
+                          shardSize: Long = 100): DataFrame = {
+    val s = docs.sparkSession
+    val assigned = cumBefore(docs, shardSize)
+      .withColumn("shard_id", expr(s"cum_before div $budget"))
+      .select(col("doc_id"), col("shard_id"), col("n_tokens"))
+    val rows = docs.select(col("doc_id"), col("lang"), col("text"))
+      .join(assigned, "doc_id")
+    rows.select(col("doc_id"), col("n_tokens"), col("text"),
+        col("lang"), col("shard_id"))
+      .write.mode("overwrite").partitionBy("lang", "shard_id")
+      .json(s"$dir/shards")
+    rows.groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    s.read.parquet(s"$dir/manifest")
+  }
+
   /** chunk_overlap — RAG-style overlapping token chunking: each doc
     * splits into `win`-token windows advancing by `stride` (default
     * 32/24 → 8-token overlap), the retrieval-indexing complement of

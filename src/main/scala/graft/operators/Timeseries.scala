@@ -210,6 +210,45 @@ object Timeseries {
       .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** regress_trend — per-event-type least-squares trend over daily
+    * volumes: slope/intercept/r² of count-vs-day — the drift monitor
+    * a pipeline runs over ingest volumes (is a source decaying?
+    * accelerating?). All five moments (Σx, Σy, Σx², Σy², Σxy) are
+    * EXACT integer aggregates of (day number, daily count); the
+    * closed-form estimates are rationals of those moments, so both
+    * engines perform the SAME single IEEE divisions: slope = N/D with
+    * N = nΣxy−ΣxΣy, D = nΣx²−(Σx)² (both < 2^53 — one division);
+    * intercept and r² need N·Σx-scale products (~1e19+, past int64),
+    * so those two ratios compute their numerator/denominator in
+    * EXACT DECIMAL(18,0) products first and cast once to double.
+    * One groupBy per event type — a handful of groups, map-side
+    * partial aggregation, nothing global. */
+  def regressTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val m = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nN = m("n") * m("sxy") - m("sx") * m("sy")   // fits int64
+    val dD = m("n") * m("sxx") - m("sx") * m("sx")   // fits int64
+    val dy = m("n") * m("syy") - m("sy") * m("sy")   // fits int64
+    m.select(col("event_type"), col("n").as("n_days"),
+        round(nN.cast("double") / dD.cast("double"), 6).as("slope"),
+        round((dec(m("sy")) * dec(dD) - dec(nN) * dec(m("sx"))).cast("double") /
+          (m("n") * dD).cast("double"), 6).as("intercept"),
+        round((dec(nN) * dec(nN)).cast("double") /
+          (dec(dD) * dec(dy)).cast("double"), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** feature_lags — supervised feature engineering over the event
     * stream: per (user, day) activity with CALENDAR-aligned lag and
     * rolling features plus the next-day target — the standard

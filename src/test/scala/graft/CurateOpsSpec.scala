@@ -53,4 +53,36 @@ class CurateOpsSpec extends SparkSpec {
     assert(got.collect().map(_.getLong(0)).toSeq ==
       again.collect().map(_.getLong(0)).toSeq)
   }
+
+  test("training-shard export: lossless, budget-bounded, manifest-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val budget = 500L
+    val manifest = Curate.writeTrainingShards(docs, dir, budget)
+    val back = spark.read.json(s"$dir/shards")
+    // lossless round trip: every doc comes back with its text intact
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = back.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == orig)
+    // budget: docs are never split, so a shard holds < budget + its
+    // last doc's tokens; with maxDoc the corpus max that bounds every
+    // shard strictly
+    val maxDoc = back.agg(max(col("n_tokens"))).head().getLong(0)
+    val over = manifest.filter(col("n_tokens") >= lit(budget) + lit(maxDoc))
+    assert(over.count() == 0)
+    // every shard except each lang's last is FULL (>= budget - maxDoc
+    // would be weak; the prefix-sum guarantees the next doc overflows)
+    val lastPerLang = manifest.groupBy("lang")
+      .agg(max(col("shard_id")).as("last"))
+    val notLast = manifest.join(lastPerLang, Seq("lang"))
+      .filter(col("shard_id") =!= col("last"))
+    assert(notLast.filter(col("n_tokens") < lit(budget) - lit(maxDoc))
+      .count() == 0)
+    // manifest matches a recount from the shards on disk
+    val recount = back.groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .collect().map(_.toSeq).toSet
+    assert(manifest.collect().map(_.toSeq).toSet == recount)
+  }
 }
