@@ -37,6 +37,9 @@ object Scale10 {
     // per doc, so cost must track the scan + the hit volume
     t(s"spans_excise_${mult}x")(operators.Dedup.dedupSpansExcise(docs).count())
     t(s"spans_maximal_${mult}x")(operators.Dedup.dedupSpansMaximal(docs).count())
+    // RAG chunking: one typed pass, output ~ docs x chunks-per-doc —
+    // must scale linearly with the corpus
+    t(s"chunk_overlap_${mult}x")(operators.Curate.chunkOverlapOn(docs).count())
     // incremental (batch-vs-corpus) dedup: the corpus grows mult×,
     // the arriving batch stays the 5k base docs — cost must track
     // one corpus banding scan + the batch join, never a corpus

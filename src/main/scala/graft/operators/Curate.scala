@@ -380,9 +380,14 @@ object Curate {
     * trap); chunk CONTENT is hash-verified via md5 of the token-
     * joined text, not just counted. */
   def chunkOverlap(s: SparkSession, d: String, win: Int = 32,
-                   stride: Int = 24): DataFrame = {
+                   stride: Int = 24): DataFrame =
+    chunkOverlapOn(Tables.documents(s, d), win, stride)
+
+  def chunkOverlapOn(docsIn: DataFrame, win: Int = 32,
+                     stride: Int = 24): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docsIn.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)

@@ -28,14 +28,15 @@ object Profile {
     "l_discount", "l_tax")
   private val TsCols = Seq("l_shipdate")
 
+  private def valueOf(c: String): Column =
+    // parquet TIMESTAMP reads as NTZ; session TZ is UTC, so the
+    // NTZ→instant cast matches DuckDB's epoch_us on the naive value
+    if (TsCols.contains(c)) unix_micros(col(c).cast("timestamp")).cast("double")
+    else col(c).cast("double")
+
   /** profile_columns — profile lineitem's measure and date columns. */
   def profileColumns(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    def valueOf(c: String): Column =
-      // parquet TIMESTAMP reads as NTZ; session TZ is UTC, so the
-      // NTZ→instant cast matches DuckDB's epoch_us on the naive value
-      if (TsCols.contains(c)) unix_micros(col(c).cast("timestamp")).cast("double")
-      else col(c).cast("double")
     val cols = NumericCols ++ TsCols
     val aggs = cols.flatMap { c =>
       val v = valueOf(c)
@@ -51,6 +52,31 @@ object Profile {
     total.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_rows, n_null, n_distinct, min_d, max_d)")
+      .orderBy(col("column_name"))
+  }
+
+  /** Approximate profile — the extreme-column/cardinality form: the
+    * exact multi-count_distinct (Expand ×(aggs+1) of the input) is
+    * replaced by the verified mergeable HLL pipeline
+    * ([[Sketches.hllRegisters]]) over a (column, value) stream — one
+    * explode fan-out, register state 4 KB per column whatever the
+    * cardinality, ~1-2% error (spec'd < 5% against the exact
+    * profile). At 100 TB this is how a 500-column drop gets profiled
+    * in one job: per-column HLL states merge across executors/days
+    * where exact distincts would shuffle the value space. Returns the
+    * exact profile columns plus `n_distinct_est`. */
+  def profileColumnsApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cols = NumericCols ++ TsCols
+    val keyed = li.select(explode(array(cols.map { c =>
+        struct(lit(c).as("g"), valueOf(c).cast("string").as("k")) }: _*))
+        .as("kv"))
+      .select(col("kv.g"), col("kv.k"))
+      .filter(col("k").isNotNull)
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(keyed))
+      .select(col("grp").as("column_name"),
+        col("estimate").as("n_distinct_est"))
+    profileColumns(s, d).join(est, "column_name")
       .orderBy(col("column_name"))
   }
 
