@@ -370,6 +370,31 @@ object TextFunctions {
         (syy - sy * sy / n), 6).as("r2"))
   }
 
+  /** Persist the distilled quality model ([[qualityDistill]]'s 1-row
+    * coefficient frame) — the write-once artifact of the
+    * distillation loop. */
+  def writeQualityModel(s: SparkSession, d: String, dir: String): Unit =
+    qualityDistill(s, d).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Score docs with a stored distilled model — the POINT of the
+    * distillation: one cheap column-expression pass (two ratios, two
+    * multiplies) where the LM filter pays bigram explodes and model
+    * joins. The coefficient row is a bounded driver artifact (the
+    * centroid pattern). Spec'd by the OLS invariants: residuals of
+    * the training corpus sum to ~0 and the residual-recomputed R²
+    * matches the fit's. */
+  def scoreWithQualityModel(docs: DataFrame, modelDir: String): DataFrame = {
+    val s = docs.sparkSession
+    val m = s.read.parquet(modelDir).head()
+    val (b0, bLen, bStop) = (m.getAs[Double]("intercept"),
+      m.getAs[Double]("b_len"), m.getAs[Double]("b_stop"))
+    textStats(docs)
+      .select(col("doc_id"), col("avg_token_len"), col("stopword_ratio"))
+      .withColumn("pred_neg_logp",
+        lit(b0) + lit(bLen) * col("avg_token_len") +
+          lit(bStop) * col("stopword_ratio"))
+  }
+
   /** text_fingerprint: rolling character-8-gram sketch — min/max/
     * distinct-count over shingle hashes (winnowing-lite). Hash is md5
     * (shared with DuckDB), so the fingerprints themselves are

@@ -406,4 +406,31 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("n_bigrams") > 0L)
     }
   }
+
+  test("distilled quality model satisfies the OLS invariants when scoring") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("qmodel").toString
+    TextFunctions.writeQualityModel(spark, sf, dir)
+    val fit = spark.read.parquet(dir).head()
+    val preds = TextFunctions.scoreWithQualityModel(
+      Tables.documents(spark, sf), dir)
+    val truth = TextFunctions.ngramLmScore(spark, sf)
+      .select(col("doc_id"), col("avg_neg_logp"))
+    val j = preds.join(truth, "doc_id")
+      .select(col("avg_neg_logp").as("y"), col("pred_neg_logp").as("p"))
+      .localCheckpoint()
+    val n = j.count().toDouble
+    assert(n > 0)
+    // OLS with intercept: residuals sum to ~0 on the training corpus
+    val meanResid = j.agg(sum(col("y") - col("p"))).head().getDouble(0) / n
+    assert(math.abs(meanResid) < 1e-4, s"mean residual $meanResid")
+    // residual-recomputed R^2 matches the fit's (coefficients rounded
+    // to 6 dp, so allow a small tolerance)
+    val sy = j.agg(sum(col("y"))).head().getDouble(0)
+    val sse = j.agg(sum(pow(col("y") - col("p"), 2))).head().getDouble(0)
+    val sst = j.agg(sum(pow(col("y") - lit(sy / n), 2))).head().getDouble(0)
+    val r2 = 1.0 - sse / sst
+    assert(math.abs(r2 - fit.getAs[Double]("r2")) < 1e-3,
+      s"recomputed r2 $r2 vs fit ${fit.getAs[Double]("r2")}")
+  }
 }
