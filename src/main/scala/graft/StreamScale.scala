@@ -318,6 +318,47 @@ object StreamScale {
           f"qps=${nq / sec}%.1f topkRows=$emitted")
       }
     }
+
+    // ---- streamingBm25TopK: pruned lexical serving ------------------
+    // same scorecard as the ANN rows: the per-batch probe reads only
+    // the batch's term partitions, so a mult× corpus must cost far
+    // less than mult× per batch (probed posting lists grow with the
+    // corpus; the unprobed vocabulary never enters the scan)
+    locally {
+      val d = "/root/testdata/sf0.1"
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs1 = graft.Tables.documents(spark, d)
+      val docsN = (0 until mult).map { i =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+      val nq = 200
+      val queryPool = graft.operators.Search.BmQueries
+      def serve(invDir: String, tag: String): Double = {
+        val input = MemoryStream[EventStream.QueryTerms]
+        var emitted = 0L
+        val q = EventStream.streamingBm25TopK(input.toDS(), invDir) {
+          topk => emitted += topk.count() }
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          input.addData((0 until nq / 10).map { j =>
+            val (id, ts) = queryPool((b * (nq / 10) + j) % queryPool.length)
+            EventStream.QueryTerms(id + 1000L * (b + 1), ts)
+          })
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_bm25_$tag queries=$nq time=$sec%.1fs " +
+          f"qps=${nq / sec}%.1f topkRows=$emitted")
+        sec
+      }
+      graft.operators.Search.writeInvertedIndex(docs1, "/tmp/streamscale_inv1")
+      graft.operators.Search.writeInvertedIndex(docsN, s"/tmp/streamscale_inv$mult")
+      val s1 = serve("/tmp/streamscale_inv1", "corpus1x")
+      val sN = serve(s"/tmp/streamscale_inv$mult", s"corpus${mult}x")
+      println(f"SCALE stream_bm25_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
+        f"(unpruned would approach ~${mult}x)")
+    }
     spark.stop()
   }
 }
