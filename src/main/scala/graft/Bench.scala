@@ -107,6 +107,10 @@ object Bench {
       .select("v1", "v2")
       .join(embExact, Seq("v1", "v2"), "left_semi").count()
     embExact.unpersist()
-    out + ("dedup_emb_lsh" -> (if (nPairs == 0) 0.0 else lshPairs / nPairs))
+    // hybrid fusion quality: serving-nprobe fusion vs the exhaustive
+    // gate fusion — the retrieval-quality channel for the hybrid path
+    val hybrid = operators.Search.hybridFusionQuality(spark, sfDir)
+    out + ("dedup_emb_lsh" -> (if (nPairs == 0) 0.0 else lshPairs / nPairs)) +
+      ("hybrid_rrf_serving" -> hybrid)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Typed access to the driver-generated parquet tables (TESTDATA.md).
   *
@@ -24,17 +24,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * TimestampType (micros) cannot hold natively. We read it with the
-    * nanos-as-long escape hatch and truncate to micros ourselves —
-    * identical to DuckDB's ns→µs cast for post-epoch data, so the
-    * oracle sees the same instants.
+  /** `events.ts` has shipped in two physical parquet forms; both are
+    * normalized here to a plain TimestampType (micros, session-zone)
+    * column so every downstream operator sees one type:
+    *
+    *  - TIMESTAMP(NANOS): Spark's TimestampType cannot hold nanos, so
+    *    read via the nanos-as-long escape hatch and truncate to micros —
+    *    identical to DuckDB's ns→µs cast for post-epoch data.
+    *  - timestamp[us] without timezone (pyarrow default): Spark reads
+    *    TIMESTAMP_NTZ, which admits no numeric casts. The session runs
+    *    UTC, so `cast("timestamp")` reinterprets the naive value as the
+    *    same instant DuckDB's `epoch()` computes on it.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = read(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
 }

@@ -245,7 +245,9 @@ object TextFunctions {
   def docBigrams(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
+    // the explode runs in the scan stage — spread a single-split input
+    // across cores before it, or one task tokenizes the whole corpus
+    graft.Util.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
       .withColumn("w2", lead(col("w1"), 1).over(byPos))
       .where(col("w2").isNotNull)

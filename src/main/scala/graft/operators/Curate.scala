@@ -108,7 +108,10 @@ object Curate {
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("_tc"), lit(0L)).cast("long").as("n_tokens"))
-      case None => docsIn
+      case None => graft.Util
+        // tokenizing every doc is the scan-stage CPU here — spread a
+        // single-split input across cores before counting
+        .fanOut(docsIn.select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
     }
     val docs = base
@@ -387,8 +390,8 @@ object Curate {
                      stride: Int = 24): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    docsIn.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    graft.Util.fanOut(docsIn.select(col("doc_id"), col("text"))
+        .as[(Long, String)])
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
         val n = toks.length

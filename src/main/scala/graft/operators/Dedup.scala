@@ -176,7 +176,9 @@ object Dedup {
   private def spansWithOffsets(docs: DataFrame, spanLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // ~len(text) hashes per doc: the dominant CPU of the span family —
+    // never let a single-row-group input serialize it onto one task
+    graft.Util.fanOut(docs.select(col("doc_id"), col("text")).as[(Long, String)])
       .flatMap { case (id, t) =>
         if (t.length < spanLen) Iterator.empty
         else (0 to t.length - spanLen).iterator
@@ -340,6 +342,18 @@ object Dedup {
       .write.mode("append").parquet(indexDir)
     hits.orderBy(col("span_hash"))
   }
+
+  /** Periodic maintenance for the span-index log: appends repeat a
+    * hash across generations, so compaction folds the SEMANTIC
+    * collapse readers already apply — min(keeper_id) per hash — into
+    * the file rewrite. Reader-identical (spec'd), superseded rows
+    * dropped, path stable. */
+  def compactSpanIndex(s: SparkSession, dir: String,
+                       targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes,
+      transform = _.groupBy(col("span_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
 
   /** dedup_spans_maximal: VARIABLE-LENGTH repeated-substring dedup —
     * the suffix-array semantics of Lee et al.'s dedup (maximal shared
@@ -565,6 +579,16 @@ object Dedup {
     bands.write.mode("append").parquet(indexDir)
     hits.orderBy(col("corpus_id"), col("batch_id"))
   }
+
+  /** Periodic maintenance for the band-index artifact: ~30 daily
+    * appends leave ~30 small files whose per-file open cost comes to
+    * dominate the daily probe join — re-collapse them in place
+    * (path-stable, so [[dedupIncrementalStep]] keeps addressing the
+    * same directory; content-identical, spec'd in DedupSpec). */
+  def compactBandIndex(s: SparkSession, dir: String,
+                       targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes)
 
   // ---- SimHash ----------------------------------------------------------
 
@@ -1212,6 +1236,15 @@ object Dedup {
     bCodes.write.mode("append").parquet(indexDir)
     hits.orderBy(col("corpus_id"), col("batch_id"))
   }
+
+  /** Periodic maintenance for the emb code-index artifact — the
+    * file-level re-collapse of [[dedupEmbIncrementalStep]]'s daily
+    * appends (content-identical; the stored `_g` salt domain rides
+    * along untouched, so the step's derived group count is stable). */
+  def compactEmbCodeIndex(s: SparkSession, dir: String,
+                          targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes)
 
   /** dedup_emb_clusters: embedding near-dup pairs → connected
     * components → (vec_id, cluster_id) — the step that turns the

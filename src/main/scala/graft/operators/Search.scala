@@ -182,12 +182,32 @@ object Search {
       .unionByName(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
       .localCheckpoint()
-    mergedDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+    // no coalesce(1): the df table is corpus-vocabulary-sized — a
+    // single-task write serializes the merge at scale. Small files
+    // from repeated appends are compactIndex's job, not this path's.
+    mergedDf.write.mode("overwrite").parquet(s"$dir/df")
     val mergedStats = s.read.parquet(s"$dir/stats")
       .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok")))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_tok")).as("s_tok"))
       .localCheckpoint()
     mergedStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Periodic maintenance for the inverted-index artifact: daily
+    * [[appendInvertedIndex]] runs accrete one small file per touched
+    * term partition (and a multi-file df merge) — re-collapse both in
+    * place, keeping the token partitioning so pruned probes keep
+    * pruning. stats is a single row rewritten whole each append and
+    * needs no maintenance. Serve-identical (spec'd in SearchSpec). */
+  def compactInvertedIndex(s: SparkSession, dir: String,
+                           targetBytes: Long = 128L << 20): Unit = {
+    graft.sources.Compact.compactInPlace(s, s"$dir/postings", targetBytes,
+      partitionCols = Seq("token"),
+      // partition-value type inference would rewrite an all-numeric
+      // vocabulary's token dirs as ints — pin the key to string
+      transform = _.withColumn("token", col("token").cast("string")))
+    graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes)
+    ()
   }
 
   /** Serve ONE batch of term queries against the stored index: the
@@ -232,14 +252,27 @@ object Search {
     * agnostic: the gate query feeds it exact rankings, the serving
     * path feeds it the index-served lexical and IVF-served semantic
     * lists. Fusion itself is one tiny groupBy over Σ|lists| rows per
-    * query. */
-  def rrfFuse(lists: Seq[DataFrame], k: Int = DefaultK): DataFrame = {
+    * query.
+    *
+    * `weights` (optional, positional with `lists`; missing entries
+    * default to 1.0) turn this into weighted RRF — the production
+    * knob for biasing lexical vs semantic evidence. Determinism holds
+    * unchanged: w/(60+rank) is ONE IEEE division of a literal by an
+    * exact small integer, snapped to the 1e-9 grid before the exact
+    * decimal sum. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = DefaultK,
+              weights: Seq[Double] = Nil): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(weights.isEmpty || weights.length <= lists.length,
+      "more weights than lists")
     val s = lists.head.sparkSession
     import s.implicits._
-    val rrfTerm = round(lit(1).cast("double") /
+    def rrfTerm(w: Double) = round(lit(w) /
       (lit(60) + col("rank")).cast("double"), 9).cast(DecimalType(13, 9))
-    lists.map(_.select(col("query_id"), col("doc_id"), rrfTerm.as("c")))
+    lists.zipWithIndex.map { case (l, i) =>
+        val w = if (i < weights.length) weights(i) else 1.0
+        l.select(col("query_id"), col("doc_id"), rrfTerm(w).as("c"))
+      }
       .reduce(_ unionByName _)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")).cast("double"), 6).as("rrf"))
@@ -285,13 +318,38 @@ object Search {
                        cents: Array[Array[Double]],
                        termQueries: DataFrame, vecQueries: DataFrame,
                        k: Int = DefaultK, depth: Int = 20,
-                       nprobe: Int = Similarity.IvfNprobe): DataFrame = {
+                       nprobe: Int = Similarity.IvfNprobe,
+                       weights: Seq[Double] = Nil): DataFrame = {
     val lex = bm25ServeBatch(s, invDir, termQueries, depth)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val sem = Similarity.annIvfServeBatch(s, ivfDir, cents, vecQueries,
         depth, nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k)
+    rrfFuse(Seq(lex, sem), k, weights)
+  }
+
+  /** Fusion-quality channel (the recall analog for hybrid serving):
+    * top-k overlap between the SERVING-form fusion — lexical list +
+    * IVF semantic list at serving nprobe — and the gate fusion, whose
+    * semantic side is the exhaustive exact cosine ranking. 1.0 means
+    * the nprobe trade cost the fused ranking nothing; measured
+    * per-round by Bench next to the ANN recalls, floored in
+    * RecallSpec. */
+  def hybridFusionQuality(s: SparkSession, d: String, k: Int = DefaultK,
+                          depth: Int = 20,
+                          nprobe: Int = Similarity.IvfNprobe): Double = {
+    val qids = BmQueries.map(_._1)
+    val lex = bm25TopK(s, d, depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = Similarity
+      .annIvf(s, d, nQueries = qids.max.toInt + 1, k = depth, nprobe = nprobe)
+      .filter(col("query_id").isInCollection(qids))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val served = rrfFuse(Seq(lex, sem), k).select("query_id", "doc_id")
+    val gate = hybridRrf(s, d, k).select("query_id", "doc_id")
+    val n = gate.count().toDouble
+    if (n == 0) 0.0
+    else served.join(gate, Seq("query_id", "doc_id"), "left_semi").count() / n
   }
 
   /** DuckDB oracle for [[hybridRrf]] — the bm25 pipeline as CTEs, the

@@ -413,6 +413,101 @@ object Similarity {
     ivfAssign(batch, cents)
       .write.mode("append").partitionBy("bucket").parquet(dir)
 
+  /** Periodic maintenance for the bucket-partitioned serving corpus:
+    * each daily [[appendIvfPartitioned]] leaves one more small file
+    * inside every touched bucket directory, and probe latency decays
+    * with the per-bucket file count — re-collapse in place, KEEPING
+    * the bucket partitioning so pruned probes keep pruning
+    * (serve-identical, spec'd). */
+  def compactIvfPartitioned(s: SparkSession, dir: String,
+                            targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes,
+      partitionCols = Seq("bucket"))
+
+  // ---- IVF quantizer-drift monitoring ------------------------------------
+
+  /** One monitoring snapshot of a bucket-partitioned serving layout:
+    * corpus size, bucket-occupancy skew (max bucket count / mean —
+    * 1.0 is perfectly balanced; skew degrades probe cost because a
+    * probe of a hot bucket scans its whole partition), and the mean
+    * cosine distance of each vector to its ASSIGNED centroid (rises
+    * as arrivals drift away from the geometry the quantizer was
+    * trained on). */
+  case class IvfLayoutStats(nVectors: Long, nBuckets: Int,
+                            occSkew: Double, meanAssignDist: Double)
+
+  /** Compute [[IvfLayoutStats]] in one pass over the stored layout —
+    * a few counters per bucket plus one distance sum, so the monitor
+    * costs one pruned-free corpus scan and nothing else. Run at write
+    * time for the baseline snapshot and per maintenance cycle for the
+    * drift check ([[ivfDrifted]]). */
+  def ivfLayoutStats(s: SparkSession, dir: String,
+                     cents: Array[Array[Double]]): IvfLayoutStats = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val perBucket = s.read.parquet(dir)
+      .select(col("bucket"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .map { case (b, v) =>
+        val c = bc.value(b)
+        var dot = 0.0; var j = 0
+        while (j < v.length) { dot += c(j) * v(j); j += 1 }
+        (b, 1L, 1.0 - dot) // centroids are unit-normalized
+      }
+      .toDF("bucket", "n", "dist")
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("dist")).as("dist"))
+      .collect()
+    val n = perBucket.map(_.getAs[Long]("n")).sum
+    val maxOcc = perBucket.map(_.getAs[Long]("n")).max.toDouble
+    val meanOcc = n.toDouble / cents.length
+    IvfLayoutStats(n, perBucket.length, maxOcc / meanOcc,
+      perBucket.map(_.getAs[Double]("dist")).sum / n)
+  }
+
+  /** The retrain decision: drift is RELATIVE to the write-time
+    * snapshot — occupancy skew grew past `skewTol`× the baseline, or
+    * mean assignment distance grew past `distTol`× — so a corpus that
+    * was born skewed doesn't page anyone, and a balanced corpus that
+    * drifts does. */
+  def ivfDrifted(current: IvfLayoutStats, baseline: IvfLayoutStats,
+                 skewTol: Double = 1.5, distTol: Double = 1.2): Boolean =
+    current.occSkew > baseline.occSkew * skewTol ||
+      current.meanAssignDist > baseline.meanAssignDist * distTol
+
+  /** Retrain-and-migrate: re-train the coarse quantizer on the
+    * layout's CURRENT contents (bounded deterministic sample, like
+    * the original training), re-assign every vector, and swap the
+    * rewritten layout in under the same path (the
+    * [[graft.sources.Compact.compactInPlace]] rename discipline, one
+    * `.old` grace generation). Returns the new centroids — serving
+    * must switch to them atomically with the layout (they define the
+    * probe geometry). Exhaustive-probe results are unchanged by
+    * construction (rerank is exact); pruned-probe recall is restored
+    * to the trained-geometry regime (spec'd). */
+  def retrainIvfPartitioned(s: SparkSession, dir: String,
+                            nlist: Int = IvfNlist): Array[Array[Double]] = {
+    import s.implicits._
+    val sample = s.read.parquet(dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(2048)
+      .select("embedding").as[Array[Float]].collect()
+    val cents = trainCentroids(sample, nlist, iters = 10)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
+    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
+    writeIvfPartitionedOn(
+      s.read.parquet(dir).select(col("vec_id"), col("embedding")),
+      cents, dir + ".retraining")
+    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
+    require(fs.rename(p(dir + ".retraining"), p(dir)),
+      s"could not swap retrained $dir in")
+    cents
+  }
+
   private def ivfAssign(emb: DataFrame,
                         cents: Array[Array[Double]]): DataFrame = {
     val s = emb.sparkSession

@@ -87,11 +87,19 @@ object Bucketed {
                     bits: Int = 12, numFiles: Int = 8,
                     rowGroupBytes: Long = 128L << 20): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // Timestamp axes (including TIMESTAMP_NTZ, which admits no numeric
+    // cast at all) quantize on their micros value; everything else on a
+    // plain double cast.
+    def numeric(name: String): Column = df.schema(name).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(name).cast("timestamp")).cast("double")
+      case _ => col(name).cast("double")
+    }
+    val (na, nb) = (numeric(colA), numeric(colB))
     val r = df.agg(
-      min(col(colA).cast("double")).as("mna"),
-      max(col(colA).cast("double")).as("mxa"),
-      min(col(colB).cast("double")).as("mnb"),
-      max(col(colB).cast("double")).as("mxb")).collect().head
+      min(na).as("mna"), max(na).as("mxa"),
+      min(nb).as("mnb"), max(nb).as("mxb")).collect().head
     if (r.isNullAt(0)) { // empty input: nothing to cluster, write as-is
       withMicrosTimestamps(df) {
         df.write.mode("overwrite")
@@ -103,11 +111,11 @@ object Bucketed {
     val (mnb, mxb) = (r.getAs[Double]("mnb"), r.getAs[Double]("mxb"))
     def quant(c: Column, mn: Double, mx: Double): Column =
       if (mx > mn)
-        floor((c.cast("double") - mn) * (((1 << bits) - 1).toDouble / (mx - mn)))
+        floor((c - mn) * (((1 << bits) - 1).toDouble / (mx - mn)))
           .cast("long")
       else lit(0L)
-    val qa = quant(col(colA), mna, mxa)
-    val qb = quant(col(colB), mnb, mxb)
+    val qa = quant(na, mna, mxa)
+    val qb = quant(nb, mnb, mxb)
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftrightunsigned(qa, i).bitwiseAND(lit(1L)), 2 * i + 1))

@@ -61,6 +61,62 @@ object Compact {
       s.read.parquet(out).count())
   }
 
+  /** In-place compaction for a MAINTAINED INDEX directory — the
+    * periodic pass that re-collapses an append-only artifact (band /
+    * span / emb-code / phash indexes, IVF corpus partitions, inverted-
+    * index postings) after N daily appends have accreted N small
+    * files per directory. Where [[compact]] writes to a caller-chosen
+    * new path, this keeps the index's PATH stable (every serve/detect
+    * entry point addresses the index by its directory):
+    *
+    *   1. rewrite into `dir.compacting` (size-targeted; partitioned
+    *      layouts keep their partition columns via `partitionCols`, so
+    *      pruned probes keep pruning),
+    *   2. swap: current dir renames to `dir.old`, the rewrite renames
+    *      in — two metadata ops, no data copy,
+    *   3. the PREVIOUS `.old` is deleted at the START of the next
+    *      compaction, not at the end of this one — the one-cycle grace
+    *      the compacting sink also keeps, so a reader pinned to the
+    *      pre-swap listing finishes its scan.
+    *
+    * `transform` lets log-structured indexes fold their semantic
+    * collapse into the same pass (the span index re-aggregates
+    * min(keeper_id) per hash — readers already do, so the collapsed
+    * index is reader-identical while dropping superseded rows).
+    * Cross-compaction atomicity is a table-format concern (the
+    * [[compactingSink]] caveat); this is the maintenance shape. */
+  def compactInPlace(s: SparkSession, dir: String,
+                     targetBytes: Long = 128L << 20,
+                     partitionCols: Seq[String] = Nil,
+                     transform: DataFrame => DataFrame = identity)
+      : CompactReport = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(s, dir)
+    val old = new Path(dir + ".old")
+    if (fs.exists(old)) fs.delete(old, true) // last cycle's grace copy
+    val in = dataFiles(s, dir)
+    val bytesIn = in.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
+    val tmp = new Path(dir + ".compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // torn previous attempt
+    val df = transform(s.read.parquet(dir))
+    if (partitionCols.isEmpty)
+      df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    else
+      // hash-cluster by the partition keys so each output partition
+      // directory lands ~one file instead of one per task
+      df.repartition(nOut, partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(tmp.toString)
+    require(fs.exists(new Path(tmp, "_SUCCESS")),
+      s"compaction rewrite of $dir did not commit")
+    val cur = new Path(dir)
+    require(fs.rename(cur, old), s"could not stage $dir aside")
+    require(fs.rename(tmp, cur), s"could not swap compacted $dir in")
+    CompactReport(in.length, bytesIn, dataFiles(s, dir).length,
+      s.read.parquet(dir).count())
+  }
+
   // ---- compacting streaming sink (log-structured generations) -----------
 
   /** Streaming APPEND sink with built-in small-file maintenance — the

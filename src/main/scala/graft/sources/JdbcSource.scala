@@ -41,14 +41,28 @@ object JdbcSource {
       // quote with the driver's own quote string: tables written by
       // Spark's JDBC writer have case-preserved (quoted) column names,
       // which an unquoted probe would case-fold away from
-      val q = conn.getMetaData.getIdentifierQuoteString
-      val qc = s"$q$column$q"
-      val rs = conn.createStatement()
-        .executeQuery(s"SELECT MIN($qc), MAX($qc) FROM $table")
-      rs.next()
-      val lo = rs.getLong(1); val loNull = rs.wasNull()
-      val hi = rs.getLong(2)
-      if (loNull) (0L, 0L) else (lo, hi)
+      val q = conn.getMetaData.getIdentifierQuoteString.trim
+      val qc = if (q.isEmpty) column else s"$q$column$q"
+      def run(ident: String): (Long, Long) = {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT MIN($qc), MAX($qc) FROM $ident")
+        rs.next()
+        val lo = rs.getLong(1); val loNull = rs.wasNull()
+        val hi = rs.getLong(2)
+        if (loNull) (0L, 0L) else (lo, hi)
+      }
+      // Table identifier: a pre-quoted name passes through verbatim
+      // (the contract Spark's own `dbtable` option has). A bare name
+      // probes the case-preserved (quoted, per-segment so schema
+      // qualification survives) form first — a case-sensitive stored
+      // table is unreachable any other way — then falls back to the
+      // dialect's unquoted case-folding for tables created bare.
+      if (q.isEmpty || table.contains(q)) run(table)
+      else {
+        val quoted = table.split('.').map(seg => s"$q$seg$q").mkString(".")
+        try run(quoted)
+        catch { case _: java.sql.SQLException => run(table) }
+      }
     } finally conn.close()
   }
 

@@ -43,13 +43,15 @@ object Multimodal {
     * dimensions derived deterministically from doc_id. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, d)
+    // every consumer of this table decodes per-row (ImageIO / WAV /
+    // phash planes) — spread a narrow scan across cores first
+    graft.Util.fanOut(Tables.documents(s, d)
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
         ((col("doc_id") % 64 + 16) * 8).cast("int").as("width"),
         ((col("doc_id") % 48 + 12) * 8).cast("int").as("height"),
         lit("fake/raw").as("fmt"))
-      .as[MediaRecord]
+      .as[MediaRecord])
   }
 
   /** Deterministic 24-bit bottom-up BMP whose decoded pixel (x, y)
@@ -399,6 +401,14 @@ object Multimodal {
     bSigs.write.mode("append").parquet(indexDir)
     hits.orderBy(col("corpus_id"), col("batch_id"))
   }
+
+  /** Periodic maintenance for the phash-index artifact — file-level
+    * re-collapse of [[dedupPhashIncrementalStep]]'s daily appends
+    * (content-identical, path stable). */
+  def compactPhashIndex(s: SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20)
+      : Compact.CompactReport =
+    Compact.compactInPlace(s, dir, targetBytes)
 
   /** dedup_phash_clusters: the image-dedup CAPSTONE — [[phashDups]]
     * pairs → connected components → (doc_id, cluster_id) keeper map,

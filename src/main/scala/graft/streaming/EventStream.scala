@@ -23,19 +23,36 @@ object EventStream {
     * codegen requires accessible constructors). */
   case class SessionState(start: Long, last: Long, n: Int)
 
-  /** Schema for streaming reads of the events table (ts is physically
-    * TIMESTAMP(NANOS) → read as long, truncate to micros — mirrors
-    * graft.Tables.events). */
+  /** Schema for streaming reads of the events table; `ts` here is the
+    * placeholder slot — its physical parquet type varies by generator
+    * (TIMESTAMP(NANOS) → long via the legacy escape hatch, or
+    * pyarrow's naive timestamp[us] → TIMESTAMP_NTZ), so `readEvents`
+    * substitutes the actual type before opening the stream. */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files.
+    * A file-source stream needs a declared schema, but the events
+    * table's `ts` physical type varies (see graft.Tables.events) —
+    * peek at the directory with a one-shot batch read, declare that
+    * type, and normalize to plain TimestampType (session is UTC, so
+    * the naive micros value maps to the same instant). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsFileSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType: DataType)
+    tsType match {
+      case LongType =>
+        spark.readStream.schema(eventsFileSchema).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case t =>
+        val sch = StructType(eventsFileSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = t) else f))
+        spark.readStream.schema(sch).parquet(dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling-window counts with a watermark — works identically on
@@ -779,14 +796,24 @@ object EventStream {
     * [[graft.operators.Upsert.scd2Apply]] — the SCD-2 twin of the
     * foreachBatch SCD-1 upsert sink. Each batch's affected keys
     * replay their stored change points + the batch; untouched
-    * history passes through. The merged frame is materialized
-    * (localCheckpoint) BEFORE the overwrite — Spark refuses a lazy
-    * plan that reads the path it is writing. At-least-once replays
-    * are IDEMPOTENT by construction: a change event already present
-    * as a change point collapses against itself in the run-collapse
-    * (spec'd). In-order batches per key, like the batch operator. */
+    * history passes through.
+    *
+    * The history is PARTITIONED by a key-hash bucket (`_kb`, an
+    * internal column — read back through [[readScd2History]]), and
+    * each batch rewrites ONLY the buckets its keys hash into, via
+    * dynamic partition overwrite (the backfillDays pattern): per-batch
+    * write cost tracks the batch's key spread, not the full history —
+    * the bound that keeps a year-lived dimension sink viable at
+    * 100 TB. The affected slice is read partition-pruned and the
+    * merged frame is materialized (localCheckpoint) BEFORE the
+    * overwrite — Spark refuses a lazy plan that reads the path it is
+    * writing. At-least-once replays are IDEMPOTENT by construction: a
+    * change event already present as a change point collapses against
+    * itself in the run-collapse (spec'd). In-order batches per key,
+    * like the batch operator. */
   def streamingScd2Sink(events: DataFrame, dir: String, key: String,
-                        attr: String, ts: String, tie: String)
+                        attr: String, ts: String, tie: String,
+                        buckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -795,16 +822,37 @@ object EventStream {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val committed = fs.exists(
           new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
-        val hist =
-          if (committed)
-            graft.operators.Upsert.scd2Apply(
-              s.read.parquet(dir), batch, key, attr, ts, tie)
-          else graft.operators.Upsert.scd2Build(batch, key, attr, ts, tie)
-        hist.localCheckpoint()
-          .write.mode("overwrite").parquet(dir)
+        val kb = pmod(xxhash64(col(key)), lit(buckets)).cast("int").as("_kb")
+        if (!committed) {
+          graft.operators.Upsert.scd2Build(batch, key, attr, ts, tie)
+            .withColumn("_kb", kb)
+            .write.mode("overwrite").partitionBy("_kb").parquet(dir)
+        } else {
+          val affected = batch.select(kb).distinct()
+            .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+          val slice = s.read.parquet(dir)
+            .filter(col("_kb").isin(affected: _*)).drop("_kb")
+          val out = graft.operators.Upsert
+            .scd2Apply(slice, batch, key, attr, ts, tie)
+            .withColumn("_kb", kb)
+            .localCheckpoint() // materialize before overwriting read paths
+          val conf = "spark.sql.sources.partitionOverwriteMode"
+          val prev = s.conf.getOption(conf)
+          s.conf.set(conf, "dynamic")
+          try out.write.mode("overwrite").partitionBy("_kb").parquet(dir)
+          finally prev match {
+            case Some(v) => s.conf.set(conf, v)
+            case None => s.conf.unset(conf)
+          }
+        }
         ()
       }
       .start()
+
+  /** Read back the [[streamingScd2Sink]] history without its internal
+    * bucket column. */
+  def readScd2History(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).drop("_kb")
 
   case class QueryHybrid(query_id: Long, terms: Seq[String],
                          embedding: Array[Float])

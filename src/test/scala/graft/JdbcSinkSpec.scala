@@ -110,6 +110,25 @@ class JdbcSinkSpec extends SparkSpec {
     assert(pruned.count() == cust.count())
   }
 
+  test("partitioned read probes a case-sensitive (quoted) table name") {
+    import graft.sources.JdbcSource
+    // a table whose stored name is case-sensitive: reachable only via
+    // a quoted identifier (unquoted, Derby folds Games_Meta →
+    // GAMES_META and misses). The probe must not mangle the quoted
+    // name the caller hands to Spark's own dbtable option.
+    exec("""CREATE TABLE "Games_Meta" ("app_id" BIGINT, "score" BIGINT)""")
+    exec("""INSERT INTO "Games_Meta" VALUES (3, 30), (7, 70), (11, 110)""")
+    val back = JdbcSource.readPartitioned(spark, url, "\"Games_Meta\"",
+      "app_id", numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4, "not a partitioned scan")
+    assert(back.count() == 3)
+    // bare-name probes against writer-created (case-folded) tables
+    // keep working — the fallback path of the same probe
+    val bare = JdbcSource.readPartitioned(spark, url, "customer_src",
+      "c_custkey", numPartitions = 3)
+    assert(bare.count() == Tables.customer(spark, sf).count())
+  }
+
   test("streaming foreachBatch upsert maintains the JDBC table") {
     exec("""CREATE TABLE app_state (
       app_id BIGINT PRIMARY KEY, payload VARCHAR(100), v BIGINT)""")

@@ -76,6 +76,69 @@ class RecallSpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.geometryFor(0.1))
   }
 
+  test("hybrid fusion quality at serving nprobe >= 0.8") {
+    // the fused top-k at serving nprobe vs the exhaustive-semantic
+    // gate fusion: the IVF probe trade must not reshape the FUSED
+    // ranking — lexical evidence anchors most of it, so fusion
+    // quality sits above raw IVF recall
+    val q = graft.operators.Search.hybridFusionQuality(spark, sf01)
+    assert(q >= 0.8, s"hybrid fusion quality = $q")
+  }
+
+  test("weighted RRF: unit weights match the unweighted fusion; bias reorders") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val plain = graft.operators.Search.rrfFuse(Seq(l1, l2))
+      .collect().map(_.toSeq).toList
+    val unit = graft.operators.Search.rrfFuse(Seq(l1, l2),
+        weights = Seq(1.0, 1.0))
+      .collect().map(_.toSeq).toList
+    assert(plain == unit, "unit weights changed the fusion")
+    // symmetric lists tie on doc order under equal weights; a heavier
+    // first list must put ITS #1 (doc 10) first
+    val biased = graft.operators.Search.rrfFuse(Seq(l1, l2),
+        weights = Seq(2.0, 1.0))
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toList
+    assert(biased == List(10L, 11L), s"bias toward list 1 gave $biased")
+  }
+
+  test("IVF drift monitor: skewed arrivals trip it, retrain restores") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString + "/c"
+    val emb = graft.Tables.embeddings(spark, sf01)
+    val cents = Similarity.writeIvfPartitioned(spark, sf01, dir)
+    val baseline = Similarity.ivfLayoutStats(spark, dir, cents)
+    assert(!Similarity.ivfDrifted(baseline, baseline))
+    // a heavily skewed arrival wave: many near-copies of ONE vector
+    // pile into one bucket (ids shifted out of the corpus id space)
+    val hot = emb.filter(col("vec_id") === 0)
+    val wave = (1 to 6).map(i =>
+        hot.withColumn("vec_id", col("vec_id") + i * 100000L))
+      .reduce(_ unionByName _)
+      .crossJoin(spark.range(40).select(col("id").as("_r")))
+      .withColumn("vec_id", col("vec_id") + col("_r")).drop("_r")
+    Similarity.appendIvfPartitioned(wave, cents, dir)
+    val drifted = Similarity.ivfLayoutStats(spark, dir, cents)
+    assert(Similarity.ivfDrifted(drifted, baseline),
+      s"skewed wave not flagged: $baseline -> $drifted")
+    // retrain-and-migrate: same vectors, re-trained geometry, path
+    // stable — exhaustive-probe serving is EXACT before and after
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = Similarity.annIvfServeBatch(spark, dir, cents, queries,
+        nprobe = cents.length).collect().map(_.toSeq)
+    val cents2 = Similarity.retrainIvfPartitioned(spark, dir)
+    val after = Similarity.annIvfServeBatch(spark, dir, cents2, queries,
+        nprobe = cents2.length).collect().map(_.toSeq)
+    assert(after.nonEmpty && after.toSeq == before.toSeq)
+    // and the retrained geometry absorbs the wave (skew back in range)
+    val restored = Similarity.ivfLayoutStats(spark, dir, cents2)
+    assert(restored.occSkew < drifted.occSkew,
+      s"retrain did not reduce skew: $drifted -> $restored")
+  }
+
   test("production-τ (0.9) derived geometry pair recall vs all-pairs >= 0.8") {
     import org.apache.spark.sql.functions._
     // the raw corpus is isotropic — no natural ≥0.9 pairs — so plant

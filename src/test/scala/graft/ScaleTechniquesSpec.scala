@@ -21,6 +21,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fanOut spreads a single-split scan to defaultParallelism tasks") {
+    // the driver-generated tables are single-file single-row-group
+    // parquet — indivisible, so every scan plans one task; the
+    // CPU-heavy operators guard with Util.fanOut before their
+    // decode/fan-out stage
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val p = spark.sparkContext.defaultParallelism
+    assume(docs.rdd.getNumPartitions < p, "input already multi-split")
+    val fanned = Util.fanOut(docs)
+    assert(fanned.rdd.getNumPartitions == p,
+      s"fanOut left ${fanned.rdd.getNumPartitions} partitions, wanted $p")
+    // no data lost/duplicated by the round-robin
+    assert(fanned.count() == docs.count())
+    // a frame already at/above parallelism passes through unshuffled
+    val wide = docs.repartition(p + 3)
+    assert(Util.fanOut(wide) eq wide)
+  }
+
   test("day-partitioned layout prunes partitions on time filters") {
     val dir = java.nio.file.Files.createTempDirectory("evpart").toString
     Bucketed.writeDayPartitioned(Tables.events(spark, sf), dir, "ts")

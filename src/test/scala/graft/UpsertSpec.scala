@@ -118,10 +118,52 @@ class UpsertSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
-    val got = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val got = EventStream.readScd2History(spark, dir)
+      .collect().map(_.toSeq).toSet
     val oneShot = Upsert.scd2Build(orders, k, a, ts, tie)
       .collect().map(_.toSeq).toSet
     assert(got == oneShot && got.nonEmpty)
+  }
+
+  test("scd2 sink rewrites only the buckets a batch's keys hash into") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (k, a, ts, tie) = scd2args
+    val dir = java.nio.file.Files.createTempDirectory("scd2part").toString + "/h"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = EventStream.streamingScd2Sink(
+      input.toDS().toDF(k, a, ts, tie), dir, k, a, ts, tie, buckets = 16)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: many keys spread across buckets
+    input.addData((1L to 200L).map(i =>
+      (i, s"A$i", t("2024-01-01 00:00:00"), i)): _*)
+    q.processAllAvailable()
+    def fingerprint(): Map[String, Set[(String, Long)]] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("_kb="))
+        .map { d =>
+          d.getName -> d.listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified)).toSet
+        }.toMap
+    val before = fingerprint()
+    assert(before.size > 1, "history not bucket-partitioned")
+    // batch 2: ONE key — at most one bucket may change
+    Thread.sleep(1100) // an untouched rewrite would move mtimes
+    input.addData((7L, "B7", t("2024-01-02 00:00:00"), 1000L))
+    q.processAllAvailable()
+    q.stop()
+    val after = fingerprint()
+    val changed = before.keySet.filter(d => before(d) != after(d))
+    assert(changed.size <= 1,
+      s"batch of one key rewrote ${changed.size} buckets: $changed")
+    // and the merge itself is correct: key 7 now has two versions
+    val h7 = EventStream.readScd2History(spark, dir)
+      .filter(col(k) === 7L).orderBy("version")
+      .select(a, "version", "is_current").collect().map(_.toSeq).toList
+    assert(h7 == List(Seq("A7", 1, false), Seq("B7", 2, true)))
+    // dynamic mode did not leak into the session conf
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
   }
 
   test("scd2Apply replay of an already-applied batch is idempotent") {
