@@ -475,6 +475,112 @@ object Scale10 {
       t(s"scd2_rebuild_${mult}x")(
         Upsert.scd2Build(ordN.unionByName(day), k, a, ts, tie).count())
     }
+    // ---- Zipfian-vocabulary corpus: the retrieval/LM scale probes the
+    // uniform 31-token soup cannot express. Under a Zipf(1) vocabulary
+    // most terms are RARE: posting lists are head-heavy, a mixed query
+    // probes lists whose total volume is far below the corpus (serve
+    // must grow ≪ the index as the corpus scales), and bigram
+    // probability spans orders of magnitude, so a self-trained LM gate
+    // can actually discriminate planted gibberish — the §6 blindness
+    // caveat lifted on a corpus where perplexity can vary.
+    locally {
+      import operators.Search
+      import spark.implicits._
+      val nDocs = 5000L * mult
+      val zdocs = zipfDocs(spark, nDocs, docLen = 120, vocab = 10000)
+        .localCheckpoint()
+      t(s"zipf_docs_${mult}x")(zdocs.count())
+      val invDir = s"/tmp/scale_zipfinv_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"zipf_inv_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(invDir), true)
+        Search.writeInvertedIndex(zdocs, invDir)
+        spark.read.parquet(s"$invDir/postings").count()
+      }
+      // head + torso + tail terms: the head term's list is long, the
+      // tail terms' lists are tiny — total probed volume is dominated
+      // by the one head list, a small corpus fraction
+      val zQueries = Seq(
+        1L -> Seq("w0", "w150", "w4000"),
+        2L -> Seq("w3", "w800", "w7000"),
+        3L -> Seq("w10", "w300", "w9000"))
+        .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+      t(s"zipf_bm25_serve_${mult}x")(
+        Search.bm25ServeBatch(spark, invDir, zQueries).count())
+      t(s"zipf_bm25_fullscan_${mult}x")(
+        spark.read.parquet(s"$invDir/postings").count())
+      // LM gate discrimination: train the bigram model on the NATURAL
+      // corpus only (the production train/score artifact split), score
+      // natural + 1% planted gibberish with the held-out add-α scorer
+      // (unseen bigrams floor at ~1/vocab — self-trained MLE scores
+      // gibberish BELOW natural text here: novel bigrams in rare
+      // contexts get p≈1). Printed: planted/natural separation and how
+      // many planted docs clear the natural p99 ceiling.
+      t(s"zipf_lm_gate_${mult}x") {
+        val nPlant = math.max(50L, nDocs / 100)
+        val planted = uniformDocs(spark, nPlant, 120, 10000)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        val natBg = functions.TextFunctions.docBigrams(zdocs).localCheckpoint()
+        val (model, ctx) = functions.TextFunctions.ngramLmModel(natBg)
+        val allBg = functions.TextFunctions
+          .docBigrams(zdocs.unionByName(planted))
+        val scored = functions.TextFunctions
+          .ngramLmScoreHeldOut(allBg, model, ctx, vocab = 10000)
+          .select(col("doc_id"), col("ppl")).localCheckpoint()
+        val natural = scored.filter(col("doc_id") < 900000000L)
+        val p99 = natural.stat.approxQuantile("ppl", Array(0.99), 0.001).head
+        val caught = scored.filter(col("doc_id") >= 900000000L)
+          .filter(col("ppl") > p99).count()
+        val meanNat = natural.agg(avg("ppl")).head.getDouble(0)
+        val meanPlant = scored.filter(col("doc_id") >= 900000000L)
+          .agg(avg("ppl")).head.getDouble(0)
+        println(f"SCALE zipf_lm_gate_${mult}x detail: natural_mean=" +
+          f"$meanNat%.1f planted_mean=$meanPlant%.1f p99=$p99%.1f " +
+          f"caught=$caught/$nPlant")
+        caught
+      }
+    }
     spark.stop()
+  }
+
+  /** Deterministic Zipf(1)-vocabulary synthetic corpus: doc i's tokens
+    * are drawn by inverse-CDF over `vocab` ranked terms (weight ∝
+    * 1/rank) from a per-doc seeded PRNG — head terms appear in nearly
+    * every doc, tail terms in a handful, the frequency shape real
+    * text has and the uniform soup lacks. */
+  private[graft] def zipfDocs(s: SparkSession, nDocs: Long, docLen: Int,
+                              vocab: Int): DataFrame = {
+    import s.implicits._
+    val weights = (1 to vocab).map(r => 1.0 / r)
+    val total = weights.sum
+    val cdf = weights.scanLeft(0.0)(_ + _).tail.map(_ / total).toArray
+    val bc = s.sparkContext.broadcast(cdf)
+    s.range(nDocs).as[Long].map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L + 17)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < docLen) {
+        val r = java.util.Arrays.binarySearch(bc.value, rnd.nextDouble())
+        val idx = if (r >= 0) r else -r - 1
+        if (j > 0) sb.append(' ')
+        sb.append('w').append(idx)
+        j += 1
+      }
+      (i, sb.toString, "en")
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  /** Uniform-over-vocab "gibberish" docs — the planted anomaly for the
+    * LM-gate probe: under a Zipf corpus their rare-rare bigrams score
+    * orders of magnitude less probable than natural text. */
+  private[graft] def uniformDocs(s: SparkSession, nDocs: Long, docLen: Int,
+                                 vocab: Int): DataFrame = {
+    import s.implicits._
+    s.range(nDocs).as[Long].map { i =>
+      val rnd = new scala.util.Random(i * 1013904223L + 5)
+      (i, (0 until docLen).map(_ => "w" + rnd.nextInt(vocab))
+        .mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
   }
 }

@@ -292,6 +292,38 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Score docs against a model trained on a SEPARATE (reference)
+    * corpus — the quality-gate form: unlike the self-trained
+    * [[ngramLmScoreWith]] (every bigram in-model by construction),
+    * scored docs here carry UNSEEN bigrams, handled by add-α
+    * smoothing: p = (cnt + α) / (ctx + α·vocab). An unseen bigram in
+    * an unseen context scores ≈ 1/vocab — the floor that makes
+    * gibberish stand out instead of hiding behind the self-training
+    * leak (a novel bigram in a RARE context gets p ≈ 1 from MLE;
+    * measured: planted-uniform docs scored BELOW natural text under
+    * self-training, and ~70× above it under this scorer on a Zipf
+    * corpus — the Scale10 zipf_lm_gate probe). Same join shape as the
+    * self-trained scorer: shuffle on bigram, broadcastable ctx, one
+    * per-doc aggregate. Probe-grade (plain double logs), not
+    * oracle-gated — the cross-engine recipe lives in the MLE form. */
+  def ngramLmScoreHeldOut(docBg: DataFrame, model: DataFrame,
+                          ctx: DataFrame, vocab: Long,
+                          alpha: Double = 0.1): DataFrame = {
+    docBg
+      .join(model, Seq("bigram"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .withColumn("p",
+        (coalesce(col("cnt"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("ctx"), lit(0L)) + lit(alpha * vocab)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * -log(col("p"))).as("snlp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("snlp") / col("n_bigrams")).as("avg_neg_logp"))
+      .withColumn("ppl", exp(col("avg_neg_logp")))
+      .orderBy(col("doc_id"))
+  }
+
   def ngramLmScore(s: SparkSession, d: String): DataFrame =
     ngramLmScore(Tables.documents(s, d))
 

