@@ -510,6 +510,17 @@ object Scale10 {
         Search.bm25ServeBatch(spark, invDir, zQueries).count())
       t(s"zipf_bm25_fullscan_${mult}x")(
         spark.read.parquet(s"$invDir/postings").count())
+      // the vocabulary-independent bucketed layout: 1024 dirs instead
+      // of one per term — write cost must drop to ~bucket-count file
+      // churn while serve stays probed-bucket-bound
+      val invBDir = s"/tmp/scale_zipfinvb_$mult"
+      t(s"zipf_invb_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(invBDir), true)
+        Search.writeInvertedIndexBucketed(zdocs, invBDir)
+        spark.read.parquet(s"$invBDir/postings").count()
+      }
+      t(s"zipf_bm25b_serve_${mult}x")(
+        Search.bm25ServeBatchBucketed(spark, invBDir, zQueries).count())
       // LM gate discrimination: train the bigram model on the NATURAL
       // corpus only (the production train/score artifact split), score
       // natural + 1% planted gibberish with the held-out add-α scorer

@@ -167,6 +167,123 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  // ---- bucketed postings: the vocabulary-independent layout --------------
+
+  /** The per-term partitioning above keeps pruning exact but costs one
+    * DIRECTORY per vocabulary term — at a real corpus vocabulary
+    * (millions of terms) that is millions of directories, past what
+    * object-store listings and driver partition discovery tolerate.
+    * This is the production alternative: postings partition by a HASH
+    * BUCKET of the token (`tb`, `nBuckets` directories total,
+    * vocabulary-independent), rows sorted by token within each file so
+    * parquet row-group statistics skip non-probed terms inside a
+    * probed bucket. A query batch probes ≤ |distinct terms| bucket
+    * directories (listed directly, like [[bm25ServeBatch]]) and pushes
+    * `token IN (...)` into the scan. `nBuckets` travels with the
+    * layout in a `meta` table — serve derives buckets with the SAME
+    * hash, so the two can never disagree. */
+  def writeInvertedIndexBucketed(docs: DataFrame, dir: String,
+                                 nBuckets: Int = 1024,
+                                 rowGroupBytes: Long = 8L << 20): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tf = termFreqs(docs).localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("token"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("tb")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(s"$dir/postings")
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Daily maintenance for the bucketed layout — the
+    * [[appendInvertedIndex]] twin: batch postings append inside the
+    * existing bucket directories (assignment replayed from the stored
+    * `n_buckets`, so writer and append can never disagree), df/stats
+    * merge the batch's exact deltas. */
+  def appendInvertedIndexBucketed(batch: DataFrame, dir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val nBuckets = s.read.parquet(s"$dir/meta")
+      .as[Int].head() // one-row layout contract
+    val tf = termFreqs(batch).localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("token"), col("doc_id"))
+      .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
+    val mergedDf = s.read.parquet(s"$dir/df")
+      .unionByName(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    mergedDf.write.mode("overwrite").parquet(s"$dir/df")
+    val mergedStats = s.read.parquet(s"$dir/stats")
+      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_tok")).as("s_tok"))
+      .localCheckpoint()
+    mergedStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve a query batch against the bucketed layout — result-
+    * identical to [[bm25ServeBatch]] over the same corpus (spec'd):
+    * probed terms → probed buckets (same stored hash), only those
+    * bucket directories are LISTED and read, and the `token IN`
+    * filter pushes into the scan where the within-file token sort
+    * lets row-group stats skip non-probed terms. */
+  def bm25ServeBatchBucketed(s: SparkSession, dir: String,
+                             queries: DataFrame,
+                             k: Int = DefaultK): DataFrame = {
+    import s.implicits._
+    val nBuckets = s.read.parquet(s"$dir/meta").as[Int].head()
+    val terms = queries.select(col("term")).distinct()
+      .as[String].collect().sorted // bounded by the query batch
+    if (terms.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "doc_id", "bm25", "rank")
+    // bucket assignment replayed through the same Spark hash the
+    // writer used (driver-side reimplementation could drift)
+    val buckets = terms.toSeq.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+      .as[Int].collect().distinct.sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bucketDirs = buckets.map(b => s"$dir/postings/tb=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (bucketDirs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "doc_id", "bm25", "rank")
+    val post = s.read.option("basePath", s"$dir/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("token").isin(terms: _*))
+      .join(broadcast(s.read.parquet(s"$dir/df")
+        .filter(col("token").isin(terms: _*))), "token")
+    val Array(nDocs, sTok) = s.read.parquet(s"$dir/stats")
+      .as[(Long, Long)].collect().flatMap(t => Array(t._1, t._2))
+    scoreAndRank(queries, post, nDocs, sTok, k)
+  }
+
+  /** [[compactInvertedIndex]] for the bucketed layout: same rewrite,
+    * bucket partitioning and the within-file token sort preserved. */
+  def compactInvertedIndexBucketed(s: SparkSession, dir: String,
+                                   targetBytes: Long = 128L << 20): Unit = {
+    graft.sources.Compact.compactInPlace(s, s"$dir/postings", targetBytes,
+      partitionCols = Seq("tb"),
+      sortCols = Seq("tb", "token", "doc_id"))
+    graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes)
+    ()
+  }
+
   /** Daily index maintenance: fold a batch of NEW docs into the
     * standing index — postings append INSIDE the existing term
     * partition directories (pruned probes see the new docs with no

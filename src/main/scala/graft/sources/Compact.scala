@@ -88,7 +88,8 @@ object Compact {
   def compactInPlace(s: SparkSession, dir: String,
                      targetBytes: Long = 128L << 20,
                      partitionCols: Seq[String] = Nil,
-                     transform: DataFrame => DataFrame = identity)
+                     transform: DataFrame => DataFrame = identity,
+                     sortCols: Seq[String] = Nil)
       : CompactReport = {
     import org.apache.spark.sql.functions.col
     val fs = fsOf(s, dir)
@@ -100,13 +101,20 @@ object Compact {
     val tmp = new Path(dir + ".compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true) // torn previous attempt
     val df = transform(s.read.parquet(dir))
-    if (partitionCols.isEmpty)
-      df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
-    else
+    val clustered =
+      if (partitionCols.isEmpty) df.repartition(nOut)
       // hash-cluster by the partition keys so each output partition
       // directory lands ~one file instead of one per task
-      df.repartition(nOut, partitionCols.map(col): _*)
-        .write.mode("overwrite").partitionBy(partitionCols: _*)
+      else df.repartition(nOut, partitionCols.map(col): _*)
+    // layouts that rely on row-group statistics (token-sorted bucketed
+    // postings) re-establish their within-file order AFTER the cluster
+    val ordered =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(sortCols.map(col): _*)
+    if (partitionCols.isEmpty)
+      ordered.write.mode("overwrite").parquet(tmp.toString)
+    else
+      ordered.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(tmp.toString)
     require(fs.exists(new Path(tmp, "_SUCCESS")),
       s"compaction rewrite of $dir did not commit")

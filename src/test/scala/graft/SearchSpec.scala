@@ -60,6 +60,40 @@ class SearchSpec extends SparkSpec {
     assert(Search.bm25ServeBatch(spark, indexDir, q).count() == 0)
   }
 
+  test("bucketed postings layout: serve-identical, bucket-listed, appendable") {
+    val dir = java.nio.file.Files.createTempDirectory("invbucket").toString
+    val docs = Tables.documents(spark, sf)
+    Search.writeInvertedIndexBucketed(docs, dir, nBuckets = 64)
+    // vocabulary-independent directory count: at most nBuckets dirs
+    val tbDirs = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("tb="))
+    assert(tbDirs <= 64, s"$tbDirs bucket dirs for nBuckets=64")
+    // result-identical to the per-term layout serve AND the inline query
+    val inline = Search.bm25TopK(spark, sf).collect().map(_.toSeq)
+    val served = Search.bm25ServeBatchBucketed(spark, dir, queriesDf)
+      .collect().map(_.toSeq)
+    assert(served.nonEmpty && served.toSeq == inline.toSeq)
+    // OOV-only batches answer empty, never fail
+    val oov = Seq((9L, "warehouse"), (9L, "zzz")).toDF("query_id", "term")
+    assert(Search.bm25ServeBatchBucketed(spark, dir, oov).count() == 0)
+    // append parity: grown bucketed index == one-shot bucketed index
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val grown = java.nio.file.Files.createTempDirectory("invbgrow").toString
+    Search.writeInvertedIndexBucketed(base, grown, nBuckets = 64)
+    Search.appendInvertedIndexBucketed(batch, grown)
+    val g = Search.bm25ServeBatchBucketed(spark, grown, queriesDf)
+      .collect().map(_.toSeq)
+    assert(g.toSeq == inline.toSeq)
+    // compaction keeps bucket partitioning and serve results
+    Search.compactInvertedIndexBucketed(spark, grown)
+    assert(new java.io.File(s"$grown/postings").listFiles()
+      .exists(_.getName.startsWith("tb=")))
+    val after = Search.bm25ServeBatchBucketed(spark, grown, queriesDf)
+      .collect().map(_.toSeq)
+    assert(after.toSeq == inline.toSeq)
+  }
+
   test("appended index serves exactly like a one-shot index of the union") {
     val docs = Tables.documents(spark, sf)
     val base = docs.filter(col("doc_id") % 3 =!= 0)
