@@ -108,6 +108,61 @@ object Scale10 {
           operators.Dedup.dedupEmbIncrementalStep(spark, idxDir, batch).count()
         }
     }
+    // ~30 simulated days of index maintenance, then compaction: the
+    // probe join's per-file open cost grows with append count, and
+    // compactInPlace must restore it — the operational loop a
+    // month-lived index actually runs. Batches are small (500 docs) so
+    // the 30 appends measure file-count accretion, not data growth.
+    locally {
+      val idxDir = s"/tmp/scale_bandcompact_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def probeBatch(day: Int) = Tables.documents(spark, d)
+        .filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L * day))
+      t(s"band_index_30days_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        operators.Dedup.writeBandIndex(docs, idxDir)
+        for (day <- 1 to 30)
+          operators.Dedup.dedupIncrementalStep(spark, idxDir, probeBatch(day))
+            .count()
+        new java.io.File(idxDir).listFiles
+          .count(_.getName.endsWith(".parquet")).toLong
+      }
+      t(s"band_index_probe_30files_${mult}x")(
+        operators.Dedup.dedupIncrementalStep(spark, idxDir, probeBatch(31))
+          .count())
+      t(s"band_index_compact_${mult}x")(
+        operators.Dedup.compactBandIndex(spark, idxDir).filesOut.toLong)
+      t(s"band_index_probe_compacted_${mult}x")(
+        operators.Dedup.dedupIncrementalStep(spark, idxDir, probeBatch(32))
+          .count())
+    }
+    // IVF quantizer-drift loop at mult×: the one-pass monitor over the
+    // stored layout, then retrain-and-migrate — both must track corpus
+    // size (one scan each), never blow past it
+    locally {
+      import operators.Similarity
+      val ivfDir = s"/tmp/scale_ivfdrift_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val cents = Similarity.ivfCentroids(spark, d)
+      t(s"ivf_drift_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(ivfDir), true)
+        Similarity.writeIvfPartitionedOn(emb, cents, ivfDir)
+        spark.read.parquet(ivfDir).count()
+      }
+      t(s"ivf_drift_stats_${mult}x") {
+        val st = Similarity.ivfLayoutStats(spark, ivfDir, cents)
+        println(f"SCALE ivf_drift_stats_${mult}x detail: n=${st.nVectors} " +
+          f"skew=${st.occSkew}%.2f meanDist=${st.meanAssignDist}%.4f")
+        st.nVectors
+      }
+      t(s"ivf_drift_retrain_${mult}x") {
+        Similarity.retrainIvfPartitioned(spark, ivfDir)
+        spark.read.parquet(ivfDir).count()
+      }
+    }
     // bucket-occupancy probe: candidate pairs BEFORE the hamming
     // filter per banding geometry — wider keys trade index rows for
     // exponentially larger key space (fewer junk candidates)

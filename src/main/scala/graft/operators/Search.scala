@@ -343,6 +343,13 @@ object Search {
   def bm25ServeBatch(s: SparkSession, dir: String, queries: DataFrame,
                      k: Int = DefaultK): DataFrame = {
     import s.implicits._
+    // layout dispatch: a bucketed index carries its meta table — every
+    // serving entry point (hybrid, streaming) then works against
+    // either layout transparently
+    if (new org.apache.hadoop.fs.Path(s"$dir/meta").getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/meta")))
+      return bm25ServeBatchBucketed(s, dir, queries, k)
     val terms = queries.select(col("term")).distinct()
       .as[String].collect().sorted // bounded by the query batch
     // Prune at the LISTING level, not just the scan: a plain read of

@@ -92,6 +92,11 @@ class SearchSpec extends SparkSpec {
     val after = Search.bm25ServeBatchBucketed(spark, grown, queriesDf)
       .collect().map(_.toSeq)
     assert(after.toSeq == inline.toSeq)
+    // the generic entry point dispatches on the meta table, so the
+    // hybrid/streaming serving paths work against either layout
+    val dispatched = Search.bm25ServeBatch(spark, dir, queriesDf)
+      .collect().map(_.toSeq)
+    assert(dispatched.toSeq == inline.toSeq)
   }
 
   test("appended index serves exactly like a one-shot index of the union") {
