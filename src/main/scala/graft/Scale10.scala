@@ -529,6 +529,34 @@ object Scale10 {
           .count())
       t(s"scd2_rebuild_${mult}x")(
         Upsert.scd2Build(ordN.unionByName(day), k, a, ts, tie).count())
+      // the SINK's bounded write: history bucket-partitioned by key
+      // hash, a small day rewrites only its keys' buckets via dynamic
+      // partition overwrite — per-batch cost must track the day's key
+      // spread, NOT history size (the old full-snapshot rewrite paid
+      // the whole history every batch)
+      // bucket count is a history-size knob: 512 here so a handful of
+      // keys touch a handful of buckets (~1% of the history), the
+      // regime the bound is FOR — at 64 buckets a 141-key day hashed
+      // into ~57 of them and sliced ~90% of the history anyway
+      val sinkDir = s"/tmp/scale_scd2sink_$mult"
+      t(s"scd2_sink_build_${mult}x") {
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sinkDir), true)
+        streaming.EventStream.scd2SinkBatch(ordN, sinkDir, k, a, ts, tie,
+          buckets = 512)
+        spark.read.parquet(sinkDir).count()
+      }
+      val smallDay = Tables.orders(spark, d)
+        .filter(col("o_custkey") % 3000 === 0) // ~5 keys
+        .withColumn("o_orderdate",
+          col("o_orderdate") + expr("INTERVAL 10 YEARS"))
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      t(s"scd2_sink_day_${mult}x") {
+        streaming.EventStream.scd2SinkBatch(smallDay, sinkDir, k, a, ts, tie,
+          buckets = 512)
+        smallDay.count()
+      }
     }
     // ---- Zipfian-vocabulary corpus: the retrieval/LM scale probes the
     // uniform 31-token soup cannot express. Under a Zipf(1) vocabulary

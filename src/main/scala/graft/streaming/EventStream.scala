@@ -817,37 +817,46 @@ object EventStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val committed = fs.exists(
-          new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
-        val kb = pmod(xxhash64(col(key)), lit(buckets)).cast("int").as("_kb")
-        if (!committed) {
-          graft.operators.Upsert.scd2Build(batch, key, attr, ts, tie)
-            .withColumn("_kb", kb)
-            .write.mode("overwrite").partitionBy("_kb").parquet(dir)
-        } else {
-          val affected = batch.select(kb).distinct()
-            .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
-          val slice = s.read.parquet(dir)
-            .filter(col("_kb").isin(affected: _*)).drop("_kb")
-          val out = graft.operators.Upsert
-            .scd2Apply(slice, batch, key, attr, ts, tie)
-            .withColumn("_kb", kb)
-            .localCheckpoint() // materialize before overwriting read paths
-          val conf = "spark.sql.sources.partitionOverwriteMode"
-          val prev = s.conf.getOption(conf)
-          s.conf.set(conf, "dynamic")
-          try out.write.mode("overwrite").partitionBy("_kb").parquet(dir)
-          finally prev match {
-            case Some(v) => s.conf.set(conf, v)
-            case None => s.conf.unset(conf)
-          }
-        }
-        ()
+        scd2SinkBatch(batch, dir, key, attr, ts, tie, buckets)
       }
       .start()
+
+  /** One micro-batch of the SCD-2 sink, exposed so batch callers and
+    * the scale probes can drive the same bounded-write path the
+    * streaming sink runs. */
+  def scd2SinkBatch(batch: DataFrame, dir: String, key: String,
+                    attr: String, ts: String, tie: String,
+                    buckets: Int = 64): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    val kb = pmod(xxhash64(col(key)), lit(buckets)).cast("int").as("_kb")
+    if (!committed) {
+      graft.operators.Upsert.scd2Build(batch, key, attr, ts, tie)
+        .withColumn("_kb", kb)
+        .write.mode("overwrite").partitionBy("_kb").parquet(dir)
+    } else {
+      val affected = batch.select(kb).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+      val slice = s.read.parquet(dir)
+        .filter(col("_kb").isin(affected: _*)).drop("_kb")
+      val out = graft.operators.Upsert
+        .scd2Apply(slice, batch, key, attr, ts, tie)
+        .withColumn("_kb", kb)
+        .localCheckpoint() // materialize before overwriting read paths
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf, "dynamic")
+      try out.write.mode("overwrite").partitionBy("_kb").parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+    ()
+  }
 
   /** Read back the [[streamingScd2Sink]] history without its internal
     * bucket column. */
