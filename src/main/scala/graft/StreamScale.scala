@@ -359,6 +359,49 @@ object StreamScale {
       println(f"SCALE stream_bm25_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
         f"(unpruned would approach ~${mult}x)")
     }
+
+    // ---- streamingBm25TopK over the ZIPF bucketed layout ------------
+    // the realistic-vocabulary form of the row above: 10k Zipf terms,
+    // bucketed postings (bm25ServeBatch dispatches on the meta table),
+    // query terms spanning head/torso/tail — streamed serving must
+    // stay sublinear in the corpus exactly like the batch serve rows
+    locally {
+      val zdocs1 = graft.Scale10.zipfDocs(spark, 5000L, 120, 10000)
+        .localCheckpoint()
+      val zdocsN = graft.Scale10.zipfDocs(spark, 5000L * mult, 120, 10000)
+        .localCheckpoint()
+      val pool = Seq(
+        Seq("w0", "w150", "w4000"), Seq("w3", "w800", "w7000"),
+        Seq("w10", "w300", "w9000"), Seq("w1", "w500", "w6000"))
+      val nq = 100
+      def serve(invDir: String, tag: String): Double = {
+        val input = MemoryStream[EventStream.QueryTerms]
+        var emitted = 0L
+        val q = EventStream.streamingBm25TopK(input.toDS(), invDir) {
+          topk => emitted += topk.count() }
+        val t0 = System.nanoTime()
+        (0 until 5).foreach { b =>
+          input.addData((0 until nq / 5).map { j =>
+            EventStream.QueryTerms(1000L * (b + 1) + j,
+              pool((b * (nq / 5) + j) % pool.length))
+          })
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_bm25_zipf_$tag queries=$nq time=$sec%.1fs " +
+          f"qps=${nq / sec}%.1f topkRows=$emitted")
+        sec
+      }
+      graft.operators.Search
+        .writeInvertedIndexBucketed(zdocs1, "/tmp/streamscale_zinv1")
+      graft.operators.Search
+        .writeInvertedIndexBucketed(zdocsN, s"/tmp/streamscale_zinv$mult")
+      val s1 = serve("/tmp/streamscale_zinv1", "corpus1x")
+      val sN = serve(s"/tmp/streamscale_zinv$mult", s"corpus${mult}x")
+      println(f"SCALE stream_bm25_zipf_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
+        f"(unpruned would approach ~${mult}x)")
+    }
     spark.stop()
   }
 }

@@ -161,8 +161,10 @@ object Search {
       // one file
       .repartition(col("token"))
       .write.mode("overwrite").partitionBy("token").parquet(s"$dir/postings")
+    // no coalesce(1): df is corpus-vocabulary-sized (same reasoning as
+    // the append path); small files fold in at compaction
     tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+      .write.mode("overwrite").parquet(s"$dir/df")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
@@ -197,8 +199,10 @@ object Search {
       .write.mode("overwrite").partitionBy("tb")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(s"$dir/postings")
+    // no coalesce(1): df is corpus-vocabulary-sized (same reasoning as
+    // the append path); small files fold in at compaction
     tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+      .write.mode("overwrite").parquet(s"$dir/df")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     Seq(nBuckets).toDF("n_buckets")

@@ -876,7 +876,8 @@ object EventStream {
                           ivfDir: String, cents: Array[Array[Double]],
                           k: Int = graft.operators.Search.DefaultK,
                           depth: Int = 20,
-                          nprobe: Int = graft.operators.Similarity.IvfNprobe)(
+                          nprobe: Int = graft.operators.Similarity.IvfNprobe,
+                          weights: Seq[Double] = Nil)(
                           writeBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream.outputMode(OutputMode.Append)
@@ -889,7 +890,7 @@ object EventStream {
         val vecs = b.map(q => (q.query_id, q.embedding))
           .toDF("query_id", "embedding")
         writeBatch(graft.operators.Search.hybridServeBatch(
-          s, invDir, ivfDir, cents, terms, vecs, k, depth, nprobe))
+          s, invDir, ivfDir, cents, terms, vecs, k, depth, nprobe, weights))
       }
       .start()
 
