@@ -98,6 +98,7 @@ object SparkEntry {
     "curate_neardup"      -> operators.Curate.curateNearDup _,
     "bm25_topk"           -> ((s, d) => operators.Search.bm25TopK(s, d)),
     "search_hybrid_rrf"   -> ((s, d) => operators.Search.hybridRrf(s, d)),
+    "search_hybrid_wrrf"  -> ((s, d) => operators.Search.hybridRrfWeighted(s, d)),
     "scd2_history"        -> operators.Upsert.scd2History _,
     "profile_columns"     -> operators.Profile.profileColumns _,
     "chunk_overlap"       -> ((s, d) => operators.Curate.chunkOverlap(s, d)),
@@ -1389,6 +1390,10 @@ object SparkEntry {
 
     "bm25_topk" -> operators.Search.bm25OracleSql(),
     "search_hybrid_rrf" -> operators.Search.hybridRrfOracleSql(),
+    // weighted fusion: 0.75/1.0 are binary-exact, so the literal
+    // parses to identical doubles in both engines
+    "search_hybrid_wrrf" -> operators.Search.hybridRrfOracleSql(
+      wLex = "0.75", wSem = "1"),
 
     // SCD-2: run-collapse on (custkey, priority) ordered by
     // (date, orderkey), each run one validity interval

@@ -439,7 +439,20 @@ object Search {
   }
 
   def hybridRrf(s: SparkSession, d: String, k: Int = DefaultK,
-                depth: Int = 20): DataFrame = {
+                depth: Int = 20): DataFrame =
+    hybridRrfWeighted(s, d, k, depth, Nil)
+
+  /** search_hybrid_wrrf — the WEIGHTED fusion gate query: same two
+    * rankings as [[hybridRrf]], lexical evidence down-weighted to
+    * 0.75 (both default weights are binary-exact doubles, so the
+    * oracle's decimal literals parse to identical bits). Oracle-gated
+    * separately from the unweighted form so the weighted path is
+    * hash-verified, not just spec'd. */
+  val WrrfLexWeight = 0.75
+  def hybridRrfWeighted(s: SparkSession, d: String, k: Int = DefaultK,
+                        depth: Int = 20,
+                        weights: Seq[Double] = Seq(WrrfLexWeight, 1.0))
+      : DataFrame = {
     val cosSim = graft.functions.CosineSimilarity.cosineSim _
     val lex = bm25TopK(s, d, depth)
       .select(col("query_id"), col("doc_id"), col("rank"))
@@ -454,7 +467,7 @@ object Search {
         round(cosSim(col("qv"), col("v")), 6).as("cos_sim"))
     val sem = Similarity.topKPerQuery(semScored, depth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k)
+    rrfFuse(Seq(lex, sem), k, weights)
   }
 
   /** Serve ONE batch of hybrid queries against the STORED layouts:
@@ -505,8 +518,12 @@ object Search {
   }
 
   /** DuckDB oracle for [[hybridRrf]] — the bm25 pipeline as CTEs, the
-    * brute-force cosine ranking, and the fused decimal sum. */
-  def hybridRrfOracleSql(k: Int = DefaultK, depth: Int = 20): String = {
+    * brute-force cosine ranking, and the fused decimal sum. `wLex` /
+    * `wSem` are SQL literal texts (kept as strings so both engines
+    * parse the same decimal — the defaults are binary-exact anyway);
+    * "1" reproduces the unweighted gate. */
+  def hybridRrfOracleSql(k: Int = DefaultK, depth: Int = 20,
+                         wLex: String = "1", wSem: String = "1"): String = {
     val qids = BmQueries.map(_._1).mkString(", ")
     val qvals = BmQueries.flatMap { case (q, ts) =>
       ts.map(t => s"(CAST($q AS BIGINT), '$t')") }.mkString(",\n        ")
@@ -559,9 +576,14 @@ object Search {
           FROM semscore) WHERE rank <= $depth),
       rrlists AS (
         SELECT query_id, doc_id,
-          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+          CAST(round(CAST($wLex AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
                AS DECIMAL(13,9)) AS c
-        FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+        FROM lex
+        UNION ALL
+        SELECT query_id, doc_id,
+          CAST(round(CAST($wSem AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM sem),
       fused AS (
         SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
         FROM rrlists GROUP BY 1, 2)
