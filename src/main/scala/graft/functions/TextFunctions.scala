@@ -324,6 +324,47 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** ngram_lm_heldout — the ORACLE-GATED exact-decimal form of the
+    * held-out gate: model/ctx trained on the TRAIN carve (doc_id %
+    * 50 ≠ 0, the decontaminate split), every doc scored with add-α
+    * smoothing at α = 0.25 — binary-exact, so (cnt + 0.25) and
+    * (ctx + 0.25·V) are exactly representable doubles in both
+    * engines and p is ONE IEEE division; from there the
+    * [[ngramLmScoreWith]] recipe verbatim (ln to the 1e-9 grid,
+    * DECIMAL(13,9)×DECIMAL(9,0) exact sum, one double division,
+    * 6 dp, exp on the already-rounded value). V = distinct TRAIN
+    * tokens (one bounded driver scalar, the bm25 nDocs precedent). */
+  def ngramLmHeldOut(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = ngramLmModel(docBigrams(train))
+    val vocab = train.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    ngramLmScoreHeldOutExact(docBigrams(docs), model, ctx, vocab)
+  }
+
+  /** Exact-decimal core of [[ngramLmHeldOut]] (α fixed at 0.25; the
+    * probe-grade [[ngramLmScoreHeldOut]] keeps the free-α form). */
+  def ngramLmScoreHeldOutExact(docBg: DataFrame, model: DataFrame,
+                               ctx: DataFrame, vocab: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val num = coalesce(col("cnt"), lit(0L)).cast("double") + lit(0.25)
+    // 0.25·V is exact for any realistic vocab (quarter-grid < 2^51)
+    val den = coalesce(col("ctx"), lit(0L)).cast("double") + lit(0.25 * vocab)
+    val lp = round(log(num / den), 9).cast(DecimalType(13, 9))
+    docBg
+      .join(model, Seq("bigram"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast(DecimalType(9, 0)) * lp).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("slp").cast("double") / col("n_bigrams")), 6)
+          .as("avg_neg_logp"))
+      .withColumn("ppl", round(exp(col("avg_neg_logp")), 6))
+      .orderBy(col("doc_id"))
+  }
+
   def ngramLmScore(s: SparkSession, d: String): DataFrame =
     ngramLmScore(Tables.documents(s, d))
 
