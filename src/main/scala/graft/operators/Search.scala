@@ -199,10 +199,14 @@ object Search {
       .write.mode("overwrite").partitionBy("tb")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(s"$dir/postings")
-    // no coalesce(1): df is corpus-vocabulary-sized (same reasoning as
-    // the append path); small files fold in at compaction
+    // df is BUCKETED like the postings: a flat vocabulary-sized table
+    // would be scanned whole on every serve (O(vocab) per batch at a
+    // millions-term vocabulary); bucketed, serve reads only the probed
+    // df buckets, and appends merge only the touched ones
     tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/df")
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/df")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     Seq(nBuckets).toDF("n_buckets")
@@ -227,11 +231,29 @@ object Search {
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("token"), col("doc_id"))
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
+    // df merge touches only the buckets the batch's tokens hash into —
+    // read those partitions, fold the deltas, dynamic-overwrite them
+    // (the scd2SinkBatch discipline); untouched df buckets keep their
+    // files byte-identical
+    val deltas = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+    val affected = deltas.select(col("tb")).distinct()
+      .as[Int].collect().toSeq // bounded by nBuckets
     val mergedDf = s.read.parquet(s"$dir/df")
-      .unionByName(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
-      .groupBy(col("token")).agg(sum(col("df")).as("df"))
-      .localCheckpoint()
-    mergedDf.write.mode("overwrite").parquet(s"$dir/df")
+      .filter(col("tb").isin(affected: _*))
+      .unionByName(deltas)
+      .groupBy(col("token"), col("tb")).agg(sum(col("df")).as("df"))
+      .select(col("token"), col("df"), col("tb"))
+      .localCheckpoint() // materialize before overwriting read partitions
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf, "dynamic")
+    try mergedDf.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/df")
+    finally prev match {
+      case Some(v) => s.conf.set(conf, v)
+      case None => s.conf.unset(conf)
+    }
     val mergedStats = s.read.parquet(s"$dir/stats")
       .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok")))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_tok")).as("s_tok"))
@@ -242,9 +264,10 @@ object Search {
   /** Serve a query batch against the bucketed layout — result-
     * identical to [[bm25ServeBatch]] over the same corpus (spec'd):
     * probed terms → probed buckets (same stored hash), only those
-    * bucket directories are LISTED and read, and the `token IN`
-    * filter pushes into the scan where the within-file token sort
-    * lets row-group stats skip non-probed terms. */
+    * bucket directories are LISTED and read — for the postings AND
+    * the df lookup — and the `token IN` filter pushes into the scan
+    * where the within-file token sort lets row-group stats skip
+    * non-probed terms. */
   def bm25ServeBatchBucketed(s: SparkSession, dir: String,
                              queries: DataFrame,
                              k: Int = DefaultK): DataFrame = {
@@ -267,24 +290,33 @@ object Search {
     if (bucketDirs.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "doc_id", "bm25", "rank")
+    val dfDirs = buckets.map(b => s"$dir/df/tb=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dfDirs.isEmpty) // postings/df dirs are written together
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "doc_id", "bm25", "rank")
     val post = s.read.option("basePath", s"$dir/postings")
       .parquet(bucketDirs: _*)
       .filter(col("token").isin(terms: _*))
-      .join(broadcast(s.read.parquet(s"$dir/df")
-        .filter(col("token").isin(terms: _*))), "token")
+      .join(broadcast(s.read.option("basePath", s"$dir/df")
+        .parquet(dfDirs: _*)
+        .filter(col("token").isin(terms: _*))
+        .drop("tb")), "token")
     val Array(nDocs, sTok) = s.read.parquet(s"$dir/stats")
       .as[(Long, Long)].collect().flatMap(t => Array(t._1, t._2))
     scoreAndRank(queries, post, nDocs, sTok, k)
   }
 
   /** [[compactInvertedIndex]] for the bucketed layout: same rewrite,
-    * bucket partitioning and the within-file token sort preserved. */
+    * bucket partitioning and the within-file token sort preserved;
+    * the df table keeps its bucket partitioning too. */
   def compactInvertedIndexBucketed(s: SparkSession, dir: String,
                                    targetBytes: Long = 128L << 20): Unit = {
     graft.sources.Compact.compactInPlace(s, s"$dir/postings", targetBytes,
       partitionCols = Seq("tb"),
       sortCols = Seq("tb", "token", "doc_id"))
-    graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes)
+    graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes,
+      partitionCols = Seq("tb"))
     ()
   }
 
