@@ -365,9 +365,12 @@ object Curate {
         col("lang"), col("shard_id"))
       .write.mode("overwrite").partitionBy("lang", "shard_id")
       .json(s"$dir/shards")
+    // no coalesce(1): the manifest has one row per shard — corpus
+    // tokens / budget rows, which grows with the corpus and must not
+    // funnel through one task at 100 TB
     rows.groupBy(col("lang"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+      .write.mode("overwrite").parquet(s"$dir/manifest")
     s.read.parquet(s"$dir/manifest")
   }
 
