@@ -635,6 +635,79 @@ object Scale10 {
         caught
       }
     }
+    // ---- r10 second-wave families ----
+    // snapshot diff: one 1:1 full-outer shuffle over mult× orders —
+    // cost must track the two scans + one exchange pair, output the
+    // (linear) change volume
+    locally {
+      val ordN = rep(Tables.orders(spark, d),
+        Seq("o_orderkey", "o_custkey"), 100000000L)
+      val k = col("o_orderkey")
+      val oldSnap = ordN.filter(k % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(k % 7 === 0, lit(100.0)).otherwise(col("o_totalprice")))
+      val newSnap = ordN.filter(k % 13 =!= 7)
+      t(s"snapshot_diff_${mult}x")(operators.Cdc.snapshotDiff(
+        oldSnap, newSnap, Seq("o_orderkey"), Seq("o_totalprice")).count())
+    }
+    // interval join: mult× events against mult×20k one-minute windows
+    // hash-spread over the month (~4.6 cover any instant). The binned
+    // equi-join's cost is scan + shuffle + OUTPUT however many
+    // intervals exist; the naive inequality join evaluates
+    // |events|×|intervals| predicates — a codegen'd BNLJ holds pace
+    // while the interval side is broadcast-sized (measured: 2000
+    // hour-windows → naive 2.3s vs binned 3.3s at 10× — both
+    // output-bound), but its cost is LINEAR in interval count where
+    // binned is flat, so the naive row runs on a fixed 2000-window
+    // slice: multiply by (mult×10) for the full-set cost
+    locally {
+      val evs = ev.select(expr("unix_micros(ts) div 1000000").as("s"))
+      val minS = Tables.events(spark, d)
+        .select(expr("unix_micros(ts) div 1000000").as("s"))
+        .agg(min("s")).head.getLong(0)
+      val day0 = math.floorDiv(minS, 86400L) * 86400L
+      def iv(n: Long) = spark.range(n).select(
+        col("id").as("iid"),
+        (lit(day0) + (col("id") * 2654435761L) % 2591940L).as("start_s"),
+        (lit(day0) + (col("id") * 2654435761L) % 2591940L + 60L).as("end_s"))
+      t(s"range_binned_${mult}x")(operators.RangeJoin
+        .joinRangeBinned(evs, "s", iv(20000L * mult), "start_s", "end_s", 60L)
+        .groupBy("iid").count().count())
+      t(s"range_naive_2kslice_${mult}x")(evs.crossJoin(iv(2000L))
+        .filter(col("s") >= col("start_s") && col("s") < col("end_s"))
+        .groupBy("iid").count().count())
+    }
+    // fuzzy join: mult×20k distinct high-entropy names (the regime the
+    // deletion-variant blocking is FOR — variants near-unique, join
+    // groups tiny, cost tracks the ×(len+1) variant shuffle + true
+    // matches), 10% corrupted probes must all resolve
+    locally {
+      val names = spark.range(mult * 20000L)
+        .select(md5(col("id").cast("string")).substr(1, 10).as("name"))
+      val probes = spark.range(mult * 2000L)
+        .select(md5((col("id") * 10).cast("string")).substr(1, 10).as("n0"))
+        .select(concat(substring(col("n0"), 1, 4), lit("x"),
+          expr("substring(n0, 6)")).as("probe"))
+      t(s"fuzzy_${mult}x")(operators.FuzzyJoin
+        .editJoin(probes, "probe", names, "name", 1).count())
+    }
+    // dq suite: one wide agg scan + one count-distinct + one anti
+    // join over mult× orders — linear, never quadratic
+    locally {
+      val ordN = rep(Tables.orders(spark, d),
+        Seq("o_orderkey", "o_custkey"), 100000000L)
+      val custN = rep(Tables.customer(spark, d),
+        Seq("c_custkey"), 100000000L)
+      t(s"dq_${mult}x")(operators.DataQuality.suite(
+        operators.DataQuality.rowMetrics(ordN, Seq(
+          "null_custkey" -> col("o_custkey").isNull,
+          "price_below_floor" -> (col("o_totalprice") <= 2000.0),
+          "status_domain_violations" -> !col("o_orderstatus").isin("O", "F"))),
+        operators.DataQuality.keyDuplicates(ordN, Seq("o_orderkey"),
+          "dup_orderkeys"),
+        operators.DataQuality.orphans(ordN, "o_custkey", custN, "c_custkey",
+          "orphan_custkeys")).count())
+    }
     spark.stop()
   }
 

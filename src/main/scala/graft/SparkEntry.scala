@@ -107,6 +107,10 @@ object SparkEntry {
     "feature_lags"        -> Timeseries.featureLags _,
     "regress_trend"       -> Timeseries.regressTrend _,
     "quality_distill"     -> TextFunctions.qualityDistill _,
+    "snapshot_diff"       -> operators.Cdc.snapshotDiffQuery _,
+    "range_join_agg"      -> operators.RangeJoin.rangeJoinAgg _,
+    "fuzzy_match_names"   -> operators.FuzzyJoin.fuzzyMatchNames _,
+    "dq_check"            -> operators.DataQuality.dqCheck _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1612,5 +1616,10 @@ object SparkEntry {
         round(1.0 - (syy - (d0 * sy + d1 * s1y + d2 * s2y) / dd) /
           (syy - sy * sy / n), 6) AS r2
       FROM det""",
+
+    "snapshot_diff" -> operators.Cdc.snapshotDiffOracle,
+    "range_join_agg" -> operators.RangeJoin.rangeJoinAggOracle,
+    "fuzzy_match_names" -> operators.FuzzyJoin.fuzzyMatchNamesOracle,
+    "dq_check" -> operators.DataQuality.dqCheckOracle,
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.DataQuality
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metricsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("rowMetrics counts each violation predicate in one pass") {
+    val df = Seq(
+      (1L, Some("x"), 5.0),
+      (2L, None, -1.0),
+      (3L, None, 0.0),
+      (4L, Some("y"), 2.0)
+    ).toDF("id", "name", "v")
+    val got = metricsMap(DataQuality.rowMetrics(df, Seq(
+      "null_name" -> col("name").isNull,
+      "nonpositive_v" -> (col("v") <= 0.0))))
+    assert(got == Map("row_count" -> 4L, "null_name" -> 2L,
+      "nonpositive_v" -> 2L))
+    // single scan: exactly one aggregate subtree, no join/exchange of
+    // data rows beyond the final partial->final agg pair
+    val plan = DataQuality.rowMetrics(df, Seq("x" -> (col("v") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+  }
+
+  test("keyDuplicates counts rows beyond the first per key") {
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("id")
+    assert(metricsMap(DataQuality.keyDuplicates(df, Seq("id")))("dup_keys") == 3L)
+    val clean = Seq(1L, 2L, 3L).toDF("id")
+    assert(metricsMap(DataQuality.keyDuplicates(clean, Seq("id")))("dup_keys") == 0L)
+  }
+
+  test("orphans counts child rows missing from the parent, nulls included") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    assert(metricsMap(
+      DataQuality.orphans(child, "fk", parent, "pk"))("orphans") == 2L)
+  }
+
+  test("a clean table reports zeros for every violation metric") {
+    val orders = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+    val got = metricsMap(DataQuality.suite(
+      DataQuality.rowMetrics(orders, Seq(
+        "null_custkey" -> col("o_custkey").isNull)),
+      DataQuality.keyDuplicates(orders, Seq("o_orderkey"), "dup_orderkeys"),
+      DataQuality.orphans(orders, "o_custkey", cust, "c_custkey")))
+    assert(got("row_count") > 0)
+    assert(got("null_custkey") == 0L)
+    assert(got("dup_orderkeys") == 0L)
+    assert(got("orphans") == 0L)
+  }
+
+  test("dq_check fires every metric nonzero on the degraded feed") {
+    val got = metricsMap(SparkEntry.queries("dq_check")(spark, sf))
+    assert(got.keySet == Set("row_count", "null_priority",
+      "price_below_floor", "status_domain_violations", "dup_orderkeys",
+      "orphan_custkeys"))
+    // the degradations are deterministic, so each check must trip
+    assert(got.collect { case (k, v) if k != "row_count" => v }.forall(_ > 0),
+      got.toString)
+    assert(got("row_count") > got("dup_orderkeys"))
+  }
+}
