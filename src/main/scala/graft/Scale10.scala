@@ -691,6 +691,54 @@ object Scale10 {
       t(s"fuzzy_${mult}x")(operators.FuzzyJoin
         .editJoin(probes, "probe", names, "name", 1).count())
     }
+    // incremental connected components: the maintained cluster-map
+    // artifact — one day's edges relabel ONLY touched clusters'
+    // bucket partitions, vs the full CC recompute the one-shot
+    // capstone pays. The graph is a SPARSE synthetic cluster set
+    // (mult×5000 chains of 10 — the shape real dedup produces; the
+    // replicated-corpus LSH graph is degenerate-dense, a 500-doc day
+    // touched 88% of its clusters and measured the corpus, not the
+    // operator). The day adds a member to 50 clusters and merges 10
+    // cluster pairs.
+    locally {
+      val mapDir = s"/tmp/scale_ccindex_$mult/map"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val ccN = 5000L * mult
+      val chain = spark.range(ccN * 9).select(
+        expr(s"(id % $ccN) + (id div $ccN) * 10000000").as("d1"),
+        expr(s"(id % $ccN) + ((id div $ccN) + 1) * 10000000").as("d2"))
+        .localCheckpoint()
+      t(s"cc_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/scale_ccindex_$mult"), true)
+        operators.Dedup.writeClusterIndex(chain, mapDir)
+        spark.read.parquet(mapDir).count()
+      }
+      lazy val dayPairs = spark.range(50).select(
+        col("id").as("d1"), (col("id") + 100000000L).as("d2"))
+        .unionByName(spark.range(10).select(
+          (col("id") + 200).as("d1"), (col("id") + 300).as("d2")))
+        .localCheckpoint()
+      t(s"cc_index_day_${mult}x")(
+        operators.Dedup.ccIncrementalStep(spark, mapDir, dayPairs).count())
+      t(s"cc_index_rebuild_${mult}x")(
+        operators.Dedup.connectedComponentsSafe(
+          chain.unionByName(dayPairs)).count())
+    }
+    // weighted sample: map-side key + TakeOrdered (per-partition
+    // bounded heaps, k×P rows to the driver — no global sort); cost
+    // must track the scan
+    t(s"sample_weighted_${mult}x")(
+      operators.Curate.sampleWeighted(
+        docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars")),
+        "n_chars", 200).count())
+    // scene cuts: ≤8 ImageIO decodes + one 48-px plane diff per doc —
+    // embarrassingly parallel, cost tracks docs (the phash/audio
+    // family shape)
+    t(s"scenecut_${mult}x")(sources.Multimodal.sceneCutsOn(
+      docs.select(col("doc_id"), col("text"))).count())
     // dq suite: one wide agg scan + one count-distinct + one anti
     // join over mult× orders — linear, never quadratic
     locally {

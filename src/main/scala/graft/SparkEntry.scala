@@ -111,6 +111,8 @@ object SparkEntry {
     "range_join_agg"      -> operators.RangeJoin.rangeJoinAgg _,
     "fuzzy_match_names"   -> operators.FuzzyJoin.fuzzyMatchNames _,
     "dq_check"            -> operators.DataQuality.dqCheck _,
+    "sample_weighted"     -> operators.Curate.sampleWeighted _,
+    "multimodal_scenecut" -> ((s, d) => Multimodal.sceneCuts(s, d)),
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1621,5 +1623,7 @@ object SparkEntry {
     "range_join_agg" -> operators.RangeJoin.rangeJoinAggOracle,
     "fuzzy_match_names" -> operators.FuzzyJoin.fuzzyMatchNamesOracle,
     "dq_check" -> operators.DataQuality.dqCheckOracle,
+    "sample_weighted" -> operators.Curate.sampleWeightedOracle,
+    "multimodal_scenecut" -> Multimodal.sceneCutsOracle,
   )
 }

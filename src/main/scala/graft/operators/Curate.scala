@@ -451,4 +451,49 @@ object Curate {
         col("neg_cand").as("negative"), col("neg_rank"))
       .orderBy(col("anchor"), col("positive"), col("neg_rank"))
   }
+
+  /** sample_weighted: PER-ROW-weighted sampling without replacement
+    * (Efraimidis-Spirakis A-ES) — the generalization of
+    * [[sampleMixture]]'s per-stratum quotas to a continuous weight
+    * (here n_chars: longer docs proportionally likelier, the
+    * length-weighted mix a token-budget-driven run wants). Each row
+    * gets key = -ln(u)/w with u a DETERMINISTIC md5-derived uniform;
+    * the k smallest keys are exactly a weight-proportional
+    * without-replacement draw (Efraimidis & Spirakis 2006), and the
+    * whole draw is RNG-free/engine-replayable.
+    *
+    * Scale shape: key is a map-side expression; "k smallest" is
+    * TakeOrdered (per-partition bounded heaps → driver merge of k×P
+    * rows) — no global sort, no shuffle of the corpus. Determinism
+    * recipe: u = (2h+1)/2^53 from the first 13 md5 nibbles (exact
+    * doubles, one IEEE division), ln snapped to the 1e-9 grid (the
+    * ngram_lm transcendental recipe), one IEEE division by the
+    * integer weight, re-snapped; ranking breaks ties by id. */
+  def sampleWeighted(docs: DataFrame, weightCol: String, k: Int,
+                     salt: String = "wsample:"): DataFrame = {
+    val hv = conv(substring(md5(concat(lit(salt), col("doc_id"))), 1, 13),
+      16, 10).cast("long")
+    val u = (hv * 2 + 1).cast("double") / lit(9007199254740992.0)
+    val key = round(-round(log(u), 9) / col(weightCol).cast("double"), 9)
+    docs.withColumn("es_key", key)
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+  }
+
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    sampleWeighted(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars")), "n_chars", 200)
+
+  val sampleWeightedOracle: String = """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+        CAST(list_sum(list_transform(range(1, 14),
+          k -> (strpos('0123456789abcdef', md5('wsample:' || doc_id)[k:k]) - 1)
+               * CAST(16 ** (13 - k) AS BIGINT))) AS BIGINT) AS hv
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+      round(-round(ln(CAST(hv * 2 + 1 AS DOUBLE) /
+                      CAST(9007199254740992 AS DOUBLE)), 9)
+            / n_chars, 9) AS es_key
+    FROM h ORDER BY es_key, doc_id LIMIT 200"""
 }

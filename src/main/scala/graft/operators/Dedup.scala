@@ -590,6 +590,95 @@ object Dedup {
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes)
 
+  /** Maintained CLUSTER-MAP artifact — the incremental form of the CC
+    * capstone, closing the loop the maintained band/span/emb/phash
+    * indexes feed: detection was already incremental
+    * ([[dedupIncrementalStep]]), but clustering still recomputed CC
+    * over ALL pairs. The artifact is the (node, cluster_id) map
+    * (cluster_id = component min id, the keeper convention),
+    * PARTITIONED by a cluster_id hash bucket so the daily step can
+    * rewrite only the buckets it touches (the scd2SinkBatch bound). */
+  /** Bucket count trades initial-write directory churn against the
+    * daily rewrite bound: a day touching C clusters rewrites
+    * ≤min(C, buckets) directories ≈ C/buckets of the map. 1024 holds
+    * a ~70-cluster day to ~6%; raise it with corpus size. Rows are
+    * CLUSTERED by bucket before partitionBy (unclustered, every task
+    * writes a file into every directory it holds). */
+  def writeClusterIndex(pairs: DataFrame, dir: String,
+                        buckets: Int = 1024): Unit =
+    connectedComponentsSafe(pairs)
+      .select(col("node"), col("cluster_id"))
+      .withColumn("_cb", clusterBucket(buckets))
+      .repartition(col("_cb"))
+      .write.mode("overwrite").partitionBy("_cb").parquet(dir)
+
+  private def clusterBucket(buckets: Int) =
+    pmod(xxhash64(col("cluster_id")), lit(buckets)).cast("int")
+
+  /** The map without its internal bucket column. */
+  def readClusterIndex(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).drop("_cb")
+
+  /** One day of incremental clustering: relabel ONLY the clusters the
+    * day's edges touch. An existing cluster is represented in the
+    * merge subgraph by its STAR edges (member → cluster_id — exactly
+    * the connectivity the map encodes), so the CC rerun covers
+    * affected members + the day's nodes, never the corpus; an
+    * untouched cluster shares no node with the subgraph, so labels
+    * stay globally consistent (the merged component's min is a
+    * subgraph node). The WRITE is bounded too: only the touched
+    * clusters' hash buckets are read (partition-pruned slice) and
+    * rewritten (dynamic partition overwrite, conf-scoped); buckets a
+    * relabel drained entirely are deleted explicitly — dynamic
+    * overwrite only replaces partitions present in the output. Day
+    * cost tracks |day's edges| + |touched clusters' members| +
+    * |touched buckets|, never the corpus.
+    *
+    * Loop invariant (spec'd): N daily steps over an edge stream ≡
+    * one-shot [[connectedComponentsSafe]] over all edges; a
+    * one-cluster day moves only that cluster's bucket directories. */
+  def ccIncrementalStep(s: SparkSession, dir: String, newPairs: DataFrame,
+                        buckets: Int = 1024): DataFrame = {
+    val map = s.read.parquet(dir)
+    val edges = newPairs.select(col("d1"), col("d2")).localCheckpoint()
+    val endpoints = edges.select(col("d1").as("node"))
+      .unionByName(edges.select(col("d2").as("node"))).distinct()
+    val touched = endpoints.join(map, Seq("node"))
+      .select(col("cluster_id")).distinct().localCheckpoint()
+    val touchedBuckets = touched.select(clusterBucket(buckets).as("_cb"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+    val slice = map.filter(col("_cb").isin(touchedBuckets: _*))
+    val members = slice.join(touched, Seq("cluster_id"), "left_semi")
+    val starEdges = members.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("d1"), col("cluster_id").as("d2"))
+    val relabeled = connectedComponentsSafe(starEdges.unionByName(edges))
+    val keep = slice.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    val out = keep
+      .unionByName(relabeled.select(col("node"), col("cluster_id")))
+      .withColumn("_cb", clusterBucket(buckets))
+      .localCheckpoint() // materialize before overwriting read paths
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf, "dynamic")
+    try out.repartition(col("_cb"))
+      .write.mode("overwrite").partitionBy("_cb").parquet(dir)
+    finally prev match {
+      case Some(v) => s.conf.set(conf, v)
+      case None => s.conf.unset(conf)
+    }
+    // a touched bucket whose every row relabeled into other buckets is
+    // absent from `out` — dynamic overwrite leaves its stale directory
+    val written = out.select(col("_cb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touchedBuckets.filterNot(written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_cb=$b"), true)
+    }
+    out.drop("_cb")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   private[operators] val SimhashBits = 60 // divides into 4/5/6 equal chunks

@@ -83,10 +83,12 @@ object Timeseries {
     * onto the stream; the z filter compares the ROUNDED z so the
     * boundary is engine-safe. variance>0 guards the constant-series
     * NaN channel identically on both engines. */
-  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"))
-    val stats = ev.groupBy(col("user_id"))
+  /** Per-user (mean, std) from exact-decimal moments — the model half
+    * of [[eventsAnomaly]], exposed so a STREAMING moment state
+    * ([[graft.streaming.EventStream.streamingAnomalyStats]]) can feed
+    * the same read-out (parity spec'd on identical flags). */
+  def anomalyStats(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
         dbl(sum(dec2(col("value")))).as("s1"),
         dbl(sum(dec4(col("value") * col("value")))).as("s2"))
@@ -96,12 +98,21 @@ object Timeseries {
       .filter(col("variance") > 0)
       .withColumn("std", sqrt(col("variance")))
       .select(col("user_id"), col("mean"), col("std"))
+
+  /** The scoring half: flag |z| > 3 events against a per-user stats
+    * frame (broadcast — user-dim-sized). */
+  def anomalyFlag(ev: DataFrame, stats: DataFrame): DataFrame =
     ev.join(broadcast(stats), "user_id")
       .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
       .filter(abs(col("z")) > 3)
       .select(col("user_id"), col("event_id"),
         dbl(dec2(col("value"))).as("value"), col("z"))
       .orderBy(col("user_id"), col("event_id"))
+
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    anomalyFlag(ev, anomalyStats(ev))
   }
 
   /** ewma_trend: per-user exponentially-weighted moving average of

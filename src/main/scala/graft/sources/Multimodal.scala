@@ -259,6 +259,92 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Adjacent-frame difference row: L1 plane distance between frame
+    * `frame_idx` and its predecessor, flagged as a cut when it
+    * exceeds the threshold. */
+  case class SceneCut(doc_id: Long, frame_idx: Int, diff_energy: Long,
+                      is_cut: Boolean)
+
+  /** multimodal_scenecut: scene-change detection over the frame
+    * stream — the keyframe-selection primitive of video curation
+    * (sample ONE frame per scene instead of a fixed stride; dedup
+    * near-static spans). Each container's frames are REALLY decoded
+    * (same index-parse → seek → ImageIO path as [[frameSample]]) and
+    * adjacent frames compared by L1 plane distance
+    * Σ|p_i − p_{i−1}|; a cut fires above `threshold`. Per-record
+    * work is a bounded flatMap (≤ maxFrames decodes, two planes
+    * compared pixelwise — position mapping identical across frames,
+    * so the sum is layout-independent); pure integer arithmetic, so
+    * the oracle recomputes every diff from the payload bytes. */
+  def sceneCuts(s: SparkSession, d: String, maxFrames: Int = 8,
+                threshold: Long = 1000): DataFrame =
+    sceneCutsOn(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      maxFrames, threshold)
+
+  def sceneCutsOn(docs: DataFrame, maxFrames: Int = 8,
+                  threshold: Long = 1000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.Util.fanOut(docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)])
+      .mapPartitions { records =>
+        val dec = new BmpDecoder
+        records.flatMap { case (docId, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(maxFrames,
+            math.max(1, payload.length / FrameStride))
+          if (n < 2) Iterator.empty
+          else {
+            val container = containerBytes(payload, n)
+            val idx = java.nio.ByteBuffer.wrap(container)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nStored = idx.getInt()
+            val imgs = (0 until nStored).map { i =>
+              val off = idx.getInt(4 + 8 * i)
+              val len = idx.getInt(4 + 8 * i + 4)
+              dec.decode(container, off, len)
+            }
+            (1 until nStored).iterator.map { i =>
+              val (a, b) = (imgs(i - 1), imgs(i))
+              var diff = 0L
+              var y = 0
+              while (y < b.getHeight) {
+                var x = 0
+                while (x < b.getWidth) {
+                  diff += math.abs((b.getRGB(x, y) & 0xff) -
+                    (a.getRGB(x, y) & 0xff))
+                  x += 1
+                }
+                y += 1
+              }
+              SceneCut(docId, i, diff, diff > threshold)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val sceneCutsOracle: String = """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    f AS (
+      SELECT doc_id, CAST(fi AS INT) AS frame_idx, text, L
+      FROM d CROSS JOIN range(1, 8) r(fi)
+      WHERE fi < least(8, greatest(1, L // 32))),
+    e AS (
+      SELECT doc_id, frame_idx,
+        CAST(list_sum(list_transform(range(0, 48),
+          j -> abs(
+            unicode(text[CAST((frame_idx * 32 + j) % L AS INT) + 1
+                         : CAST((frame_idx * 32 + j) % L AS INT) + 1]) -
+            unicode(text[CAST(((frame_idx - 1) * 32 + j) % L AS INT) + 1
+                         : CAST(((frame_idx - 1) * 32 + j) % L AS INT) + 1]))))
+          AS BIGINT) AS diff_energy
+      FROM f)
+    SELECT doc_id, frame_idx, diff_energy, diff_energy > 1000 AS is_cut
+    FROM e ORDER BY doc_id, frame_idx"""
+
   // ---- image perceptual-hash near-dup (dedup_phash) ----------------------
 
   /** Image plants for [[phashDups]] (the [[graft.operators.Dedup

@@ -639,6 +639,71 @@ object EventStream {
       }
   }
 
+  /** Per-user exact moment state for [[streamingAnomalyStats]]:
+    * value lives on the 2-dp grid, so cents and cents² accumulate as
+    * exact longs — 24 bytes per user, unbounded history for free. */
+  case class MomentState(n: Long, s1c: Long, s2e4: Long)
+
+  /** Streaming per-user anomaly model — the model half of
+    * [[graft.operators.Timeseries.eventsAnomaly]] maintained
+    * incrementally: mapGroupsWithState keyed by user, state = the
+    * exact integer moments (n, Σcents, Σcents²); each batch emits
+    * the user's refreshed (n, mean, variance, std) in Update mode.
+    * The doubles are reconstructed through the SAME decimal→double
+    * casts the batch aggregate performs (BigDecimal scale 2/4), so
+    * after any arrival split the streaming stats are BIT-equal to
+    * the batch [[graft.operators.Timeseries.anomalyStats]] — feed
+    * them to `anomalyFlag` for identical flags (spec'd). Scoring
+    * stays a batch read-out (the annIvfServeBatch pattern); the
+    * stream maintains the model, which is the half that needs the
+    * full history. */
+  def streamingAnomalyStats(rows: Dataset[(Long, Double)]
+                           ): Dataset[(Long, Long, Double, Double, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[MomentState, (Long, Long, Double, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Double)], state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          it.foreach { case (_, v) =>
+            val c = math.round(v * 100)
+            st = MomentState(st.n + 1, st.s1c + c, st.s2e4 + c * c)
+          }
+          state.update(st)
+          val s1 = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(st.s1c), 2).doubleValue()
+          val s2 = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(st.s2e4), 4).doubleValue()
+          val mean = s1 / st.n
+          val variance = s2 / st.n - mean * mean
+          (user, st.n, mean, variance, math.sqrt(variance))
+      }
+  }
+
+  /** Streaming data-quality monitor — the streaming form of
+    * [[graft.operators.DataQuality.rowMetrics]]: cumulative
+    * (metric, violation_count) maintained by the built-in streaming
+    * aggregation (state = one row per metric, never per data row —
+    * bounded whatever the stream volume; read in Complete/Update
+    * mode). The SAME plan runs over a batch DataFrame and equals
+    * rowMetrics' counts — the tumblingCounts batch/stream duality,
+    * spec'd on a two-batch split. Referential checks don't fit a
+    * stream-static anti join (unsupported shape); run
+    * [[graft.operators.DataQuality.orphans]] inside foreachBatch as
+    * a batch plan instead (the annIvfServeBatch pattern). */
+  def streamingDqMetrics(rows: DataFrame,
+                         metrics: Seq[(String, org.apache.spark.sql.Column)]
+                        ): DataFrame = {
+    val pairs = array(
+      struct(lit("row_count").as("metric"), lit(1L).as("hit")) +:
+        metrics.map { case (n, p) =>
+          struct(lit(n).as("metric"),
+            when(p, 1L).otherwise(0L).as("hit")) }: _*)
+    rows.select(explode(pairs).as("mp"))
+      .select(col("mp.metric").as("metric"), col("mp.hit").as("hit"))
+      .groupBy("metric").agg(sum("hit").as("value"))
+  }
+
   /** Streaming Count-Min counters: the CMS state (d×w = 4×1024 Long
     * counters) maintained incrementally — arrivals fan out to their
     * d buckets, each (j, b) key's counter ADDS the batch's hits

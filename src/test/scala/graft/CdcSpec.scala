@@ -62,6 +62,40 @@ class CdcSpec extends SparkSpec {
     assert(rebuilt.count() == oldDf.count())
   }
 
+  test("diff of co-bucketed snapshots runs with zero exchanges") {
+    // the 100 TB shape: daily snapshots land bucketed by the key, so
+    // the full-outer join needs no shuffle at all
+    for (t <- Seq("snap_old_b", "snap_new_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    val k = col("o_orderkey")
+    graft.sources.Bucketed.writeBucketed(
+      orders.filter(k % 10 =!= 3), "snap_old_b", "o_orderkey", 8)
+    graft.sources.Bucketed.writeBucketed(
+      orders.filter(k % 13 =!= 7), "snap_new_b", "o_orderkey", 8)
+    val diff = Cdc.snapshotDiff(
+      graft.sources.Bucketed.read(spark, "snap_old_b"),
+      graft.sources.Bucketed.read(spark, "snap_new_b"),
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    diff.collect()
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed diff still shuffles:\n${plan.take(800)}")
+    // same change set as the unbucketed diff
+    val want = Cdc.snapshotDiff(orders.filter(k % 10 =!= 3),
+      orders.filter(k % 13 =!= 7), Seq("o_orderkey"), Seq("o_totalprice"))
+    assert(diff.exceptAll(want).count() == 0)
+    assert(want.exceptAll(diff).count() == 0)
+  }
+
   test("round trip holds on the query's degraded-orders construction") {
     val orders = Tables.orders(spark, sf)
     val k = col("o_orderkey")

@@ -85,4 +85,40 @@ class CurateOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(manifest.collect().map(_.toSeq).toSet == recount)
   }
+
+  test("sample_weighted matches a driver-side A-ES reference draw") {
+    val k = 50
+    val got = Curate.sampleWeighted(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")), "n_chars", k)
+    val ids = got.collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.length == k && ids.distinct.length == k)
+    // reference: same md5-derived uniform and key formula, computed
+    // independently on the driver
+    def refKey(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h * 2 + 1).toDouble / 9007199254740992.0
+      val l9 = BigDecimal(math.log(u))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(-l9 / w).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val all = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = all.map { case (id, w) => (refKey(id, w), id) }
+      .sorted.take(k).map(_._2).toSeq
+    assert(ids == want)
+    // determinism across partitionings
+    val again = Curate.sampleWeighted(
+      docs.repartition(13).select(col("doc_id"), col("lang"), col("n_chars")),
+      "n_chars", k).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(again == ids)
+    // weight-sensitivity: the draw is NOT the unweighted one
+    val unweighted = Curate.sampleWeighted(
+      docs.select(col("doc_id"), col("lang"), lit(1L).as("w")), "w", k)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(unweighted != ids)
+  }
 }

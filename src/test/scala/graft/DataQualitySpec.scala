@@ -56,6 +56,31 @@ class DataQualitySpec extends SparkSpec {
     assert(got("orphans") == 0L)
   }
 
+  test("streaming dq monitor equals batch rowMetrics on a two-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val checks = Seq(
+      "nonpositive_v" -> (col("v") <= 0.0),
+      "big_id" -> (col("id") > 100L))
+    val q = graft.streaming.EventStream
+      .streamingDqMetrics(input.toDS().toDF("id", "v"), checks)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dq_stream_test").start()
+    val b1 = Seq((1L, 5.0), (2L, -1.0), (200L, 0.0))
+    val b2 = Seq((3L, 2.0), (300L, -4.0))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dq_stream_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = metricsMap(DataQuality.rowMetrics(
+      (b1 ++ b2).toDF("id", "v"), checks))
+    assert(streamed == batch)
+    assert(streamed("row_count") == 5L && streamed("nonpositive_v") == 3L &&
+      streamed("big_id") == 2L)
+  }
+
   test("dq_check fires every metric nonzero on the degraded feed") {
     val got = metricsMap(SparkEntry.queries("dq_check")(spark, sf))
     assert(got.keySet == Set("row_count", "null_priority",

@@ -49,6 +49,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("streaming anomaly stats are bit-equal to batch and flag identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val rows = ev.select("user_id", "value").as[(Long, Double)]
+      .collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStream.streamingAnomalyStats(input.toDS())
+      .toDF("user_id", "n", "mean", "variance", "std")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("anomaly_stats_test").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits a user on every batch that touches it —
+    // the LAST emission per user is the live state
+    val emitted = spark.table("anomaly_stats_test").collect()
+    val statsByUser = emitted.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val batchStats = graft.operators.Timeseries.anomalyStats(ev).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // bit-equality of the doubles (same decimal->double casts)
+    batchStats.foreach { case (u, (m, s)) =>
+      val (_, sm, ss) = statsByUser(u)
+      assert(sm == m && ss == s, s"user $u stats drifted")
+    }
+    // composed read-out: identical flagged events
+    val streamedStats = statsByUser.toSeq
+      .map { case (u, (_, m, s)) => (u, m, s) }
+      .toDF("user_id", "mean", "std")
+      .filter(col("std") > 0)
+    val gotFlags = graft.operators.Timeseries.anomalyFlag(ev, streamedStats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantFlags = graft.operators.Timeseries
+      .anomalyFlag(ev, graft.operators.Timeseries.anomalyStats(ev))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotFlags == wantFlags && wantFlags.nonEmpty)
+  }
+
   test("streaming upsert sink maintains a last-write-wins snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -213,6 +213,32 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts: decoded adjacent-frame L1 diffs match a byte-level recompute") {
+    val cuts = Multimodal.sceneCuts(spark, sf).collect()
+    assert(cuts.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recompute straight from the payload bytes (the container's
+    // moving-window construction), independent of the decode path
+    for (r <- cuts.take(50)) {
+      val (id, fi) = (r.getLong(0), r.getInt(1))
+      val b = texts(id).getBytes("UTF-8")
+      val want = (0 until 48).map(j =>
+        math.abs((b((fi * 32 + j) % b.length) & 0xff) -
+          (b(((fi - 1) * 32 + j) % b.length) & 0xff))).sum.toLong
+      assert(r.getLong(2) == want, s"doc $id frame $fi")
+      assert(r.getBoolean(3) == (want > 1000))
+    }
+    // frame 0 has no predecessor; per-doc frame indexes are 1..n-1
+    assert(cuts.forall(_.getInt(1) >= 1))
+    val perDoc = cuts.groupBy(_.getLong(0))
+    perDoc.foreach { case (id, rs) =>
+      val n = math.min(8, math.max(1, texts(id).getBytes("UTF-8").length / 32))
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 until n),
+        s"doc $id frame set")
+    }
+  }
+
   test("BMP encode/ImageIO decode roundtrips the exact pixel plane") {
     val payload = "The quick brown fox".getBytes("UTF-8")
     val (w, h) = (7, 5)
