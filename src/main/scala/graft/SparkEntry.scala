@@ -113,6 +113,8 @@ object SparkEntry {
     "dq_check"            -> operators.DataQuality.dqCheck _,
     "sample_weighted"     -> operators.Curate.sampleWeighted _,
     "multimodal_scenecut" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "scd2_lookup"         -> operators.Upsert.scd2LookupQuery _,
+    "events_gap_fill"     -> Timeseries.eventsGapFill _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1625,5 +1627,7 @@ object SparkEntry {
     "dq_check" -> operators.DataQuality.dqCheckOracle,
     "sample_weighted" -> operators.Curate.sampleWeightedOracle,
     "multimodal_scenecut" -> Multimodal.sceneCutsOracle,
+    "scd2_lookup" -> operators.Upsert.scd2LookupOracle,
+    "events_gap_fill" -> Timeseries.eventsGapFillOracle,
   )
 }

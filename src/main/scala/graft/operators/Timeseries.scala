@@ -300,4 +300,53 @@ object Timeseries {
         col("roll7_mean"), col("next_n"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** events_gap_fill: calendar densification + forward fill — the
+    * timeseries repair step every daily-metric consumer needs (a
+    * model-feature join against sparse days silently drops rows;
+    * [[featureLags]] works around sparsity with RANGE frames, this
+    * operator REMOVES it). Per user: a day spine from first to last
+    * active day (explode(sequence) — bounded by the calendar span),
+    * left-joined daily exact-decimal totals, missing days carry the
+    * last observed value forward (`last(ignoreNulls)` over a running
+    * row frame) and are flagged. One shuffle for the daily agg, one
+    * co-keyed join, one per-user window — no global state. The
+    * fill runs on the DECIMAL total and casts once at the end, so
+    * filled rows are bit-identical to their source row's double. */
+  def eventsGapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("tot"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("total", dbl(last(col("tot"), ignoreNulls = true).over(w)))
+      .withColumn("is_gap", col("tot").isNull)
+      .select(col("user_id"), col("day"), col("total"), col("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val eventsGapFillOracle: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        SUM(CAST(value AS DECIMAL(18,2))) AS tot
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id,
+        CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))
+          AS DATE) AS day
+      FROM daily GROUP BY user_id),
+    j AS (
+      SELECT s.user_id, s.day, d.tot
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day)
+    SELECT user_id, day,
+      CAST(last_value(tot IGNORE NULLS) OVER (PARTITION BY user_id
+        ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS total,
+      tot IS NULL AS is_gap
+    FROM j ORDER BY user_id, day"""
 }

@@ -98,4 +98,63 @@ object Upsert {
     scd2Build(graft.Tables.orders(s, d),
       "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
       .orderBy(col("o_custkey"), col("version"))
+
+  /** Point-in-time lookup against an SCD-2 history: each probe
+    * (key, probeTs) gets the version whose [valid_from, valid_to)
+    * contains it (open current version = null valid_to). A key's
+    * intervals PARTITION time from its first change, so the match is
+    * unique; probes before the first interval drop (inner join). One
+    * equi-shuffle on the key with an in-join interval filter — per-key
+    * interval lists are version-count-sized, so no range-binning is
+    * needed (the keyed analog of [[graft.operators.RangeJoin]]; the
+    * keyless form is where binning earns its keep). */
+  def scd2Lookup(history: DataFrame, probes: DataFrame, key: String,
+                 probeTs: String): DataFrame =
+    probes.join(history, Seq(key))
+      .filter(col(probeTs) >= col("valid_from") &&
+        (col("valid_to").isNull || col(probeTs) < col("valid_to")))
+
+  /** scd2_lookup query: what was each customer's priority version 15
+    * days after each order — the as-of dimension join every fact table
+    * enrichment needs (the batch analog of a dimension-versioned
+    * join). */
+  def scd2LookupQuery(s: org.apache.spark.sql.SparkSession,
+                      d: String): DataFrame = {
+    val orders = graft.Tables.orders(s, d)
+    val hist = scd2Build(orders, "o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey").drop("o_orderkey", "is_current")
+    val probes = orders.select(col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate") + expr("INTERVAL 15 DAYS")).as("probe_ts"))
+    scd2Lookup(hist, probes, "o_custkey", "probe_ts")
+      .select(col("o_orderkey"), col("o_custkey"), col("probe_ts"),
+        col("o_orderpriority").as("priority_at"), col("version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val scd2LookupOracle: String = """
+    WITH ch AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        lag(o_orderpriority) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    seg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+    hist AS (
+      SELECT o_custkey, o_orderpriority,
+        o_orderdate AS valid_from,
+        lead(o_orderdate) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INT) AS version
+      FROM seg
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    probes AS (
+      SELECT o_orderkey, o_custkey,
+        o_orderdate + INTERVAL 15 DAY AS probe_ts
+      FROM orders)
+    SELECT p.o_orderkey, p.o_custkey, p.probe_ts,
+      h.o_orderpriority AS priority_at, h.version
+    FROM probes p JOIN hist h ON p.o_custkey = h.o_custkey
+    WHERE p.probe_ts >= h.valid_from
+      AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    ORDER BY p.o_orderkey"""
 }

@@ -186,4 +186,34 @@ class UpsertSpec extends SparkSpec {
     val exchanges = plan.sliding("Exchange ".length).count(_ == "Exchange ")
     assert(exchanges == 1, s"expected 1 exchange, plan had $exchanges:\n$plan")
   }
+
+  test("scd2Lookup resolves each probe to exactly one version, boundaries next") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // key 7: A from Jan 1, B from Jan 10 (current)
+    val events = Seq(
+      (7L, "A", ts("2024-01-01"), 1L),
+      (7L, "A", ts("2024-01-05"), 2L),
+      (7L, "B", ts("2024-01-10"), 3L)).toDF("k", "attr", "t", "tie")
+    val hist = graft.operators.Upsert.scd2Build(events, "k", "attr", "t", "tie")
+      .drop("tie", "is_current")
+    val probes = Seq(
+      (1L, 7L, ts("2024-01-03")),  // inside v1
+      (2L, 7L, ts("2024-01-10")),  // ON the boundary -> v2 ([from, to))
+      (3L, 7L, ts("2024-03-01")),  // far future -> open current version
+      (4L, 7L, ts("2023-12-25"))   // before first interval -> no match
+    ).toDF("pid", "k", "probe_ts")
+    val got = graft.operators.Upsert
+      .scd2Lookup(hist, probes, "k", "probe_ts")
+      .select(col("pid"), col("attr"), col("version"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got == Map(1L -> ("A", 1), 2L -> ("B", 2), 3L -> ("B", 2)))
+    // uniqueness on the full query: one row per probing order
+    val q = graft.operators.Upsert.scd2LookupQuery(spark, sf)
+    assert(q.count() == Tables.orders(spark, sf).count())
+    assert(q.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
