@@ -205,6 +205,77 @@ object StreamScale {
         s"batchMs_max=${if (trig.isEmpty) 0 else trig.max}")
     }
 
+    // ---- streamingAnomalyStats: state FIXED at #users ---------------
+    // worst case for per-entity model state: every batch touches every
+    // user. State must plateau at exactly #users rows (24-byte moment
+    // tuples) however many rows stream through.
+    locally {
+      val users = 5000
+      val input = MemoryStream[(Long, Double)]
+      val q = EventStream.streamingAnomalyStats(input.toDS())
+        .toDF("user_id", "n", "mean", "variance", "std")
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("ss_anom").start()
+      val t0 = System.nanoTime()
+      val stateAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fed = 0L
+      (0 until Batches).foreach { b =>
+        val rows = (0L until perBatch).map { j =>
+          val i = b * perBatch + j
+          (i % users, (i % 997) / 100.0)
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+        fed += rows.length
+        if ((b + 1) % (Batches / 4) == 0)
+          stateAt += ((fed,
+            q.recentProgress.filter(_.stateOperators.nonEmpty)
+              .last.stateOperators.head.numRowsTotal))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      println(f"SCALE stream_anomaly_${mult}x rows=$n time=$sec%.1fs " +
+        f"rps=${n / sec}%.0f " +
+        s"state@checkpoints=${stateAt.map { case (f, s) => s"$f:$s" }.mkString(",")} " +
+        s"stateBound=$users")
+    }
+    // ---- streamingDqMetrics: state FIXED at #metrics -----------------
+    locally {
+      import org.apache.spark.sql.functions.col
+      val input = MemoryStream[(Long, Double)]
+      val q = EventStream.streamingDqMetrics(
+          input.toDS().toDF("id", "v"),
+          Seq("nonpositive" -> (col("v") <= 0.0),
+            "out_of_range" -> (col("v") > 9.0),
+            "null_v" -> col("v").isNull))
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName("ss_dq").start()
+      val t0 = System.nanoTime()
+      val stateAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fed = 0L
+      (0 until Batches).foreach { b =>
+        val rows = (0L until perBatch).map { j =>
+          val i = b * perBatch + j
+          (i, (i % 1001) / 100.0)
+        }
+        input.addData(rows)
+        q.processAllAvailable()
+        fed += rows.length
+        if ((b + 1) % (Batches / 4) == 0)
+          stateAt += ((fed,
+            q.recentProgress.filter(_.stateOperators.nonEmpty)
+              .last.stateOperators.head.numRowsTotal))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val finalRows = spark.table("ss_dq").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(f"SCALE stream_dq_${mult}x rows=$n time=$sec%.1fs " +
+        f"rps=${n / sec}%.0f " +
+        s"state@checkpoints=${stateAt.map { case (f, s) => s"$f:$s" }.mkString(",")} " +
+        s"stateBound=4 final=${finalRows.toSeq.sorted.mkString(",")}")
+    }
+
     // ---- compactingSink: file-count maintenance under load ---------
     // the signal is the LAYOUT, not throughput: after many tiny
     // batches the current view must be a handful of files, not

@@ -619,6 +619,13 @@ object Dedup {
   def readClusterIndex(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir).drop("_cb")
 
+  /** Unlike the APPEND-maintained artifacts (band/span/emb/phash/
+    * postings), the cluster map needs no periodic compaction: a daily
+    * step REPLACES each touched bucket's directory (dynamic partition
+    * overwrite of bucket-clustered rows), so file count stays bounded
+    * by the bucket count however many days run — spec'd in
+    * CompactIndexSpec alongside the six compaction loops. */
+
   /** One day of incremental clustering: relabel ONLY the clusters the
     * day's edges touch. An existing cluster is represented in the
     * merge subgraph by its STAR edges (member → cluster_id — exactly

@@ -45,6 +45,26 @@ class CompactIndexSpec extends SparkSpec {
     assert(day4.contains((1L, 9001L)), "post-compaction step lost detections")
   }
 
+  test("cluster map needs NO compaction: daily rewrites replace, never accrete") {
+    import spark.implicits._
+    val dir = tmp("ccmapfiles")
+    Dedup.writeClusterIndex(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("d1", "d2"), dir)
+    val before = parquetFiles(dir)
+    // ten daily steps hammering the same cluster: a touched bucket's
+    // directory is REPLACED each day (dynamic partition overwrite of
+    // bucket-clustered rows), so the artifact cannot accrete files
+    // the way the append-maintained indexes do
+    (1 to 10).foreach(i => Dedup.ccIncrementalStep(spark, dir,
+      Seq((11L, 100L + i)).toDF("d1", "d2")))
+    assert(parquetFiles(dir) <= before,
+      s"cluster map accreted files: $before -> ${parquetFiles(dir)}")
+    val got = Dedup.readClusterIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((101 to 110).forall(i => got(i.toLong) == 10L))
+    assert(got(11L) == 10L && got(1L) == 1L && got(21L) == 20L)
+  }
+
   test("span index: compaction folds the min-keeper collapse, reader-identical") {
     val dir = tmp("spancompact")
     Dedup.writeSpanIndex(docs, dir)
