@@ -454,6 +454,13 @@ object Scale10 {
     // candFrac 0.50; the replicated corpus scales candidates linearly
     t(s"annivfsq8_${mult}x")(operators.Similarity.annIvfSq8On(emb,
       operators.Similarity.ivfCentroids(spark, d)).count())
+    // PQ over the replicated corpus: the encode scan is the linear
+    // part (one typed map over mult× vectors), ADC is a per-row
+    // integer lookup-sum, and the rerank touches only the bounded
+    // shortlist — cost must track the scan, never pairs
+    t(s"annpq_${mult}x")(operators.Similarity.annPqOn(emb,
+      operators.Similarity.pqCodebooks(spark, d),
+      Tables.embeddings(spark, d).filter(col("vec_id") < 10)).count())
     // sketches: counter tables are FIXED-size (4096 registers / 4x1024
     // counters / 256 buckets per group) — cost must track the input
     // scan, state never grows with the corpus

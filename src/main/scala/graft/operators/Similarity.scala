@@ -569,6 +569,275 @@ object Similarity {
       round(cos(col("qv"), col("embedding")), 6).as("cos_sim")), k)
   }
 
+  // ---- PQ (product quantization) ---------------------------------------
+
+  /** Default PQ geometry over the 64-dim corpus: 8 subspaces × 16
+    * centroids = 4 bits/subspace, 4 bytes/vector — 64× smaller than
+    * float32, the compression tier past SQ8 (FAISS PQ). `PqCand` ADC
+    * candidates feed the exact rerank; 300 (15% of the corpus) is the
+    * measured knee on the isotropic data: cand 200/300/400 → recall@5
+    * 0.84/0.92/0.92 at k=16, and k=32 (5-bit codes) reaches 0.88/0.94
+    * at 200/300 — 16×300 holds a 0.12 margin over the RecallSpec 0.8
+    * floor without the bigger codebook. Clustered real embeddings
+    * need a far smaller candidate fraction. */
+  private[graft] val PqM = 8
+  private[graft] val PqK = 16
+  private[graft] val PqCand = 300
+
+  /** argmin_c of −2·dot(v,c) + c·c (≡ argmin ‖v−c‖²; v·v is constant
+    * per vector), ties to the lowest cid — the exact scalar tree the
+    * oracle evaluates, so assignments are bit-identical. */
+  private[operators] def nearestL2(cents: Array[Array[Double]],
+                                   v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      var dot = 0.0; var cc = 0.0; var j = 0
+      while (j < v.length) {
+        dot += cents(i)(j) * v(j); cc += cents(i)(j) * cents(i)(j); j += 1
+      }
+      val dist = -2.0 * dot + cc
+      if (dist < bestD) { bestD = dist; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Plain (L2) k-means for one PQ subspace — deterministic stride
+    * init from the sample, mean updates (NOT spherical: subvectors
+    * carry magnitude information the reconstruction needs). */
+  private[operators] def trainPqSubspace(sub: Array[Array[Double]], k: Int,
+                                         iters: Int): Array[Array[Double]] = {
+    val dim = sub.head.length
+    val stride = math.max(1, sub.length / k)
+    var cents = (0 until k).map(i => sub(i * stride % sub.length).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sub.foreach { v =>
+        val b = nearestL2(cents, v)
+        var j = 0
+        while (j < dim) { sums(b)(j) += v(j); j += 1 }
+        counts(b) += 1
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    cents
+  }
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, String), Array[Array[Array[Double]]]]
+
+  /** Per-subspace PQ codebooks trained on the same bounded 2048-vector
+    * sample as the IVF quantizer; cached per (dir, geometry,
+    * data-fingerprint) so query, oracle, and specs share bit-identical
+    * books. Shape: [m][k][subDim]. */
+  private[graft] def pqCodebooks(s: SparkSession, d: String, m: Int = PqM,
+                                 kS: Int = PqK): Array[Array[Array[Double]]] = {
+    val key = (d, m, kS, dataFingerprint(s, d))
+    pqCache.getOrElseUpdate(key, {
+      pqCache.keySet
+        .filter(k0 => k0._1 == d && k0._2 == m && k0._3 == kS && k0 != key)
+        .foreach(pqCache.remove)
+      import s.implicits._
+      val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+        .select("embedding").as[Array[Float]].collect()
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      Array.tabulate(m) { mi =>
+        trainPqSubspace(
+          sample.map(v => Array.tabulate(sub)(j => v(mi * sub + j).toDouble)),
+          kS, iters = 10)
+      }
+    })
+  }
+
+  /** Exact-integer ADC term: dot(q_m, c) snapped to the 1e-9 grid as
+    * a long — `floor(x·1e9 + 0.5)` on BOTH engines (never round():
+    * DuckDB rounds half away from zero, Java half up — they disagree
+    * at negative .5 boundaries), so the per-candidate ADC score is an
+    * exact BIGINT sum with no float accumulation anywhere. */
+  private[operators] def lutNanos(cent: Array[Double], q: Array[Float],
+                                  off: Int): Long = {
+    var dot = 0.0; var j = 0
+    while (j < cent.length) { dot += cent(j) * q(off + j); j += 1 }
+    math.floor(dot * 1e9 + 0.5).toLong
+  }
+
+  /** ann_pq: flat product-quantization ANN (FAISS PQ with asymmetric
+    * distance computation). The corpus is encoded once to m 4-bit
+    * codes per vector (typed map, codebooks broadcast); each query
+    * precomputes its m×k lookup table; candidate score =
+    * Σ_m LUT[m][code_m] ≈ ⟨q, v⟩ as an EXACT integer in 1e-9 units;
+    * the top `cand` ADC candidates rerank by exact cosine. At scale
+    * the coded corpus is a 4-byte/vector stored layout (16× less
+    * scan I/O than SQ8, 64× less than float32) and ADC is a per-row
+    * table lookup — the standard billion-vector shape. */
+  def annPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+            m: Int = PqM, kS: Int = PqK, cand: Int = PqCand): DataFrame =
+    annPqOn(Tables.embeddings(s, d), pqCodebooks(s, d, m, kS),
+      Tables.embeddings(s, d).filter(col("vec_id") < nQueries), k, cand)
+
+  /** [[annPq]] against an explicit corpus/codebooks/query frame — the
+    * Scale10 entry point (replicated corpora, reused books). */
+  def annPqOn(emb: DataFrame, books: Array[Array[Array[Double]]],
+              queryFrame: DataFrame, k: Int = 5,
+              cand: Int = PqCand): DataFrame =
+    pqRerank(pqAdcTopC(pqEncode(emb, books), books, queryFrame, cand),
+      queryFrame, emb, k)
+
+  /** Encode the corpus to its per-subspace codes (one typed map,
+    * codebooks broadcast). */
+  private def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.Dataset[(Long, Array[Int])] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(books)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val sub = v.length / bc.value.length
+        (id, Array.tabulate(bc.value.length) { mi =>
+          nearestL2(bc.value(mi),
+            Array.tabulate(sub)(j => v(mi * sub + j).toDouble))
+        })
+      }
+  }
+
+  /** ADC over a coded corpus: per-query LUTs broadcast, candidate
+    * score = exact BIGINT Σ_m LUT[m][code_m], bounded top-`cand`
+    * (ties by id via the aggregator's ordering on the double image —
+    * exact: nano sums stay far below 2^53). */
+  private def pqAdcTopC(coded: org.apache.spark.sql.Dataset[(Long, Array[Int])],
+                        books: Array[Array[Array[Double]]],
+                        queryFrame: DataFrame, cand: Int): DataFrame = {
+    val s = coded.sparkSession
+    import s.implicits._
+    val queries = queryFrame
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        val sub = qv.length / books.length
+        (qid, Array.tabulate(books.length)(mi =>
+          books(mi).map(c => lutNanos(c, qv, mi * sub))))
+      }
+    val bq = s.sparkContext.broadcast(queries)
+    val adc = coded.flatMap { case (id, codes) =>
+      bq.value.iterator.collect {
+        case (qid, lut) if qid != id =>
+          var sc = 0L; var mi = 0
+          while (mi < codes.length) { sc += lut(mi)(codes(mi)); mi += 1 }
+          (qid, id, sc)
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
+      col("adc").cast("double").as("cos_sim")), cand)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Exact-cosine rerank of the bounded shortlist against the
+    * full-precision corpus. */
+  private def pqRerank(top: DataFrame, queryFrame: DataFrame,
+                       emb: DataFrame, k: Int): DataFrame = {
+    val qv = queryFrame
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+    topKPerQuery(top.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+  }
+
+  /** Persist the PQ-coded corpus: m codes per vector as an m-BYTE
+    * binary column — 4 bytes/vector at the default 8×16 geometry
+    * (64× under the float32 layout, 16× under SQ8): the scan a
+    * billion-vector serving tier actually reads. */
+  def writePq(emb: DataFrame, books: Array[Array[Array[Double]]],
+              dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    pqEncode(emb, books)
+      .map { case (id, codes) => (id, codes.map(_.toByte)) }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Serve top-k from the STORED code layout: the corpus pass reads
+    * m bytes/vector (no embeddings), ADC shortlists, and only the
+    * bounded shortlist joins the full-precision table for the exact
+    * rerank — result-identical to the inline [[annPqOn]] (spec'd in
+    * SimilaritySpec). */
+  def annPqStored(s: SparkSession, codesDir: String,
+                  books: Array[Array[Array[Double]]],
+                  queryFrame: DataFrame, emb: DataFrame, k: Int = 5,
+                  cand: Int = PqCand): DataFrame = {
+    import s.implicits._
+    val coded = s.read.parquet(codesDir).as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, b.map(_.toInt)) }
+    pqRerank(pqAdcTopC(coded, books, queryFrame, cand), queryFrame, emb, k)
+  }
+
+  /** DuckDB oracle for [[annPq]]: codebooks as DOUBLE[] literals;
+    * encoding (argmin −2·dot + c·c, ties to lowest cid), the per-query
+    * LUT, the exact-BIGINT ADC sum, top-`cand` selection, and exact
+    * rerank all re-expressed in SQL. Data-dependent → emitted by
+    * oracleSqlFor. */
+  def annPqOracleSql(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                     m: Int = PqM, kS: Int = PqK, cand: Int = PqCand): String = {
+    val books = pqCodebooks(s, d, m, kS)
+    val dim = books.length * books(0)(0).length
+    val sub = dim / m
+    val bookSql = (for (mi <- 0 until m; ci <- 0 until kS) yield
+      s"($mi, $ci, [${books(mi)(ci).map(_.toString).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n        ")
+    s"""
+      WITH books(m, cid, c) AS (VALUES
+        $bookSql),
+      vsub AS (
+        SELECT vec_id, m,
+          CAST(embedding AS DOUBLE[])[m * $sub + 1 : m * $sub + $sub] AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, $m)) AS m)),
+      assigned AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT v.vec_id, v.m, b.cid,
+            row_number() OVER (PARTITION BY v.vec_id, v.m
+              ORDER BY -2 * list_inner_product(v.sv, b.c)
+                       + list_inner_product(b.c, b.c), b.cid) AS rn
+          FROM vsub v JOIN books b ON b.m = v.m) WHERE rn = 1),
+      lut AS (
+        SELECT v.vec_id AS query_id, v.m, b.cid,
+          CAST(floor(list_inner_product(v.sv, b.c) * 1000000000 + 0.5)
+            AS BIGINT) AS nanos
+        FROM vsub v JOIN books b ON b.m = v.m
+        WHERE v.vec_id < $nQueries),
+      adc AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+          CAST(SUM(l.nanos) AS BIGINT) AS adc
+        FROM assigned a JOIN lut l ON l.m = a.m AND l.cid = a.code
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2),
+      topc AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc DESC, neighbor_id) AS rn
+          FROM adc) WHERE rn <= $cand),
+      rer AS (
+        SELECT t.query_id, t.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM topc t
+        JOIN embeddings qe ON qe.vec_id = t.query_id
+        JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** DuckDB oracle for [[annIvf]]: the trained centroids are embedded
     * as DOUBLE[] literals (shortest round-trip printing — same recipe
     * as [[planesSqlValues]]), and assignment (argmax dot, lowest

@@ -109,6 +109,35 @@ class MaintenanceSpec extends SparkSpec {
     graft.operators.Dedup.readClusterIndex(s, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("incremental CC: an all-new day opens clusters without touching any") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("ccidx3").toString + "/map"
+    Dedup.writeClusterIndex(Seq((1L, 2L)).toDF("d1", "d2"), dir)
+    // no endpoint exists in the map: touched set is empty, the CC
+    // runs over the day's edges alone
+    Dedup.ccIncrementalStep(spark, dir, Seq((50L, 51L), (51L, 52L))
+      .toDF("d1", "d2"))
+    assert(toIndexMap(spark, dir) ==
+      Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 51L -> 50L, 52L -> 50L))
+  }
+
+  test("incremental CC: replaying a day's pairs is idempotent") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("ccidx4").toString + "/map"
+    Dedup.writeClusterIndex(
+      Seq((1L, 2L), (10L, 11L)).toDF("d1", "d2"), dir)
+    val day = Seq((2L, 10L), (60L, 61L)).toDF("d1", "d2")
+    Dedup.ccIncrementalStep(spark, dir, day)
+    val once = toIndexMap(spark, dir)
+    // at-least-once replay: the merged cluster absorbs the same edges
+    // with no change (its star edges already encode the connectivity)
+    Dedup.ccIncrementalStep(spark, dir, day)
+    assert(toIndexMap(spark, dir) == once)
+    assert(once(11L) == 1L && once(61L) == 60L)
+  }
+
   test("approximate profile tracks the exact distinct counts within 5%") {
     val d = "/root/testdata/sf0.01"
     val rows = Profile.profileColumnsApprox(spark, d).collect()

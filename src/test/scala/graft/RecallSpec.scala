@@ -37,6 +37,15 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_sq8 recall@5 = $recall")
   }
 
+  test("PQ (ADC + exact rerank) recall@5 vs brute force >= 0.8") {
+    // 8×16 codebooks quantize hard (4 bits/subspace on isotropic
+    // data); the 300-candidate ADC shortlist + exact rerank measured
+    // 0.92 at sf0.1 (cand 200/300/400 → 0.84/0.92/0.92 — 300 is the
+    // knee; see the PqCand scaladoc)
+    val recall = (pairs(Similarity.annPq(spark, sf01)) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ann_pq recall@5 = $recall")
+  }
+
   test("composed IVF×SQ8 recall@5 vs brute force >= 0.8") {
     // the composition can only lose what its parts lose: IVF probe
     // misses (0.94 alone at nprobe=16) and SQ8 rank perturbation

@@ -21,6 +21,43 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("runtime bloom-filter join injection fires on a selective shuffle join") {
+    // at 100 TB a selective dim filter should reach the fact scan even
+    // when DPP can't (non-partitioned layout): Spark's InjectRuntimeFilter
+    // builds a bloom filter from the filtered creation side and
+    // semi-filters the application side before the shuffle. Thresholds
+    // are sized for clusters — drop them so the local plan exercises
+    // the rule; restore after.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must sit UNDER its threshold, the application
+      // side's scan OVER its — size both so the tiny test tables
+      // qualify the way a dim/fact pair does at scale
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 500000)
+        .select("o_orderkey")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val n = j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter in plan:\n${plan.take(1200)}")
+      // the filter is a pure pre-filter: results match the plain join
+      val plain = Tables.lineitem(spark, sf).select("l_orderkey")
+        .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 500000)
+          .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      assert(n == plain.count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("fanOut spreads a single-split scan to defaultParallelism tasks") {
     // the driver-generated tables are single-file single-row-group
     // parquet — indivisible, so every scan plans one task; the

@@ -66,6 +66,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ratio > 2.5, s"SQ8 layout only ${ratio}x smaller than float32")
   }
 
+  test("PQ stored-code serve equals inline and shrinks storage past SQ8") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(s"$tmp/f32")
+    Similarity.writePq(emb, books, s"$tmp/pq")
+    val queries = emb.filter(col("vec_id") < 10)
+    val stored = Similarity
+      .annPqStored(spark, s"$tmp/pq", books, queries, emb)
+      .collect().map(_.toSeq)
+    val inline = Similarity.annPqOn(emb, books, queries)
+      .collect().map(_.toSeq)
+    assert(stored.toSeq == inline.toSeq)
+    def bytes(p: String): Long = new java.io.File(p).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val ratio = bytes(s"$tmp/f32").toDouble / bytes(s"$tmp/pq")
+    assert(ratio > 8, s"PQ layout only ${ratio}x smaller than float32")
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
