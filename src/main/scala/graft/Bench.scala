@@ -93,7 +93,8 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).select("query_id", "neighbor_id")
     val exact = pairs("ann_bruteforce").cache()
     val n = exact.count().toDouble
-    val out = Seq("ann_lsh", "ann_ivf", "ann_sq8", "ann_ivf_sq8", "ann_pq").map { q =>
+    val out = Seq("ann_lsh", "ann_ivf", "ann_sq8", "ann_ivf_sq8", "ann_pq",
+      "ann_ivf_pq").map { q =>
       q -> (if (n == 0) 0.0
             else pairs(q).join(exact, Seq("query_id", "neighbor_id"), "left_semi")
               .count() / n)

@@ -71,6 +71,7 @@ object SparkEntry {
     "ann_sq8"             -> ((s, d) => Similarity.annSq8(s, d)),
     "ann_ivf_sq8"         -> ((s, d) => Similarity.annIvfSq8(s, d)),
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
+    "ann_ivf_pq"          -> ((s, d) => Similarity.annIvfPq(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -127,6 +128,7 @@ object SparkEntry {
       ("ann_ivf" -> Similarity.annIvfOracleSql(s, d)) +
       ("ann_ivf_sq8" -> Similarity.annIvfSq8OracleSql(s, d)) +
       ("ann_pq" -> Similarity.annPqOracleSql(s, d)) +
+      ("ann_ivf_pq" -> Similarity.annIvfPqOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d))
 

@@ -779,6 +779,271 @@ object Similarity {
     pqRerank(pqAdcTopC(coded, books, queryFrame, cand), queryFrame, emb, k)
   }
 
+  private val pqResCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, String), Array[Array[Array[Double]]]]
+
+  /** RESIDUAL PQ codebooks for the IVF×PQ composition: trained on the
+    * sample's residuals v − c(bucket(v)) against the IVF coarse
+    * quantizer — the FAISS IVF-PQ recipe (coarse centroid carries the
+    * location, PQ encodes the remainder, so the codebooks spend their
+    * 4 bits on a much smaller cell). Cached like the others. */
+  private[graft] def pqResidualCodebooks(s: SparkSession, d: String,
+                                         nlist: Int = IvfNlist, m: Int = PqM,
+                                         kS: Int = PqK): Array[Array[Array[Double]]] = {
+    val key = (d, nlist, m, kS, dataFingerprint(s, d))
+    pqResCache.getOrElseUpdate(key, {
+      pqResCache.keySet.filter(k0 => k0._1 == d && k0 != key)
+        .foreach(pqResCache.remove)
+      import s.implicits._
+      val cents = ivfCentroids(s, d, nlist)
+      val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+        .select("embedding").as[Array[Float]].collect()
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      val residuals = sample.map { v =>
+        val c = cents(nearestCentroid(cents, v))
+        Array.tabulate(dim)(j => v(j) - c(j))
+      }
+      Array.tabulate(m) { mi =>
+        trainPqSubspace(
+          residuals.map(r => java.util.Arrays.copyOfRange(r, mi * sub, (mi + 1) * sub)),
+          kS, iters = 10)
+      }
+    })
+  }
+
+  /** ann_ivf_pq: the COMPOSED production vector index (FAISS IVF-PQ):
+    * corpus bucketed by the IVF coarse quantizer AND encoded as m
+    * 4-bit RESIDUAL codes; queries probe their nprobe buckets and
+    * score candidates as base + residual-ADC — base =
+    * ⟨q, c_bucket⟩ and each subspace term ⟨q_m, book_code⟩, ALL as
+    * exact 1e-9-unit BIGINTs (so ⟨q,v⟩ ≈ base + Σ_m term with no
+    * float accumulation anywhere); the bounded shortlist reranks by
+    * exact cosine. At scale this is the bucket-partitioned 4-byte/
+    * vector layout with partition-pruned probes — the standard
+    * billion-vector serving index. */
+  def annIvfPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+               m: Int = PqM, kS: Int = PqK, cand: Int = PqCand): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentroids(s, d, nlist)
+    val books = pqResidualCodebooks(s, d, nlist, m, kS)
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcB = s.sparkContext.broadcast(books)
+    val emb = Tables.embeddings(s, d)
+    // (id, bucket, residual codes) — one typed encode pass
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value; val bks = bcB.value
+        val b = nearestCentroid(cs, v)
+        val sub = v.length / bks.length
+        val codes = Array.tabulate(bks.length) { mi =>
+          nearestL2(bks(mi), Array.tabulate(sub)(j =>
+            v(mi * sub + j) - cs(b)(mi * sub + j)))
+        }
+        (id, b, codes)
+      }
+    // per-query: probed buckets with base nanos + residual LUTs
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        val sub = qv.length / books.length
+        val probed = topCentroids(cents, qv, nprobe).map { b =>
+          var dot = 0.0; var j = 0
+          while (j < qv.length) { dot += cents(b)(j) * qv(j); j += 1 }
+          b -> math.floor(dot * 1e9 + 0.5).toLong
+        }.toMap
+        val lut = Array.tabulate(books.length)(mi =>
+          books(mi).map(c => lutNanos(c, qv, mi * sub)))
+        (qid, probed, lut)
+      }
+    val bq = s.sparkContext.broadcast(queries)
+    val adc = coded.flatMap { case (id, b, codes) =>
+      bq.value.iterator.collect {
+        case (qid, probed, lut) if qid != id && probed.contains(b) =>
+          var sc = probed(b); var mi = 0
+          while (mi < codes.length) { sc += lut(mi)(codes(mi)); mi += 1 }
+          (qid, id, sc)
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    val top = topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
+      col("adc").cast("double").as("cos_sim")), cand)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRerank(top, emb.filter(col("vec_id") < nQueries), emb, k)
+  }
+
+  /** Persist the composed IVF-PQ layout: bucket-PARTITIONED residual
+    * codes, m bytes per vector — the billion-vector serving index on
+    * disk (probes prune partitions; the scan inside a probed bucket
+    * reads 4 bytes/vector at the default geometry). Returns the
+    * (coarse centroids, residual codebooks) serving artifacts. */
+  def writeIvfPqPartitioned(s: SparkSession, d: String, dir: String,
+                            nlist: Int = IvfNlist, m: Int = PqM,
+                            kS: Int = PqK)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import s.implicits._
+    val cents = ivfCentroids(s, d, nlist)
+    val books = pqResidualCodebooks(s, d, nlist, m, kS)
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcB = s.sparkContext.broadcast(books)
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value; val bks = bcB.value
+        val b = nearestCentroid(cs, v)
+        val sub = v.length / bks.length
+        val codes = Array.tabulate(bks.length) { mi =>
+          nearestL2(bks(mi), Array.tabulate(sub)(j =>
+            v(mi * sub + j) - cs(b)(mi * sub + j))).toByte
+        }
+        (id, b, codes)
+      }
+      .toDF("vec_id", "bucket", "codes")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    (cents, books)
+  }
+
+  /** Serve against the stored IVF-PQ layout: probed buckets collected
+    * (bounded by nlist), PARTITION-PRUNED scan of the code table,
+    * exact-integer base+ADC, bounded shortlist, exact rerank against
+    * the full-precision corpus — result-identical to the inline
+    * [[annIvfPq]] (spec'd). */
+  def annIvfPqStored(s: SparkSession, dir: String,
+                     cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]],
+                     queryFrame: DataFrame, emb: DataFrame, k: Int = 5,
+                     nprobe: Int = IvfNprobe, cand: Int = PqCand,
+                     excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    val queries = queryFrame
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        val sub = qv.length / books.length
+        val probed = topCentroids(cents, qv, nprobe).map { b =>
+          var dot = 0.0; var j = 0
+          while (j < qv.length) { dot += cents(b)(j) * qv(j); j += 1 }
+          b -> math.floor(dot * 1e9 + 0.5).toLong
+        }.toMap
+        (qid, probed, Array.tabulate(books.length)(mi =>
+          books(mi).map(c => lutNanos(c, qv, mi * sub))))
+      }
+    val probedBuckets = queries.flatMap(_._2.keys).distinct.sorted
+    val bq = s.sparkContext.broadcast(queries)
+    val adc = s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("bucket"), col("codes"))
+      .as[(Long, Int, Array[Byte])] // codes land as parquet BINARY
+      .flatMap { case (id, b, codes) =>
+        bq.value.iterator.collect {
+          case (qid, probed, lut)
+              if probed.contains(b) && !(excludeSelf && qid == id) =>
+            var sc = probed(b); var mi = 0
+            while (mi < codes.length) { sc += lut(mi)(codes(mi)); mi += 1 }
+            (qid, id, sc)
+        }
+      }.toDF("query_id", "neighbor_id", "adc")
+    val top = topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
+      col("adc").cast("double").as("cos_sim")), cand)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRerank(top, queryFrame, emb, k)
+  }
+
+  /** DuckDB oracle for [[annIvfPq]]: coarse centroids AND residual
+    * codebooks as literals; assignment, residual encoding, probing,
+    * the exact-BIGINT base+ADC sum, shortlist, and rerank in SQL. */
+  def annIvfPqOracleSql(s: SparkSession, d: String, nQueries: Int = 10,
+                        k: Int = 5, nlist: Int = IvfNlist,
+                        nprobe: Int = IvfNprobe, m: Int = PqM, kS: Int = PqK,
+                        cand: Int = PqCand): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val books = pqResidualCodebooks(s, d, nlist, m, kS)
+    val dim = cents(0).length
+    val sub = dim / m
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    val bookSql = (for (mi <- 0 until m; ci <- 0 until kS) yield
+      s"($mi, $ci, [${books(mi)(ci).map(_.toString).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n        ")
+    s"""
+      WITH cents(cid, c) AS (VALUES
+        $centsSql),
+      books(m, cid, bc) AS (VALUES
+        $bookSql),
+      cscore AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM cscore) WHERE rn = 1),
+      res AS (
+        SELECT e.vec_id, a.bucket,
+          list_transform(range(1, $dim + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) - ct.c[i]) AS r
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN cents ct ON ct.cid = a.bucket),
+      rsub AS (
+        SELECT vec_id, bucket, m, r[m * $sub + 1 : m * $sub + $sub] AS sv
+        FROM res CROSS JOIN (SELECT unnest(range(0, $m)) AS m)),
+      codes AS (
+        SELECT vec_id, bucket, m, cid AS code FROM (
+          SELECT v.vec_id, v.bucket, v.m, b.cid,
+            row_number() OVER (PARTITION BY v.vec_id, v.m
+              ORDER BY -2 * list_inner_product(v.sv, b.bc)
+                       + list_inner_product(b.bc, b.bc), b.cid) AS rn
+          FROM rsub v JOIN books b ON b.m = v.m) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS bucket,
+          CAST(floor(dot * 1000000000 + 0.5) AS BIGINT) AS base
+        FROM (
+          SELECT vec_id, cid, dot,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM cscore WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+      qsub AS (
+        SELECT vec_id AS query_id, m,
+          CAST(embedding AS DOUBLE[])[m * $sub + 1 : m * $sub + $sub] AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, $m)) AS m)
+        WHERE vec_id < $nQueries),
+      lut AS (
+        SELECT q.query_id, q.m, b.cid,
+          CAST(floor(list_inner_product(q.sv, b.bc) * 1000000000 + 0.5)
+            AS BIGINT) AS nanos
+        FROM qsub q JOIN books b ON b.m = q.m),
+      adc AS (
+        SELECT p.query_id, cd.vec_id AS neighbor_id,
+          p.base + CAST(SUM(l.nanos) AS BIGINT) AS adc
+        FROM probes p
+        JOIN codes cd ON cd.bucket = p.bucket AND cd.vec_id <> p.query_id
+        JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.cid = cd.code
+        GROUP BY 1, 2, p.base),
+      topc AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc DESC, neighbor_id) AS rn
+          FROM adc) WHERE rn <= $cand),
+      rer AS (
+        SELECT t.query_id, t.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM topc t
+        JOIN embeddings qe ON qe.vec_id = t.query_id
+        JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** DuckDB oracle for [[annPq]]: codebooks as DOUBLE[] literals;
     * encoding (argmin −2·dot + c·c, ties to lowest cid), the per-query
     * LUT, the exact-BIGINT ADC sum, top-`cand` selection, and exact

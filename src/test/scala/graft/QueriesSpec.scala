@@ -14,7 +14,8 @@ class QueriesSpec extends SparkSpec {
     // oracleSqlFor at Verify time rather than from the static map.
     // Net: the dumped oracle_sql.json covers EVERY query.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("ann_ivf", "ann_ivf_sq8", "ann_pq", "bpe_segment", "bpe_token_count"))
+      Set("ann_ivf", "ann_ivf_sq8", "ann_pq", "ann_ivf_pq",
+        "bpe_segment", "bpe_token_count"))
     assert(SparkEntry.queries.keySet --
       SparkEntry.oracleSqlFor(spark, sf).keySet == Set.empty[String])
   }

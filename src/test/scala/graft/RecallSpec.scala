@@ -46,6 +46,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_pq recall@5 = $recall")
   }
 
+  test("composed IVF×PQ (residual codes) recall@5 vs brute force >= 0.8") {
+    // bounded by the IVF probe recall (0.94 at nprobe=16) times the
+    // residual-ADC shortlist quality — measured 0.90 at sf0.1
+    // (cand 200/300 → 0.82/0.90; 300 is the default)
+    val recall = (pairs(Similarity.annIvfPq(spark, sf01)) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ann_ivf_pq recall@5 = $recall")
+  }
+
   test("composed IVF×SQ8 recall@5 vs brute force >= 0.8") {
     // the composition can only lose what its parts lose: IVF probe
     // misses (0.94 alone at nprobe=16) and SQ8 rank perturbation

@@ -86,6 +86,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ratio > 8, s"PQ layout only ${ratio}x smaller than float32")
   }
 
+  test("IVF-PQ stored layout: partition-pruned serve equals inline") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val (cents, books) =
+      Similarity.writeIvfPqPartitioned(spark, sf, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+    val stored = Similarity.annIvfPqStored(spark, s"$tmp/idx", cents, books,
+      queries, emb)
+    val inline = Similarity.annIvfPq(spark, sf)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      inline.collect().map(_.toSeq).toSeq)
+    // the code-table scan must carry the probed-bucket partition filter
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter at the stored scan:\n${plan.take(800)}")
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
