@@ -916,10 +916,25 @@ object Similarity {
                      books: Array[Array[Array[Double]]],
                      queryFrame: DataFrame, emb: DataFrame, k: Int = 5,
                      nprobe: Int = IvfNprobe, cand: Int = PqCand,
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true): DataFrame =
+    annIvfPqServeBatch(s, dir, cents, books,
+      queryFrame.select(col("vec_id").as("query_id"), col("embedding")),
+      emb, k, nprobe, cand, excludeSelf)
+
+  /** Serve ONE batch of `(query_id, embedding)` queries against the
+    * stored IVF-PQ layout — the per-micro-batch body of
+    * [[graft.streaming.EventStream.streamingAnnIvfPqTopK]] and the
+    * core of [[annIvfPqStored]]. `excludeSelf` is OPT-IN: serving
+    * query ids are an independent id space. */
+  def annIvfPqServeBatch(s: SparkSession, dir: String,
+                         cents: Array[Array[Double]],
+                         books: Array[Array[Array[Double]]],
+                         queryFrame: DataFrame, emb: DataFrame, k: Int = 5,
+                         nprobe: Int = IvfNprobe, cand: Int = PqCand,
+                         excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
     val queries = queryFrame
-      .select(col("vec_id"), col("embedding"))
+      .select(col("query_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (qid, qv) =>
         val sub = qv.length / books.length
@@ -949,7 +964,9 @@ object Similarity {
     val top = topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
       col("adc").cast("double").as("cos_sim")), cand)
       .select(col("query_id"), col("neighbor_id"))
-    pqRerank(top, queryFrame, emb, k)
+    pqRerank(top,
+      queryFrame.select(col("query_id").as("vec_id"), col("embedding")),
+      emb, k)
   }
 
   /** DuckDB oracle for [[annIvfPq]]: coarse centroids AND residual

@@ -827,6 +827,32 @@ object EventStream {
       }
       .start()
 
+  /** Streaming semantic search over the stored IVF-PQ layout
+    * ([[graft.operators.Similarity.writeIvfPqPartitioned]]) — the
+    * same state-free pruned-serving shape as
+    * [[streamingAnnIvfSq8TopK]], over 4-byte/vector residual codes:
+    * per micro-batch, probed buckets prune the code-table partitions,
+    * exact-integer base+ADC shortlists, and the bounded shortlist
+    * reranks against the full-precision corpus. Two-batch parity with
+    * the batch [[graft.operators.Similarity.annIvfPq]] is spec'd. */
+  def streamingAnnIvfPqTopK(queries: Dataset[QueryVec], ivfPqDir: String,
+                            cents: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]],
+                            fullEmb: DataFrame, k: Int = 5,
+                            nprobe: Int = graft.operators.Similarity.IvfNprobe,
+                            cand: Int = graft.operators.Similarity.PqCand,
+                            excludeSelf: Boolean = false)(
+                            writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annIvfPqServeBatch(
+          s, ivfPqDir, cents, books, batch.toDF("query_id", "embedding"),
+          fullEmb, k, nprobe, cand, excludeSelf))
+      }
+      .start()
+
   // ---- streaming lexical search (pruned inverted-index probe) ------------
 
   case class QueryTerms(query_id: Long, terms: Seq[String])

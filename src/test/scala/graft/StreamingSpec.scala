@@ -255,6 +255,34 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming IVF-PQ search matches the batch annIvfPq on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
+    val (cents, books) = Similarity.writeIvfPqPartitioned(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingAnnIvfPqTopK(input.toDS(), dir, cents,
+      books, emb, excludeSelf = true) {
+      topk => results ++= topk.collect().map(_.toSeq)
+    }
+    input.addData(queries.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(queries.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Similarity.annIvfPq(spark, sf).collect().map(_.toSeq).toSet
+    assert(results.nonEmpty)
+    assert(results.toSet == batch,
+      s"streaming ${results.size} rows != batch ${batch.size}")
+  }
+
   test("streaming HLL estimate equals the batch sketch on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
