@@ -461,6 +461,27 @@ object Scale10 {
     t(s"annpq_${mult}x")(operators.Similarity.annPqOn(emb,
       operators.Similarity.pqCodebooks(spark, d),
       Tables.embeddings(spark, d).filter(col("vec_id") < 10)).count())
+    // the composed IVF-PQ serving layout at mult×: write is one
+    // encode pass + partitioned write; the stored serve prunes to the
+    // probed bucket partitions and scans 4 bytes/vector inside them
+    locally {
+      val dir = s"/tmp/scale_ivfpq_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      lazy val cents = operators.Similarity.ivfCentroids(spark, d)
+      lazy val books = operators.Similarity.pqResidualCodebooks(spark, d)
+      t(s"annivfpq_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        operators.Similarity.encodeIvfPq(emb, cents, books)
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        spark.read.parquet(dir).count()
+      }
+      t(s"annivfpq_serve_${mult}x")(
+        operators.Similarity.annIvfPqServeBatch(spark, dir, cents, books,
+          Tables.embeddings(spark, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          emb).count())
+    }
     // sketches: counter tables are FIXED-size (4096 registers / 4x1024
     // counters / 256 buckets per group) — cost must track the input
     // scan, state never grows with the corpus

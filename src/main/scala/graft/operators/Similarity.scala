@@ -884,12 +884,23 @@ object Similarity {
                             nlist: Int = IvfNlist, m: Int = PqM,
                             kS: Int = PqK)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    import s.implicits._
     val cents = ivfCentroids(s, d, nlist)
     val books = pqResidualCodebooks(s, d, nlist, m, kS)
+    encodeIvfPq(Tables.embeddings(s, d), cents, books)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    (cents, books)
+  }
+
+  /** One encode pass: (vec_id, bucket, residual code bytes) for any
+    * corpus frame — shared by the writer and the Scale10 probes. */
+  private[graft] def encodeIvfPq(emb: DataFrame,
+                                 cents: Array[Array[Double]],
+                                 books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val bcC = s.sparkContext.broadcast(cents)
     val bcB = s.sparkContext.broadcast(books)
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val cs = bcC.value; val bks = bcB.value
@@ -902,8 +913,6 @@ object Similarity {
         (id, b, codes)
       }
       .toDF("vec_id", "bucket", "codes")
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    (cents, books)
   }
 
   /** Serve against the stored IVF-PQ layout: probed buckets collected
