@@ -62,6 +62,30 @@ class CdcSpec extends SparkSpec {
     assert(rebuilt.count() == oldDf.count())
   }
 
+  test("round trip holds on randomized snapshot pairs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      // random keyed tables with overlapping key ranges, random values
+      // (incl. nulls) — every insert/delete/update/unchanged mix
+      def snap() = (0 until 60).flatMap { _ =>
+        val id = rnd.nextInt(40).toLong
+        Some((id, if (rnd.nextBoolean()) null.asInstanceOf[String]
+                  else s"v${rnd.nextInt(4)}", rnd.nextInt(3).toDouble))
+      }.groupBy(_._1).map(_._2.head).toSeq // unique keys
+      val o = snap().toDF("id", "v", "w")
+      val n = snap().toDF("id", "v", "w")
+      val diff = Cdc.snapshotDiff(o, n, keys, cmp)
+      val rebuilt = Cdc.applyCdc(o, diff, keys, cmp)
+      assert(rebuilt.exceptAll(n).count() == 0, s"trial $trial extra rows")
+      assert(n.exceptAll(rebuilt).count() == 0, s"trial $trial missing rows")
+      // minimality: no unchanged row ever appears in the diff
+      val unchanged = o.intersect(n)
+      assert(diff.join(unchanged.select(col("id")), Seq("id"), "left_semi")
+        .filter(col("change_type") === "update").count() == 0,
+        s"trial $trial: unchanged row emitted as update")
+    }
+  }
+
   test("diff of co-bucketed snapshots runs with zero exchanges") {
     // the 100 TB shape: daily snapshots land bucketed by the key, so
     // the full-outer join needs no shuffle at all
