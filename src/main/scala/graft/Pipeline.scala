@@ -180,6 +180,22 @@ object Pipeline {
       train, eval, nSegments)
     import spark.implicits._
     Seq(report).toDF().write.mode("overwrite").parquet(s"$outDir/report")
+
+    // publish gate: the DQ suite over the WRITTEN segments (one agg
+    // scan + one uniqueness check), persisted next to the report —
+    // a consumer reads `dq_report` and refuses a drop with nonzero
+    // violations instead of discovering them mid-training. Checks
+    // are invariants the pipeline itself guarantees, so nonzero
+    // here means the write (not the data) went wrong.
+    val written = spark.read.parquet(s"$outDir/segments")
+    operators.DataQuality.suite(
+      operators.DataQuality.rowMetrics(written, Seq(
+        "null_lang" -> col("lang").isNull,
+        "empty_segments" -> (col("seg_len") <= 0),
+        "bad_split" -> !col("split").isin("train", "val", "test"))),
+      operators.DataQuality.keyDuplicates(written,
+        Seq("doc_id", "bin_id"), "dup_segment_keys"))
+      .write.mode("overwrite").parquet(s"$outDir/dq_report")
     report
   }
 }

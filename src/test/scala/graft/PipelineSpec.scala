@@ -24,6 +24,19 @@ class PipelineSpec extends SparkSpec {
     assert(persisted.head.getAs[Long]("segments") == report.segments)
   }
 
+  test("publish gate: dq_report written next to the output, all-zero violations") {
+    report // force the run
+    val dq = spark.read.parquet(s"$outDir/dq_report").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dq.keySet == Set("row_count", "null_lang", "empty_segments",
+      "bad_split", "dup_segment_keys"))
+    assert(dq("row_count") == report.segments)
+    // the checks encode invariants the pipeline guarantees — a clean
+    // run MUST publish zeros (a nonzero here means the write broke)
+    assert(dq("null_lang") == 0 && dq("empty_segments") == 0 &&
+      dq("bad_split") == 0 && dq("dup_segment_keys") == 0, dq.toString)
+  }
+
   test("no contaminated train doc survives curation") {
     val segs = spark.read.parquet(s"$outDir/segments")
     val trainIds = segs.filter(col("split") === "train")
