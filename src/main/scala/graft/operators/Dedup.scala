@@ -637,7 +637,10 @@ object Dedup {
     * clusters' hash buckets are read (partition-pruned slice) and
     * rewritten (dynamic partition overwrite, conf-scoped); buckets a
     * relabel drained entirely are deleted explicitly — dynamic
-    * overwrite only replaces partitions present in the output. Day
+    * overwrite only replaces partitions present in the output — and a
+    * bucket a NEW cluster_id hashes into from OUTSIDE the touched set
+    * carries its existing (untouched, node-disjoint) rows through the
+    * rewrite, since the overwrite replaces that directory too. Day
     * cost tracks |day's edges| + |touched clusters' members| +
     * |touched buckets|, never the corpus.
     *
@@ -665,10 +668,26 @@ object Dedup {
       .unionByName(relabeled.select(col("node"), col("cluster_id")))
       .withColumn("_cb", clusterBucket(buckets))
       .localCheckpoint() // materialize before overwriting read paths
+    val outBuckets = out.select(col("_cb")).distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by `buckets`
+    // a relabeled/NEW cluster_id can hash into a bucket OUTSIDE the
+    // touched set (an all-new-nodes day, or a merge whose component
+    // min is a new node) — dynamic overwrite would replace that
+    // directory wholesale, deleting every untouched cluster stored in
+    // it. Carry those buckets' existing rows through the write: they
+    // are disjoint from the relabeled nodes (whose OLD rows live in
+    // touched buckets), so the plain union is exact.
+    val carryBuckets = (outBuckets -- touchedBuckets).toSeq
+    val writeFrame =
+      if (carryBuckets.isEmpty) out
+      else out.unionByName(
+        map.filter(col("_cb").isin(carryBuckets: _*))
+          .select(col("node"), col("cluster_id"), col("_cb"))
+          .localCheckpoint()) // materialize before overwriting read paths
     val conf = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(conf)
     s.conf.set(conf, "dynamic")
-    try out.repartition(col("_cb"))
+    try writeFrame.repartition(col("_cb"))
       .write.mode("overwrite").partitionBy("_cb").parquet(dir)
     finally prev match {
       case Some(v) => s.conf.set(conf, v)
@@ -676,11 +695,9 @@ object Dedup {
     }
     // a touched bucket whose every row relabeled into other buckets is
     // absent from `out` — dynamic overwrite leaves its stale directory
-    val written = out.select(col("_cb")).distinct()
-      .collect().map(_.getInt(0)).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    touchedBuckets.filterNot(written).foreach { b =>
+    touchedBuckets.filterNot(outBuckets).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_cb=$b"), true)
     }
     out.drop("_cb")

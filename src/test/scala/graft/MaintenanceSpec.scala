@@ -122,6 +122,37 @@ class MaintenanceSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 51L -> 50L, 52L -> 50L))
   }
 
+  test("incremental CC: a new cluster landing in an untouched bucket preserves it") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // buckets=1 forces EVERY cluster into one directory, so an
+    // all-new day (touched set EMPTY) writes into the bucket holding
+    // the whole standing map — dynamic partition overwrite replaces
+    // that directory wholesale, and without the carry union the
+    // untouched clusters' rows were silently deleted (the r10 ADVICE
+    // finding; 1024 buckets only hid the collision)
+    val dir = java.nio.file.Files.createTempDirectory("ccidx5").toString + "/map"
+    Dedup.writeClusterIndex(
+      Seq((1L, 2L), (10L, 11L)).toDF("d1", "d2"), dir, buckets = 1)
+    Dedup.ccIncrementalStep(spark, dir,
+      Seq((50L, 51L)).toDF("d1", "d2"), buckets = 1)
+    assert(toIndexMap(spark, dir) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 50L -> 50L, 51L -> 50L))
+    // a merge whose component min is the NEW node (5 joins cluster 10):
+    // the relabeled cluster_id is a day node, exercising the other
+    // trigger of the same overwrite path
+    Dedup.ccIncrementalStep(spark, dir,
+      Seq((5L, 10L)).toDF("d1", "d2"), buckets = 1)
+    assert(toIndexMap(spark, dir) ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 10L -> 5L, 11L -> 5L,
+        50L -> 50L, 51L -> 50L))
+    // equivalence with one-shot CC over the full edge stream holds too
+    val oneShot = Dedup.connectedComponentsSafe(
+      Seq((1L, 2L), (10L, 11L), (50L, 51L), (5L, 10L)).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toIndexMap(spark, dir) == oneShot)
+  }
+
   test("incremental CC: replaying a day's pairs is idempotent") {
     import spark.implicits._
     import graft.operators.Dedup
