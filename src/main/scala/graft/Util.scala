@@ -43,4 +43,22 @@ object Util {
     val p = ds.sparkSession.sparkContext.defaultParallelism
     if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
+
+  /** Below this many rows a round-robin repartition costs more than
+    * the single-task serialization it prevents for CHEAP per-row
+    * stages (token counting) — the same dispatch constant family as
+    * Dedup.SaltBypassRows. Heavy per-row stages (media decode,
+    * rolling-hash windowing) skip the gate: there even a few hundred
+    * rows are worth spreading. */
+  val FanOutMinRows: Int = 10000
+
+  /** [[fanOut]] gated by a BOUNDED input-size probe: fan out only when
+    * the input holds at least `minRows` rows. The probe scans no data
+    * columns and at most `minRows` rows (`limit(n).count()` — never a
+    * full count), the repo's input-size-dispatch discipline. */
+  def fanOutIfAtLeast[T](ds: org.apache.spark.sql.Dataset[T],
+                         minRows: Int = FanOutMinRows)
+      : org.apache.spark.sql.Dataset[T] =
+    if (ds.toDF().select(lit(1).as("_one")).limit(minRows).count() < minRows) ds
+    else fanOut(ds)
 }

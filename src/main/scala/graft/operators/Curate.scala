@@ -110,8 +110,10 @@ object Curate {
           coalesce(col("_tc"), lit(0L)).cast("long").as("n_tokens"))
       case None => graft.Util
         // tokenizing every doc is the scan-stage CPU here — spread a
-        // single-split input across cores before counting
-        .fanOut(docsIn.select(col("doc_id"), col("lang"), col("text")))
+        // single-split input across cores before counting; gated,
+        // because at small inputs the repartition costs more than the
+        // serialization it prevents (token counting is cheap per row)
+        .fanOutIfAtLeast(docsIn.select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
     }
     val docs = base

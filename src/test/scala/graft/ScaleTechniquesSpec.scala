@@ -76,6 +76,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(Util.fanOut(wide) eq wide)
   }
 
+  test("fanOutIfAtLeast bypasses small inputs and fans wide ones") {
+    // the gated form (cheap per-row stages, e.g. token counting in
+    // pack_*): below the row floor the repartition costs more than
+    // the single-task serialization it prevents, so the input passes
+    // through untouched — above it, same behavior as fanOut
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(Util.fanOutIfAtLeast(docs, minRows = 1000000) eq docs)
+    val p = spark.sparkContext.defaultParallelism
+    assume(docs.rdd.getNumPartitions < p, "input already multi-split")
+    val fanned = Util.fanOutIfAtLeast(docs, minRows = 1)
+    assert(fanned.rdd.getNumPartitions == p)
+    assert(fanned.count() == docs.count())
+  }
+
   test("day-partitioned layout prunes partitions on time filters") {
     val dir = java.nio.file.Files.createTempDirectory("evpart").toString
     Bucketed.writeDayPartitioned(Tables.events(spark, sf), dir, "ts")
