@@ -477,7 +477,12 @@ object Curate {
       16, 10).cast("long")
     val u = (hv * 2 + 1).cast("double") / lit(9007199254740992.0)
     val key = round(-round(log(u), 9) / col(weightCol).cast("double"), 9)
-    docs.withColumn("es_key", key)
+    // the A-ES key is only meaningful for w > 0: w=0 gives key=+Inf
+    // (never sampled, silently) and w<0 a negative key that sorts
+    // FIRST (always sampled) — drop non-positive weights explicitly,
+    // the only sane semantics for a weight-proportional draw
+    docs.filter(col(weightCol).cast("double") > 0)
+      .withColumn("es_key", key)
       .orderBy(col("es_key"), col("doc_id"))
       .limit(k)
   }

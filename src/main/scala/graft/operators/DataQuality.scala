@@ -26,12 +26,17 @@ object DataQuality {
     * value = BIGINT count. */
   def rowMetrics(df: DataFrame, metrics: Seq[(String, Column)]): DataFrame = {
     require(metrics.nonEmpty, "need at least one metric")
-    val aggs = count(lit(1)).as("row_count") +:
-      metrics.map { case (name, pred) => count(when(pred, 1)).as(name) }
+    // metric names surface ONLY as literals: internal aggregate
+    // aliases are positional (_m0.._mk) and the unpivot is a typed
+    // explode, so a name carrying quotes/backticks/dots can neither
+    // break parsing nor alter an expression
+    val aggs = count(lit(1)).as("_m0") +: metrics.zipWithIndex.map {
+      case ((_, pred), i) => count(when(pred, 1)).as(s"_m${i + 1}") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val names = "row_count" +: metrics.map(_._1)
-    val stackArgs = names.map(n => s"'$n', $n").mkString(", ")
-    one.selectExpr(s"stack(${names.size}, $stackArgs) AS (metric, value)")
+    one.select(explode(array(names.zipWithIndex.map { case (n, i) =>
+        struct(lit(n).as("metric"), col(s"_m$i").as("value")) }: _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
 
   /** Duplicate-key count: rows beyond the first per distinct key. */

@@ -29,10 +29,16 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val iv = intervals.withColumn("_bin",
-      explode(sequence(
-        floorDiv(col(startCol), binWidth),
-        floorDiv(col(endCol) - 1, binWidth))))
+    // guard degenerate/inverted intervals (end <= start): they match
+    // no point under [start, end) anyway, but sequence(start, stop)
+    // with stop < start generates a DESCENDING bin list — a corrupt
+    // end << start would fan out into (start-end)/binWidth bins
+    // before the residual filter discards every row
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_bin",
+        explode(sequence(
+          floorDiv(col(startCol), binWidth),
+          floorDiv(col(endCol) - 1, binWidth))))
     val pr = probe.withColumn("_bin", floorDiv(col(pointCol), binWidth))
     pr.join(iv, Seq("_bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

@@ -121,4 +121,15 @@ class CurateOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(unweighted != ids)
   }
+
+  test("sample_weighted drops non-positive weights instead of misdrawing them") {
+    import spark.implicits._
+    // w=0 gave key=+Inf (silently never drawn) and w<0 a negative key
+    // that sorted FIRST (always drawn) — both now excluded explicitly
+    val rows = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 7L), (5L, 3L))
+      .toDF("doc_id", "w")
+    val ids = Curate.sampleWeighted(rows, "w", k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 4L, 5L), ids.toString)
+  }
 }

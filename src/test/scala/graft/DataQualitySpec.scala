@@ -81,6 +81,21 @@ class DataQualitySpec extends SparkSpec {
       streamed("big_id") == 2L)
   }
 
+  test("rowMetrics survives SQL-hostile metric names") {
+    import spark.implicits._
+    // names only ever surface as literals (positional internal
+    // aliases + typed explode) — quotes, backticks, dots, commas must
+    // neither break parsing nor alter an expression
+    val hostile = Seq(
+      "has ' quote" -> (col("v") > 0),
+      "tick ` dot.comma, end" -> (col("v") < 0),
+      "plain" -> col("v").isNull)
+    val got = metricsMap(DataQuality.rowMetrics(
+      Seq(Some(1.0), Some(-2.0), None).toDF("v"), hostile))
+    assert(got == Map("row_count" -> 3L, "has ' quote" -> 1L,
+      "tick ` dot.comma, end" -> 1L, "plain" -> 1L), got.toString)
+  }
+
   test("dq_check fires every metric nonzero on the degraded feed") {
     val got = metricsMap(SparkEntry.queries("dq_check")(spark, sf))
     assert(got.keySet == Set("row_count", "null_priority",

@@ -69,4 +69,20 @@ class RangeJoinSpec extends SparkSpec {
     // per-window counts can't exceed the corpus
     assert(df.map(_.getAs[Long]("n_events")).sum <= ev.count())
   }
+
+  test("inverted/degenerate intervals register in no bins") {
+    // a corrupt end << start used to fan out into (start-end)/binWidth
+    // DESCENDING bins before the residual filter discarded the rows —
+    // here ~10^8 bins' worth, which must now never be generated
+    val probe = Seq(5L, 50L, 500L).toDF("p")
+    val iv = Seq(
+      (1L, 0L, 100L),              // valid: covers 5 and 50
+      (2L, 77L, 77L),              // empty [77, 77)
+      (3L, 1000000000000L, 0L))    // inverted, 10^12 wide
+      .toDF("interval_id", "s", "e")
+    val got = RangeJoin.joinRangeBinned(probe, "p", iv, "s", "e", 10L)
+      .select("p", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 1L), (50L, 1L)), got.toString)
+  }
 }
