@@ -481,6 +481,38 @@ object Scale10 {
           Tables.embeddings(spark, d).filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding")),
           emb).count())
+      // the maintenance loop at mult×: per-day appends encode only the
+      // arriving 500-vector batch (flat per-day cost however big the
+      // corpus), compaction restores the file count, the drift monitor
+      // is one column-pruned pass + a bounded sample join, and retrain
+      // re-encodes the layout once
+      def day(i: Int) = Tables.embeddings(spark, d)
+        .filter(col("vec_id") < 500)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L * i))
+      lazy val embAll = emb.unionByName(day(1)).unionByName(day(2))
+      for (i <- 1 to 2)
+        t(s"annivfpq_append_day${i}_${mult}x") {
+          operators.Similarity.appendIvfPqPartitioned(day(i), cents, books, dir)
+          day(i).count()
+        }
+      t(s"annivfpq_serve_appended_${mult}x")(
+        operators.Similarity.annIvfPqServeBatch(spark, dir, cents, books,
+          Tables.embeddings(spark, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          embAll).count())
+      t(s"annivfpq_compact_${mult}x")(
+        operators.Similarity.compactIvfPqPartitioned(spark, dir).filesOut.toLong)
+      t(s"annivfpq_stats_${mult}x") {
+        val st = operators.Similarity.ivfPqLayoutStats(spark, dir, cents,
+          books, embAll)
+        println(f"SCALE annivfpq_stats_${mult}x detail: n=${st.nVectors} " +
+          f"skew=${st.occSkew}%.2f quantErr=${st.meanQuantErr}%.6f")
+        st.nVectors
+      }
+      t(s"annivfpq_retrain_${mult}x") {
+        operators.Similarity.retrainIvfPqPartitioned(spark, dir, embAll)
+        spark.read.parquet(dir).count()
+      }
     }
     // sketches: counter tables are FIXED-size (4096 registers / 4x1024
     // counters / 256 buckets per group) — cost must track the input

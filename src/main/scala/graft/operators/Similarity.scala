@@ -978,6 +978,159 @@ object Similarity {
       emb, k)
   }
 
+  // ---- IVF-PQ layout maintenance -----------------------------------------
+
+  /** [[writeIvfPqPartitioned]] over an arbitrary `(vec_id, embedding)`
+    * frame with pre-trained artifacts — the form the maintenance loop
+    * and scale probes use (quantizer and codebooks are properties of
+    * the data GEOMETRY, so 1×-trained artifacts serve a replicated or
+    * split corpus too). */
+  def writeIvfPqPartitionedOn(emb: DataFrame, cents: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              dir: String): Unit =
+    encodeIvfPq(emb, cents, books)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Append a batch of arriving vectors to the stored IVF-PQ code
+    * layout — the daily maintenance step of the compressed serving
+    * tier, the [[appendIvfPartitioned]] twin: the batch encodes
+    * against the SAME coarse centroids + residual codebooks and its
+    * 4-byte/vector code rows land inside the existing bucket
+    * directories, so tomorrow's probes see today's vectors with no
+    * corpus rewrite and partition pruning keeps working unchanged.
+    * Codebook drift is a retrain-and-migrate decision
+    * ([[ivfPqDrifted]] → [[retrainIvfPqPartitioned]]). Spec'd:
+    * append-then-serve ≡ serve over a one-shot layout of the union. */
+  def appendIvfPqPartitioned(batch: DataFrame,
+                             cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]],
+                             dir: String): Unit =
+    encodeIvfPq(batch, cents, books)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+
+  /** Periodic maintenance for the IVF-PQ code layout: each daily
+    * append leaves one more small file per touched bucket directory —
+    * re-collapse in place, KEEPING the bucket partitioning so pruned
+    * probes keep pruning (serve-identical, spec'd). */
+  def compactIvfPqPartitioned(s: SparkSession, dir: String,
+                              targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes,
+      partitionCols = Seq("bucket"))
+
+  /** Monitoring snapshot of the stored code layout: corpus size,
+    * bucket-occupancy skew (as [[IvfLayoutStats]]), and the mean
+    * residual QUANTIZATION error ‖v − (c_bucket + decode(codes))‖² —
+    * the quantization-quality analog of meanAssignDist. It rises when
+    * arrivals drift away from the geometry the codebooks were trained
+    * on, which degrades ADC ranking (the shortlist misses true
+    * neighbors) long before results go visibly wrong — exactly the
+    * signal that must page a retrain. */
+  case class IvfPqLayoutStats(nVectors: Long, nBuckets: Int,
+                              occSkew: Double, meanQuantErr: Double)
+
+  /** Compute [[IvfPqLayoutStats]]: occupancy from one column-pruned
+    * pass over the code layout; quantization error over a BOUNDED
+    * deterministic sample (lowest `sampleN` vec_ids, the quantizer-
+    * training convention) joined to the full-precision corpus `emb` —
+    * the layout stores only 4-byte codes, and serving already keeps
+    * the full-precision table beside it for the exact rerank. Run at
+    * write time for the baseline snapshot, per maintenance cycle for
+    * the drift check ([[ivfPqDrifted]]). */
+  def ivfPqLayoutStats(s: SparkSession, dir: String,
+                       cents: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]],
+                       emb: DataFrame,
+                       sampleN: Int = 2048): IvfPqLayoutStats = {
+    import s.implicits._
+    val occ = s.read.parquet(dir).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("n"))
+    val n = occ.sum
+    val occSkew = occ.max.toDouble / (n.toDouble / cents.length)
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcB = s.sparkContext.broadcast(books)
+    val sample = s.read.parquet(dir)
+      .select(col("vec_id"), col("bucket"), col("codes"))
+      .orderBy("vec_id").limit(sampleN)
+    val errs = sample
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("bucket"), col("codes"), col("embedding"))
+      .as[(Int, Array[Byte], Array[Float])]
+      .map { case (b, codes, v) =>
+        val cs = bcC.value; val bks = bcB.value
+        val sub = v.length / bks.length
+        var err = 0.0; var j = 0
+        while (j < v.length) {
+          val mi = j / sub
+          val rec = cs(b)(j) + bks(mi)(codes(mi) & 0xff)(j - mi * sub)
+          val dlt = v(j) - rec
+          err += dlt * dlt; j += 1
+        }
+        (1L, err)
+      }
+      .toDF("one", "err")
+      .agg(sum(col("one")).as("cnt"), sum(col("err")).as("err")).head()
+    IvfPqLayoutStats(n, occ.length, occSkew,
+      errs.getAs[Double]("err") / errs.getAs[Long]("cnt"))
+  }
+
+  /** The retrain decision for the compressed tier — drift RELATIVE to
+    * the write-time snapshot, like [[ivfDrifted]]: occupancy skew past
+    * `skewTol`× the baseline, or mean residual quantization error past
+    * `errTol`×. A corpus born skewed doesn't page; a balanced corpus
+    * whose arrivals outgrow the codebooks does. */
+  def ivfPqDrifted(current: IvfPqLayoutStats, baseline: IvfPqLayoutStats,
+                   skewTol: Double = 1.5, errTol: Double = 1.2): Boolean =
+    current.occSkew > baseline.occSkew * skewTol ||
+      current.meanQuantErr > baseline.meanQuantErr * errTol
+
+  /** Retrain-and-migrate for the IVF-PQ layout: re-train the coarse
+    * quantizer AND the residual codebooks on the layout's CURRENT
+    * contents (bounded deterministic sample of the code layout's ids,
+    * full precision from `emb` — the table serving reranks against),
+    * re-encode every stored vector, and swap the rewritten layout in
+    * under the same path (the [[retrainIvfPartitioned]] rename
+    * discipline, one `.old` grace generation). Returns the new
+    * (centroids, codebooks) — serving must switch to them atomically
+    * with the layout. Spec'd: exhaustive-probe full-shortlist serving
+    * is unchanged by the migration (rerank is exact), and the
+    * retrained geometry absorbs the drift wave. */
+  def retrainIvfPqPartitioned(s: SparkSession, dir: String, emb: DataFrame,
+                              nlist: Int = IvfNlist, m: Int = PqM,
+                              kS: Int = PqK)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import s.implicits._
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .join(s.read.parquet(dir).select(col("vec_id")), Seq("vec_id"))
+    val sample = full.orderBy("vec_id").limit(2048)
+      .select("embedding").as[Array[Float]].collect()
+    val cents = trainCentroids(sample, nlist, iters = 10)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val residuals = sample.map { v =>
+      val c = cents(nearestCentroid(cents, v))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    val books = Array.tabulate(m) { mi =>
+      trainPqSubspace(
+        residuals.map(r =>
+          java.util.Arrays.copyOfRange(r, mi * sub, (mi + 1) * sub)),
+        kS, iters = 10)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
+    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
+    writeIvfPqPartitionedOn(full, cents, books, dir + ".retraining")
+    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
+    require(fs.rename(p(dir + ".retraining"), p(dir)),
+      s"could not swap retrained $dir in")
+    (cents, books)
+  }
+
   /** DuckDB oracle for [[annIvfPq]]: coarse centroids AND residual
     * codebooks as literals; assignment, residual encoding, probing,
     * the exact-BIGINT base+ADC sum, shortlist, and rerank in SQL. */

@@ -146,6 +146,52 @@ class CompactIndexSpec extends SparkSpec {
     assert(after.nonEmpty && after.toSeq == served.toSeq)
   }
 
+  test("IVF-PQ corpus: appends equal a one-shot layout; compaction serve-identical") {
+    val appendDir = tmp("ivfpqappend")
+    val oneShotDir = tmp("ivfpqoneshot")
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val books = Similarity.pqResidualCodebooks(spark, sf)
+    // base layout + three daily append waves vs a one-shot layout of
+    // the union, encoded under the SAME frozen artifacts
+    Similarity.writeIvfPqPartitionedOn(
+      emb.filter(col("vec_id") % 4 =!= 0), cents, books, appendDir)
+    (0 to 2).foreach(i => Similarity.appendIvfPqPartitioned(
+      emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 3 === i),
+      cents, books, appendDir))
+    Similarity.writeIvfPqPartitionedOn(emb, cents, books, oneShotDir)
+    def serve(dir: String) = Similarity.annIvfPqStored(spark, dir, cents,
+        books, emb.filter(col("vec_id") < 8), emb)
+      .collect().map(_.toSeq)
+    val appended = serve(appendDir)
+    assert(appended.nonEmpty && appended.toSeq == serve(oneShotDir).toSeq,
+      "appended layout serves differently from the one-shot layout")
+    // row-level identity too, not just top-k (codes are BINARY —
+    // base64 them so the set compare is by value, not array reference)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("bucket"), base64(col("codes")))
+      .collect().map(_.toSeq).toSet
+    assert(rows(appendDir) == rows(oneShotDir))
+    // compaction: fewer files, bucket partitioning kept, serve identical
+    val before = parquetFiles(appendDir)
+    val rep = Similarity.compactIvfPqPartitioned(spark, appendDir)
+    assert(rep.filesOut < before)
+    assert(new java.io.File(appendDir).listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
+    assert(serve(appendDir).toSeq == appended.toSeq)
+    // the loop keeps running: a post-compaction append still serves
+    Similarity.appendIvfPqPartitioned(
+      emb.filter(col("vec_id") === 1).withColumn("vec_id",
+        col("vec_id") + 9000L), cents, books, appendDir)
+    val embPlus = emb.unionByName(emb.filter(col("vec_id") === 1)
+      .withColumn("vec_id", col("vec_id") + 9000L))
+    val postServe = Similarity.annIvfPqStored(spark, appendDir, cents, books,
+        emb.filter(col("vec_id") === 1), embPlus, k = 1)
+      .collect()
+    // vec 9001 is an exact replica of query vec 1 — it must be the top hit
+    assert(postServe.map(r => r.getAs[Long]("neighbor_id")).toSet == Set(9001L))
+  }
+
   test("inverted index: compaction keeps token pruning and bm25 results") {
     val dir = java.nio.file.Files.createTempDirectory("invcompact").toString
     val all = Tables.documents(spark, sf)

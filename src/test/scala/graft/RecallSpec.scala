@@ -156,6 +156,58 @@ class RecallSpec extends SparkSpec {
       s"retrain did not reduce skew: $drifted -> $restored")
   }
 
+  test("IVF-PQ drift monitor: out-of-geometry arrivals trip it, retrain restores") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdrift").toString + "/c"
+    val emb = graft.Tables.embeddings(spark, sf01)
+    val (cents, books) = Similarity.writeIvfPqPartitioned(spark, sf01, dir)
+    // sampleN covers corpus+wave so the error sample sees every row
+    val baseline = Similarity.ivfPqLayoutStats(spark, dir, cents, books,
+      emb, sampleN = 5000)
+    assert(!Similarity.ivfPqDrifted(baseline, baseline))
+    assert(baseline.meanQuantErr > 0, "residual PQ is lossy by construction")
+    // OUT-OF-GEOMETRY skewed wave: 240 copies of ONE vector scaled ×3 —
+    // assignment is scale-invariant so they pile into one bucket
+    // (occupancy skews), and their residuals outgrow the codebooks
+    // (quantization error rises): both trigger branches exercised
+    val hot = emb.filter(col("vec_id") === 0)
+    val wave = (1 to 6).map(i =>
+        hot.withColumn("vec_id", col("vec_id") + i * 100000L))
+      .reduce(_ unionByName _)
+      .crossJoin(spark.range(40).select(col("id").as("_r")))
+      .withColumn("vec_id", col("vec_id") + col("_r")).drop("_r")
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(3.0)).cast("float")))
+    Similarity.appendIvfPqPartitioned(wave, cents, books, dir)
+    val embPlus = emb.unionByName(wave)
+    val drifted = Similarity.ivfPqLayoutStats(spark, dir, cents, books,
+      embPlus, sampleN = 5000)
+    assert(Similarity.ivfPqDrifted(drifted, baseline),
+      s"out-of-geometry wave not flagged: $baseline -> $drifted")
+    assert(drifted.meanQuantErr > baseline.meanQuantErr * 1.2,
+      s"quantization-error branch did not trip: $baseline -> $drifted")
+    // retrain-and-migrate: same vectors, re-trained artifacts, path
+    // stable — exhaustive probes + full shortlist rerank EXACTLY, so
+    // serving is identical before and after the migration
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = Similarity.annIvfPqServeBatch(spark, dir, cents, books,
+        queries, embPlus, nprobe = cents.length, cand = 100000)
+      .collect().map(_.toSeq)
+    val (cents2, books2) = Similarity.retrainIvfPqPartitioned(spark, dir, embPlus)
+    val after = Similarity.annIvfPqServeBatch(spark, dir, cents2, books2,
+        queries, embPlus, nprobe = cents2.length, cand = 100000)
+      .collect().map(_.toSeq)
+    assert(after.nonEmpty && after.toSeq == before.toSeq)
+    // the retrained geometry absorbs the wave on both axes
+    val restored = Similarity.ivfPqLayoutStats(spark, dir, cents2, books2,
+      embPlus, sampleN = 5000)
+    assert(restored.occSkew < drifted.occSkew,
+      s"retrain did not reduce skew: $drifted -> $restored")
+    assert(restored.meanQuantErr < drifted.meanQuantErr,
+      s"retrain did not reduce quantization error: $drifted -> $restored")
+  }
+
   test("production-τ (0.9) derived geometry pair recall vs all-pairs >= 0.8") {
     import org.apache.spark.sql.functions._
     // the raw corpus is isotropic — no natural ≥0.9 pairs — so plant
