@@ -87,16 +87,29 @@ object Pipeline {
                     pplCeiling: Option[Double],
                     lmArtifact: Option[(DataFrame, DataFrame)] = None,
                     bpeMerges: Option[Seq[(String, String)]] = None,
-                    exciseSpanLen: Option[Int] = None): Report = {
-    // 0. boilerplate excision (optional): replace each doc's text
+                    exciseSpanLen: Option[Int] = None,
+                    normalizeEncoding: Boolean = true): Report = {
+    // 0a. encoding normalization (default ON — the CCNet stage order:
+    // every later stage hashes text, and a mojibake/NFD variant of
+    // the same document must hash identically or it silently escapes
+    // dedup and decontamination; spec'd): mojibake repair + control
+    // strip + NFC, ids/lang pass through. A no-op rewrite on an
+    // already-clean corpus.
+    val docsNorm =
+      if (!normalizeEncoding) docs
+      else docs.drop("text").join(
+        TextFunctions.normalizeText(docs)
+          .select(col("doc_id"), col("norm_text").as("text")),
+        "doc_id")
+    // 0b. boilerplate excision (optional): replace each doc's text
     // with its span-excised form; lang and ids pass through
     val src = exciseSpanLen match {
       case Some(len) =>
-        val ex = Dedup.dedupSpansExcise(docs, len)
+        val ex = Dedup.dedupSpansExcise(docsNorm, len)
           .select(col("doc_id"), col("excised_text").as("text"))
-        docs.drop("text").join(ex, "doc_id")
+        docsNorm.drop("text").join(ex, "doc_id")
           .localCheckpoint() // the scan+surgery subtree feeds everything
-      case None => docs
+      case None => docsNorm
     }
     val input = src.count()
 

@@ -117,6 +117,7 @@ object SparkEntry {
     "multimodal_scenecut" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "scd2_lookup"         -> operators.Upsert.scd2LookupQuery _,
     "events_gap_fill"     -> Timeseries.eventsGapFill _,
+    "text_normalize"      -> TextFunctions.textNormalize _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1633,5 +1634,6 @@ object SparkEntry {
     "multimodal_scenecut" -> Multimodal.sceneCutsOracle,
     "scd2_lookup" -> operators.Upsert.scd2LookupOracle,
     "events_gap_fill" -> Timeseries.eventsGapFillOracle,
+    "text_normalize" -> TextFunctions.textNormalizeOracle,
   )
 }

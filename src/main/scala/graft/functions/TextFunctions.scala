@@ -152,6 +152,133 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  // ---- text_normalize ----------------------------------------------------
+
+  /** Fixed mojibake-repair table: the UTF-8 byte pairs/triples of a
+    * codepoint misread as cp1252 (classic double-encoded UTF-8) for
+    * characters web corpora actually trip on — é è ï, em dash, right
+    * single quote. Deliberately a FIXED literal table (the
+    * [[textRedact]] discipline): each entry replays as a
+    * chr()-literal replace() in the DuckDB oracle, so the repair is
+    * hash-verified cross-engine rather than trusted. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", // Ã©  -> é
+    "Ã¨" -> "è", // Ã¨  -> è
+    "Ã¯" -> "ï", // Ã¯  -> ï
+    "â€”" -> "—", // â€” -> em dash
+    "â€™" -> "’") // â€™ -> right single quote
+
+  /** C0 controls minus \t \n \r, plus DEL — the strip class. */
+  private def isStrippedControl(c: Char): Boolean =
+    c <= '\u0008' || c == '\u000b' || c == '\u000c' ||
+      (c >= '\u000e' && c <= '\u001f') || c == '\u007f'
+
+  /** Unicode/encoding normalization — the CCNet/C4 cleaning stage
+    * that runs AHEAD of dedup (mojibake and NFD variants would
+    * otherwise split exact duplicates into distinct hashes): fixed-
+    * table double-encoded-UTF-8 repair, control strip (keeping
+    * \t \n \r), NFC composition, with per-doc repair counts. One
+    * typed linear pass (NFC needs the JVM normalizer; counts are
+    * substring arithmetic), embarrassingly parallel; the fan-out is
+    * input-size-gated like the other cheap per-row stages. Lengths
+    * are CODEPOINT counts (DuckDB length() semantics — identical to
+    * UTF-16 length for BMP text). */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.Util.fanOutIfAtLeast(
+        docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .map { case (id, raw) =>
+        // counts on the RAW text, each pattern independently (the
+        // patterns cannot overlap or create each other)
+        val nMoji = MojibakeRepairs.map { case (bad, _) =>
+          (raw.length - raw.replace(bad, "").length) / bad.length }.sum
+        val repaired = MojibakeRepairs.foldLeft(raw) {
+          case (t, (bad, good)) => t.replace(bad, good) }
+        val sb = new java.lang.StringBuilder(repaired.length)
+        var nCtrl = 0
+        repaired.foreach { c =>
+          if (isStrippedControl(c)) nCtrl += 1 else sb.append(c) }
+        val norm = java.text.Normalizer.normalize(
+          sb.toString, java.text.Normalizer.Form.NFC)
+        (id, norm,
+          raw.codePointCount(0, raw.length),
+          norm.codePointCount(0, norm.length),
+          nMoji, nCtrl, if (norm != raw) 1 else 0)
+      }
+      .toDF("doc_id", "norm_text", "n_chars_raw", "n_chars_norm",
+        "n_mojibake", "n_controls", "changed")
+  }
+
+  /** text_normalize query: [[normalizeText]] over a deterministically
+    * DEGRADED corpus (the dq_check discipline — the oracle must check
+    * real repair arithmetic, not no-op ASCII): docs ≡0 (mod 7) gain a
+    * mojibake suffix (" cafÃ© â€” naÃ¯ve"), docs ≡0 (mod 11) a
+    * control-char + NFD-decomposed suffix (BEL e ́ x US → "éx").
+    * Emits md5(normalized) rather than the text itself to keep the
+    * compare payload small. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val moji = " caf\u00c3\u00a9 \u00e2\u20ac\u201d na\u00c3\u00afve"
+    val ctrl = "\u0007e\u0301x\u001f"
+    val degraded = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(moji)))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(ctrl)))
+          .otherwise(col("text")).as("text"))
+    normalizeText(degraded)
+      .select(col("doc_id"),
+        md5(col("norm_text").cast("binary")).as("norm_md5"),
+        col("n_chars_raw"), col("n_chars_norm"),
+        col("n_mojibake"), col("n_controls"), col("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[textNormalize]]: same degradation via chr()
+    * literals, nested replace() repair chain in the SAME order as
+    * [[MojibakeRepairs]], RE2 control strip, nfc_normalize. */
+  val textNormalizeOracle: String = raw"""
+    WITH degraded AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0
+          THEN base || chr(7) || 'e' || chr(769) || 'x' || chr(31)
+          ELSE base END AS text
+      FROM (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' caf' || chr(195) || chr(169) || ' ' ||
+                 chr(226) || chr(8364) || chr(8221) || ' na' ||
+                 chr(195) || chr(175) || 've'
+            ELSE text END AS base
+        FROM documents)),
+    norm AS (
+      SELECT doc_id, text,
+        nfc_normalize(regexp_replace(
+          replace(replace(replace(replace(replace(text,
+            chr(195)||chr(169), chr(233)),
+            chr(195)||chr(168), chr(232)),
+            chr(195)||chr(175), chr(239)),
+            chr(226)||chr(8364)||chr(8221), chr(8212)),
+            chr(226)||chr(8364)||chr(8217), chr(8217)),
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm,
+        CAST(
+          (length(text) - length(replace(text, chr(195)||chr(169), ''))) // 2
+        + (length(text) - length(replace(text, chr(195)||chr(168), ''))) // 2
+        + (length(text) - length(replace(text, chr(195)||chr(175), ''))) // 2
+        + (length(text) - length(replace(text, chr(226)||chr(8364)||chr(8221), ''))) // 3
+        + (length(text) - length(replace(text, chr(226)||chr(8364)||chr(8217), ''))) // 3
+          AS INT) AS n_mojibake,
+        CAST(length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS INT) AS n_controls
+      FROM degraded)
+    SELECT doc_id, md5(norm) AS norm_md5,
+      CAST(length(text) AS INT) AS n_chars_raw,
+      CAST(length(norm) AS INT) AS n_chars_norm,
+      n_mojibake, n_controls,
+      CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed
+    FROM norm ORDER BY doc_id"""
+
   /** vocab_topk: corpus-wide token counts, top-k by frequency — the
     * input to tokenizer/vocabulary training. Plain explode(split) —
     * split() is a codegen'd expression, NOT a CodegenFallback HOF, so

@@ -81,6 +81,40 @@ class PipelineSpec extends SparkSpec {
     assert(r.segments > 0)
   }
 
+  test("encoding-normalization stage 0: encoding variants dedup only with it on") {
+    import spark.implicits._
+    // three copies of one fully-accented document — NFC, double-
+    // encoded (mojibake), and NFD — share NO shingle byte-for-byte,
+    // so without normalization minhash sees three unrelated docs;
+    // with it they hash identically and collapse to the min-id keeper
+    val accented = ("café naïve é—ï " * 16).trim
+    val moji = accented
+      .replace("é", "Ã©")
+      .replace("ï", "Ã¯")
+      .replace("—", "â€”")
+    val nfd = java.text.Normalizer.normalize(accented,
+      java.text.Normalizer.Form.NFD)
+    assert(Set(accented, moji, nfd).size == 3, "variants must differ raw")
+    val trio = Seq((9001L, accented), (9002L, moji), (9003L, nfd))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "lang", "text")
+      .unionByName(trio.select("doc_id", "lang", "text"))
+    val outOn = java.nio.file.Files.createTempDirectory("graft-pipe-non").toString
+    val rOn = Pipeline.curateAndPack(spark, corpus, outOn, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None)
+    val outOff = java.nio.file.Files.createTempDirectory("graft-pipe-noff").toString
+    val rOff = Pipeline.curateAndPack(spark, corpus, outOff, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      normalizeEncoding = false)
+    // the real corpus slice may carry natural near-dup pairs (dropped
+    // in BOTH runs) — the normalization-specific effect is exactly the
+    // two encoding variants collapsing into the keeper
+    assert(rOn.input == 43 && rOff.input == 43)
+    assert(rOn.afterDedup == rOff.afterDedup - 2,
+      s"normalized kept ${rOn.afterDedup}, unnormalized ${rOff.afterDedup}")
+  }
+
   test("span-excision stage 0: no cross-doc repeated span survives into segments") {
     import graft.operators.Dedup
     // two doc groups sharing a long boilerplate block, plus plants —

@@ -459,4 +459,30 @@ class TextSpec extends SparkSpec {
     assert(math.abs(r2 - fit.getAs[Double]("r2")) < 1e-3,
       s"recomputed r2 $r2 vs fit ${fit.getAs[Double]("r2")}")
   }
+
+  test("normalizeText repairs mojibake, strips controls, composes NFC") {
+    import spark.implicits._
+    val rows = Seq(
+      // double-encoded "café — naïve" + a kept tab
+      (1L, "cafÃ©\tâ€” naÃ¯ve"),
+      // NFD e+combining-acute, BEL and US controls stripped
+      (2L, "\u0007e\u0301x\u001f"),
+      // clean ASCII passes through unchanged
+      (3L, "plain ascii text"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.normalizeText(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("norm_text") == "café\t— naïve")
+    assert(got(1L).getAs[Int]("n_mojibake") == 3)
+    assert(got(1L).getAs[Int]("n_controls") == 0) // \t is KEPT
+    assert(got(1L).getAs[Int]("changed") == 1)
+    assert(got(2L).getAs[String]("norm_text") == "éx")
+    assert(got(2L).getAs[Int]("n_controls") == 2)
+    assert(got(2L).getAs[Int]("n_chars_raw") == 5) // codepoints, pre-strip
+    assert(got(2L).getAs[Int]("n_chars_norm") == 2) // é composed + x
+    assert(got(3L).getAs[String]("norm_text") == "plain ascii text")
+    assert(got(3L).getAs[Int]("changed") == 0)
+    assert(got(3L).getAs[Int]("n_mojibake") == 0 &&
+      got(3L).getAs[Int]("n_controls") == 0)
+  }
 }
