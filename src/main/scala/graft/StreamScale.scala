@@ -311,6 +311,51 @@ object StreamScale {
         s"filesWithoutCompaction>=${batches}")
     }
 
+    // ---- streamingCdcApply: bucket-bounded snapshot maintenance ----
+    // the signal is per-batch WRITE scope: a diff batch reads and
+    // rewrites only the key-hash buckets its keys occupy (≤ batch
+    // keys of 1024 directories), so per-batch time must track the
+    // batch's key spread, not the mult× snapshot
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = s"/tmp/streamscale_cdc_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val snapRows = mult * RowsPerMult // 500k at 10x
+      val snap = spark.range(snapRows).select(col("id"),
+        (col("id") % 1000).cast("double").as("v"))
+      val tw = System.nanoTime()
+      EventStream.writeCdcSnapshot(snap, dir, Seq("id"), buckets = 1024)
+      val wSec = (System.nanoTime() - tw) / 1e9
+      val input = MemoryStream[(Long, String, Option[Double], Option[Double])]
+      val q = EventStream.streamingCdcApply(
+        input.toDF().toDF("id", "change_type", "old_v", "new_v"),
+        dir, Seq("id"), Seq("v"), buckets = 1024)
+      val batches = 10
+      val rowsPerBatch = 50 // 5 inserts / 5 deletes / 40 updates
+      val times = (0 until batches).map { b =>
+        val base = b.toLong * rowsPerBatch
+        val t1 = System.nanoTime()
+        input.addData((0 until rowsPerBatch).map { i =>
+          val id = base + i
+          if (i % 10 == 0)
+            (snapRows + id, "insert", Option.empty[Double], Option(1.0))
+          else if (i % 10 == 1)
+            (id, "delete", Option(0.0), Option.empty[Double])
+          else (id, "update", Option(0.0), Option(2.0))
+        })
+        q.processAllAvailable()
+        (System.nanoTime() - t1) / 1e9
+      }
+      q.stop()
+      val nFinal = EventStream.readCdcSnapshot(spark, dir).count()
+      println(f"SCALE stream_cdc_sink_${mult}x snap=$snapRows init=$wSec%.1fs " +
+        f"batches=$batches rowsPerBatch=$rowsPerBatch " +
+        f"meanBatch=${times.sum / batches}%.2fs maxBatch=${times.max}%.2fs " +
+        s"final=$nFinal expected=$snapRows")
+    }
+
     // ---- streamingAnnIvf: pruned probe of a standing IVF corpus ----
     // state-FREE serving path: the per-batch probe reads ONLY the
     // probed bucket partitions (bucket.isin over the partitioned

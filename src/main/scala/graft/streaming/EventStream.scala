@@ -954,6 +954,105 @@ object EventStream {
   def readScd2History(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir).drop("_kb")
 
+  // ---- streaming CDC apply ------------------------------------------------
+
+  /** Initialize the snapshot a [[streamingCdcApply]] sink maintains:
+    * the old snapshot written key-hash-bucketed (`_kb`), so every
+    * later micro-batch rewrites only the buckets its diff keys hash
+    * into. Read back through [[readCdcSnapshot]]. */
+  def writeCdcSnapshot(df: DataFrame, dir: String, keys: Seq[String],
+                       buckets: Int = 64): Unit =
+    df.withColumn("_kb", cdcBucket(keys, buckets))
+      .repartition(col("_kb"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(dir)
+
+  private def cdcBucket(keys: Seq[String], buckets: Int) =
+    pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
+
+  /** The [[graft.operators.Cdc.applyCdc]] stream half: maintain a
+    * keyed parquet snapshot folded from a stream of snapshotDiff-
+    * style change rows (keys, change_type, old_/new_ columns) —
+    * the incremental-refresh consumer that turns a few-GB daily/hourly
+    * change feed into an always-current 100 TB table copy without
+    * re-reading snapshots.
+    *
+    * Per micro-batch ([[cdcSinkBatch]], the scd2SinkBatch write
+    * discipline): the batch's affected key-hash buckets are read
+    * partition-pruned, the diff folds in, and ONLY those buckets are
+    * rewritten via dynamic partition overwrite — write cost tracks
+    * the batch's key spread, never the snapshot. The fold is
+    * UPSERT-flavored (ALL diff keys drop out of the kept slice, then
+    * insert/update rows come back in), which makes at-least-once
+    * replays idempotent: a replayed insert re-lands on its own key
+    * instead of duplicating, a replayed delete anti-joins nothing
+    * (spec'd) — on a true diff it equals applyCdc exactly. A bucket a
+    * delete-only batch drains entirely is removed explicitly (dynamic
+    * overwrite only replaces partitions present in the output), and
+    * the merged frame is materialized before overwriting the path it
+    * read. In-order batches per key, like the batch operator. */
+  def streamingCdcApply(diffs: DataFrame, dir: String, keys: Seq[String],
+                        compareCols: Seq[String], buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    diffs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cdcSinkBatch(batch, dir, keys, compareCols, buckets)
+      }
+      .start()
+
+  /** One micro-batch of the CDC sink, exposed so batch callers and
+    * the scale probes drive the same bounded-write path. */
+  def cdcSinkBatch(batch: DataFrame, dir: String, keys: Seq[String],
+                   compareCols: Seq[String], buckets: Int = 64): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    val incoming = batch
+      .filter(col("change_type").isin("insert", "update"))
+      .select(keys.map(col) ++
+        compareCols.map(c => col("new_" + c).as(c)): _*)
+    if (!committed) {
+      // bootstrap from empty: inserts/updates land, deletes no-op
+      incoming.withColumn("_kb", cdcBucket(keys, buckets))
+        .repartition(col("_kb"))
+        .write.mode("overwrite").partitionBy("_kb").parquet(dir)
+    } else {
+      val affected = batch.select(cdcBucket(keys, buckets).as("_kb"))
+        .distinct().collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+      val slice = s.read.parquet(dir)
+        .filter(col("_kb").isin(affected: _*)).drop("_kb")
+      // upsert fold: ALL diff keys leave the kept slice (idempotent
+      // replay), insert/update rows come back with their new values
+      val touched = batch.select(keys.map(col): _*).distinct()
+      val out = slice.join(touched, keys, "left_anti")
+        .unionByName(incoming)
+        .withColumn("_kb", cdcBucket(keys, buckets))
+        .localCheckpoint() // materialize before overwriting read paths
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf, "dynamic")
+      try out.repartition(col("_kb"))
+        .write.mode("overwrite").partitionBy("_kb").parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+      // a bucket whose every row a delete-only batch removed is absent
+      // from `out` — dynamic overwrite leaves its stale directory
+      val written = out.select(col("_kb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      affected.filterNot(written).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_kb=$b"), true)
+      }
+    }
+    ()
+  }
+
+  /** The maintained CDC snapshot without its internal bucket column. */
+  def readCdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).drop("_kb")
+
   case class QueryHybrid(query_id: Long, terms: Seq[String],
                          embedding: Array[Float])
 

@@ -120,6 +120,97 @@ class CdcSpec extends SparkSpec {
     assert(want.exceptAll(diff).count() == 0)
   }
 
+  test("CDC sink: micro-batched diffs fold to the final snapshot; replay idempotent") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("cdcsink").toString + "/snap"
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val k = col("o_orderkey")
+    val oldSnap = orders.filter(k % 10 =!= 3)
+      .withColumn("o_totalprice",
+        when(k % 7 === 0, lit(100.0)).otherwise(col("o_totalprice")))
+    val mid = orders.filter(k % 13 =!= 7)
+    val fin = orders.filter(k % 11 =!= 2)
+      .withColumn("o_totalprice",
+        when(k % 5 === 0, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    EventStream.writeCdcSnapshot(oldSnap, dir, Seq("o_orderkey"))
+    val d1 = Cdc.snapshotDiff(oldSnap, mid, Seq("o_orderkey"), Seq("o_totalprice"))
+    val d2 = Cdc.snapshotDiff(mid, fin, Seq("o_orderkey"), Seq("o_totalprice"))
+    EventStream.cdcSinkBatch(d1, dir, Seq("o_orderkey"), Seq("o_totalprice"))
+    EventStream.cdcSinkBatch(d2, dir, Seq("o_orderkey"), Seq("o_totalprice"))
+    def snap() = EventStream.readCdcSnapshot(spark, dir)
+    assert(snap().exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(snap()).count() == 0)
+    // at-least-once: replaying the last diff changes nothing
+    EventStream.cdcSinkBatch(d2, dir, Seq("o_orderkey"), Seq("o_totalprice"))
+    assert(snap().exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(snap()).count() == 0)
+    // bounded writes: a one-key diff moves at most one bucket directory
+    def bucketMtimes(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("_kb="))
+        .map { b =>
+          b.getName -> b.listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1)
+        }.toMap
+    val before = bucketMtimes()
+    assert(before.size > 1, "need multiple bucket directories")
+    Thread.sleep(1100)
+    val oneKey = fin.limit(1).select(col("o_orderkey"),
+      lit("update").as("change_type"),
+      col("o_totalprice").as("old_o_totalprice"),
+      (col("o_totalprice") + 1.0).as("new_o_totalprice"))
+    EventStream.cdcSinkBatch(oneKey, dir, Seq("o_orderkey"), Seq("o_totalprice"))
+    val after = bucketMtimes()
+    val movedBuckets = after.count { case (kb, v) => !before.get(kb).contains(v) }
+    assert(movedBuckets == 1, s"one-key diff rewrote $movedBuckets buckets")
+    // dynamic mode did not leak into the session conf
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
+  test("CDC sink: a delete-only batch drains its bucket directory") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("cdcdrain").toString + "/snap"
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v")
+    EventStream.writeCdcSnapshot(base, dir, Seq("id"), buckets = 2)
+    val bucketOf = base.select(col("id"),
+        pmod(xxhash64(col("id")), lit(2)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assume(bucketOf.values.toSet.size == 2, "ids collapsed into one bucket")
+    val target = bucketOf(1L)
+    val doomed = bucketOf.filter(_._2 == target).keys.toSeq
+    val diff = doomed.map(id => (id, "delete", Option(id * 10.0),
+        Option.empty[Double]))
+      .toDF("id", "change_type", "old_v", "new_v")
+    EventStream.cdcSinkBatch(diff, dir, Seq("id"), Seq("v"), buckets = 2)
+    val left = EventStream.readCdcSnapshot(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(left == bucketOf.filterNot(_._2 == target).keys.toSet)
+    // the drained directory itself is gone, not just empty
+    assert(!new java.io.File(s"$dir/_kb=$target").exists())
+  }
+
+  test("streamingCdcApply: MemoryStream batches match the batch fold") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcstream").toString + "/snap"
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    EventStream.writeCdcSnapshot(base, dir, Seq("id"))
+    val input = MemoryStream[(Long, String, Option[Double], Option[Double])]
+    val q = EventStream.streamingCdcApply(
+      input.toDF().toDF("id", "change_type", "old_v", "new_v"),
+      dir, Seq("id"), Seq("v"))
+    input.addData((2L, "update", Some(20.0), Some(25.0)),
+      (4L, "insert", None, Some(40.0)))
+    q.processAllAvailable()
+    input.addData((1L, "delete", Some(10.0), None))
+    q.processAllAvailable()
+    q.stop()
+    val got = EventStream.readCdcSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((2L, 25.0), (3L, 30.0), (4L, 40.0)))
+  }
+
   test("round trip holds on the query's degraded-orders construction") {
     val orders = Tables.orders(spark, sf)
     val k = col("o_orderkey")
