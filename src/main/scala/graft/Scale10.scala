@@ -751,6 +751,29 @@ object Scale10 {
       t(s"fuzzy_${mult}x")(operators.FuzzyJoin
         .editJoin(probes, "probe", names, "name", 1).count())
     }
+    // the DEGENERATE fuzzy regime: a LOW-ENTROPY catalog — mult×50k
+    // rows over only 64 distinct names — at d=2, where deletion
+    // variants concentrate (similar names share many variant keys and
+    // most name pairs sit within distance 2). Dedupe-first is what
+    // saves it: the variant join runs on the 64-name space (candidates
+    // ≤ 64×64 however big the row count), the mult× cost is the two
+    // distinct() scans plus the row-coverage hash join back — never
+    // rows². Both the name-level join and the full query shape
+    // (coverage counts over mult× rows) are timed.
+    locally {
+      val catalog = spark.range(mult * 50000L).select(
+        format_string("item_%02d_entry", expr("id % 64")).as("p_name"))
+      val probes = catalog.select(concat(substring(col("p_name"), 1, 4),
+        lit("x"), expr("substring(p_name, 6)")).as("probe"))
+      t(s"fuzzy_lowentropy_d2_${mult}x")(operators.FuzzyJoin
+        .editJoin(probes, "probe", catalog, "p_name", 2).count())
+      t(s"fuzzy_lowentropy_d2_cover_${mult}x") {
+        val m = operators.FuzzyJoin
+          .editJoin(probes, "probe", catalog, "p_name", 2)
+        val counts = catalog.groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+        m.join(counts, Seq("p_name")).count()
+      }
+    }
     // incremental connected components: the maintained cluster-map
     // artifact — one day's edges relabel ONLY touched clusters'
     // bucket partitions, vs the full CC recompute the one-shot
