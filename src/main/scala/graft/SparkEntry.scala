@@ -118,6 +118,8 @@ object SparkEntry {
     "scd2_lookup"         -> operators.Upsert.scd2LookupQuery _,
     "events_gap_fill"     -> Timeseries.eventsGapFill _,
     "text_normalize"      -> TextFunctions.textNormalize _,
+    "sample_temperature"  -> operators.Curate.sampleTemperature _,
+    "dedup_chunks"        -> Dedup.dedupChunks _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -679,6 +681,54 @@ object SparkEntry {
         MIN(doc_id) AS keeper_id
       FROM k GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY span_hash""",
+
+    // content-defined chunking: a cut after every 16-char window
+    // whose 60-bit hash ≡ 0 (mod 64); chunk hash = same hash60 of the
+    // chunk slice; duplicate chunks joined back at full decomposition
+    // detail. hash60 is the dedup_spans digit-sum pattern, applied
+    // once to pick cuts and once to key chunks
+    "dedup_chunks" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      wpos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - 14)) AS i
+        FROM docs WHERE length(text) >= 16),
+      cuts AS (
+        SELECT doc_id, i + 15 AS e
+        FROM wpos
+        WHERE CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', md5(text[i:i+15])[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+              % 64 = 0),
+      ends AS (
+        SELECT doc_id, e FROM cuts
+        UNION SELECT doc_id, length(text) AS e FROM docs),
+      ch AS (
+        SELECT doc_id, e,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS st0,
+          row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx
+        FROM ends),
+      chunks AS (
+        SELECT c.doc_id,
+          CAST(c.chunk_idx AS INT) AS chunk_idx,
+          CAST(c.st0 AS INT) AS chunk_start,
+          CAST(c.e - c.st0 AS INT) AS chunk_len,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef',
+                   md5(d.text[c.st0 + 1 : c.e])[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS chunk_hash
+        FROM ch c JOIN docs d USING (doc_id)),
+      dups AS (
+        SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT c.doc_id, c.chunk_idx, c.chunk_start, c.chunk_len,
+        c.chunk_hash, u.n_docs
+      FROM chunks c JOIN dups u USING (chunk_hash)
+      ORDER BY c.doc_id, c.chunk_idx""",
 
     // same 60-bit window hashes as dedup_spans, WITH offsets; islands
     // coalesce overlapping/adjacent repeated windows (ends are
@@ -1635,5 +1685,6 @@ object SparkEntry {
     "scd2_lookup" -> operators.Upsert.scd2LookupOracle,
     "events_gap_fill" -> Timeseries.eventsGapFillOracle,
     "text_normalize" -> TextFunctions.textNormalizeOracle,
+    "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
   )
 }

@@ -342,6 +342,69 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** sample_temperature: temperature-scaled multilingual mixture —
+    * the mT5/XLM-R α-sampling step: language l samples ∝ n_l^α
+    * (α = 1/T < 1 flattens the natural distribution so low-resource
+    * languages aren't drowned by the head language). Unlike
+    * [[sampleMixture]]'s hand-specified weights, quotas here derive
+    * from the DATA, computed entirely in-plan on both engines.
+    *
+    * α is fixed at 0.5 deliberately: n^0.5 = sqrt(n), and IEEE-754
+    * REQUIRES sqrt to be correctly rounded (general pow() is
+    * libm-dependent — not portable cross-engine). The quota
+    * arithmetic is then EXACT INTEGERS end to end: s_l =
+    * floor(sqrt(n_l)·1e9 + 0.5) snaps the (bit-identical) sqrt to
+    * 1e-9-grid units, W = Σ s_l is an exact BIGINT sum, and
+    * quota_l = (budget · s_l) div W is one integer floor-division —
+    * no float accumulation or division anywhere (the PQ-ADC recipe
+    * applied to mixture math). Selection within a language is the
+    * salted-md5 rank, RNG-free. Scale shape: one tiny lang-count agg
+    * broadcast back + one lang-partitioned window — the sampleMixture
+    * plan with a computed quota. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame =
+    sampleTemperature(Tables.documents(s, d), DefaultMixBudget)
+
+  def sampleTemperature(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("s_int",
+        floor(sqrt(col("n_l").cast("double")) * 1e9 + 0.5).cast("long"))
+    val tot = counts.agg(sum(col("s_int")).as("w_int"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        expr(s"CAST(($budget * s_int) div w_int AS INT)").as("quota"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("temp:"), col("doc_id"))), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(quotas), Seq("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleTemperatureOracle: String = """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+    s AS (
+      SELECT lang, n_l,
+        CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+          AS s_int
+      FROM c),
+    tot AS (SELECT CAST(SUM(s_int) AS BIGINT) AS w_int FROM s),
+    q AS (
+      SELECT lang, CAST((250 * s_int) // w_int AS INT) AS quota
+      FROM s, tot),
+    r AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5('temp:' || doc_id), doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.lang, q.quota
+    FROM r JOIN q USING (lang)
+    WHERE rn <= quota
+    ORDER BY doc_id"""
+
   /** Export the (curated) docs as JSONL training shards — the final
     * step of the pipeline, what a training loader actually consumes:
     * `dir/shards/lang=../shard_id=../part-N.json` plus a

@@ -197,6 +197,66 @@ object Dedup {
       .orderBy(col("span_hash"))
   }
 
+  // ---- content-defined chunking (CDC) ------------------------------------
+
+  /** Content-defined chunk decomposition of each doc (the rolling-
+    * hash boundary scheme of storage dedup — Rabin/LBFS, FastCDC
+    * family): a cut falls after every `w`-char window whose 60-bit
+    * md5 hash ≡ 0 (mod `divisor`), so boundaries are decided by
+    * CONTENT, not position — an insertion shifts only the chunks up
+    * to the first cut after it, and the decomposition resynchronizes
+    * (spec'd), where fixed-offset windows would shift every chunk.
+    * Expected chunk length ≈ divisor chars; docs shorter than `w`
+    * are one chunk; the final remainder closes the last chunk. Pure
+    * boundary rule (no min/max clamps) so the DuckDB oracle can
+    * replay it exactly. One typed scan, ~len(text) hashes per doc
+    * (the [[dedupSpans]] CPU shape — fanned out, no shuffle);
+    * emits (doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash)
+    * with chunk_hash the 60-bit md5 of the chunk text. */
+  def chunkCdc(docs: DataFrame, w: Int = 16, divisor: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Util.fanOut(docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .flatMap { case (id, t) =>
+        val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i + w <= t.length) {
+          if (md5Hash60(t.substring(i, i + w)) % divisor == 0) ends += (i + w)
+          i += 1
+        }
+        if (ends.isEmpty || ends.last != t.length) ends += t.length
+        var start = 0
+        ends.iterator.zipWithIndex.map { case (e, idx) =>
+          val r = (id, idx, start, e - start, md5Hash60(t.substring(start, e)))
+          start = e
+          r
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_hash")
+  }
+
+  /** dedup_chunks query: the cross-doc duplicate-chunk view — every
+    * chunk (from [[chunkCdc]] over the planted corpus) that appears
+    * in ≥2 distinct docs, kept at FULL decomposition detail
+    * (doc/idx/offset/length/hash + its doc count), because the
+    * decomposition IS the operator: sub-doc storage-granular dedup
+    * dedupes chunk stores and ships only novel chunks. The chunk
+    * stream feeds both the doc-count aggregate and the join back, so
+    * it is checkpointed once (the dedupSpansExcise discipline). */
+  def dedupChunks(s: SparkSession, d: String): DataFrame =
+    dedupChunks(withPlants(Tables.documents(s, d)))
+
+  def dedupChunks(docs: DataFrame): DataFrame = {
+    val chunks = chunkCdc(docs).localCheckpoint()
+    val dups = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    chunks.join(dups, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), col("chunk_hash"), col("n_docs"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** dedup_spans_excise: the REMOVAL half of span dedup — the
     * remove-substring surgery real pipelines run on the [[dedupSpans]]
     * detections (the C4/RefinedWeb boilerplate-excision step; cf. Lee

@@ -122,6 +122,41 @@ class CurateOpsSpec extends SparkSpec {
     assert(unweighted != ids)
   }
 
+  test("sample_temperature flattens the language mix with exact-integer quotas") {
+    val budget = 250L
+    val got = Curate.sampleTemperature(docs, budget).collect()
+    val natural = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver reference: exact-integer quota arithmetic replayed
+    val sInt = natural.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1e9 + 0.5).toLong }
+    val w = sInt.values.sum
+    val wantQuota = sInt.map { case (l, si) =>
+      l -> (budget * si / w) } // positive longs: / == floor-div
+    val gotQuota = got.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Int]("quota").toLong).toMap
+    assert(gotQuota == wantQuota, s"$gotQuota vs $wantQuota")
+    // each language contributes exactly its quota (all quotas bind on
+    // this corpus), total within budget
+    val perLang = got.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    perLang.foreach { case (l, n) =>
+      assert(n == math.min(wantQuota(l), natural(l)), s"$l drew $n") }
+    assert(perLang.values.sum <= budget)
+    // α=0.5 FLATTENS: the head language's sampled share is strictly
+    // below its natural share, the smallest language's share above
+    val head = natural.maxBy(_._2)._1
+    val tail = natural.minBy(_._2)._1
+    assert(perLang(head).toDouble / perLang.values.sum <
+      natural(head).toDouble / natural.values.sum, "head not flattened")
+    assert(perLang(tail).toDouble / perLang.values.sum >
+      natural(tail).toDouble / natural.values.sum, "tail not boosted")
+    // deterministic across partitionings
+    val again = Curate.sampleTemperature(docs.repartition(13), budget)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again == got.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
   test("sample_weighted drops non-positive weights instead of misdrawing them") {
     import spark.implicits._
     // w=0 gave key=+Inf (silently never drawn) and w<0 a negative key

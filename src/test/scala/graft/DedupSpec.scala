@@ -449,4 +449,56 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
     assert(unsalted == inc)
   }
+
+  test("chunkCdc tiles every doc exactly; duplicate view matches a driver replay") {
+    import spark.implicits._
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val lens = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val chunks = Dedup.chunkCdc(docs).collect()
+    // per doc: dense indices, cumulative starts, lengths sum to len
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ==
+        sorted.indices.toSeq, s"doc $id indices")
+      assert(sorted.map(_.getAs[Int]("chunk_start")).toSeq ==
+        sorted.scanLeft(0)((a, r) => a + r.getAs[Int]("chunk_len")).init.toSeq,
+        s"doc $id starts")
+      assert(sorted.map(_.getAs[Int]("chunk_len")).sum == lens(id),
+        s"doc $id total length")
+      assert(sorted.forall(_.getAs[Int]("chunk_len") > 0), s"doc $id empty chunk")
+    }
+    // the dedup view: exactly the chunks whose hash spans >= 2 docs
+    val byHash = chunks.groupBy(_.getAs[Long]("chunk_hash"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).distinct.size).toMap
+    val wantDup = chunks.filter(r => byHash(r.getAs[Long]("chunk_hash")) >= 2)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).toSet
+    val got = Dedup.dedupChunks(docs).collect()
+    assert(got.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).toSet == wantDup)
+    assert(got.nonEmpty, "plants must produce duplicate chunks")
+    got.foreach(r => assert(
+      r.getAs[Long]("n_docs") == byHash(r.getAs[Long]("chunk_hash"))))
+  }
+
+  test("content-defined chunking resynchronizes after a prefix insertion") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).filter(col("doc_id") === 3)
+      .head.getAs[String]("text")
+    assume(base.length > 200, "need a long doc")
+    val docs = Seq((1L, base), (2L, "INSERTED PREFIX >> " + base))
+      .toDF("doc_id", "text")
+    val ch = Dedup.chunkCdc(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("chunk_hash")).toSeq).toMap
+    // all of doc 1's chunks except (at most) its first appear in doc
+    // 2's chunk set: boundaries are content-defined, so the insertion
+    // perturbs only chunks up to the first cut beyond it. A
+    // fixed-offset decomposition would share NOTHING.
+    val shared = ch(1L).toSet & ch(2L).toSet
+    assert(ch(1L).size >= 2, s"doc split into ${ch(1L).size} chunks")
+    assert(ch(1L).drop(1).forall(shared.contains),
+      s"suffix chunks did not resync: ${ch(1L)} vs ${ch(2L)}")
+  }
+
 }

@@ -460,6 +460,34 @@ class TextSpec extends SparkSpec {
       s"recomputed r2 $r2 vs fit ${fit.getAs[Double]("r2")}")
   }
 
+  test("normalizeText is idempotent over adversarial compositions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // strings assembled from every ingredient the op touches: repair
+    // patterns and their outputs, NFD fragments, kept and stripped
+    // controls, plain ASCII — normalize(normalize(x)) == normalize(x)
+    // (repairs can't re-create a pattern, NFC is idempotent, strip is
+    // idempotent), and counts are zero on the second pass
+    val pool = Seq("Ã©", "é", "â€”", "—", "â€™", "é", "Å",
+      "\u0007", "\t", "\u001f", "x", " ", "plain", "Ã¯Ã¨")
+    val rows = (0 until 64).map { i =>
+      val s = (0 until 6).map(j => pool((i * 7 + j * 13) % pool.size)).mkString
+      (i.toLong, s)
+    }.toDF("doc_id", "text")
+    val once = TextFunctions.normalizeText(rows)
+    val again = TextFunctions.normalizeText(
+      once.select(col("doc_id"), col("norm_text").as("text")))
+    val a = once.select("doc_id", "norm_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = again.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    a.foreach { case (id, norm) =>
+      assert(b(id).getAs[String]("norm_text") == norm, s"doc $id not stable")
+      assert(b(id).getAs[Int]("n_mojibake") == 0 &&
+        b(id).getAs[Int]("n_controls") == 0 &&
+        b(id).getAs[Int]("changed") == 0, s"doc $id second pass not clean")
+    }
+  }
+
   test("normalizeText repairs mojibake, strips controls, composes NFC") {
     import spark.implicits._
     val rows = Seq(
