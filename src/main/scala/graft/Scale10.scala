@@ -37,6 +37,10 @@ object Scale10 {
     // per doc, so cost must track the scan + the hit volume
     t(s"spans_excise_${mult}x")(operators.Dedup.dedupSpansExcise(docs).count())
     t(s"spans_maximal_${mult}x")(operators.Dedup.dedupSpansMaximal(docs).count())
+    // content-defined chunking: the same ~len(text)-hashes-per-doc
+    // scan shape as spans (one typed pass + one partial-agg shuffle +
+    // the join back); output tracks duplicate chunks (plants-driven)
+    t(s"dedup_chunks_${mult}x")(operators.Dedup.dedupChunks(docs).count())
     // RAG chunking: one typed pass, output ~ docs x chunks-per-doc —
     // must scale linearly with the corpus
     t(s"chunk_overlap_${mult}x")(operators.Curate.chunkOverlapOn(docs).count())
