@@ -369,8 +369,13 @@ object Curate {
       .agg(count(lit(1)).as("n_l"))
       .withColumn("s_int",
         floor(sqrt(col("n_l").cast("double")) * 1e9 + 0.5).cast("long"))
-    val tot = counts.agg(sum(col("s_int")).as("w_int"))
-    val quotas = counts.crossJoin(broadcast(tot))
+    // total over the LANGUAGE-count frame (a handful of rows): an
+    // unpartitioned window sum, not a crossJoin of the 1-row total —
+    // that plans as a BroadcastNestedLoopJoin and trips the audit
+    val quotas = counts
+      .withColumn("w_int", sum(col("s_int"))
+        .over(Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("lang"),
         expr(s"CAST(($budget * s_int) div w_int AS INT)").as("quota"))
     val w = Window.partitionBy(col("lang"))
