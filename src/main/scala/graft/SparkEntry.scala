@@ -72,6 +72,7 @@ object SparkEntry {
     "ann_ivf_sq8"         -> ((s, d) => Similarity.annIvfSq8(s, d)),
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivf_pq"          -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "ann_prefix"          -> ((s, d) => Similarity.annPrefix(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -1082,6 +1083,34 @@ object SparkEntry {
           round(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
                                        CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // prefix (Matryoshka) tier: shortlist by cosine over the first 32
+    // dims (same rounded-6dp + id tie-break recipe on sliced arrays),
+    // exact full-dim rerank of the bounded shortlist
+    "ann_prefix" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 10),
+      pre AS (
+        SELECT query_id, e.vec_id AS neighbor_id, e.embedding AS nvec, qvec,
+          round(list_cosine_similarity(CAST(qvec[1:32] AS DOUBLE[]),
+                CAST(e.embedding[1:32] AS DOUBLE[])), 6) AS pc
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+      short AS (
+        SELECT query_id, neighbor_id, nvec, qvec FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY pc DESC, neighbor_id) AS pr
+          FROM pre)
+        WHERE pr <= 400),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          round(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                       CAST(nvec AS DOUBLE[])), 6) AS cos_sim
+        FROM short)
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank

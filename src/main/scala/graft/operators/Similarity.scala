@@ -63,6 +63,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ann_prefix: the DIMENSION-TRUNCATION ANN tier (Matryoshka/MRL
+    * serving: rank on the first `prefixDims` dims, rerank the bounded
+    * shortlist on full precision) — the compression axis ORTHOGONAL
+    * to quantization: SQ8/PQ shrink per-dim precision, this drops
+    * dims entirely (the "dimensions" knob modern embedding APIs
+    * expose; MRL trains embeddings so prefixes carry most of the
+    * signal). Shortlist = per-query top-`cand` by prefix cosine
+    * (6 dp, id tie-break — the bruteforce determinism recipe applied
+    * to the sliced arrays), rerank = exact full-dim cosine over cand
+    * rows only. The ISOTROPIC synthetic corpus is this tier's WORST
+    * case — a 32-of-64 prefix holds only half the variance (prefix/
+    * full cosine correlation ≈ √(prefix/dims)) — so the default cand
+    * is the measured knee at that geometry, like PqCand: cand
+    * 200/300/400/500 → recall@5 0.86/0.92/0.96/0.98 at sf0.1 (400 is
+    * the knee — +0.04 over 300 for 1.33× candidates, +0.02 more
+    * costs another 1.25×); MRL-trained embeddings reach the same
+    * recall with a fraction of the candidates. */
+  private[graft] val PrefixDims = 32
+  private[graft] val PrefixCand = 400
+
+  def annPrefix(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                prefixDims: Int = PrefixDims,
+                cand: Int = PrefixCand): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+    val q = broadcast(Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val pre = e.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cos(slice(col("qv"), 1, prefixDims),
+          slice(col("v"), 1, prefixDims)), 6).as("cos_sim"))
+    val top = topKPerQuery(pre, cand).select("query_id", "neighbor_id")
+    pqRerank(top, Tables.embeddings(s, d).filter(col("vec_id") < nQueries),
+      Tables.embeddings(s, d), k)
+  }
+
   // ---- IVF (inverted-file) ANN -----------------------------------------
 
   /** Spherical k-means on a driver-side sample — the coarse quantizer

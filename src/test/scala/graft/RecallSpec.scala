@@ -54,6 +54,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_ivf_pq recall@5 = $recall")
   }
 
+  test("prefix-dim (Matryoshka) recall@5 vs brute force >= 0.8") {
+    // the 32-of-64 prefix holds half the variance on this isotropic
+    // corpus (the tier's worst case); the 400-candidate shortlist +
+    // exact rerank measured 0.96 at sf0.1 (cand 200/300/400/500 →
+    // 0.86/0.92/0.96/0.98 — 400 is the knee; see PrefixCand)
+    val recall = (pairs(Similarity.annPrefix(spark, sf01)) & exact)
+      .size.toDouble / exact.size
+    assert(recall >= 0.8, s"ann_prefix recall@5 = $recall")
+  }
+
   test("composed IVF×SQ8 recall@5 vs brute force >= 0.8") {
     // the composition can only lose what its parts lose: IVF probe
     // misses (0.94 alone at nprobe=16) and SQ8 rank perturbation
