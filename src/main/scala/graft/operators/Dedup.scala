@@ -213,24 +213,33 @@ object Dedup {
     * (the [[dedupSpans]] CPU shape — fanned out, no shuffle);
     * emits (doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash)
     * with chunk_hash the 60-bit md5 of the chunk text. */
+  /** The per-doc CDC decomposition: (chunk_idx, chunk_start,
+    * chunk_len, chunk_hash) — shared by the batch operator and the
+    * streaming form so the two cannot drift. */
+  private[graft] def cdcChunksOf(t: String, w: Int = 16,
+                                 divisor: Int = 64): Seq[(Int, Int, Int, Long)] = {
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + w <= t.length) {
+      if (md5Hash60(t.substring(i, i + w)) % divisor == 0) ends += (i + w)
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != t.length) ends += t.length
+    var start = 0
+    ends.iterator.zipWithIndex.map { case (e, idx) =>
+      val r = (idx, start, e - start, md5Hash60(t.substring(start, e)))
+      start = e
+      r
+    }.toSeq
+  }
+
   def chunkCdc(docs: DataFrame, w: Int = 16, divisor: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.Util.fanOut(docs.select(col("doc_id"), col("text")).as[(Long, String)])
       .flatMap { case (id, t) =>
-        val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = 0
-        while (i + w <= t.length) {
-          if (md5Hash60(t.substring(i, i + w)) % divisor == 0) ends += (i + w)
-          i += 1
-        }
-        if (ends.isEmpty || ends.last != t.length) ends += t.length
-        var start = 0
-        ends.iterator.zipWithIndex.map { case (e, idx) =>
-          val r = (id, idx, start, e - start, md5Hash60(t.substring(start, e)))
-          start = e
-          r
-        }
+        cdcChunksOf(t, w, divisor).iterator.map {
+          case (idx, st, len, h) => (id, idx, st, len, h) }
       }
       .toDF("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_hash")
   }

@@ -184,6 +184,40 @@ object EventStream {
       }
   }
 
+  case class DocText(doc_id: Long, text: String)
+
+  /** Streaming CHUNK-granular dedup: each arriving doc decomposes
+    * into its content-defined chunks
+    * ([[graft.operators.Dedup.cdcChunksOf]] — the SAME per-doc
+    * decomposition the batch operator uses, so the two cannot
+    * drift), and novelty is tracked PER CHUNK hash: a chunk any
+    * earlier doc already carried is dropped, a novel one emits
+    * (chunk_hash, keeper_doc) — the streaming half of sub-doc
+    * storage-granular dedup, where a chunk-store ingest ships only
+    * novel chunks. State is one long per distinct chunk hash
+    * (the [[streamingDedup]] bound — a TTL variant composes the
+    * same way); the decompose is a stateless flatMap ahead of the
+    * keyed state, so the shuffle moves (hash, doc) longs, never
+    * text. Spec'd: a two-batch split equals the batch keeper view. */
+  def streamingChunkDedup(docs: Dataset[DocText], w: Int = 16,
+                          divisor: Int = 64): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.operators.Dedup.cdcChunksOf(d.text, w, divisor)
+        .map(c => (c._4, d.doc_id)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = rows.map(_._2).min
+            state.update(keeper)
+            Iterator.single((hash, keeper))
+          }
+      }
+  }
+
   /** Streaming INCREMENTAL dedup: arrivals are dropped when their
     * content hash already exists in a STATIC standing-corpus index
     * (stream-static join — stateless, re-read per micro-batch, so at

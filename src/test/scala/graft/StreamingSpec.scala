@@ -165,6 +165,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batchKeepers.size)
   }
 
+  test("streaming chunk dedup matches the batch chunk-keeper view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingChunkDedup(input.toDS())
+      .toDF("chunk_hash", "keeper_doc")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chunk_dedup_stream_test").start()
+    // batch 1 originals, batch 2 plants (higher ids): first-seen
+    // keeper per CHUNK hash == the batch min-doc keeper, because the
+    // planted duplicates arrive strictly after the originals
+    val docs = operators.Dedup.withPlants(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("text"))
+      .as[EventStream.DocText].collect()
+    val (originals, plants) = docs.partition(_.doc_id < 100000)
+    input.addData(originals.toSeq)
+    q.processAllAvailable()
+    input.addData(plants.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_dedup_stream_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchKeepers = operators.Dedup
+      .chunkCdc(operators.Dedup.withPlants(Tables.documents(spark, sf)))
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batchKeepers)
+    // duplicate chunks really exist (the plants guarantee repeats
+    // across docs), yet each hash emitted exactly once
+    assert(streamed.size == batchKeepers.size)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming incremental dedup: corpus hashes drop statelessly, stream novelty dedups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
