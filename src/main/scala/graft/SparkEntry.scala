@@ -121,6 +121,7 @@ object SparkEntry {
     "text_normalize"      -> TextFunctions.textNormalize _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
+    "dedup_chunks_excise" -> Dedup.dedupChunksExcise _,
   )
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -730,6 +731,58 @@ object SparkEntry {
         c.chunk_hash, u.n_docs
       FROM chunks c JOIN dups u USING (chunk_hash)
       ORDER BY c.doc_id, c.chunk_idx""",
+
+    // chunk-granular excision: same decomposition as dedup_chunks,
+    // keeper = first (doc_id, chunk_idx) per hash via window rank,
+    // per-doc reassembly of kept slices with '~' seams
+    "dedup_chunks_excise" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      wpos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - 14)) AS i
+        FROM docs WHERE length(text) >= 16),
+      cuts AS (
+        SELECT doc_id, i + 15 AS e
+        FROM wpos
+        WHERE CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', md5(text[i:i+15])[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+              % 64 = 0),
+      ends AS (
+        SELECT doc_id, e FROM cuts
+        UNION SELECT doc_id, length(text) AS e FROM docs),
+      ch AS (
+        SELECT doc_id, e,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS st0,
+          row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx
+        FROM ends),
+      chunks AS (
+        SELECT c.doc_id,
+          CAST(c.chunk_idx AS INT) AS chunk_idx,
+          CAST(c.st0 AS INT) AS chunk_start,
+          CAST(c.e - c.st0 AS INT) AS chunk_len,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef',
+                   md5(d.text[c.st0 + 1 : c.e])[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS chunk_hash
+        FROM ch c JOIN docs d USING (doc_id)),
+      marked AS (
+        SELECT *, (row_number() OVER (PARTITION BY chunk_hash
+                    ORDER BY doc_id, chunk_idx) = 1) AS kept
+        FROM chunks)
+      SELECT m.doc_id,
+        CAST(COUNT(*) AS INT) AS n_chunks,
+        CAST(COUNT(CASE WHEN NOT kept THEN 1 END) AS INT) AS n_excised,
+        string_agg(CASE WHEN kept
+                     THEN substr(d.text, chunk_start + 1, chunk_len)
+                     ELSE '~' END, '' ORDER BY chunk_idx) AS excised_text
+      FROM marked m JOIN docs d USING (doc_id)
+      GROUP BY m.doc_id
+      ORDER BY m.doc_id""",
 
     // same 60-bit window hashes as dedup_spans, WITH offsets; islands
     // coalesce overlapping/adjacent repeated windows (ends are

@@ -266,6 +266,53 @@ object Dedup {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** dedup_chunks_excise: the REMOVAL half of chunk dedup — keep ONE
+    * occurrence of every duplicated chunk corpus-wide (the FIRST in
+    * (doc_id, chunk_idx) order — one window rank per chunk hash,
+    * identical on both engines) and cut every other occurrence out of
+    * its document, each replaced by one `marker` char (the
+    * [[dedupSpansExcise]] seam discipline at chunk granularity — the
+    * RefinedWeb-style boilerplate removal a chunk-store pipeline runs
+    * so repeated blocks survive exactly once into training).
+    *
+    * Scale shape: the decomposition scan ([[chunkCdc]], checkpointed
+    * once), one window rank partitioned by chunk hash (chunk-count
+    * rows of longs, never text), one per-doc collect_list (bounded by
+    * a doc's own chunk count), and a typed rebuild over (text,
+    * interval list). Nothing quadratic, nothing driver-side. */
+  def dedupChunksExcise(s: SparkSession, d: String): DataFrame =
+    dedupChunksExcise(withPlants(Tables.documents(s, d)))
+
+  def dedupChunksExcise(docs: DataFrame, w: Int = 16, divisor: Int = 64,
+                        marker: String = "~"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = chunkCdc(docs, w, divisor).localCheckpoint()
+    val rankW = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val marked = chunks
+      .withColumn("kept", row_number().over(rankW) === 1)
+    val plan = marked.groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("chunk_idx").as("_1"), col("chunk_start").as("_2"),
+          col("chunk_len").as("_3"), col("kept").as("_4")))).as("cs"),
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("kept"), 0).otherwise(1)).cast("int").as("n_excised"))
+    docs.select(col("doc_id"), col("text"))
+      .join(plan, "doc_id")
+      .as[(Long, String, Seq[(Int, Int, Int, Boolean)], Int, Int)]
+      .map { case (id, t, cs, nc, ne) =>
+        val sb = new java.lang.StringBuilder(t.length)
+        cs.foreach { case (_, st, len, kept) =>
+          if (kept) sb.append(t, st, st + len) else sb.append(marker) }
+        (id, nc, ne, sb.toString)
+      }
+      .toDF("doc_id", "n_chunks", "n_excised", "excised_text")
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_spans_excise: the REMOVAL half of span dedup — the
     * remove-substring surgery real pipelines run on the [[dedupSpans]]
     * detections (the C4/RefinedWeb boilerplate-excision step; cf. Lee

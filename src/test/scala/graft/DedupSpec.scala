@@ -501,4 +501,49 @@ class DedupSpec extends SparkSpec {
       s"suffix chunks did not resync: ${ch(1L)} vs ${ch(2L)}")
   }
 
+
+  test("chunk excision keeps exactly one occurrence of every duplicated chunk") {
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val chunks = Dedup.chunkCdc(docs).collect()
+    val out = Dedup.dedupChunksExcise(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // global accounting: per hash, exactly one occurrence survives
+    val occ = chunks.groupBy(_.getAs[Long]("chunk_hash")).view.mapValues(_.length)
+    val wantExcised = occ.values.map(_ - 1).sum
+    assert(out.values.map(_.getAs[Int]("n_excised")).sum == wantExcised)
+    assert(wantExcised > 0, "plants must force excisions")
+    // the keeper is the FIRST (doc_id, chunk_idx) occurrence: a doc
+    // whose every chunk is globally first passes through unchanged
+    val keeper = chunks.groupBy(_.getAs[Long]("chunk_hash")).view.mapValues(
+      _.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).min).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val allKept = rs.forall(r => keeper(r.getAs[Long]("chunk_hash")) ==
+        (id, r.getAs[Int]("chunk_idx")))
+      if (allKept)
+        assert(out(id).getAs[String]("excised_text") == texts(id),
+          s"doc $id changed despite owning all its chunks")
+      else
+        assert(out(id).getAs[String]("excised_text") != texts(id),
+          s"doc $id unchanged despite losing chunks")
+      // reassembly: kept slices in order, one '~' per excised chunk
+      val want = rs.sortBy(_.getAs[Int]("chunk_idx")).map { r =>
+        val kept = keeper(r.getAs[Long]("chunk_hash")) ==
+          (id, r.getAs[Int]("chunk_idx"))
+        if (kept) texts(id).substring(r.getAs[Int]("chunk_start"),
+          r.getAs[Int]("chunk_start") + r.getAs[Int]("chunk_len"))
+        else "~"
+      }.mkString
+      assert(out(id).getAs[String]("excised_text") == want, s"doc $id rebuild")
+      assert(out(id).getAs[Int]("n_chunks") == rs.length)
+    }
+    // exact-replica plants (doc_id+100000, doc_id < 25) lose EVERY
+    // chunk: their excised text is all seams
+    out.collect { case (id, r) if id >= 100000 && id < 100025 => r }
+      .foreach { r => assert(
+        r.getAs[String]("excised_text").forall(_ == '~'),
+        s"replica ${r.getAs[Long]("doc_id")} kept a chunk") }
+  }
+
 }
