@@ -41,6 +41,8 @@ object Scale10 {
     // scan shape as spans (one typed pass + one partial-agg shuffle +
     // the join back); output tracks duplicate chunks (plants-driven)
     t(s"dedup_chunks_${mult}x")(operators.Dedup.dedupChunks(docs).count())
+    t(s"dedup_chunks_excise_${mult}x")(
+      operators.Dedup.dedupChunksExcise(docs).count())
     // RAG chunking: one typed pass, output ~ docs x chunks-per-doc —
     // must scale linearly with the corpus
     t(s"chunk_overlap_${mult}x")(operators.Curate.chunkOverlapOn(docs).count())
