@@ -85,6 +85,7 @@ object SparkEntry {
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "ngram_lm_score"      -> TextFunctions.ngramLmScore _,
     "ngram_lm_heldout"    -> TextFunctions.ngramLmHeldOut _,
+    "ngram_lm_interp"     -> TextFunctions.ngramLmInterp _,
     "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
     "bpe_token_count"     -> ((s, d) => functions.Bpe.bpeTokenCount(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
@@ -1396,6 +1397,57 @@ object SparkEntry {
         LEFT JOIN model m USING (bigram)
         LEFT JOIN ctx c USING (w1)
         CROSS JOIN voc),
+      agg AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
+        FROM scored GROUP BY doc_id),
+      fin AS (
+        SELECT doc_id, n_bigrams,
+          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
+        FROM agg)
+      SELECT doc_id, n_bigrams, avg_neg_logp,
+        round(exp(avg_neg_logp), 6) AS ppl
+      FROM fin ORDER BY doc_id""",
+
+    // Jelinek-Mercer interpolation: λ-terms are literal × one IEEE
+    // division each, summed left-associatively in the same tree; ln
+    // onward is the ngram_lm recipe verbatim
+    "ngram_lm_interp" -> raw"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      bgl AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
+      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs
+                WHERE doc_id % 50 <> 0 GROUP BY 1),
+      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs
+              WHERE doc_id % 50 <> 0 GROUP BY 1),
+      traintok AS (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 50 <> 0),
+      uni AS (SELECT tok AS w2, COUNT(*) AS ucnt FROM traintok GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM traintok),
+      voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM traintok),
+      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.k,
+          CAST(round(ln(
+            (CASE WHEN COALESCE(c.ctx, 0) > 0
+               THEN CAST(0.7 AS DOUBLE) *
+                    (CAST(COALESCE(m.cnt, 0) AS DOUBLE) / CAST(c.ctx AS DOUBLE))
+               ELSE CAST(0.0 AS DOUBLE) END)
+            + CAST(0.25 AS DOUBLE) *
+              (CAST(COALESCE(u.ucnt, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE))
+            + CAST(0.05 AS DOUBLE) / CAST(voc.v AS DOUBLE)), 9)
+            AS DECIMAL(13,9)) AS lp
+        FROM docbg d
+        LEFT JOIN model m USING (bigram)
+        LEFT JOIN ctx c USING (w1)
+        LEFT JOIN uni u ON u.w2 = string_split(d.bigram, ' ')[2]
+        CROSS JOIN tot CROSS JOIN voc),
       agg AS (
         SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
           SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp

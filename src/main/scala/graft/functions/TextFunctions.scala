@@ -492,6 +492,64 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** ngram_lm_interp — the JELINEK-MERCER interpolated gate, the
+    * third standard smoothing next to MLE ([[ngramLmScoreWith]]) and
+    * add-α ([[ngramLmHeldOut]]): p = λ₂·p_bigram + λ₁·p_unigram +
+    * λ₀·(1/V) at fixed (0.7, 0.25, 0.05). Backing off through the
+    * unigram lets a NOVEL BIGRAM of two COMMON words score near its
+    * unigram mass instead of crashing to the add-α floor — the
+    * distinction that separates "unusual phrasing" from true
+    * gibberish (whose unigrams are unseen too, leaving only the
+    * uniform floor). Trained on the %50 carve like the held-out gate.
+    *
+    * Determinism: each λ-term is literal × (one IEEE division of
+    * exact-integer-derived doubles), summed LEFT-ASSOCIATIVELY in an
+    * identical expression tree on both engines (p ≥ 0.05/V > 0
+    * always); from ln on, the [[ngramLmScoreWith]] recipe verbatim.
+    * Scale shape: the heldout joins plus one more broadcastable
+    * unigram-vocab join; train totals are two bounded driver scalars
+    * (the bm25 nDocs precedent). */
+  def ngramLmInterp(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = ngramLmModel(docBigrams(train))
+    val uni = train.select(explode(tokens(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("ucnt"))
+    val stats = train.select(explode(tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v")).head()
+    ngramLmInterpExact(docBigrams(docs), model, ctx, uni,
+      stats.getAs[Long]("n"), stats.getAs[Long]("v"))
+  }
+
+  /** Exact-decimal core of [[ngramLmInterp]] (λ fixed at
+    * 0.7/0.25/0.05 — parsed to identical doubles by both engines). */
+  def ngramLmInterpExact(docBg: DataFrame, model: DataFrame,
+                         ctx: DataFrame, uni: DataFrame,
+                         totalTokens: Long, vocab: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pBi = when(coalesce(col("ctx"), lit(0L)) > 0,
+        lit(0.7) * (coalesce(col("cnt"), lit(0L)).cast("double") /
+          col("ctx").cast("double")))
+      .otherwise(lit(0.0))
+    val pUni = lit(0.25) * (coalesce(col("ucnt"), lit(0L)).cast("double") /
+      lit(totalTokens.toDouble))
+    val pFloor = lit(0.05) / lit(vocab.toDouble)
+    val lp = round(log(pBi + pUni + pFloor), 9).cast(DecimalType(13, 9))
+    docBg
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(model, Seq("bigram"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast(DecimalType(9, 0)) * lp).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("slp").cast("double") / col("n_bigrams")), 6)
+          .as("avg_neg_logp"))
+      .withColumn("ppl", round(exp(col("avg_neg_logp")), 6))
+      .orderBy(col("doc_id"))
+  }
+
   def ngramLmScore(s: SparkSession, d: String): DataFrame =
     ngramLmScore(Tables.documents(s, d))
 

@@ -460,6 +460,42 @@ class TextSpec extends SparkSpec {
       s"recomputed r2 $r2 vs fit ${fit.getAs[Double]("r2")}")
   }
 
+  test("interpolated LM separates novel phrasing from true gibberish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, count, countDistinct, lit}
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = TextFunctions.ngramLmModel(TextFunctions.docBigrams(train))
+    val uni = train.select(explode(TextFunctions.tokens(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("ucnt"))
+    val stats = train.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v")).head()
+    // three probes: natural text (common bigrams), a SHUFFLED pairing
+    // of common words (novel bigrams, seen unigrams — the JM case:
+    // backs off to unigram mass), and true gibberish (unseen unigrams
+    // — only the uniform floor remains)
+    val common = train.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(12).collect().map(_.getString(0))
+    val natural = docs.filter(col("doc_id") === 1).head.getAs[String]("text")
+    val shuffled = (common.grouped(2).map(_.reverse.mkString(" ")).toSeq ++
+      common.reverse.grouped(3).map(_.mkString(" "))).mkString(" ")
+    val gibberish = (1 to 40).map(i => s"zzqx$i").mkString(" ")
+    val probes = Seq((1L, natural), (2L, shuffled), (3L, gibberish))
+      .toDF("doc_id", "text")
+    val scored = TextFunctions.ngramLmInterpExact(
+        TextFunctions.docBigrams(probes), model, ctx, uni,
+        stats.getAs[Long]("n"), stats.getAs[Long]("v"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(scored(1L) < scored(3L), s"natural ${scored(1L)} !< gib ${scored(3L)}")
+    assert(scored(2L) < scored(3L),
+      s"novel-common ${scored(2L)} !< gibberish ${scored(3L)} — " +
+        "the unigram back-off must beat the uniform floor")
+    // the floor is where gibberish lands: ppl ≈ 1/(0.05/V)-ish scale,
+    // far above anything with seen unigrams
+    assert(scored(3L) > 10 * scored(2L), scored.toString)
+  }
+
   test("normalizeText is idempotent over adversarial compositions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
