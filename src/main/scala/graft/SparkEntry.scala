@@ -73,6 +73,7 @@ object SparkEntry {
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivf_pq"          -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_prefix"          -> ((s, d) => Similarity.annPrefix(s, d)),
+    "ann_ivf_prefix"      -> ((s, d) => Similarity.annIvfPrefix(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -135,6 +136,7 @@ object SparkEntry {
       ("ann_ivf_sq8" -> Similarity.annIvfSq8OracleSql(s, d)) +
       ("ann_pq" -> Similarity.annPqOracleSql(s, d)) +
       ("ann_ivf_pq" -> Similarity.annIvfPqOracleSql(s, d)) +
+      ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d))
 

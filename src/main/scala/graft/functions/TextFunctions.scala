@@ -218,7 +218,12 @@ object TextFunctions {
     * Emits md5(normalized) rather than the text itself to keep the
     * compare payload small. */
   def textNormalize(s: SparkSession, d: String): DataFrame = {
-    val moji = " caf\u00c3\u00a9 \u00e2\u20ac\u201d na\u00c3\u00afve"
+    // NOTE the trailing "it's" mojibake: its third char is U+2122
+    // (the cp1252 misreading of UTF-8 byte 0x99), i.e. real
+    // right-single-quote mojibake \u2014 included so the gate exercises
+    // that repair entry (r11 advice: it was unverified before).
+    val moji = " caf\u00c3\u00a9 \u00e2\u20ac\u201d na\u00c3\u00afve" +
+      " it\u00e2\u20ac\u2122s"
     val ctrl = "\u0007e\u0301x\u001f"
     val degraded = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -249,7 +254,8 @@ object TextFunctions {
           CASE WHEN doc_id % 7 = 0
             THEN text || ' caf' || chr(195) || chr(169) || ' ' ||
                  chr(226) || chr(8364) || chr(8221) || ' na' ||
-                 chr(195) || chr(175) || 've'
+                 chr(195) || chr(175) || 've it' ||
+                 chr(226) || chr(8364) || chr(8482) || 's'
             ELSE text END AS base
         FROM documents)),
     norm AS (
@@ -260,14 +266,14 @@ object TextFunctions {
             chr(195)||chr(168), chr(232)),
             chr(195)||chr(175), chr(239)),
             chr(226)||chr(8364)||chr(8221), chr(8212)),
-            chr(226)||chr(8364)||chr(8217), chr(8217)),
+            chr(226)||chr(8364)||chr(8482), chr(8217)),
           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm,
         CAST(
           (length(text) - length(replace(text, chr(195)||chr(169), ''))) // 2
         + (length(text) - length(replace(text, chr(195)||chr(168), ''))) // 2
         + (length(text) - length(replace(text, chr(195)||chr(175), ''))) // 2
         + (length(text) - length(replace(text, chr(226)||chr(8364)||chr(8221), ''))) // 3
-        + (length(text) - length(replace(text, chr(226)||chr(8364)||chr(8217), ''))) // 3
+        + (length(text) - length(replace(text, chr(226)||chr(8364)||chr(8482), ''))) // 3
           AS INT) AS n_mojibake,
         CAST(length(text) - length(regexp_replace(text,
           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS INT) AS n_controls

@@ -565,7 +565,7 @@ object Curate {
         CAST(list_sum(list_transform(range(1, 14),
           k -> (strpos('0123456789abcdef', md5('wsample:' || doc_id)[k:k]) - 1)
                * CAST(16 ** (13 - k) AS BIGINT))) AS BIGINT) AS hv
-      FROM documents)
+      FROM documents WHERE n_chars > 0)
     SELECT doc_id, lang, n_chars,
       round(-round(ln(CAST(hv * 2 + 1 AS DOUBLE) /
                       CAST(9007199254740992 AS DOUBLE)), 9)

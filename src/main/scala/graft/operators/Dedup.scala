@@ -313,6 +313,124 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** One-shot NEW-BATCH vs CORPUS chunk detection — the chunk-granular
+    * member of the cross-set family ([[dedupIncremental]] /
+    * [[dedupSpansIncremental]]): decompose both sides with
+    * [[chunkCdc]], equi-join batch chunks to the corpus's DISTINCT
+    * chunk hashes (min-doc keeper), report per (hash, keeper) how many
+    * batch docs/occurrences carry it. Cost tracks the batch — the
+    * corpus side is one distinct-hash aggregate, at scale a maintained
+    * artifact ([[writeChunkIndex]]). */
+  def dedupChunksIncremental(corpus: DataFrame, batch: DataFrame,
+                             w: Int = 16, divisor: Int = 64): DataFrame = {
+    val cIdx = chunkCdc(corpus, w, divisor)
+      .groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("keeper_id"))
+    chunkCdc(batch, w, divisor)
+      .join(cIdx, "chunk_hash")
+      .groupBy(col("chunk_hash"), col("keeper_id"))
+      .agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        count(lit(1)).as("n_batch_occurrences"))
+      .orderBy(col("chunk_hash"))
+  }
+
+  /** Persist the corpus's chunk index — (chunk_hash, keeper_id), one
+    * row per DISTINCT CDC chunk hash (≈ text_bytes/divisor rows,
+    * orders of magnitude smaller than the window stream): the
+    * write-once artifact of the chunk-store dedup loop, mirroring
+    * [[writeSpanIndex]]. Appends from [[dedupChunksIncrementalStep]]
+    * may repeat a hash across generations; readers re-aggregate
+    * min(keeper_id) per hash, and [[compactChunkIndex]] folds the
+    * collapse into the periodic rewrite. */
+  def writeChunkIndex(docs: DataFrame, dir: String, w: Int = 16,
+                      divisor: Int = 64): Unit =
+    chunkCdc(docs, w, divisor)
+      .groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** One day of the chunk-dedup production loop (the CDC analog of
+    * [[dedupSpansIncrementalStep]]): decompose the arriving batch
+    * ONCE, detect its corpus-known chunks against the maintained
+    * index, then append the batch's own (hash, keeper) rows so
+    * tomorrow's batch sees today's chunks. Detection is materialized
+    * BEFORE the append. Loop invariant spec'd in DedupSpec: day-N
+    * detection ≡ [[dedupChunksIncremental]] of (corpus ∪ earlier
+    * batches, day-N batch). */
+  def dedupChunksIncrementalStep(s: SparkSession, indexDir: String,
+                                 batch: DataFrame, w: Int = 16,
+                                 divisor: Int = 64): DataFrame = {
+    val bChunks = chunkCdc(batch, w, divisor).localCheckpoint()
+    val idx = s.read.parquet(indexDir)
+      .groupBy(col("chunk_hash")).agg(min(col("keeper_id")).as("keeper_id"))
+    val hits = bChunks.join(idx, "chunk_hash")
+      .groupBy(col("chunk_hash"), col("keeper_id"))
+      .agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        count(lit(1)).as("n_batch_occurrences"))
+      .localCheckpoint() // eager: detect strictly before the append
+    bChunks.groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("append").parquet(indexDir)
+    hits.orderBy(col("chunk_hash"))
+  }
+
+  /** Periodic maintenance for the chunk-index log: same semantic
+    * collapse as [[compactSpanIndex]] — min(keeper_id) per hash folded
+    * into the file rewrite, reader-identical, path stable. */
+  def compactChunkIndex(s: SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes,
+      transform = _.groupBy(col("chunk_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
+  /** The excise form of the daily chunk loop — what an incremental
+    * curation pipeline actually runs per day: cut from each batch doc
+    * every chunk the MAINTAINED index already holds (corpus-known
+    * content survives only at its original keeper) AND every repeat
+    * within the batch beyond its first occurrence (the
+    * [[dedupChunksExcise]] window-rank rule, scoped to the batch),
+    * each replaced by one `marker` char; then append the batch's
+    * chunk hashes so tomorrow's batch sees today's content. Returns
+    * (doc_id, n_chunks, n_excised, excised_text). Composition
+    * invariant spec'd in DedupSpec: a batch that copies a corpus doc
+    * comes back all-marker; running the same batch twice excises
+    * everything the second time. */
+  def dedupChunksExciseIncrementalStep(s: SparkSession, indexDir: String,
+                                       batch: DataFrame, w: Int = 16,
+                                       divisor: Int = 64,
+                                       marker: String = "~"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val bChunks = chunkCdc(batch, w, divisor).localCheckpoint()
+    val idx = s.read.parquet(indexDir)
+      .select(col("chunk_hash"), lit(1).as("_corpus_hit")).distinct()
+    val rankW = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val marked = bChunks
+      .join(idx, Seq("chunk_hash"), "left_outer")
+      .withColumn("kept", col("_corpus_hit").isNull &&
+        row_number().over(rankW) === 1)
+    val plan = marked.groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("chunk_idx").as("_1"), col("chunk_start").as("_2"),
+          col("chunk_len").as("_3"), col("kept").as("_4")))).as("cs"),
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("kept"), 0).otherwise(1)).cast("int").as("n_excised"))
+    val out = batch.select(col("doc_id"), col("text"))
+      .join(plan, "doc_id")
+      .as[(Long, String, Seq[(Int, Int, Int, Boolean)], Int, Int)]
+      .map { case (id, t, cs, nc, ne) =>
+        val sb = new java.lang.StringBuilder(t.length)
+        cs.foreach { case (_, st, len, kept) =>
+          if (kept) sb.append(t, st, st + len) else sb.append(marker) }
+        (id, nc, ne, sb.toString)
+      }
+      .toDF("doc_id", "n_chunks", "n_excised", "excised_text")
+      .localCheckpoint() // eager: excise strictly before the append
+    bChunks.groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("append").parquet(indexDir)
+    out.orderBy(col("doc_id"))
+  }
+
   /** dedup_spans_excise: the REMOVAL half of span dedup — the
     * remove-substring surgery real pipelines run on the [[dedupSpans]]
     * detections (the C4/RefinedWeb boilerplate-excision step; cf. Lee

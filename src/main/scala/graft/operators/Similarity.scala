@@ -83,9 +83,27 @@ object Similarity {
   private[graft] val PrefixDims = 32
   private[graft] val PrefixCand = 400
 
+  /** Since r12 the exact tier ROUTES THROUGH the composed
+    * [[annIvfPrefix]] at exhaustive nprobe (= nlist): the probe then
+    * prunes nothing, so results are bit-identical to the flat
+    * broadcast-≠ corpus scan ([[annPrefixFlat]], kept as the spec's
+    * ground truth) — but the candidate join is a bucket EQUI-join,
+    * retiring this tier's BroadcastNestedLoopJoin from the serving
+    * path (the bucket-assignment map adds ~nlist·dim flops/vector,
+    * noise next to the prefix scoring itself). */
   def annPrefix(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
                 prefixDims: Int = PrefixDims,
-                cand: Int = PrefixCand): DataFrame = {
+                cand: Int = PrefixCand): DataFrame =
+    annIvfPrefix(s, d, nQueries, k, nlist = IvfNlist, nprobe = IvfNlist,
+      prefixDims = prefixDims, cand = cand)
+
+  /** The flat broadcast-≠ corpus-scan form of the prefix tier — the
+    * reference implementation [[annPrefix]] is spec'd bit-identical
+    * to (SimilaritySpec); not a serving path. */
+  private[graft] def annPrefixFlat(s: SparkSession, d: String,
+                                   nQueries: Int = 10, k: Int = 5,
+                                   prefixDims: Int = PrefixDims,
+                                   cand: Int = PrefixCand): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
     val q = broadcast(Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
@@ -605,6 +623,138 @@ object Similarity {
       round(cos(col("qv"), col("embedding")), 6).as("cos_sim")), k)
   }
 
+  // ---- IVF × prefix (the composed Matryoshka serving tier) --------------
+
+  /** ann_ivf_prefix: [[annPrefix]]'s dimension-truncation shortlist
+    * composed INSIDE the IVF probe — the same composition
+    * [[annIvfSq8]] / [[annIvfPq]] give their flat tiers, closing the
+    * prefix tier's corpus-scan baseline: candidates come only from
+    * each query's `nprobe` nearest centroid buckets (a bucket
+    * equi-join — no broadcast-≠ BNLJ anywhere in the plan), are
+    * shortlisted by prefix cosine over the first `prefixDims` dims
+    * (6 dp + id tie-break, the [[annPrefix]] determinism recipe),
+    * and the bounded shortlist is reranked at full dimension. At
+    * exhaustive nprobe (= nlist) the probe stops pruning and the
+    * result is bit-identical to the flat [[annPrefix]] (spec'd in
+    * SimilaritySpec) — so the flat tier is exactly this operator's
+    * degenerate point, and production serves the pruned form. */
+  def annIvfPrefix(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                   nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                   prefixDims: Int = PrefixDims,
+                   cand: Int = PrefixCand): DataFrame = {
+    val c = annIvfCandidatesWithVecs(s, d, nQueries, nlist, nprobe)
+    val pre = c.select(col("query_id"), col("neighbor_id"),
+      round(cos(slice(col("qv"), 1, prefixDims),
+        slice(col("v"), 1, prefixDims)), 6).as("cos_sim"))
+    val top = topKPerQuery(pre, cand).select("query_id", "neighbor_id")
+    pqRerank(top, Tables.embeddings(s, d).filter(col("vec_id") < nQueries),
+      Tables.embeddings(s, d), k)
+  }
+
+  /** Serve one query batch against the stored bucket-partitioned IVF
+    * layout ([[writeIvfPartitioned]]) with the prefix shortlist: the
+    * [[annIvfServeBatch]] probed-bucket pruned scan (pushed-down
+    * `bucket IN (...)`), prefix-cosine shortlist per query, full-dim
+    * rerank against the SAME pruned layout rows — the layout stores
+    * full-precision embeddings, so the prefix view is a free slice at
+    * read and the rerank re-reads only probed partitions. Per-batch
+    * cost tracks probes × shortlist, never corpus size. Spec'd equal
+    * to [[annIvfPrefix]] at the same geometry. */
+  def annIvfPrefixServeBatch(s: SparkSession, dir: String,
+                             cents: Array[Array[Double]], queries: DataFrame,
+                             k: Int = 5, nprobe: Int = IvfNprobe,
+                             prefixDims: Int = PrefixDims,
+                             cand: Int = PrefixCand,
+                             excludeSelf: Boolean = false): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val corpus = s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
+    val candf = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
+                else cand0
+    val pre = candf.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(cos(slice(col("qv"), 1, prefixDims),
+        slice(col("embedding"), 1, prefixDims)), 6).as("cos_sim"))
+    val top = topKPerQuery(pre, cand).select("query_id", "neighbor_id")
+    val qv = queries.select(col("query_id"), col("embedding").as("qv"))
+    val nv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("v"))
+    topKPerQuery(top.join(broadcast(qv), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+  }
+
+  /** DuckDB oracle for ann_ivf_prefix — the [[annIvfOracleSql]]
+    * assign/probe CTEs (trained centroids as literals) with the
+    * ann_prefix shortlist-then-rerank tail spliced between candidate
+    * generation and the final rank. */
+  def annIvfPrefixOracleSql(s: SparkSession, d: String, nQueries: Int = 10,
+                            k: Int = 5, nlist: Int = IvfNlist,
+                            nprobe: Int = IvfNprobe,
+                            prefixDims: Int = PrefixDims,
+                            cand: Int = PrefixCand): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""
+      WITH cents(cid, c) AS (VALUES
+        $centsSql),
+      scored AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+      cnd AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probes p
+          ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+      pre AS (
+        SELECT c.query_id, c.neighbor_id,
+          qe.embedding AS qvec, ne.embedding AS nvec,
+          round(list_cosine_similarity(
+            CAST(qe.embedding[1:$prefixDims] AS DOUBLE[]),
+            CAST(ne.embedding[1:$prefixDims] AS DOUBLE[])), 6) AS pc
+        FROM cnd c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+      short AS (
+        SELECT query_id, neighbor_id, qvec, nvec FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY pc DESC, neighbor_id) AS pr
+          FROM pre)
+        WHERE pr <= $cand),
+      rer AS (
+        SELECT query_id, neighbor_id,
+          round(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                       CAST(nvec AS DOUBLE[])), 6) AS cos_sim
+        FROM short)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   // ---- PQ (product quantization) ---------------------------------------
 
   /** Default PQ geometry over the 64-dim corpus: 8 subspaces × 16
@@ -1067,12 +1217,18 @@ object Similarity {
 
   /** Compute [[IvfPqLayoutStats]]: occupancy from one column-pruned
     * pass over the code layout; quantization error over a BOUNDED
-    * deterministic sample (lowest `sampleN` vec_ids, the quantizer-
-    * training convention) joined to the full-precision corpus `emb` —
+    * deterministic sample joined to the full-precision corpus `emb` —
     * the layout stores only 4-byte codes, and serving already keeps
-    * the full-precision table beside it for the exact rerank. Run at
-    * write time for the baseline snapshot, per maintenance cycle for
-    * the drift check ([[ivfPqDrifted]]). */
+    * the full-precision table beside it for the exact rerank. The
+    * sample is the `sampleN` smallest by xxhash64(vec_id) — a
+    * deterministic uniform draw across the WHOLE id range, so newly
+    * appended (high-id) vectors are represented and the error axis
+    * can actually see drifting arrivals; sampling the lowest ids
+    * (the quantizer-training convention) would freeze the sample at
+    * the original corpus (r11 advice). Still one TakeOrdered — no
+    * global sort materializes. Run at write time for the baseline
+    * snapshot, per maintenance cycle for the drift check
+    * ([[ivfPqDrifted]]). */
   def ivfPqLayoutStats(s: SparkSession, dir: String,
                        cents: Array[Array[Double]],
                        books: Array[Array[Array[Double]]],
@@ -1088,7 +1244,7 @@ object Similarity {
     val bcB = s.sparkContext.broadcast(books)
     val sample = s.read.parquet(dir)
       .select(col("vec_id"), col("bucket"), col("codes"))
-      .orderBy("vec_id").limit(sampleN)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
     val errs = sample
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("bucket"), col("codes"), col("embedding"))

@@ -218,6 +218,43 @@ object EventStream {
       }
   }
 
+  /** Streaming INCREMENTAL chunk dedup: the maintained chunk-index
+    * artifact ([[graft.operators.Dedup.writeChunkIndex]]) consumed
+    * the way [[streamingIncrementalDedup]] consumes the band index —
+    * an arriving doc's chunks are first filtered against the STATIC
+    * standing-corpus chunk hashes (stream-static left_outer + IS
+    * NULL; stateless, so corpus membership costs ZERO streaming
+    * state), and only corpus-novel chunks pay the keyed first-seen
+    * state. Emits (chunk_hash, keeper_doc) once per chunk novel to
+    * corpus AND stream. Parity spec'd in StreamingSpec: equals the
+    * batch [[streamingChunkDedup]] view minus index-known hashes. */
+  def streamingIncrementalChunkDedup(docs: Dataset[DocText],
+                                     chunkIndex: DataFrame, w: Int = 16,
+                                     divisor: Int = 64): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val novel = docs
+      .flatMap(d => graft.operators.Dedup.cdcChunksOf(d.text, w, divisor)
+        .map(c => (c._4, d.doc_id)))
+      .toDF("chunk_hash", "doc_id")
+      .join(chunkIndex.select(col("chunk_hash"),
+          lit(1).as("_corpus_hit")).distinct(),
+        Seq("chunk_hash"), "left_outer")
+      .filter(col("_corpus_hit").isNull)
+      .select(col("chunk_hash"), col("doc_id"))
+      .as[(Long, Long)]
+    novel.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = rows.map(_._2).min
+            state.update(keeper)
+            Iterator.single((hash, keeper))
+          }
+      }
+  }
+
   /** Streaming INCREMENTAL dedup: arrivals are dropped when their
     * content hash already exists in a STATIC standing-corpus index
     * (stream-static join — stateless, re-read per micro-batch, so at

@@ -290,6 +290,74 @@ class DedupSpec extends SparkSpec {
       "day-2 copy of a day-1 doc not detected through the appended index")
   }
 
+  test("maintained chunk index: daily steps equal the one-shot cross-set detection") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkindex").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    // day 1: copies of corpus docs 0-2; day 2: a copy of corpus doc 3
+    // AND a copy of DAY-1 doc 1001 — detectable only via the append
+    val b1 = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val b2 = base.filter(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + 2000)
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 2001))
+    Dedup.writeChunkIndex(base, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("chunk_hash"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("n_batch_docs"), r.getAs[Long]("n_batch_occurrences")))
+      .toSet
+    val day1 = rows(Dedup.dedupChunksIncrementalStep(spark, dir, b1))
+    val day2 = rows(Dedup.dedupChunksIncrementalStep(spark, dir, b2))
+    assert(day1.nonEmpty && day2.nonEmpty)
+    // loop invariant: each day's detection equals the one-shot
+    // cross-set form over (corpus ∪ earlier batches, that day's batch)
+    assert(day1 == rows(Dedup.dedupChunksIncremental(base, b1)))
+    assert(day2 == rows(Dedup.dedupChunksIncremental(base.unionByName(b1), b2)))
+    // the day-2 copy of day-1 doc 1001 binds to keeper 1 (the corpus
+    // original is the min-id holder of those chunks, through the index)
+    assert(day2.exists { case (_, keeper, _, _) => keeper == 1L },
+      "day-2 copy of a day-1 doc not detected through the appended index")
+  }
+
+  test("incremental chunk excise: corpus-known content is cut, novel survives once") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkexc").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    Dedup.writeChunkIndex(base, dir)
+    // batch: an exact copy of corpus doc 1 + a genuinely novel doc
+    val copy = base.filter(col("doc_id") === 1)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val novelText = "entirely novel content the corpus never saw " * 4
+    val novel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(5000L, novelText)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val batch = copy.select(col("doc_id"), col("text"))
+      .unionByName(novel)
+    val got1 = Dedup.dedupChunksExciseIncrementalStep(spark, dir, batch)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // the corpus copy is ALL marker seams (every chunk corpus-known)
+    val (nc1, ne1, t1) = got1(1001L)
+    assert(ne1 == nc1 && t1.forall(_ == '~'),
+      s"corpus copy not fully excised: $nc1 chunks, $ne1 excised")
+    // the novel doc survives: at least its first distinct chunk is
+    // kept (corpus-unknown), so real text remains
+    val (nc2, ne2, t2) = got1(5000L)
+    assert(ne2 < nc2 && t2.exists(_ != '~'))
+    // replaying the SAME batch (fresh ids): everything now excises —
+    // the step appended the batch's chunks to the index
+    val again = batch.withColumn("doc_id", col("doc_id") + 10000L)
+    val got2 = Dedup.dedupChunksExciseIncrementalStep(spark, dir, again)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got2.values.forall { case (nc, ne, t) =>
+      ne == nc && t.forall(_ == '~') },
+      "replayed batch not fully excised through the appended index")
+  }
+
   test("maximal span matches report the exact shared block per pair") {
     import spark.implicits._
     val x = "SHARED-BOILERPLATE-0123456789-ABCDEF" + "QRST" // 40 chars

@@ -64,6 +64,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_prefix recall@5 = $recall")
   }
 
+  test("composed IVF×prefix recall@5 vs brute force >= 0.8") {
+    // bounded by the IVF probe recall (0.94 at nprobe=16) times the
+    // prefix-shortlist quality (0.96 alone at cand=400)
+    val recall = (pairs(Similarity.annIvfPrefix(spark, sf01)) & exact)
+      .size.toDouble / exact.size
+    assert(recall >= 0.8, s"ann_ivf_prefix recall@5 = $recall")
+  }
+
   test("composed IVF×SQ8 recall@5 vs brute force >= 0.8") {
     // the composition can only lose what its parts lose: IVF probe
     // misses (0.94 alone at nprobe=16) and SQ8 rank perturbation

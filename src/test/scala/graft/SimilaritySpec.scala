@@ -104,6 +104,36 @@ class SimilaritySpec extends SparkSpec {
       s"no bucket partition filter at the stored scan:\n${plan.take(800)}")
   }
 
+  test("IVF×prefix at exhaustive nprobe is bit-identical to flat ann_prefix") {
+    // the probe only PRUNES: with nprobe = nlist every (query, bucket)
+    // pair survives, so the composed operator degenerates exactly to
+    // the flat corpus-scan tier — same shortlist, same rerank, same
+    // rounding/tie-breaks
+    val composed = Similarity.annIvfPrefix(spark, sf,
+      nprobe = 32) // = IvfNlist: exhaustive — what annPrefix routes to
+    val flat = Similarity.annPrefixFlat(spark, sf)
+    assert(composed.collect().map(_.toSeq).toSeq ==
+      flat.collect().map(_.toSeq).toSeq)
+  }
+
+  test("IVF×prefix stored layout: partition-pruned serve equals inline") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfprefix").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val stored = Similarity.annIvfPrefixServeBatch(spark, s"$tmp/idx", cents,
+      queries, excludeSelf = true)
+    val inline = Similarity.annIvfPrefix(spark, sf)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      inline.collect().map(_.toSeq).toSeq)
+    // the layout scan must carry the probed-bucket partition filter
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter at the stored scan:\n${plan.take(800)}")
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)

@@ -199,6 +199,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming incremental chunk dedup consumes the maintained chunk index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus = the maintained chunk-index artifact
+    val dir = java.nio.file.Files.createTempDirectory("chunkidxstream")
+      .toString + "/idx"
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    operators.Dedup.writeChunkIndex(corpus, dir)
+    val idx = spark.read.parquet(dir)
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingIncrementalChunkDedup(input.toDS(), idx)
+      .toDF("chunk_hash", "keeper_doc")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("inc_chunk_stream_test").start()
+    // arrivals: an exact copy of corpus doc 1 (all chunks corpus-known
+    // — must emit NOTHING) and two later copies of a novel doc (its
+    // chunks emit ONCE, keyed to the first arrival)
+    val copy = corpus.filter(col("doc_id") === 1)
+      .select(col("doc_id") + 1000, col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => EventStream.DocText(id, t) }
+    val novelText = "a stream-novel paragraph the corpus never carried; " +
+      "it is long enough to decompose into several cdc chunks for sure " * 3
+    input.addData(copy.toSeq :+ EventStream.DocText(7001L, novelText))
+    q.processAllAvailable()
+    input.addData(Seq(EventStream.DocText(7002L, novelText)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inc_chunk_stream_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every emission is keyed to the FIRST arrival of the novel doc
+    assert(got.nonEmpty && got.values.forall(_ == 7001L))
+    // and equals exactly the novel doc's corpus-unknown chunk hashes
+    val novelHashes = operators.Dedup.cdcChunksOf(novelText)
+      .map(_._4).toSet
+    val corpusHashes = idx.select(col("chunk_hash"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == novelHashes -- corpusHashes)
+  }
+
   test("streaming incremental dedup: corpus hashes drop statelessly, stream novelty dedups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
