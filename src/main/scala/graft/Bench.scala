@@ -100,6 +100,15 @@ object Bench {
               .count() / n)
     }.toMap
     exact.unpersist()
+    // filtered search measures against the FILTERED exact baseline —
+    // the unfiltered top-k is the wrong ground truth for a predicate
+    val fexact = operators.Similarity.annBruteforceFiltered(spark, sfDir)
+      .select("query_id", "neighbor_id").cache()
+    val nF = fexact.count().toDouble
+    val filtered = if (nF == 0) 0.0
+      else pairs("ann_ivf_filtered")
+        .join(fexact, Seq("query_id", "neighbor_id"), "left_semi").count() / nF
+    fexact.unpersist()
     val embExact = operators.Dedup
       .embCosineAllPairs(Tables.embeddings(spark, sfDir))
       .select("v1", "v2").cache()
@@ -112,6 +121,7 @@ object Bench {
     // gate fusion — the retrieval-quality channel for the hybrid path
     val hybrid = operators.Search.hybridFusionQuality(spark, sfDir)
     out + ("dedup_emb_lsh" -> (if (nPairs == 0) 0.0 else lshPairs / nPairs)) +
-      ("hybrid_rrf_serving" -> hybrid)
+      ("hybrid_rrf_serving" -> hybrid) +
+      ("ann_ivf_filtered" -> filtered)
   }
 }

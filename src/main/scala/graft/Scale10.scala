@@ -418,6 +418,30 @@ object Scale10 {
           rows
         }
     }
+    // filtered-ANN nprobe sweep at 1×: recall@5 vs the FILTERED brute
+    // force (equal-label predicate, ~10% selectivity) — the regime
+    // where naive IVF recall collapses (the filtered top-k sit at
+    // lower cosine, so their buckets correlate less with the query);
+    // the measured knee behind FilteredNprobe
+    locally {
+      lazy val fexact = operators.Similarity.annBruteforceFiltered(spark, d)
+        .select("query_id", "neighbor_id").cache()
+      lazy val nExact = fexact.count().toDouble
+      for (np <- Seq(16, 20, 24, 28, 32))
+        t(s"ivf_filtered_sweep_np$np") {
+          val q0 = System.nanoTime()
+          val got = operators.Similarity.annIvfFiltered(spark, d, nprobe = np)
+            .select("query_id", "neighbor_id").cache()
+          val rows = got.count()
+          val qSec = (System.nanoTime() - q0) / 1e9
+          val hit = got.join(fexact, Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          got.unpersist()
+          println(f"SCALE ivf_filtered_sweep_np$np recall=${hit / nExact}%.3f " +
+            f"query=${qSec}%.2fs")
+          rows
+        }
+    }
     // batch-vs-corpus embedding near-dup: corpus grows mult×, the
     // arriving batch stays the 2k base vectors — cost must track the
     // corpus CODE SCAN + batch join, never a corpus self-join

@@ -74,6 +74,7 @@ object SparkEntry {
     "ann_ivf_pq"          -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_prefix"          -> ((s, d) => Similarity.annPrefix(s, d)),
     "ann_ivf_prefix"      -> ((s, d) => Similarity.annIvfPrefix(s, d)),
+    "ann_ivf_filtered"    -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -137,6 +138,7 @@ object SparkEntry {
       ("ann_pq" -> Similarity.annPqOracleSql(s, d)) +
       ("ann_ivf_pq" -> Similarity.annIvfPqOracleSql(s, d)) +
       ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
+      ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d))
 

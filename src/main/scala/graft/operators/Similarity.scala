@@ -623,6 +623,176 @@ object Similarity {
       round(cos(col("qv"), col("embedding")), 6).as("cos_sim")), k)
   }
 
+  // ---- Filtered ANN (attribute predicate + IVF in one serve) ------------
+
+  /** Default probe width for FILTERED search: wider than the
+    * unfiltered IvfNprobe=16 because a selective predicate thins every
+    * probed bucket — the true filtered top-k sit at lower cosine than
+    * the unfiltered top-k, so their buckets correlate less with the
+    * query and per-bucket survivors are ~selectivity× fewer. Measured
+    * knee on the isotropic corpus at the ~10% equal-label predicate
+    * (Scale10 filtered sweep, recall@5 vs FILTERED brute force at
+    * sf0.1): nprobe 16/20/24/28/32 → 0.84/0.90/0.98/1.00/1.00 — the
+    * same nprobe=16 that holds 0.94 UNfiltered drops to 0.84 here
+    * (the standard "filtered vector search recall collapse", probed
+    * on purpose); 24 is the knee, +0.08 over 20 for 1.2× candidates
+    * while 28 buys only +0.02 more. */
+  private[graft] val FilteredNprobe = 24
+
+  /** ann_ivf_filtered: attribute-predicate + ANN in ONE serve — the
+    * production "filtered vector search" operator (tenant/language/
+    * license filters over a vector corpus): per query, top-k by exact
+    * cosine among ONLY the rows satisfying the predicate (here: label
+    * equality with the query's own label, the metadata-match shape),
+    * with candidates drawn from the query's `nprobe` nearest IVF
+    * buckets. The predicate is applied INSIDE the bucket join (and at
+    * the SCAN in the stored form — pushed down as `label IN
+    * (batch labels)`), never as a post-filter on an unfiltered top-k
+    * (post-filtering returns < k rows and loses recall
+    * catastrophically at low selectivity). */
+  def annIvfFiltered(s: SparkSession, d: String, nQueries: Int = 10,
+                     k: Int = 5, nlist: Int = IvfNlist,
+                     nprobe: Int = FilteredNprobe): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d, nlist)
+    val bc = s.sparkContext.broadcast(cents)
+    val bucketed = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, v, lb) => (id, nearestCentroid(bc.value, v), v, lb) }
+      .toDF("neighbor_id", "bucket", "v", "label")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, lb) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v, lb)) }
+      .toDF("query_id", "bucket", "qv", "qlabel")
+    val cand = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("label") === col("qlabel") &&
+        col("neighbor_id") =!= col("query_id"))
+    topKPerQuery(cand.select(col("query_id"), col("neighbor_id"),
+      round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+  }
+
+  /** The FILTERED exact baseline — brute-force top-k among the rows
+    * passing the predicate (equal label), an EQUI-join on the label
+    * (no BNLJ: the predicate itself is the join key). The ground
+    * truth filtered recall is measured against. */
+  def annBruteforceFiltered(s: SparkSession, d: String, nQueries: Int = 10,
+                            k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("v"), col("label"))
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel")))
+    val scored = e.join(q, col("label") === col("qlabel") &&
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Write the corpus bucket-partitioned WITH its filter attributes —
+    * the layout filtered serving scans: same bucket partitioning as
+    * [[writeIvfPartitioned]], every non-embedding column carried so
+    * predicates push down to the pruned scan. */
+  def writeIvfFilteredPartitioned(s: SparkSession, d: String, dir: String,
+                                  nlist: Int = IvfNlist): Array[Array[Double]] = {
+    val cents = ivfCentroids(s, d, nlist)
+    val emb = Tables.embeddings(s, d)
+    val bc = s.sparkContext.broadcast(cents)
+    import s.implicits._
+    emb.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, v, lb) => (id, nearestCentroid(bc.value, v), v, lb) }
+      .toDF("vec_id", "bucket", "embedding", "label")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    cents
+  }
+
+  /** Serve one query batch against the attribute-carrying layout:
+    * probed-bucket partition pruning AND the batch's label set pushed
+    * to the scan (`label IN (...)` lands in PushedFilters — row
+    * groups without matching labels never decompress), then the exact
+    * per-query label-equality filter inside the bucket join. Spec'd
+    * equal to [[annIvfFiltered]] at the same geometry. `queries` must
+    * have `(query_id, embedding, label)`. */
+  def annIvfFilteredServeBatch(s: SparkSession, dir: String,
+                               cents: Array[Array[Double]], queries: DataFrame,
+                               k: Int = 5, nprobe: Int = FilteredNprobe,
+                               excludeSelf: Boolean = false): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col("query_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, lb) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v, lb)) }
+      .toDF("query_id", "bucket", "qv", "qlabel")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val batchLabels = probes.select("qlabel").distinct()
+      .as[Int].collect().sorted // bounded by the batch size — driver-safe
+    val corpus = s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*) &&
+        col("label").isin(batchLabels.map(Integer.valueOf): _*))
+    val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("label") === col("qlabel"))
+    val cand = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
+               else cand0
+    topKPerQuery(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(cos(col("qv"), col("embedding")), 6).as("cos_sim")), k)
+  }
+
+  /** DuckDB oracle for ann_ivf_filtered — [[annIvfOracleSql]]'s
+    * assign/probe CTEs with the label-equality predicate applied at
+    * candidate generation (never post-top-k). */
+  def annIvfFilteredOracleSql(s: SparkSession, d: String, nQueries: Int = 10,
+                              k: Int = 5, nlist: Int = IvfNlist,
+                              nprobe: Int = FilteredNprobe): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""
+      WITH cents(cid, c) AS (VALUES
+        $centsSql),
+      scored AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+      cnd AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assign a
+        JOIN probes p ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings ep ON ep.vec_id = p.query_id
+        WHERE ea.label = ep.label),
+      rer AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cnd c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   // ---- IVF × prefix (the composed Matryoshka serving tier) --------------
 
   /** ann_ivf_prefix: [[annPrefix]]'s dimension-truncation shortlist

@@ -72,6 +72,19 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_ivf_prefix recall@5 = $recall")
   }
 
+  test("filtered IVF recall@5 vs FILTERED brute force >= 0.8") {
+    // the ground truth is the equal-label exact top-5 — measured knee
+    // nprobe 16/20/24/28 → 0.84/0.90/0.98/1.00 at sf0.1 (24 is the
+    // default; the unfiltered nprobe=16 default drops to 0.84 here,
+    // the filtered-search recall collapse the wider probe absorbs)
+    val fexact = Similarity.annBruteforceFiltered(spark, sf01)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (pairs(Similarity.annIvfFiltered(spark, sf01)) & fexact)
+      .size.toDouble / fexact.size
+    assert(recall >= 0.8, s"ann_ivf_filtered recall@5 = $recall")
+  }
+
   test("composed IVF×SQ8 recall@5 vs brute force >= 0.8") {
     // the composition can only lose what its parts lose: IVF probe
     // misses (0.94 alone at nprobe=16) and SQ8 rank perturbation

@@ -134,6 +134,34 @@ class SimilaritySpec extends SparkSpec {
       s"no bucket partition filter at the stored scan:\n${plan.take(800)}")
   }
 
+  test("filtered ANN: stored serve equals inline, predicate pushed to the scan") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("ivffilter").toString
+    val cents = Similarity.writeIvfFilteredPartitioned(spark, sf, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val stored = Similarity.annIvfFilteredServeBatch(spark, s"$tmp/idx", cents,
+      queries, excludeSelf = true)
+    val inline = Similarity.annIvfFiltered(spark, sf)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      inline.collect().map(_.toSeq).toSeq)
+    // bucket partition pruning AND the label predicate at the scan
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter at the stored scan:\n${plan.take(800)}")
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label predicate not pushed to the scan:\n${plan.take(800)}")
+    // every result row satisfies the predicate (never post-filtered
+    // below k: each query still gets k rows)
+    val lbl = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = inline.collect()
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    assert(rows.forall(r => lbl(r.getAs[Long]("query_id")) ==
+      lbl(r.getAs[Long]("neighbor_id"))))
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
