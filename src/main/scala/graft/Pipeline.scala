@@ -68,6 +68,11 @@ object Pipeline {
     * stage 5 packs by REAL tokenizer token counts
     * ([[graft.functions.Bpe.docTokenCounts]]) instead of whitespace
     * words — the budget a training loader actually consumes.
+    * `unigramPieces`: the same slot for the unigram-LM tokenizer
+    * ([[graft.functions.Unigram.docTokenCounts]]); at most one
+    * tokenizer artifact may be supplied — the packing budget must
+    * come from ONE tokenizer, silently preferring either would
+    * mis-state the other's sequence lengths.
     *
     * `exciseSpanLen`: when set, a stage 0 cuts cross-doc repeated
     * spans of that window length out of every document BEFORE
@@ -88,7 +93,10 @@ object Pipeline {
                     lmArtifact: Option[(DataFrame, DataFrame)] = None,
                     bpeMerges: Option[Seq[(String, String)]] = None,
                     exciseSpanLen: Option[Int] = None,
-                    normalizeEncoding: Boolean = true): Report = {
+                    normalizeEncoding: Boolean = true,
+                    unigramPieces: Option[Seq[(String, Long)]] = None): Report = {
+    require(bpeMerges.isEmpty || unigramPieces.isEmpty,
+      "supply at most one tokenizer artifact (bpeMerges OR unigramPieces)")
     // 0a. encoding normalization (default ON — the CCNet stage order:
     // every later stage hashes text, and a mojibake/NFD variant of
     // the same document must hash identically or it silently escapes
@@ -179,7 +187,9 @@ object Pipeline {
     // per-doc token count (computed once over the curated corpus —
     // the per-split join picks out its docs)
     val tokenCounts = bpeMerges.map(m =>
-      graft.functions.Bpe.docTokenCounts(curated, m).localCheckpoint())
+        graft.functions.Bpe.docTokenCounts(curated, m).localCheckpoint())
+      .orElse(unigramPieces.map(p =>
+        graft.functions.Unigram.docTokenCounts(curated, p).localCheckpoint()))
     val segments = Seq("train", "val", "test").map { sp =>
       Curate.packSegments(curated.filter(col("split") === sp), cap,
           shardSize = 100, tokenCounts)

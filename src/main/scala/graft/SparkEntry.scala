@@ -90,6 +90,8 @@ object SparkEntry {
     "ngram_lm_interp"     -> TextFunctions.ngramLmInterp _,
     "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
     "bpe_token_count"     -> ((s, d) => functions.Bpe.bpeTokenCount(s, d)),
+    "unigram_segment"     -> ((s, d) => functions.Unigram.unigramSegment(s, d)),
+    "unigram_token_count" -> ((s, d) => functions.Unigram.unigramTokenCount(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "split_stratified"    -> operators.Curate.splitStratified _,
@@ -140,7 +142,10 @@ object SparkEntry {
       ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
       ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
-      ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d))
+      ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d)) +
+      ("unigram_segment" -> functions.Unigram.unigramSegmentOracleSql(s, d)) +
+      ("unigram_token_count" ->
+        functions.Unigram.unigramTokenCountOracleSql(s, d))
 
   /** Shared CTE chain for the bigram-LM per-doc score (`fin` =
     * (doc_id, n_bigrams, avg_neg_logp)) — used by ngram_lm_score and

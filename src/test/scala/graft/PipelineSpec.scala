@@ -227,6 +227,32 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected, s"packed $got tokens != tokenizer count $expected")
   }
 
+  test("unigram-artifact packing budgets segments by unigram piece counts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-uni").toString
+    val pieces = graft.functions.Unigram.trainUnigram(
+      graft.functions.Bpe.wordVocab(docs))
+    val r = Pipeline.curateAndPack(spark, docs, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      unigramPieces = Some(pieces))
+    assert(r.segments > 0)
+    val segs = spark.read.parquet(s"$out/segments")
+    val packedIds = segs.select("doc_id").distinct().as[Long].collect().toSet
+    val expected = graft.functions.Unigram.docTokenCounts(
+        docs.join(packedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        pieces)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val got = segs.agg(sum("seg_len")).collect().head.getLong(0)
+    assert(got == expected, s"packed $got tokens != tokenizer count $expected")
+    // both tokenizer slots at once is a caller error, not a silent pick
+    intercept[IllegalArgumentException] {
+      Pipeline.curateAndPack(spark, docs, out, 512, 0.2, 3, 2,
+        embeddings = None, embTau = 0.9, pplCeiling = None,
+        bpeMerges = Some(Seq("a" -> "b")), unigramPieces = Some(pieces))
+    }
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the
