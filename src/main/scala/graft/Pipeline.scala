@@ -94,9 +94,12 @@ object Pipeline {
                     bpeMerges: Option[Seq[(String, String)]] = None,
                     exciseSpanLen: Option[Int] = None,
                     normalizeEncoding: Boolean = true,
-                    unigramPieces: Option[Seq[(String, Long)]] = None): Report = {
+                    unigramPieces: Option[Seq[(String, Long)]] = None,
+                    exciseChunks: Boolean = false): Report = {
     require(bpeMerges.isEmpty || unigramPieces.isEmpty,
       "supply at most one tokenizer artifact (bpeMerges OR unigramPieces)")
+    require(exciseSpanLen.isEmpty || !exciseChunks,
+      "choose ONE excision granularity (exciseSpanLen OR exciseChunks)")
     // 0a. encoding normalization (default ON — the CCNet stage order:
     // every later stage hashes text, and a mojibake/NFD variant of
     // the same document must hash identically or it silently escapes
@@ -111,13 +114,23 @@ object Pipeline {
         "doc_id")
     // 0b. boilerplate excision (optional): replace each doc's text
     // with its span-excised form; lang and ids pass through
-    val src = exciseSpanLen match {
-      case Some(len) =>
+    // exciseChunks is the KEEP-FIRST granularity (CDC chunks, first
+    // occurrence in id order survives) — the semantics whose daily
+    // incremental form ([[curateAndPackDayStep]]) composes exactly,
+    // where span excision cuts ALL occurrences and cannot be replayed
+    // first-arrival without retractions
+    val src = (exciseSpanLen, exciseChunks) match {
+      case (Some(len), _) =>
         val ex = Dedup.dedupSpansExcise(docsNorm, len)
           .select(col("doc_id"), col("excised_text").as("text"))
         docsNorm.drop("text").join(ex, "doc_id")
           .localCheckpoint() // the scan+surgery subtree feeds everything
-      case None => docsNorm
+      case (None, true) =>
+        val ex = Dedup.dedupChunksExcise(docsNorm)
+          .select(col("doc_id"), col("excised_text").as("text"))
+        docsNorm.drop("text").join(ex, "doc_id")
+          .localCheckpoint()
+      case _ => docsNorm
     }
     val input = src.count()
 
@@ -220,5 +233,261 @@ object Pipeline {
         Seq("doc_id", "bin_id"), "dup_segment_keys"))
       .write.mode("overwrite").parquet(s"$outDir/dq_report")
     report
+  }
+
+  // ---- incremental daily pipeline (the maintained-artifact capstone) -----
+
+  /** Per-day accounting of [[curateAndPackDayStep]]. `retracted` is
+    * the count of PREVIOUSLY-shipped train docs recalled because
+    * today's eval arrivals contaminate them. */
+  case class DayReport(day: String, input: Long, afterDedup: Long,
+                       contaminated: Long, retracted: Long,
+                       afterQuality: Long, train: Long, eval: Long,
+                       shardTokens: Long, dqViolations: Long)
+
+  /** Create the EMPTY maintained state a day loop starts from. The
+    * chunk/band/shingle/retraction artifacts are schema-typed empty
+    * parquet (readable before any append); the cluster map
+    * bootstraps on first pairs (an empty partitioned layout cannot
+    * be read back). */
+  def initDailyState(spark: SparkSession, stateDir: String): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("chunk_hash", "keeper_id")
+      .write.mode("overwrite").parquet(s"$stateDir/chunk_index")
+    Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
+      .write.mode("overwrite").parquet(s"$stateDir/band_index")
+    Seq.empty[(String, Long)].toDF("shingle", "eval_id")
+      .write.mode("overwrite").parquet(s"$stateDir/eval_shingles")
+    Seq.empty[(String, Long)].toDF("shingle", "train_id")
+      .write.mode("overwrite").parquet(s"$stateDir/train_shingles")
+    Seq.empty[(Long, String)].toDF("doc_id", "day")
+      .write.mode("overwrite").parquet(s"$stateDir/retractions")
+  }
+
+  /** ONE DAY of the production curation loop — the one-shot
+    * [[curateAndPack]] stages re-expressed against the maintained
+    * artifacts, so per-day cost tracks the day's batch + index scans
+    * and NEVER re-touches corpus text:
+    *
+    *   0. encoding normalization (per-doc, stateless),
+    *   1. chunk excision against the maintained CDC chunk index
+    *      (keep-FIRST-arrival semantics — corpus-known chunks cut,
+    *      batch-novel chunks survive once; the index learns today's
+    *      chunks for tomorrow),
+    *   2. near-dedup against the maintained band index (corpus hits
+    *      drop; intra-batch LSH pairs → CC keeps min id) + cluster-map
+    *      relabel (ccIncrementalStep) over all of today's pairs,
+    *   3. deterministic hash split (per-doc — a doc's split never
+    *      depends on the corpus), then decontamination BOTH ways
+    *      against the maintained shingle artifacts: today's train
+    *      docs vs ALL eval shingles so far (incl. today's), and
+    *      today's eval docs RETROACTIVELY vs shipped train shingles —
+    *      forward contamination recalls the already-shipped doc into
+    *      `retractions` (shards are immutable; consumers read through
+    *      [[readCuratedDocs]], which applies the recall anti-join),
+    *   4. quality gate (+ optional LM-perplexity gate via the
+    *      PROVIDED artifact — the daily loop never self-trains),
+    *   5. shard append under `days/<day>/<split>` (writeTrainingShards
+    *      — append-stable, day-scoped, never rewrites history),
+    *   6. DQ gate over the day's written shards.
+    *
+    * Composition invariant (PipelineSpec): after N days,
+    * [[readCuratedDocs]] (appends minus retractions) equals the
+    * one-shot [[curateAndPack]] curated doc set over the union of
+    * the batches — requires arrival order consistent with doc_id
+    * order (the keeper convention every maintained index here uses)
+    * and the same lmArtifact on both sides. */
+  def curateAndPackDayStep(spark: SparkSession, batchDocs: DataFrame,
+                           stateDir: String, day: String,
+                           qualityFloor: Double = 0.2,
+                           contamNgram: Int = 3, contamMinShared: Long = 2,
+                           pplCeiling: Option[Double] = None,
+                           lmArtifact: Option[(DataFrame, DataFrame)] = None,
+                           exciseChunks: Boolean = true,
+                           shardBudget: Long = 20000): DayReport = {
+    require(pplCeiling.isEmpty || lmArtifact.nonEmpty,
+      "the daily LM gate needs a provided artifact (it never self-trains)")
+    import spark.implicits._
+    val docs = batchDocs.select(col("doc_id"), col("lang"), col("text"))
+    val input = docs.count()
+
+    // 0. normalize
+    val docsNorm = docs.drop("text").join(
+      TextFunctions.normalizeText(docs)
+        .select(col("doc_id"), col("norm_text").as("text")),
+      "doc_id")
+
+    // 1. chunk excision against the maintained index (appends today's
+    // chunks as a side effect — detection strictly before append)
+    val src = (if (!exciseChunks) docsNorm
+      else {
+        val ex = Dedup.dedupChunksExciseIncrementalStep(spark,
+            s"$stateDir/chunk_index", docsNorm)
+          .select(col("doc_id"), col("excised_text").as("text"))
+        docsNorm.drop("text").join(ex, "doc_id")
+      }).localCheckpoint() // feeds banding, shingling, stats, shards
+
+    // 2. near-dedup: corpus hits via the band index (which also
+    // appends today's bands), intra-batch pairs via LSH + CC
+    val corpusHitPairs = Dedup.dedupIncrementalStep(spark,
+        s"$stateDir/band_index", src)
+      .select(col("corpus_id").as("d1"), col("batch_id").as("d2"))
+      .localCheckpoint()
+    val batchPairs = Dedup.minhashCandidates(src)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val corpusHits = corpusHitPairs.select(col("d2").as("doc_id")).distinct()
+    val batchLosers = Dedup.connectedComponentsSafe(batchPairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    val kept = src
+      .join(corpusHits, Seq("doc_id"), "left_anti")
+      .join(batchLosers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val afterDedup = kept.count()
+    // cluster-map relabel over ALL of today's edges (corpus links +
+    // intra-batch links); the map bootstraps on the first edge-bearing
+    // day (an empty partitioned layout cannot be read back)
+    val mapDir = s"$stateDir/cluster_map"
+    val todaysEdges = batchPairs.unionByName(corpusHitPairs)
+    if (todaysEdges.limit(1).count() > 0) {
+      val fs = new org.apache.hadoop.fs.Path(mapDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasMap = fs.exists(new org.apache.hadoop.fs.Path(mapDir)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(mapDir))
+          .exists(_.getPath.getName.startsWith("_cb="))
+      if (hasMap) Dedup.ccIncrementalStep(spark, mapDir, todaysEdges)
+      else Dedup.writeClusterIndex(todaysEdges, mapDir)
+    }
+
+    // 3. split (per-doc hash — corpus-independent), then
+    // decontamination BOTH ways against the shingle artifacts
+    val withSplit = kept.join(
+      Curate.splitAssign(kept).select("doc_id", "split"), "doc_id")
+    val trainDocs = withSplit.filter(col("split") === "train")
+    val evalDocs = withSplit.filter(col("split") =!= "train")
+    val trainSh = Dedup.shingles(trainDocs, contamNgram)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+      .localCheckpoint()
+    val evalShToday = Dedup.shingles(evalDocs, contamNgram)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+      .localCheckpoint()
+    val allEvalSh = spark.read.parquet(s"$stateDir/eval_shingles")
+      .select(col("eval_id"), col("shingle"))
+      .unionByName(evalShToday)
+    val contaminatedIds = Curate
+      .contaminationPairsSh(trainSh, allEvalSh, contamMinShared)
+      .select(col("train_id").as("doc_id")).distinct()
+      .localCheckpoint()
+    val contaminated = contaminatedIds.count()
+    // retroactive recall: today's eval arrivals vs SHIPPED train docs
+    val retractedIds = Curate
+      .contaminationPairsSh(spark.read.parquet(s"$stateDir/train_shingles"),
+        evalShToday, contamMinShared)
+      .select(col("train_id").as("doc_id")).distinct()
+      .join(spark.read.parquet(s"$stateDir/retractions").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // materialize before appending to retractions
+    val retracted = retractedIds.count()
+    retractedIds.withColumn("day", lit(day))
+      .write.mode("append").parquet(s"$stateDir/retractions")
+    evalShToday.select(col("shingle"), col("eval_id"))
+      .write.mode("append").parquet(s"$stateDir/eval_shingles")
+    val clean = withSplit.join(contaminatedIds, Seq("doc_id"), "left_anti")
+
+    // 4. quality gate (+ the provided-artifact LM gate)
+    val heuristicKeep = TextFunctions.textStats(clean)
+      .filter(col("quality_score") > qualityFloor)
+      .select("doc_id")
+    val keepIds = pplCeiling match {
+      case Some(ceiling) =>
+        val docBg = TextFunctions.docBigrams(clean).localCheckpoint()
+        val (model, ctx) = lmArtifact.get
+        val lmKeep = TextFunctions.ngramLmScoreWith(docBg, model, ctx)
+          .filter(col("ppl") <= ceiling).select("doc_id")
+        heuristicKeep.join(lmKeep, Seq("doc_id"), "left_semi")
+      case None => heuristicKeep
+    }
+    val curated = clean.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val afterQuality = curated.count()
+    val train = curated.filter(col("split") === "train").count()
+    val eval = afterQuality - train
+
+    // 5. day-scoped shard append per split (immutable generations —
+    // history is never rewritten; recalls live in `retractions`), and
+    // the shipped-train shingle index learns today's shipped docs
+    val shardTokens = Seq("train", "val", "test").map { sp =>
+      val docsSp = curated.filter(col("split") === sp)
+        .select(col("doc_id"), col("lang"), col("text"))
+      if (docsSp.limit(1).count() == 0) 0L // bounded emptiness probe
+      else Curate.writeTrainingShards(docsSp,
+          s"$stateDir/days/$day/$sp", shardBudget)
+        .agg(sum(col("n_tokens")).as("t")).collect().head.getLong(0)
+    }.sum
+    trainSh.join(curated.filter(col("split") === "train")
+        .select(col("doc_id").as("train_id")), Seq("train_id"), "left_semi")
+      .select(col("shingle"), col("train_id"))
+      .write.mode("append").parquet(s"$stateDir/train_shingles")
+
+    // 6. DQ gate over the day's append (the publish-gate discipline:
+    // nonzero violations mean the WRITE went wrong, not the data)
+    val dayRows = readShardDocs(spark, stateDir, Seq(day))
+    val dq = operators.DataQuality.suite(
+      operators.DataQuality.rowMetrics(dayRows, Seq(
+        "null_lang" -> col("lang").isNull,
+        "empty_docs" -> (col("n_tokens") <= 0),
+        "bad_split" -> !col("split").isin("train", "val", "test"))),
+      operators.DataQuality.keyDuplicates(dayRows, Seq("doc_id"),
+        "dup_doc_keys"))
+    dq.write.mode("overwrite").parquet(s"$stateDir/days/$day/dq_report")
+    val dqViolations = spark.read
+      .parquet(s"$stateDir/days/$day/dq_report")
+      .filter(col("metric") =!= "row_count")
+      .agg(sum(col("value")).as("v")).collect().head.getLong(0)
+
+    DayReport(day, input, afterDedup, contaminated, retracted,
+      afterQuality, train, eval, shardTokens, dqViolations)
+  }
+
+  /** All shard rows of the given days (default: every day present),
+    * split column recovered from the directory layout. */
+  private def readShardDocs(spark: SparkSession, stateDir: String,
+                            days: Seq[String]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frames = for {
+      day <- days
+      sp <- Seq("train", "val", "test")
+      path = s"$stateDir/days/$day/$sp/shards"
+      if fs.exists(new org.apache.hadoop.fs.Path(path))
+    } yield spark.read.json(path).withColumn("split", lit(sp))
+    if (frames.nonEmpty) frames.reduce(_ unionByName _)
+    else {
+      // an all-duplicate (or all-filtered) day ships nothing — the
+      // DQ gate still needs a typed empty frame
+      import spark.implicits._
+      Seq.empty[(Long, Long, String, String, Long, String)]
+        .toDF("doc_id", "n_tokens", "text", "lang", "shard_id", "split")
+    }
+  }
+
+  private def listDays(spark: SparkSession, stateDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/days")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
+  }
+
+  /** The consumer view of the incrementally-built corpus: every day's
+    * shard append, minus retracted (recalled) docs — what a training
+    * loader reads. The composition invariant compares THIS to the
+    * one-shot [[curateAndPack]] over the union. */
+  def readCuratedDocs(spark: SparkSession, stateDir: String): DataFrame = {
+    val days = listDays(spark, stateDir)
+    require(days.nonEmpty, s"no day appends under $stateDir/days")
+    readShardDocs(spark, stateDir, days)
+      .join(spark.read.parquet(s"$stateDir/retractions").select("doc_id"),
+        Seq("doc_id"), "left_anti")
   }
 }

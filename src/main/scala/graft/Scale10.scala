@@ -248,6 +248,41 @@ object Scale10 {
       println(s"SCALE pipeline_${mult}x report=$r")
       r.segments
     }
+    // the INCREMENTAL daily pipeline: the mult× corpus arrives as the
+    // bootstrap day, then three constant-size 5k-doc days run against
+    // the maintained artifacts — per-day cost must stay FLAT as the
+    // corpus accumulates (the whole point of the artifact loops),
+    // while the one-shot above re-pays the full union every run
+    t(s"pipeline_day_steps_${mult}x") {
+      val state = s"/tmp/scale_pipeline_days_$mult/state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state), true)
+      Pipeline.initDailyState(spark, state)
+      val t0 = System.nanoTime()
+      Pipeline.curateAndPackDayStep(spark, docs, state, "d0")
+      println(f"SCALE pipeline_day_steps bootstrap(${mult}x corpus)=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      var last = 0L
+      (1 to 3).foreach { i =>
+        // novel arrivals: a per-day token-suffix rewrite makes each
+        // day's vocabulary DISJOINT from the corpus and every other
+        // day (no cross-day near-dups, no cross-day contamination) —
+        // so the measured growth isolates exactly what the artifacts
+        // are supposed to bound: the index scans
+        val batch = Tables.documents(spark, d)
+          .select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("lang"),
+            concat(regexp_replace(col("text"), " ", s"x$i "),
+              lit(s"x$i")).as("text"))
+        val ti = System.nanoTime()
+        val r = Pipeline.curateAndPackDayStep(spark, batch, state, s"d$i")
+        println(f"SCALE pipeline_day_steps day$i=" +
+          f"${(System.nanoTime() - ti) / 1e9}%.2fs report=$r")
+        last = r.afterQuality
+      }
+      last
+    }
     // the embedding-dedup front-end composed end-to-end: replicas are
     // EXACT embedding dups, so τ=0.9 (32×16 geometry, output-bound)
     // collapses each replica cluster; downstream stages identical.

@@ -248,6 +248,21 @@ object Curate {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Contamination pairs from PRE-SHINGLED `(train_id, shingle)` /
+    * `(eval_id, shingle)` frames — the maintained-index form of
+    * [[decontaminate]] the daily pipeline runs (today's docs against
+    * a stored shingle artifact, in either direction): same
+    * per-pair distinct-shared-shingle count, same threshold, a
+    * shingle-keyed shuffle_hash join (the index cannot broadcast at
+    * corpus scale). Frames must carry DISTINCT (id, shingle) rows —
+    * [[graft.operators.Dedup.shingles]]'s per-doc contract. */
+  def contaminationPairsSh(trainSh: DataFrame, evalSh: DataFrame,
+                           minShared: Long): DataFrame =
+    trainSh.join(evalSh.hint("shuffle_hash"), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
     * doc's split NEVER changes as the corpus grows or repartitions

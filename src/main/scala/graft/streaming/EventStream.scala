@@ -924,6 +924,55 @@ object EventStream {
       }
       .start()
 
+  /** Streaming Matryoshka serving (NEW r12): the
+    * [[streamingAnnIvfTopK]] shape over the prefix-shortlist
+    * composition — per micro-batch, probed buckets prune the layout
+    * scan, prefix-cosine shortlist, full-dim rerank against the same
+    * pruned rows ([[graft.operators.Similarity.annIvfPrefixServeBatch]]
+    * is the shared body). Two-batch parity with the batch
+    * [[graft.operators.Similarity.annIvfPrefix]] spec'd. */
+  def streamingAnnIvfPrefixTopK(queries: Dataset[QueryVec], ivfDir: String,
+                                cents: Array[Array[Double]], k: Int = 5,
+                                nprobe: Int = graft.operators.Similarity.IvfNprobe,
+                                excludeSelf: Boolean = false)(
+                                writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annIvfPrefixServeBatch(
+          s, ivfDir, cents, batch.toDF("query_id", "embedding"),
+          k, nprobe, excludeSelf = excludeSelf))
+      }
+      .start()
+
+  case class QueryVecLabeled(query_id: Long, embedding: Array[Float],
+                             label: Int)
+
+  /** Streaming FILTERED vector search (NEW r12): arriving queries
+    * carry their predicate value; per micro-batch, probed buckets AND
+    * the batch's label set prune/push into the attribute-carrying
+    * layout scan, the equality predicate applies inside the bucket
+    * join ([[graft.operators.Similarity.annIvfFilteredServeBatch]]).
+    * Two-batch parity with the batch
+    * [[graft.operators.Similarity.annIvfFiltered]] spec'd. */
+  def streamingAnnIvfFilteredTopK(queries: Dataset[QueryVecLabeled],
+                                  dir: String, cents: Array[Array[Double]],
+                                  k: Int = 5,
+                                  nprobe: Int =
+                                    graft.operators.Similarity.FilteredNprobe,
+                                  excludeSelf: Boolean = false)(
+                                  writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVecLabeled], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annIvfFilteredServeBatch(
+          s, dir, cents, batch.toDF("query_id", "embedding", "label"),
+          k, nprobe, excludeSelf))
+      }
+      .start()
+
   // ---- streaming lexical search (pruned inverted-index probe) ------------
 
   case class QueryTerms(query_id: Long, terms: Seq[String])

@@ -253,6 +253,107 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  // ---- incremental daily pipeline ----------------------------------------
+
+  private def daySlice(lo: Int, hi: Int) =
+    Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+
+  test("daily loop equals the one-shot pipeline on the union, recalls included") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-days").toString
+    Pipeline.initDailyState(spark, state)
+    // three arrival days with monotone ids (the keeper convention);
+    // day 2 carries exact copies of day-1 docs (cross-day dedup)
+    val b1 = daySlice(0, 60)
+    val b2 = daySlice(60, 120).unionByName(
+      daySlice(1, 3).withColumn("doc_id", col("doc_id") + 20000L))
+    val r1 = Pipeline.curateAndPackDayStep(spark, b1, state, "d1",
+      exciseChunks = false)
+    val r2 = Pipeline.curateAndPackDayStep(spark, b2, state, "d2",
+      exciseChunks = false)
+    assert(r1.dqViolations == 0 && r2.dqViolations == 0)
+    // day 3 includes a CRAFTED forward-contamination eval doc: the
+    // prefix of an already-shipped day-1 train doc (shares its lead
+    // trigrams, far below near-dup similarity) under an id hashing
+    // into an eval split — its arrival must RECALL the shipped doc
+    val shipped = Pipeline.readCuratedDocs(spark, state)
+      .filter(col("split") === "train")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .minBy(_._1)
+    val evalId = (30000L to 30050L).find { id =>
+      operators.Curate.splitAssign(Seq((id, "en", "x")).toDF(
+        "doc_id", "lang", "text"))
+        .collect().head.getAs[String]("split") != "train"
+    }.get
+    val craftedText = shipped._2.split("\\s+").take(12).mkString(" ") +
+      " zq9 zq8 zq7 zq6 zq5 zq4 zq3 zq2 zq1 zq0"
+    val b3 = daySlice(120, 180).unionByName(
+      Seq((evalId, "en", craftedText)).toDF("doc_id", "lang", "text"))
+    val r3 = Pipeline.curateAndPackDayStep(spark, b3, state, "d3",
+      exciseChunks = false)
+    assert(r3.retracted >= 1, s"crafted recall did not fire: $r3")
+    // one-shot comparator over the union, same options
+    val union = b1.unionByName(b2).unionByName(b3)
+    val out = java.nio.file.Files.createTempDirectory("graft-oneshot").toString
+    Pipeline.curateAndPack(spark, union, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None)
+    val oneShotIds = spark.read.parquet(s"$out/segments")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val loopIds = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(loopIds == oneShotIds,
+      s"loop-only: ${loopIds -- oneShotIds}; oneshot-only: ${oneShotIds -- loopIds}")
+    // the recalled doc is gone from the consumer view but its shard
+    // file is untouched (immutable history + recall list)
+    assert(!loopIds.contains(shipped._1))
+    val rawShardIds = spark.read.json(s"$state/days/d1/train/shards")
+      .select("doc_id").as[Long].collect().toSet
+    assert(rawShardIds.contains(shipped._1))
+  }
+
+  test("daily loop with chunk excision equals one-shot keep-first excision") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-days-x").toString
+    Pipeline.initDailyState(spark, state)
+    val b1 = daySlice(0, 60)
+    // day-2 copies of day-1 docs: their text must arrive all-excised
+    // and the docs then drop at dedup — same as one-shot
+    val b2 = daySlice(60, 120).unionByName(
+      daySlice(4, 6).withColumn("doc_id", col("doc_id") + 20000L))
+    Pipeline.curateAndPackDayStep(spark, b1, state, "d1")
+    Pipeline.curateAndPackDayStep(spark, b2, state, "d2")
+    val union = b1.unionByName(b2)
+    val out = java.nio.file.Files.createTempDirectory("graft-oneshot-x").toString
+    Pipeline.curateAndPack(spark, union, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      exciseChunks = true)
+    val oneShotIds = spark.read.parquet(s"$out/segments")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val loopIds = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(loopIds == oneShotIds,
+      s"loop-only: ${loopIds -- oneShotIds}; oneshot-only: ${oneShotIds -- loopIds}")
+    // and the SHIPPED TEXT matches the one-shot excised text per doc
+    val oneShotText = spark.read.parquet(s"$out/segments")
+    val loopText = Pipeline.readCuratedDocs(spark, state)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    // (segments re-pack text into windows; compare through the day
+    // shards' stored text against a recomputed one-shot excision)
+    val recomputed = {
+      val docsNorm = union.drop("text").join(
+        graft.functions.TextFunctions.normalizeText(union)
+          .select(col("doc_id"), col("norm_text").as("text")), "doc_id")
+      operators.Dedup.dedupChunksExcise(docsNorm)
+        .select(col("doc_id"), col("excised_text")).as[(Long, String)]
+        .collect().toMap
+    }
+    loopIds.foreach { id =>
+      assert(loopText(id) == recomputed(id),
+        s"shipped text for $id differs from one-shot excision")
+    }
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the

@@ -302,6 +302,60 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming prefix IVF search matches the batch annIvfPrefix on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfprefstream").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, dir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingAnnIvfPrefixTopK(input.toDS(), dir, cents,
+      excludeSelf = true) {
+      topk => results ++= topk.collect().map(_.toSeq)
+    }
+    input.addData(queries.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(queries.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Similarity.annIvfPrefix(spark, sf).collect().map(_.toSeq).toSet
+    assert(results.nonEmpty)
+    assert(results.toSet == batch,
+      s"streaming ${results.size} rows != batch ${batch.size}")
+  }
+
+  test("streaming filtered IVF search matches the batch annIvfFiltered on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivffiltstream").toString
+    val cents = Similarity.writeIvfFilteredPartitioned(spark, sf, dir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, v, lb) => EventStream.QueryVecLabeled(id, v, lb) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVecLabeled]
+    val q = EventStream.streamingAnnIvfFilteredTopK(input.toDS(), dir, cents,
+      excludeSelf = true) {
+      topk => results ++= topk.collect().map(_.toSeq)
+    }
+    input.addData(queries.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(queries.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Similarity.annIvfFiltered(spark, sf).collect().map(_.toSeq).toSet
+    assert(results.nonEmpty)
+    assert(results.toSet == batch,
+      s"streaming ${results.size} rows != batch ${batch.size}")
+  }
+
   test("streaming SQ8 IVF search matches the batch annIvfSq8 on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
