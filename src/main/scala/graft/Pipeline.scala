@@ -304,9 +304,14 @@ object Pipeline {
                            pplCeiling: Option[Double] = None,
                            lmArtifact: Option[(DataFrame, DataFrame)] = None,
                            exciseChunks: Boolean = true,
-                           shardBudget: Long = 20000): DayReport = {
+                           shardBudget: Long = 20000,
+                           bpeMerges: Option[Seq[(String, String)]] = None,
+                           unigramPieces: Option[Seq[(String, Long)]] = None)
+      : DayReport = {
     require(pplCeiling.isEmpty || lmArtifact.nonEmpty,
       "the daily LM gate needs a provided artifact (it never self-trains)")
+    require(bpeMerges.isEmpty || unigramPieces.isEmpty,
+      "supply at most one tokenizer artifact (bpeMerges OR unigramPieces)")
     import spark.implicits._
     val docs = batchDocs.select(col("doc_id"), col("lang"), col("text"))
     val input = docs.count()
@@ -416,12 +421,20 @@ object Pipeline {
     // 5. day-scoped shard append per split (immutable generations —
     // history is never rewritten; recalls live in `retractions`), and
     // the shipped-train shingle index learns today's shipped docs
+    // with a tokenizer artifact, shard budgets use REAL token counts
+    // (computed once over the day's curated docs — the one-shot
+    // tokenizer-slot semantics at day granularity)
+    val tokenCounts = bpeMerges.map(m =>
+        graft.functions.Bpe.docTokenCounts(curated, m).localCheckpoint())
+      .orElse(unigramPieces.map(p =>
+        graft.functions.Unigram.docTokenCounts(curated, p).localCheckpoint()))
     val shardTokens = Seq("train", "val", "test").map { sp =>
       val docsSp = curated.filter(col("split") === sp)
         .select(col("doc_id"), col("lang"), col("text"))
       if (docsSp.limit(1).count() == 0) 0L // bounded emptiness probe
       else Curate.writeTrainingShards(docsSp,
-          s"$stateDir/days/$day/$sp", shardBudget)
+          s"$stateDir/days/$day/$sp", shardBudget,
+          tokenCounts = tokenCounts)
         .agg(sum(col("n_tokens")).as("t")).collect().head.getLong(0)
     }.sum
     trainSh.join(curated.filter(col("split") === "train")
@@ -489,5 +502,84 @@ object Pipeline {
     readShardDocs(spark, stateDir, days)
       .join(spark.read.parquet(s"$stateDir/retractions").select("doc_id"),
         Seq("doc_id"), "left_anti")
+  }
+
+  case class StateMaintenanceReport(
+      chunkIndex: graft.sources.Compact.CompactReport,
+      bandIndex: graft.sources.Compact.CompactReport,
+      evalShingles: graft.sources.Compact.CompactReport,
+      trainShingles: graft.sources.Compact.CompactReport,
+      vacuumedDocs: Long, vacuumedDays: Int)
+
+  /** Periodic maintenance for the daily state — the ~monthly pass
+    * every append-maintained artifact here needs (the
+    * [[graft.operators.Dedup.compactBandIndex]] argument: N daily
+    * appends leave N small files whose open cost comes to dominate
+    * the daily probe joins): chunk index re-collapses min-keeper
+    * (semantic fold), band index and both shingle stores re-cluster
+    * file-wise (append rows are already distinct — ids never repeat
+    * across days), and [[vacuumRetractedShards]] folds the recall
+    * list into storage. Day-step results are IDENTICAL across the
+    * pass (spec'd: a post-maintenance day equals the same day
+    * against un-compacted state, and readCuratedDocs is unchanged
+    * by the vacuum). */
+  def compactDailyState(spark: SparkSession, stateDir: String,
+                        targetBytes: Long = 128L << 20)
+      : StateMaintenanceReport = {
+    val chunk = Dedup.compactChunkIndex(spark, s"$stateDir/chunk_index",
+      targetBytes)
+    val band = graft.sources.Compact.compactInPlace(spark,
+      s"$stateDir/band_index", targetBytes)
+    val evalSh = graft.sources.Compact.compactInPlace(spark,
+      s"$stateDir/eval_shingles", targetBytes)
+    val trainSh = graft.sources.Compact.compactInPlace(spark,
+      s"$stateDir/train_shingles", targetBytes)
+    val (docs, days) = vacuumRetractedShards(spark, stateDir)
+    StateMaintenanceReport(chunk, band, evalSh, trainSh, docs, days)
+  }
+
+  /** Fold the recall list into the shard storage: every day/split
+    * directory holding retracted docs is rewritten without them
+    * (read → checkpoint → overwrite, the materialize-before-
+    * overwrite discipline; manifests re-derive), a day drained
+    * entirely is deleted, and the satisfied retraction list resets
+    * to empty. The consumer view ([[readCuratedDocs]]) is IDENTICAL
+    * before and after — the vacuum moves the recall from an
+    * anti-join at read time into the storage itself. Only train
+    * shards can hold retracted docs (recalls come from the shipped-
+    * train shingle index), so val/test dirs are never touched. */
+  def vacuumRetractedShards(spark: SparkSession, stateDir: String,
+                            shardBudget: Long = 20000): (Long, Int) = {
+    val retr = spark.read.parquet(s"$stateDir/retractions")
+      .select("doc_id").localCheckpoint()
+    if (retr.limit(1).count() == 0) return (0L, 0)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var vacuumedDocs = 0L
+    var vacuumedDays = 0
+    listDays(spark, stateDir).foreach { day =>
+      val dayDir = s"$stateDir/days/$day/train"
+      val shardPath = new org.apache.hadoop.fs.Path(s"$dayDir/shards")
+      if (fs.exists(shardPath)) {
+        val rows = spark.read.json(s"$dayDir/shards")
+        val hit = rows.join(retr, Seq("doc_id"), "left_semi").count()
+        if (hit > 0) {
+          vacuumedDocs += hit
+          vacuumedDays += 1
+          val keep = rows.join(retr, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("lang"), col("text"))
+            .localCheckpoint() // materialize before overwriting the source
+          if (keep.limit(1).count() == 0)
+            fs.delete(new org.apache.hadoop.fs.Path(dayDir), true)
+          else
+            Curate.writeTrainingShards(keep, dayDir, shardBudget)
+        }
+      }
+    }
+    // every shipped copy is gone — the recall list is satisfied
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "day")
+      .write.mode("overwrite").parquet(s"$stateDir/retractions")
+    (vacuumedDocs, vacuumedDays)
   }
 }

@@ -264,6 +264,23 @@ object Bpe {
     out.toSeq
   }
 
+  /** Persist a trained merge list — the on-disk tokenizer artifact
+    * (ORDER IS THE ARTIFACT: merges apply in training order, so the
+    * parquet carries the index). */
+  def writeMerges(s: SparkSession, merges: Seq[(String, String)],
+                  dir: String): Unit = {
+    import s.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("mi", "a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge list in training order. */
+  def readMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    s.read.parquet(dir).select(col("mi"), col("a"), col("b"))
+      .collect().sortBy(_.getInt(0)).map(r => r.getString(1) -> r.getString(2))
+      .toSeq
+
   /** Convenience: train directly from the documents table. */
   def trainMerges(s: SparkSession, d: String, numMerges: Int): Seq[(String, String)] =
     trainMerges(wordVocab(graft.Tables.documents(s, d)), numMerges)

@@ -221,6 +221,25 @@ object Unigram {
     })
   }
 
+  // ---- artifact persistence ----------------------------------------------
+
+  /** Persist the trained piece table — the on-disk tokenizer artifact
+    * the daily pipeline loads back (the lm_model/lm_ctx pattern):
+    * train once, every later run reads the SAME integers. */
+  def writePieces(s: SparkSession, pieces: Seq[(String, Long)],
+                  dir: String): Unit = {
+    import s.implicits._
+    pieces.toDF("piece", "nanolog").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted piece table; bit-identical round trip spec'd
+    * (exact Long scores — nothing to drift). */
+  def readPieces(s: SparkSession, dir: String): Seq[(String, Long)] =
+    s.read.parquet(dir).select(col("piece"), col("nanolog"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+
   // ---- per-dataset trained artifact (the trainedMerges pattern) ----------
 
   private val piecesCache = scala.collection.concurrent.TrieMap

@@ -439,9 +439,10 @@ object Curate {
     * Returns the manifest as read back from disk. */
   def writeTrainingShards(docs: DataFrame, dir: String,
                           budget: Long = 20000,
-                          shardSize: Long = 100): DataFrame = {
+                          shardSize: Long = 100,
+                          tokenCounts: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
-    val assigned = cumBefore(docs, shardSize)
+    val assigned = cumBefore(docs, shardSize, tokenCounts)
       .withColumn("shard_id", expr(s"cum_before div $budget"))
       .select(col("doc_id"), col("shard_id"), col("n_tokens"))
     val rows = docs.select(col("doc_id"), col("lang"), col("text"))

@@ -150,6 +150,14 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge artifact round-trips through parquet in training order") {
+    val merges = graft.functions.Bpe.trainMerges(spark, sf, 20)
+    val dir = java.nio.file.Files.createTempDirectory("bpemerges")
+      .toString + "/merges"
+    graft.functions.Bpe.writeMerges(spark, merges, dir)
+    assert(graft.functions.Bpe.readMerges(spark, dir) == merges)
+  }
+
   test("trained merges tokenize: frequent words collapse to fewer symbols") {
     val merges = Bpe.trainMerges(spark, sf, numMerges = 30)
     assert(merges.length == 30)

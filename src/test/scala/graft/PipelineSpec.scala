@@ -310,6 +310,50 @@ class PipelineSpec extends SparkSpec {
     val rawShardIds = spark.read.json(s"$state/days/d1/train/shards")
       .select("doc_id").as[Long].collect().toSet
     assert(rawShardIds.contains(shipped._1))
+
+    // ---- state maintenance: compaction + recall vacuum ----
+    val rep = Pipeline.compactDailyState(spark, state)
+    // the vacuum folded the recall into storage...
+    assert(rep.vacuumedDocs >= 1 && rep.vacuumedDays >= 1)
+    assert(!spark.read.json(s"$state/days/d1/train/shards")
+      .select("doc_id").as[Long].collect().toSet.contains(shipped._1))
+    assert(spark.read.parquet(s"$state/retractions").count() == 0)
+    // ...and the consumer view is IDENTICAL across the whole pass
+    val afterIds = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(afterIds == loopIds)
+    // the loop keeps running against the compacted state: a day-4
+    // copy of a corpus doc must still be detected through the
+    // compacted band index (drops at dedup, ships nothing new)
+    val survivor = loopIds.min
+    val b4 = union.filter(col("doc_id") === survivor)
+      .withColumn("doc_id", col("doc_id") + 40000L)
+    val r4 = Pipeline.curateAndPackDayStep(spark, b4, state, "d4",
+      exciseChunks = false)
+    assert(r4.afterDedup == 0, s"post-maintenance dedup missed: $r4")
+  }
+
+  test("day step with a unigram artifact budgets shards by real token counts") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-days-tok").toString
+    Pipeline.initDailyState(spark, state)
+    val docs = daySlice(0, 60)
+    val pieces = graft.functions.Unigram.trainUnigram(
+      graft.functions.Bpe.wordVocab(docs))
+    val r = Pipeline.curateAndPackDayStep(spark, docs, state, "d1",
+      unigramPieces = Some(pieces))
+    assert(r.shardTokens > 0)
+    // the manifest totals equal the tokenizer's own count over the
+    // shipped docs (per split; whitespace counts would differ)
+    val shippedIds = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val expected = graft.functions.Unigram.docTokenCounts(
+        Pipeline.readCuratedDocs(spark, state)
+          .select("doc_id", "lang", "text").distinct(), pieces)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(r.shardTokens == expected,
+      s"shard tokens ${r.shardTokens} != tokenizer count $expected " +
+        s"over ${shippedIds.size} docs")
   }
 
   test("daily loop with chunk excision equals one-shot keep-first excision") {

@@ -66,6 +66,13 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("piece artifact round-trips through parquet bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("unipieces")
+      .toString + "/pieces"
+    Unigram.writePieces(spark, pieces, dir)
+    assert(Unigram.readPieces(spark, dir) == pieces)
+  }
+
   test("unigram_segment and unigram_token_count queries return coherent rows") {
     val seg = functions.Unigram.unigramSegment(spark, sf).collect()
     assert(seg.nonEmpty)
