@@ -125,6 +125,9 @@ object SparkEntry {
     "events_gap_fill"     -> Timeseries.eventsGapFill _,
     "text_normalize"      -> TextFunctions.textNormalize _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
+    "mixture_plan"        -> ((s, d) => operators.Curate.mixturePlan(s, d)),
+    "upsample_epochs"     -> ((s, d) => operators.Curate.upsampleEpochs(s, d)),
+    "shuffle_interleave"  -> operators.Curate.shuffleInterleave _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_excise" -> Dedup.dedupChunksExcise _,
   )
@@ -1829,5 +1832,67 @@ object SparkEntry {
     "events_gap_fill" -> Timeseries.eventsGapFillOracle,
     "text_normalize" -> TextFunctions.textNormalizeOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
+
+    // mixture-execution trio: target weights are exact ppm literals,
+    // every derived quantity (epochs ×1e6, copy counts, interleave
+    // fractions) is pure BIGINT arithmetic — no float anywhere
+    "mixture_plan" -> raw"""
+      WITH t(lang, target_ppm) AS (VALUES
+        ('de', 150000), ('en', 400000), ('es', 150000),
+        ('fr', 150000), ('zh', 150000)),
+      c AS (
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> length(x) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang)
+      SELECT c.lang, n_docs, n_tokens,
+        CAST(target_ppm AS INT) AS target_ppm,
+        CAST(CAST(target_ppm AS BIGINT) * 100000 // n_tokens AS BIGINT)
+          AS epochs_e6
+      FROM c JOIN t ON c.lang = t.lang
+      ORDER BY c.lang""",
+
+    "upsample_epochs" -> raw"""
+      WITH t(lang, target_ppm) AS (VALUES
+        ('de', 150000), ('en', 400000), ('es', 150000),
+        ('fr', 150000), ('zh', 150000)),
+      c AS (
+        SELECT lang,
+          CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> length(x) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+      plan AS (
+        SELECT c.lang,
+          CAST(CAST(target_ppm AS BIGINT) * 100000 // n_tokens AS BIGINT)
+            AS epochs_e6
+        FROM c JOIN t ON c.lang = t.lang),
+      h AS (
+        SELECT doc_id, d.lang, epochs_e6,
+          CAST(list_sum(list_transform(range(1, 14),
+            k -> (strpos('0123456789abcdef',
+                    md5('epoch:' || doc_id)[k:k]) - 1)
+                 * CAST(16 ** (13 - k) AS BIGINT))) AS BIGINT) AS hv
+        FROM documents d JOIN plan ON d.lang = plan.lang),
+      r AS (
+        SELECT doc_id, lang,
+          epochs_e6 // 1000000
+            + CASE WHEN hv % 1000000 < epochs_e6 % 1000000
+                   THEN 1 ELSE 0 END AS n_copies
+        FROM h)
+      SELECT doc_id, lang,
+        CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+      FROM r WHERE n_copies > 0
+      ORDER BY doc_id, copy""",
+
+    "shuffle_interleave" -> """
+      WITH b AS (
+        SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5('interleave:' || doc_id), doc_id) AS BIGINT) AS pos,
+          COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents)
+      SELECT doc_id, lang, CAST(pos AS INT) AS pos,
+        CAST(pos * 1000000 // n_lang AS BIGINT) AS frac_e6
+      FROM b ORDER BY frac_e6, lang, pos""",
   )
 }

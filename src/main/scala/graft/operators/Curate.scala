@@ -357,6 +357,112 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Literal target mixture for the plan/upsample pair — the
+    * DoReMi-style OUTPUT weights a mixing run executes, in exact ppm
+    * (parts per million, summing 1e6) so every derived quantity
+    * stays integer. */
+  private[graft] val DefaultTargetPpm = Seq(
+    "de" -> 150000L, "en" -> 400000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+  private[graft] val DefaultMixTokenBudget = 100000L
+
+  /** mixture_plan: the data-mixing EPOCHS arithmetic — given target
+    * mixture weights (ppm literals: what a DoReMi/manual mixing run
+    * decides) and a total token budget, how many times must each
+    * language's corpus repeat to fill its share?
+    * epochs_l = target_l · budget / tokens_l — emitted ×1e6 as an
+    * exact BIGINT (one integer floor-division; ppm × budget stays
+    * far under 2^63). epochs_e6 > 1e6 means the language UPSAMPLES
+    * (repeats across epochs — the low-resource case the mixture
+    * exists to protect); < 1e6 means one pass covers it. One
+    * aggregate scan + a 5-row broadcast join — nothing at corpus
+    * scale beyond the token count. */
+  def mixturePlan(s: SparkSession, d: String,
+                  targets: Seq[(String, Long)] = DefaultTargetPpm,
+                  budget: Long = DefaultMixTokenBudget): DataFrame =
+    mixturePlan(Tables.documents(s, d), targets, budget)
+
+  def mixturePlan(docs: DataFrame, targets: Seq[(String, Long)],
+                  budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = targets.toDF("lang", "target_ppm")
+    val counts = graft.Util
+      .fanOutIfAtLeast(docs.select(col("doc_id"), col("lang"), col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")).as("n_tokens"))
+    counts.join(broadcast(t), "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("target_ppm").cast("int").as("target_ppm"),
+        expr(s"target_ppm * $budget div n_tokens").as("epochs_e6"))
+      .orderBy(col("lang"))
+  }
+
+  /** upsample_epochs: EXECUTE the mixture plan — each doc repeats
+    * floor(epochs) times plus one more with probability
+    * frac(epochs), decided by a deterministic md5 uniform (RNG-free:
+    * u_e6 = 13-nibble md5 fold mod 1e6 < epochs_e6 mod 1e6 — pure
+    * integer compare, engine-identical). In expectation every
+    * language contributes exactly its target token share; the output
+    * is the (doc_id, copy) multiset a training loader consumes.
+    * Scale shape: the plan is a 5-row broadcast; the explode is
+    * sequence(1, n_copies) — fan-out bounded by the epochs, rows
+    * never collect. */
+  def upsampleEpochs(s: SparkSession, d: String,
+                     targets: Seq[(String, Long)] = DefaultTargetPpm,
+                     budget: Long = DefaultMixTokenBudget): DataFrame =
+    upsampleEpochs(Tables.documents(s, d), targets, budget)
+
+  def upsampleEpochs(docs: DataFrame, targets: Seq[(String, Long)],
+                     budget: Long): DataFrame = {
+    val plan = mixturePlan(docs, targets, budget)
+      .select(col("lang"), col("epochs_e6"))
+    val hv = conv(substring(md5(concat(lit("epoch:"), col("doc_id"))), 1, 13),
+      16, 10).cast("long")
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(plan), "lang")
+      .withColumn("n_copies",
+        expr("epochs_e6 div 1000000") +
+          when(hv % 1000000L < col("epochs_e6") % 1000000L, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  /** shuffle_interleave: the deterministic TRAINING ORDER — a global
+    * shuffle that keeps every language proportionally interleaved
+    * (a plain global md5 shuffle leaves locally unbalanced runs; a
+    * training loader reading the first 10% must already see the full
+    * mixture). Each doc gets a salted-md5 position WITHIN its
+    * language (pos), and the global order key is the language-
+    * relative fraction frac_e6 = pos·1e6 div n_lang — sorting by
+    * (frac_e6, lang, pos) interleaves languages proportionally at
+    * every prefix (prefix of length k·1e-6 holds ≈k·share_l docs of
+    * language l). All integers; the md5 hex order is identical in
+    * both engines. Scale shape: one lang-keyed window shuffle + one
+    * distributed range sort — NO global row_number (a global window
+    * would single-partition at 100 TB; the order key columns ARE the
+    * rank). */
+  def shuffleInterleave(s: SparkSession, d: String): DataFrame =
+    shuffleInterleave(Tables.documents(s, d))
+
+  def shuffleInterleave(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("interleave:"), col("doc_id"))), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("lang"), col("pos").cast("int").as("pos"),
+        expr("pos * 1000000 div n_lang").as("frac_e6"))
+      .orderBy(col("frac_e6"), col("lang"), col("pos"))
+  }
+
   /** sample_temperature: temperature-scaled multilingual mixture —
     * the mT5/XLM-R α-sampling step: language l samples ∝ n_l^α
     * (α = 1/T < 1 flattens the natural distribution so low-resource

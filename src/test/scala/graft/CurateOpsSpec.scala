@@ -167,4 +167,87 @@ class CurateOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids == Set(1L, 4L, 5L), ids.toString)
   }
+
+  // ---- mixture-execution trio (r12) --------------------------------------
+
+  test("mixture_plan epochs match a driver-side recompute") {
+    val plan = Curate.mixturePlan(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toMap
+    val toks = docs.select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("t"))
+      .groupBy("lang").agg(sum("t").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Curate.DefaultTargetPpm.toMap
+    assert(plan.keySet == targets.keySet)
+    plan.foreach { case (lang, (nDocs, nTokens, ppm, epochs)) =>
+      assert(nDocs == langSizes(lang))
+      assert(nTokens == toks(lang))
+      assert(ppm.toLong == targets(lang))
+      assert(epochs == targets(lang) * Curate.DefaultMixTokenBudget / nTokens,
+        s"$lang epochs")
+    }
+  }
+
+  test("upsample_epochs copies match the plan's integer bernoulli exactly") {
+    val plan = Curate.mixturePlan(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val copies = Curate.upsampleEpochs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // copies are dense 1..n per doc
+    val byDoc = copies.groupBy(_._1)
+    byDoc.foreach { case (id, cs) =>
+      assert(cs.map(_._3).sorted.toSeq == (1 to cs.length).toSeq, s"doc $id")
+    }
+    // per-doc count equals the deterministic formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.select("doc_id", "lang").collect().foreach { r =>
+      val id = r.getLong(0); val lang = r.getString(1)
+      val hex = md.digest(s"epoch:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      val e = plan(lang)
+      val expected = e / 1000000 + (if (hv % 1000000 < e % 1000000) 1 else 0)
+      assert(byDoc.get(id).map(_.length).getOrElse(0) == expected.toInt,
+        s"doc $id copies")
+    }
+    // and the realized token mass lands near the target shares: each
+    // language's share of upsampled tokens within 3 points of target
+    val up = Curate.upsampleEpochs(spark, sf)
+      .join(docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("t")), "doc_id")
+      .groupBy("lang").agg(sum("t").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = up.values.sum.toDouble
+    Curate.DefaultTargetPpm.foreach { case (lang, ppm) =>
+      val share = up(lang) / total
+      assert(math.abs(share - ppm / 1e6) < 0.03, s"$lang share $share")
+    }
+  }
+
+  test("shuffle_interleave keeps every prefix proportionally mixed") {
+    val rows = Curate.shuffleInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == docs.count())
+    val n = rows.length
+    // at every 20% prefix, each language holds its share of that
+    // prefix within a few docs (the property a plain global shuffle
+    // only gives in expectation; this order guarantees it)
+    Seq(0.2, 0.4, 0.6, 0.8).foreach { p =>
+      val prefix = rows.take((n * p).toInt).groupBy(_._2)
+        .view.mapValues(_.length).toMap
+      langSizes.foreach { case (lang, total) =>
+        val expected = total * p
+        val got = prefix.getOrElse(lang, 0)
+        assert(math.abs(got - expected) <= 3,
+          s"prefix $p lang $lang: $got vs $expected")
+      }
+    }
+    // deterministic across repartitionings
+    val again = Curate.shuffleInterleave(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
