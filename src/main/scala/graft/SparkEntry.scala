@@ -125,6 +125,8 @@ object SparkEntry {
     "events_gap_fill"     -> Timeseries.eventsGapFill _,
     "text_normalize"      -> TextFunctions.textNormalize _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
+    "dedup_profile"       -> Dedup.dedupProfile _,
+    "quality_calibration" -> TextFunctions.qualityCalibration _,
     "mixture_plan"        -> ((s, d) => operators.Curate.mixturePlan(s, d)),
     "upsample_epochs"     -> ((s, d) => operators.Curate.upsampleEpochs(s, d)),
     "shuffle_interleave"  -> operators.Curate.shuffleInterleave _,
@@ -1832,6 +1834,54 @@ object SparkEntry {
     "events_gap_fill" -> Timeseries.eventsGapFillOracle,
     "text_normalize" -> TextFunctions.textNormalizeOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
+
+    // duplication statistics: the ccOracleSql reachability with
+    // singletons folded in (left join + coalesce to own id)
+    "dedup_profile" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM mh_pairs
+        UNION ALL SELECT d2, d1 FROM mh_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      cc AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+      lab AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster
+        FROM docs d LEFT JOIN cc c ON c.node = d.doc_id),
+      sizes AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      SELECT cluster_size, COUNT(*) AS n_clusters,
+        CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // cheap-vs-expensive gate calibration: fixed score bins (never a
+    // global rank), exact-decimal means
+    "quality_calibration" -> raw"""
+      WITH $ngramLmCtes,
+      stats AS (
+        SELECT d.doc_id,
+          CASE WHEN len(toks) < 5 THEN 0.0
+               ELSE 1.0
+                 - (CAST(length(text) - length(regexp_replace(text,
+                      '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                    / length(text)) * 2.0
+                 - abs(CAST(len(list_filter(toks,
+                      x -> x IN ('the','a','of','and','to','in','is','on')))
+                    AS DOUBLE) / len(toks) - 0.4)
+          END AS quality_score
+        FROM documents d JOIN t USING (doc_id)),
+      j AS (
+        SELECT s.quality_score, l.avg_neg_logp
+        FROM stats s JOIN fin l USING (doc_id))
+      SELECT CAST(floor(quality_score * 10) AS INT) AS bin,
+        COUNT(*) AS n_docs,
+        round(CAST(SUM(CAST(round(quality_score, 9) AS DECIMAL(13,9)))
+          AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+        round(CAST(SUM(CAST(avg_neg_logp AS DECIMAL(13,9)))
+          AS DOUBLE) / COUNT(*), 6) AS mean_nll
+      FROM j GROUP BY 1 ORDER BY bin""",
 
     // mixture-execution trio: target weights are exact ppm literals,
     // every derived quantity (epochs ×1e6, copy counts, interleave

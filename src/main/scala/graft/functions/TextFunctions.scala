@@ -591,6 +591,32 @@ object TextFunctions {
     * artifact — ngramLmModel), one inner join on doc_id, ONE
     * 10-value aggregate. Training cost is the moment aggregation;
     * the solve is O(1) on 10 scalars. */
+  /** quality_calibration: the calibration CURVE between the cheap
+    * heuristic gate ([[textStats]] quality_score) and the expensive
+    * LM gate ([[ngramLmScore]] avg neg-logp) — what a pipeline
+    * publishes before trusting the cheap filter at 100 TB (the
+    * histogram twin of [[qualityDistill]]'s regression): per FIXED
+    * score bin (floor(score·10) — fixed bins, not rank deciles: a
+    * global rank is a single-partition window at scale, a binned
+    * histogram is one map + partial agg), doc count and the mean of
+    * both scores. Means follow the exact-decimal recipe (9-dp snap →
+    * exact DECIMAL sum → one division → 6 dp); floor() is explicit
+    * (the CAST-rounds-vs-truncates trap). */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stats = textStats(s, d).select(col("doc_id"), col("quality_score"))
+    val lm = ngramLmScore(s, d).select(col("doc_id"), col("avg_neg_logp"))
+    stats.join(lm, "doc_id")
+      .withColumn("bin", floor(col("quality_score") * 10).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("quality_score"), 9).cast(DecimalType(13, 9)))
+          .cast("double") / count(lit(1)), 6).as("mean_quality"),
+        round(sum(col("avg_neg_logp").cast(DecimalType(13, 9)))
+          .cast("double") / count(lit(1)), 6).as("mean_nll"))
+      .orderBy(col("bin"))
+  }
+
   def qualityDistill(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // features must VARY on this corpus: the synthetic soup has zero

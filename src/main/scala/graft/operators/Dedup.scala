@@ -937,6 +937,32 @@ object Dedup {
     out.drop("_cb")
   }
 
+  /** dedup_profile: the corpus DUPLICATION statistics — the first
+    * report a dedup run publishes (what fraction of the corpus is
+    * duplicated, and in what cluster sizes?): minhash near-dup pairs
+    * → connected components → cluster-size histogram, with
+    * singleton docs counted as size-1 clusters (left join +
+    * coalesce(cluster, own id) — no driver-side counting). Output
+    * (cluster_size, n_clusters, n_docs) tells the whole story:
+    * Σ n_docs = corpus, n_docs − n_clusters = docs dedup would
+    * remove. Scale shape: the pair/CC machinery this builds on plus
+    * two partial-agg shuffles of long rows. */
+  def dedupProfile(s: SparkSession, d: String): DataFrame =
+    dedupProfile(withPlants(Tables.documents(s, d)))
+
+  def dedupProfile(docs: DataFrame): DataFrame = {
+    val cc = connectedComponentsSafe(minhashCandidates(docs))
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   private[operators] val SimhashBits = 60 // divides into 4/5/6 equal chunks
