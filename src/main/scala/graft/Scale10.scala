@@ -248,6 +248,34 @@ object Scale10 {
       println(s"SCALE pipeline_${mult}x report=$r")
       r.segments
     }
+    // duplication-statistics report: pairs + CC + two long-row aggs —
+    // must track the minhash/CC probes above, output is tiny
+    t(s"dedup_profile_${mult}x")(operators.Dedup.dedupProfile(docs).count())
+    // mixture-execution trio: one token-count scan (plan), one
+    // broadcast join + bounded explode (upsample), one lang-keyed
+    // window + range sort (interleave) — all linear
+    t(s"mixture_plan_${mult}x")(operators.Curate.mixturePlan(docs,
+      operators.Curate.DefaultTargetPpm, 100000L).count())
+    t(s"upsample_epochs_${mult}x")(operators.Curate.upsampleEpochs(docs,
+      operators.Curate.DefaultTargetPpm, 100000L).count())
+    t(s"shuffle_interleave_${mult}x")(
+      operators.Curate.shuffleInterleave(docs).count())
+    // calibration curve: stats scan + the LM score's own passes + one
+    // binned agg — cost is the LM chain, output ≤ a few dozen bins
+    t(s"quality_calibration_${mult}x") {
+      import org.apache.spark.sql.types.DecimalType
+      val stats = functions.TextFunctions.textStats(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val lm = functions.TextFunctions.ngramLmScore(docs)
+        .select(col("doc_id"), col("avg_neg_logp"))
+      stats.join(lm, "doc_id")
+        .withColumn("bin", floor(col("quality_score") * 10).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_neg_logp").cast(DecimalType(13, 9)))
+            .cast("double") / count(lit(1)), 6).as("mean_nll"))
+        .count()
+    }
     // the INCREMENTAL daily pipeline: the mult× corpus arrives as the
     // bootstrap day, then three constant-size 5k-doc days run against
     // the maintained artifacts — per-day cost must stay FLAT as the

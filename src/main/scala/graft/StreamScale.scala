@@ -433,6 +433,45 @@ object StreamScale {
         println(f"SCALE stream_ann_ivf_sq8 queries=$nq time=$sec%.1fs " +
           f"qps=${nq / sec}%.1f topkRows=$emitted")
       }
+
+      // FILTERED serving (r12): same pruned probe over the
+      // attribute-carrying layout, with the batch's label set PUSHED
+      // into the scan — per-batch cost must track probes × the
+      // predicate's selectivity share of bucket occupancy, never the
+      // corpus; same 1× vs mult× slowdown scorecard
+      locally {
+        val qLab = emb1
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .as[(Long, Array[Float], Int)].collect()
+        def serveF(dir: String, tag: String): Double = {
+          val input = MemoryStream[EventStream.QueryVecLabeled]
+          var emitted = 0L
+          val q = EventStream.streamingAnnIvfFilteredTopK(input.toDS(),
+            dir, cents) { topk => emitted += topk.count() }
+          val t0 = System.nanoTime()
+          (0 until 10).foreach { b =>
+            val rows = (0 until nq / 10).map { j =>
+              val (id, v, lb) = qLab((b * (nq / 10) + j) % qLab.length)
+              EventStream.QueryVecLabeled(id + 1000000L * (b + 1), v, lb)
+            }
+            input.addData(rows)
+            q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          println(f"SCALE stream_ann_ivf_filtered_$tag queries=$nq " +
+            f"time=$sec%.1fs qps=${nq / sec}%.1f topkRows=$emitted")
+          sec
+        }
+        graft.operators.Similarity.writeIvfFilteredPartitionedOn(
+          emb1, cents, "/tmp/streamscale_ivff1")
+        graft.operators.Similarity.writeIvfFilteredPartitionedOn(
+          embN, cents, s"/tmp/streamscale_ivff$mult")
+        val f1 = serveF("/tmp/streamscale_ivff1", "corpus1x")
+        val fN = serveF(s"/tmp/streamscale_ivff$mult", s"corpus${mult}x")
+        println(f"SCALE stream_ann_ivf_filtered_${mult}x_vs_1x " +
+          f"slowdown=${fN / f1}%.2f (unpruned would be ~${mult}x)")
+      }
     }
 
     // ---- streamingBm25TopK: pruned lexical serving ------------------

@@ -700,7 +700,17 @@ object Similarity {
   def writeIvfFilteredPartitioned(s: SparkSession, d: String, dir: String,
                                   nlist: Int = IvfNlist): Array[Array[Double]] = {
     val cents = ivfCentroids(s, d, nlist)
-    val emb = Tables.embeddings(s, d)
+    writeIvfFilteredPartitionedOn(Tables.embeddings(s, d), cents, dir)
+    cents
+  }
+
+  /** [[writeIvfFilteredPartitioned]] over an arbitrary
+    * `(vec_id, embedding, label)` frame with pre-trained centroids —
+    * the form the scale probes lay replicated corpora out with. */
+  def writeIvfFilteredPartitionedOn(emb: DataFrame,
+                                    cents: Array[Array[Double]],
+                                    dir: String): Unit = {
+    val s = emb.sparkSession
     val bc = s.sparkContext.broadcast(cents)
     import s.implicits._
     emb.select(col("vec_id"), col("embedding"), col("label"))
@@ -708,7 +718,6 @@ object Similarity {
       .map { case (id, v, lb) => (id, nearestCentroid(bc.value, v), v, lb) }
       .toDF("vec_id", "bucket", "embedding", "label")
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    cents
   }
 
   /** Serve one query batch against the attribute-carrying layout:
