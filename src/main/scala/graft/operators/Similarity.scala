@@ -477,7 +477,43 @@ object Similarity {
                             targetBytes: Long = 128L << 20)
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes,
-      partitionCols = Seq("bucket"))
+      partitionCols = Seq("bucket"),
+      transform = df => minusTombstones(s, dir, df))
+
+  // ---- deletion support (tombstones over the stored layouts) -------------
+
+  private def tombstonePath(dir: String) = s"$dir/_tombstones"
+
+  /** DELETE vectors from a bucket-partitioned serving layout — the
+    * maintenance verb the append/compact/retrain loop lacked: a
+    * delete never rewrites bucket files (they are immutable between
+    * compactions); it appends the ids to a TOMBSTONE log stored
+    * UNDER the layout (`_tombstones` — the underscore keeps it
+    * invisible to every parquet scan of the layout itself). Serving
+    * subtracts the log (a broadcast anti-join: the log is bounded by
+    * deletions since the last compaction), and
+    * [[compactIvfPartitioned]] FOLDS it into the periodic rewrite —
+    * rows dropped physically, log cleared by the same directory swap
+    * (the standard LSM tombstone discipline applied to a vector
+    * index). Works unchanged for the float, SQ8, PQ and
+    * attribute-carrying layouts (all key rows by `vec_id`). Ids are
+    * NEVER reused in this engine (the corpus id discipline), so a
+    * tombstone cannot shadow a later insert. */
+  def deleteFromLayout(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode("append").parquet(tombstonePath(dir))
+
+  /** Subtract `dir`'s tombstone log from a frame of layout rows —
+    * a no-op (and no extra plan nodes) when no deletes exist. */
+  private[graft] def minusTombstones(s: SparkSession, dir: String,
+                                     rows: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(dir))
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) rows
+    else rows.join(broadcast(s.read.parquet(tombstonePath(dir))
+        .select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
 
   // ---- IVF quantizer-drift monitoring ------------------------------------
 
@@ -543,8 +579,12 @@ object Similarity {
   def retrainIvfPartitioned(s: SparkSession, dir: String,
                             nlist: Int = IvfNlist): Array[Array[Double]] = {
     import s.implicits._
-    val sample = s.read.parquet(dir)
-      .select(col("vec_id"), col("embedding"))
+    // tombstones fold through EVERY rewrite of the layout (the swap
+    // would otherwise drop the log while keeping the dead rows —
+    // resurrecting deleted vectors); training samples live rows only
+    val live = minusTombstones(s, dir,
+      s.read.parquet(dir).select(col("vec_id"), col("embedding")))
+    val sample = live
       .orderBy("vec_id").limit(2048)
       .select("embedding").as[Array[Float]].collect()
     val cents = trainCentroids(sample, nlist, iters = 10)
@@ -553,9 +593,7 @@ object Similarity {
     def p(x: String) = new org.apache.hadoop.fs.Path(x)
     if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
     if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
-    writeIvfPartitionedOn(
-      s.read.parquet(dir).select(col("vec_id"), col("embedding")),
-      cents, dir + ".retraining")
+    writeIvfPartitionedOn(live, cents, dir + ".retraining")
     require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
     require(fs.rename(p(dir + ".retraining"), p(dir)),
       s"could not swap retrained $dir in")
@@ -614,8 +652,8 @@ object Similarity {
       .toDF("query_id", "bucket", "qv")
     val probedBuckets = probes.select("bucket").distinct()
       .as[Int].collect().sorted // bounded by nlist — driver-safe
-    val corpus = s.read.parquet(dir)
-      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val corpus = minusTombstones(s, dir, s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
     val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
     val cand = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
                else cand0
@@ -743,9 +781,9 @@ object Similarity {
       .as[Int].collect().sorted // bounded by nlist — driver-safe
     val batchLabels = probes.select("qlabel").distinct()
       .as[Int].collect().sorted // bounded by the batch size — driver-safe
-    val corpus = s.read.parquet(dir)
+    val corpus = minusTombstones(s, dir, s.read.parquet(dir)
       .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*) &&
-        col("label").isin(batchLabels.map(Integer.valueOf): _*))
+        col("label").isin(batchLabels.map(Integer.valueOf): _*)))
     val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("label") === col("qlabel"))
     val cand = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
@@ -855,8 +893,8 @@ object Similarity {
       .toDF("query_id", "bucket", "qv")
     val probedBuckets = probes.select("bucket").distinct()
       .as[Int].collect().sorted // bounded by nlist — driver-safe
-    val corpus = s.read.parquet(dir)
-      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val corpus = minusTombstones(s, dir, s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
     val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
     val candf = if (excludeSelf) cand0.filter(col("vec_id") =!= col("query_id"))
                 else cand0
@@ -1322,8 +1360,8 @@ object Similarity {
       }
     val probedBuckets = queries.flatMap(_._2.keys).distinct.sorted
     val bq = s.sparkContext.broadcast(queries)
-    val adc = s.read.parquet(dir)
-      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val adc = minusTombstones(s, dir, s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
       .select(col("vec_id"), col("bucket"), col("codes"))
       .as[(Long, Int, Array[Byte])] // codes land as parquet BINARY
       .flatMap { case (id, b, codes) =>
@@ -1381,7 +1419,8 @@ object Similarity {
                               targetBytes: Long = 128L << 20)
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes,
-      partitionCols = Seq("bucket"))
+      partitionCols = Seq("bucket"),
+      transform = df => minusTombstones(s, dir, df))
 
   /** Monitoring snapshot of the stored code layout: corpus size,
     * bucket-occupancy skew (as [[IvfLayoutStats]]), and the mean
@@ -1472,8 +1511,11 @@ object Similarity {
                               kS: Int = PqK)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import s.implicits._
+    // live rows only: the swap folds the tombstone log (see
+    // retrainIvfPartitioned — a rewrite must never resurrect deletes)
     val full = emb.select(col("vec_id"), col("embedding"))
-      .join(s.read.parquet(dir).select(col("vec_id")), Seq("vec_id"))
+      .join(minusTombstones(s, dir,
+        s.read.parquet(dir).select(col("vec_id"))), Seq("vec_id"))
     val sample = full.orderBy("vec_id").limit(2048)
       .select("embedding").as[Array[Float]].collect()
     val cents = trainCentroids(sample, nlist, iters = 10)
@@ -1918,8 +1960,8 @@ object Similarity {
       .toDF("query_id", "bucket", "qv")
     val probedBuckets = probes.select("bucket").distinct()
       .as[Int].collect().sorted // bounded by nlist — driver-safe
-    val corpus = s.read.parquet(dir)
-      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val corpus = minusTombstones(s, dir, s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
       .select(col("vec_id"), col("bucket"), col("codes"))
       .as[(Long, Int, Array[Byte])] // codes land as parquet BINARY
       .map { case (id, b, codes) => (id, b, codes.map(x => x.toInt + 128)) }

@@ -162,6 +162,50 @@ class SimilaritySpec extends SparkSpec {
       lbl(r.getAs[Long]("neighbor_id"))))
   }
 
+  test("layout deletes: tombstones vanish from serving, compaction folds the log") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val cents = Similarity.writeIvfPartitioned(spark, sf, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve(dir: String) = Similarity.annIvfServeBatch(spark, dir, cents,
+      queries, excludeSelf = true).collect().map(_.toSeq).toSeq
+    val before = serve(s"$tmp/idx")
+    // delete three currently-served neighbors — the strongest victims
+    val victims = before.map(r => r(1).asInstanceOf[Long]).distinct.take(3)
+    Similarity.deleteFromLayout(spark, s"$tmp/idx", victims.toDF("vec_id"))
+    val after = serve(s"$tmp/idx")
+    assert(after.nonEmpty &&
+      !after.map(_(1).asInstanceOf[Long]).exists(victims.contains))
+    // delete-then-serve equals serving a layout never containing them
+    Similarity.writeIvfPartitionedOn(
+      emb.filter(!col("vec_id").isin(victims: _*)), cents, s"$tmp/ref")
+    assert(after == serve(s"$tmp/ref"))
+    // compaction folds the log: rows physically gone, log cleared,
+    // serving identical
+    val rep = Similarity.compactIvfPartitioned(spark, s"$tmp/idx")
+    assert(rep.filesOut > 0)
+    val physIds = spark.read.parquet(s"$tmp/idx")
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(!physIds.contains(_)))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/idx/_tombstones")))
+    assert(after == serve(s"$tmp/idx"))
+    // retrain also folds: the swapped-in layout must not resurrect
+    Similarity.deleteFromLayout(spark, s"$tmp/idx",
+      Seq(after.head(1).asInstanceOf[Long]).toDF("vec_id"))
+    val afterSecond = serve(s"$tmp/idx")
+    val cents2 = Similarity.retrainIvfPartitioned(spark, s"$tmp/idx")
+    val physIds2 = spark.read.parquet(s"$tmp/idx")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!physIds2.contains(after.head(1).asInstanceOf[Long]))
+    assert(cents2.length == cents.length)
+    val _ = afterSecond
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
