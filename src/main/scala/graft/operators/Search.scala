@@ -295,9 +295,10 @@ object Search {
     if (dfDirs.isEmpty) // postings/df dirs are written together
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "doc_id", "bm25", "rank")
-    val post = s.read.option("basePath", s"$dir/postings")
-      .parquet(bucketDirs: _*)
-      .filter(col("token").isin(terms: _*))
+    val post = minusDocTombstones(s, dir,
+        s.read.option("basePath", s"$dir/postings")
+          .parquet(bucketDirs: _*)
+          .filter(col("token").isin(terms: _*)))
       .join(broadcast(s.read.option("basePath", s"$dir/df")
         .parquet(dfDirs: _*)
         .filter(col("token").isin(terms: _*))
@@ -312,12 +313,78 @@ object Search {
     * the df table keeps its bucket partitioning too. */
   def compactInvertedIndexBucketed(s: SparkSession, dir: String,
                                    targetBytes: Long = 128L << 20): Unit = {
+    val hadTombstones = new org.apache.hadoop.fs.Path(docTombstonePath(dir))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(docTombstonePath(dir)))
     graft.sources.Compact.compactInPlace(s, s"$dir/postings", targetBytes,
       partitionCols = Seq("tb"),
-      sortCols = Seq("tb", "token", "doc_id"))
-    graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes,
-      partitionCols = Seq("tb"))
-    ()
+      sortCols = Seq("tb", "token", "doc_id"),
+      transform = df => minusDocTombstones(s, dir, df))
+    if (hadTombstones) foldIndexTombstones(s, dir, bucketed = true)
+    else {
+      graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes,
+        partitionCols = Seq("tb"))
+      ()
+    }
+  }
+
+  // ---- deletion support (doc tombstones over the stored index) -----------
+
+  /** DELETE documents from a stored inverted index (either layout) —
+    * the lexical twin of [[Similarity.deleteFromLayout]]: doc_ids
+    * append to a `_tombstones` log under the index (underscore =
+    * invisible to every table scan; posting files stay immutable
+    * between compactions). Serving subtracts the log from the probed
+    * postings — a deleted doc can never be returned — while df/stats
+    * keep counting it until compaction (the Lucene deleted-docs
+    * discipline: survivor scores use the stale corpus stats, and the
+    * compaction fold restores exactness). Both compaction paths FOLD
+    * the log: postings rewritten without the docs, df and stats
+    * RECOMPUTED from the surviving postings, log cleared. */
+  def deleteFromInvertedIndex(s: SparkSession, dir: String,
+                              docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/_tombstones")
+
+  private def docTombstonePath(dir: String) = s"$dir/_tombstones"
+
+  private def minusDocTombstones(s: SparkSession, dir: String,
+                                 rows: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(docTombstonePath(dir))
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) rows
+    else rows.join(broadcast(s.read.parquet(docTombstonePath(dir))
+        .select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Recompute df + stats from the (already tombstone-folded)
+    * postings and clear the log — the shared tail of both compaction
+    * folds. df/stats derive exactly: df = postings per token, stats
+    * from the per-doc (doc_id, dl) distinct view. */
+  private def foldIndexTombstones(s: SparkSession, dir: String,
+                                  bucketed: Boolean): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val post = s.read.parquet(s"$dir/postings")
+    val newDf0 = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    if (bucketed) {
+      val nBuckets = s.read.parquet(s"$dir/meta").as[Int].head()
+      newDf0
+        .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+        .repartition(col("tb"))
+        .localCheckpoint() // materialize before overwriting the df path
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/df")
+    } else {
+      newDf0.localCheckpoint()
+        .write.mode("overwrite").parquet(s"$dir/df")
+    }
+    post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
+      .localCheckpoint()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    fs.delete(new org.apache.hadoop.fs.Path(docTombstonePath(dir)), true)
   }
 
   /** Daily index maintenance: fold a batch of NEW docs into the
@@ -361,13 +428,20 @@ object Search {
     * needs no maintenance. Serve-identical (spec'd in SearchSpec). */
   def compactInvertedIndex(s: SparkSession, dir: String,
                            targetBytes: Long = 128L << 20): Unit = {
+    val hadTombstones = new org.apache.hadoop.fs.Path(docTombstonePath(dir))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(docTombstonePath(dir)))
     graft.sources.Compact.compactInPlace(s, s"$dir/postings", targetBytes,
       partitionCols = Seq("token"),
       // partition-value type inference would rewrite an all-numeric
       // vocabulary's token dirs as ints — pin the key to string
-      transform = _.withColumn("token", col("token").cast("string")))
-    graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes)
-    ()
+      transform = df => minusDocTombstones(s, dir,
+        df.withColumn("token", col("token").cast("string"))))
+    if (hadTombstones) foldIndexTombstones(s, dir, bucketed = false)
+    else {
+      graft.sources.Compact.compactInPlace(s, s"$dir/df", targetBytes)
+      ()
+    }
   }
 
   /** Serve ONE batch of term queries against the stored index: the
@@ -405,8 +479,9 @@ object Search {
     if (termDirs.isEmpty) // every term OOV: empty result, ranked schema
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "doc_id", "bm25", "rank")
-    val post = s.read.option("basePath", s"$dir/postings")
-      .parquet(termDirs: _*)
+    val post = minusDocTombstones(s, dir,
+        s.read.option("basePath", s"$dir/postings")
+          .parquet(termDirs: _*))
       .join(broadcast(s.read.parquet(s"$dir/df")
         .filter(col("token").isin(terms: _*))), "token")
     val Array(nDocs, sTok) = s.read.parquet(s"$dir/stats")

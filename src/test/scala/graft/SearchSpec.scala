@@ -99,6 +99,56 @@ class SearchSpec extends SparkSpec {
     assert(dispatched.toSeq == inline.toSeq)
   }
 
+  test("index deletes: tombstoned docs vanish; compaction folds df/stats exactly") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("invdel").toString
+    Search.writeInvertedIndex(docs, dir)
+    val before = Search.bm25ServeBatch(spark, dir, queriesDf)
+      .collect().map(_.toSeq)
+    // delete three currently-served docs
+    val victims = before.map(_(1).asInstanceOf[Long]).distinct.take(3)
+    Search.deleteFromInvertedIndex(spark, dir, victims.toSeq.toDF("doc_id"))
+    val after = Search.bm25ServeBatch(spark, dir, queriesDf)
+      .collect().map(_.toSeq)
+    assert(after.nonEmpty &&
+      !after.map(_(1).asInstanceOf[Long]).exists(victims.contains))
+    // compaction folds: serve now equals a FRESH index of the
+    // surviving corpus exactly (df/stats recomputed, not stale)
+    Search.compactInvertedIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
+    val ref = java.nio.file.Files.createTempDirectory("invdelref").toString
+    Search.writeInvertedIndex(
+      docs.filter(!col("doc_id").isin(victims: _*)), ref)
+    val folded = Search.bm25ServeBatch(spark, dir, queriesDf)
+      .collect().map(_.toSeq)
+    val fresh = Search.bm25ServeBatch(spark, ref, queriesDf)
+      .collect().map(_.toSeq)
+    assert(folded.toSeq == fresh.toSeq,
+      s"folded index differs from fresh index of survivors")
+  }
+
+  test("bucketed index deletes fold through compaction the same way") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("invdelb").toString
+    Search.writeInvertedIndexBucketed(docs, dir, nBuckets = 32)
+    val before = Search.bm25ServeBatchBucketed(spark, dir, queriesDf)
+      .collect().map(_.toSeq)
+    val victims = before.map(_(1).asInstanceOf[Long]).distinct.take(2)
+    Search.deleteFromInvertedIndex(spark, dir, victims.toSeq.toDF("doc_id"))
+    assert(!Search.bm25ServeBatchBucketed(spark, dir, queriesDf)
+      .collect().map(_.getAs[Long]("doc_id")).exists(victims.contains))
+    Search.compactInvertedIndexBucketed(spark, dir)
+    val ref = java.nio.file.Files.createTempDirectory("invdelbref").toString
+    Search.writeInvertedIndexBucketed(
+      docs.filter(!col("doc_id").isin(victims: _*)), ref, nBuckets = 32)
+    assert(Search.bm25ServeBatchBucketed(spark, dir, queriesDf)
+      .collect().map(_.toSeq).toSeq ==
+      Search.bm25ServeBatchBucketed(spark, ref, queriesDf)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("appended index serves exactly like a one-shot index of the union") {
     val docs = Tables.documents(spark, sf)
     val base = docs.filter(col("doc_id") % 3 =!= 0)
