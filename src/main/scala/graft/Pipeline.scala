@@ -538,6 +538,67 @@ object Pipeline {
     StateMaintenanceReport(chunk, band, evalSh, trainSh, docs, days)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN across the daily pipeline state — the
+    * erasure verb a production corpus must support (takedowns, GDPR
+    * erasure, licensing recalls): remove the given doc_ids from
+    * EVERY maintained artifact and from storage, synchronously:
+    *
+    *   1. shards — the ids join the recall list and
+    *      [[vacuumRetractedShards]] rewrites every day directory
+    *      holding them (and any outstanding recalls) without them;
+    *      the consumer view drops them the moment the retraction
+    *      append lands,
+    *   2. band index — rows of the forgotten docs rewritten away
+    *      (their bands must stop matching future arrivals: a copy of
+    *      an erased doc is NOVEL by definition — erasure removes the
+    *      corpus's memory of the content, the deliberate semantic
+    *      consequence, spec'd),
+    *   3. chunk index — (hash, keeper) rows whose keeper is
+    *      forgotten are dropped (same consequence: the content
+    *      fingerprint leaves with its only attributed owner),
+    *   4. both shingle stores — the docs' shingle rows vanish (they
+    *      stop contaminating / being recall triggers),
+    *   5. cluster map — [[graft.operators.Dedup.forgetFromClusterIndex]]
+    *      removes the nodes and relabels clusters whose LABEL was a
+    *      forgotten id (labels are doc ids — erasure cannot leave
+    *      one behind).
+    *
+    * Artifact rewrites ride [[graft.sources.Compact.compactInPlace]]
+    * (read → anti-join → swap, the maintained-index discipline), so
+    * the pass doubles as a compaction. The day loop keeps running
+    * against the erased state unchanged (spec'd). */
+  def forgetDocs(spark: SparkSession, stateDir: String,
+                 ids: DataFrame): Unit = {
+    import spark.implicits._
+    val forget = ids.select(col("doc_id")).distinct().localCheckpoint()
+    // 1. consumer view + shard storage
+    forget.withColumn("day", lit("forgotten"))
+      .write.mode("append").parquet(s"$stateDir/retractions")
+    vacuumRetractedShards(spark, stateDir)
+    // 2-4. doc-keyed artifacts: anti-join rewrites (swap discipline)
+    graft.sources.Compact.compactInPlace(spark, s"$stateDir/band_index",
+      transform = _.join(broadcast(forget), Seq("doc_id"), "left_anti"))
+    graft.sources.Compact.compactInPlace(spark, s"$stateDir/chunk_index",
+      transform = _.join(broadcast(forget.select(col("doc_id")
+          .as("keeper_id"))), Seq("keeper_id"), "left_anti")
+        .groupBy(col("chunk_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+    graft.sources.Compact.compactInPlace(spark, s"$stateDir/eval_shingles",
+      transform = _.join(broadcast(forget.select(col("doc_id")
+          .as("eval_id"))), Seq("eval_id"), "left_anti"))
+    graft.sources.Compact.compactInPlace(spark, s"$stateDir/train_shingles",
+      transform = _.join(broadcast(forget.select(col("doc_id")
+          .as("train_id"))), Seq("train_id"), "left_anti"))
+    // 5. cluster map (present only once a day produced edges)
+    val mapDir = s"$stateDir/cluster_map"
+    val fs = new org.apache.hadoop.fs.Path(mapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(mapDir)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(mapDir))
+          .exists(_.getPath.getName.startsWith("_cb=")))
+      Dedup.forgetFromClusterIndex(spark, mapDir, forget)
+  }
+
   /** Fold the recall list into the shard storage: every day/split
     * directory holding retracted docs is rewritten without them
     * (read → checkpoint → overwrite, the materialize-before-
@@ -545,9 +606,9 @@ object Pipeline {
     * entirely is deleted, and the satisfied retraction list resets
     * to empty. The consumer view ([[readCuratedDocs]]) is IDENTICAL
     * before and after — the vacuum moves the recall from an
-    * anti-join at read time into the storage itself. Only train
-    * shards can hold retracted docs (recalls come from the shipped-
-    * train shingle index), so val/test dirs are never touched. */
+    * anti-join at read time into the storage itself. Recalls only
+    * ever hit train shards, but [[forgetDocs]] routes erasure of ANY
+    * split through here — all three split dirs are scanned. */
   def vacuumRetractedShards(spark: SparkSession, stateDir: String,
                             shardBudget: Long = 20000): (Long, Int) = {
     val retr = spark.read.parquet(s"$stateDir/retractions")
@@ -557,8 +618,8 @@ object Pipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var vacuumedDocs = 0L
     var vacuumedDays = 0
-    listDays(spark, stateDir).foreach { day =>
-      val dayDir = s"$stateDir/days/$day/train"
+    for (day <- listDays(spark, stateDir); sp <- Seq("train", "val", "test")) {
+      val dayDir = s"$stateDir/days/$day/$sp"
       val shardPath = new org.apache.hadoop.fs.Path(s"$dayDir/shards")
       if (fs.exists(shardPath)) {
         val rows = spark.read.json(s"$dayDir/shards")

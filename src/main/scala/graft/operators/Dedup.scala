@@ -963,6 +963,64 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** REMOVE nodes from the maintained cluster map — the erasure half
+    * of the incremental-clustering loop ([[ccIncrementalStep]] adds
+    * edges; this forgets documents): rows of forgotten nodes vanish,
+    * and clusters whose LABEL was a forgotten doc (cluster_id = min
+    * member) relabel their remaining members to the new min — a
+    * label IS a doc id, so erasure must not leave it behind. Same
+    * bounded write discipline as the daily step: only the touched
+    * clusters' hash buckets are read and rewritten (dynamic
+    * partition overwrite), carry-buckets protect untouched rows
+    * where a NEW label hashes outside the touched set, drained
+    * buckets are deleted. */
+  def forgetFromClusterIndex(s: SparkSession, dir: String, ids: DataFrame,
+                             buckets: Int = 1024): Unit = {
+    val map = s.read.parquet(dir)
+    val forget = ids.select(col("doc_id").as("node")).distinct()
+      .localCheckpoint()
+    val touched = map.join(forget, Seq("node"))
+      .select(col("cluster_id")).distinct().localCheckpoint()
+    if (touched.limit(1).count() == 0) return
+    val touchedBuckets = touched.select(clusterBucket(buckets).as("_cb"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+    val slice = map.filter(col("_cb").isin(touchedBuckets: _*))
+    val members = slice.join(touched, Seq("cluster_id"), "left_semi")
+    val survivors = members.join(forget, Seq("node"), "left_anti")
+    val newLabels = survivors.groupBy(col("cluster_id"))
+      .agg(min(col("node")).as("new_id"))
+    val relabeled = survivors.join(newLabels, "cluster_id")
+      .select(col("node"), col("new_id").as("cluster_id"))
+    val keep = slice.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    val out = keep.unionByName(relabeled)
+      .withColumn("_cb", clusterBucket(buckets))
+      .localCheckpoint() // materialize before overwriting read paths
+    val outBuckets = out.select(col("_cb")).distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by `buckets`
+    val carryBuckets = (outBuckets -- touchedBuckets).toSeq
+    val writeFrame =
+      if (carryBuckets.isEmpty) out
+      else out.unionByName(
+        map.filter(col("_cb").isin(carryBuckets: _*))
+          .select(col("node"), col("cluster_id"), col("_cb"))
+          .localCheckpoint())
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf, "dynamic")
+    try writeFrame.repartition(col("_cb"))
+      .write.mode("overwrite").partitionBy("_cb").parquet(dir)
+    finally prev match {
+      case Some(v) => s.conf.set(conf, v)
+      case None => s.conf.unset(conf)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touchedBuckets.filterNot(outBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_cb=$b"), true)
+    }
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   private[operators] val SimhashBits = 60 // divides into 4/5/6 equal chunks

@@ -333,6 +333,69 @@ class PipelineSpec extends SparkSpec {
     assert(r4.afterDedup == 0, s"post-maintenance dedup missed: $r4")
   }
 
+  test("forgetDocs erases a doc from every artifact and the corpus forgets its content") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-forget").toString
+    Pipeline.initDailyState(spark, state)
+    val b1 = daySlice(0, 60)
+    val b2 = daySlice(60, 120)
+    Pipeline.curateAndPackDayStep(spark, b1, state, "d1")
+    Pipeline.curateAndPackDayStep(spark, b2, state, "d2")
+    val shipped = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    // pick a shipped TRAIN doc with no natural near-dup partner (so
+    // the forgotten-content novelty check is unambiguous) and any
+    // shipped eval doc
+    val paired = operators.Dedup
+      .minhashCandidates(b1.unionByName(b2)).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val target = shipped.collect {
+      case (id, "train") if !paired.contains(id) => id }.min
+    val evalTarget = shipped.collect { case (id, s) if s != "train" => id }.min
+    val victims = Seq(target, evalTarget)
+    Pipeline.forgetDocs(spark, state, victims.toDF("doc_id"))
+    // consumer view excludes them; shard storage holds no trace
+    val view = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(victims.forall(!view.contains(_)))
+    val physical = Seq("d1", "d2").flatMap { day =>
+      Seq("train", "val", "test").flatMap { sp =>
+        val p = s"$state/days/$day/$sp/shards"
+        if (new java.io.File(p.replace("file:", "")).exists)
+          spark.read.json(p).select("doc_id").as[Long].collect() else Nil
+      }
+    }.toSet
+    assert(victims.forall(!physical.contains(_)), "shards still hold victims")
+    // retractions satisfied (vacuum cleared the list)
+    assert(spark.read.parquet(s"$state/retractions").count() == 0)
+    // every doc-keyed artifact is clean
+    assert(spark.read.parquet(s"$state/band_index")
+      .filter(col("doc_id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$state/chunk_index")
+      .filter(col("keeper_id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$state/eval_shingles")
+      .filter(col("eval_id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$state/train_shingles")
+      .filter(col("train_id").isin(victims: _*)).count() == 0)
+    val ccClean = operators.Dedup.readClusterIndex(spark, s"$state/cluster_map")
+    assert(ccClean.filter(col("node").isin(victims: _*) ||
+      col("cluster_id").isin(victims: _*)).count() == 0,
+      "cluster map still references a forgotten id")
+    // the deliberate consequence of erasure: an exact COPY of the
+    // forgotten train doc's content no longer matches the band index
+    // — the corpus has no memory of it
+    val copyBands = operators.Dedup.minhashBands(
+      b1.filter(col("doc_id") === target)
+        .withColumn("doc_id", col("doc_id") + 70000L))
+    assert(copyBands.join(spark.read.parquet(s"$state/band_index"),
+      Seq("band", "sig")).count() == 0,
+      "band index still recognizes forgotten content")
+    // and the loop keeps running against the erased state
+    val r3 = Pipeline.curateAndPackDayStep(spark, daySlice(120, 150),
+      state, "d3")
+    assert(r3.input == 30 && r3.dqViolations == 0)
+  }
+
   test("day step with a unigram artifact budgets shards by real token counts") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("graft-days-tok").toString
