@@ -566,7 +566,13 @@ object Pipeline {
     * Artifact rewrites ride [[graft.sources.Compact.compactInPlace]]
     * (read → anti-join → swap, the maintained-index discipline), so
     * the pass doubles as a compaction. The day loop keeps running
-    * against the erased state unchanged (spec'd). */
+    * against the erased state unchanged (spec'd). Cost is one
+    * compact pass over each doc-keyed artifact (corpus-sized scans
+    * of slim long/hash rows — 6.5s against the 10× state, §6) plus
+    * the bounded shard/cluster surgery: production BATCHES erasure
+    * requests and runs one pass per cycle (erasure SLAs are
+    * days-scale), amortizing the artifact rewrites across the batch
+    * exactly as this signature already does. */
   def forgetDocs(spark: SparkSession, stateDir: String,
                  ids: DataFrame): Unit = {
     import spark.implicits._

@@ -309,6 +309,22 @@ object Scale10 {
           f"${(System.nanoTime() - ti) / 1e9}%.2fs report=$r")
         last = r.afterQuality
       }
+      // erasure cost against the accumulated state: bounded surgery
+      // (vacuum touches only days holding the ids; artifact rewrites
+      // are one compact pass each; cluster relabel touches only the
+      // ids' buckets) — must not track corpus size
+      locally {
+        import org.apache.spark.sql.functions.col
+        val victims = Pipeline.readCuratedDocs(spark, state)
+          .filter(col("split") === "train")
+          .select("doc_id").limit(20)
+          .collect().map(_.getLong(0)).toSeq
+        val tf = System.nanoTime()
+        import spark.implicits._
+        Pipeline.forgetDocs(spark, state, victims.toDF("doc_id"))
+        println(f"SCALE pipeline_forget n=${victims.size} " +
+          f"time=${(System.nanoTime() - tf) / 1e9}%.2fs")
+      }
       last
     }
     // the embedding-dedup front-end composed end-to-end: replicas are

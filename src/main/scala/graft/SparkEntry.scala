@@ -124,6 +124,7 @@ object SparkEntry {
     "scd2_lookup"         -> operators.Upsert.scd2LookupQuery _,
     "events_gap_fill"     -> Timeseries.eventsGapFill _,
     "text_normalize"      -> TextFunctions.textNormalize _,
+    "text_scripts"        -> TextFunctions.textScripts _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
     "dedup_profile"       -> Dedup.dedupProfile _,
     "quality_calibration" -> TextFunctions.qualityCalibration _,
@@ -1833,6 +1834,7 @@ object SparkEntry {
     "scd2_lookup" -> operators.Upsert.scd2LookupOracle,
     "events_gap_fill" -> Timeseries.eventsGapFillOracle,
     "text_normalize" -> TextFunctions.textNormalizeOracle,
+    "text_scripts" -> TextFunctions.textScriptsOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
 
     // duplication statistics: the ccOracleSql reachability with

@@ -285,6 +285,94 @@ object TextFunctions {
       CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed
     FROM norm ORDER BY doc_id"""
 
+  /** text_scripts: per-doc SCRIPT composition — the writing-system
+    * signal CCNet/C4-class pipelines gate on beside language ID
+    * (mixed-script documents are a classic spam/injection tell, and
+    * per-script routing picks tokenizers): counts of Latin, digit,
+    * CJK (U+4E00-9FFF), Cyrillic (U+0400-04FF) and whitespace
+    * codepoints via length-difference arithmetic (regexp_replace of
+    * the class, codegen'd — BMP-only classes so Java UTF-16 length ==
+    * DuckDB codepoint length), the remainder as `n_other`, and the
+    * dominant script by a FIXED-ORDER argmax CASE (identical
+    * expression tree both engines; \s is avoided — Java and RE2
+    * disagree on vertical tab — in favor of the explicit
+    * [ \t\n\r]). The corpus is ASCII, so the query DEGRADES it
+    * deterministically (the text_normalize discipline): zh docs gain
+    * a CJK suffix and docs ≡0 (mod 13) a Cyrillic one — the oracle
+    * then checks real multi-script counting, not all-zeros. */
+  def textScripts(s: SparkSession, d: String): DataFrame = {
+    val cjkSuffix = " 数据管道处理"
+    val cyrSuffix = " данные"
+    val degraded = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "zh", concat(col("text"), lit(cjkSuffix)))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(cyrSuffix)))
+          .otherwise(col("text")).as("text"))
+    def cnt(re: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), re, ""))).cast("int")
+    degraded
+      .select(col("doc_id"),
+        length(col("text")).cast("int").as("n_chars"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[\\u4e00-\\u9fff]").as("n_cjk"),
+        cnt("[\\u0400-\\u04ff]").as("n_cyrillic"),
+        cnt("[ \\t\\n\\r]").as("n_space"))
+      .withColumn("n_other",
+        (col("n_chars") - col("n_latin") - col("n_digit") - col("n_cjk") -
+          col("n_cyrillic") - col("n_space")).cast("int"))
+      .withColumn("main_script", {
+        val m = greatest(col("n_latin"), col("n_cjk"), col("n_cyrillic"),
+          col("n_digit"))
+        when(col("n_latin") === m, "latin")
+          .when(col("n_cjk") === m, "cjk")
+          .when(col("n_cyrillic") === m, "cyrillic")
+          .otherwise("digit")
+      })
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[textScripts]]: same chr()-literal injection,
+    * same length-difference counts (RE2 `\x{...}` classes), same
+    * fixed-order argmax. */
+  val textScriptsOracle: String = raw"""
+    WITH degraded AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0
+          THEN base || ' ' || chr(1076) || chr(1072) || chr(1085) ||
+               chr(1085) || chr(1099) || chr(1077)
+          ELSE base END AS text
+      FROM (
+        SELECT doc_id,
+          CASE WHEN lang = 'zh'
+            THEN text || ' ' || chr(25968) || chr(25454) || chr(31649) ||
+                 chr(36947) || chr(22788) || chr(29702)
+            ELSE text END AS base
+        FROM documents)),
+    counts AS (
+      SELECT doc_id,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS INT) AS n_latin,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
+        CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS INT) AS n_cjk,
+        CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS INT) AS n_cyrillic,
+        CAST(length(text) - length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')) AS INT) AS n_space
+      FROM degraded)
+    SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_cyrillic, n_space,
+      CAST(n_chars - n_latin - n_digit - n_cjk - n_cyrillic - n_space AS INT)
+        AS n_other,
+      CASE WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic, n_digit)
+             THEN 'latin'
+           WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic, n_digit)
+             THEN 'cjk'
+           WHEN n_cyrillic = greatest(n_latin, n_cjk, n_cyrillic, n_digit)
+             THEN 'cyrillic'
+           ELSE 'digit' END AS main_script
+    FROM counts ORDER BY doc_id"""
+
   /** vocab_topk: corpus-wide token counts, top-k by frequency — the
     * input to tokenizer/vocabulary training. Plain explode(split) —
     * split() is a codegen'd expression, NOT a CodegenFallback HOF, so
