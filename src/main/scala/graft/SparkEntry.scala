@@ -125,6 +125,7 @@ object SparkEntry {
     "events_gap_fill"     -> Timeseries.eventsGapFill _,
     "text_normalize"      -> TextFunctions.textNormalize _,
     "text_scripts"        -> TextFunctions.textScripts _,
+    "text_entropy"        -> ((s, d) => TextFunctions.textEntropy(s, d)),
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
     "dedup_profile"       -> Dedup.dedupProfile _,
     "quality_calibration" -> TextFunctions.qualityCalibration _,
@@ -1835,6 +1836,7 @@ object SparkEntry {
     "events_gap_fill" -> Timeseries.eventsGapFillOracle,
     "text_normalize" -> TextFunctions.textNormalizeOracle,
     "text_scripts" -> TextFunctions.textScriptsOracle,
+    "text_entropy" -> TextFunctions.textEntropyOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
 
     // duplication statistics: the ccOracleSql reachability with

@@ -285,6 +285,67 @@ object TextFunctions {
       CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed
     FROM norm ORDER BY doc_id"""
 
+  /** text_entropy: per-doc CHARACTER-BIGRAM entropy — the
+    * Gopher-family repetitiveness gate beside [[textRepetition]]'s
+    * n-gram fractions (low entropy = keyboard mashing, repeated
+    * padding, template boilerplate; the signal is orthogonal to
+    * word-level repetition because it sees INTRA-word structure):
+    * H = −Σ_b p_b ln p_b over the doc's adjacent character pairs.
+    *
+    * Determinism recipe (the ngram_lm transcendental discipline):
+    * H·total = Σ cnt·(ln total − ln cnt), both logs snapped to the
+    * 1e-9 grid and differenced as exact DECIMAL(13,9), each term an
+    * exact DECIMAL(9,0)×DECIMAL(13,9) product, ONE double division
+    * by total at the end, 6 dp. Scale shape: a typed ~len(text)
+    * flatMap per doc (the dedup_spans scan, fanned out) + two
+    * partial-agg shuffles of (id, 2-char, long) rows. Docs shorter
+    * than 2 chars have no bigrams and emit no row (both engines). */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    textEntropy(Tables.documents(s, d))
+
+  def textEntropy(docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = docs.sparkSession
+    import s.implicits._
+    val bg = graft.Util.fanOut(
+        docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .flatMap { case (id, t) =>
+        (0 until t.length - 1).iterator.map(i => (id, t.substring(i, i + 2))) }
+      .toDF("doc_id", "bg")
+    val cnts = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
+    cnts.join(tot, "doc_id")
+      .select(col("doc_id"), col("total"),
+        (col("cnt").cast(DecimalType(9, 0)) *
+          (round(log(col("total")), 9).cast(DecimalType(13, 9)) -
+            round(log(col("cnt")), 9).cast(DecimalType(13, 9)))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("total")).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / max(col("total")), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[textEntropy]] — same grid/decimal chain. */
+  val textEntropyOracle: String = """
+    WITH bg AS (
+      SELECT doc_id, substr(text, i, 2) AS bg
+      FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+            FROM documents)),
+    c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+    t AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total
+          FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.doc_id, t.total,
+        CAST(c.cnt AS DECIMAL(9,0)) *
+          (CAST(round(ln(t.total), 9) AS DECIMAL(13,9)) -
+           CAST(round(ln(c.cnt), 9) AS DECIMAL(13,9))) AS term
+      FROM c JOIN t USING (doc_id))
+    SELECT doc_id, MAX(total) AS n_bigrams,
+      round(CAST(SUM(term) AS DOUBLE) / MAX(total), 6) AS entropy
+    FROM terms GROUP BY doc_id ORDER BY doc_id"""
+
   /** text_scripts: per-doc SCRIPT composition — the writing-system
     * signal CCNet/C4-class pipelines gate on beside language ID
     * (mixed-script documents are a classic spam/injection tell, and
