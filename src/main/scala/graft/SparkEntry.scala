@@ -128,6 +128,7 @@ object SparkEntry {
     "text_entropy"        -> ((s, d) => TextFunctions.textEntropy(s, d)),
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
     "dedup_profile"       -> Dedup.dedupProfile _,
+    "lsh_calibration"     -> Dedup.lshCalibration _,
     "quality_calibration" -> TextFunctions.qualityCalibration _,
     "mixture_plan"        -> ((s, d) => operators.Curate.mixturePlan(s, d)),
     "upsample_epochs"     -> ((s, d) => operators.Curate.upsampleEpochs(s, d)),
@@ -1859,6 +1860,37 @@ object SparkEntry {
       SELECT cluster_size, COUNT(*) AS n_clusters,
         CAST(SUM(cluster_size) AS BIGINT) AS n_docs
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // LSH-geometry calibration: minhash-estimated similarity (exact
+    // binary rational n_agree/64) vs exact shingle Jaccard, per
+    // candidate pair — the `mins` CTE carries the raw signatures
+    "lsh_calibration" -> s"""
+      WITH $minhashCtes,
+      agree AS (
+        SELECT p.d1, p.d2, COUNT(*) AS n_agree
+        FROM mh_pairs p
+        JOIN mins m1 ON m1.doc_id = p.d1
+        JOIN mins m2 ON m2.doc_id = p.d2 AND m2.pid = m1.pid
+          AND m2.m = m1.m
+        GROUP BY 1, 2),
+      shr AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN mh_pairs p ON p.d1 = a.doc_id AND p.d2 = b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+      SELECT p.d1, p.d2, CAST(g.n_agree AS INT) AS n_agree,
+        round(g.n_agree / 64.0, 6) AS est_sim,
+        CAST(COALESCE(s.shared, 0) AS BIGINT) AS shared,
+        round(CAST(COALESCE(s.shared, 0) AS DOUBLE) /
+              (z1.n_sh + z2.n_sh - COALESCE(s.shared, 0)), 6) AS jaccard
+      FROM mh_pairs p
+      JOIN agree g ON g.d1 = p.d1 AND g.d2 = p.d2
+      LEFT JOIN shr s ON s.d1 = p.d1 AND s.d2 = p.d2
+      JOIN sz z1 ON z1.doc_id = p.d1
+      JOIN sz z2 ON z2.doc_id = p.d2
+      ORDER BY p.d1, p.d2""",
 
     // cheap-vs-expensive gate calibration: fixed score bins (never a
     // global rank), exact-decimal means

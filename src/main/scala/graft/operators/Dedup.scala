@@ -735,6 +735,91 @@ object Dedup {
       .toDF("doc_id", "band", "sig")
   }
 
+  /** Per-doc raw 64-value minhash signature — the [[minhashBands]]
+    * loop without the banding fold; feeds the calibration query. */
+  private[graft] def minhashSigValues(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ps = perms.toArray
+    val pa = ps.map(_._1); val pb = ps.map(_._2)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, text) =>
+          val shs = shingleSet(text, 3)
+          if (shs.isEmpty) Iterator.empty
+          else {
+            val sig = Array.fill(NumHashes)(Long.MaxValue)
+            shs.foreach { sh =>
+              var hv = cache.get(sh)
+              if (hv == null) { hv = md5Hash32(sh) % MersennePrime; cache.put(sh, hv) }
+              val h = hv.longValue()
+              var i = 0
+              while (i < NumHashes) {
+                val v = (pa(i) * h + pb(i)) % MersennePrime
+                if (v < sig(i)) sig(i) = v
+                i += 1
+              }
+            }
+            Iterator.single((id, sig.toSeq))
+          }
+        }
+      }
+      .toDF("doc_id", "sig")
+  }
+
+  /** lsh_calibration: the geometry's CALIBRATION REPORT on real data
+    * — for every LSH candidate pair, the minhash-ESTIMATED similarity
+    * (matching hashes / 64: the unbiased Jaccard estimator banding is
+    * built on) next to the EXACT shingle Jaccard. This is how a
+    * production run justifies its τ threshold and band geometry
+    * before trusting the bands at 100 TB: a healthy geometry shows
+    * est ≈ exact on collisions and a collision floor near the τ the
+    * bands were derived for. Scale shape: the banding machinery plus
+    * one signature join (64 longs per doc), with the exact-Jaccard
+    * verification restricted to CANDIDATE pairs only (the semi join —
+    * never the all-pairs shingle join). est = n_agree/64 is an exact
+    * binary rational; both divisions round 6 dp. */
+  def lshCalibration(s: SparkSession, d: String): DataFrame =
+    lshCalibration(withPlants(Tables.documents(s, d)))
+
+  def lshCalibration(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = minhashCandidates(docs)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val sigs = minhashSigValues(docs)
+    val agree = pairs
+      .join(sigs.toDF("d1", "sig1"), "d1")
+      .join(sigs.toDF("d2", "sig2"), "d2")
+      // using-column joins move the join key FIRST — reorder before
+      // the positional tuple decode or d1/d2 arrive swapped
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (d1, d2, a, b) =>
+        (d1, d2, a.zip(b).count(t => t._1 == t._2)) }
+      .toDF("d1", "d2", "n_agree")
+    val sh = shingles(docs, 3).select(col("doc_id"), col("shingle"))
+    val shared = sh.as("a").join(sh.hint("shuffle_hash").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .join(broadcast(pairs), Seq("d1", "d2"), "left_semi")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    agree
+      .join(shared, Seq("d1", "d2"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("n_agree").cast("int").as("n_agree"),
+        round(col("n_agree") / lit(64.0), 6).as("est_sim"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** LSH candidate pairs: equal band signature in ≥1 of 16 bands. */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidates(withPlants(Tables.documents(s, d)))

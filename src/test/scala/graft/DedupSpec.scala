@@ -37,6 +37,28 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(pairs))
   }
 
+  test("lsh calibration: banding mechanism and estimator accuracy") {
+    val rows = Dedup.lshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every candidate collided on >=1 full band of 4 hash positions
+    assert(rows.forall(_.getAs[Int]("n_agree") >= 4))
+    // est_sim is exactly n_agree/64 (an exact binary rational)
+    assert(rows.forall(r =>
+      r.getAs[Double]("est_sim") == r.getAs[Int]("n_agree") / 64.0))
+    // exact plants: all 64 hashes agree, exact Jaccard 1.0
+    val exact = rows.filter(r =>
+      r.getAs[Long]("d1") < 25 && r.getAs[Long]("d2") == r.getAs[Long]("d1") + 100000)
+    assert(exact.length == 25)
+    assert(exact.forall(r => r.getAs[Int]("n_agree") == 64 &&
+      r.getAs[Double]("jaccard") == 1.0))
+    // the minhash estimator is calibrated on collisions: with 64
+    // hashes the per-pair std dev is <= sqrt(J(1-J)/64) <= 0.0625,
+    // so the mean absolute error across candidates stays small
+    val mae = rows.map(r =>
+      math.abs(r.getAs[Double]("est_sim") - r.getAs[Double]("jaccard"))).sum / rows.length
+    assert(mae < 0.1, s"estimator MAE $mae")
+  }
+
   test("simhash finds planted near-dups within hamming 3") {
     val rows = Dedup.simhashNearDups(spark, sf).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
