@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
     "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
+    "dedup_semantic"      -> Similarity.dedupSemantic _,
     "dedup_emb_incremental" -> Dedup.dedupEmbIncremental _,
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
@@ -127,6 +128,7 @@ object SparkEntry {
     "text_scripts"        -> TextFunctions.textScripts _,
     "text_entropy"        -> ((s, d) => TextFunctions.textEntropy(s, d)),
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
+    "dsir_select"         -> ((s, d) => operators.Curate.dsirSelect(s, d)),
     "dedup_profile"       -> Dedup.dedupProfile _,
     "lsh_calibration"     -> Dedup.lshCalibration _,
     "quality_calibration" -> TextFunctions.qualityCalibration _,
@@ -149,6 +151,7 @@ object SparkEntry {
       ("ann_ivf_pq" -> Similarity.annIvfPqOracleSql(s, d)) +
       ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
       ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
+      ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d)) +
       ("unigram_segment" -> functions.Unigram.unigramSegmentOracleSql(s, d)) +
@@ -1839,6 +1842,7 @@ object SparkEntry {
     "text_scripts" -> TextFunctions.textScriptsOracle,
     "text_entropy" -> TextFunctions.textEntropyOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
+    "dsir_select" -> operators.Curate.dsirSelectOracle,
 
     // duplication statistics: the ccOracleSql reachability with
     // singletons folded in (left join + coalesce to own id)

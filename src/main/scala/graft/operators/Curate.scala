@@ -693,4 +693,164 @@ object Curate {
                       CAST(9007199254740992 AS DOUBLE)), 9)
             / n_chars, 9) AS es_key
     FROM h ORDER BY es_key, doc_id LIMIT 200"""
+
+  // ---- DSIR: importance-resampling data selection ------------------
+  // Xie et al., "Data Selection for Language Models via Importance
+  // Resampling" (NeurIPS 2023): score every raw doc by how much more
+  // likely its hashed n-gram features are under a TARGET domain's
+  // bag-of-ngrams model than under the raw pool's, then keep the
+  // top-weighted docs. The 100 TB shape: the λ table is m rows
+  // (broadcastable — train once, reuse per scoring run via the
+  // write/read artifact pair, the KenLM/Bpe artifact-split pattern);
+  // feature extraction is one linear corpus pass; scoring is a
+  // broadcast join + partial agg; selection is TakeOrdered (bounded
+  // per-partition heaps), never a global window.
+
+  private[graft] val DsirBuckets = 1024
+  private[graft] val DsirTopK    = 100
+
+  /** Per-doc hashed n-gram feature counts `(doc_id, lang, feat, k)`:
+    * unigrams and bigrams of the whitespace token stream, md5-hashed
+    * into `m` buckets (first-8-hex-digit fold — the cross-engine
+    * [[graft.operators.Dedup.md5Hash32]] contract). One corpus pass:
+    * posexplode + a lead() window partitioned by doc_id (millions of
+    * small partitions), both gram arities emitted from the SAME
+    * windowed row via a 2-element array explode — no second pass. */
+  private[graft] def dsirDocFeats(docs: DataFrame, m: Int): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // the explode runs in the scan stage — spread a single-split
+    // input across cores first (single-row-group parquet = one task)
+    graft.Util.fanOut(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .select(col("doc_id"), col("lang"),
+        explode(when(col("w2").isNotNull,
+            array(col("w1"), concat_ws(" ", col("w1"), col("w2"))))
+          .otherwise(array(col("w1")))).as("gram"))
+      .withColumn("feat",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % m)
+      .groupBy(col("doc_id"), col("lang"), col("feat"))
+      .agg(count(lit(1)).as("k"))
+  }
+
+  /** Train the DSIR importance table: per hashed feature bucket,
+    * λ_f = ln p_target(f) − ln p_raw(f) under add-1-smoothed
+    * bag-of-ngrams models (p = (cnt+1)/(N+m)). Exactly m rows — the
+    * broadcastable artifact a production run trains ONCE on a target
+    * sample + raw sample and reuses for every scoring pass.
+    * Determinism: each p is one IEEE division of exact integers, ln
+    * snaps to the 1e-9 grid, λ is an exact DECIMAL(13,9) difference
+    * (the ngram_lm transcendental recipe). Totals are unpartitioned
+    * window sums over the m-row agg frame (never a 1-row crossJoin —
+    * that plans as a BroadcastNestedLoopJoin). */
+  def dsirLambda(docFeats: DataFrame,
+                 targetPred: org.apache.spark.sql.Column,
+                 m: Int = DsirBuckets): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val raw = docFeats.groupBy(col("feat")).agg(sum(col("k")).as("rk"))
+    val tgt = docFeats.where(targetPred)
+      .groupBy(col("feat")).agg(sum(col("k")).as("tk"))
+    raw.join(tgt, Seq("feat"), "left")
+      .withColumn("tk", coalesce(col("tk"), lit(0L)))
+      .withColumn("nr", sum(col("rk")).over(all))
+      .withColumn("nt", sum(col("tk")).over(all))
+      .select(col("feat"),
+        (round(log((col("tk") + 1).cast("double") / (col("nt") + m)), 9)
+           .cast(DecimalType(13, 9)) -
+         round(log((col("rk") + 1).cast("double") / (col("nr") + m)), 9)
+           .cast(DecimalType(13, 9))).as("lam"))
+  }
+
+  /** Persist / reload the λ table (parquet keeps the DECIMAL(13,9)
+    * exactly) — the artifact split that makes scoring a single
+    * corpus pass at scale. */
+  def writeDsirLambda(lambdaDf: DataFrame, dir: String): Unit =
+    lambdaDf.coalesce(1).write.mode("overwrite").parquet(dir)
+  def readDsirLambda(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+
+  /** Score docs against a trained λ table: per-doc importance
+    * log-weight Σ_f k_f·λ_f as an EXACT decimal sum
+    * (DECIMAL(9,0)×DECIMAL(13,9) products — engine-identical). */
+  def dsirScore(docFeats: DataFrame, lambdaDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    docFeats
+      .join(broadcast(lambdaDf), Seq("feat"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("lang")).as("lang"),
+        sum(col("k")).as("n_grams"),
+        sum(col("k").cast(DecimalType(9, 0)) * col("lam")).as("slw"))
+  }
+
+  /** dsir_select: the composed one-shot query — train λ with the
+    * target predicate, score the pool, keep the top-k by exact
+    * decimal weight (doc_id tie-break), display 6 dp. The one-shot
+    * form re-derives features per stage like ngram_lm_score; the
+    * production path is dsirLambda→writeDsirLambda once, then
+    * dsirScore per corpus pass. */
+  def dsirSelect(docs: DataFrame,
+                 targetPred: org.apache.spark.sql.Column,
+                 m: Int = DsirBuckets, k: Int = DsirTopK): DataFrame = {
+    val feats = dsirDocFeats(docs, m)
+    dsirScore(feats, dsirLambda(feats, targetPred, m))
+      .orderBy(col("slw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round(col("slw").cast("double"), 6).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+  }
+
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelect(Tables.documents(s, d), col("lang") === "en")
+
+  val dsirSelectOracle: String = raw"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> length(x) > 0) AS toks
+      FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS gram FROM tok),
+    bi AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM tok WHERE len(toks) >= 2),
+    g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    f AS (
+      SELECT doc_id, lang,
+        CAST(list_sum(list_transform(range(1, 9),
+          k -> (strpos('0123456789abcdef', md5(gram)[k:k]) - 1)
+               * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) % 1024 AS feat
+      FROM g),
+    df AS (
+      SELECT doc_id, lang, feat, COUNT(*) AS k FROM f GROUP BY 1, 2, 3),
+    rawc AS (SELECT feat, CAST(SUM(k) AS BIGINT) AS rk FROM df GROUP BY 1),
+    tgtc AS (SELECT feat, CAST(SUM(k) AS BIGINT) AS tk
+             FROM df WHERE lang = 'en' GROUP BY 1),
+    tot AS (
+      SELECT CAST((SELECT SUM(rk) FROM rawc) AS BIGINT) AS nr,
+             CAST((SELECT SUM(tk) FROM tgtc) AS BIGINT) AS nt),
+    lam AS (
+      SELECT r.feat,
+        CAST(round(ln(CAST(COALESCE(t.tk, 0) + 1 AS DOUBLE)
+                      / (tot.nt + 1024)), 9) AS DECIMAL(13,9)) -
+        CAST(round(ln(CAST(r.rk + 1 AS DOUBLE)
+                      / (tot.nr + 1024)), 9) AS DECIMAL(13,9)) AS lam
+      FROM rawc r LEFT JOIN tgtc t USING (feat) CROSS JOIN tot),
+    sc AS (
+      SELECT d.doc_id, MIN(d.lang) AS lang,
+        CAST(SUM(d.k) AS BIGINT) AS n_grams,
+        SUM(CAST(d.k AS DECIMAL(9,0)) * l.lam) AS slw
+      FROM df d JOIN lam l USING (feat)
+      GROUP BY d.doc_id),
+    top AS (
+      SELECT doc_id, lang, n_grams, slw FROM sc
+      ORDER BY slw DESC, doc_id LIMIT 100)
+    SELECT doc_id, lang, n_grams,
+      round(CAST(slw AS DOUBLE), 6) AS logw
+    FROM top ORDER BY logw DESC, doc_id"""
 }

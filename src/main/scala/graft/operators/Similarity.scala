@@ -2033,4 +2033,90 @@ object Similarity {
         FROM rer)
       WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  // ---- SemDeDup: semantic (embedding-cluster) deduplication ------------
+
+  /** dedup_semantic: SemDeDup (Abbas et al. 2023) — k-means-cluster
+    * the embedding space with the IVF coarse quantizer, then dedup
+    * WITHIN each cluster: a vector is removed iff an earlier (lower
+    * id) same-cluster vector sits within cosine ≥ τ (the repo's
+    * keep-first rule; the paper's "keep one per semantic group" made
+    * deterministic). This is the semantic complement of the LSH
+    * near-dup family: hyperplane LSH blocks by random geometry,
+    * SemDeDup blocks by LEARNED cluster structure, which is what
+    * catches paraphrase-level redundancy at training-data scale.
+    *
+    * Scale shape: assignment is a broadcast-centroid typed map (one
+    * linear pass); the within-cluster pairing is an equi-join on the
+    * bucket key whose quadratic work stays IN-STAGE (pairs flow
+    * straight into a map-side-combined max per vec — the shuffle
+    * carries the n input rows, never the n²/nlist pair rows). At
+    * 100 TB nlist scales with the corpus (cluster size held ~constant
+    * — SemDeDup trains k ∝ N), making per-cluster work bounded; the
+    * Scale10 probe measures exactly that regime. Cosine is the
+    * native codegen'd expression, rounded 6 dp before the max/τ
+    * compare (engine-identical). */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    dedupSemantic(Tables.embeddings(s, d), ivfCentroids(s, d, SemNlist))
+
+  private[graft] val SemNlist = 32
+  private[graft] val SemTau   = 0.35
+
+  def dedupSemantic(e: DataFrame, cents: Array[Array[Double]],
+                    tau: Double = SemTau): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    def assigned(idCol: String, embCol: String) =
+      e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+        .toDF(idCol, "bucket", embCol)
+    assigned("v1", "e1")
+      .join(assigned("v2", "e2").hint("shuffle_hash"), Seq("bucket"))
+      .where(col("v1") < col("v2"))
+      .select(col("v2").as("vec_id"), col("bucket"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("e1"), col("e2")), 6).as("cs"))
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(max(col("cs")).as("max_cos"))
+      .filter(col("max_cos") >= tau)
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[dedupSemantic]]: trained centroids as
+    * DOUBLE[] literals (the [[annIvfOracleSql]] recipe), assignment
+    * argmax-dot with lowest-cid ties, within-cluster keep-first max
+    * cosine. Data-dependent → emitted by oracleSqlFor. */
+  def dedupSemanticOracleSql(s: SparkSession, d: String,
+                             nlist: Int = SemNlist,
+                             tau: Double = SemTau): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""
+      WITH cents(cid, c) AS (VALUES
+        $centsSql),
+      scored AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      pairs AS (
+        SELECT a2.vec_id AS v, a1.bucket,
+          round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                       CAST(e2.embedding AS DOUBLE[])), 6) AS cs
+        FROM assign a1
+        JOIN assign a2 ON a2.bucket = a1.bucket AND a1.vec_id < a2.vec_id
+        JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+        JOIN embeddings e2 ON e2.vec_id = a2.vec_id)
+      SELECT v AS vec_id, bucket, max(cs) AS max_cos
+      FROM pairs GROUP BY 1, 2 HAVING max(cs) >= $tau
+      ORDER BY vec_id"""
+  }
 }

@@ -250,4 +250,42 @@ class CurateOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("dsir importance weights separate the target domain; artifact round-trips") {
+    // the natural corpus is a uniform shared-vocabulary soup (langid
+    // blindness note) — DSIR's mechanism must be proven on a crafted
+    // pool with genuinely distinct domain distributions
+    import spark.implicits._
+    val tech = (0L until 20L).map(i =>
+      (i, "tech", s"gpu cuda tensor shader gpu kernel cuda warp $i"))
+    val food = (100L until 120L).map(i =>
+      (i, "food", s"bread cheese olive basil bread oven cheese dough $i"))
+    val pool = (tech ++ food).toDF("doc_id", "lang", "text")
+    val feats = Curate.dsirDocFeats(pool, Curate.DsirBuckets)
+    val lam = Curate.dsirLambda(feats, col("lang") === "tech")
+    val scored = Curate.dsirScore(feats, lam).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(3).doubleValue()).toMap
+    // every target-domain doc outweighs every off-domain doc, with
+    // the signs the log-ratio predicts (target grams enriched vs the
+    // pool -> positive; off-domain grams at the smoothing floor of
+    // the target model -> negative)
+    val techW = tech.map(t => scored(t._1))
+    val foodW = food.map(t => scored(t._1))
+    assert(techW.min > foodW.max)
+    assert(techW.min > 0 && foodW.max < 0)
+    // top-k selection keeps exactly the target-domain docs
+    val top = Curate.dsirSelect(pool, col("lang") === "tech",
+      Curate.DsirBuckets, 20).collect()
+    assert(top.map(_.getLong(0)).toSet == tech.map(_._1).toSet)
+    // n_grams accounting: unigrams + bigrams of the 9-token docs
+    assert(top.forall(_.getAs[Long]("n_grams") == 9 + 8))
+    // the λ artifact round-trips through parquet bit-exactly
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    Curate.writeDsirLambda(lam, s"$dir/lam")
+    val re = Curate.dsirScore(feats, Curate.readDsirLambda(spark, s"$dir/lam"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+    val orig = Curate.dsirScore(feats, lam)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+    assert(re == orig)
+  }
 }

@@ -227,4 +227,41 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup_semantic matches a driver-side SemDeDup replay, keep-first per cluster") {
+    val cents = Similarity.ivfCentroids(spark, sf, Similarity.SemNlist)
+    val got = Similarity.dedupSemantic(Tables.embeddings(spark, sf), cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray)
+    // replay: same assignment tie-break (argmax dot, first wins) and
+    // the same single-pass double cosine + HALF_UP 6 dp rounding
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = embs.groupBy { case (_, v) =>
+      Similarity.topCentroids(cents, v, 1).head }
+    val expect = (for {
+      (b, vs) <- byBucket.toSeq
+      sorted = vs.sortBy(_._1)
+      (j, i) <- sorted.zipWithIndex if i > 0
+      m = sorted.take(i).map(u => cos6(u._2, j._2)).max
+      if m >= Similarity.SemTau
+    } yield (j._1, b, m)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // keep-first: the lowest-id member of a cluster is never removed
+    val removed = got.map(_._1)
+    byBucket.values.foreach { vs =>
+      assert(!removed.contains(vs.map(_._1).min))
+    }
+  }
 }
