@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
     "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
+    "select_prototypes"   -> Similarity.selectPrototypes _,
     "dedup_emb_incremental" -> Dedup.dedupEmbIncremental _,
     "dedup_spans"         -> Dedup.dedupSpans _,
     "dedup_spans_excise"  -> Dedup.dedupSpansExcise _,
@@ -89,6 +90,7 @@ object SparkEntry {
     "ngram_lm_score"      -> TextFunctions.ngramLmScore _,
     "ngram_lm_heldout"    -> TextFunctions.ngramLmHeldOut _,
     "ngram_lm_interp"     -> TextFunctions.ngramLmInterp _,
+    "ngram_lm_kn"         -> TextFunctions.ngramLmKn _,
     "bpe_segment"         -> ((s, d) => functions.Bpe.bpeSegment(s, d)),
     "bpe_token_count"     -> ((s, d) => functions.Bpe.bpeTokenCount(s, d)),
     "unigram_segment"     -> ((s, d) => functions.Unigram.unigramSegment(s, d)),
@@ -135,6 +137,7 @@ object SparkEntry {
     "mixture_plan"        -> ((s, d) => operators.Curate.mixturePlan(s, d)),
     "upsample_epochs"     -> ((s, d) => operators.Curate.upsampleEpochs(s, d)),
     "shuffle_interleave"  -> operators.Curate.shuffleInterleave _,
+    "dedup_lines"         -> Dedup.dedupLines _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_excise" -> Dedup.dedupChunksExcise _,
   )
@@ -152,6 +155,7 @@ object SparkEntry {
       ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
       ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
+      ("select_prototypes" -> Similarity.selectPrototypesOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d)) +
       ("unigram_segment" -> functions.Unigram.unigramSegmentOracleSql(s, d)) +
@@ -679,6 +683,54 @@ object SparkEntry {
       SELECT d1 AS corpus_id, d2 AS batch_id FROM mh_pairs
       WHERE d1 < 100000 AND d2 >= 100000
       ORDER BY corpus_id, batch_id""",
+
+    // line-level corpus dedup: lines materialized in-query (10-token
+    // groups + deterministic boilerplate plants), keyed by the
+    // 60-bit md5 digit-sum, first (doc,idx) occurrence kept, rebuilt
+    // text hash-verified; string_agg skips the NULLed removed lines
+    "dedup_lines" -> raw"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      lf AS (
+        SELECT doc_id, toks,
+          unnest(range(0, (len(toks) + 9) // 10)) AS j
+        FROM t),
+      content AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS idx,
+          array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS line
+        FROM lf),
+      lines AS (
+        SELECT * FROM content
+        UNION ALL
+        SELECT doc_id, CAST(1000000 AS BIGINT),
+               'subscribe to our newsletter today'
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, CAST(1000001 AS BIGINT),
+               'follow us on social media now'
+        FROM documents WHERE doc_id % 11 = 0),
+      k AS (
+        SELECT doc_id, idx, line,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', md5(line)[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) AS h
+        FROM lines),
+      stats AS (
+        SELECT h, COUNT(*) AS n_occ,
+               MIN(doc_id * 2000000 + idx) AS keep_key
+        FROM k GROUP BY 1),
+      flag AS (
+        SELECT k.doc_id, k.idx, k.line,
+          (s.n_occ = 1 OR k.doc_id * 2000000 + k.idx = s.keep_key) AS kept
+        FROM k JOIN stats s USING (h))
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+                                ORDER BY idx), '')) AS out_md5
+      FROM flag GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_spans" -> """
       WITH docs AS (
@@ -1468,6 +1520,64 @@ object SparkEntry {
         LEFT JOIN ctx c USING (w1)
         LEFT JOIN uni u ON u.w2 = string_split(d.bigram, ' ')[2]
         CROSS JOIN tot CROSS JOIN voc),
+      agg AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
+        FROM scored GROUP BY doc_id),
+      fin AS (
+        SELECT doc_id, n_bigrams,
+          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
+        FROM agg)
+      SELECT doc_id, n_bigrams, avg_neg_logp,
+        round(exp(avg_neg_logp), 6) AS ppl
+      FROM fin ORDER BY doc_id""",
+
+    // interpolated Kneser-Ney at D=0.75: every operand on an exact
+    // binary grid (quarter-grid counts, +1 continuation), each branch
+    // a fixed IEEE expression tree — two divisions, one multiply, one
+    // greatest — identical on both engines; ln onward the recipe
+    "ngram_lm_kn" -> raw"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      bgl AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
+      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs
+                WHERE doc_id % 50 <> 0 GROUP BY 1),
+      cstat AS (SELECT w1, COUNT(*) AS ctx, COUNT(DISTINCT bigram) AS n1fwd
+                FROM bgs WHERE doc_id % 50 <> 0 GROUP BY 1),
+      cont AS (SELECT string_split(bigram, ' ')[2] AS w2,
+                      COUNT(DISTINCT w1) AS cont
+               FROM bgs WHERE doc_id % 50 <> 0 GROUP BY 1),
+      tv AS (SELECT CAST(
+               (SELECT COUNT(*) FROM model) +
+               (SELECT COUNT(DISTINCT tok) FROM
+                  (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 50 <> 0))
+             AS BIGINT) AS tv),
+      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.k,
+          CAST(round(ln(
+            CASE WHEN COALESCE(c.ctx, 0) > 0 THEN
+              greatest(CAST(COALESCE(m.cnt, 0) AS DOUBLE) - 0.75,
+                       CAST(0.0 AS DOUBLE)) / CAST(c.ctx AS DOUBLE)
+              + ((CAST(0.75 AS DOUBLE) * CAST(c.n1fwd AS DOUBLE)) /
+                   CAST(c.ctx AS DOUBLE)) *
+                ((CAST(COALESCE(cn.cont, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+                   CAST(tv.tv AS DOUBLE))
+            ELSE (CAST(COALESCE(cn.cont, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+                   CAST(tv.tv AS DOUBLE) END), 9)
+            AS DECIMAL(13,9)) AS lp
+        FROM docbg d
+        LEFT JOIN model m USING (bigram)
+        LEFT JOIN cstat c USING (w1)
+        LEFT JOIN cont cn ON cn.w2 = string_split(d.bigram, ' ')[2]
+        CROSS JOIN tv),
       agg AS (
         SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
           SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp

@@ -705,6 +705,76 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** ngram_lm_kn — interpolated KNESER-NEY, the fourth and
+    * production-standard smoothing tier (the KenLM default) next to
+    * MLE ([[ngramLmScoreWith]]), add-α ([[ngramLmHeldOut]]) and
+    * Jelinek-Mercer ([[ngramLmInterp]]): absolute discount D = 0.75
+    * moved from seen bigrams onto a CONTINUATION back-off —
+    * p(w|u) = max(c(u,w) − D, 0)/c(u·)
+    *        + D·N1+(u·)/c(u·) · p_cont(w),
+    * p_cont(w) = (N1+(·w) + 1)/(T + V)  (add-1 on the continuation
+    * counts keeps unseen words strictly positive; T = train bigram
+    * types, V = train vocab). What KN adds over JM: the back-off
+    * weighs how many DISTINCT contexts a word completes, not its raw
+    * frequency — "francisco" is frequent but follows only "san", so
+    * a novel "the francisco" is penalized where JM's unigram back-off
+    * would reward it. Trained on the %50 carve like the other gates.
+    *
+    * Determinism: D = 0.75 and the +1 keep every operand on an exact
+    * binary grid (quarter-grid counts < 2^51), so each branch is a
+    * FIXED expression tree of IEEE ops on identical inputs (two
+    * divisions, one multiply, one max — the quality_distill
+    * principle: only data-dependent ACCUMULATION needs the decimal
+    * recipe); ln onward is the [[ngramLmScoreWith]] recipe verbatim.
+    * Scale shape: the heldout joins (shuffle on bigram, broadcastable
+    * w1/w2 side tables) + two bounded driver scalars (bm25 nDocs
+    * precedent). */
+  def ngramLmKn(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val trainBg = docBigrams(train)
+    val model = trainBg.groupBy(col("bigram")).agg(sum(col("k")).as("cnt"))
+    val cstat = trainBg.groupBy(col("w1"))
+      .agg(sum(col("k")).as("ctx"), countDistinct(col("bigram")).as("n1fwd"))
+    val cont = trainBg
+      .select(element_at(split(col("bigram"), " "), 2).as("w2"), col("w1"))
+      .distinct()
+      .groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val bigramTypes = model.count()
+    val vocab = train.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    ngramLmKnExact(docBigrams(docs), model, cstat, cont, bigramTypes, vocab)
+  }
+
+  /** Exact-decimal core of [[ngramLmKn]] (D fixed at 0.75). */
+  def ngramLmKnExact(docBg: DataFrame, model: DataFrame, cstat: DataFrame,
+                     cont: DataFrame, bigramTypes: Long,
+                     vocab: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pcont = (coalesce(col("cont"), lit(0L)).cast("double") + lit(1.0)) /
+      lit((bigramTypes + vocab).toDouble)
+    val ctxd = col("ctx").cast("double")
+    val p = when(coalesce(col("ctx"), lit(0L)) > 0,
+        greatest(coalesce(col("cnt"), lit(0L)).cast("double") - lit(0.75),
+            lit(0.0)) / ctxd +
+          ((lit(0.75) * col("n1fwd").cast("double")) / ctxd) * pcont)
+      .otherwise(pcont)
+    val lp = round(log(p), 9).cast(DecimalType(13, 9))
+    docBg
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(model, Seq("bigram"), "left")
+      .join(cstat, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast(DecimalType(9, 0)) * lp).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("slp").cast("double") / col("n_bigrams")), 6)
+          .as("avg_neg_logp"))
+      .withColumn("ppl", round(exp(col("avg_neg_logp")), 6))
+      .orderBy(col("doc_id"))
+  }
+
   def ngramLmScore(s: SparkSession, d: String): DataFrame =
     ngramLmScore(Tables.documents(s, d))
 

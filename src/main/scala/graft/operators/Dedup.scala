@@ -313,6 +313,78 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- line-level corpus dedup (C4 family) -------------------------------
+
+  private[graft] val BoilerplateA = "subscribe to our newsletter today"
+  private[graft] val BoilerplateB = "follow us on social media now"
+
+  /** dedup_lines: LINE-level corpus dedup — the C4/RefinedWeb stage
+    * that strips boilerplate by deduplicating individual lines ACROSS
+    * the whole corpus (navigation bars, cookie banners, newsletter
+    * footers repeat verbatim on thousands of pages; C4 "deduplicated
+    * at the line level", RefinedWeb removes lines seen many times):
+    * every distinct line keeps exactly ONE occurrence corpus-wide
+    * (the first in (doc_id, line_idx) order), every other occurrence
+    * is dropped from its document. Granularity sits between
+    * [[dedupSpans]] (fixed windows) and [[dedupChunks]] (content-cut
+    * blocks): lines are SEMANTIC units, so removal never cuts
+    * mid-sentence.
+    *
+    * The synthetic corpus is single-line, so lines are materialized
+    * in-query (the text_redact planting discipline, so the oracle
+    * verifies real removal arithmetic): a newline after every 10
+    * tokens, plus deterministic boilerplate plants — docs ≡0 (mod 7)
+    * gain a newsletter footer, ≡0 (mod 11) a social footer (fixed
+    * indices 1000000/1000001 keep ordering trivial on both engines).
+    * Output per doc: line/removal counts and the md5 of the rebuilt
+    * text (surviving lines joined by newline) — removal is
+    * hash-verified, not just counted.
+    *
+    * Scale shape: one typed line scan (cheap per row — gated fan-out),
+    * lines keyed by their 60-bit md5 ([[md5Hash60]] — the shuffle
+    * carries (hash, doc, idx) longs plus the line once), ONE
+    * partial-agg shuffle for (count, min-keeper) per hash, the join
+    * back, and a bounded per-doc rebuild. Never quadratic; the
+    * frequency table at 100 TB is exactly the span/chunk-index
+    * artifact shape. */
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    dedupLines(Tables.documents(s, d))
+
+  def dedupLines(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = graft.Util.fanOutIfAtLeast(
+        docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .flatMap { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val content = toks.grouped(10).zipWithIndex.map { case (g, j) =>
+          (id, j.toLong, g.mkString(" ")) }
+        val extra =
+          (if (id % 7 == 0) Iterator((id, 1000000L, BoilerplateA))
+           else Iterator.empty) ++
+          (if (id % 11 == 0) Iterator((id, 1000001L, BoilerplateB))
+           else Iterator.empty)
+        (content ++ extra).map { case (i, j, l) => (i, j, l, md5Hash60(l)) }
+      }
+      .toDF("doc_id", "idx", "line", "h")
+    val stats = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * lit(2000000L) + col("idx")).as("keep_key"))
+    lines.join(stats, "h")
+      .withColumn("kept", col("n_occ") === 1 ||
+        (col("doc_id") * lit(2000000L) + col("idx")) === col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n")).as("out_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One-shot NEW-BATCH vs CORPUS chunk detection — the chunk-granular
     * member of the cross-set family ([[dedupIncremental]] /
     * [[dedupSpansIncremental]]): decompose both sides with

@@ -2084,6 +2084,95 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- SSL-prototype / D4 diversity selection --------------------------
+
+  /** select_prototypes: prototypicality-based data selection (the
+    * SSL-Prototypes metric of Sorscher et al. 2022 "Beyond neural
+    * scaling laws", the second half of D4 after SemDeDup): cluster
+    * the embedding space with the same k-means coarse quantizer,
+    * score every vector by its cosine to its OWN cluster centroid
+    * (high = prototypical/easy, low = hard/diverse), and keep the
+    * LEAST prototypical half of every cluster — the pruning rule
+    * that beats random subsampling when data is abundant. Emits the
+    * full scored frame (vec_id, bucket, proto_cos, div_rank, keep)
+    * so downstream picks its own keep fraction.
+    *
+    * Scale shape: assignment is the broadcast-centroid typed map;
+    * the centroid join is a broadcast of nlist rows; the rank is a
+    * window PARTITIONED BY cluster — bounded because nlist scales
+    * with the corpus (cluster size ~constant, the SemDeDup
+    * argument), never a global window. Cosine is the native
+    * codegen'd expression rounded 6 dp with vec_id tie-break. */
+  def selectPrototypes(s: SparkSession, d: String): DataFrame =
+    selectPrototypes(Tables.embeddings(s, d), ivfCentroids(s, d, SemNlist))
+
+  def selectPrototypes(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = e.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("vec_id", "bucket", "v")
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("bucket", "cent")
+    val rankW = Window.partitionBy(col("bucket"))
+      .orderBy(col("proto_cos").asc, col("vec_id").asc)
+    val cntW = Window.partitionBy(col("bucket"))
+    assigned.join(broadcast(centsDf), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("v"), col("cent")), 6).as("proto_cos"))
+      .withColumn("div_rank", row_number().over(rankW))
+      .withColumn("nb", count(lit(1)).over(cntW))
+      .withColumn("keep",
+        when(col("div_rank") <= expr("nb div 2"), lit(1)).otherwise(lit(0)))
+      .select(col("vec_id"), col("bucket"), col("proto_cos"),
+        col("div_rank"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[selectPrototypes]]: centroid literals (the
+    * [[annIvfOracleSql]] recipe), argmax-dot assignment, per-cluster
+    * rank over the 6-dp cosine with vec_id tie-break. Data-dependent
+    * → emitted by oracleSqlFor. */
+  def selectPrototypesOracleSql(s: SparkSession, d: String,
+                                nlist: Int = SemNlist): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""
+      WITH cents(cid, c) AS (VALUES
+        $centsSql),
+      scored AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      proto AS (
+        SELECT a.vec_id, a.bucket,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       c.c), 6) AS proto_cos
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN cents c ON c.cid = a.bucket),
+      ranked AS (
+        SELECT vec_id, bucket, proto_cos,
+          CAST(row_number() OVER (PARTITION BY bucket
+               ORDER BY proto_cos ASC, vec_id ASC) AS INT) AS div_rank,
+          COUNT(*) OVER (PARTITION BY bucket) AS nb
+        FROM proto)
+      SELECT vec_id, bucket, proto_cos, div_rank,
+        CAST(CASE WHEN div_rank <= nb // 2 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM ranked ORDER BY vec_id"""
+  }
+
   /** DuckDB oracle for [[dedupSemantic]]: trained centroids as
     * DOUBLE[] literals (the [[annIvfOracleSql]] recipe), assignment
     * argmax-dot with lowest-cid ties, within-cluster keep-first max

@@ -636,4 +636,71 @@ class DedupSpec extends SparkSpec {
         s"replica ${r.getAs[Long]("doc_id")} kept a chunk") }
   }
 
+  test("line dedup keeps exactly the first occurrence of every line (crafted)") {
+    import spark.implicits._
+    // driver-side reference replay of the lining + plants + keep-first
+    def linesOf(id: Long, text: String): Seq[(Long, String)] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val content = toks.grouped(10).zipWithIndex
+        .map { case (g, j) => (j.toLong, g.mkString(" ")) }.toSeq
+      content ++
+        (if (id % 7 == 0) Seq((1000000L, Dedup.BoilerplateA)) else Nil) ++
+        (if (id % 11 == 0) Seq((1000001L, Dedup.BoilerplateB)) else Nil)
+    }
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (3L, s"$shared alpha beta"),            // first owner of `shared`
+      (5L, s"$shared gamma"),                 // loses its copy of `shared`
+      (7L, "seven unique words only here"),   // newsletter plant (keeper)
+      (14L, "fourteen other words present"),  // newsletter plant (removed)
+      (11L, "eleven has its very own line"),  // social plant (keeper)
+      (22L, "twenty two keeps their words"))  // social plant (removed)
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val all = Seq(3L, 5L, 7L, 14L, 11L, 22L).flatMap { id =>
+      val t = docs.filter(col("doc_id") === id).head.getString(1)
+      linesOf(id, t).map { case (idx, l) => (id, idx, l) } }
+    val keeper = all.groupBy(_._3).view
+      .mapValues(_.map(x => (x._1, x._2)).min).toMap
+    val counts = all.groupBy(_._3).view.mapValues(_.size).toMap
+    all.groupBy(_._1).foreach { case (id, ls) =>
+      val kept = ls.sortBy(_._2).filter(x =>
+        counts(x._3) == 1 || keeper(x._3) == (x._1, x._2))
+      val want = kept.map(_._3).mkString("\n")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id).getAs[Long]("n_lines") == ls.size, s"doc $id n_lines")
+      assert(got(id).getAs[Long]("n_removed") == ls.size - kept.size,
+        s"doc $id n_removed")
+      assert(got(id).getAs[String]("out_md5") == md, s"doc $id rebuild")
+    }
+    // the crafted dup + both plants actually exercised removal
+    assert(got(5L).getAs[Long]("n_removed") == 1)
+    assert(got(14L).getAs[Long]("n_removed") == 1)
+    assert(got(22L).getAs[Long]("n_removed") == 1)
+    assert(got(3L).getAs[Long]("n_removed") == 0)
+  }
+
+  test("line dedup global accounting on the corpus: one survivor per distinct line") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.dedupLines(docs).collect()
+    val nLines = out.map(_.getAs[Long]("n_lines")).sum
+    val nRemoved = out.map(_.getAs[Long]("n_removed")).sum
+    // distinct lines (by content) across the corpus — recomputed with
+    // the same lining rules driver-side
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = texts.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.grouped(10).map(_.mkString(" ")).toSeq ++
+        (if (id % 7 == 0) Seq(Dedup.BoilerplateA) else Nil) ++
+        (if (id % 11 == 0) Seq(Dedup.BoilerplateB) else Nil)
+    }
+    assert(nLines == all.length.toLong)
+    assert(nRemoved == (all.length - all.distinct.length).toLong)
+    // the boilerplate plants guarantee removals even on a dup-free corpus
+    assert(nRemoved > 0)
+  }
+
 }

@@ -264,4 +264,48 @@ class SimilaritySpec extends SparkSpec {
       assert(!removed.contains(vs.map(_._1).min))
     }
   }
+
+  test("select_prototypes: dense diverse-first ranks, half-keep, replayed scores") {
+    val cents = Similarity.ivfCentroids(spark, sf, Similarity.SemNlist)
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.selectPrototypes(emb, cents).collect()
+    val n = emb.count()
+    assert(got.length.toLong == n, "every vector scored exactly once")
+    assert(got.map(_.getAs[Long]("vec_id")).distinct.length.toLong == n)
+    got.groupBy(_.getAs[Int]("bucket")).foreach { case (b, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("div_rank"))
+      // ranks are dense 1..nb
+      assert(sorted.map(_.getAs[Int]("div_rank")).toSeq ==
+        (1 to rs.length), s"bucket $b ranks not dense")
+      // diverse-first: proto_cos nondecreasing with rank
+      val cs = sorted.map(_.getAs[Double]("proto_cos"))
+      assert(cs.zip(cs.tail).forall { case (a, c) => a <= c },
+        s"bucket $b not rank-monotone")
+      // keep = the least-prototypical floor(nb/2)
+      sorted.foreach { r =>
+        val want = if (r.getAs[Int]("div_rank") <= rs.length / 2) 1 else 0
+        assert(r.getAs[Int]("keep") == want,
+          s"bucket $b rank ${r.getAs[Int]("div_rank")} keep") }
+    }
+    // scores replay: proto_cos is the 6-dp cosine to the OWN centroid
+    val embs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    def cos6(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = c(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { r =>
+      val v = embs(r.getAs[Long]("vec_id"))
+      val b = Similarity.topCentroids(cents, v, 1).head
+      assert(r.getAs[Int]("bucket") == b)
+      assert(r.getAs[Double]("proto_cos") == cos6(v, cents(b)),
+        s"vec ${r.getAs[Long]("vec_id")} score drift")
+    }
+  }
 }

@@ -496,6 +496,43 @@ class TextSpec extends SparkSpec {
     assert(scored(3L) > 10 * scored(2L), scored.toString)
   }
 
+  test("Kneser-Ney gate: discount moves mass to continuations, floor catches gibberish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, count, countDistinct, lit, sum, element_at, split}
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val trainBg = TextFunctions.docBigrams(train)
+    val model = trainBg.groupBy(col("bigram")).agg(sum(col("k")).as("cnt"))
+    val cstat = trainBg.groupBy(col("w1"))
+      .agg(sum(col("k")).as("ctx"), countDistinct(col("bigram")).as("n1fwd"))
+    val cont = trainBg
+      .select(element_at(split(col("bigram"), " "), 2).as("w2"), col("w1"))
+      .distinct().groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val bigramTypes = model.count()
+    val vocab = train.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    val common = train.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(12).collect().map(_.getString(0))
+    val natural = docs.filter(col("doc_id") === 1).head.getAs[String]("text")
+    val shuffled = (common.grouped(2).map(_.reverse.mkString(" ")).toSeq ++
+      common.reverse.grouped(3).map(_.mkString(" "))).mkString(" ")
+    val gibberish = (1 to 40).map(i => s"zzqx$i").mkString(" ")
+    val probes = Seq((1L, natural), (2L, shuffled), (3L, gibberish))
+      .toDF("doc_id", "text")
+    val scored = TextFunctions.ngramLmKnExact(
+        TextFunctions.docBigrams(probes), model, cstat, cont,
+        bigramTypes, vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    // novel bigrams of COMMON words ride the continuation back-off
+    // (those words complete many distinct contexts); gibberish has
+    // cont=0 everywhere and lands on the 1/(T+V) floor
+    assert(scored(1L) < scored(3L), s"natural ${scored(1L)} !< gib ${scored(3L)}")
+    assert(scored(2L) < scored(3L),
+      s"novel-common ${scored(2L)} !< gibberish ${scored(3L)}")
+    assert(scored(3L) > 10 * scored(2L), scored.toString)
+  }
+
   test("normalizeText is idempotent over adversarial compositions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
