@@ -318,6 +318,36 @@ object Dedup {
   private[graft] val BoilerplateA = "subscribe to our newsletter today"
   private[graft] val BoilerplateB = "follow us on social media now"
 
+  /** The family's ONE per-doc lining rule (the [[cdcChunksOf]]
+    * discipline: every batch/incremental/streaming form decomposes
+    * through this same function, so they cannot drift): lowercase
+    * whitespace tokens grouped 10 per line, plus the deterministic
+    * boilerplate plants (docs ≡0 mod 7 / mod 11 at fixed indices
+    * 1000000/1000001). Emits (doc_id, idx, line, hash60). */
+  private[graft] def linesOf(id: Long, text: String)
+      : Iterator[(Long, Long, String, Long)] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val content = toks.grouped(10).zipWithIndex.map { case (g, j) =>
+      (id, j.toLong, g.mkString(" ")) }
+    val extra =
+      (if (id % 7 == 0) Iterator((id, 1000000L, BoilerplateA))
+       else Iterator.empty) ++
+      (if (id % 11 == 0) Iterator((id, 1000001L, BoilerplateB))
+       else Iterator.empty)
+    (content ++ extra).map { case (i, j, l) => (i, j, l, md5Hash60(l)) }
+  }
+
+  /** Distributed lining scan: (doc_id, idx, line, h) via [[linesOf]],
+    * gated fan-out (cheap per row at bench scale). */
+  private[graft] def docLines(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Util.fanOutIfAtLeast(
+        docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .flatMap { case (id, t) => linesOf(id, t) }
+      .toDF("doc_id", "idx", "line", "h")
+  }
+
   /** dedup_lines: LINE-level corpus dedup — the C4/RefinedWeb stage
     * that strips boilerplate by deduplicating individual lines ACROSS
     * the whole corpus (navigation bars, cookie banners, newsletter
@@ -351,22 +381,7 @@ object Dedup {
     dedupLines(Tables.documents(s, d))
 
   def dedupLines(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val lines = graft.Util.fanOutIfAtLeast(
-        docs.select(col("doc_id"), col("text")).as[(Long, String)])
-      .flatMap { case (id, t) =>
-        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        val content = toks.grouped(10).zipWithIndex.map { case (g, j) =>
-          (id, j.toLong, g.mkString(" ")) }
-        val extra =
-          (if (id % 7 == 0) Iterator((id, 1000000L, BoilerplateA))
-           else Iterator.empty) ++
-          (if (id % 11 == 0) Iterator((id, 1000001L, BoilerplateB))
-           else Iterator.empty)
-        (content ++ extra).map { case (i, j, l) => (i, j, l, md5Hash60(l)) }
-      }
-      .toDF("doc_id", "idx", "line", "h")
+    val lines = docLines(docs)
     val stats = lines.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
         min(col("doc_id") * lit(2000000L) + col("idx")).as("keep_key"))
@@ -383,6 +398,111 @@ object Dedup {
             x => x.getField("line")),
           "\n")).as("out_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One-shot NEW-BATCH vs CORPUS line detection — the line-granular
+    * member of the cross-set family ([[dedupIncremental]] /
+    * [[dedupSpansIncremental]] / [[dedupChunksIncremental]]): both
+    * sides decompose through [[linesOf]], batch lines equi-join the
+    * corpus's DISTINCT line hashes (min-doc keeper), report per
+    * (hash, keeper) how many batch docs/occurrences carry it. Cost
+    * tracks the batch — the corpus side is one distinct-hash
+    * aggregate, at scale the maintained [[writeLineIndex]] artifact. */
+  def dedupLinesIncremental(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val cIdx = docLines(corpus)
+      .groupBy(col("h").as("line_hash")).agg(min(col("doc_id")).as("keeper_id"))
+    docLines(batch).withColumnRenamed("h", "line_hash")
+      .join(cIdx, "line_hash")
+      .groupBy(col("line_hash"), col("keeper_id"))
+      .agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        count(lit(1)).as("n_batch_occurrences"))
+      .orderBy(col("line_hash"))
+  }
+
+  /** Persist the corpus's line index — (line_hash, keeper_id), one row
+    * per DISTINCT line (the C4 boilerplate-frequency table; repeated
+    * navigation/footer lines collapse to single rows, so the artifact
+    * is far smaller than the line stream). Appends from
+    * [[dedupLinesIncrementalStep]] may repeat a hash across
+    * generations; readers re-aggregate min(keeper_id) per hash, and
+    * [[compactLineIndex]] folds the collapse into the periodic
+    * rewrite — the [[writeChunkIndex]] discipline verbatim. */
+  def writeLineIndex(docs: DataFrame, dir: String): Unit =
+    docLines(docs)
+      .groupBy(col("h").as("line_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** One day of the line-dedup production loop: decompose the
+    * arriving batch ONCE, detect its corpus-known lines against the
+    * maintained index, then append the batch's own (hash, keeper)
+    * rows so tomorrow's batch sees today's lines. Detection is
+    * materialized BEFORE the append. Loop invariant spec'd in
+    * DedupSpec: day-N detection ≡ [[dedupLinesIncremental]] of
+    * (corpus ∪ earlier batches, day-N batch). */
+  def dedupLinesIncrementalStep(s: SparkSession, indexDir: String,
+                                batch: DataFrame): DataFrame = {
+    val bLines = docLines(batch).withColumnRenamed("h", "line_hash")
+      .localCheckpoint()
+    val idx = s.read.parquet(indexDir)
+      .groupBy(col("line_hash")).agg(min(col("keeper_id")).as("keeper_id"))
+    val hits = bLines.join(idx, "line_hash")
+      .groupBy(col("line_hash"), col("keeper_id"))
+      .agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        count(lit(1)).as("n_batch_occurrences"))
+      .localCheckpoint() // eager: detect strictly before the append
+    bLines.groupBy(col("line_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("append").parquet(indexDir)
+    hits.orderBy(col("line_hash"))
+  }
+
+  /** Periodic maintenance for the line-index log: min(keeper_id) per
+    * hash folded into the file rewrite, reader-identical, path
+    * stable — the [[compactChunkIndex]] collapse. */
+  def compactLineIndex(s: SparkSession, dir: String,
+                       targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes,
+      transform = _.groupBy(col("line_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
+  /** The excise form of the daily line loop — C4's removal semantics
+    * applied incrementally: DROP from each batch doc every line the
+    * MAINTAINED index already holds (corpus-known boilerplate) AND
+    * every repeat within the batch beyond its first (doc_id, idx)
+    * occurrence; then append the batch's line hashes so tomorrow's
+    * batch sees today's lines. Unlike the chunk form (which leaves a
+    * `marker` so offsets stay auditable), removed LINES vanish
+    * wholesale — lines are semantic units and that is the C4 rule.
+    * Returns (doc_id, n_lines, n_removed, out_text) with survivors
+    * joined by newline in idx order. Composition spec'd in DedupSpec:
+    * a batch copying corpus content comes back empty; running the
+    * same batch twice removes everything the second time. */
+  def dedupLinesExciseIncrementalStep(s: SparkSession, indexDir: String,
+                                      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bLines = docLines(batch).withColumnRenamed("h", "line_hash")
+      .localCheckpoint()
+    val idx = s.read.parquet(indexDir)
+      .select(col("line_hash"), lit(1).as("_corpus_hit")).distinct()
+    val rankW = Window.partitionBy(col("line_hash"))
+      .orderBy(col("doc_id"), col("idx"))
+    val out = bLines
+      .join(idx, Seq("line_hash"), "left_outer")
+      .withColumn("kept", col("_corpus_hit").isNull &&
+        row_number().over(rankW) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("out_text"))
+      .localCheckpoint() // eager: excise strictly before the append
+    bLines.groupBy(col("line_hash")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("append").parquet(indexDir)
+    out.orderBy(col("doc_id"))
   }
 
   /** One-shot NEW-BATCH vs CORPUS chunk detection — the chunk-granular

@@ -255,6 +255,70 @@ object EventStream {
       }
   }
 
+  /** Streaming LINE dedup: each arriving doc decomposes into its
+    * lines ([[graft.operators.Dedup.linesOf]] — the SAME per-doc
+    * lining the batch operator uses, so the two cannot drift), and
+    * novelty is tracked PER LINE hash: a line any earlier doc already
+    * carried is dropped, a novel one emits (line_hash, keeper_doc) —
+    * the streaming half of C4-style boilerplate stripping, where the
+    * ingest ships only corpus-novel lines. State is one long per
+    * distinct line hash; the decompose is a stateless flatMap ahead
+    * of the keyed state, so the shuffle moves (hash, doc) longs plus
+    * nothing else. Spec'd: a two-batch split equals the batch
+    * min-doc keeper view. */
+  def streamingLineDedup(docs: Dataset[DocText]): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.operators.Dedup.linesOf(d.doc_id, d.text)
+        .map(l => (l._4, d.doc_id)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = rows.map(_._2).min
+            state.update(keeper)
+            Iterator.single((hash, keeper))
+          }
+      }
+  }
+
+  /** Streaming INCREMENTAL line dedup: the maintained line-index
+    * artifact ([[graft.operators.Dedup.writeLineIndex]]) consumed the
+    * way [[streamingIncrementalChunkDedup]] consumes the chunk index —
+    * an arriving doc's lines are first filtered against the STATIC
+    * standing-corpus line hashes (stream-static left_outer + IS NULL;
+    * stateless, zero streaming state for corpus membership), and only
+    * corpus-novel lines pay the keyed first-seen state. Emits
+    * (line_hash, keeper_doc) once per line novel to corpus AND
+    * stream. Parity spec'd in StreamingSpec. */
+  def streamingIncrementalLineDedup(docs: Dataset[DocText],
+                                    lineIndex: DataFrame): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val novel = docs
+      .flatMap(d => graft.operators.Dedup.linesOf(d.doc_id, d.text)
+        .map(l => (l._4, d.doc_id)))
+      .toDF("line_hash", "doc_id")
+      .join(lineIndex.select(col("line_hash"),
+          lit(1).as("_corpus_hit")).distinct(),
+        Seq("line_hash"), "left_outer")
+      .filter(col("_corpus_hit").isNull)
+      .select(col("line_hash"), col("doc_id"))
+      .as[(Long, Long)]
+    novel.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = rows.map(_._2).min
+            state.update(keeper)
+            Iterator.single((hash, keeper))
+          }
+      }
+  }
+
   /** Streaming INCREMENTAL dedup: arrivals are dropped when their
     * content hash already exists in a STATIC standing-corpus index
     * (stream-static join — stateless, re-read per micro-batch, so at

@@ -109,6 +109,31 @@ class CompactIndexSpec extends SparkSpec {
     assert(day4.exists(_._1 == 1L), "post-compaction step lost detections")
   }
 
+  test("line index: compaction folds the min-keeper collapse, reader-identical") {
+    val dir = tmp("linecompact")
+    Dedup.writeLineIndex(docs, dir)
+    batches.foreach(b => Dedup.dedupLinesIncrementalStep(spark, dir, b))
+    val before = parquetFiles(dir)
+    val readerView = spark.read.parquet(dir)
+      .groupBy(col("line_hash")).agg(min(col("keeper_id")).as("keeper_id"))
+      .collect().map(_.toSeq).toSet
+    val rawRows = spark.read.parquet(dir).count()
+    val rep = Dedup.compactLineIndex(spark, dir)
+    assert(rep.filesOut < before)
+    // semantic collapse dropped the superseded generations...
+    assert(spark.read.parquet(dir).count() < rawRows)
+    // ...but the reader's aggregated view is identical
+    assert(spark.read.parquet(dir)
+      .groupBy(col("line_hash")).agg(min(col("keeper_id")).as("keeper_id"))
+      .collect().map(_.toSeq).toSet == readerView)
+    // the loop keeps running against the compacted, path-stable artifact
+    val b4 = docs.filter(col("doc_id") === 1)
+      .withColumn("doc_id", col("doc_id") + 9000L)
+    val day4 = Dedup.dedupLinesIncrementalStep(spark, dir, b4).collect()
+      .map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_batch_docs")))
+    assert(day4.exists(_._1 == 1L), "post-compaction step lost detections")
+  }
+
   test("emb code index: compaction preserves content and the salt domain") {
     val dir = tmp("embcompact")
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)

@@ -682,6 +682,79 @@ class DedupSpec extends SparkSpec {
     assert(got(3L).getAs[Long]("n_removed") == 0)
   }
 
+  test("maintained line index: daily steps equal the one-shot cross-set detection") {
+    val dir = java.nio.file.Files.createTempDirectory("lineindex").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    // day 1: copies of corpus docs 0-2; day 2: a copy of corpus doc 3
+    // AND a copy of DAY-1 doc 1001 — detectable only via the append
+    val b1 = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val b2 = base.filter(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + 2000)
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 2001))
+    Dedup.writeLineIndex(base, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("line_hash"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("n_batch_docs"), r.getAs[Long]("n_batch_occurrences")))
+      .toSet
+    val day1 = rows(Dedup.dedupLinesIncrementalStep(spark, dir, b1))
+    val day2 = rows(Dedup.dedupLinesIncrementalStep(spark, dir, b2))
+    assert(day1.nonEmpty && day2.nonEmpty)
+    // loop invariant: each day's detection equals the one-shot
+    // cross-set form over (corpus ∪ earlier batches, that day's batch)
+    assert(day1 == rows(Dedup.dedupLinesIncremental(base, b1)))
+    assert(day2 == rows(Dedup.dedupLinesIncremental(base.unionByName(b1), b2)))
+    // the day-2 copy of day-1 doc 1001 binds to keeper 1 (the corpus
+    // original is the min-id holder of those lines, through the index)
+    assert(day2.exists { case (_, keeper, _, _) => keeper == 1L },
+      "day-2 copy of a day-1 doc not detected through the appended index")
+  }
+
+  test("incremental line excise: corpus-known lines vanish, novel survive once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lineexc").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    Dedup.writeLineIndex(base, dir)
+    // batch: a copy of corpus doc 1's TEXT (content lines corpus-known)
+    // + a genuinely novel doc; the novel doc repeats one of ITS OWN
+    // 10-token lines so the within-batch keep-first rule is exercised
+    val copyText = base.filter(col("doc_id") === 1).head.getAs[String]("text")
+    val novelLine = (1 to 10).map(i => s"novelword$i").mkString(" ")
+    val novelText = s"$novelLine ${(1 to 10).map(i => s"otherword$i").mkString(" ")} $novelLine"
+    val batch = Seq((1001L, copyText), (5000L, novelText)).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesExciseIncrementalStep(spark, dir, batch)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the copy: all content lines removed; plants removed too iff the
+    // corpus already holds them (compute, don't assume)
+    val copyLines = Dedup.linesOf(1001L, copyText).toSeq
+    val corpusHashes = base.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .flatMap { case (i, t) => Dedup.linesOf(i, t) }.map(_._4).toSet
+    val expectedKept = copyLines.filterNot(l => corpusHashes.contains(l._4))
+    assert(got(1001L).getAs[Long]("n_lines") == copyLines.size.toLong)
+    assert(got(1001L).getAs[Long]("n_removed") ==
+      (copyLines.size - expectedKept.size).toLong)
+    assert(got(1001L).getAs[String]("out_text") ==
+      expectedKept.sortBy(_._2).map(_._3).mkString("\n"))
+    // at least the content lines were actually corpus-known
+    assert(got(1001L).getAs[Long]("n_removed") >= 2L)
+    // the novel doc: repeated own-line removed once, rest survives
+    val novelLines = Dedup.linesOf(5000L, novelText).toSeq
+    assert(got(5000L).getAs[Long]("n_lines") == novelLines.size.toLong)
+    assert(got(5000L).getAs[Long]("n_removed") == 1L,
+      "within-batch repeat beyond first occurrence must be removed")
+    assert(got(5000L).getAs[String]("out_text").startsWith(novelLine))
+    // replay: the SAME batch now finds everything corpus-known
+    val again = Dedup.dedupLinesExciseIncrementalStep(spark, dir, batch)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1001L, 5000L).foreach { id =>
+      assert(again(id).getAs[Long]("n_removed") ==
+        again(id).getAs[Long]("n_lines"), s"replay doc $id kept a line")
+      assert(again(id).getAs[String]("out_text") == "")
+    }
+  }
+
   test("line dedup global accounting on the corpus: one survivor per distinct line") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.dedupLines(docs).collect()

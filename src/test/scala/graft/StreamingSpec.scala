@@ -199,6 +199,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming line dedup matches the batch line-keeper view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingLineDedup(input.toDS())
+      .toDF("line_hash", "keeper_doc")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("line_dedup_stream_test").start()
+    // batch 1 originals, batch 2 plants (higher ids): first-seen
+    // keeper per LINE hash == the batch min-doc keeper, because the
+    // planted duplicates arrive strictly after the originals
+    val docs = operators.Dedup.withPlants(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("text"))
+      .as[EventStream.DocText].collect()
+    val (originals, plants) = docs.partition(_.doc_id < 100000)
+    input.addData(originals.toSeq)
+    q.processAllAvailable()
+    input.addData(plants.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("line_dedup_stream_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchKeepers = operators.Dedup
+      .docLines(operators.Dedup.withPlants(Tables.documents(spark, sf)))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper_doc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batchKeepers)
+    // duplicate lines really exist (the boilerplate plants guarantee
+    // cross-doc repeats), yet each hash emitted exactly once
+    assert(streamed.size == batchKeepers.size)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming incremental line dedup consumes the maintained line index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lineidxstream")
+      .toString + "/idx"
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    operators.Dedup.writeLineIndex(corpus, dir)
+    val idx = spark.read.parquet(dir)
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingIncrementalLineDedup(input.toDS(), idx)
+      .toDF("line_hash", "keeper_doc")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("inc_line_stream_test").start()
+    // arrivals: a copy of corpus doc 1's text under an id whose lines
+    // (incl. plants, 1001 ≡ 0 mod 7 and mod 11 — both corpus-held)
+    // are ALL corpus-known — must emit NOTHING — and two later copies
+    // of a novel doc (its lines emit ONCE, keyed to the first arrival)
+    val copyText = corpus.filter(col("doc_id") === 1)
+      .head.getAs[String]("text")
+    val novelText = (1 to 25).map(i => s"streamnovel$i").mkString(" ")
+    input.addData(Seq(EventStream.DocText(1001L, copyText),
+      EventStream.DocText(7001L, novelText)))
+    q.processAllAvailable()
+    input.addData(Seq(EventStream.DocText(7002L, novelText)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inc_line_stream_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every emission is keyed to the FIRST arrival of the novel doc
+    assert(got.nonEmpty && got.values.forall(_ == 7001L))
+    // and equals exactly the novel doc's corpus-unknown line hashes
+    val novelHashes = operators.Dedup.linesOf(7001L, novelText)
+      .map(_._4).toSet
+    val corpusHashes = idx.select(col("line_hash"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == novelHashes -- corpusHashes)
+  }
+
   test("streaming incremental chunk dedup consumes the maintained chunk index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
