@@ -95,6 +95,8 @@ object SparkEntry {
     "bpe_token_count"     -> ((s, d) => functions.Bpe.bpeTokenCount(s, d)),
     "unigram_segment"     -> ((s, d) => functions.Unigram.unigramSegment(s, d)),
     "unigram_token_count" -> ((s, d) => functions.Unigram.unigramTokenCount(s, d)),
+    "wordpiece_segment"   -> ((s, d) => functions.Wordpiece.wordpieceSegment(s, d)),
+    "wordpiece_token_count" -> ((s, d) => functions.Wordpiece.wordpieceTokenCount(s, d)),
     "text_redact"         -> TextFunctions.textRedact _,
     "split_assign"        -> operators.Curate.splitAssign _,
     "split_stratified"    -> operators.Curate.splitStratified _,
@@ -111,6 +113,7 @@ object SparkEntry {
     "bm25_topk"           -> ((s, d) => operators.Search.bm25TopK(s, d)),
     "search_hybrid_rrf"   -> ((s, d) => operators.Search.hybridRrf(s, d)),
     "search_hybrid_wrrf"  -> ((s, d) => operators.Search.hybridRrfWeighted(s, d)),
+    "phrase_search"       -> ((s, d) => operators.Search.phraseSearch(s, d)),
     "scd2_history"        -> operators.Upsert.scd2History _,
     "profile_columns"     -> operators.Profile.profileColumns _,
     "chunk_overlap"       -> ((s, d) => operators.Curate.chunkOverlap(s, d)),
@@ -129,6 +132,8 @@ object SparkEntry {
     "text_normalize"      -> TextFunctions.textNormalize _,
     "text_scripts"        -> TextFunctions.textScripts _,
     "text_entropy"        -> ((s, d) => TextFunctions.textEntropy(s, d)),
+    "gopher_rules"        -> functions.QualityFilters.gopherRules _,
+    "c4_filters"          -> functions.QualityFilters.c4Filters _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
     "dsir_select"         -> ((s, d) => operators.Curate.dsirSelect(s, d)),
     "dedup_profile"       -> Dedup.dedupProfile _,
@@ -160,7 +165,11 @@ object SparkEntry {
       ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d)) +
       ("unigram_segment" -> functions.Unigram.unigramSegmentOracleSql(s, d)) +
       ("unigram_token_count" ->
-        functions.Unigram.unigramTokenCountOracleSql(s, d))
+        functions.Unigram.unigramTokenCountOracleSql(s, d)) +
+      ("wordpiece_segment" ->
+        functions.Wordpiece.wordpieceSegmentOracleSql(s, d)) +
+      ("wordpiece_token_count" ->
+        functions.Wordpiece.wordpieceTokenCountOracleSql(s, d))
 
   /** Shared CTE chain for the bigram-LM per-doc score (`fin` =
     * (doc_id, n_bigrams, avg_neg_logp)) — used by ngram_lm_score and
@@ -1763,6 +1772,7 @@ object SparkEntry {
     "search_hybrid_rrf" -> operators.Search.hybridRrfOracleSql(),
     // weighted fusion: 0.75/1.0 are binary-exact, so the literal
     // parses to identical doubles in both engines
+    "phrase_search" -> operators.Search.phraseSearchOracle,
     "search_hybrid_wrrf" -> operators.Search.hybridRrfOracleSql(
       wLex = "0.75", wSem = "1"),
 
@@ -1951,6 +1961,8 @@ object SparkEntry {
     "text_normalize" -> TextFunctions.textNormalizeOracle,
     "text_scripts" -> TextFunctions.textScriptsOracle,
     "text_entropy" -> TextFunctions.textEntropyOracle,
+    "gopher_rules" -> functions.QualityFilters.gopherRulesOracle,
+    "c4_filters" -> functions.QualityFilters.c4FiltersOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,
     "dsir_select" -> operators.Curate.dsirSelectOracle,
 

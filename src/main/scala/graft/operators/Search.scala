@@ -744,4 +744,152 @@ object Search {
       WHERE rank <= $k
       ORDER BY query_id, rank"""
   }
+
+  // ---- phrase search: positional postings --------------------------------
+
+  /** Fixed phrase set over the synthetic vocabulary: two-term phrases
+    * that occur naturally, a rarer three-term phrase, and the
+    * repeated-token phrase ("window window") that exercises the
+    * OVERLAPPING-occurrence semantics (position-based counting finds
+    * both matches in "window window window"; a string replace-count
+    * would miss one). */
+  val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("merge", "join"),
+    2L -> Seq("sort", "order"),
+    3L -> Seq("stream", "batch"),
+    4L -> Seq("hash", "join", "merge"),
+    5L -> Seq("window", "window"))
+
+  /** phrase_search — exact phrase containment over the corpus: every
+    * (query, doc) pair where the phrase occurs as a CONSECUTIVE token
+    * sequence, with total (overlapping) match count and first
+    * position. The inline form is one typed scan per doc (phrases
+    * broadcast in the closure, O(len × phrases) per doc, no shuffle
+    * before the final sort); the production path is the positional
+    * index split ([[writePositionalIndex]] + [[phraseServeBatch]]),
+    * spec'd result-identical. */
+  def phraseSearch(s: SparkSession, d: String,
+                   phrases: Seq[(Long, Seq[String])] = PhraseQueries)
+      : DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(phrases)
+    graft.Util.fanOutIfAtLeast(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)])
+      .flatMap { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        bc.value.iterator.flatMap { case (qid, terms) =>
+          var n = 0L; var first = -1L
+          var p = 0
+          val L = terms.length
+          while (p + L <= toks.length) {
+            var i = 0
+            while (i < L && toks(p + i) == terms(i)) i += 1
+            if (i == L) { n += 1; if (first < 0) first = p.toLong }
+            p += 1
+          }
+          if (n > 0) Iterator.single((qid, id, n, first)) else Iterator.empty
+        }
+      }
+      .toDF("query_id", "doc_id", "n_matches", "first_pos")
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** DuckDB replay of [[phraseSearch]]: positions via a lateral
+    * unnest(range) and the phrase match as a LIST-SLICE equality —
+    * position-based, so overlapping occurrences count exactly like
+    * the Spark scan. */
+  val phraseSearchOracle: String = {
+    val qvals = PhraseQueries.map { case (q, ts) =>
+      s"($q, [${ts.map(t => s"'$t'").mkString(", ")}])"
+    }.mkString(",\n        ")
+    raw"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      q(query_id, terms) AS (VALUES
+        $qvals),
+      m AS (
+        SELECT q.query_id, t.doc_id, u.p
+        FROM t, q, unnest(range(0, len(t.toks))) AS u(p)
+        WHERE u.p + len(q.terms) <= len(t.toks)
+          AND t.toks[u.p + 1 : u.p + len(q.terms)] = q.terms)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        COUNT(*) AS n_matches, MIN(p) AS first_pos
+      FROM m GROUP BY query_id, doc_id
+      ORDER BY query_id, doc_id"""
+  }
+
+  /** Positional-postings layout — the phrase-serving artifact:
+    * (token, doc_id, pos) rows partitioned by a token hash bucket
+    * (the [[writeInvertedIndexBucketed]] vocabulary-independent
+    * discipline: bounded directory count, within-file token sort for
+    * row-group skipping, n_buckets stored in `meta` so writer and
+    * serve can never disagree). Shares the inverted-index tombstone
+    * log contract: [[deleteFromInvertedIndex]] against this dir, and
+    * [[phraseServeBatch]] subtracts. */
+  def writePositionalIndex(docs: DataFrame, dir: String,
+                           nBuckets: Int = 1024,
+                           rowGroupBytes: Long = 8L << 20): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).zipWithIndex
+          .map { case (tok, p) => (tok, id, p.toLong) } }
+      .toDF("token", "doc_id", "pos")
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("token"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("tb")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(s"$dir/postings")
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Serve a phrase batch against the positional layout — result-
+    * identical to the inline scan (spec'd). Probed terms → probed
+    * bucket directories (listed directly, `token IN` pushed into the
+    * sorted scan); the phrase join is ONE broadcast join + ONE
+    * aggregation, not a per-term join chain: each posting row joins
+    * the tiny (query, i, term) set, every row votes for the anchor
+    * position pos − i, and an anchor with all |phrase| DISTINCT i
+    * votes is a match (distinctness handles repeated-token phrases,
+    * where one posting row votes for several anchors). */
+  def phraseServeBatch(s: SparkSession, dir: String,
+                       phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    import s.implicits._
+    def empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("query_id", "doc_id", "n_matches", "first_pos")
+    val terms = phrases.flatMap(_._2).distinct.sorted
+    if (terms.isEmpty) return empty
+    val nBuckets = s.read.parquet(s"$dir/meta").as[Int].head()
+    val buckets = terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+      .as[Int].collect().distinct.sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bucketDirs = buckets.map(b => s"$dir/postings/tb=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (bucketDirs.isEmpty) return empty
+    val post = minusDocTombstones(s, dir,
+      s.read.option("basePath", s"$dir/postings").parquet(bucketDirs: _*)
+        .filter(col("token").isin(terms: _*)))
+    val qterms = phrases.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t, ts.length) } }
+      .toDF("query_id", "i", "token", "plen")
+    post.join(broadcast(qterms), "token")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("i")).as("anchor"), col("i"), col("plen"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"), col("plen"))
+      .agg(countDistinct(col("i")).as("hits"))
+      .filter(col("hits") === col("plen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
 }

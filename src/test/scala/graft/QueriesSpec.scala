@@ -18,7 +18,8 @@ class QueriesSpec extends SparkSpec {
         "ann_ivf_prefix", "ann_ivf_filtered", "dedup_semantic",
         "select_prototypes",
         "bpe_segment", "bpe_token_count",
-        "unigram_segment", "unigram_token_count"))
+        "unigram_segment", "unigram_token_count",
+        "wordpiece_segment", "wordpiece_token_count"))
     assert(SparkEntry.queries.keySet --
       SparkEntry.oracleSqlFor(spark, sf).keySet == Set.empty[String])
   }

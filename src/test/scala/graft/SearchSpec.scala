@@ -20,6 +20,40 @@ class SearchSpec extends SparkSpec {
     dir
   }
 
+  test("phrase serve over the positional layout equals the inline scan") {
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    Search.writePositionalIndex(Tables.documents(spark, sf), dir, nBuckets = 64)
+    val inline = Search.phraseSearch(spark, sf).collect().map(_.toSeq)
+    val served = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .collect().map(_.toSeq)
+    assert(inline.nonEmpty)
+    assert(served.toSeq == inline.toSeq)
+    // the repeated-token phrase counts OVERLAPPING occurrences: plant
+    // "window window window" and expect two matches at anchors 0, 1
+    val planted = Seq((9001L, "window window window"))
+      .toDF("doc_id", "text")
+    val pDir = java.nio.file.Files.createTempDirectory("posidx2").toString
+    Search.writePositionalIndex(planted, pDir, nBuckets = 8)
+    val m = Search.phraseServeBatch(spark, pDir,
+        Seq(5L -> Seq("window", "window")))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq((2L, 0L)))
+  }
+
+  test("phrase serve subtracts tombstoned docs") {
+    val dir = java.nio.file.Files.createTempDirectory("posdel").toString
+    Search.writePositionalIndex(Tables.documents(spark, sf), dir, nBuckets = 64)
+    val before = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(before.nonEmpty)
+    val victim = before.min
+    Search.deleteFromInvertedIndex(spark, dir,
+      Seq(victim).toDF("doc_id"))
+    val after = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(after == before - victim)
+  }
+
   test("index-served BM25 equals the inline query") {
     val inline = Search.bm25TopK(spark, sf).collect().map(_.toSeq)
     val served = Search.bm25ServeBatch(spark, indexDir, queriesDf)
