@@ -103,6 +103,7 @@ object SparkEntry {
     "sample_mixture"      -> operators.Curate.sampleMixture _,
     "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
     "decontaminate_shuffle" -> ((s, d) => operators.Curate.decontaminateShuffle(s, d)),
+    "decontaminate_excise" -> ((s, d) => operators.Curate.decontaminateExcise(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
@@ -1606,6 +1607,83 @@ object SparkEntry {
     "multimodal_audio" -> sources.Multimodal.audioOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
+
+    // minimal-removal decontamination: train-side 32-char windows
+    // whose 60-bit hash exists in the EVAL window set are cut via the
+    // dedup_spans_excise island surgery; contaminated train docs are
+    // planted in-query (ids + 200000 quoting an 80-char eval prefix
+    // inside clean framing)
+    "decontaminate_excise" -> """
+      WITH ev AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT doc_id + 200000, 'zzz ' || substr(text, 1, 80) || ' qqq'
+        FROM documents WHERE doc_id % 50 = 0 AND doc_id < 150),
+      wt AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS off, md5(text[i:i+31]) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS i
+              FROM train WHERE length(text) >= 32)),
+      we AS (
+        SELECT md5(text[i:i+31]) AS h
+        FROM (SELECT text, unnest(range(1, length(text) - 30)) AS i
+              FROM ev WHERE length(text) >= 32)),
+      kt AS (
+        SELECT doc_id, off,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', h[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS span_hash
+        FROM wt),
+      ke AS (
+        SELECT DISTINCT
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', h[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            AS span_hash
+        FROM we),
+      hit AS (SELECT doc_id, off FROM kt JOIN ke USING (span_hash)),
+      fl AS (
+        SELECT doc_id, off,
+          CASE WHEN lag(off) OVER win IS NULL
+                 OR off > lag(off) OVER win + 32 THEN 1 ELSE 0 END AS brk
+        FROM hit WINDOW win AS (PARTITION BY doc_id ORDER BY off)),
+      isl AS (
+        SELECT doc_id, off,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        FROM fl),
+      iv AS (
+        SELECT doc_id, grp, MIN(off) AS s, MAX(off) + 32 AS e
+        FROM isl GROUP BY 1, 2),
+      pc AS (
+        SELECT doc_id, s, e,
+          COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        FROM iv),
+      parts AS (
+        SELECT p.doc_id, p.s AS ord, substr(d.text, CAST(p.pe + 1 AS INT),
+          CAST(p.s - p.pe AS INT)) AS piece
+        FROM pc p JOIN train d USING (doc_id)
+        UNION ALL
+        SELECT t.doc_id, 2147483647 AS ord,
+          substr(d.text, CAST(t.le + 1 AS INT)) AS piece
+        FROM (SELECT doc_id, MAX(e) AS le FROM iv GROUP BY 1) t
+        JOIN train d USING (doc_id)),
+      agg AS (
+        SELECT doc_id, string_agg(piece, '~' ORDER BY ord) AS excised_text
+        FROM parts GROUP BY doc_id),
+      rem AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_intervals,
+          CAST(SUM(e - s) AS INT) AS chars_removed
+        FROM iv GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(rem.n_intervals, 0) AS n_intervals,
+        COALESCE(rem.chars_removed, 0) AS chars_removed,
+        COALESCE(agg.excised_text, d.text) AS excised_text
+      FROM train d
+      LEFT JOIN rem USING (doc_id)
+      LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id""",
     // the shuffle-join form is result-identical to the broadcast form
     // by construction — one oracle, two physical plans under test
     "decontaminate_shuffle" -> decontaminateOracleSql,

@@ -263,6 +263,60 @@ object Curate {
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
 
+  /** decontaminate_excise — MINIMAL-REMOVAL decontamination: instead
+    * of dropping every training doc that shares n-grams with the eval
+    * set ([[decontaminate]], the curation default), cut ONLY the
+    * contaminated character windows and keep the rest of the doc —
+    * the surgery production pipelines reach for when whole-doc
+    * removal would cost too much data (a long doc quoting one
+    * benchmark question is 99% clean).
+    *
+    * Mechanics: train-side char windows ([[Dedup.spansWithOffsets]],
+    * the dedup_spans decomposition) whose hash exists ANYWHERE in the
+    * eval side's window set are hit; hits coalesce into islands and
+    * excise through the [[Dedup.exciseHitWindows]] surgery — shared
+    * with dedup_spans_excise, so the two cut semantics cannot drift.
+    * Within-train duplication is deliberately NOT a hit criterion
+    * (that is dedup's job, not decontamination's).
+    *
+    * Scale shape: the eval window-hash set is benchmark-sized →
+    * broadcast left-semi join against the distributed train window
+    * stream (no shuffle of the corpus); pass broadcastEval = false
+    * for a corpus-scale holdout and the semi-join shuffles on the
+    * hash instead. The surgery is per-doc linear. */
+  def decontaminateExcise(trainDocs: DataFrame, evalDocs: DataFrame,
+                          spanLen: Int = 32, marker: String = "~",
+                          broadcastEval: Boolean = true): DataFrame = {
+    val evalHashes = Dedup.spansWithOffsets(evalDocs, spanLen)
+      .select(col("span_hash")).distinct()
+    val trainSpans = Dedup.spansWithOffsets(trainDocs, spanLen)
+    val hits = (if (broadcastEval)
+        trainSpans.join(broadcast(evalHashes), Seq("span_hash"), "left_semi")
+      else
+        trainSpans.join(evalHashes.hint("shuffle_hash"),
+          Seq("span_hash"), "left_semi"))
+      .select(col("doc_id"), col("off"))
+    Dedup.exciseHitWindows(trainDocs, hits, spanLen, marker)
+  }
+
+  /** The oracle-gated query form: eval docs are the `% 50 == 0`
+    * slice (the [[decontaminate]] convention); contaminated training
+    * docs are PLANTED in-query (ids + 200000 wrapping an 80-char eval
+    * quote in clean framing) so the surgery has real work — the
+    * natural token soup shares no exact 32-char window across docs. */
+  def decontaminateExcise(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val planted = eval.filter(col("doc_id") < 150)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("zzz "), substring(col("text"), 1, 80), lit(" qqq"))
+          .as("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    decontaminateExcise(train, eval)
+  }
+
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
     * doc's split NEVER changes as the corpus grows or repartitions

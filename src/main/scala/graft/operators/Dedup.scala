@@ -173,7 +173,7 @@ object Dedup {
     * offsets — the shared front-end of [[dedupSpans]] (which discards
     * offsets at its aggregate) and [[dedupSpansExcise]] (which needs
     * them for the interval surgery). One typed scan, no shuffle. */
-  private def spansWithOffsets(docs: DataFrame, spanLen: Int): DataFrame = {
+  private[graft] def spansWithOffsets(docs: DataFrame, spanLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ~len(text) hashes per doc: the dominant CPU of the span family —
@@ -656,9 +656,6 @@ object Dedup {
 
   def dedupSpansExcise(docs: DataFrame, spanLen: Int = 32,
                        marker: String = "~"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
     val spans = spansWithOffsets(docs, spanLen).localCheckpoint()
     val repeated = spans.groupBy(col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -666,6 +663,20 @@ object Dedup {
       .select(col("span_hash"))
     val hits = spans.join(repeated, Seq("span_hash"), "left_semi")
       .select(col("doc_id"), col("off"))
+    exciseHitWindows(docs, hits, spanLen, marker)
+  }
+
+  /** Shared excision surgery: given `(doc_id, off)` hit windows,
+    * coalesce overlapping/adjacent windows into islands, cut each
+    * island and rejoin the kept pieces with `marker` — the tail of
+    * [[dedupSpansExcise]], also used by [[decontaminateExcise]]
+    * (same surgery, different hit criterion). */
+  private[graft] def exciseHitWindows(docs: DataFrame, hits: DataFrame,
+                                      spanLen: Int,
+                                      marker: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
     val prev = lag(col("off"), 1).over(byDoc)
     val islands = hits

@@ -12,6 +12,43 @@ class CurateOpsSpec extends SparkSpec {
   private lazy val langSizes = docs.groupBy("lang").count().collect()
     .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  test("decontaminate_excise cuts the planted eval quote, keeps the framing") {
+    val out = Curate.decontaminateExcise(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // output covers exactly the train side: naturals + plants
+    val nTrain = docs.filter(col("doc_id") % 50 =!= 0).count() +
+      docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 150).count()
+    assert(out.size.toLong == nTrain)
+    val planted = out.keys.filter(_ >= 200000L).toSeq.sorted
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Int]("n_intervals") == 1, s"$id intervals")
+      val removed = r.getAs[Int]("chars_removed")
+      assert(removed >= 80 && removed <= 88, s"$id removed $removed")
+      assert(r.getAs[String]("excised_text").contains("~"))
+    }
+    // an untouched doc keeps its text verbatim
+    val clean = out.values.filter(_.getAs[Int]("n_intervals") == 0)
+    assert(clean.nonEmpty)
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    clean.take(10).foreach { r =>
+      assert(r.getAs[String]("excised_text") == texts(r.getLong(0)))
+    }
+  }
+
+  test("decontaminate_excise shuffle form equals the broadcast form") {
+    val docsAll = Tables.documents(spark, sf)
+    val eval = docsAll.filter(col("doc_id") % 50 === 0)
+    val train = docsAll.filter(col("doc_id") % 50 =!= 0)
+    val b = Curate.decontaminateExcise(train, eval, broadcastEval = true)
+      .collect().map(_.toSeq)
+    val sh = Curate.decontaminateExcise(train, eval, broadcastEval = false)
+      .collect().map(_.toSeq)
+    assert(b.toSeq == sh.toSeq)
+  }
+
   test("split_stratified hits exact floor quotas per stratum") {
     val split = Curate.splitStratified(docs)
     // partition: every doc assigned exactly once
