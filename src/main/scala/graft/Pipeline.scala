@@ -69,10 +69,12 @@ object Pipeline {
     * ([[graft.functions.Bpe.docTokenCounts]]) instead of whitespace
     * words — the budget a training loader actually consumes.
     * `unigramPieces`: the same slot for the unigram-LM tokenizer
-    * ([[graft.functions.Unigram.docTokenCounts]]); at most one
+    * ([[graft.functions.Unigram.docTokenCounts]]);
+    * `wordpiecePieces`: the same slot for the WordPiece tokenizer
+    * ([[graft.functions.Wordpiece.docTokenCounts]]). At most one
     * tokenizer artifact may be supplied — the packing budget must
     * come from ONE tokenizer, silently preferring either would
-    * mis-state the other's sequence lengths.
+    * mis-state the others' sequence lengths.
     *
     * `exciseSpanLen`: when set, a stage 0 cuts cross-doc repeated
     * spans of that window length out of every document BEFORE
@@ -95,9 +97,12 @@ object Pipeline {
                     exciseSpanLen: Option[Int] = None,
                     normalizeEncoding: Boolean = true,
                     unigramPieces: Option[Seq[(String, Long)]] = None,
-                    exciseChunks: Boolean = false): Report = {
-    require(bpeMerges.isEmpty || unigramPieces.isEmpty,
-      "supply at most one tokenizer artifact (bpeMerges OR unigramPieces)")
+                    exciseChunks: Boolean = false,
+                    wordpiecePieces: Option[Seq[String]] = None): Report = {
+    require(Seq(bpeMerges, unigramPieces, wordpiecePieces)
+        .count(_.nonEmpty) <= 1,
+      "supply at most one tokenizer artifact " +
+        "(bpeMerges OR unigramPieces OR wordpiecePieces)")
     require(exciseSpanLen.isEmpty || !exciseChunks,
       "choose ONE excision granularity (exciseSpanLen OR exciseChunks)")
     // 0a. encoding normalization (default ON — the CCNet stage order:
@@ -203,6 +208,9 @@ object Pipeline {
         graft.functions.Bpe.docTokenCounts(curated, m).localCheckpoint())
       .orElse(unigramPieces.map(p =>
         graft.functions.Unigram.docTokenCounts(curated, p).localCheckpoint()))
+      .orElse(wordpiecePieces.map(p =>
+        graft.functions.Wordpiece.docTokenCounts(curated, p)
+          .localCheckpoint()))
     val segments = Seq("train", "val", "test").map { sp =>
       Curate.packSegments(curated.filter(col("split") === sp), cap,
           shardSize = 100, tokenCounts)
@@ -306,12 +314,15 @@ object Pipeline {
                            exciseChunks: Boolean = true,
                            shardBudget: Long = 20000,
                            bpeMerges: Option[Seq[(String, String)]] = None,
-                           unigramPieces: Option[Seq[(String, Long)]] = None)
+                           unigramPieces: Option[Seq[(String, Long)]] = None,
+                           wordpiecePieces: Option[Seq[String]] = None)
       : DayReport = {
     require(pplCeiling.isEmpty || lmArtifact.nonEmpty,
       "the daily LM gate needs a provided artifact (it never self-trains)")
-    require(bpeMerges.isEmpty || unigramPieces.isEmpty,
-      "supply at most one tokenizer artifact (bpeMerges OR unigramPieces)")
+    require(Seq(bpeMerges, unigramPieces, wordpiecePieces)
+        .count(_.nonEmpty) <= 1,
+      "supply at most one tokenizer artifact " +
+        "(bpeMerges OR unigramPieces OR wordpiecePieces)")
     import spark.implicits._
     val docs = batchDocs.select(col("doc_id"), col("lang"), col("text"))
     val input = docs.count()
@@ -428,6 +439,9 @@ object Pipeline {
         graft.functions.Bpe.docTokenCounts(curated, m).localCheckpoint())
       .orElse(unigramPieces.map(p =>
         graft.functions.Unigram.docTokenCounts(curated, p).localCheckpoint()))
+      .orElse(wordpiecePieces.map(p =>
+        graft.functions.Wordpiece.docTokenCounts(curated, p)
+          .localCheckpoint()))
     val shardTokens = Seq("train", "val", "test").map { sp =>
       val docsSp = curated.filter(col("split") === sp)
         .select(col("doc_id"), col("lang"), col("text"))

@@ -948,6 +948,76 @@ object Scale10 {
         operators.DataQuality.orphans(ordN, "o_custkey", custN, "c_custkey",
           "orphan_custkeys")).count())
     }
+    // published quality-filter rule sets: one typed map per doc, no
+    // shuffle — must be linear in the corpus
+    t(s"gopher_rules_${mult}x")(
+      functions.QualityFilters.gopherRules(docs).count())
+    t(s"c4_filters_${mult}x")(functions.QualityFilters.c4Filters(docs).count())
+    // WordPiece accounting under a PRE-TRAINED artifact: MaxMatch runs
+    // once per DISTINCT word (vocab-bounded, flat in corpus size) and
+    // broadcasts back — corpus cost is one explode + broadcast join
+    locally {
+      val pieces = functions.Wordpiece.trainWordpiece(
+        functions.Bpe.wordVocab(Tables.documents(spark, d)))
+      t(s"wordpiece_count_${mult}x")(
+        functions.Wordpiece.docTokenCounts(docs, pieces).count())
+    }
+    // phrase search: the inline scan is linear in the corpus; the
+    // positional-index serve pays the index write ONCE, then probes
+    // only the phrase terms' bucket directories — serve cost tracks
+    // the probed terms' posting volume, not the corpus scan
+    locally {
+      val pq = operators.Search.PhraseQueries
+      t(s"phrase_inline_${mult}x") {
+        val s2 = spark
+        import s2.implicits._
+        Util.fanOutIfAtLeast(
+            docs.select(col("doc_id"), col("text")).as[(Long, String)])
+          .flatMap { case (id, txt) =>
+            val toks = txt.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            pq.iterator.flatMap { case (qid, terms) =>
+              val L = terms.length
+              val hit = (0 to toks.length - L).exists(p =>
+                (0 until L).forall(i => toks(p + i) == terms(i)))
+              if (hit) Iterator.single((qid, id)) else Iterator.empty
+            }
+          }.count()
+      }
+      val posDir = java.nio.file.Files
+        .createTempDirectory("s10_posidx").toString
+      t(s"phrase_index_write_${mult}x") {
+        operators.Search.writePositionalIndex(docs, posDir); 1L
+      }
+      t(s"phrase_serve_${mult}x")(
+        operators.Search.phraseServeBatch(spark, posDir, pq).count())
+      // daily maintenance: appending a 5k-doc day into the mult×
+      // index must track the BATCH, not the standing corpus
+      t(s"phrase_append_day_${mult}x") {
+        val day = Tables.documents(spark, d)
+          .withColumn("doc_id", col("doc_id") + 910000000L)
+        operators.Search.appendPositionalIndex(day, posDir)
+        operators.Search.phraseServeBatch(spark, posDir, pq).count()
+      }
+    }
+    // PMI collocation mining: one bigram pass + three partial aggs —
+    // linear in the corpus, vocabulary-bounded margins
+    t(s"collocations_${mult}x") {
+      val s2 = spark
+      import org.apache.spark.sql.expressions.Window
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = Util.fanOut(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), posexplode(
+          functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(byPos))
+        .where(col("w2").isNotNull)
+      bg.groupBy(col("w1"), col("w2")).count().count()
+    }
+    // minimal-removal decontamination: eval windows broadcast, train
+    // windows stream past the semi-join, surgery is per-doc — linear
+    t(s"decont_excise_${mult}x") {
+      val eval = Tables.documents(spark, d).filter(col("doc_id") % 50 === 0)
+      operators.Curate.decontaminateExcise(docs, eval).count()
+    }
     spark.stop()
   }
 

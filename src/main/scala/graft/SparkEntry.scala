@@ -88,6 +88,8 @@ object SparkEntry {
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "ngram_lm_score"      -> TextFunctions.ngramLmScore _,
+    "ccnet_buckets"       -> TextFunctions.ccnetBuckets _,
+    "collocations"        -> ((s, d) => TextFunctions.collocations(s, d)),
     "ngram_lm_heldout"    -> TextFunctions.ngramLmHeldOut _,
     "ngram_lm_interp"     -> TextFunctions.ngramLmInterp _,
     "ngram_lm_kn"         -> TextFunctions.ngramLmKn _,
@@ -1447,6 +1449,49 @@ object SparkEntry {
       SELECT doc_id, n_bigrams, avg_neg_logp,
         round(exp(avg_neg_logp), 6) AS ppl
       FROM fin ORDER BY doc_id""",
+
+    // CCNet tertile buckets: thresholds are exact ELEMENTS of the
+    // (ppl, doc_id) sort at ceil(n/3)/ceil(2n/3) (the oracle may use
+    // row_number — DuckDB is single-node; the Spark side uses two
+    // TakeOrdered probes, no global window); ties at a threshold land
+    // in the lower bucket by value comparison
+    "ccnet_buckets" -> s"""
+      WITH $ngramLmCtes,
+      sc AS (SELECT doc_id, round(exp(avg_neg_logp), 6) AS ppl FROM fin),
+      st AS (SELECT COUNT(*) AS n FROM sc),
+      rn AS (SELECT doc_id, ppl,
+               row_number() OVER (ORDER BY ppl, doc_id) AS r
+             FROM sc),
+      th1 AS (SELECT ppl AS p1 FROM rn, st WHERE r = (n + 2) // 3),
+      th2 AS (SELECT ppl AS p2 FROM rn, st WHERE r = (2 * n + 2) // 3)
+      SELECT sc.doc_id, sc.ppl,
+        CASE WHEN sc.ppl <= th1.p1 THEN 'head'
+             WHEN sc.ppl <= th2.p2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM sc, th1, th2 ORDER BY sc.doc_id""",
+
+    // bigram PMI collocations: the argument is a ratio of exact
+    // BIGINT products, one IEEE division, ln, 6 dp; top-k cut on the
+    // rounded value with bigram tie-break
+    "collocations" -> raw"""
+      WITH t AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)),
+      st AS (SELECT COUNT(*) AS n FROM bg),
+      ab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+      ua AS (SELECT w1, COUNT(*) AS n_a FROM bg GROUP BY 1),
+      ub AS (SELECT w2, COUNT(*) AS n_b FROM bg GROUP BY 1)
+      SELECT ab.w1 || ' ' || ab.w2 AS bigram, n_ab, n_a, n_b,
+        round(ln(CAST(st.n * n_ab AS DOUBLE) /
+                 CAST(n_a * n_b AS DOUBLE)), 6) AS pmi
+      FROM ab JOIN ua USING (w1) JOIN ub USING (w2), st
+      WHERE n_ab >= 5
+      ORDER BY pmi DESC, bigram LIMIT 50""",
 
     // held-out gate: model trained on the TRAIN carve (doc_id%50≠0),
     // all docs scored with add-0.25 smoothing (0.25 and 0.25·V are

@@ -789,6 +789,83 @@ object TextFunctions {
     ngramLmScoreWith(docBg, model, ctx)
   }
 
+  /** collocations — corpus-level collocation mining: top-k adjacent
+    * token pairs by pointwise mutual information,
+    * PMI = ln(N·c_ab / (c_a·c_b)) over the corpus bigram stream
+    * (c_a / c_b = first- / second-position unigram counts, the
+    * standard bigram-PMI margins), with a minimum pair count so rare
+    * accidents don't dominate — the collocation extractor of the
+    * classic NLP pipeline (Church & Hanks 1990).
+    *
+    * Determinism: the PMI argument is a ratio of two exact BIGINT
+    * products (each < 2^53 here — beyond that, the margins' decimal
+    * recipe applies), ONE IEEE division, ln, round 6 dp; ranking on
+    * the ROUNDED value with bigram tie-break, so the top-k cut is
+    * engine-identical. Scale shape: one tokenize pass (fanned out,
+    * per-doc lead window), three partial-agg reductions off ONE
+    * checkpointed bigram frame, margins joined back (broadcast at a
+    * bounded vocabulary; shuffle on the key otherwise), TakeOrdered
+    * top-k — never a global rank window. */
+  def collocations(s: SparkSession, d: String,
+                   minCount: Long = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = graft.Util.fanOut(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .where(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+      .localCheckpoint()
+    val n = bg.count()
+    val ab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val ua = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+    val ub = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+    ab.filter(col("n_ab") >= minCount)
+      .join(broadcast(ua), "w1").join(broadcast(ub), "w2")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(log((lit(n) * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** ccnet_buckets — CCNet's head/middle/tail perplexity
+    * partitioning (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC 2020): the
+    * corpus splits at its perplexity tertiles, head = the cleanest
+    * third — the bucketing that feeds CCNet's keep-head-and-middle
+    * default. Thresholds are exact tertile ELEMENTS — the ppl at
+    * sorted-(ppl, doc_id) positions ceil(n/3) and ceil(2n/3) —
+    * never an interpolated quantile (engines disagree on
+    * interpolation; they cannot disagree on a specific element of a
+    * 6-dp-rounded sort). Ties AT a threshold value land in the lower
+    * bucket on both engines (plain value comparison).
+    *
+    * Scale shape: scoring is [[ngramLmScore]]'s one-pass recipe (at
+    * 100 TB the model is the write-once ngramLmModel artifact); the
+    * two thresholds are TakeOrdered driver scalars (the bm25 stats
+    * precedent) — there is NO global rank window (a corpus-wide
+    * row_number is a single-partition sort at scale); bucketing is
+    * one comparison per row. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = ngramLmScore(Tables.documents(s, d))
+      .select(col("doc_id"), col("ppl")).localCheckpoint()
+    val n = scored.count()
+    def kth(k: Long): Double =
+      scored.orderBy(col("ppl"), col("doc_id")).limit(k.toInt)
+        .agg(max(col("ppl"))).collect().head.getDouble(0)
+    val t1 = kth((n + 2) / 3)
+    val t2 = kth((2 * n + 2) / 3)
+    scored.select(col("doc_id"), col("ppl"),
+      when(col("ppl") <= t1, "head")
+        .when(col("ppl") <= t2, "middle")
+        .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** quality_distill — train a quality model IN the engine: OLS
     * regression of the expensive bigram-LM score ([[ngramLmScore]])
     * on two cheap per-doc features (avg token length, stopword ratio) —

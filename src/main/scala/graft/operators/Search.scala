@@ -830,9 +830,10 @@ object Search {
     * serve can never disagree). Shares the inverted-index tombstone
     * log contract: [[deleteFromInvertedIndex]] against this dir, and
     * [[phraseServeBatch]] subtracts. */
-  def writePositionalIndex(docs: DataFrame, dir: String,
-                           nBuckets: Int = 1024,
-                           rowGroupBytes: Long = 8L << 20): Unit = {
+  /** One typed pass: (token, doc_id, pos) rows with the bucket key —
+    * shared by the writer and the append so assignment cannot
+    * drift. */
+  private def positionRows(docs: DataFrame, nBuckets: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -843,11 +844,55 @@ object Search {
       .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("token"), col("doc_id"), col("pos"))
+  }
+
+  def writePositionalIndex(docs: DataFrame, dir: String,
+                           nBuckets: Int = 1024,
+                           rowGroupBytes: Long = 8L << 20): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    positionRows(docs, nBuckets)
       .write.mode("overwrite").partitionBy("tb")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(s"$dir/postings")
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Daily maintenance for the positional layout — the
+    * [[appendInvertedIndexBucketed]] twin WITHOUT a stats merge
+    * (positions carry no corpus statistics, so append is pure): the
+    * batch's postings append inside the existing bucket directories,
+    * assignment replayed from the stored `n_buckets`. Docs must be
+    * NEW (the append-only corpus contract). Spec'd: append-then-serve
+    * ≡ one-shot index of the union. */
+  def appendPositionalIndex(batch: DataFrame, dir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val nBuckets = s.read.parquet(s"$dir/meta").as[Int].head()
+    positionRows(batch, nBuckets)
+      .write.mode("append").partitionBy("tb")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Compaction for the positional layout: small files fold, the
+    * within-file token sort (row-group skipping) is re-established,
+    * and the tombstone log FOLDS into the postings — after the swap,
+    * serves answer identically without paying the subtract join, and
+    * a retestable delete can never resurrect (the
+    * [[compactInvertedIndexBucketed]] discipline, minus the df/stats
+    * recompute this layout does not carry). */
+  def compactPositionalIndex(s: SparkSession, dir: String,
+                             targetBytes: Long = 128L << 20): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(docTombstonePath(dir))
+    val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val had = fs.exists(tp)
+    graft.sources.Compact.compactInPlace(s, s"$dir/postings", targetBytes,
+      partitionCols = Seq("tb"),
+      sortCols = Seq("tb", "token", "doc_id", "pos"),
+      transform = df => minusDocTombstones(s, dir, df))
+    if (had) fs.delete(tp, true)
+    ()
   }
 
   /** Serve a phrase batch against the positional layout — result-

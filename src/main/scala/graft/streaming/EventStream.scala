@@ -1066,6 +1066,26 @@ object EventStream {
       }
       .start()
 
+  /** Streaming phrase serving over the positional layout — the
+    * [[streamingBm25TopK]] twin: each micro-batch of (query_id,
+    * phrase terms) probes ONLY its terms' bucket directories via
+    * [[graft.operators.Search.phraseServeBatch]] (a batch plan inside
+    * foreachBatch — stream-static joins cannot partition-prune, the
+    * annIvfServeBatch posture). The query batch is driver-collected
+    * (bounded by the arriving batch, the phrase-set contract).
+    * Two-batch parity with the batch serve is spec'd. */
+  def streamingPhraseSearch(queries: Dataset[QueryTerms], posDir: String)(
+                            writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryTerms], _: Long) =>
+        val s = batch.sparkSession
+        val phrases = batch.collect()
+          .map(q => q.query_id -> q.terms.toSeq).toSeq
+        writeBatch(graft.operators.Search.phraseServeBatch(s, posDir, phrases))
+      }
+      .start()
+
   /** Streaming SCD-2 sink: maintain a type-2 dimension history as a
     * parquet snapshot updated per micro-batch via
     * [[graft.operators.Upsert.scd2Apply]] — the SCD-2 twin of the

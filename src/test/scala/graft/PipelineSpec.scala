@@ -253,6 +253,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece-artifact packing budgets segments by MaxMatch counts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-wp").toString
+    val pieces = graft.functions.Wordpiece.trainWordpiece(
+      graft.functions.Bpe.wordVocab(docs))
+    val r = Pipeline.curateAndPack(spark, docs, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      wordpiecePieces = Some(pieces))
+    assert(r.segments > 0)
+    val segs = spark.read.parquet(s"$out/segments")
+    val packedIds = segs.select("doc_id").distinct().as[Long].collect().toSet
+    val expected = graft.functions.Wordpiece.docTokenCounts(
+        docs.join(packedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        pieces)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val got = segs.agg(sum("seg_len")).collect().head.getLong(0)
+    assert(got == expected, s"packed $got tokens != tokenizer count $expected")
+    intercept[IllegalArgumentException] {
+      Pipeline.curateAndPack(spark, docs, out, 512, 0.2, 3, 2,
+        embeddings = None, embTau = 0.9, pplCeiling = None,
+        unigramPieces = Some(Seq("a" -> -1L)),
+        wordpiecePieces = Some(pieces))
+    }
+  }
+
   // ---- incremental daily pipeline ----------------------------------------
 
   private def daySlice(lo: Int, hi: Int) =

@@ -40,6 +40,41 @@ class SearchSpec extends SparkSpec {
     assert(m.toSeq == Seq((2L, 0L)))
   }
 
+  test("positional append-then-serve equals a one-shot index of the union") {
+    val docsAll = Tables.documents(spark, sf)
+    val day1 = docsAll.filter(col("doc_id") % 2 === 0)
+    val day2 = docsAll.filter(col("doc_id") % 2 =!= 0)
+    val grown = java.nio.file.Files.createTempDirectory("posgrow").toString
+    Search.writePositionalIndex(day1, grown, nBuckets = 64)
+    Search.appendPositionalIndex(day2, grown)
+    val oneShot = java.nio.file.Files.createTempDirectory("posone").toString
+    Search.writePositionalIndex(docsAll, oneShot, nBuckets = 64)
+    val a = Search.phraseServeBatch(spark, grown, Search.PhraseQueries)
+      .collect().map(_.toSeq)
+    val b = Search.phraseServeBatch(spark, oneShot, Search.PhraseQueries)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("positional compaction folds tombstones and keeps serves identical") {
+    val dir = java.nio.file.Files.createTempDirectory("poscomp").toString
+    Search.writePositionalIndex(Tables.documents(spark, sf), dir, nBuckets = 64)
+    val docsHit = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .select(col("doc_id")).distinct().as[Long].collect().sorted
+    assert(docsHit.length >= 2)
+    Search.deleteFromInvertedIndex(spark, dir, Seq(docsHit.head).toDF("doc_id"))
+    val before = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .collect().map(_.toSeq)
+    Search.compactPositionalIndex(spark, dir)
+    // log folded away...
+    assert(!new java.io.File(s"$dir/_tombstones").exists)
+    // ...and the serve answers identically off the folded postings
+    val after = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq)
+    assert(!after.map(_(1)).contains(docsHit.head))
+  }
+
   test("phrase serve subtracts tombstoned docs") {
     val dir = java.nio.file.Files.createTempDirectory("posdel").toString
     Search.writePositionalIndex(Tables.documents(spark, sf), dir, nBuckets = 64)
@@ -257,6 +292,28 @@ class SearchSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val batch = Search.bm25TopK(spark, sf).collect().map(_.toSeq)
+    assert(out.toSet == batch.toSet)
+    assert(out.size == batch.length)
+  }
+
+  test("streaming phrase serving on a two-batch split equals the batch serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("posstream").toString
+    Search.writePositionalIndex(Tables.documents(spark, sf), dir, nBuckets = 64)
+    val input = MemoryStream[EventStream.QueryTerms]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingPhraseSearch(input.toDS(), dir) { m =>
+      out ++= m.collect().map(_.toSeq)
+    }
+    val (b1, b2) = Search.PhraseQueries.splitAt(2)
+    input.addData(b1.map { case (id, ts) => EventStream.QueryTerms(id, ts) })
+    q.processAllAvailable()
+    input.addData(b2.map { case (id, ts) => EventStream.QueryTerms(id, ts) })
+    q.processAllAvailable()
+    q.stop()
+    val batch = Search.phraseServeBatch(spark, dir, Search.PhraseQueries)
+      .collect().map(_.toSeq)
     assert(out.toSet == batch.toSet)
     assert(out.size == batch.length)
   }
