@@ -1018,6 +1018,16 @@ object Scale10 {
       val eval = Tables.documents(spark, d).filter(col("doc_id") % 50 === 0)
       operators.Curate.decontaminateExcise(docs, eval).count()
     }
+    // Bloom decontamination: the eval filter is a broadcast bit set —
+    // the corpus pays a map-side probe + per-doc agg, NO shingle
+    // shuffle; cost must be linear in the train side alone
+    t(s"decont_bloom_${mult}x") {
+      val eval = Tables.documents(spark, d).filter(col("doc_id") % 50 === 0)
+      operators.Curate.decontaminateBloom(docs, eval).count()
+    }
+    // winnowing: the spans-family hash scan + O(len) deque, then a
+    // fingerprint equi-join ~8x smaller than the span index
+    t(s"dedup_winnow_${mult}x")(operators.Dedup.dedupWinnow(docs).count())
     spark.stop()
   }
 

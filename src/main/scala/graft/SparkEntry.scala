@@ -106,6 +106,7 @@ object SparkEntry {
     "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
     "decontaminate_shuffle" -> ((s, d) => operators.Curate.decontaminateShuffle(s, d)),
     "decontaminate_excise" -> ((s, d) => operators.Curate.decontaminateExcise(s, d)),
+    "decontaminate_bloom" -> ((s, d) => operators.Curate.decontaminateBloom(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
@@ -146,6 +147,7 @@ object SparkEntry {
     "upsample_epochs"     -> ((s, d) => operators.Curate.upsampleEpochs(s, d)),
     "shuffle_interleave"  -> operators.Curate.shuffleInterleave _,
     "dedup_lines"         -> Dedup.dedupLines _,
+    "dedup_winnow"        -> ((s, d) => Dedup.dedupWinnow(s, d)),
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_excise" -> Dedup.dedupChunksExcise _,
   )
@@ -743,6 +745,47 @@ object SparkEntry {
         md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
                                 ORDER BY idx), '')) AS out_md5
       FROM flag GROUP BY doc_id ORDER BY doc_id""",
+
+    // winnowing (MOSS): 24-char k-gram 60-bit hashes, window-8
+    // rightmost-min selection (MIN then MAX(off) among the min),
+    // distinct (doc, h) fingerprints, pair join on the hash
+    "dedup_winnow" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      w AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS off, md5(text[i:i+23]) AS hh
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 22)) AS i
+              FROM docs WHERE length(text) >= 24)),
+      k AS (
+        SELECT doc_id, off,
+          CAST(list_sum(list_transform(range(1, 16),
+            kk -> CAST((strpos('0123456789abcdef', hh[kk:kk]) - 1)
+                 * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) AS h
+        FROM w),
+      st AS (SELECT doc_id, COUNT(*) AS nh FROM k GROUP BY 1),
+      memb AS (
+        SELECT k.doc_id, CAST(u.p AS BIGINT) AS p, k.off, k.h
+        FROM k JOIN st USING (doc_id),
+             unnest(range(greatest(k.off - 7, 0),
+                          least(k.off, st.nh - 8) + 1)) AS u(p)
+        WHERE st.nh >= 8
+        UNION ALL
+        SELECT k.doc_id, 0, k.off, k.h
+        FROM k JOIN st USING (doc_id) WHERE st.nh < 8),
+      sel AS (SELECT doc_id, p, MIN(h) AS mh FROM memb GROUP BY 1, 2),
+      fp AS (
+        SELECT DISTINCT m.doc_id, m.h
+        FROM memb m JOIN sel s
+          ON m.doc_id = s.doc_id AND m.p = s.p AND m.h = s.mh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT doc_a, doc_b, n_shared FROM pairs
+      ORDER BY doc_a, doc_b""",
 
     "dedup_spans" -> """
       WITH docs AS (
@@ -1652,6 +1695,58 @@ object SparkEntry {
     "multimodal_audio" -> sources.Multimodal.audioOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
+
+    // Bloom-filter decontamination: eval shingles → k=4 salted bit
+    // positions (the sketch_bloom recipe on md5(shingle)); a train
+    // shingle is flagged iff all 4 probes hit; docs held at ≥2
+    // flagged DISTINCT shingles; exact verdict emitted alongside
+    "decontaminate_bloom" -> raw"""
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+      j(j) AS (VALUES (0), (1), (2), (3)),
+      bits AS (
+        SELECT DISTINCT
+          CAST(list_sum(list_transform(range(1, 9),
+            kk -> CAST((strpos('0123456789abcdef', hx[kk:kk]) - 1)
+                 * CAST(16 ** (8 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            % 32768 AS pos
+        FROM (SELECT md5('bloom' || j || ':' || md5(shingle)) AS hx
+              FROM ev CROSS JOIN j)),
+      probes AS (
+        SELECT doc_id, shingle,
+          CAST(list_sum(list_transform(range(1, 9),
+            kk -> CAST((strpos('0123456789abcdef', hx[kk:kk]) - 1)
+                 * CAST(16 ** (8 - kk) AS BIGINT) AS BIGINT))) AS BIGINT)
+            % 32768 AS pos
+        FROM (SELECT doc_id, shingle,
+                md5('bloom' || j || ':' || md5(shingle)) AS hx
+              FROM tr CROSS JOIN j)),
+      flag AS (
+        SELECT doc_id, COUNT(*) AS n_flagged FROM (
+          SELECT doc_id, shingle FROM probes JOIN bits USING (pos)
+          GROUP BY doc_id, shingle HAVING COUNT(*) = 4)
+        GROUP BY doc_id),
+      ex AS (
+        SELECT doc_id, COUNT(*) AS n_shared FROM tr
+        WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles,
+        COALESCE(f.n_flagged, 0) AS n_flagged,
+        COALESCE(e.n_shared, 0) AS n_shared,
+        COALESCE(f.n_flagged, 0) >= 2 AS flagged,
+        COALESCE(e.n_shared, 0) >= 2 AS contaminated
+      FROM tot t LEFT JOIN flag f USING (doc_id) LEFT JOIN ex e USING (doc_id)
+      ORDER BY t.doc_id""",
 
     // minimal-removal decontamination: train-side 32-char windows
     // whose 60-bit hash exists in the EVAL window set are cut via the

@@ -263,6 +263,59 @@ object Curate {
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
 
+  /** decontaminate_bloom — Bloom-filter decontamination (the Dolma
+    * posture: the eval set compresses to a BIT ARRAY, not an index):
+    * eval shingles set k=4 md5-salted bits in an m-bit filter; every
+    * training shingle probes the filter map-side, and a doc with ≥
+    * `minHits` flagged DISTINCT shingles is held for review. At
+    * 100 TB the filter is m/8 bytes — broadcast to every executor,
+    * OR-mergeable across eval shards — and the corpus pays NO
+    * shingle-keyed shuffle at all (the [[decontaminate]] join only
+    * runs over the held docs, if exactness is needed). NO false
+    * negatives by construction (an exact member sets all k bits —
+    * flagged ⊇ contaminated, spec'd); false positives are the m/k
+    * trade. The exact verdict is emitted alongside so the oracle
+    * checks filter mechanics AND truth (the sketch_bloom
+    * discipline). */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateBloom(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  def decontaminateBloom(trainDocs: DataFrame, evalDocs: DataFrame,
+                         n: Int = 3, minHits: Long = 2): DataFrame = {
+    import graft.operators.{Sketches => Sk}
+    val js = typedlit((0 until Sk.BloomK).toArray)
+    val evalSh = Dedup.shingles(evalDocs, n)
+      .select(col("shingle")).distinct().localCheckpoint()
+    val bits = evalSh.select(explode(js).as("j"), md5(col("shingle")).as("h"))
+      .select(Sk.bloomPos(col("h")).as("pos")).distinct()
+    val tSh = Dedup.shingles(trainDocs, n)
+      .select(col("doc_id"), col("shingle")).localCheckpoint()
+    val flagged = tSh
+      .select(col("doc_id"), col("shingle"), explode(js).as("j"),
+        md5(col("shingle")).as("h"))
+      .select(col("doc_id"), col("shingle"), Sk.bloomPos(col("h")).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === Sk.BloomK)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+    val exact = tSh
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(flagged, Seq("doc_id"), "left_outer")
+      .join(exact, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_flagged"), lit(0L)) >= minHits).as("flagged"),
+        (coalesce(col("n_shared"), lit(0L)) >= minHits).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** decontaminate_excise — MINIMAL-REMOVAL decontamination: instead
     * of dropping every training doc that shares n-grams with the eval
     * set ([[decontaminate]], the curation default), cut ONLY the

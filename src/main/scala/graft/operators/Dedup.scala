@@ -712,6 +712,105 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- winnowing fingerprints (MOSS) -------------------------------------
+
+  private[graft] val WinnowK = 24 // k-gram chars
+  private[graft] val WinnowW = 8  // hashes per selection window
+
+  /** Winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * in every window of `w` consecutive k-gram hashes keep the
+    * minimum, ties to the RIGHTMOST occurrence — the local algorithm
+    * whose guarantee is that any shared substring of length ≥
+    * w + k − 1 shares a selected fingerprint. Monotone-deque sliding
+    * min: O(n) total (each off enters/leaves the deque once). A doc
+    * with fewer than w hashes selects from the one truncated
+    * window. Returns the distinct (off, hash) selections. */
+  private[graft] def winnowSelect(hs: Array[Long], w: Int)
+      : Set[(Int, Long)] = {
+    if (hs.isEmpty) return Set.empty
+    if (hs.length <= w) {
+      var best = 0
+      var i = 1
+      while (i < hs.length) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      return Set(best -> hs(best))
+    }
+    val out = scala.collection.mutable.Set.empty[(Int, Long)]
+    val dq = new java.util.ArrayDeque[Int]
+    var i = 0
+    while (i < hs.length) {
+      // >= pops equal hashes: the incoming (rightmost) equal wins
+      while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      while (dq.peekFirst <= i - w) dq.pollFirst()
+      if (i >= w - 1) out += dq.peekFirst -> hs(dq.peekFirst)
+      i += 1
+    }
+    out.toSet
+  }
+
+  /** Brute-force reference for [[winnowSelect]] — spec-only. */
+  private[graft] def winnowSelectNaive(hs: Array[Long], w: Int)
+      : Set[(Int, Long)] = {
+    if (hs.isEmpty) return Set.empty
+    val n = hs.length
+    (0 to math.max(0, n - w)).map { p =>
+      val end = math.min(p + w, n)
+      var best = p
+      var i = p + 1
+      while (i < end) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      best -> hs(best)
+    }.toSet
+  }
+
+  /** Per-doc winnowed fingerprint rows: (doc_id, off, h) — the
+    * ~len(text) hash scan of the span family plus the O(len) deque
+    * pass, fanned out. */
+  private[graft] def winnowedFingerprints(docs: DataFrame,
+                                          k: Int = WinnowK,
+                                          w: Int = WinnowW): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Util.fanOut(
+        docs.select(col("doc_id"), col("text")).as[(Long, String)])
+      .flatMap { case (id, t) =>
+        if (t.length < k) Iterator.empty
+        else {
+          val hs = Array.tabulate(t.length - k + 1)(i =>
+            md5Hash60(t.substring(i, i + k)))
+          winnowSelect(hs, w).iterator.map { case (off, h) =>
+            (id, off.toLong, h) }
+        }
+      }
+      .toDF("doc_id", "off", "h")
+  }
+
+  /** dedup_winnow: candidate near-dup pairs by SHARED WINNOWED
+    * FINGERPRINTS — the MOSS/plagiarism-detection member of the
+    * dedup family, between dedup_spans (every window, exact
+    * substring evidence) and dedup_minhash (whole-doc similarity):
+    * winnowing keeps ~2/(w+1) of the span family's hashes yet still
+    * GUARANTEES any shared run of ≥ w + k − 1 chars yields a shared
+    * fingerprint (the paper's theorem — spec'd against plants). The
+    * pair join is an equi-join on the fingerprint hash (inverted-
+    * index shape, never all-pairs); at 100 TB the fingerprint frame
+    * is the write-once artifact, ~8× smaller than the span index. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    dedupWinnow(withPlants(Tables.documents(s, d)))
+
+  def dedupWinnow(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+                  minShared: Long = 2): DataFrame = {
+    val fps = winnowedFingerprints(docs, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint()
+    fps.join(fps.select(col("doc_id").as("doc_b"), col("h"))
+        .hint("shuffle_hash"), "h")
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** dedup_spans_incremental: NEW-BATCH vs STANDING-CORPUS span
     * dedup — the substring-granularity member of the incremental
     * family (doc-level has minhash/embedding/phash): which windows of

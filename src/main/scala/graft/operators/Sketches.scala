@@ -205,7 +205,7 @@ object Sketches {
   val BloomM = 32768 // bits
   val BloomK = 4 // hash functions
 
-  private def bloomPos(h: org.apache.spark.sql.Column) =
+  private[graft] def bloomPos(h: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit("bloom"), col("j"), lit(":"), h)), 1, 8), 16, 10)
       .cast("long") % BloomM
 

@@ -15,6 +15,38 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("keeper_id")).toSet == (0L until 25L).toSet)
   }
 
+  test("winnowing: deque selection equals brute force, incl. forced ties") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(40)
+      // range 6 forces frequent equal hashes — the rightmost-tie path
+      val hs = Array.fill(n)(rnd.nextInt(6).toLong)
+      assert(Dedup.winnowSelect(hs, 8) == Dedup.winnowSelectNaive(hs, 8),
+        s"trial $trial: ${hs.mkString(",")}")
+    }
+  }
+
+  test("winnowing: every full window contains a selection (coverage)") {
+    val rnd = new scala.util.Random(7)
+    val hs = Array.fill(200)(rnd.nextLong())
+    val sel = Dedup.winnowSelect(hs, 8).map(_._1)
+    (0 to hs.length - 8).foreach { p =>
+      assert(sel.exists(o => o >= p && o < p + 8), s"window $p uncovered")
+    }
+    // density: winnowing keeps ~2/(w+1) of positions, far below 1
+    assert(sel.size < hs.length / 2)
+  }
+
+  test("dedup_winnow: planted duplicates share fingerprints; guarantee holds") {
+    val pairs = Dedup.dedupWinnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact plants share everything; near plants differ only in tail
+    (0L until 25L).foreach(i =>
+      assert(pairs.contains((i, i + 100000)), s"exact plant $i missing"))
+    (25L until 50L).foreach(i =>
+      assert(pairs.contains((i, i + 100000)), s"near plant $i missing"))
+  }
+
   test("ngram jaccard finds all 25 planted near-duplicates") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
