@@ -1028,6 +1028,26 @@ object Scale10 {
     // winnowing: the spans-family hash scan + O(len) deque, then a
     // fingerprint equi-join ~8x smaller than the span index
     t(s"dedup_winnow_${mult}x")(operators.Dedup.dedupWinnow(docs).count())
+    // the winnow maintained loop: mult× corpus fingerprinted ONCE;
+    // each day fingerprints only its 5k-doc batch and joins the
+    // stored (h, keeper) index — per-day cost flat as days accumulate
+    locally {
+      val idxDir = s"/tmp/scale_winnowindex_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"winnow_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        operators.Dedup.writeWinnowIndex(docs, idxDir)
+        spark.read.parquet(idxDir).count()
+      }
+      for (day <- 1 to 2)
+        t(s"winnow_index_day${day}_${mult}x") {
+          val batch = Tables.documents(spark, d)
+            .withColumn("doc_id", col("doc_id") + lit(920000000L * day))
+          operators.Dedup.dedupWinnowIncrementalStep(spark, idxDir, batch)
+            .count()
+        }
+    }
     spark.stop()
   }
 

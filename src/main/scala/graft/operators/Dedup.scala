@@ -811,6 +811,75 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** One-shot NEW-BATCH vs CORPUS winnow detection — the fingerprint
+    * member of the cross-set family: batch docs' winnowed
+    * fingerprints equi-join the corpus's DISTINCT fingerprint hashes
+    * (min-doc keeper per hash — the index discipline: pairs report
+    * to the KEEPER, not to every corpus holder), pairs held at ≥
+    * `minShared` shared hashes. Cost tracks the batch; the corpus
+    * side is one distinct-hash aggregate — at scale the maintained
+    * [[writeWinnowIndex]] artifact. */
+  def dedupWinnowIncremental(corpus: DataFrame, batch: DataFrame,
+                             k: Int = WinnowK, w: Int = WinnowW,
+                             minShared: Long = 2): DataFrame = {
+    val cIdx = winnowedFingerprints(corpus, k, w)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+    winnowedFingerprints(batch, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+      .join(cIdx, "h")
+      .groupBy(col("doc_id").as("batch_id"), col("keeper_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("batch_id"), col("keeper_id"))
+  }
+
+  /** Persist the corpus's winnow index — (h, keeper_id), one row per
+    * DISTINCT fingerprint hash (~2/(w+1) of the span index's rows).
+    * Appends from [[dedupWinnowIncrementalStep]] may repeat a hash
+    * across generations; readers re-aggregate min(keeper_id), and
+    * [[compactWinnowIndex]] folds the collapse — the
+    * [[writeLineIndex]] discipline verbatim. */
+  def writeWinnowIndex(docs: DataFrame, dir: String,
+                       k: Int = WinnowK, w: Int = WinnowW): Unit =
+    winnowedFingerprints(docs, k, w)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** One day of the winnow production loop: fingerprint the arriving
+    * batch ONCE, detect its corpus-known fingerprints against the
+    * maintained index, then append the batch's own (h, keeper) rows
+    * so tomorrow's batch sees today's docs. Detection materializes
+    * BEFORE the append. Loop invariant spec'd: day-N detection ≡
+    * [[dedupWinnowIncremental]] of (corpus ∪ earlier batches,
+    * day-N batch). */
+  def dedupWinnowIncrementalStep(s: SparkSession, indexDir: String,
+                                 batch: DataFrame,
+                                 k: Int = WinnowK, w: Int = WinnowW,
+                                 minShared: Long = 2): DataFrame = {
+    val bFp = winnowedFingerprints(batch, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint()
+    val idx = s.read.parquet(indexDir)
+      .groupBy(col("h")).agg(min(col("keeper_id")).as("keeper_id"))
+    val hits = bFp.join(idx, "h")
+      .groupBy(col("doc_id").as("batch_id"), col("keeper_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint() // eager: detect strictly before the append
+    bFp.groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("append").parquet(indexDir)
+    hits.orderBy(col("batch_id"), col("keeper_id"))
+  }
+
+  /** Periodic maintenance for the winnow-index log: min(keeper_id)
+    * per hash folded into the file rewrite, reader-identical. */
+  def compactWinnowIndex(s: SparkSession, dir: String,
+                         targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes,
+      transform = _.groupBy(col("h"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
   /** dedup_spans_incremental: NEW-BATCH vs STANDING-CORPUS span
     * dedup — the substring-granularity member of the incremental
     * family (doc-level has minhash/embedding/phash): which windows of

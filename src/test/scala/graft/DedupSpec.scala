@@ -714,6 +714,37 @@ class DedupSpec extends SparkSpec {
     assert(got(3L).getAs[Long]("n_removed") == 0)
   }
 
+  test("maintained winnow index: daily steps equal the one-shot cross-set form") {
+    val dir = java.nio.file.Files.createTempDirectory("winnowidx").toString + "/idx"
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val b1 = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val b2 = base.filter(col("doc_id") === 3)
+      .withColumn("doc_id", col("doc_id") + 2000)
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 2001))
+    Dedup.writeWinnowIndex(base, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    val day1 = rows(Dedup.dedupWinnowIncrementalStep(spark, dir, b1))
+    val day2 = rows(Dedup.dedupWinnowIncrementalStep(spark, dir, b2))
+    assert(day1.nonEmpty && day2.nonEmpty)
+    assert(day1 == rows(Dedup.dedupWinnowIncremental(base, b1)))
+    assert(day2 == rows(Dedup.dedupWinnowIncremental(base.unionByName(b1), b2)))
+    // the day-2 copy of corpus doc 1 binds to keeper 1, NOT to the
+    // day-1 copy 1001 — min-keeper survives the append collapse
+    assert(day2.exists { case (b, keeper, _) => b == 2002L && keeper == 1L })
+    // compaction folds the append log reader-identically
+    val before = spark.read.parquet(dir).groupBy(col("h"))
+      .agg(org.apache.spark.sql.functions.min(col("keeper_id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.compactWinnowIndex(spark, dir)
+    val after = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Long]("keeper_id"))).toSet
+    assert(after == before)
+  }
+
   test("maintained line index: daily steps equal the one-shot cross-set detection") {
     val dir = java.nio.file.Files.createTempDirectory("lineindex").toString + "/idx"
     val base = Tables.documents(spark, sf).filter(col("doc_id") < 20)
