@@ -142,6 +142,7 @@ object SparkEntry {
     "dsir_select"         -> ((s, d) => operators.Curate.dsirSelect(s, d)),
     "dedup_profile"       -> Dedup.dedupProfile _,
     "lsh_calibration"     -> Dedup.lshCalibration _,
+    "lsh_plan"            -> Dedup.lshPlan _,
     "quality_calibration" -> TextFunctions.qualityCalibration _,
     "mixture_plan"        -> ((s, d) => operators.Curate.mixturePlan(s, d)),
     "upsample_epochs"     -> ((s, d) => operators.Curate.upsampleEpochs(s, d)),
@@ -2235,6 +2236,42 @@ object SparkEntry {
       JOIN sz z1 ON z1.doc_id = p.d1
       JOIN sz z2 ON z2.doc_id = p.d2
       ORDER BY p.d1, p.d2""",
+
+    // S-curve geometry planner: per power-of-two (bands, rows) split
+    // of the 64-hash signature, the grid knee and the expected catch
+    // over the corpus's verified pair Jaccards; p evaluates by the
+    // SAME repeated-squaring multiplication tree as the Spark side
+    "lsh_plan" -> {
+      val geos = operators.Dedup.PlanGeometries.map { case (b, r) =>
+        val knee = "(SELECT COALESCE(MIN(s), 1.0) FROM grid WHERE " +
+          operators.Dedup.planCollideSql("s", b, r) + " >= 0.5)"
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+        $knee AS knee_s,
+        COUNT(*) AS n_pairs,
+        round(CAST(SUM(CAST(round(${operators.Dedup.planCollideSql("j", b, r)},
+          9) AS DECIMAL(13,9))) AS DOUBLE) / COUNT(*), 6) AS exp_catch
+      FROM jac"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $minhashCtes,
+      shr AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN mh_pairs p ON p.d1 = a.doc_id AND p.d2 = b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      jac AS (
+        SELECT round(CAST(COALESCE(s.shared, 0) AS DOUBLE) /
+               (z1.n_sh + z2.n_sh - COALESCE(s.shared, 0)), 6) AS j
+        FROM mh_pairs p
+        LEFT JOIN shr s ON s.d1 = p.d1 AND s.d2 = p.d2
+        JOIN sz z1 ON z1.doc_id = p.d1
+        JOIN sz z2 ON z2.doc_id = p.d2),
+      grid AS (SELECT CAST(k AS DOUBLE) / 20 AS s FROM range(1, 20) t(k))
+      $geos
+      ORDER BY bands DESC"""
+    },
 
     // cheap-vs-expensive gate calibration: fixed score bins (never a
     // global rank), exact-decimal means

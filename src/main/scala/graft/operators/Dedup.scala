@@ -1191,6 +1191,92 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- lsh_plan: S-curve geometry planner --------------------------------
+
+  /** Candidate (bands, rows/band) splits of the 64-hash signature —
+    * all power-of-two factorizations, so the collision S-curve
+    * p = 1 − (1 − s^r)^b evaluates by REPEATED SQUARING: the same
+    * fixed multiplication tree in Scala doubles and in generated SQL,
+    * hence bit-identical cross-engine (the quality_distill principle:
+    * fixed-size double arithmetic on identical inputs cannot
+    * drift — only data-dependent accumulation needs decimals). */
+  private[graft] val PlanGeometries: Seq[(Int, Int)] =
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64))
+
+  private def ntz(x: Int): Int = Integer.numberOfTrailingZeros(x)
+  private def sqChainD(x: Double, t: Int): Double = {
+    var y = x; var i = 0
+    while (i < t) { y = y * y; i += 1 }
+    y
+  }
+  private[graft] def planCollide(s: Double, bands: Int, rows: Int): Double =
+    1.0 - sqChainD(1.0 - sqChainD(s, ntz(rows)), ntz(bands))
+  private def sqChainCol(x: org.apache.spark.sql.Column, t: Int) =
+    (0 until t).foldLeft(x)((e, _) => e * e)
+  private def planCollideCol(j: org.apache.spark.sql.Column,
+                             bands: Int, rows: Int) =
+    lit(1.0) - sqChainCol(lit(1.0) - sqChainCol(j, ntz(rows)), ntz(bands))
+  private[graft] def sqChainSql(x: String, t: Int): String =
+    (0 until t).foldLeft(x)((e, _) => s"(($e)*($e))")
+  // every level fully parenthesized: with bands = 1 the outer chain
+  // is the identity, and an unparenthesized "1.0 - 1.0 - x" would
+  // parse as -x
+  private[graft] def planCollideSql(j: String, bands: Int, rows: Int): String =
+    s"1.0 - (${sqChainSql(s"(1.0 - (${sqChainSql(j, ntz(rows))}))",
+      ntz(bands))})"
+
+  /** lsh_plan — the GEOMETRY PLANNER beside [[lshCalibration]]'s
+    * accuracy report: for every power-of-two split of the 64-hash
+    * signature, (a) the S-curve knee — the smallest grid similarity
+    * s = k/20 where collision probability reaches 0.5 (what Jaccard
+    * the geometry actually targets), and (b) the EXPECTED CATCH RATE
+    * over this corpus's verified candidate-pair Jaccards — Σ p(j)/n,
+    * the fraction of the observed near-dup population each geometry
+    * would recall. This is the table you consult before re-banding at
+    * 100 TB: more bands ⇒ lower knee ⇒ higher catch AND higher
+    * false-positive load; the report quantifies the trade ON THE
+    * CORPUS rather than on folklore.
+    *
+    * Determinism: p evaluates by repeated squaring (identical
+    * multiplication tree both engines), is rounded to 9 dp, summed in
+    * exact DECIMAL(13,9), ONE double division, 6 dp; knees compare
+    * the un-rounded (bit-identical) p against the exact 0.5. */
+  def lshPlan(s: SparkSession, d: String): DataFrame =
+    lshPlan(withPlants(Tables.documents(s, d)))
+
+  def lshPlan(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = docs.sparkSession
+    val pairs = minhashCandidates(docs)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val sh = shingles(docs, 3).select(col("doc_id"), col("shingle"))
+    val shared = sh.as("a").join(sh.hint("shuffle_hash").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .join(broadcast(pairs), Seq("d1", "d2"), "left_semi")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val jac = pairs
+      .join(shared, Seq("d1", "d2"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")), 6).as("j"))
+      .localCheckpoint()
+    PlanGeometries.map { case (b, r) =>
+      val knee = (1 to 19).map(_ / 20.0)
+        .find(s0 => planCollide(s0, b, r) >= 0.5).getOrElse(1.0)
+      jac.agg(count(lit(1)).as("n_pairs"),
+          round(sum(round(planCollideCol(col("j"), b, r), 9)
+              .cast(DecimalType(13, 9))).cast("double") / count(lit(1)), 6)
+            .as("exp_catch"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(knee).as("knee_s"), col("n_pairs"), col("exp_catch"))
+    }.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
   /** LSH candidate pairs: equal band signature in ≥1 of 16 bands. */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidates(withPlants(Tables.documents(s, d)))

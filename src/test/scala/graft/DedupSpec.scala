@@ -15,6 +15,25 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("keeper_id")).toSet == (0L until 25L).toSet)
   }
 
+  test("lsh_plan: knees rise and catch falls as rows-per-band grows") {
+    val rows = Dedup.lshPlan(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Double]("knee_s"), r.getAs[Double]("exp_catch")))
+    assert(rows.length == 7)
+    // ordered by bands desc = rows-per-band asc: stricter geometries
+    // target higher similarity and catch less of the observed pairs
+    val knees = rows.map(_._3)
+    assert(knees.zip(knees.tail).forall { case (a, b) => a <= b }, knees.toSeq)
+    val catches = rows.map(_._4)
+    assert(catches.zip(catches.tail).forall { case (a, b) => a >= b })
+    // the production 16x4 geometry is in the table with a mid knee
+    val g = rows.find(r => r._1 == 16 && r._2 == 4).get
+    assert(g._3 >= 0.1 && g._3 <= 0.55, s"16x4 knee ${g._3}")
+    // the S-curve itself: p is a probability and hits the endpoints
+    assert(Dedup.planCollide(0.0, 16, 4) == 0.0)
+    assert(Dedup.planCollide(1.0, 16, 4) == 1.0)
+  }
+
   test("winnowing: deque selection equals brute force, incl. forced ties") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 50) {
