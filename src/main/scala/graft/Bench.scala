@@ -99,6 +99,14 @@ object Bench {
             else pairs(q).join(exact, Seq("query_id", "neighbor_id"), "left_semi")
               .count() / n)
     }.toMap
+    // the corpus-wide graph, measured on the slice the exact baseline
+    // covers (same sources, same ground truth)
+    val knn = if (n == 0) 0.0
+      else SparkEntry.queries("knn_graph")(spark, sfDir)
+        .withColumnRenamed("vec_id", "query_id")
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count() / n
     exact.unpersist()
     // filtered search measures against the FILTERED exact baseline —
     // the unfiltered top-k is the wrong ground truth for a predicate
@@ -122,6 +130,7 @@ object Bench {
     val hybrid = operators.Search.hybridFusionQuality(spark, sfDir)
     out + ("dedup_emb_lsh" -> (if (nPairs == 0) 0.0 else lshPairs / nPairs)) +
       ("hybrid_rrf_serving" -> hybrid) +
-      ("ann_ivf_filtered" -> filtered)
+      ("ann_ivf_filtered" -> filtered) +
+      ("knn_graph" -> knn)
   }
 }

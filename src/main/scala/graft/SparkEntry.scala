@@ -77,6 +77,8 @@ object SparkEntry {
     "ann_prefix"          -> ((s, d) => Similarity.annPrefix(s, d)),
     "ann_ivf_prefix"      -> ((s, d) => Similarity.annIvfPrefix(s, d)),
     "ann_ivf_filtered"    -> ((s, d) => Similarity.annIvfFiltered(s, d)),
+    "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
+    "kmeans_report"       -> ((s, d) => Similarity.kmeansReport(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -165,6 +167,8 @@ object SparkEntry {
       ("ann_ivf_pq" -> Similarity.annIvfPqOracleSql(s, d)) +
       ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
       ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
+      ("knn_graph" -> Similarity.knnGraphOracleSql(s, d)) +
+      ("kmeans_report" -> Similarity.kmeansReportOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
       ("select_prototypes" -> Similarity.selectPrototypesOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +

@@ -2208,4 +2208,153 @@ object Similarity {
       FROM pairs GROUP BY 1, 2 HAVING max(cs) >= $tau
       ORDER BY vec_id"""
   }
+
+  // ---- knn_graph: corpus-wide k-NN graph ---------------------------------
+
+  /** Trained-centroid VALUES CTE text shared by the knn_graph /
+    * kmeans_report oracles (the [[annIvfOracleSql]] literal recipe). */
+  private def centsCteSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""cents(cid, c) AS (VALUES
+        $rows),
+      scored AS (
+        SELECT vec_id, cid,
+          list_inner_product(CAST(embedding AS DOUBLE[]), c) AS dot
+        FROM embeddings CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn = 1)"""
+  }
+
+  private[graft] val KnnK = 5
+
+  /** knn_graph — the corpus-wide k-nearest-neighbor GRAPH (every
+    * vector a source, not just a query batch): the shared primitive
+    * under SemDeDup-style semantic dedup, SSL-prototype selection,
+    * graph-based curation, and kNN-classifier data attribution.
+    * EVERY vector probes its `nprobe` nearest IVF centroids and meets
+    * candidates through the bucket EQUI-join (shuffle-hash — the
+    * probe side is the corpus itself, nothing broadcasts); exact
+    * cosine rerank, per-source bounded top-k via the TopK aggregator
+    * (map-side partial — the shuffle after the join carries k·sources
+    * rows, never the candidate set).
+    *
+    * 100 TB shape: candidate volume is n · nprobe · (n/nlist); with
+    * nlist ∝ corpus (the SemDeDup scaling rule — constant bucket
+    * occupancy) the per-vector candidate count is CONSTANT, so the
+    * graph costs O(n) candidates at any corpus size. nprobe=16 is the
+    * same measured recall knee as ann_ivf (the graph runs identical
+    * probe mechanics; recall@5 reported per round in Bench's
+    * knn_graph channel, floored at 0.8 by RecallSpec). */
+  def knnGraph(s: SparkSession, d: String, k: Int = KnnK,
+               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d, nlist)
+    val bc = s.sparkContext.broadcast(cents)
+    val bucketed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("neighbor_id", "bucket", "v")
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("vec_id", "bucket", "qv")
+    val scoredPairs = bucketed.hint("shuffle_hash")
+      .join(probes, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id").as("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+    topKPerQuery(scoredPairs, k).withColumnRenamed("query_id", "vec_id")
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[knnGraph]]: [[annIvfOracleSql]] with the
+    * probe set widened to the whole corpus. Data-dependent → emitted
+    * by oracleSqlFor. */
+  def knnGraphOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                        nlist: Int = IvfNlist,
+                        nprobe: Int = IvfNprobe): String = {
+    s"""
+      WITH ${centsCteSql(ivfCentroids(s, d, nlist))},
+      probes AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn <= $nprobe),
+      cand AS (
+        SELECT p.vec_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probes p
+          ON a.bucket = p.bucket AND a.vec_id <> p.vec_id),
+      rer AS (
+        SELECT c.vec_id, c.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.vec_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+      SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY vec_id, rank"""
+  }
+
+  // ---- kmeans_report: coarse-quantizer diagnostics -----------------------
+
+  /** kmeans_report — the CLUSTERING-QUALITY report published before
+    * trusting the IVF coarse quantizer at 100 TB (the
+    * dedup_profile / lsh_calibration discipline applied to the vector
+    * side): per bucket, member count, mean cosine-to-centroid (the
+    * spherical-k-means objective — exact-decimal mean of 6-dp
+    * cosines) and the WORST member's cosine (a low min flags a
+    * bucket whose tail rerank quality suffers; a tiny n_vecs flags a
+    * dead/starved centroid that wastes a probe). One assignment pass
+    * (broadcast nlist·dim centroid map) + a 32-row broadcast join for
+    * the centroid vectors + one partial-agg shuffle of nlist groups. */
+  def kmeansReport(s: SparkSession, d: String,
+                   nlist: Int = IvfNlist): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = ivfCentroids(s, d, nlist)
+    val centsDf = {
+      import s.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("bucket", "cent")
+    }
+    val assigned = ivfAssign(Tables.embeddings(s, d), cents)
+    assigned.join(broadcast(centsDf), Seq("bucket"))
+      .select(col("bucket"),
+        round(cos(col("embedding"), col("cent")), 6).as("c6"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("c6").cast(DecimalType(9, 6))).cast("double") /
+          count(lit(1)), 6).as("mean_cos"),
+        min(col("c6")).as("min_cos"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[kmeansReport]]: centroid literals, argmax-dot
+    * assignment, the same 6-dp/DECIMAL/one-division mean. */
+  def kmeansReportOracleSql(s: SparkSession, d: String,
+                            nlist: Int = IvfNlist): String = {
+    s"""
+      WITH ${centsCteSql(ivfCentroids(s, d, nlist))},
+      mem AS (
+        SELECT a.bucket,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       c.c), 6) AS c6
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN cents c ON c.cid = a.bucket)
+      SELECT bucket, COUNT(*) AS n_vecs,
+        round(CAST(SUM(CAST(c6 AS DECIMAL(9,6))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_cos,
+        MIN(c6) AS min_cos
+      FROM mem GROUP BY 1 ORDER BY bucket"""
+  }
 }

@@ -29,6 +29,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_ivf recall@5 = $recall")
   }
 
+  test("knn_graph recall@5 vs brute force >= 0.8 on the query slice") {
+    val g = Similarity.knnGraph(spark, sf01)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+    val recall = (pairs(g) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"knn_graph recall@5 = $recall")
+  }
+
   test("SQ8 recall@5 vs brute force >= 0.9") {
     // int8 quantization error on this grid is ~0.4% of the value
     // range per dim — far below the neighbor/non-neighbor cosine gap,

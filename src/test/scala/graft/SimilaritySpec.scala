@@ -308,4 +308,48 @@ class SimilaritySpec extends SparkSpec {
         s"vec ${r.getAs[Long]("vec_id")} score drift")
     }
   }
+
+  test("knn_graph restricted to the query slice is bit-identical to annIvf") {
+    // the graph runs the SAME probe/score/top-k mechanics for every
+    // source that annIvf runs for its query batch — on the shared
+    // sources the outputs must agree row-for-row, not just in recall
+    val g = Similarity.knnGraph(spark, sf).filter(col("vec_id") < 10)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    val a = Similarity.annIvf(spark, sf, nQueries = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    assert(g == a)
+  }
+
+  test("knn_graph: every source present, ranks dense, scores rank-monotone") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(bySrc.keySet.size.toLong == emb.count(),
+      "every corpus vector is a graph source")
+    bySrc.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        s"source $src ranks not dense")
+      val cs = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y },
+        s"source $src not score-monotone")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != src), "no self edge")
+    }
+  }
+
+  test("kmeans_report: member counts partition the corpus, mean >= min") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val rows = Similarity.kmeansReport(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_cos") >= r.getAs[Double]("min_cos") - 1e-9)
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+    // argmax-dot assignment over 32 directions: each bucket's members
+    // chose it, so the bucket means sit well above the random-pair 0
+    assert(rows.map(_.getAs[Double]("mean_cos")).min > 0.0)
+  }
 }
