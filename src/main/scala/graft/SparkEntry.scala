@@ -79,6 +79,7 @@ object SparkEntry {
     "ann_ivf_filtered"    -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "kmeans_report"       -> ((s, d) => Similarity.kmeansReport(s, d)),
+    "mine_bitext"         -> ((s, d) => Similarity.mineBitext(s, d)),
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -169,6 +170,7 @@ object SparkEntry {
       ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
       ("knn_graph" -> Similarity.knnGraphOracleSql(s, d)) +
       ("kmeans_report" -> Similarity.kmeansReportOracleSql(s, d)) +
+      ("mine_bitext" -> Similarity.mineBitextOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
       ("select_prototypes" -> Similarity.selectPrototypesOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +

@@ -123,7 +123,7 @@ object Similarity {
     * for IVF. Deterministic: seeded by taking evenly-spaced sample
     * vectors as initial centroids. Centroids are unit-normalized so
     * assignment is argmax dot. */
-  private[operators] def trainCentroids(sample: Array[Array[Float]],
+  private[graft] def trainCentroids(sample: Array[Array[Float]],
                                         nlist: Int, iters: Int): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -2356,5 +2356,143 @@ object Similarity {
           AS mean_cos,
         MIN(c6) AS min_cos
       FROM mem GROUP BY 1 ORDER BY bucket"""
+  }
+
+  // ---- mine_bitext: margin-based parallel-pair mining --------------------
+
+  /** mine_bitext — margin-based bitext mining (Artetxe & Schwenk ACL
+    * 2019; the CCMatrix/LASER curation op): given two embedding pools
+    * (conceptually two languages in a shared space — here the
+    * deterministic vec_id-parity halves), each source is paired with
+    * its margin-best target, margin(x,y) = cos(x,y) / ((avgNN(x) +
+    * avgNN(y)) / 2) where avgNN is the mean cosine of a side's
+    * top-`k` cross-pool neighbors — the RATIO criterion that
+    * normalizes away hubness (a raw cosine threshold over-mines dense
+    * regions and under-mines sparse ones; the margin asks "is this
+    * pair closer than either side's general neighborhood").
+    *
+    * Both kNN directions run the IVF bucket EQUI-join (the knnGraph
+    * shape — probe side is a pool, nothing broadcasts, never a
+    * cross-join); at 100 TB this is exactly CCMatrix's architecture
+    * (FAISS IVF sharded over the corpus). Determinism: cosines 6 dp;
+    * avgNN = exact DECIMAL(9,6) sum cast once to double over the
+    * neighbor count; margin = one IEEE division of that fixed tree,
+    * 6 dp; the per-source argmax ranks on the ROUNDED margin with
+    * target-id tie-break. `mined` flags margin ≥ `tau` (pairs a
+    * downstream aligner would accept). */
+  private[graft] val MineK = 4
+  private[graft] val MineTau = 1.05
+
+  def mineBitext(s: SparkSession, d: String, k: Int = MineK,
+                 nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                 tau: Double = MineTau): DataFrame =
+    mineBitextOn(Tables.embeddings(s, d), ivfCentroids(s, d, nlist),
+      k, nprobe, tau)
+
+  /** One direction of the cross-pool kNN: sources probe their nprobe
+    * buckets, targets sit in their own bucket, candidates meet in the
+    * bucket equi-join. Returns (query_id, neighbor_id, cos_sim, rank),
+    * rank ≤ k. */
+  private def crossPoolKnn(src: DataFrame, tgt: DataFrame,
+                           cents: Array[Array[Double]],
+                           k: Int, nprobe: Int): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val bucketed = tgt.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("neighbor_id", "bucket", "v")
+    val probes = src.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    val scoredPairs = bucketed.hint("shuffle_hash")
+      .join(probes, Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+    topKPerQuery(scoredPairs, k)
+  }
+
+  def mineBitextOn(emb: DataFrame, cents: Array[Array[Double]],
+                   k: Int = MineK, nprobe: Int = IvfNprobe,
+                   tau: Double = MineTau): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val srcPool = emb.filter(col("vec_id") % 2 === 0)
+    val tgtPool = emb.filter(col("vec_id") % 2 === 1)
+    val fwd = crossPoolKnn(srcPool, tgtPool, cents, k, nprobe)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cos_sim"))
+    val bwd = crossPoolKnn(tgtPool, srcPool, cents, k, nprobe)
+    def avgNN(knn: DataFrame, idCol: String) = knn
+      .groupBy(col("query_id").as(idCol))
+      .agg((sum(col("cos_sim").cast(DecimalType(9, 6))).cast("double") /
+        count(lit(1))).as(s"avg_$idCol"))
+    val avgF = avgNN(fwd.select(col("src_id").as("query_id"), col("cos_sim")),
+      "src_id")
+    val avgB = avgNN(bwd, "tgt_id")
+    val margined = fwd
+      .join(avgF, Seq("src_id"))
+      .join(avgB, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_sim"),
+        round(col("cos_sim") / ((col("avg_src_id") + col("avg_tgt_id")) /
+          lit(2.0)), 6).as("margin"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    margined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos_sim"), col("margin"),
+        when(col("margin") >= lit(tau), lit(1)).otherwise(lit(0)).as("mined"))
+      .orderBy(col("src_id"))
+  }
+
+  /** DuckDB oracle for [[mineBitext]]: centroid literals, both
+    * cross-pool kNN directions as candidate CTEs ranked (cos DESC, id)
+    * to k, the same DECIMAL-sum/one-division average and margin tree,
+    * per-source argmax on the rounded margin. Data-dependent →
+    * emitted by oracleSqlFor. */
+  def mineBitextOracleSql(s: SparkSession, d: String, k: Int = MineK,
+                          nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                          tau: Double = MineTau): String = {
+    s"""
+      WITH ${centsCteSql(ivfCentroids(s, d, nlist))},
+      probes AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn <= $nprobe),
+      cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM probes p
+        JOIN assign a ON a.bucket = p.bucket
+          AND a.vec_id % 2 <> p.vec_id % 2
+        JOIN embeddings qe ON qe.vec_id = p.vec_id
+        JOIN embeddings ne ON ne.vec_id = a.vec_id),
+      knn AS (
+        SELECT query_id, neighbor_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM cand) WHERE rn <= $k),
+      avgs AS (
+        SELECT query_id,
+          CAST(SUM(CAST(cos_sim AS DECIMAL(9,6))) AS DOUBLE) / COUNT(*) AS av
+        FROM knn GROUP BY 1),
+      marg AS (
+        SELECT f.query_id AS src_id, f.neighbor_id AS tgt_id, f.cos_sim,
+          round(f.cos_sim / ((af.av + ab.av) / 2.0), 6) AS margin
+        FROM knn f
+        JOIN avgs af ON af.query_id = f.query_id
+        JOIN avgs ab ON ab.query_id = f.neighbor_id
+        WHERE f.query_id % 2 = 0)
+      SELECT src_id, tgt_id, cos_sim, margin,
+        CAST(CASE WHEN margin >= $tau THEN 1 ELSE 0 END AS INT) AS mined
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+          ORDER BY margin DESC, tgt_id) AS rn
+        FROM marg) WHERE rn = 1
+      ORDER BY src_id"""
   }
 }

@@ -352,4 +352,72 @@ class SimilaritySpec extends SparkSpec {
     // chose it, so the bucket means sit well above the random-pair 0
     assert(rows.map(_.getAs[Double]("mean_cos")).min > 0.0)
   }
+
+  test("mine_bitext: planted aligned pairs mined, margins replay exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def randomVec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    // pairs (0,1) (2,3) (4,5) strongly aligned across the pools;
+    // ids 6..23 unrelated noise
+    val aligned = (0 until 3).flatMap { i =>
+      val base = randomVec()
+      val twin = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, base), (2L * i + 1, twin))
+    }
+    val noise = (6L until 24L).map(id => (id, randomVec()))
+    val emb = (aligned ++ noise).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(
+      emb.orderBy("vec_id").select("embedding").as[Array[Float]].collect(),
+      nlist = 4, iters = 5)
+    // exhaustive probe (nprobe = nlist): blocking prunes nothing, so
+    // the output must equal the driver-side brute-force replay
+    val got = Similarity.mineBitextOn(emb, cents, k = 2, nprobe = 4)
+      .collect()
+      .map(r => r.getAs[Long]("src_id") ->
+        ((r.getAs[Long]("tgt_id"), r.getAs[Double]("cos_sim"),
+          r.getAs[Double]("margin"), r.getAs[Int]("mined"))))
+      .toMap
+
+    val vecs = (aligned ++ noise).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    // per-id cross-pool top-2 and its exact-decimal average
+    val ids = vecs.keys.toSeq.sorted
+    val knn = ids.map { x =>
+      val top = ids.filter(y => y % 2 != x % 2)
+        .map(y => (y, cos6(vecs(x), vecs(y))))
+        .sortBy { case (y, c) => (-c, y) }.take(2)
+      x -> top
+    }.toMap
+    val avg = knn.map { case (x, top) =>
+      x -> (top.map(t => BigDecimal(t._2)).sum.toDouble / top.length)
+    }
+    val expect = ids.filter(_ % 2 == 0).map { x =>
+      val best = knn(x).map { case (y, c) =>
+        (y, c, r6(c / ((avg(x) + avg(y)) / 2.0)))
+      }.sortBy { case (y, _, m) => (-m, y) }.head
+      x -> ((best._1, best._2, best._3,
+        if (best._3 >= 1.05) 1 else 0))
+    }.toMap
+    assert(got == expect)
+    // the planted twins: found and mined. (No claim that planted
+    // margins EXCEED all noise margins — the margin self-normalizes:
+    // the twin itself raises its source's avgNN, and a sparse noise
+    // neighborhood can make a mediocre pair look locally exceptional.
+    // The exact replay above is the real contract.)
+    for (i <- 0 until 3) {
+      val (tgt, _, margin, mined) = got(2L * i)
+      assert(tgt == 2L * i + 1, s"pair $i mismatched")
+      assert(mined == 1, s"pair $i not mined (margin $margin)")
+    }
+  }
 }
