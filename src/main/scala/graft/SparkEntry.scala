@@ -80,6 +80,7 @@ object SparkEntry {
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "kmeans_report"       -> ((s, d) => Similarity.kmeansReport(s, d)),
     "mine_bitext"         -> ((s, d) => Similarity.mineBitext(s, d)),
+    "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -171,6 +172,8 @@ object SparkEntry {
       ("knn_graph" -> Similarity.knnGraphOracleSql(s, d)) +
       ("kmeans_report" -> Similarity.kmeansReportOracleSql(s, d)) +
       ("mine_bitext" -> Similarity.mineBitextOracleSql(s, d)) +
+      ("tokenizer_fertility" ->
+        functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
       ("select_prototypes" -> Similarity.selectPrototypesOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +

@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** tokenizer_fertility — the cross-tokenizer COMPRESSION report
+  * (SURVEY.md §2b): tokens-per-word (fertility) and chars-per-token
+  * for each of the three trained subword tokenizers (BPE, unigram-LM,
+  * WordPiece) over the same corpus word stream. This is the table a
+  * pipeline publishes before committing a tokenizer choice at 100 TB:
+  * fertility drives the packing budget (sequences per document), the
+  * compute bill (tokens ARE the training cost), and multilingual
+  * fairness audits (a high-fertility language pays more compute per
+  * word of content).
+  *
+  * Scale shape: ONE corpus tokenize pass collapses to the DISTINCT
+  * vocabulary with occurrence counts (vocab-sized — the token-count
+  * queries' discipline), each tokenizer encodes the vocab once in a
+  * typed map, and the totals are Σ n_occ·f(word) over the tiny vocab
+  * frame — the corpus is scanned once however many tokenizers are
+  * compared. All counts exact BIGINTs; the two ratios are one double
+  * division each, rounded 6 dp.
+  */
+object TokenizerStats {
+
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(Bpe.SegWordRe))
+    // vocab-sized; localCheckpoint is safe here: the three trainers
+    // below already force actions before this operator returns
+    val vocab = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val distinctWords = vocab.select(col("word")).as[String]
+
+    val merges = Bpe.trainedMerges(s, d, Bpe.SegMerges)
+    val uniPieces = Unigram.trainedPieces(s, d, Unigram.UniVocabSize).toMap
+    val wpPieces = Wordpiece.trainedPieces(s, d, Wordpiece.WpMerges).toSet
+    val bpeWt = distinctWords
+      .map(w => (w, Bpe.encode(w, merges).length))
+      .toDF("word", "w_tokens")
+    val uniWt = distinctWords
+      .map(w => (w, Unigram.segment(w, uniPieces).map(_.length).getOrElse(0)))
+      .toDF("word", "w_tokens")
+    val wpWt = distinctWords
+      .map(w => (w, Wordpiece.encode(w, wpPieces).map(_.length).getOrElse(1)))
+      .toDF("word", "w_tokens")
+
+    def report(name: String, wt: DataFrame): DataFrame =
+      vocab.join(broadcast(wt), "word")
+        .agg(sum(col("n_occ")).as("n_words"),
+          sum(col("n_occ") * length(col("word"))).as("n_chars"),
+          sum(col("n_occ") * col("w_tokens")).as("n_tokens"))
+        .select(lit(name).as("tokenizer"),
+          col("n_words"), col("n_chars"), col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("tokens_per_word"),
+          round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6).as("chars_per_token"))
+
+    report("bpe", bpeWt)
+      .unionByName(report("unigram", uniWt))
+      .unionByName(report("wordpiece", wpWt))
+      .orderBy(col("tokenizer"))
+  }
+
+  /** DuckDB oracle: each tokenizer's token-count oracle chain
+    * aggregated to corpus totals, one WITH-bearing subquery per row
+    * (CTE names collide across the three chains, so each lives in its
+    * own FROM subquery). Data-dependent (trained merges/pieces as
+    * literals) → emitted by oracleSqlFor. */
+  def tokenizerFertilityOracleSql(s: SparkSession, d: String): String = {
+    def row(name: String, inner: String) =
+      s"""SELECT '$name' AS tokenizer, n_words, n_chars, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+          AS tokens_per_word,
+        round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS chars_per_token
+      FROM ($inner)"""
+    s"""
+      ${row("bpe", Bpe.fertilityInnerSql(s, d))}
+      UNION ALL
+      ${row("unigram", Unigram.fertilityInnerSql(s, d))}
+      UNION ALL
+      ${row("wordpiece", Wordpiece.fertilityInnerSql(s, d))}
+      ORDER BY tokenizer"""
+  }
+}

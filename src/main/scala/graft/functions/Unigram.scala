@@ -407,4 +407,29 @@ object Unigram {
       FROM tokstream t JOIN wtok w USING (word)
       GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
+
+  /** Corpus-total form of the token-count oracle — the inner query of
+    * tokenizer_fertility's unigram row. */
+  private[graft] def fertilityInnerSql(s: SparkSession, d: String,
+                                       vocabSize: Int = UniVocabSize): String = {
+    val pieces = trainedPieces(s, d, vocabSize)
+    raw"""
+      WITH RECURSIVE tokstream AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> length(x) > 0)) AS word
+        FROM documents),
+      words AS (
+        SELECT DISTINCT word FROM tokstream
+        WHERE regexp_matches(word, '$WordRe')),
+      ${segCtes(pieces)},
+      wtok AS (
+        SELECT word,
+          CAST(len(string_split(path, ' ')) AS INT) AS w_tokens
+        FROM best WHERE rn = 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+        CAST(SUM(w.w_tokens) AS BIGINT) AS n_tokens
+      FROM tokstream t JOIN wtok w USING (word)"""
+  }
 }

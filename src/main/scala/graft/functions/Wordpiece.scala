@@ -403,4 +403,29 @@ object Wordpiece {
       FROM tokstream t JOIN wtok w USING (word)
       GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
+
+  /** Corpus-total form of the token-count oracle — the inner query of
+    * tokenizer_fertility's WordPiece row. */
+  private[graft] def fertilityInnerSql(s: SparkSession, d: String,
+                                       numMerges: Int = WpMerges): String = {
+    val pieces = trainedPieces(s, d, numMerges)
+    raw"""
+      WITH RECURSIVE tokstream AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> length(x) > 0)) AS word
+        FROM documents),
+      words AS (
+        SELECT DISTINCT word FROM tokstream
+        WHERE regexp_matches(word, '$WordRe')),
+      ${segCtes(pieces)},
+      wtok AS (
+        SELECT word,
+          CAST(len(string_split(path, ' ')) AS INT) AS w_tokens
+        FROM walk WHERE pos = length(word))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+        CAST(SUM(w.w_tokens) AS BIGINT) AS n_tokens
+      FROM tokstream t JOIN wtok w USING (word)"""
+  }
 }

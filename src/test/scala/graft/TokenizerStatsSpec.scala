@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.TokenizerStats
+import org.apache.spark.sql.functions._
+
+class TokenizerStatsSpec extends SparkSpec {
+
+  test("fertility totals tie out to the per-doc token-count queries") {
+    val fert = TokenizerStats.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("tokenizer") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens")))).toMap
+    assert(fert.keySet == Set("bpe", "unigram", "wordpiece"))
+
+    def totals(q: String, tokCol: String): (Long, Long) = {
+      val t = SparkEntry.queries(q)(spark, sf)
+        .agg(sum(col("words")), sum(col(tokCol))).head()
+      (t.getLong(0), t.getLong(1))
+    }
+    assert(fert("bpe") == totals("bpe_token_count", "bpe_tokens"))
+    assert(fert("unigram") == totals("unigram_token_count", "uni_tokens"))
+    assert(fert("wordpiece") == totals("wordpiece_token_count", "wp_tokens"))
+  }
+
+  test("fertility ratios replay from the totals and sit in sane ranges") {
+    TokenizerStats.tokenizerFertility(spark, sf).collect().foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("tokens_per_word") == r6(t.toDouble / w.toDouble))
+      assert(r.getAs[Double]("chars_per_token") == r6(c.toDouble / t.toDouble))
+      // every word is >= 1 token; no token is shorter than a char
+      assert(t >= w && c >= t)
+    }
+  }
+}
