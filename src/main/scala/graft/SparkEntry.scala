@@ -48,6 +48,7 @@ object SparkEntry {
     "q22_above_avg"       -> Relational.q22AboveAvg _,
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_containment"   -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_minhash"       -> Dedup.minhashCandidates _,
     "dedup_incremental"   -> Dedup.dedupIncremental _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
@@ -80,6 +81,9 @@ object SparkEntry {
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "kmeans_report"       -> ((s, d) => Similarity.kmeansReport(s, d)),
     "mine_bitext"         -> ((s, d) => Similarity.mineBitext(s, d)),
+    "graph_pagerank"      -> ((s, d) => Similarity.graphPagerank(s, d)),
+    "emb_pca"             -> ((s, d) => Similarity.embPca(s, d)),
+    "knn_hubness"         -> ((s, d) => Similarity.knnHubness(s, d)),
     "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
@@ -109,6 +113,7 @@ object SparkEntry {
     "sample_mixture"      -> operators.Curate.sampleMixture _,
     "decontaminate"       -> ((s, d) => operators.Curate.decontaminate(s, d)),
     "decontaminate_shuffle" -> ((s, d) => operators.Curate.decontaminateShuffle(s, d)),
+    "text_ngram_novelty"  -> ((s, d) => operators.Curate.textNgramNovelty(s, d)),
     "decontaminate_excise" -> ((s, d) => operators.Curate.decontaminateExcise(s, d)),
     "decontaminate_bloom" -> ((s, d) => operators.Curate.decontaminateBloom(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
@@ -172,6 +177,9 @@ object SparkEntry {
       ("knn_graph" -> Similarity.knnGraphOracleSql(s, d)) +
       ("kmeans_report" -> Similarity.kmeansReportOracleSql(s, d)) +
       ("mine_bitext" -> Similarity.mineBitextOracleSql(s, d)) +
+      ("graph_pagerank" -> Similarity.graphPagerankOracleSql(s, d)) +
+      ("emb_pca" -> Similarity.embPcaOracleSql(s, d)) +
+      ("knn_hubness" -> Similarity.knnHubnessOracleSql(s, d)) +
       ("tokenizer_fertility" ->
         functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
@@ -666,6 +674,38 @@ object SparkEntry {
           WHERE doc_id >= 25 AND doc_id < 50)
       SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
       FROM docs GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keeper_id""",
+
+    "dedup_containment" -> """
+      WITH docs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id + 300000, lang,
+          array_to_string(list_slice(string_split_regex(text, '\s+'), 1, 30),
+                          ' ')
+        FROM documents WHERE doc_id < 25),
+      tok AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM docs),
+      sh AS (
+        SELECT DISTINCT doc_id, lang,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                           AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT d1, d2, shared, n1.n_sh AS n1, n2.n_sh AS n2,
+          round(CAST(shared AS DOUBLE) / n1.n_sh, 6) AS c_d1,
+          round(CAST(shared AS DOUBLE) / n2.n_sh, 6) AS c_d2
+        FROM shared JOIN sizes n1 ON n1.doc_id = d1
+                    JOIN sizes n2 ON n2.doc_id = d2)
+      WHERE greatest(c_d1, c_d2) >= 0.8
+      ORDER BY d1, d2""",
 
     "dedup_ngram_jaccard" -> """
       WITH docs AS (
@@ -1705,6 +1745,28 @@ object SparkEntry {
     "multimodal_audio" -> sources.Multimodal.audioOracleSql,
 
     "decontaminate" -> decontaminateOracleSql,
+    "text_ngram_novelty" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM tok WHERE len(toks) >= 3),
+      tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0),
+      ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 = 0)
+      SELECT e.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_seen,
+        round(CAST(COUNT(*) - SUM(CASE WHEN t.shingle IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS novel_frac
+      FROM ev e LEFT JOIN tr t USING (shingle)
+      GROUP BY 1 ORDER BY doc_id""",
 
     // Bloom-filter decontamination: eval shingles → k=4 salted bit
     // positions (the sketch_bloom recipe on md5(shingle)); a train

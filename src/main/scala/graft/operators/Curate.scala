@@ -370,6 +370,50 @@ object Curate {
     decontaminateExcise(train, eval)
   }
 
+  /** text_ngram_novelty — the per-doc MEMORIZATION/OVERLAP score
+    * (Lee et al. 2022 §5, the GPT-3 appendix-C metric): for every
+    * eval-split doc, the fraction of its DISTINCT word n-grams absent
+    * from the train split. decontaminate GATES on absolute shared
+    * counts between doc pairs; novelty SCORES each doc against the
+    * train set as a whole — the number a memorization audit or a
+    * generated-text novelty report publishes. Eval = the `% 5 == 0`
+    * slice (a 20% holdout — corpus-scale, so nothing broadcasts).
+    *
+    * Scale shape: one DISTINCT over the train shingle stream, then a
+    * shingle-keyed shuffle_hash equi-join (the decontaminateShuffle
+    * plan — a 20%-of-corpus eval side can never broadcast) feeding a
+    * per-doc partial agg. Counts exact BIGINTs; novel_frac is ONE
+    * double division, 6 dp. */
+  def textNgramNovelty(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ngramNovelty(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), n)
+  }
+
+  /** General form: per-eval-doc novelty against any train frame. */
+  def ngramNovelty(trainDocs: DataFrame, evalDocs: DataFrame,
+                   n: Int): DataFrame =
+    ngramNoveltySh(
+      Dedup.shingles(trainDocs, n).select(col("shingle")).distinct(),
+      Dedup.shingles(evalDocs, n).select(col("doc_id"), col("shingle")))
+
+  /** Pre-shingled form — the maintained-artifact/streaming entry
+    * point (a stored train shingle set scores every arriving batch
+    * without re-shingling the corpus): `trainSh` carries DISTINCT
+    * `shingle` rows, `evalSh` distinct `(doc_id, shingle)` rows
+    * ([[graft.operators.Dedup.shingles]]'s per-doc contract). */
+  def ngramNoveltySh(trainSh: DataFrame, evalSh: DataFrame): DataFrame =
+    evalSh
+      .join(trainSh.withColumn("seen", lit(1L)).hint("shuffle_hash"),
+        Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_seen"),
+        round((col("n_ngrams") - col("n_seen")).cast("double") /
+          col("n_ngrams").cast("double"), 6).as("novel_frac"))
+      .orderBy(col("doc_id"))
+
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
     * doc's split NEVER changes as the corpus grows or repartitions

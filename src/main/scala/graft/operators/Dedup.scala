@@ -120,6 +120,72 @@ object Dedup {
     jaccardFromShared(shared, sh, tau)
   }
 
+  /** dedup_containment — ASYMMETRIC containment dedup (Broder's
+    * containment coefficient next to the Jaccard family): for
+    * language-blocked pairs sharing a shingle, c(A→B) = shared/|A| —
+    * the score that catches SUBSET duplicates Jaccard structurally
+    * misses (a quoted excerpt, a truncated mirror, a doc embedded in
+    * a larger page: shared/|A| = 1 while shared/(|A|+|B|−shared) can
+    * sit far below any usable τ). Planted prefix-slice docs (ids
+    * +300000, the first 30 tokens of a real doc — an exact token
+    * subset) exercise the one-sided regime in-query.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — the shingle
+    * inverted-index equi-join (pairs only materialize on actual
+    * co-occurrence, never all-pairs), two partial-agg shuffles.
+    * Counts exact BIGINTs; each containment is ONE double division
+    * rounded 6 dp, and the gate compares the ROUNDED values. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val plants = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 300000).as("doc_id"), col("lang"),
+        array_join(slice(split(col("text"), "\\s+"), 1, 30), " ").as("text"))
+    dedupContainment(docs.select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(plants))
+  }
+
+  def dedupContainment(docs: DataFrame, tau: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, 3)
+    val shared = sharedCounts(sh)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    shared
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+        round(col("shared").cast("double") / col("n1"), 6).as("c_d1"),
+        round(col("shared").cast("double") / col("n2"), 6).as("c_d2"))
+      .filter(greatest(col("c_d1"), col("c_d2")) >= lit(tau))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Batch-vs-corpus form of [[dedupContainment]] — the shape the
+    * daily loop runs (an arriving batch's shingles equi-join the
+    * standing corpus's shingle stream/artifact; NEVER a corpus
+    * self-join): containment of each batch doc in corpus docs and
+    * the reverse, gated on the rounded max. Equivalence with the
+    * one-shot on the union's cross pairs is spec'd. */
+  def dedupContainmentIncremental(corpusDocs: DataFrame, batchDocs: DataFrame,
+                                  tau: Double = 0.8): DataFrame = {
+    val cSh = shingles(corpusDocs, 3)
+      .select(col("doc_id").as("corpus_id"), col("lang"), col("shingle"))
+    val bSh = shingles(batchDocs, 3)
+      .select(col("doc_id").as("batch_id"), col("lang"), col("shingle"))
+    val shared = cSh.hint("shuffle_hash").join(bSh, Seq("shingle", "lang"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+    val cSizes = cSh.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_corpus"))
+    val bSizes = bSh.groupBy(col("batch_id")).agg(count(lit(1)).as("n_batch"))
+    shared
+      .join(bSizes, "batch_id")
+      .join(cSizes, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"), col("shared"),
+        col("n_batch"), col("n_corpus"),
+        round(col("shared").cast("double") / col("n_batch"), 6).as("c_batch"),
+        round(col("shared").cast("double") / col("n_corpus"), 6).as("c_corpus"))
+      .filter(greatest(col("c_batch"), col("c_corpus")) >= lit(tau))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** (d1, d2, shared) — shared-shingle counts via the inverted-index
     * self-join, optionally restricted to a candidate pair set.
     * shuffle_hash hints: Generate-output stats are badly

@@ -2251,10 +2251,15 @@ object Similarity {
     * probe mechanics; recall@5 reported per round in Bench's
     * knn_graph channel, floored at 0.8 by RecallSpec). */
   def knnGraph(s: SparkSession, d: String, k: Int = KnnK,
-               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame =
+    knnGraphOn(Tables.embeddings(s, d), ivfCentroids(s, d, nlist), k, nprobe)
+
+  /** [[knnGraph]] over an explicit embedding frame + trained
+    * centroids (the Scale10 probe entry point). */
+  def knnGraphOn(emb: DataFrame, cents: Array[Array[Double]],
+                 k: Int = KnnK, nprobe: Int = IvfNprobe): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val cents = ivfCentroids(s, d, nlist)
     val bc = s.sparkContext.broadcast(cents)
     val bucketed = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -2494,5 +2499,367 @@ object Similarity {
           ORDER BY margin DESC, tgt_id) AS rn
         FROM marg) WHERE rn = 1
       ORDER BY src_id"""
+  }
+
+  // ---- graph_pagerank: centrality over the kNN graph ---------------------
+
+  private[graft] val PrIters = 10
+  /** Rank mass is carried in 1e-12 units as exact BIGINTs. */
+  private[graft] val PrScale = 1000000000000L
+
+  /** graph_pagerank — PageRank centrality over the corpus kNN graph
+    * (the graph-based data-selection signal: central documents are
+    * representative, peripheral ones are outliers/noise — the ranking
+    * behind kNN-graph coreset selection and influence-style audits).
+    * Damping d = 17/20 (0.85 exact), `iters` fixed power iterations.
+    *
+    * Determinism: rank mass lives in 1e-12 units as exact BIGINTs —
+    * every step is integer arithmetic (share = pr div deg; update =
+    * base + (17·Σshares) div 20, all positive so truncating div ==
+    * floor in BOTH engines) — no float ever accumulates, so the
+    * result is bit-identical everywhere; the published `pagerank`
+    * double is ONE division per row at the end, 6 dp.
+    *
+    * 100 TB shape: the Pregel/GraphX loop — per iteration ONE
+    * src-keyed equi-join (edges × node-sized rank frame) and ONE
+    * partial-agg shuffle on dst; localCheckpoint truncates the
+    * growing lineage each step (the loop forces actions itself, so
+    * the lazily-returned-operator trap doesn't apply). Edge volume is
+    * the knnGraph invariant (constant per-vector candidates when
+    * nlist ∝ corpus), so each iteration is O(k·n). */
+  def graphPagerank(s: SparkSession, d: String, k: Int = KnnK,
+                    nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                    iters: Int = PrIters): DataFrame = {
+    val edges = knnGraph(s, d, k, nlist, nprobe)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    pagerankOn(edges, nodes, iters)
+  }
+
+  /** PageRank over explicit (src, dst) edges and a node frame; see
+    * [[graphPagerank]] for the arithmetic contract. Nodes without
+    * in-edges keep the teleport base; sources divide their mass over
+    * their actual out-degree. */
+  def pagerankOn(edges: DataFrame, nodes: DataFrame,
+                 iters: Int = PrIters): DataFrame = {
+    val n = nodes.count()
+    val base = (3L * PrScale) / (20L * n)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    var ranks = nodes.select(col("vec_id"), lit(PrScale / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst").as("vec_id"), expr("pr div deg").as("share"))
+        .groupBy(col("vec_id")).agg(sum(col("share")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"), (lit(base) +
+          expr("(17 * coalesce(in_sum, CAST(0 AS BIGINT))) div 20")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("vec_id"), col("pr").as("pr_e12"),
+        round(col("pr").cast("double") / lit(1e12), 6).as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- knn_hubness: in-degree histogram of the kNN graph ------------------
+
+  /** knn_hubness — the HUBNESS audit of the kNN graph (the in-degree
+    * histogram): in high dimensions a few vectors become "hubs" that
+    * appear in many neighbor lists while antihubs appear in none —
+    * the failure mode that skews kNN-graph dedup/selection and that
+    * mine_bitext's margin criterion exists to correct. Per in-degree
+    * value, the number of corpus vectors with that in-degree
+    * (0-in-degree antihubs included via the left join). Pure integer
+    * arithmetic — exact by construction.
+    *
+    * 100 TB shape: the knnGraph edge pass + one dst-keyed partial-agg
+    * shuffle + one histogram agg over node-sized frames. */
+  def knnHubness(s: SparkSession, d: String, k: Int = KnnK,
+                 nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    val edges = knnGraph(s, d, k, nlist, nprobe)
+      .select(col("neighbor_id"))
+    val indeg = edges.groupBy(col("neighbor_id")).agg(count(lit(1)).as("deg"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(indeg.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"),
+        "left")
+      .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("in_degree"))
+  }
+
+  /** DuckDB oracle for [[knnHubness]]: the knnGraph chain as the edge
+    * subquery + the same left-join histogram. Data-dependent →
+    * emitted by oracleSqlFor. */
+  def knnHubnessOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                          nlist: Int = IvfNlist,
+                          nprobe: Int = IvfNprobe): String = {
+    val knnSql = knnGraphOracleSql(s, d, k, nlist, nprobe)
+    s"""
+      WITH edges AS (SELECT neighbor_id FROM ($knnSql)),
+      indeg AS (
+        SELECT neighbor_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1)
+      SELECT COALESCE(i.deg, 0) AS in_degree, COUNT(*) AS n_vecs
+      FROM embeddings e LEFT JOIN indeg i USING (vec_id)
+      GROUP BY 1 ORDER BY in_degree"""
+  }
+
+  // ---- emb_pca: embedding-space variance report ---------------------------
+
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (Array[Array[Double]], Array[Double])]
+
+  /** Deterministic PCA basis for the corpus embedding space: sample =
+    * the first 2048 vectors by id (the [[ivfCentroids]] discipline —
+    * O(1) at any corpus size, shared bit-identically by the query and
+    * its oracle via literals), mean-centered covariance on the
+    * driver, cyclic Jacobi eigen-decomposition, components sorted by
+    * eigenvalue descending and sign-normalized (largest-|coordinate|
+    * positive). Returns (components, offsets) with offsets(c) =
+    * ⟨sample mean, e_c⟩ so a projection is one dot minus a scalar. */
+  private[graft] def pcaBasis(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Double]) = {
+    val key = (d, dataFingerprint(s, d))
+    pcaCache.getOrElseUpdate(key, {
+      pcaCache.keySet.filter(k => k._1 == d && k != key)
+        .foreach(pcaCache.remove)
+      import s.implicits._
+      val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+        .select("embedding").as[Array[Float]].collect()
+      val n = sample.length
+      val dim = sample.head.length
+      val mean = new Array[Double](dim)
+      sample.foreach { v =>
+        var j = 0; while (j < dim) { mean(j) += v(j); j += 1 } }
+      var j = 0; while (j < dim) { mean(j) /= n; j += 1 }
+      val cov = Array.ofDim[Double](dim, dim)
+      sample.foreach { v =>
+        var i = 0
+        while (i < dim) {
+          val ci = v(i) - mean(i)
+          var k = i
+          while (k < dim) { cov(i)(k) += ci * (v(k) - mean(k)); k += 1 }
+          i += 1
+        }
+      }
+      var i = 0
+      while (i < dim) {
+        var k = i
+        while (k < dim) {
+          cov(i)(k) /= n; cov(k)(i) = cov(i)(k); k += 1 }
+        i += 1
+      }
+      val (vals, vecs) = jacobiEigen(cov)
+      val order = vals.indices.sortBy(c => (-vals(c), c))
+      val comps = order.map { c =>
+        val e = Array.tabulate(dim)(r => vecs(r)(c))
+        val m = e.indices.maxBy(r => (math.abs(e(r)), -r))
+        if (e(m) < 0) e.map(x => -x) else e
+      }.toArray
+      val offs = comps.map { e =>
+        var dot = 0.0; var r = 0
+        while (r < dim) { dot += mean(r) * e(r); r += 1 }
+        dot
+      }
+      (comps, offs)
+    })
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues,
+    * eigenvector COLUMNS). Fixed sweep order → deterministic. */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val sN = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sN * akq
+              a(k)(q) = sN * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sN * aqk
+              a(q)(k) = sN * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sN * vkq
+              v(k)(q) = sN * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** emb_pca — the embedding-space VARIANCE report (the scree table
+    * published before committing compression tiers at 100 TB: how
+    * many prefix/PCA dimensions hold the variance decides the
+    * ann_prefix dims knob, SQ8/PQ budget splits, and whitening; on
+    * this deliberately ISOTROPIC corpus the scree is near-flat —
+    * exactly what the report should show). Per PCA component: the
+    * corpus-wide projection mean/variance and the cumulative
+    * explained-variance fraction.
+    *
+    * Determinism: the basis is trained ONCE on the driver from the
+    * bounded id-ordered sample (bit-identical literals to the
+    * oracle); each projection is one fixed dot-product tree rounded
+    * 6 dp, scaled to an exact 1e-6-unit BIGINT; moments are exact
+    * integer/decimal aggregates (Spark DECIMAL(38,0), DuckDB
+    * HUGEINT — both exact, so identical doubles after ONE division);
+    * the cumulative fraction ratios exact 1e-9-unit BIGINTs.
+    *
+    * 100 TB shape: ONE linear projection pass (dim² flops/row, no
+    * shuffle of vectors) into a dim-sized partial agg; the 64-row
+    * result frame takes the blessed unpartitioned window. */
+  def embPca(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val (comps, offs) = pcaBasis(s, d)
+    val bcC = s.sparkContext.broadcast(comps)
+    val bcO = s.sparkContext.broadcast(offs)
+    val proj = graft.Util.fanOutIfAtLeast(
+        Tables.embeddings(s, d).select(col("embedding")).as[Array[Float]],
+        graft.Util.FanOutMinRows)
+      .flatMap { v =>
+        val cs = bcC.value; val os = bcO.value
+        Iterator.tabulate(cs.length) { c =>
+          val e = cs(c); var dot = 0.0; var j = 0
+          while (j < v.length) { dot += e(j) * v(j); j += 1 }
+          val p6 = BigDecimal(dot - os(c))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (c, math.floor(p6 * 1e6 + 0.5).toLong)
+        }
+      }.toDF("component", "pe6")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
+    val m = proj.groupBy(col("component")).agg(
+      count(lit(1)).as("n"),
+      sum(col("pe6")).as("sp"),
+      sum(dec(col("pe6")) * dec(col("pe6"))).as("sp2"))
+    val num = dec(m("n")) * m("sp2") - dec(m("sp")) * dec(m("sp"))
+    val stats = m.select(col("component"), col("n"),
+      round(col("sp").cast("double") /
+        (col("n").cast("double") * lit(1e6)), 6).as("mean_p"),
+      round(num.cast("double") /
+        (col("n").cast("double") * col("n") * lit(1e12)), 6).as("var_p"))
+    val w = Window.orderBy(col("component"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("component"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats
+      .withColumn("ve9", floor(col("var_p") * lit(1e9) + lit(0.5)))
+      .withColumn("cum_frac", round(sum(col("ve9")).over(w).cast("double") /
+        sum(col("ve9")).over(wAll).cast("double"), 6))
+      .select(col("component"), col("n"), col("mean_p"), col("var_p"),
+        col("cum_frac"))
+      .orderBy(col("component"))
+  }
+
+  /** DuckDB oracle for [[embPca]]: component/offset literals, the
+    * identical projection → 6 dp → 1e-6-unit BIGINT chain, HUGEINT
+    * moments (sp*sp routed through HUGEINT — BIGINT² overflows), the
+    * same single divisions and the exact ve9 cumulative ratio.
+    * Data-dependent → emitted by oracleSqlFor. */
+  def embPcaOracleSql(s: SparkSession, d: String): String = {
+    val (comps, offs) = pcaBasis(s, d)
+    val rows = comps.zip(offs).zipWithIndex.map { case ((e, off), c) =>
+      s"($c, [${e.map(_.toString).mkString(", ")}]::DOUBLE[], ${off.toString})"
+    }.mkString(",\n        ")
+    s"""
+      WITH comps(cid, e, off) AS (VALUES
+        $rows),
+      proj AS (
+        SELECT c.cid,
+          CAST(floor(round(list_inner_product(CAST(embedding AS DOUBLE[]),
+            c.e) - c.off, 6) * 1e6 + 0.5) AS BIGINT) AS pe6
+        FROM embeddings CROSS JOIN comps c),
+      ag AS (
+        SELECT cid, COUNT(*) AS n, SUM(pe6) AS sp, SUM(pe6 * pe6) AS sp2
+        FROM proj GROUP BY 1),
+      v AS (
+        SELECT cid, n,
+          round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS mean_p,
+          round(CAST(n * sp2 - CAST(sp AS HUGEINT) * sp AS DOUBLE) /
+            (CAST(n AS DOUBLE) * n * 1e12), 6) AS var_p
+        FROM ag),
+      e9 AS (
+        SELECT *, CAST(floor(var_p * 1e9 + 0.5) AS BIGINT) AS ve9 FROM v)
+      SELECT cid AS component, n, mean_p, var_p,
+        round(CAST(SUM(ve9) OVER (ORDER BY cid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+          CAST(SUM(ve9) OVER () AS DOUBLE), 6) AS cum_frac
+      FROM e9 ORDER BY component"""
+  }
+
+  /** DuckDB oracle for [[graphPagerank]]: the knnGraph oracle chain as
+    * the edge subquery, then `iters` UNROLLED aggregating CTEs (a
+    * recursive CTE can't aggregate over its own reference) replaying
+    * the identical integer arithmetic — DuckDB `//` is floor division
+    * and every operand is positive, and SUM(BIGINT)'s HUGEINT is cast
+    * back per step. Data-dependent (centroid literals + corpus count)
+    * → emitted by oracleSqlFor. */
+  def graphPagerankOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                             nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                             iters: Int = PrIters): String = {
+    val n = Tables.embeddings(s, d).count()
+    val base = (3L * PrScale) / (20L * n)
+    val r0 = PrScale / n
+    val knnSql = knnGraphOracleSql(s, d, k, nlist, nprobe)
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT nd.vec_id,
+          CAST($base + (17 * COALESCE(cs.s, 0)) // 20 AS BIGINT) AS pr
+        FROM nodes nd LEFT JOIN (
+          SELECT ed.dst AS vec_id, SUM(p.pr // ed.deg) AS s
+          FROM edges_deg ed JOIN r${i - 1} p ON p.vec_id = ed.src
+          GROUP BY 1) cs ON cs.vec_id = nd.vec_id)"""
+    }.mkString(",\n")
+    s"""
+      WITH edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM ($knnSql)),
+      edges_deg AS (
+        SELECT e.src, e.dst, g.deg
+        FROM edges e JOIN (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1) g USING (src)),
+      nodes AS (SELECT vec_id FROM embeddings),
+      r0 AS (SELECT vec_id, CAST($r0 AS BIGINT) AS pr FROM nodes),
+      $iterCtes
+      SELECT vec_id, pr AS pr_e12,
+        round(CAST(pr AS DOUBLE) / 1e12, 6) AS pagerank
+      FROM r$iters ORDER BY vec_id"""
   }
 }

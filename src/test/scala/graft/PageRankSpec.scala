@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+
+  test("operator output equals an exact-integer driver replay of its edges") {
+    import spark.implicits._
+    val edges = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .as[(Long, Long)].collect()
+    val nodes = Tables.embeddings(spark, sf)
+      .select(col("vec_id")).as[Long].collect().sorted
+    val n = nodes.length.toLong
+    val base = (3L * Similarity.PrScale) / (20L * n)
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var pr = nodes.map(_ -> Similarity.PrScale / n).toMap
+    for (_ <- 1 to Similarity.PrIters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v => v -> (base + (17L * in.getOrElse(v, 0L)) / 20L)).toMap
+    }
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .select(col("vec_id"), col("pr_e12")).as[(Long, Long)].collect().toMap
+    assert(got.keySet == pr.keySet)
+    pr.foreach { case (v, r) => assert(got(v) == r, s"vec $v") }
+  }
+
+  test("rank mass is conserved up to integer floor losses") {
+    val total = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .agg(sum(col("pr_e12"))).head().getLong(0)
+    assert(total <= Similarity.PrScale)
+    assert(total >= (Similarity.PrScale * 9) / 10)
+  }
+
+  test("the hubness histogram conserves vectors and edges") {
+    import spark.implicits._
+    val hist = SparkEntry.queries("knn_hubness")(spark, sf)
+      .select(col("in_degree"), col("n_vecs")).as[(Long, Long)].collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val nEdges = Similarity.knnGraph(spark, sf).count()
+    assert(hist.map(_._2).sum == nVecs)
+    assert(hist.map(t => t._1 * t._2).sum == nEdges)
+    assert(hist.map(_._1).distinct.length == hist.length)
+  }
+
+  test("a star hub outranks its spokes on a crafted graph") {
+    import spark.implicits._
+    val nodes = (0L to 5L).toDF("vec_id")
+    // spokes 1..5 all point at the dangling hub 0 (pure star — no
+    // back edge, so no 2-cycle parity oscillation inside 10 iters)
+    val edges = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val pr = Similarity.pagerankOn(edges, nodes)
+      .select(col("vec_id"), col("pr_e12")).as[(Long, Long)].collect().toMap
+    assert(pr(0L) == pr.values.max)
+    assert(pr(0L) > pr(1L))
+    assert((1L to 5L).map(pr).toSet.size == 1) // symmetric spokes tie
+  }
+}
