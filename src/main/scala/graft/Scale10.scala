@@ -630,6 +630,37 @@ object Scale10 {
     t(s"sketch_cms_${mult}x")(
       operators.Sketches.sketchHeavyHitters(docs, 50).count())
     t(s"sketch_quant_${mult}x")(operators.Sketches.sketchQuantiles(ev).count())
+    // wave-7 graph/mining diagnostics: nlist grows with the corpus
+    // (constant bucket occupancy), so the kNN graph stays O(n)
+    // candidates; pagerank adds 10 node-sized join+agg rounds on the
+    // checkpointed edge frame; bitext mining is two such kNN passes
+    locally {
+      lazy val centsK = operators.Similarity.ivfCentroids(spark, d, 32 * mult)
+      lazy val edges = operators.Similarity.knnGraphOn(emb, centsK)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      t(s"knn_graph_${mult}x")(edges.count())
+      t(s"pagerank_${mult}x")(operators.Similarity
+        .pagerankOn(edges, emb.select(col("vec_id"))).count())
+      t(s"mine_bitext_${mult}x")(
+        operators.Similarity.mineBitextOn(emb, centsK).count())
+    }
+    // novelty: one distinct over the 80% train shingles + the
+    // shingle-keyed left join — the decontaminateShuffle shape
+    t(s"novelty_${mult}x")(operators.Curate.ngramNovelty(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), 3).count())
+    // containment rides the jaccard inverted-index join; replicas are
+    // exact shingle-set copies, so output is the C(mult,2) pair set
+    // per base doc (output-bound, like dedup_winnow's regime)
+    t(s"containment_${mult}x")(operators.Dedup.dedupContainment(docs).count())
+    // the daily form: a 5k batch against the mult× corpus — one
+    // batch-vs-corpus shingle equi-join, never a corpus self-join;
+    // batch docs are exact copies, so output = 5k × mult replica hits
+    t(s"containment_incremental_${mult}x") {
+      val batch = Tables.documents(spark, d)
+        .withColumn("doc_id", col("doc_id") + 950000000L)
+      operators.Dedup.dedupContainmentIncremental(docs, batch).count()
+    }
     t(s"ann_bruteforce_${mult}x") {
       // inline brute-force against the replicated corpus (queries
       // stay 10): mult x corpus -> mult x pair evaluations

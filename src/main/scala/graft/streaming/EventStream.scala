@@ -343,6 +343,28 @@ object EventStream {
     streamingDedup(novel)
   }
 
+  /** Streaming n-gram NOVELTY scoring: every arriving doc scored
+    * against a STORED train shingle set (distinct `shingle` rows —
+    * the daily pipeline's train_shingles artifact shape) via
+    * foreachBatch, so each micro-batch runs the BATCH
+    * [[graft.operators.Curate.ngramNoveltySh]] plan: a shingle-keyed
+    * equi-join against the static artifact, per-doc partial agg.
+    * Corpus membership costs ZERO streaming state (the
+    * streamingIncrementalDedup discipline) and batch/stream parity
+    * is structural — spec'd on a two-batch split. */
+  def streamingNgramNovelty(docs: Dataset[DocText], trainShingles: DataFrame,
+                            n: Int = 3)(writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[DocText], _: Long) =>
+        val evalSh = graft.operators.Dedup.shingles(
+            batch.toDF().withColumn("lang", lit("")), n)
+          .select(col("doc_id"), col("shingle"))
+        writeBatch(
+          graft.operators.Curate.ngramNoveltySh(trainShingles, evalSh))
+      }
+      .start()
+
   case class DocInTs(doc_id: Long, content_hash: String, ts: java.sql.Timestamp)
 
   /** [[streamingDedup]] with BOUNDED state: dedup-within-horizon. Each

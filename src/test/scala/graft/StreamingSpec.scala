@@ -950,4 +950,34 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.session_start == ts("2024-01-01 00:00:00"))
     assert(closed.head.session_end == ts("2024-01-01 00:10:00"))
   }
+
+  test("streaming novelty: two-batch split equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val trainSh = operators.Dedup
+      .shingles(docs.filter(col("doc_id") % 5 =!= 0), 3)
+      .select(col("shingle")).distinct().localCheckpoint()
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => EventStream.DocText(id, t) }
+    val (b1, b2) = eval.splitAt(eval.length / 2)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingNgramNovelty(input.toDS(), trainSh) { df =>
+      got ++= df.as[(Long, Long, Long, Double)].collect()
+    }
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val want = operators.Curate.ngramNovelty(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+  }
 }
