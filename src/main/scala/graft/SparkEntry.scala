@@ -145,6 +145,7 @@ object SparkEntry {
     "text_normalize"      -> TextFunctions.textNormalize _,
     "text_scripts"        -> TextFunctions.textScripts _,
     "text_entropy"        -> ((s, d) => TextFunctions.textEntropy(s, d)),
+    "vocab_drift"         -> ((s, d) => TextFunctions.vocabDrift(s, d)),
     "gopher_rules"        -> functions.QualityFilters.gopherRules _,
     "c4_filters"          -> functions.QualityFilters.c4Filters _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
@@ -2251,6 +2252,7 @@ object SparkEntry {
     "text_normalize" -> TextFunctions.textNormalizeOracle,
     "text_scripts" -> TextFunctions.textScriptsOracle,
     "text_entropy" -> TextFunctions.textEntropyOracle,
+    "vocab_drift" -> TextFunctions.vocabDriftOracle,
     "gopher_rules" -> functions.QualityFilters.gopherRulesOracle,
     "c4_filters" -> functions.QualityFilters.c4FiltersOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,

@@ -999,4 +999,129 @@ object TextFunctions {
         size(array_distinct(grams)).as("n_distinct_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** vocab_drift — per-source Jensen-Shannon divergence of the token
+    * distribution against the REST of the corpus: the drift report a
+    * pipeline publishes before mixing sources (or day-over-day before
+    * appending a crawl snapshot) — a source whose JSD jumps has
+    * changed character and re-opens the mixture weights. Also per
+    * source: token/type counts and the types EXCLUSIVE to the source.
+    *
+    * Determinism (the textEntropy discipline — transcendentals only
+    * ever on exact INTEGERS): with c = in-source count, e = rest
+    * count, Ns/Nr the side totals, the JSD term logs are
+    * ln(2·c·Nr) − ln(c·Nr + e·Ns) and ln(2·e·Ns) − ln(same) — every
+    * argument an exact BIGINT (< 2^53 through sf0.1; a 100 TB run
+    * promotes the products to DECIMAL, the regress_trend move), each
+    * log snapped to the 1e-9 grid and differenced as exact
+    * DECIMAL(13,9), weighted by exact DECIMAL counts, summed
+    * exactly; each side then pays ONE double division (by 2·Ns resp.
+    * 2·Nr), the two sides add as one fixed tree, 6 dp.
+    *
+    * Scale shape: ONE tokenize pass → (source, token) partial-agg
+    * counts; the rest-side count is total − in-source (no second
+    * scan); side totals ride an unpartitioned window over the
+    * source-count frame (5 rows — the sample_temperature pattern,
+    * never a 1-row crossJoin). */
+  def vocabDrift(s: SparkSession, d: String): DataFrame =
+    vocabDrift(Tables.documents(s, d))
+
+  def vocabDrift(docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    import s.implicits._
+    val dec13 = (c: Column) => c.cast(DecimalType(13, 0))
+    val ln9 = (c: Column) => round(log(c), 9).cast(DecimalType(13, 9))
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val tt = st.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+      .withColumn("n_rest",
+        sum(col("n_src")).over(Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          - col("n_src"))
+    // the grid must cover tokens ABSENT from a source (c = 0, e > 0):
+    // their rest-side mass is where drift lives. #sources is bounded
+    // (the nlist-collect discipline), so explode beats a 5-row
+    // crossJoin that would plan as a BroadcastNestedLoopJoin.
+    val sources = ns.select(col("source")).as[String].collect().sorted
+    val grid = tt.withColumn("source",
+      explode(array(sources.map(lit(_)): _*)))
+    val j = grid.join(st, Seq("source", "token"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(ns, "source")
+      .withColumn("e", col("ct") - col("c"))
+      .withColumn("m", col("c") * col("n_rest") + col("e") * col("n_src"))
+    val zero = lit(0).cast(DecimalType(27, 9))
+    val terms = j.select(col("source"), col("c"), col("e"),
+      when(col("c") > 0,
+        dec13(col("c")) *
+          (ln9(col("c") * col("n_rest") * lit(2L)) - ln9(col("m"))))
+        .otherwise(zero).as("term_p"),
+      when(col("e") > 0,
+        dec13(col("e")) *
+          (ln9(col("e") * col("n_src") * lit(2L)) - ln9(col("m"))))
+        .otherwise(zero).as("term_q"))
+    terms.groupBy(col("source"))
+      .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("c") > 0 && col("e") === 0, 1L).otherwise(0L))
+          .as("exclusive_types"),
+        sum(col("term_p")).as("sp"), sum(col("term_q")).as("sq"))
+      .join(ns, "source")
+      .select(col("source"), col("n_src").as("n_tokens"), col("n_types"),
+        col("exclusive_types"),
+        round(col("sp").cast("double") /
+            (col("n_src") * lit(2L)).cast("double") +
+          col("sq").cast("double") /
+            (col("n_rest") * lit(2L)).cast("double"), 6).as("jsd_vs_rest"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[vocabDrift]] — the same integer-log/decimal
+    * chain; the side totals ride the same unpartitioned window. */
+  val vocabDriftOracle: String = """
+    WITH tok AS (
+      SELECT source,
+        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0)) AS token
+      FROM documents),
+    st AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+    ns AS (
+      SELECT source, n_src,
+        CAST(SUM(n_src) OVER () AS BIGINT) - n_src AS n_rest
+      FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+            FROM st GROUP BY 1)),
+    j AS (
+      SELECT a.source, COALESCE(s.c, 0) AS c,
+        t.ct - COALESCE(s.c, 0) AS e, a.n_src, a.n_rest,
+        COALESCE(s.c, 0) * a.n_rest +
+          (t.ct - COALESCE(s.c, 0)) * a.n_src AS m
+      FROM tt t CROSS JOIN ns a
+      LEFT JOIN st s ON s.source = a.source AND s.token = t.token),
+    terms AS (
+      SELECT source, c, e,
+        CASE WHEN c > 0 THEN
+          CAST(c AS DECIMAL(13,0)) *
+            (CAST(round(ln(c * n_rest * 2), 9) AS DECIMAL(13,9)) -
+             CAST(round(ln(m), 9) AS DECIMAL(13,9)))
+        ELSE CAST(0 AS DECIMAL(27,9)) END AS term_p,
+        CASE WHEN e > 0 THEN
+          CAST(e AS DECIMAL(13,0)) *
+            (CAST(round(ln(e * n_src * 2), 9) AS DECIMAL(13,9)) -
+             CAST(round(ln(m), 9) AS DECIMAL(13,9)))
+        ELSE CAST(0 AS DECIMAL(27,9)) END AS term_q
+      FROM j)
+    SELECT t.source, a.n_src AS n_tokens,
+      CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+      CAST(SUM(CASE WHEN c > 0 AND e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS exclusive_types,
+      round(CAST(SUM(term_p) AS DOUBLE) / CAST(a.n_src * 2 AS DOUBLE) +
+            CAST(SUM(term_q) AS DOUBLE) / CAST(a.n_rest * 2 AS DOUBLE), 6)
+        AS jsd_vs_rest
+    FROM terms t JOIN ns a USING (source)
+    GROUP BY t.source, a.n_src, a.n_rest
+    ORDER BY t.source"""
 }
