@@ -414,6 +414,30 @@ object Curate {
           col("n_ngrams").cast("double"), 6).as("novel_frac"))
       .orderBy(col("doc_id"))
 
+  /** SERVING form of [[ngramNoveltySh]] for small eval batches (the
+    * streaming path): n_seen comes from an INNER join with the eval
+    * side BROADCAST — the corpus shingle artifact then streams
+    * MAP-SIDE with no shuffle at all (a left join can't broadcast its
+    * left side, so the shuffle-free plan needs the totals/seen
+    * split); totals come from the batch alone. Result-identical to
+    * [[ngramNoveltySh]] (spec'd): both inputs carry DISTINCT rows, so
+    * inner-join counts are exactly the seen counts. Per-batch cost is
+    * ONE corpus-artifact scan; at 100 TB the scan itself is fronted
+    * by the Bloom bit-set (decontaminate_bloom's machinery) or a
+    * shingle-bucketed layout when batches are tiny. */
+  def ngramNoveltyServe(trainSh: DataFrame, evalSh: DataFrame): DataFrame = {
+    val totals = evalSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val seen = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+    totals.join(seen, Seq("doc_id"), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .select(col("doc_id"), col("n_ngrams"), col("n_seen"),
+        round((col("n_ngrams") - col("n_seen")).cast("double") /
+          col("n_ngrams").cast("double"), 6).as("novel_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** split_assign: deterministic train/val/test assignment — md5 of a
     * salted doc key → bucket 0-99 → 80/10/10. No RNG, no sampling: a
     * doc's split NEVER changes as the corpus grows or repartitions

@@ -361,7 +361,7 @@ object EventStream {
             batch.toDF().withColumn("lang", lit("")), n)
           .select(col("doc_id"), col("shingle"))
         writeBatch(
-          graft.operators.Curate.ngramNoveltySh(trainShingles, evalSh))
+          graft.operators.Curate.ngramNoveltyServe(trainShingles, evalSh))
       }
       .start()
 

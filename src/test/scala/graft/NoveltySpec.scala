@@ -21,6 +21,21 @@ class NoveltySpec extends SparkSpec {
     assert(got(12L) == ((12L, 4L, 0L, 1.0)))
   }
 
+  test("the broadcast-eval serve form equals the shuffle form") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val trainSh = Dedup.shingles(docs.filter(col("doc_id") % 5 =!= 0), 3)
+      .select(col("shingle")).distinct()
+    val evalSh = Dedup.shingles(docs.filter(col("doc_id") % 5 === 0), 3)
+      .select(col("doc_id"), col("shingle"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val serve = rows(Curate.ngramNoveltyServe(trainSh, evalSh))
+    assert(serve.nonEmpty)
+    assert(serve == rows(Curate.ngramNoveltySh(trainSh, evalSh)))
+  }
+
   test("corpus novelty rows replay their ratio and stay in bounds") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_ngram_novelty")(spark, sf)
