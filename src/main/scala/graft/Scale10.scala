@@ -641,6 +641,13 @@ object Scale10 {
       t(s"knn_graph_${mult}x")(edges.count())
       t(s"pagerank_${mult}x")(operators.Similarity
         .pagerankOn(edges, emb.select(col("vec_id"))).count())
+      t(s"knn_components_${mult}x") {
+        val mutual = edges.as("a").join(edges.hint("shuffle_hash").as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+          .select(col("a.src").as("d1"), col("a.dst").as("d2"))
+          .filter(col("d1") < col("d2"))
+        operators.Dedup.connectedComponentsSafe(mutual).count()
+      }
       t(s"mine_bitext_${mult}x")(
         operators.Similarity.mineBitextOn(emb, centsK).count())
     }

@@ -84,6 +84,7 @@ object SparkEntry {
     "graph_pagerank"      -> ((s, d) => Similarity.graphPagerank(s, d)),
     "emb_pca"             -> ((s, d) => Similarity.embPca(s, d)),
     "knn_hubness"         -> ((s, d) => Similarity.knnHubness(s, d)),
+    "knn_components"      -> ((s, d) => Similarity.knnComponents(s, d)),
     "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
@@ -181,6 +182,7 @@ object SparkEntry {
       ("graph_pagerank" -> Similarity.graphPagerankOracleSql(s, d)) +
       ("emb_pca" -> Similarity.embPcaOracleSql(s, d)) +
       ("knn_hubness" -> Similarity.knnHubnessOracleSql(s, d)) +
+      ("knn_components" -> Similarity.knnComponentsOracleSql(s, d)) +
       ("tokenizer_fertility" ->
         functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +

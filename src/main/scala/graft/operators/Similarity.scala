@@ -2563,6 +2563,63 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- knn_components: mutual-kNN connected components --------------------
+
+  /** knn_components — connected components of the MUTUAL-kNN graph
+    * (an undirected edge only where BOTH endpoints list each other in
+    * their top-k): the standard density-robust cluster discovery over
+    * an embedding corpus (one-directional kNN edges chain through
+    * hubs and collapse everything into one blob — the hubness failure
+    * knn_hubness measures; mutuality is the classic cure). Component
+    * id = min member id; singletons (no mutual edge) map to
+    * themselves via the left join.
+    *
+    * 100 TB shape: the knnGraph edge pass + ONE self equi-join on the
+    * reversed key for mutuality + the verified CC machinery
+    * (label propagation falling back to O(log²n) star-contraction —
+    * connectedComponentsSafe, the dedup_clusters path). */
+  def knnComponents(s: SparkSession, d: String, k: Int = KnnK,
+                    nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    val e = knnGraph(s, d, k, nlist, nprobe)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val mutual = e.as("a").join(e.hint("shuffle_hash").as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .select(col("a.src").as("d1"), col("a.dst").as("d2"))
+      .filter(col("d1") < col("d2"))
+    val labels = Dedup.connectedComponentsSafe(mutual)
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("component_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[knnComponents]]: the knnGraph chain as the
+    * edge subquery, mutuality by the reversed-key self-join,
+    * recursive reachability with min-root labels (the ccOracleSql
+    * discipline), singletons coalesced. Data-dependent → emitted by
+    * oracleSqlFor. */
+  def knnComponentsOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                             nlist: Int = IvfNlist,
+                             nprobe: Int = IvfNprobe): String = {
+    val knnSql = knnGraphOracleSql(s, d, k, nlist, nprobe)
+    s"""
+      WITH RECURSIVE eall AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM ($knnSql)),
+      mut AS (
+        SELECT a.src AS u, a.dst AS v
+        FROM eall a JOIN eall b ON a.src = b.dst AND a.dst = b.src),
+      reach(node, root) AS (
+        SELECT u, u FROM mut
+        UNION
+        SELECT m.v, r.root FROM reach r JOIN mut m ON m.u = r.node),
+      comp AS (SELECT node, MIN(root) AS component_id FROM reach GROUP BY 1)
+      SELECT e.vec_id, COALESCE(c.component_id, e.vec_id) AS component_id
+      FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+      ORDER BY e.vec_id"""
+  }
+
   // ---- knn_hubness: in-degree histogram of the kNN graph ------------------
 
   /** knn_hubness — the HUBNESS audit of the kNN graph (the in-degree

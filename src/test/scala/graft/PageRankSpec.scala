@@ -46,6 +46,33 @@ class PageRankSpec extends SparkSpec {
     assert(hist.map(_._1).distinct.length == hist.length)
   }
 
+  test("mutual-kNN components match a driver union-find of the mutual edges") {
+    import spark.implicits._
+    val edges = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .as[(Long, Long)].collect().toSet
+    val mutual = edges.filter { case (u, v) => u < v && edges.contains((v, u)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = Tables.embeddings(spark, sf)
+      .select(col("vec_id")).as[Long].collect()
+    val want = nodes.map(v => v -> find(v)).toMap
+    val got = SparkEntry.queries("knn_components")(spark, sf)
+      .select(col("vec_id"), col("component_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == want)
+    // the graph genuinely clusters: at least one non-trivial component
+    assert(mutual.nonEmpty)
+    assert(got.exists { case (v, c) => v != c })
+  }
+
   test("a star hub outranks its spokes on a crafted graph") {
     import spark.implicits._
     val nodes = (0L to 5L).toDF("vec_id")
