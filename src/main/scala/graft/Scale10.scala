@@ -656,6 +656,18 @@ object Scale10 {
     t(s"novelty_${mult}x")(operators.Curate.ngramNovelty(
       docs.filter(col("doc_id") % 5 =!= 0),
       docs.filter(col("doc_id") % 5 === 0), 3).count())
+    // drift monitor: the mult× reference vocabulary (suffix-grown so
+    // the distinct set genuinely scales) full-outer-joined by a 5k
+    // batch — per-batch cost must track the artifact scan
+    t(s"vocab_drift_ref_${mult}x") {
+      val ref1 = functions.TextFunctions
+        .vocabCounts(Tables.documents(spark, d))
+      val refN = (ref1 +: (1 until mult).map(i =>
+        ref1.select(concat(col("token"), lit(s"_r$i")).as("token"),
+          col("c")))).reduce(_ unionByName _)
+      functions.TextFunctions
+        .vocabDriftAgainst(refN, Tables.documents(spark, d)).count()
+    }
     // containment rides the jaccard inverted-index join; replicas are
     // exact shingle-set copies, so output is the C(mult,2) pair set
     // per base doc (output-bound, like dedup_winnow's regime)

@@ -147,6 +147,7 @@ object SparkEntry {
     "text_scripts"        -> TextFunctions.textScripts _,
     "text_entropy"        -> ((s, d) => TextFunctions.textEntropy(s, d)),
     "vocab_drift"         -> ((s, d) => TextFunctions.vocabDrift(s, d)),
+    "vocab_drift_ref"     -> ((s, d) => TextFunctions.vocabDriftRef(s, d)),
     "gopher_rules"        -> functions.QualityFilters.gopherRules _,
     "c4_filters"          -> functions.QualityFilters.c4Filters _,
     "sample_temperature"  -> operators.Curate.sampleTemperature _,
@@ -2255,6 +2256,7 @@ object SparkEntry {
     "text_scripts" -> TextFunctions.textScriptsOracle,
     "text_entropy" -> TextFunctions.textEntropyOracle,
     "vocab_drift" -> TextFunctions.vocabDriftOracle,
+    "vocab_drift_ref" -> TextFunctions.vocabDriftRefOracle,
     "gopher_rules" -> functions.QualityFilters.gopherRulesOracle,
     "c4_filters" -> functions.QualityFilters.c4FiltersOracle,
     "sample_temperature" -> operators.Curate.sampleTemperatureOracle,

@@ -1079,6 +1079,102 @@ object TextFunctions {
       .orderBy(col("source"))
   }
 
+  /** (token, c) counts of a doc frame — the stored REFERENCE artifact
+    * [[vocabDriftAgainst]] monitors against (write once per reference
+    * corpus, read per batch). */
+  def vocabCounts(docs: org.apache.spark.sql.DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  /** Batch-vs-REFERENCE drift (the monitor form of [[vocabDrift]]):
+    * one row — the JSD between an arriving batch's token distribution
+    * and a stored reference vocabulary, plus batch token/type counts
+    * and reference-novel types. Same integer-log determinism as
+    * vocabDrift (identical distributions score EXACTLY 0). The grid
+    * is the FULL OUTER join of batch and reference counts (either
+    * side's exclusive mass is where drift lives); side totals are two
+    * bounded driver scalars (the ccnet_buckets discipline), never a
+    * vocab-wide unpartitioned window. The ingest-stream twin is
+    * [[graft.streaming.EventStream.streamingVocabDrift]]. */
+  def vocabDriftAgainst(refCounts: DataFrame,
+                        batchDocs: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec13 = (c: Column) => c.cast(DecimalType(13, 0))
+    val ln9 = (c: Column) => round(log(c), 9).cast(DecimalType(13, 9))
+    val j = vocabCounts(batchDocs).withColumnRenamed("c", "cb")
+      .join(refCounts.select(col("token"), col("c").as("cr")),
+        Seq("token"), "full_outer")
+      .select(coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .localCheckpoint()
+    val tot = j.agg(sum(col("cb")), sum(col("cr"))).head()
+    val (ns, nr) = (tot.getLong(0), tot.getLong(1))
+    val zero = lit(0).cast(DecimalType(27, 9))
+    val m = col("cb") * lit(nr) + col("cr") * lit(ns)
+    j.select(col("cb"), col("cr"),
+        when(col("cb") > 0,
+          dec13(col("cb")) * (ln9(col("cb") * lit(nr) * lit(2L)) - ln9(m)))
+          .otherwise(zero).as("term_p"),
+        when(col("cr") > 0,
+          dec13(col("cr")) * (ln9(col("cr") * lit(ns) * lit(2L)) - ln9(m)))
+          .otherwise(zero).as("term_q"))
+      .agg(sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("cb") > 0 && col("cr") === 0, 1L).otherwise(0L))
+          .as("novel_types"),
+        sum(col("term_p")).as("sp"), sum(col("term_q")).as("sq"))
+      .select(lit(ns).as("n_tokens"), col("n_types"), col("novel_types"),
+        round(col("sp").cast("double") / lit(2.0 * ns) +
+          col("sq").cast("double") / lit(2.0 * nr), 6).as("jsd_vs_ref"))
+  }
+
+  /** Query form of [[vocabDriftAgainst]]: the odd-id half of the
+    * corpus monitored against the even-id half as the stored
+    * reference — one oracle-gated row exercising the full-outer grid
+    * and the driver-scalar totals. */
+  def vocabDriftRef(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    vocabDriftAgainst(vocabCounts(docs.filter(col("doc_id") % 2 === 0)),
+      docs.filter(col("doc_id") % 2 =!= 0))
+  }
+
+  /** DuckDB oracle for [[vocabDriftRef]] — same chains; the 1-row
+    * totals CROSS JOIN is fine single-node oracle-side. */
+  val vocabDriftRefOracle: String = """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0)) AS token
+      FROM documents),
+    bc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM tok WHERE doc_id % 2 <> 0 GROUP BY 1),
+    rc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cr
+           FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+    g AS (
+      SELECT COALESCE(b.cb, 0) AS cb, COALESCE(r.cr, 0) AS cr
+      FROM bc b FULL OUTER JOIN rc r USING (token)),
+    t AS (SELECT CAST(SUM(cb) AS BIGINT) AS ns,
+                 CAST(SUM(cr) AS BIGINT) AS nr FROM g),
+    terms AS (
+      SELECT cb, cr, ns, nr,
+        CASE WHEN cb > 0 THEN
+          CAST(cb AS DECIMAL(13,0)) *
+            (CAST(round(ln(cb * nr * 2), 9) AS DECIMAL(13,9)) -
+             CAST(round(ln(cb * nr + cr * ns), 9) AS DECIMAL(13,9)))
+        ELSE CAST(0 AS DECIMAL(27,9)) END AS term_p,
+        CASE WHEN cr > 0 THEN
+          CAST(cr AS DECIMAL(13,0)) *
+            (CAST(round(ln(cr * ns * 2), 9) AS DECIMAL(13,9)) -
+             CAST(round(ln(cb * nr + cr * ns), 9) AS DECIMAL(13,9)))
+        ELSE CAST(0 AS DECIMAL(27,9)) END AS term_q
+      FROM g CROSS JOIN t)
+    SELECT MAX(ns) AS n_tokens,
+      CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+      CAST(SUM(CASE WHEN cb > 0 AND cr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS novel_types,
+      round(CAST(SUM(term_p) AS DOUBLE) / (2.0 * MAX(ns)) +
+            CAST(SUM(term_q) AS DOUBLE) / (2.0 * MAX(nr)), 6) AS jsd_vs_ref
+    FROM terms"""
+
   /** DuckDB oracle for [[vocabDrift]] — the same integer-log/decimal
     * chain; the side totals ride the same unpartitioned window. */
   val vocabDriftOracle: String = """

@@ -365,6 +365,25 @@ object EventStream {
       }
       .start()
 
+  /** Streaming VOCABULARY-DRIFT monitor: each arriving micro-batch is
+    * scored against a stored reference vocabulary
+    * ([[graft.functions.TextFunctions.vocabCounts]] artifact) — one
+    * (n_tokens, n_types, novel_types, jsd_vs_ref) row per batch, the
+    * alert feed a pipeline hangs a drift threshold on (a crawl
+    * snapshot whose JSD jumps re-opens mixture weights BEFORE it
+    * ships). foreachBatch runs the batch operator
+    * ([[graft.functions.TextFunctions.vocabDriftAgainst]]) — zero
+    * streaming state, per-batch parity is structural (spec'd). */
+  def streamingVocabDrift(docs: Dataset[DocText], refCounts: DataFrame)(
+                          writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[DocText], _: Long) =>
+        writeBatch(graft.functions.TextFunctions.vocabDriftAgainst(
+          refCounts, batch.toDF()))
+      }
+      .start()
+
   case class DocInTs(doc_id: Long, content_hash: String, ts: java.sql.Timestamp)
 
   /** [[streamingDedup]] with BOUNDED state: dedup-within-horizon. Each

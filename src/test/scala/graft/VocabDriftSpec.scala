@@ -32,6 +32,50 @@ class VocabDriftSpec extends SparkSpec {
     }
   }
 
+  test("batch-vs-reference monitor: identical corpus scores exactly zero") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ref = TextFunctions.vocabCounts(docs)
+    val r = TextFunctions.vocabDriftAgainst(ref, docs).head()
+    assert(r.getAs[Double]("jsd_vs_ref") == 0.0)
+    assert(r.getAs[Long]("novel_types") == 0L)
+    // and a fully-novel batch diverges by exactly ln 2
+    val alien = Seq((1L, "qq1 qq2 qq3 qq1")).toDF("doc_id", "text")
+    val a = TextFunctions.vocabDriftAgainst(ref, alien).head()
+    assert(a.getAs[Double]("jsd_vs_ref") == 0.693147)
+    assert(a.getAs[Long]("novel_types") == 3L)
+  }
+
+  test("streaming drift monitor: per-batch rows equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    val docs = Tables.documents(spark, sf)
+    val ref = TextFunctions.vocabCounts(docs.filter(col("doc_id") % 2 === 0))
+      .localCheckpoint()
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => EventStream.DocText(id, t) }
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingVocabDrift(input.toDS(), ref) { df =>
+      got ++= df.as[(Long, Long, Long, Double)].collect()
+    }
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    def want(batch: Array[EventStream.DocText]) = {
+      val r = TextFunctions.vocabDriftAgainst(ref,
+        batch.toSeq.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    assert(got.toSeq == Seq(want(b1), want(b2)))
+  }
+
   test("corpus report: bounds hold and type accounting ties out") {
     val rows = SparkEntry.queries("vocab_drift")(spark, sf).collect()
     assert(rows.length >= 2)
