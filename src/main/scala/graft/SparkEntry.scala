@@ -86,6 +86,7 @@ object SparkEntry {
     "knn_hubness"         -> ((s, d) => Similarity.knnHubness(s, d)),
     "knn_components"      -> ((s, d) => Similarity.knnComponents(s, d)),
     "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
+    "tokenizer_coverage"  -> functions.TokenizerStats.tokenizerCoverage _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
     "sketch_heavyhitters" -> ((s, d) => operators.Sketches.sketchHeavyHitters(s, d)),
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
@@ -186,6 +187,8 @@ object SparkEntry {
       ("knn_components" -> Similarity.knnComponentsOracleSql(s, d)) +
       ("tokenizer_fertility" ->
         functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
+      ("tokenizer_coverage" ->
+        functions.TokenizerStats.tokenizerCoverageOracleSql(s, d)) +
       ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
       ("select_prototypes" -> Similarity.selectPrototypesOracleSql(s, d)) +
       ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +

@@ -492,6 +492,44 @@ object Bpe {
       GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 
+  /** Coverage form of the segmentation oracle — the inner query of
+    * tokenizer_coverage's BPE row: the corpus vocabulary plus injected
+    * OOV probe words, each segmented by the trained merges; BPE never
+    * fails outright, so "covered" is the CHAR-level rule (every char
+    * of the word in the trained alphabet — a word with an unseen char
+    * keeps it as an untrained singleton symbol). */
+  private[graft] def coverageInnerSql(s: SparkSession, d: String,
+                                      extraWords: Seq[String],
+                                      alphabet: Seq[Char],
+                                      numMerges: Int = SegMerges): String = {
+    val merges = trainedMerges(s, d, numMerges)
+    val vals = extraWords.map(w => s"('$w')").mkString(", ")
+    val alpha = alphabet.mkString
+    raw"""
+      WITH RECURSIVE tokstream AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> length(x) > 0)) AS word
+        FROM documents),
+      words AS (
+        SELECT DISTINCT word FROM (
+          SELECT word FROM tokstream
+          WHERE regexp_matches(word, '$SegWordRe')
+          UNION ALL SELECT word FROM (VALUES $vals) v(word))),
+      ${segCtes(merges)},
+      cov AS (
+        SELECT word, CAST(len(string_split(trim(s), ' ')) AS INT) AS nt,
+          CASE WHEN regexp_replace(word, '[$alpha]', '', 'g') = ''
+               THEN 1 ELSE 0 END AS c
+        FROM seg WHERE mi = ${merges.length})
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(c) AS BIGINT) AS n_covered,
+        CAST(SUM(CASE WHEN c = 1 AND nt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_whole,
+        CAST(MAX(CASE WHEN c = 1 THEN nt END) AS INT) AS max_pieces
+      FROM cov"""
+  }
+
   /** Corpus-total form of the token-count oracle — the inner query of
     * tokenizer_fertility's BPE row ([[graft.functions.TokenizerStats]]). */
   private[graft] def fertilityInnerSql(s: SparkSession, d: String,

@@ -67,6 +67,85 @@ object TokenizerStats {
       .orderBy(col("tokenizer"))
   }
 
+  /** OOV probe words injected into the coverage report. The corpus
+    * alphabet genuinely lacks 'x' and 'z' (24 of 26 letters appear),
+    * so these exercise REAL out-of-vocabulary behavior: unigram has
+    * no covering piece, WordPiece MaxMatch dead-ends (UNK), and BPE
+    * keeps the unseen char as an untrained singleton symbol. */
+  private[graft] val OovProbes = Seq("zebra", "taxi", "zz", "lynx")
+
+  /** The trained character alphabet: distinct chars of the corpus
+    * vocabulary words (bounded ≤ 36 — one tiny collect). */
+  private[graft] def trainedAlphabet(s: SparkSession, d: String): Seq[Char] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(Bpe.SegWordRe))
+      .as[String].flatMap(w => w.map(_.toString)).distinct()
+      .collect().sorted.map(_.head).toSeq
+  }
+
+  /** tokenizer_coverage — the OOV/ROBUSTNESS half of the tokenizer
+    * report (tokenizer_fertility is the compression half): per
+    * tokenizer, how much of the probe vocabulary (corpus words +
+    * injected OOV probes) it can represent at all — covered words,
+    * OOV words, whole-word (single-piece) words, and the worst
+    * per-word piece count. A tokenizer is committed on BOTH tables:
+    * fertility prices the compute, coverage prices the UNK rate.
+    * "Covered" is segmentability for unigram (Viterbi path exists)
+    * and WordPiece (MaxMatch completes); BPE never fails outright,
+    * so its rule is char-level (every char in the trained alphabet).
+    * All-integer outputs — exact by construction. One vocab-sized
+    * typed map per tokenizer, no shuffle beyond the vocab collapse. */
+  def tokenizerCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(Bpe.SegWordRe))
+      .distinct().as[String]
+    val probe = words.union(OovProbes.toDS()).distinct().localCheckpoint()
+    val alphabet = trainedAlphabet(s, d).toSet
+    val merges = Bpe.trainedMerges(s, d, Bpe.SegMerges)
+    val uniPieces = Unigram.trainedPieces(s, d, Unigram.UniVocabSize).toMap
+    val wpPieces = Wordpiece.trainedPieces(s, d, Wordpiece.WpMerges).toSet
+    def report(name: String, f: String => Option[Int]): DataFrame =
+      probe.map(w => f(w).getOrElse(-1)).toDF("nt")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("nt") >= 0, 1L).otherwise(0L)).as("n_covered"),
+          sum(when(col("nt") < 0, 1L).otherwise(0L)).as("n_oov"),
+          sum(when(col("nt") === 1, 1L).otherwise(0L)).as("n_whole"),
+          max(when(col("nt") >= 0, col("nt"))).as("max_pieces"))
+        .select(lit(name).as("tokenizer"), col("n_words"), col("n_covered"),
+          col("n_oov"), col("n_whole"), col("max_pieces"))
+    report("bpe", w =>
+        if (w.forall(alphabet.contains)) Some(Bpe.encode(w, merges).length)
+        else None)
+      .unionByName(report("unigram",
+        w => Unigram.segment(w, uniPieces).map(_.length)))
+      .unionByName(report("wordpiece",
+        w => Wordpiece.encode(w, wpPieces).map(_.length)))
+      .orderBy(col("tokenizer"))
+  }
+
+  /** DuckDB oracle for [[tokenizerCoverage]] — the three coverage
+    * chains (injected VALUES + trained-artifact literals), one
+    * WITH-subquery per row. Data-dependent → emitted by
+    * oracleSqlFor. */
+  def tokenizerCoverageOracleSql(s: SparkSession, d: String): String = {
+    val alphabet = trainedAlphabet(s, d)
+    def row(name: String, inner: String) =
+      s"""SELECT '$name' AS tokenizer, n_words, n_covered,
+        n_words - n_covered AS n_oov, n_whole, max_pieces
+      FROM ($inner)"""
+    s"""
+      ${row("bpe", Bpe.coverageInnerSql(s, d, OovProbes, alphabet))}
+      UNION ALL
+      ${row("unigram", Unigram.coverageInnerSql(s, d, OovProbes))}
+      UNION ALL
+      ${row("wordpiece", Wordpiece.coverageInnerSql(s, d, OovProbes))}
+      ORDER BY tokenizer"""
+  }
+
   /** DuckDB oracle: each tokenizer's token-count oracle chain
     * aggregated to corpus totals, one WITH-bearing subquery per row
     * (CTE names collide across the three chains, so each lives in its

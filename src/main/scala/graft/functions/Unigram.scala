@@ -408,6 +408,39 @@ object Unigram {
       GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 
+  /** Coverage form — the inner query of tokenizer_coverage's unigram
+    * row: corpus vocabulary plus injected OOV probes; a word is
+    * covered iff the Viterbi lattice has ANY path (the enumeration
+    * `best` CTE has no row otherwise — a word with an untrained char
+    * has no piece covering it). */
+  private[graft] def coverageInnerSql(s: SparkSession, d: String,
+                                      extraWords: Seq[String],
+                                      vocabSize: Int = UniVocabSize): String = {
+    val pieces = trainedPieces(s, d, vocabSize)
+    val vals = extraWords.map(w => s"('$w')").mkString(", ")
+    raw"""
+      WITH RECURSIVE tokstream AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> length(x) > 0)) AS word
+        FROM documents),
+      words AS (
+        SELECT DISTINCT word FROM (
+          SELECT word FROM tokstream
+          WHERE regexp_matches(word, '$WordRe')
+          UNION ALL SELECT word FROM (VALUES $vals) v(word))),
+      ${segCtes(pieces)},
+      seg1 AS (
+        SELECT word, CAST(len(string_split(path, ' ')) AS INT) AS nt
+        FROM best WHERE rn = 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN s.nt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered,
+        CAST(SUM(CASE WHEN s.nt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole,
+        CAST(MAX(s.nt) AS INT) AS max_pieces
+      FROM words w LEFT JOIN seg1 s USING (word)"""
+  }
+
   /** Corpus-total form of the token-count oracle — the inner query of
     * tokenizer_fertility's unigram row. */
   private[graft] def fertilityInnerSql(s: SparkSession, d: String,

@@ -17,8 +17,8 @@ class QueriesSpec extends SparkSpec {
       Set("ann_ivf", "ann_ivf_sq8", "ann_pq", "ann_ivf_pq",
         "ann_ivf_prefix", "ann_ivf_filtered", "dedup_semantic",
         "select_prototypes", "knn_graph", "kmeans_report", "mine_bitext",
-        "tokenizer_fertility", "graph_pagerank", "emb_pca", "knn_hubness",
-        "knn_components",
+        "tokenizer_fertility", "tokenizer_coverage", "graph_pagerank",
+        "emb_pca", "knn_hubness", "knn_components",
         "bpe_segment", "bpe_token_count",
         "unigram_segment", "unigram_token_count",
         "wordpiece_segment", "wordpiece_token_count"))

@@ -21,6 +21,24 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(fert("wordpiece") == totals("wordpiece_token_count", "wp_tokens"))
   }
 
+  test("coverage flags the injected OOV probes and only them as uncovered") {
+    val rows = TokenizerStats.tokenizerCoverage(spark, sf).collect()
+      .map(r => r.getAs[String]("tokenizer") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_covered"),
+          r.getAs[Long]("n_oov"), r.getAs[Long]("n_whole"),
+          r.getAs[Int]("max_pieces")))).toMap
+    assert(rows.keySet == Set("bpe", "unigram", "wordpiece"))
+    // the corpus alphabet lacks x/z, so all four injected probes are
+    // OOV for every tokenizer; every natural corpus word is covered
+    rows.foreach { case (tok, (w, c, o, whole, maxP)) =>
+      assert(o == TokenizerStats.OovProbes.length, s"$tok oov=$o")
+      assert(c == w - o, tok)
+      assert(whole <= c && maxP >= 1, tok)
+    }
+    // all three see the same probe vocabulary
+    assert(rows.values.map(_._1).toSet.size == 1)
+  }
+
   test("fertility ratios replay from the totals and sit in sane ranges") {
     TokenizerStats.tokenizerFertility(spark, sf).collect().foreach { r =>
       val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
