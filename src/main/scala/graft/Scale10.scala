@@ -650,6 +650,28 @@ object Scale10 {
       }
       t(s"mine_bitext_${mult}x")(
         operators.Similarity.mineBitextOn(emb, centsK).count())
+      // the maintained graph loop: the mult× corpus graphed ONCE;
+      // each day's 500-vector batch gets its edges from pruned bucket
+      // reads and only the affected standing nodes re-top-k — per-day
+      // cost must track the batch + the pruned/affected volume
+      locally {
+        val dir = s"/tmp/scale_knngraph_$mult"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        def day(i: Int) = Tables.embeddings(spark, d)
+          .filter(col("vec_id") < 500)
+          .withColumn("vec_id", col("vec_id") + lit(900000000L * i))
+        t(s"knn_graph_write_${mult}x") {
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          operators.Similarity.writeKnnGraph(emb, centsK, dir)
+          spark.read.parquet(s"$dir/edges").count()
+        }
+        for (i <- 1 to 2)
+          t(s"knn_graph_day${i}_${mult}x") {
+            operators.Similarity.knnGraphAppendStep(spark, dir, day(i), centsK)
+            day(i).count()
+          }
+      }
     }
     // novelty: one distinct over the 80% train shingles + the
     // shingle-keyed left join — the decontaminateShuffle shape

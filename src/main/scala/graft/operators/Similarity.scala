@@ -2563,6 +2563,145 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- maintained kNN-graph artifact --------------------------------------
+
+  /** Rewrite granularity of the edges artifact: vec_id % GraphEb
+    * hash-bucket directories, dynamically overwritten per append. */
+  private[graft] val GraphEb = 64
+
+  /** One-time build of the MAINTAINED kNN-graph artifact at `dir` —
+    * the graph family's daily-increment loop (the twelfth maintained
+    * artifact, the band/span/chunk/IVF discipline applied to
+    * knn_graph):
+    *   - `nodes/`  (vec_id, embedding) partitioned by IVF bucket —
+    *     the serving-layout shape: an arrival's candidates come from
+    *     pruned bucket reads;
+    *   - `probes/` (vec_id) partitioned by PROBED bucket — the
+    *     REVERSE index: exactly the standing nodes whose top-k an
+    *     arrival landing in bucket b can change;
+    *   - `edges/`  (vec_id, neighbor_id, cos_sim, rank) partitioned
+    *     by `_eb` = vec_id % GraphEb — the dynamic-overwrite rewrite
+    *     granularity for affected nodes.
+    * Centroids are FIXED across appends (the appendIvfPartitioned
+    * contract; drift → retrain-and-rebuild, the IVF loops' verb). */
+  def writeKnnGraph(emb: DataFrame, cents: Array[Array[Double]], dir: String,
+                    k: Int = KnnK, nprobe: Int = IvfNprobe): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    // cluster by the partition key BEFORE partitionBy or every task
+    // writes a file into every directory it holds (the r10 lesson)
+    ivfAssign(emb, cents).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/nodes")
+    val bc = s.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b)) }
+      .toDF("vec_id", "probed").repartition(col("probed"))
+      .write.mode("overwrite").partitionBy("probed").parquet(s"$dir/probes")
+    knnGraphOn(emb, cents, k, nprobe)
+      .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
+      .repartition(col("_eb"))
+      .write.mode("overwrite").partitionBy("_eb").parquet(s"$dir/edges")
+  }
+
+  def readKnnGraph(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/edges")
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** Daily append to the maintained kNN graph — spec'd ≡ the one-shot
+    * [[knnGraphOn]] of the union under the same centroids:
+    *   1. the BATCH's edges come from pruned reads of the probed
+    *      `nodes/` bucket partitions (∪ the batch itself);
+    *   2. AFFECTED standing nodes (read pruned from the `probes/`
+    *      partitions of the batch's ASSIGNED buckets) merge the new
+    *      batch candidates into their stored top-k — exact, because
+    *      topk(topk(A) ∪ B) = topk(A ∪ B);
+    *   3. only the touched `_eb` edge partitions rewrite (dynamic
+    *      overwrite, untouched rows of those partitions CARRIED — the
+    *      ccIncrementalStep bucket-loss discipline; no partition can
+    *      drain, since appends never shrink a node's top-k).
+    * Per-day cost: pruned bucket/probe reads + batch-sized joins +
+    * ONE column-pruned `nodes/` scan for the affected embeddings
+    * (the strictly-flat alternative — carrying embeddings in
+    * `probes/` — costs nprobe× storage; this loop takes the scan). */
+  def knnGraphAppendStep(s: SparkSession, dir: String, batch: DataFrame,
+                         cents: Array[Array[Double]], k: Int = KnnK,
+                         nprobe: Int = IvfNprobe): Unit = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val batchNodes = ivfAssign(batch, cents).localCheckpoint()
+    val batchProbes = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b, v)) }
+      .toDF("vec_id", "bucket", "qv").localCheckpoint()
+    val probedBuckets = batchProbes.select(col("bucket")).distinct()
+      .as[Int].collect().toSeq
+    val assignedBuckets = batchNodes.select(col("bucket")).distinct()
+      .as[Int].collect().toSeq
+    val nodesAll = s.read.parquet(s"$dir/nodes")
+    // 1. batch edges: candidates from probed bucket partitions + batch
+    val cand = nodesAll.filter(col("bucket").isin(probedBuckets: _*))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("v"))
+      .unionByName(batchNodes.select(col("vec_id").as("neighbor_id"),
+        col("bucket"), col("embedding").as("v")))
+    val batchEdges = topKPerQuery(
+      cand.hint("shuffle_hash").join(batchProbes, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id").as("query_id"), col("neighbor_id"),
+          round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+      .withColumnRenamed("query_id", "vec_id")
+    // 2. affected standing nodes (exclude replayed batch ids)
+    val affProbes = s.read.parquet(s"$dir/probes")
+      .filter(col("probed").isin(assignedBuckets: _*))
+      .join(batchNodes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("probed").as("bucket"))
+      .localCheckpoint()
+    val affIds = affProbes.select(col("vec_id")).distinct()
+    val affVecs = nodesAll.select(col("vec_id"), col("embedding"))
+      .join(affIds, Seq("vec_id"), "left_semi")
+    val newCand = affProbes
+      .join(affVecs, Seq("vec_id"))
+      .join(batchNodes.select(col("vec_id").as("neighbor_id"),
+        col("bucket"), col("embedding").as("v")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(cos(col("embedding"), col("v")), 6).as("cos_sim"))
+    // touched edge partitions: a bounded ≤ GraphEb-value collect (the
+    // probed/assigned-bucket discipline — never collect the id sets)
+    val touchedEb = affProbes
+      .select((col("vec_id") % GraphEb).cast("int").as("eb"))
+      .unionByName(batchNodes
+        .select((col("vec_id") % GraphEb).cast("int").as("eb")))
+      .distinct().as[Int].collect().toSeq
+    val oldPart = s.read.parquet(s"$dir/edges")
+      .filter(col("_eb").isin(touchedEb: _*))
+    val merged = topKPerQuery(
+      oldPart.join(affIds, Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("query_id"), col("neighbor_id"),
+          col("cos_sim"))
+        .unionByName(newCand.withColumnRenamed("vec_id", "query_id")), k)
+      .withColumnRenamed("query_id", "vec_id")
+    val cols = Seq("vec_id", "neighbor_id", "cos_sim", "rank").map(col)
+    val out = oldPart.join(affIds, Seq("vec_id"), "left_anti")
+      .select(cols: _*)
+      .unionByName(merged.select(cols: _*))
+      .unionByName(batchEdges.select(cols: _*))
+      .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
+      .localCheckpoint() // materialize BEFORE overwriting partitions we read
+    out.repartition(col("_eb"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_eb").parquet(s"$dir/edges")
+    // 3. the batch joins the standing layouts
+    batchNodes.write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/nodes")
+    batchProbes.select(col("vec_id"), col("bucket").as("probed"))
+      .write.mode("append").partitionBy("probed").parquet(s"$dir/probes")
+  }
+
   // ---- knn_components: mutual-kNN connected components --------------------
 
   /** knn_components — connected components of the MUTUAL-kNN graph

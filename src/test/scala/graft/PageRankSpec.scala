@@ -73,6 +73,29 @@ class PageRankSpec extends SparkSpec {
     assert(got.exists { case (v, c) => v != c })
   }
 
+  test("two kNN-graph append days equal the one-shot graph of the union") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test-knngraph"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val day0 = emb.filter(col("vec_id") % 3 === 0)
+    val day1 = emb.filter(col("vec_id") % 3 === 1)
+    val day2 = emb.filter(col("vec_id") % 3 === 2)
+    Similarity.writeKnnGraph(day0, cents, dir)
+    Similarity.knnGraphAppendStep(spark, dir, day1, cents)
+    Similarity.knnGraphAppendStep(spark, dir, day2, cents)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val got = rows(Similarity.readKnnGraph(spark, dir))
+    val want = rows(Similarity.knnGraphOn(emb, cents))
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("a star hub outranks its spokes on a crafted graph") {
     import spark.implicits._
     val nodes = (0L to 5L).toDF("vec_id")
