@@ -2702,6 +2702,20 @@ object Similarity {
       .write.mode("append").partitionBy("probed").parquet(s"$dir/probes")
   }
 
+  /** Small-file fold for the graph artifact's append-accumulating
+    * layouts (`nodes/`, `probes/`) — `edges/` self-compacts (every
+    * append REWRITES its touched `_eb` partitions whole). Identity
+    * spec'd: the folded artifact reads and appends exactly like the
+    * unfolded one. */
+  def compactKnnGraph(s: SparkSession, dir: String,
+                      targetBytes: Long = 128L << 20)
+      : (graft.sources.Compact.CompactReport,
+         graft.sources.Compact.CompactReport) =
+    (graft.sources.Compact.compactInPlace(s, s"$dir/nodes", targetBytes,
+       partitionCols = Seq("bucket")),
+     graft.sources.Compact.compactInPlace(s, s"$dir/probes", targetBytes,
+       partitionCols = Seq("probed")))
+
   // ---- knn_components: mutual-kNN connected components --------------------
 
   /** knn_components — connected components of the MUTUAL-kNN graph

@@ -365,6 +365,28 @@ object EventStream {
       }
       .start()
 
+  /** Streaming maintenance of the kNN-graph artifact
+    * ([[graft.operators.Similarity.writeKnnGraph]]): each arriving
+    * vector micro-batch runs the BATCH append step — pruned
+    * probed-bucket edges for the batch, affected standing nodes
+    * re-top-k'd, touched edge partitions dynamically overwritten —
+    * so the standing graph costs ZERO streaming state and
+    * stream-maintained ≡ batch-maintained is structural (two-batch
+    * parity spec'd). The ingest path that keeps graph-based curation
+    * (SemDeDup, prototypes, PageRank audits) current between full
+    * rebuilds. */
+  def streamingKnnGraphMaintain(vecs: Dataset[QueryVec], dir: String,
+                                cents: Array[Array[Double]])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.knnGraphAppendStep(
+            batch.sparkSession, dir,
+            batch.toDF().withColumnRenamed("query_id", "vec_id"), cents)
+      }
+      .start()
+
   /** Streaming VOCABULARY-DRIFT monitor: each arriving micro-batch is
     * scored against a stored reference vocabulary
     * ([[graft.functions.TextFunctions.vocabCounts]] artifact) — one

@@ -94,6 +94,11 @@ class PageRankSpec extends SparkSpec {
     val want = rows(Similarity.knnGraphOn(emb, cents))
     assert(got.nonEmpty)
     assert(got == want)
+    // compaction folds the append-accumulated nodes/probes files and
+    // changes nothing the artifact serves
+    val (rn, rp) = Similarity.compactKnnGraph(spark, dir)
+    assert(rn.filesOut <= rn.filesIn && rp.filesOut <= rp.filesIn)
+    assert(rows(Similarity.readKnnGraph(spark, dir)) == want)
   }
 
   test("a star hub outranks its spokes on a crafted graph") {

@@ -951,6 +951,36 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.session_end == ts("2024-01-01 00:10:00"))
   }
 
+  test("streaming kNN-graph maintenance equals the one-shot graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test-streamkg"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Similarity.writeKnnGraph(emb.filter(col("vec_id") % 3 === 0), cents, dir)
+    val arrivals = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingKnnGraphMaintain(input.toDS(), dir, cents)
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    assert(rows(Similarity.readKnnGraph(spark, dir)) ==
+      rows(Similarity.knnGraphOn(emb, cents)))
+  }
+
   test("streaming novelty: two-batch split equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
