@@ -281,7 +281,17 @@ object Dedup {
     * with chunk_hash the 60-bit md5 of the chunk text. */
   /** The per-doc CDC decomposition: (chunk_idx, chunk_start,
     * chunk_len, chunk_hash) — shared by the batch operator and the
-    * streaming form so the two cannot drift. */
+    * streaming form so the two cannot drift.
+    *
+    * Cost note: the window hash is a FULL md5 per position — O(len)
+    * md5 calls per doc where a true Rabin polynomial updates in
+    * O(1)/char. Deliberate: md5 is the only hash both engines share
+    * (the cross-engine oracle contract), the stage is distributed
+    * and output-linear (§6: 7.3/10.0s at 10×/20×), and no
+    * oracle-replayable O(1) rolling hash is available in DuckDB. At
+    * real scale this constant factor is the chunking stage's CPU
+    * bill; an engine free of the oracle contract would swap in a
+    * Rabin fingerprint with identical boundary semantics. */
   private[graft] def cdcChunksOf(t: String, w: Int = 16,
                                  divisor: Int = 64): Seq[(Int, Int, Int, Long)] = {
     val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
