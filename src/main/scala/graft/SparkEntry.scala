@@ -85,6 +85,7 @@ object SparkEntry {
     "emb_pca"             -> ((s, d) => Similarity.embPca(s, d)),
     "knn_hubness"         -> ((s, d) => Similarity.knnHubness(s, d)),
     "knn_components"      -> ((s, d) => Similarity.knnComponents(s, d)),
+    "graph_profile"       -> ((s, d) => Similarity.graphProfile(s, d)),
     "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
     "tokenizer_coverage"  -> functions.TokenizerStats.tokenizerCoverage _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
@@ -185,6 +186,7 @@ object SparkEntry {
       ("emb_pca" -> Similarity.embPcaOracleSql(s, d)) +
       ("knn_hubness" -> Similarity.knnHubnessOracleSql(s, d)) +
       ("knn_components" -> Similarity.knnComponentsOracleSql(s, d)) +
+      ("graph_profile" -> Similarity.graphProfileOracleSql(s, d)) +
       ("tokenizer_fertility" ->
         functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
       ("tokenizer_coverage" ->

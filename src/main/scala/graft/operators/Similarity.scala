@@ -2773,6 +2773,42 @@ object Similarity {
       ORDER BY e.vec_id"""
   }
 
+  // ---- graph_profile: component-size histogram of the mutual-kNN graph ----
+
+  /** graph_profile — the CLUSTER-SIZE statistics of the mutual-kNN
+    * components (dedup_profile's discipline applied to the embedding
+    * graph — publish before acting on graph clusters): per component
+    * size, how many components and vectors sit there; Σ n_vecs =
+    * corpus and the size-1 row counts the antihub singletons. Pure
+    * integer arithmetic on top of [[knnComponents]] — two partial-agg
+    * shuffles of longs. */
+  def graphProfile(s: SparkSession, d: String, k: Int = KnnK,
+                   nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame =
+    knnComponents(s, d, k, nlist, nprobe)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("component_size"),
+        col("n_components"),
+        (col("component_size") * col("n_components")).as("n_vecs"))
+      .orderBy(col("component_size"))
+
+  /** DuckDB oracle for [[graphProfile]]: the knnComponents chain +
+    * the same two-level histogram. Data-dependent → oracleSqlFor. */
+  def graphProfileOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                            nlist: Int = IvfNlist,
+                            nprobe: Int = IvfNprobe): String = {
+    val compSql = knnComponentsOracleSql(s, d, k, nlist, nprobe)
+    s"""
+      WITH sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM ($compSql) GROUP BY 1)
+      SELECT component_size,
+        CAST(COUNT(*) AS BIGINT) AS n_components,
+        CAST(component_size * COUNT(*) AS BIGINT) AS n_vecs
+      FROM sizes GROUP BY 1 ORDER BY component_size"""
+  }
+
   // ---- knn_hubness: in-degree histogram of the kNN graph ------------------
 
   /** knn_hubness — the HUBNESS audit of the kNN graph (the in-degree

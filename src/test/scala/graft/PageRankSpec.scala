@@ -73,6 +73,21 @@ class PageRankSpec extends SparkSpec {
     assert(got.exists { case (v, c) => v != c })
   }
 
+  test("the component-size profile conserves vectors and matches components") {
+    import spark.implicits._
+    val hist = SparkEntry.queries("graph_profile")(spark, sf)
+      .select(col("component_size"), col("n_components"), col("n_vecs"))
+      .as[(Long, Long, Long)].collect()
+    val comps = SparkEntry.queries("knn_components")(spark, sf)
+      .select(col("component_id")).as[Long].collect()
+      .groupBy(identity).map(_._2.length.toLong)
+    assert(hist.map(_._3).sum == comps.sum) // every vector accounted
+    hist.foreach { case (sz, nc, nv) =>
+      assert(nv == sz * nc)
+      assert(comps.count(_ == sz).toLong == nc, s"size $sz")
+    }
+  }
+
   test("two kNN-graph append days equal the one-shot graph of the union") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
