@@ -3034,6 +3034,53 @@ object Similarity {
       .orderBy(col("component"))
   }
 
+  /** PCA-WHITENING transform over the corpus embeddings:
+    * x → diag(1/√(λ_c + ε)) · Eᵀ(x − μ) — the standard retrieval
+    * post-processing (whitening undoes anisotropy so cosine treats
+    * every direction equally; on THIS isotropic corpus it is nearly
+    * the identity rotation — exactly what the spec asserts via the
+    * near-1 scales). Eigenvalues are the sample variances along the
+    * [[pcaBasis]] components (same bounded driver sample, so the
+    * transform is deterministic and broadcastable); the corpus pass
+    * is ONE typed map, dim² flops per row, no shuffle. Returns
+    * (vec_id, whitened: Array[Double]). */
+  def whitenEmbeddings(s: SparkSession, d: String,
+                       eps: Double = 1e-6): DataFrame = {
+    import s.implicits._
+    val (comps, offs) = pcaBasis(s, d)
+    val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+      .select("embedding").as[Array[Float]].collect()
+    val scales = comps.zip(offs).map { case (e, off) =>
+      var ss = 0.0
+      sample.foreach { v =>
+        var dot = 0.0; var j = 0
+        while (j < v.length) { dot += e(j) * v(j); j += 1 }
+        val p = dot - off
+        ss += p * p
+      }
+      1.0 / math.sqrt(ss / sample.length + eps)
+    }
+    val bcC = s.sparkContext.broadcast(comps)
+    val bcO = s.sparkContext.broadcast(offs)
+    val bcS = s.sparkContext.broadcast(scales)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value; val os = bcO.value; val sc = bcS.value
+        val out = new Array[Double](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          val e = cs(c); var dot = 0.0; var j = 0
+          while (j < v.length) { dot += e(j) * v(j); j += 1 }
+          out(c) = (dot - os(c)) * sc(c)
+          c += 1
+        }
+        (id, out)
+      }
+      .toDF("vec_id", "whitened")
+  }
+
   /** DuckDB oracle for [[embPca]]: component/offset literals, the
     * identical projection → 6 dp → 1e-6-unit BIGINT chain, HUGEINT
     * moments (sp*sp routed through HUGEINT — BIGINT² overflows), the

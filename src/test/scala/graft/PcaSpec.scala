@@ -42,6 +42,22 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(total - trace) < 1e-3, s"trace $trace vs $total")
   }
 
+  test("whitened embeddings have identity covariance on the sample") {
+    import spark.implicits._
+    // sf0.001's corpus IS the training sample (< 2048 vectors), so
+    // the whitened covariance must be the identity up to eps
+    val w = Similarity.whitenEmbeddings(spark, sf)
+      .select(col("whitened")).as[Array[Double]].collect()
+    val n = w.length
+    val dim = w.head.length
+    val mean = Array.tabulate(dim)(j => w.map(_(j)).sum / n)
+    for (i <- 0 until dim; j <- i until dim) {
+      val cov = w.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 1e-3, s"cov($i,$j) = $cov")
+    }
+  }
+
   test("the isotropic corpus shows a near-flat scree") {
     import spark.implicits._
     val vars = SparkEntry.queries("emb_pca")(spark, sf)
