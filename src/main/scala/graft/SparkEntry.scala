@@ -86,6 +86,7 @@ object SparkEntry {
     "knn_hubness"         -> ((s, d) => Similarity.knnHubness(s, d)),
     "knn_components"      -> ((s, d) => Similarity.knnComponents(s, d)),
     "graph_profile"       -> ((s, d) => Similarity.graphProfile(s, d)),
+    "graph_ppr"           -> ((s, d) => Similarity.graphPpr(s, d)),
     "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
     "tokenizer_coverage"  -> functions.TokenizerStats.tokenizerCoverage _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
@@ -187,6 +188,7 @@ object SparkEntry {
       ("knn_hubness" -> Similarity.knnHubnessOracleSql(s, d)) +
       ("knn_components" -> Similarity.knnComponentsOracleSql(s, d)) +
       ("graph_profile" -> Similarity.graphProfileOracleSql(s, d)) +
+      ("graph_ppr" -> Similarity.graphPprOracleSql(s, d)) +
       ("tokenizer_fertility" ->
         functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
       ("tokenizer_coverage" ->

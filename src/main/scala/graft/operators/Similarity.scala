@@ -3117,6 +3117,104 @@ object Similarity {
       FROM e9 ORDER BY component"""
   }
 
+  private[graft] val PprSeeds = 5L
+
+  /** graph_ppr — PERSONALIZED PageRank from a seed set (teleport mass
+    * restricted to the seeds): the kNN-graph data-ATTRIBUTION signal
+    * — which corpus vectors sit in the seeds' neighborhood-of-
+    * neighborhoods (influence/contamination audits, seed-expanded
+    * curation). Same exact-integer recipe as [[graphPagerank]] — the
+    * teleport term is simply zero off the seed set — so the result
+    * is bit-identical cross-engine; nodes unreachable from the seeds
+    * hold rank EXACTLY 0 (spec'd). Seeds: vec_id < PprSeeds. */
+  def graphPpr(s: SparkSession, d: String, k: Int = KnnK,
+               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+               iters: Int = PrIters): DataFrame = {
+    val edges = knnGraph(s, d, k, nlist, nprobe)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    personalizedPagerankOn(edges, nodes,
+      nodes.filter(col("vec_id") < PprSeeds), iters)
+  }
+
+  /** [[pagerankOn]] with teleport mass restricted to `seeds` (a
+    * vec_id frame): r0 = SCALE/|S| on seeds else 0; per-iteration
+    * base likewise. All-integer arithmetic, same determinism
+    * contract. */
+  def personalizedPagerankOn(edges: DataFrame, nodes: DataFrame,
+                             seeds: DataFrame,
+                             iters: Int = PrIters): DataFrame = {
+    val nS = seeds.count()
+    val base = (3L * PrScale) / (20L * nS)
+    val r0 = PrScale / nS
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    val seeded = nodes.join(
+        seeds.select(col("vec_id")).withColumn("is_seed", lit(1)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .localCheckpoint()
+    var ranks = seeded.select(col("vec_id"),
+      when(col("is_seed") === 1, lit(r0)).otherwise(lit(0L)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst").as("vec_id"), expr("pr div deg").as("share"))
+        .groupBy(col("vec_id")).agg(sum(col("share")).as("in_sum"))
+      ranks = seeded.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (when(col("is_seed") === 1, lit(base)).otherwise(lit(0L)) +
+            expr("(17 * coalesce(in_sum, CAST(0 AS BIGINT))) div 20"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("vec_id"), col("pr").as("pr_e12"),
+        round(col("pr").cast("double") / lit(1e12), 6).as("ppr"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[graphPpr]]: the pagerank chain with the
+    * teleport CASE restricted to the seed predicate. Data-dependent →
+    * emitted by oracleSqlFor. */
+  def graphPprOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                        nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                        iters: Int = PrIters): String = {
+    val nS = Tables.embeddings(s, d)
+      .filter(col("vec_id") < PprSeeds).count()
+    val base = (3L * PrScale) / (20L * nS)
+    val r0 = PrScale / nS
+    val knnSql = knnGraphOracleSql(s, d, k, nlist, nprobe)
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT nd.vec_id,
+          CAST(CASE WHEN nd.vec_id < $PprSeeds THEN $base ELSE 0 END
+               + (17 * COALESCE(cs.s, 0)) // 20 AS BIGINT) AS pr
+        FROM nodes nd LEFT JOIN (
+          SELECT ed.dst AS vec_id, SUM(p.pr // ed.deg) AS s
+          FROM edges_deg ed JOIN r${i - 1} p ON p.vec_id = ed.src
+          GROUP BY 1) cs ON cs.vec_id = nd.vec_id)"""
+    }.mkString(",\n")
+    s"""
+      WITH edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM ($knnSql)),
+      edges_deg AS (
+        SELECT e.src, e.dst, g.deg
+        FROM edges e JOIN (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1) g USING (src)),
+      nodes AS (SELECT vec_id FROM embeddings),
+      r0 AS (
+        SELECT vec_id,
+          CAST(CASE WHEN vec_id < $PprSeeds THEN $r0 ELSE 0 END AS BIGINT)
+            AS pr
+        FROM nodes),
+      $iterCtes
+      SELECT vec_id, pr AS pr_e12,
+        round(CAST(pr AS DOUBLE) / 1e12, 6) AS ppr
+      FROM r$iters ORDER BY vec_id"""
+  }
+
   /** DuckDB oracle for [[graphPagerank]]: the knnGraph oracle chain as
     * the edge subquery, then `iters` UNROLLED aggregating CTEs (a
     * recursive CTE can't aggregate over its own reference) replaying

@@ -35,6 +35,36 @@ class PageRankSpec extends SparkSpec {
     assert(total >= (Similarity.PrScale * 9) / 10)
   }
 
+  test("personalized pagerank matches an exact-integer driver replay") {
+    import spark.implicits._
+    val edges = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .as[(Long, Long)].collect()
+    val nodes = Tables.embeddings(spark, sf)
+      .select(col("vec_id")).as[Long].collect().sorted
+    val seeds = nodes.filter(_ < Similarity.PprSeeds).toSet
+    val nS = seeds.size.toLong
+    val base = (3L * Similarity.PrScale) / (20L * nS)
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var pr = nodes.map(v =>
+      v -> (if (seeds(v)) Similarity.PrScale / nS else 0L)).toMap
+    for (_ <- 1 to Similarity.PrIters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v => v ->
+        ((if (seeds(v)) base else 0L) +
+          (17L * in.getOrElse(v, 0L)) / 20L)).toMap
+    }
+    val got = SparkEntry.queries("graph_ppr")(spark, sf)
+      .select(col("vec_id"), col("pr_e12")).as[(Long, Long)].collect().toMap
+    assert(got == pr)
+    // attribution shape: seeds dominate, and mass concentrates near
+    // them — unreachable nodes hold EXACTLY zero
+    assert(seeds.forall(s => got(s) > 0))
+    assert(got.values.sum <= Similarity.PrScale)
+  }
+
   test("the hubness histogram conserves vectors and edges") {
     import spark.implicits._
     val hist = SparkEntry.queries("knn_hubness")(spark, sf)
