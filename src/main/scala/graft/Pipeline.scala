@@ -596,13 +596,8 @@ object Pipeline {
       .write.mode("append").parquet(s"$stateDir/retractions")
     vacuumRetractedShards(spark, stateDir)
     // 2-4. doc-keyed artifacts: anti-join rewrites (swap discipline)
-    graft.sources.Compact.compactInPlace(spark, s"$stateDir/band_index",
-      transform = _.join(broadcast(forget), Seq("doc_id"), "left_anti"))
-    graft.sources.Compact.compactInPlace(spark, s"$stateDir/chunk_index",
-      transform = _.join(broadcast(forget.select(col("doc_id")
-          .as("keeper_id"))), Seq("keeper_id"), "left_anti")
-        .groupBy(col("chunk_hash"))
-        .agg(min(col("keeper_id")).as("keeper_id")))
+    Dedup.forgetFromBandIndex(spark, s"$stateDir/band_index", forget)
+    Dedup.forgetFromChunkIndex(spark, s"$stateDir/chunk_index", forget)
     graft.sources.Compact.compactInPlace(spark, s"$stateDir/eval_shingles",
       transform = _.join(broadcast(forget.select(col("doc_id")
           .as("eval_id"))), Seq("eval_id"), "left_anti"))

@@ -276,6 +276,11 @@ object Scale10 {
             .cast("double") / count(lit(1)), 6).as("mean_nll"))
         .count()
     }
+    // CCNet bucketing: the LM-score chain + the bounded 6-dp-grid
+    // histogram walk for the tertile elements (r13 replaced the
+    // corpus-proportional TakeOrdered) — cost must track the LM scan
+    t(s"ccnet_buckets_${mult}x")(
+      functions.TextFunctions.ccnetBuckets(docs).count())
     // the INCREMENTAL daily pipeline: the mult× corpus arrives as the
     // bootstrap day, then three constant-size 5k-doc days run against
     // the maintained artifacts — per-day cost must stay FLAT as the

@@ -846,17 +846,31 @@ object TextFunctions {
     *
     * Scale shape: scoring is [[ngramLmScore]]'s one-pass recipe (at
     * 100 TB the model is the write-once ngramLmModel artifact); the
-    * two thresholds are TakeOrdered driver scalars (the bm25 stats
-    * precedent) — there is NO global rank window (a corpus-wide
-    * row_number is a single-partition sort at scale); bucketing is
-    * one comparison per row. */
-  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
-    val scored = ngramLmScore(Tables.documents(s, d))
+    * tertile elements are selected DISTRIBUTEDLY — ppl sits on the
+    * 6-dp grid, so `groupBy(ppl).count()` is a bounded-cardinality
+    * histogram (the grid caps its size regardless of corpus rows; a
+    * corpus-proportional TakeOrdered here was r12's flagged
+    * scale-killer: one task heaping n/3 rows, plus a k.toInt
+    * overflow past ~6.4B rows), the cumulative count walks that
+    * bounded frame (the sketch_quantiles exact-rank channel — an
+    * unpartitioned window over an agg frame whose size the value
+    * grid bounds), and the k-th smallest element is the least ppl
+    * with cum ≥ k; bucketing is one comparison per row. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBuckets(Tables.documents(s, d))
+
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = ngramLmScore(docs)
       .select(col("doc_id"), col("ppl")).localCheckpoint()
     val n = scored.count()
-    def kth(k: Long): Double =
-      scored.orderBy(col("ppl"), col("doc_id")).limit(k.toInt)
-        .agg(max(col("ppl"))).collect().head.getDouble(0)
+    val wc = Window.orderBy(col("ppl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = scored.groupBy(col("ppl")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .localCheckpoint()
+    def kth(k: Long): Double = cum.filter(col("cum") >= k)
+      .agg(min(col("ppl"))).collect().head.getDouble(0)
     val t1 = kth((n + 2) / 3)
     val t2 = kth((2 * n + 2) / 3)
     scored.select(col("doc_id"), col("ppl"),

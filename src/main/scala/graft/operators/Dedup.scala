@@ -541,6 +541,23 @@ object Dedup {
       transform = _.groupBy(col("line_hash"))
         .agg(min(col("keeper_id")).as("keeper_id")))
 
+  /** ERASE docs from the maintained line index — the keeper-attributed
+    * erasure semantics of the pipeline's chunk-index scrub: every
+    * (hash, keeper) row whose keeper is forgotten is rewritten away
+    * (the content fingerprint leaves with its attributed owner; a
+    * copy of erased content re-arrives NOVEL — erasure removes the
+    * corpus's memory of the content, the deliberate consequence
+    * spec'd for every forget verb), surviving generations re-collapse
+    * to min(keeper). Rides [[graft.sources.Compact.compactInPlace]]
+    * (read → anti-join → swap), so the pass doubles as a compaction. */
+  def forgetFromLineIndex(s: SparkSession, dir: String,
+                          ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")
+          .as("keeper_id")).distinct()), Seq("keeper_id"), "left_anti")
+        .groupBy(col("line_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
   /** The excise form of the daily line loop — C4's removal semantics
     * applied incrementally: DROP from each batch doc every line the
     * MAINTAINED index already holds (corpus-known boilerplate) AND
@@ -647,6 +664,19 @@ object Dedup {
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes,
       transform = _.groupBy(col("chunk_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
+  /** ERASE docs from the maintained chunk index — the
+    * keeper-attributed erasure semantics ([[forgetFromLineIndex]] has
+    * the full contract) on the CDC chunk rows; the standalone form of
+    * the scrub [[graft.Pipeline.forgetDocs]] runs over its own chunk
+    * index. */
+  def forgetFromChunkIndex(s: SparkSession, dir: String,
+                           ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")
+          .as("keeper_id")).distinct()), Seq("keeper_id"), "left_anti")
+        .groupBy(col("chunk_hash"))
         .agg(min(col("keeper_id")).as("keeper_id")))
 
   /** The excise form of the daily chunk loop — what an incremental
@@ -956,6 +986,18 @@ object Dedup {
       transform = _.groupBy(col("h"))
         .agg(min(col("keeper_id")).as("keeper_id")))
 
+  /** ERASE docs from the maintained winnow index —
+    * [[forgetFromLineIndex]]'s keeper-attributed semantics on the
+    * fingerprint rows: forgotten keepers' (h, keeper) rows vanish in
+    * one compact-swap rewrite. */
+  def forgetFromWinnowIndex(s: SparkSession, dir: String,
+                            ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")
+          .as("keeper_id")).distinct()), Seq("keeper_id"), "left_anti")
+        .groupBy(col("h"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
   /** dedup_spans_incremental: NEW-BATCH vs STANDING-CORPUS span
     * dedup — the substring-granularity member of the incremental
     * family (doc-level has minhash/embedding/phash): which windows of
@@ -1034,6 +1076,18 @@ object Dedup {
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes,
       transform = _.groupBy(col("span_hash"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
+  /** ERASE docs from the maintained span index —
+    * [[forgetFromLineIndex]]'s keeper-attributed semantics on the
+    * window-hash rows: forgotten keepers' (span_hash, keeper) rows
+    * vanish in one compact-swap rewrite. */
+  def forgetFromSpanIndex(s: SparkSession, dir: String,
+                          ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")
+          .as("keeper_id")).distinct()), Seq("keeper_id"), "left_anti")
+        .groupBy(col("span_hash"))
         .agg(min(col("keeper_id")).as("keeper_id")))
 
   /** dedup_spans_maximal: VARIABLE-LENGTH repeated-substring dedup —
@@ -1441,6 +1495,18 @@ object Dedup {
                        targetBytes: Long = 128L << 20)
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes)
+
+  /** ERASE docs from the maintained band index — rows of the
+    * forgotten docs rewritten away (their bands must stop matching
+    * future arrivals: a copy of erased content re-arrives NOVEL;
+    * [[forgetFromLineIndex]] has the full contract). The standalone
+    * form of the scrub [[graft.Pipeline.forgetDocs]] runs over its
+    * own band index. */
+  def forgetFromBandIndex(s: SparkSession, dir: String,
+                          ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
 
   /** Maintained CLUSTER-MAP artifact — the incremental form of the CC
     * capstone, closing the loop the maintained band/span/emb/phash
@@ -2294,6 +2360,18 @@ object Dedup {
                           targetBytes: Long = 128L << 20)
       : graft.sources.Compact.CompactReport =
     graft.sources.Compact.compactInPlace(s, dir, targetBytes)
+
+  /** ERASE vectors from the maintained emb-code index — the coded
+    * rows (and the embeddings they carry) of the forgotten vec_ids
+    * rewritten away ([[forgetFromLineIndex]] has the erasure
+    * contract; here the artifact stores the vectors themselves, so
+    * the scrub is also a data deletion, not just a fingerprint
+    * one). */
+  def forgetFromEmbCodeIndex(s: SparkSession, dir: String,
+                             ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
 
   /** dedup_emb_clusters: embedding near-dup pairs → connected
     * components → (vec_id, cluster_id) — the step that turns the

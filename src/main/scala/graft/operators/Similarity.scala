@@ -2716,6 +2716,80 @@ object Similarity {
      graft.sources.Compact.compactInPlace(s, s"$dir/probes", targetBytes,
        partitionCols = Seq("probed")))
 
+  /** ERASE vectors from the maintained kNN-graph artifact — the graph
+    * loop's right-to-be-forgotten verb ([[graft.operators.Dedup
+    * .forgetFromClusterIndex]]'s obligation applied to edges: a
+    * stored top-k row IS a reference to a vec id, so erasure must
+    * both drop the forgotten nodes' own adjacency AND refill every
+    * survivor whose top-k cited one):
+    *   1. AFFECTED survivors — standing nodes with a stored edge
+    *      citing a forgotten neighbor — recompute their top-k FROM
+    *      SCRATCH over the surviving `nodes/` layout via their
+    *      stored probe buckets (the append's exact merge cannot run
+    *      in reverse: the (k+1)-th candidate was never stored, so
+    *      removal pays one pruned candidate join per affected node —
+    *      the knnGraphAppendStep candidate shape);
+    *   2. `edges/` rewrites via the compact swap (forgotten and
+    *      affected rows out, refilled rows in — the swap also folds
+    *      any small files);
+    *   3. `nodes/` and `probes/` drop the forgotten vec_ids
+    *      (compact-swap anti-joins), AFTER the refill computed from
+    *      them is materialized.
+    * Spec'd ≡ the one-shot [[knnGraphOn]] of the surviving corpus
+    * under the same centroids (ErasureSpec) — and the enumerating
+    * erasure spec asserts no maintained artifact retains a forgotten
+    * id. */
+  def forgetFromKnnGraph(s: SparkSession, dir: String, ids: DataFrame,
+                         k: Int = KnnK): Unit = {
+    import s.implicits._
+    val forget = ids.select(col("vec_id")).distinct().localCheckpoint()
+    val edges = s.read.parquet(s"$dir/edges")
+    val aff = edges
+      .join(broadcast(forget), Seq("vec_id"), "left_anti")
+      .join(broadcast(forget.withColumnRenamed("vec_id", "neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("vec_id")).distinct().localCheckpoint()
+    val nodesSurv = s.read.parquet(s"$dir/nodes")
+      .join(broadcast(forget), Seq("vec_id"), "left_anti")
+    val affProbes = s.read.parquet(s"$dir/probes")
+      .join(aff, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("probed").as("bucket"))
+      .localCheckpoint()
+    val probedBuckets = affProbes.select(col("bucket")).distinct()
+      .as[Int].collect().toSeq // bounded by nlist, never an id set
+    val cand = nodesSurv.filter(col("bucket").isin(probedBuckets: _*))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("v"))
+    val affVecs = nodesSurv.select(col("vec_id"), col("embedding"))
+      .join(affProbes.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+    val refilled = topKPerQuery(
+      affProbes.join(affVecs, Seq("vec_id"))
+        .join(cand.hint("shuffle_hash"), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id").as("query_id"), col("neighbor_id"),
+          round(cos(col("embedding"), col("v")), 6).as("cos_sim")), k)
+      .withColumnRenamed("query_id", "vec_id")
+      .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank"), col("_eb"))
+      .localCheckpoint() // materialize before the layouts it read swap
+    graft.sources.Compact.compactInPlace(s, s"$dir/edges",
+      partitionCols = Seq("_eb"),
+      transform = df => df
+        .join(broadcast(forget), Seq("vec_id"), "left_anti")
+        .join(aff, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank"), col("_eb"))
+        .unionByName(refilled))
+    graft.sources.Compact.compactInPlace(s, s"$dir/nodes",
+      partitionCols = Seq("bucket"),
+      transform = _.join(broadcast(forget), Seq("vec_id"), "left_anti"))
+    graft.sources.Compact.compactInPlace(s, s"$dir/probes",
+      partitionCols = Seq("probed"),
+      transform = _.join(broadcast(forget), Seq("vec_id"), "left_anti"))
+  }
+
   // ---- knn_components: mutual-kNN connected components --------------------
 
   /** knn_components — connected components of the MUTUAL-kNN graph
@@ -2982,11 +3056,17 @@ object Similarity {
     *
     * Determinism: the basis is trained ONCE on the driver from the
     * bounded id-ordered sample (bit-identical literals to the
-    * oracle); each projection is one fixed dot-product tree rounded
-    * 6 dp, scaled to an exact 1e-6-unit BIGINT; moments are exact
-    * integer/decimal aggregates (Spark DECIMAL(38,0), DuckDB
-    * HUGEINT — both exact, so identical doubles after ONE division);
-    * the cumulative fraction ratios exact 1e-9-unit BIGINTs.
+    * oracle); the projection NEVER accumulates floats — each
+    * per-term product e_j·v_j (one IEEE multiply on identical input
+    * bits) snaps to the 1e-9 grid as a BIGINT and the dot is an
+    * exact integer SUM (a raw float dot rounded after accumulation
+    * was r12's one red row: accumulation order is
+    * engine/version-dependent, and a single ulp flip at a 6-dp
+    * boundary shifts the exact moments); pe6 = one floor-division
+    * off the integer chain; moments are exact integer/decimal
+    * aggregates (Spark DECIMAL(38,0), DuckDB HUGEINT — both exact,
+    * so identical doubles after ONE division); the cumulative
+    * fraction ratios exact 1e-9-unit BIGINTs.
     *
     * 100 TB shape: ONE linear projection pass (dim² flops/row, no
     * shuffle of vectors) into a dim-sized partial agg; the 64-row
@@ -2995,19 +3075,21 @@ object Similarity {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     val (comps, offs) = pcaBasis(s, d)
+    val offE9 = offs.map(o => math.floor(o * 1e9 + 0.5).toLong)
     val bcC = s.sparkContext.broadcast(comps)
-    val bcO = s.sparkContext.broadcast(offs)
+    val bcO = s.sparkContext.broadcast(offE9)
     val proj = graft.Util.fanOutIfAtLeast(
         Tables.embeddings(s, d).select(col("embedding")).as[Array[Float]],
         graft.Util.FanOutMinRows)
       .flatMap { v =>
         val cs = bcC.value; val os = bcO.value
         Iterator.tabulate(cs.length) { c =>
-          val e = cs(c); var dot = 0.0; var j = 0
-          while (j < v.length) { dot += e(j) * v(j); j += 1 }
-          val p6 = BigDecimal(dot - os(c))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          (c, math.floor(p6 * 1e6 + 0.5).toLong)
+          val e = cs(c); var de9 = 0L; var j = 0
+          while (j < v.length) {
+            de9 += math.floor(e(j) * v(j) * 1e9 + 0.5).toLong; j += 1
+          }
+          de9 -= os(c)
+          (c, math.floor((de9 + 500L).toDouble / 1000.0).toLong)
         }
       }.toDF("component", "pe6")
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
@@ -3081,23 +3163,30 @@ object Similarity {
       .toDF("vec_id", "whitened")
   }
 
-  /** DuckDB oracle for [[embPca]]: component/offset literals, the
-    * identical projection → 6 dp → 1e-6-unit BIGINT chain, HUGEINT
-    * moments (sp*sp routed through HUGEINT — BIGINT² overflows), the
-    * same single divisions and the exact ve9 cumulative ratio.
-    * Data-dependent → emitted by oracleSqlFor. */
+  /** DuckDB oracle for [[embPca]]: component literals + 1e-9-unit
+    * BIGINT offsets, the identical per-term-snap → exact-integer-sum
+    * → one-floor-division pe6 chain (NO float accumulation — r12's
+    * red row was `list_inner_product` here, whose accumulation order
+    * is engine-environment-sensitive), HUGEINT moments (sp*sp routed
+    * through HUGEINT — BIGINT² overflows), the same single divisions
+    * and the exact ve9 cumulative ratio. Data-dependent → emitted by
+    * oracleSqlFor. */
   def embPcaOracleSql(s: SparkSession, d: String): String = {
     val (comps, offs) = pcaBasis(s, d)
+    val dim = comps.head.length
     val rows = comps.zip(offs).zipWithIndex.map { case ((e, off), c) =>
-      s"($c, [${e.map(_.toString).mkString(", ")}]::DOUBLE[], ${off.toString})"
+      s"($c, [${e.map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${math.floor(off * 1e9 + 0.5).toLong})"
     }.mkString(",\n        ")
     s"""
-      WITH comps(cid, e, off) AS (VALUES
+      WITH comps(cid, e, offe9) AS (VALUES
         $rows),
       proj AS (
         SELECT c.cid,
-          CAST(floor(round(list_inner_product(CAST(embedding AS DOUBLE[]),
-            c.e) - c.off, 6) * 1e6 + 0.5) AS BIGINT) AS pe6
+          CAST(floor((CAST(list_sum(list_transform(range(1, $dim + 1),
+              i -> CAST(floor(c.e[i] * CAST(embedding[i] AS DOUBLE) * 1e9
+                              + 0.5) AS BIGINT))) AS BIGINT)
+            - c.offe9 + 500) / 1000.0) AS BIGINT) AS pe6
         FROM embeddings CROSS JOIN comps c),
       ag AS (
         SELECT cid, COUNT(*) AS n, SUM(pe6) AS sp, SUM(pe6 * pe6) AS sp2

@@ -496,6 +496,16 @@ object Multimodal {
       : Compact.CompactReport =
     Compact.compactInPlace(s, dir, targetBytes)
 
+  /** ERASE docs from the maintained phash index — the forgotten
+    * docs' signature rows rewritten away (a re-upload of an erased
+    * image re-arrives NOVEL; [[graft.operators.Dedup
+    * .forgetFromLineIndex]] has the erasure contract). */
+  def forgetFromPhashIndex(s: SparkSession, dir: String,
+                           ids: DataFrame): Unit =
+    Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+
   /** dedup_phash_clusters: the image-dedup CAPSTONE — [[phashDups]]
     * pairs → connected components → (doc_id, cluster_id) keeper map,
     * exactly parallel to the text capstones (dedup_clusters over

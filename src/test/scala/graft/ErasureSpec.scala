@@ -1,0 +1,199 @@
+package graft
+
+import graft.operators.{Dedup, Search, Similarity}
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** ERASURE COMPLETENESS across the maintained artifacts — the
+  * right-to-be-forgotten contract as one enumerating suite: every
+  * artifact family with a maintenance loop has a forget/delete verb,
+  * every verb is exercised here, and after it runs (plus the
+  * compaction fold, for the tombstone-logged layouts) NO id column
+  * anywhere in the artifact references a forgotten id. The pipeline
+  * state's own artifacts are covered by PipelineSpec's forgetDocs
+  * test; this suite covers every standalone artifact, so a new
+  * maintained artifact cannot silently dodge erasure: the final test
+  * reflects over the operator objects and fails if a forget/delete
+  * verb exists that this suite did not exercise. */
+class ErasureSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private val victims = Seq(0L, 7L)
+  private def victimsDf(key: String) = {
+    import spark.implicits._
+    victims.toDF(key)
+  }
+
+  private def docs = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+  private def emb = Tables.embeddings(spark, sf)
+
+  /** Assert no ID column of the dataset at `dir` holds a victim. */
+  private def assertClean(name: String, dir: String,
+                          idCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dir)
+    idCols.foreach { c =>
+      assert(df.columns.contains(c), s"$name: expected id column $c")
+      val hits = df.filter(col(c).isin(victims: _*)).count()
+      assert(hits == 0, s"$name still references a forgotten id in $c")
+    }
+  }
+
+  private def tombstonesGone(dir: String): Boolean =
+    !new java.io.File(s"${dir.replace("file:", "")}/_tombstones").exists()
+
+  // verbs exercised by this suite — the reflection test pins the
+  // library's verb set to exactly this list
+  private val covered = Seq(
+    "forgetFromBandIndex", "forgetFromSpanIndex", "forgetFromChunkIndex",
+    "forgetFromLineIndex", "forgetFromWinnowIndex",
+    "forgetFromEmbCodeIndex", "forgetFromClusterIndex",
+    "forgetFromKnnGraph", "forgetFromPhashIndex",
+    "deleteFromLayout", "deleteFromInvertedIndex")
+
+  test("keeper-attributed fingerprint indexes forget") {
+    locally {
+      val dir = tmp("er-band")
+      Dedup.writeBandIndex(docs, dir)
+      assert(spark.read.parquet(dir)
+        .filter(col("doc_id").isin(victims: _*)).count() > 0)
+      Dedup.forgetFromBandIndex(spark, dir, victimsDf("doc_id"))
+      assertClean("band_index", dir, Seq("doc_id"))
+    }
+    for ((name, write, forget, keeperCol) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, String) => Unit,
+        (org.apache.spark.sql.SparkSession, String,
+         org.apache.spark.sql.DataFrame) => Unit, String)](
+      ("span_index", Dedup.writeSpanIndex(_, _),
+        Dedup.forgetFromSpanIndex, "keeper_id"),
+      ("chunk_index", Dedup.writeChunkIndex(_, _),
+        Dedup.forgetFromChunkIndex, "keeper_id"),
+      ("line_index", Dedup.writeLineIndex, Dedup.forgetFromLineIndex,
+        "keeper_id"),
+      ("winnow_index", Dedup.writeWinnowIndex(_, _),
+        Dedup.forgetFromWinnowIndex, "keeper_id"))) {
+      val dir = tmp(s"er-$name")
+      write(docs, dir)
+      assert(spark.read.parquet(dir)
+        .filter(col(keeperCol).isin(victims: _*)).count() > 0,
+        s"$name: victims hold no keeper rows — test would be vacuous")
+      forget(spark, dir, victimsDf("doc_id"))
+      assertClean(name, dir, Seq(keeperCol))
+    }
+  }
+
+  test("embedding code index and phash index forget") {
+    locally {
+      val dir = tmp("er-embcode")
+      Dedup.writeEmbCodeIndex(emb, dir)
+      assert(spark.read.parquet(dir)
+        .filter(col("vec_id").isin(victims: _*)).count() > 0)
+      Dedup.forgetFromEmbCodeIndex(spark, dir, victimsDf("vec_id"))
+      assertClean("emb_code_index", dir, Seq("vec_id"))
+      // the loop keeps running: a new batch detects against survivors
+      val day = Dedup.dedupEmbIncrementalStep(spark, dir,
+        emb.filter(col("vec_id") === 1)
+          .withColumn("vec_id", col("vec_id") + 9000L))
+      assert(day.collect().map(_.getLong(0)).contains(1L))
+    }
+    locally {
+      val dir = tmp("er-phash")
+      Multimodal.writePhashIndex(docs, dir)
+      assert(spark.read.parquet(dir)
+        .filter(col("doc_id").isin(victims: _*)).count() > 0)
+      Multimodal.forgetFromPhashIndex(spark, dir, victimsDf("doc_id"))
+      assertClean("phash_index", dir, Seq("doc_id"))
+    }
+  }
+
+  test("cluster map forgets (nodes AND labels)") {
+    import spark.implicits._
+    val dir = tmp("er-ccmap")
+    // victim 0 is the LABEL of its cluster (min member) — the relabel
+    // path; victim 7 is a plain member
+    Dedup.writeClusterIndex(
+      Seq((0L, 2L), (2L, 4L), (7L, 9L), (9L, 11L), (20L, 21L))
+        .toDF("d1", "d2"), dir)
+    Dedup.forgetFromClusterIndex(spark, dir, victimsDf("doc_id"))
+    val m = Dedup.readClusterIndex(spark, dir)
+    assert(m.filter(col("node").isin(victims: _*) ||
+      col("cluster_id").isin(victims: _*)).count() == 0)
+    // survivors stay clustered under the new min label
+    val got = m.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 2L && got(4L) == 2L)
+    assert(got(9L) == 9L && got(11L) == 9L)
+  }
+
+  test("forgetFromKnnGraph: erasure == the one-shot graph of the survivors") {
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val dir = tmp("er-knng")
+    Similarity.writeKnnGraph(emb, cents, dir)
+    // victims must appear as NEIGHBORS somewhere for the refill path
+    // to be exercised
+    assert(Similarity.readKnnGraph(spark, dir)
+      .filter(col("neighbor_id").isin(victims: _*)).count() > 0,
+      "victims are nobody's neighbor — refill path untested")
+    Similarity.forgetFromKnnGraph(spark, dir, victimsDf("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val got = rows(Similarity.readKnnGraph(spark, dir))
+    val want = rows(Similarity.knnGraphOn(
+      emb.filter(!col("vec_id").isin(victims: _*)), cents))
+    assert(got.nonEmpty && got == want)
+    // all three layouts hold zero references
+    assertClean("knn_graph/edges", s"$dir/edges",
+      Seq("vec_id", "neighbor_id"))
+    assertClean("knn_graph/nodes", s"$dir/nodes", Seq("vec_id"))
+    assertClean("knn_graph/probes", s"$dir/probes", Seq("vec_id"))
+    // and the loop keeps running against the erased artifact
+    Similarity.knnGraphAppendStep(spark, dir,
+      emb.filter(col("vec_id").isin(victims: _*))
+        .withColumn("vec_id", col("vec_id") + 9000L), cents)
+    assert(rows(Similarity.readKnnGraph(spark, dir)).nonEmpty)
+  }
+
+  test("ANN layout and inverted/positional indexes: tombstones fold to zero references") {
+    locally {
+      val dir = tmp("er-ivf")
+      Similarity.writeIvfPartitionedOn(emb, Similarity.ivfCentroids(spark, sf),
+        dir)
+      Similarity.deleteFromLayout(spark, dir, victimsDf("vec_id"))
+      Similarity.compactIvfPartitioned(spark, dir)
+      assertClean("ivf_layout", dir, Seq("vec_id"))
+      assert(tombstonesGone(dir), "ivf tombstone log not cleared")
+    }
+    locally {
+      val dir = tmp("er-inv")
+      Search.writeInvertedIndex(docs, dir)
+      Search.deleteFromInvertedIndex(spark, dir, victimsDf("doc_id"))
+      Search.compactInvertedIndex(spark, dir)
+      assertClean("inverted_index", s"$dir/postings", Seq("doc_id"))
+      assert(tombstonesGone(dir), "inverted-index tombstone log not cleared")
+    }
+    locally {
+      val dir = tmp("er-pos")
+      Search.writePositionalIndex(docs, dir)
+      Search.deleteFromInvertedIndex(spark, dir, victimsDf("doc_id"))
+      Search.compactPositionalIndex(spark, dir)
+      assertClean("positional_index", s"$dir/postings", Seq("doc_id"))
+      assert(tombstonesGone(dir), "positional tombstone log not cleared")
+    }
+  }
+
+  test("every forget/delete verb in the library is exercised by this suite") {
+    val objs = Seq[AnyRef](Dedup, Similarity, Search, Multimodal, Pipeline)
+    val verbs = objs.flatMap(_.getClass.getDeclaredMethods.toSeq
+        .map(_.getName)
+        .filter(n => (n.startsWith("forgetFrom") || n.startsWith("deleteFrom"))
+          && !n.contains("$"))) // drop synthetic default-arg methods
+      .toSet
+    // Pipeline.forgetDocs is the composition verb (PipelineSpec) —
+    // everything else must be in `covered`
+    assert(verbs == covered.toSet,
+      s"verb set drifted: library has $verbs, suite covers ${covered.toSet}" +
+        " — a new maintained artifact's erasure verb must be spec'd here")
+  }
+}
