@@ -98,7 +98,8 @@ object Pipeline {
                     normalizeEncoding: Boolean = true,
                     unigramPieces: Option[Seq[(String, Long)]] = None,
                     exciseChunks: Boolean = false,
-                    wordpiecePieces: Option[Seq[String]] = None): Report = {
+                    wordpiecePieces: Option[Seq[String]] = None,
+                    dedupLines: Boolean = false): Report = {
     require(Seq(bpeMerges, unigramPieces, wordpiecePieces)
         .count(_.nonEmpty) <= 1,
       "supply at most one tokenizer artifact " +
@@ -111,12 +112,25 @@ object Pipeline {
     // dedup and decontamination; spec'd): mojibake repair + control
     // strip + NFC, ids/lang pass through. A no-op rewrite on an
     // already-clean corpus.
-    val docsNorm =
+    val docsNorm0 =
       if (!normalizeEncoding) docs
       else docs.drop("text").join(
         TextFunctions.normalizeText(docs)
           .select(col("doc_id"), col("norm_text").as("text")),
         "doc_id")
+    // 0a'. line-level dedup (optional, the C4/RefinedWeb FIRST stage:
+    // boilerplate lines repeat verbatim across pages — strip them
+    // before any doc-level decision sees them): keep-first line
+    // excision, the granularity whose daily incremental form
+    // ([[curateAndPackDayStep]]'s line_index stage) composes exactly
+    val docsNorm =
+      if (!dedupLines) docsNorm0
+      else {
+        val ex = Dedup.dedupLinesExcise(docsNorm0)
+          .select(col("doc_id"), col("out_text").as("text"))
+        docsNorm0.drop("text").join(ex, "doc_id")
+          .localCheckpoint() // the line scan feeds every later stage
+      }
     // 0b. boilerplate excision (optional): replace each doc's text
     // with its span-excised form; lang and ids pass through
     // exciseChunks is the KEEP-FIRST granularity (CDC chunks, first
@@ -262,6 +276,8 @@ object Pipeline {
     import spark.implicits._
     Seq.empty[(Long, Long)].toDF("chunk_hash", "keeper_id")
       .write.mode("overwrite").parquet(s"$stateDir/chunk_index")
+    Seq.empty[(Long, Long)].toDF("line_hash", "keeper_id")
+      .write.mode("overwrite").parquet(s"$stateDir/line_index")
     Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
       .write.mode("overwrite").parquet(s"$stateDir/band_index")
     Seq.empty[(String, Long)].toDF("shingle", "eval_id")
@@ -312,6 +328,7 @@ object Pipeline {
                            pplCeiling: Option[Double] = None,
                            lmArtifact: Option[(DataFrame, DataFrame)] = None,
                            exciseChunks: Boolean = true,
+                           dedupLines: Boolean = false,
                            shardBudget: Long = 20000,
                            bpeMerges: Option[Seq[(String, String)]] = None,
                            unigramPieces: Option[Seq[(String, Long)]] = None,
@@ -328,10 +345,23 @@ object Pipeline {
     val input = docs.count()
 
     // 0. normalize
-    val docsNorm = docs.drop("text").join(
+    val docsNorm0 = docs.drop("text").join(
       TextFunctions.normalizeText(docs)
         .select(col("doc_id"), col("norm_text").as("text")),
       "doc_id")
+
+    // 0.5. line-level dedup against the maintained line index (the
+    // C4/RefinedWeb order: boilerplate lines go FIRST, before any
+    // chunk or doc-level decision sees them; appends today's line
+    // hashes as a side effect — detection strictly before append)
+    val docsNorm = if (!dedupLines) docsNorm0
+      else {
+        val ex = Dedup.dedupLinesExciseIncrementalStep(spark,
+            s"$stateDir/line_index", docsNorm0)
+          .select(col("doc_id"), col("out_text").as("text"))
+        docsNorm0.drop("text").join(ex, "doc_id")
+          .localCheckpoint()
+      }
 
     // 1. chunk excision against the maintained index (appends today's
     // chunks as a side effect — detection strictly before append)
@@ -542,6 +572,11 @@ object Pipeline {
       : StateMaintenanceReport = {
     val chunk = Dedup.compactChunkIndex(spark, s"$stateDir/chunk_index",
       targetBytes)
+    // line index exists since r13 (older states predate it)
+    if (new org.apache.hadoop.fs.Path(s"$stateDir/line_index")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$stateDir/line_index")))
+      Dedup.compactLineIndex(spark, s"$stateDir/line_index", targetBytes)
     val band = graft.sources.Compact.compactInPlace(spark,
       s"$stateDir/band_index", targetBytes)
     val evalSh = graft.sources.Compact.compactInPlace(spark,
@@ -567,9 +602,10 @@ object Pipeline {
     *      an erased doc is NOVEL by definition — erasure removes the
     *      corpus's memory of the content, the deliberate semantic
     *      consequence, spec'd),
-    *   3. chunk index — (hash, keeper) rows whose keeper is
-    *      forgotten are dropped (same consequence: the content
-    *      fingerprint leaves with its only attributed owner),
+    *   3. chunk index AND line index — (hash, keeper) rows whose
+    *      keeper is forgotten are dropped (same consequence: the
+    *      content fingerprint leaves with its only attributed
+    *      owner),
     *   4. both shingle stores — the docs' shingle rows vanish (they
     *      stop contaminating / being recall triggers),
     *   5. cluster map — [[graft.operators.Dedup.forgetFromClusterIndex]]
@@ -598,6 +634,11 @@ object Pipeline {
     // 2-4. doc-keyed artifacts: anti-join rewrites (swap discipline)
     Dedup.forgetFromBandIndex(spark, s"$stateDir/band_index", forget)
     Dedup.forgetFromChunkIndex(spark, s"$stateDir/chunk_index", forget)
+    // line index exists since r13 (older states predate it)
+    if (new org.apache.hadoop.fs.Path(s"$stateDir/line_index")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$stateDir/line_index")))
+      Dedup.forgetFromLineIndex(spark, s"$stateDir/line_index", forget)
     graft.sources.Compact.compactInPlace(spark, s"$stateDir/eval_shingles",
       transform = _.join(broadcast(forget.select(col("doc_id")
           .as("eval_id"))), Seq("eval_id"), "left_anti"))

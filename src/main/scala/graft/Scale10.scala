@@ -332,6 +332,47 @@ object Scale10 {
       }
       last
     }
+    // the C4-order LINE stage composed into the day loop (r13):
+    // docs get real line structure + repeated boilerplate, the
+    // mult× corpus bootstraps the line index, then constant-size
+    // days run line-excise + chunk-excise + dedup against the
+    // artifacts — per-day cost must stay flat exactly like the
+    // plain day loop (the line stage adds one batch line scan +
+    // one index equi-join)
+    t(s"pipeline_day_steps_lines_${mult}x") {
+      def withLines(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("text", concat(
+          when(col("doc_id") % 7 === 0,
+            lit("ACCEPT OUR COOKIE POLICY banner\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "( \\S+){9} ", "$0\n"),
+          when(col("doc_id") % 5 === 0,
+            lit("\nSUBSCRIBE TO OUR NEWSLETTER footer")).otherwise(lit(""))))
+      val state = s"/tmp/scale_pipeline_days_ln_$mult/state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state), true)
+      Pipeline.initDailyState(spark, state)
+      val t0 = System.nanoTime()
+      Pipeline.curateAndPackDayStep(spark, withLines(docs), state, "d0",
+        dedupLines = true)
+      println(f"SCALE pipeline_day_steps_lines bootstrap(${mult}x corpus)=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      var last = 0L
+      (1 to 3).foreach { i =>
+        val batch = withLines(Tables.documents(spark, d)
+          .select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("lang"),
+            concat(regexp_replace(col("text"), " ", s"x$i "),
+              lit(s"x$i")).as("text")))
+        val ti = System.nanoTime()
+        val r = Pipeline.curateAndPackDayStep(spark, batch, state, s"d$i",
+          dedupLines = true)
+        println(f"SCALE pipeline_day_steps_lines day$i=" +
+          f"${(System.nanoTime() - ti) / 1e9}%.2fs report=$r")
+        last = r.afterQuality
+      }
+      last
+    }
     // the embedding-dedup front-end composed end-to-end: replicas are
     // EXACT embedding dups, so τ=0.9 (32×16 geometry, output-bound)
     // collapses each replica cluster; downstream stages identical.

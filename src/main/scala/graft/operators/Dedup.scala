@@ -476,6 +476,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** One-shot EXCISE form of [[dedupLines]] — C4's removal semantics
+    * materialized as text instead of a verification hash: every line
+    * keeps exactly its FIRST corpus occurrence in (doc_id, idx)
+    * order, every other occurrence is dropped from its document, and
+    * survivors rejoin by newline. Returns (doc_id, n_lines,
+    * n_removed, out_text). Keep-first is the granularity that
+    * composes incrementally ([[dedupLinesExciseIncrementalStep]] is
+    * the daily twin; N-day ≡ one-shot spec'd through the pipeline
+    * composition invariant under arrival ≡ id order). Same scale
+    * shape as [[dedupLines]]: one typed line scan, one partial-agg
+    * shuffle, a bounded per-doc rebuild. */
+  def dedupLinesExcise(docs: DataFrame): DataFrame = {
+    val lines = docLines(docs)
+    val stats = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * lit(2000000L) + col("idx")).as("keep_key"))
+    lines.join(stats, "h")
+      .withColumn("kept", col("n_occ") === 1 ||
+        (col("doc_id") * lit(2000000L) + col("idx")) === col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("out_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One-shot NEW-BATCH vs CORPUS line detection — the line-granular
     * member of the cross-set family ([[dedupIncremental]] /
     * [[dedupSpansIncremental]] / [[dedupChunksIncremental]]): both

@@ -487,6 +487,71 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("daily loop with line dedup equals one-shot keep-first line excision") {
+    import spark.implicits._
+    // the synthetic corpus is single-line — give the docs real line
+    // structure plus repeated boilerplate (a shared footer on docs
+    // ≡0 mod 5, a shared banner on ≡0 mod 7) so the stage has
+    // cross-day lines to strip
+    def withLines(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      concat(
+        when(col("doc_id") % 7 === 0,
+          lit("ACCEPT OUR COOKIE POLICY banner\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nSUBSCRIBE TO OUR NEWSLETTER footer")).otherwise(lit(""))))
+    val state = java.nio.file.Files.createTempDirectory("graft-days-ln").toString
+    Pipeline.initDailyState(spark, state)
+    val b1 = withLines(daySlice(0, 60))
+    // day 2 re-carries two day-1 docs verbatim (their every line is
+    // corpus-known → all-excised, then dropped at dedup)
+    val b2 = withLines(daySlice(60, 120)).unionByName(
+      withLines(daySlice(5, 7)).withColumn("doc_id", col("doc_id") + 20000L))
+    Pipeline.curateAndPackDayStep(spark, b1, state, "d1",
+      dedupLines = true, exciseChunks = true)
+    Pipeline.curateAndPackDayStep(spark, b2, state, "d2",
+      dedupLines = true, exciseChunks = true)
+    val union = b1.unionByName(b2)
+    val out = java.nio.file.Files.createTempDirectory("graft-oneshot-ln").toString
+    Pipeline.curateAndPack(spark, union, out, 512, 0.2, 3, 2,
+      embeddings = None, embTau = 0.9, pplCeiling = None,
+      exciseChunks = true, dedupLines = true)
+    val oneShotIds = spark.read.parquet(s"$out/segments")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val loopIds = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(loopIds == oneShotIds,
+      s"loop-only: ${loopIds -- oneShotIds}; oneshot-only: ${oneShotIds -- loopIds}")
+    // shipped text matches the one-shot line-then-chunk excision
+    val loopText = Pipeline.readCuratedDocs(spark, state)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val recomputed = {
+      val docsNorm = union.drop("text").join(
+        graft.functions.TextFunctions.normalizeText(union)
+          .select(col("doc_id"), col("norm_text").as("text")), "doc_id")
+      val lined = docsNorm.drop("text").join(
+        operators.Dedup.dedupLinesExcise(docsNorm)
+          .select(col("doc_id"), col("out_text").as("text")), "doc_id")
+      operators.Dedup.dedupChunksExcise(lined)
+        .select(col("doc_id"), col("excised_text")).as[(Long, String)]
+        .collect().toMap
+    }
+    loopIds.foreach { id =>
+      assert(loopText(id) == recomputed(id),
+        s"shipped text for $id differs from one-shot line+chunk excision")
+    }
+    // the boilerplate really was stripped: exactly one shipped doc
+    // carries each planted line
+    val footerCarriers = loopText.values.count(_.contains("NEWSLETTER"))
+    assert(footerCarriers <= 1, s"footer survived $footerCarriers times")
+    // and the forget pass scrubs the new artifact too
+    val victim = loopIds.min
+    Pipeline.forgetDocs(spark, state, Seq(victim).toDF("doc_id"))
+    assert(spark.read.parquet(s"$state/line_index")
+      .filter(col("keeper_id") === victim).count() == 0,
+      "line index still references a forgotten id")
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the
