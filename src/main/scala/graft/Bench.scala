@@ -117,6 +117,15 @@ object Bench {
       else pairs("ann_ivf_filtered")
         .join(fexact, Seq("query_id", "neighbor_id"), "left_semi").count() / nF
     fexact.unpersist()
+    // the whitened tier measures against WHITENED brute force —
+    // whitening rescales axes, so the raw top-k is the wrong truth
+    val wexact = operators.Similarity.annWhiteBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").cache()
+    val nW = wexact.count().toDouble
+    val white = if (nW == 0) 0.0
+      else pairs("ann_ivf_white")
+        .join(wexact, Seq("query_id", "neighbor_id"), "left_semi").count() / nW
+    wexact.unpersist()
     val embExact = operators.Dedup
       .embCosineAllPairs(Tables.embeddings(spark, sfDir))
       .select("v1", "v2").cache()
@@ -131,6 +140,7 @@ object Bench {
     out + ("dedup_emb_lsh" -> (if (nPairs == 0) 0.0 else lshPairs / nPairs)) +
       ("hybrid_rrf_serving" -> hybrid) +
       ("ann_ivf_filtered" -> filtered) +
+      ("ann_ivf_white" -> white) +
       ("knn_graph" -> knn)
   }
 }

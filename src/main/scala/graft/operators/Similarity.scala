@@ -3130,18 +3130,7 @@ object Similarity {
                        eps: Double = 1e-6): DataFrame = {
     import s.implicits._
     val (comps, offs) = pcaBasis(s, d)
-    val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
-      .select("embedding").as[Array[Float]].collect()
-    val scales = comps.zip(offs).map { case (e, off) =>
-      var ss = 0.0
-      sample.foreach { v =>
-        var dot = 0.0; var j = 0
-        while (j < v.length) { dot += e(j) * v(j); j += 1 }
-        val p = dot - off
-        ss += p * p
-      }
-      1.0 / math.sqrt(ss / sample.length + eps)
-    }
+    val (_, _, scales) = whitenParams(s, d, eps)
     val bcC = s.sparkContext.broadcast(comps)
     val bcO = s.sparkContext.broadcast(offs)
     val bcS = s.sparkContext.broadcast(scales)
@@ -3161,6 +3150,391 @@ object Similarity {
         (id, out)
       }
       .toDF("vec_id", "whitened")
+  }
+
+  // ---- whitened ANN serving tier (ann_ivf_white) ---------------------------
+
+  private val whitenParamCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Double, String),
+      (Array[Array[Double]], Array[Long], Array[Double])]
+
+  /** The whitening transform in EXACT travel form — what the query
+    * and its oracle share bit-identically: per component the basis
+    * row e_c (Double.toString round-trip literals), the projection
+    * offset snapped to a 1e-9-unit BIGINT, and the whitening scale
+    * 1/√(λ_c + ε) as one double literal. Same bounded driver sample
+    * as [[pcaBasis]]. */
+  private[graft] def whitenParams(s: SparkSession, d: String,
+                                  eps: Double = 1e-6)
+      : (Array[Array[Double]], Array[Long], Array[Double]) = {
+    val key = (d, eps, dataFingerprint(s, d))
+    whitenParamCache.getOrElseUpdate(key, {
+      whitenParamCache.keySet.filter(k => k._1 == d && k._2 == eps && k != key)
+        .foreach(whitenParamCache.remove)
+      import s.implicits._
+      val (comps, offs) = pcaBasis(s, d)
+      val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+        .select("embedding").as[Array[Float]].collect()
+      val scales = comps.zip(offs).map { case (e, off) =>
+        var ss = 0.0
+        sample.foreach { v =>
+          var dot = 0.0; var j = 0
+          while (j < v.length) { dot += e(j) * v(j); j += 1 }
+          val p = dot - off
+          ss += p * p
+        }
+        1.0 / math.sqrt(ss / sample.length + eps)
+      }
+      (comps, offs.map(o => math.floor(o * 1e9 + 0.5).toLong), scales)
+    })
+  }
+
+  /** Exact whitened code of one embedding: per component the
+    * projection follows [[embPca]]'s integer chain (per-term 1e-9
+    * snap → exact BIGINT sum → offset subtraction), then ONE
+    * multiply by the scale literal and ONE floor-division land the
+    * whitened coordinate on the 1e-6 grid as a BIGINT. Every step is
+    * a fixed scalar IEEE op on identical inputs — bit-identical
+    * cross-engine, no accumulated float anywhere. */
+  private def whitenCode6(v: Array[Float], comps: Array[Array[Double]],
+                          offE9: Array[Long], scales: Array[Double])
+      : Array[Long] = {
+    val out = new Array[Long](comps.length)
+    var c = 0
+    while (c < comps.length) {
+      val e = comps(c); var de9 = 0L; var j = 0
+      while (j < v.length) {
+        de9 += math.floor(e(j) * v(j) * 1e9 + 0.5).toLong; j += 1
+      }
+      de9 -= offE9(c)
+      out(c) = math.floor(de9.toDouble * scales(c) / 1000.0 + 0.5).toLong
+      c += 1
+    }
+    out
+  }
+
+  private val whiteCentCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String),
+      Array[Array[Long]]]
+
+  /** Whitened-space coarse quantizer: spherical k-means retrained on
+    * the whitened sample codes (|w6| < 2²⁴ so the Float cast into the
+    * shared trainer is lossless), each unit centroid then snapped to
+    * 1e-9-unit BIGINTs — so bucket assignment and probe selection
+    * are EXACT integer argmaxes in both engines (the float-IVF
+    * oracles tolerate list_inner_product assignment structurally;
+    * this tier removes even that sensitivity). */
+  private[graft] def whiteCentroidsE9(s: SparkSession, d: String,
+                                      nlist: Int = IvfNlist)
+      : Array[Array[Long]] = {
+    val key = (d, nlist, dataFingerprint(s, d))
+    whiteCentCache.getOrElseUpdate(key, {
+      whiteCentCache.keySet
+        .filter(k => k._1 == d && k._2 == nlist && k != key)
+        .foreach(whiteCentCache.remove)
+      import s.implicits._
+      val (comps, offE9, scales) = whitenParams(s, d)
+      val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
+        .select("embedding").as[Array[Float]].collect()
+      val wsample = sample.map(v =>
+        whitenCode6(v, comps, offE9, scales).map(_.toFloat))
+      trainCentroids(wsample, nlist, iters = 10)
+        .map(_.map(x => math.floor(x * 1e9 + 0.5).toLong))
+    })
+  }
+
+  private def whiteDot(ce9: Array[Long], w6: Array[Long]): Long = {
+    var acc = 0L; var j = 0
+    while (j < w6.length) { acc += ce9(j) * w6(j); j += 1 }
+    acc
+  }
+
+  /** (whitened code, squared norm) of one embedding — object-level so
+    * executor closures call it through MODULE$ instead of lifting a
+    * local def (which captures the non-serializable object). */
+  private def whiteCodeNorm(v: Array[Float], comps: Array[Array[Double]],
+                            offE9: Array[Long], scales: Array[Double])
+      : (Array[Long], Long) = {
+    val w = whitenCode6(v, comps, offE9, scales)
+    var n2 = 0L; var j = 0
+    while (j < w.length) { n2 += w(j) * w(j); j += 1 }
+    (w, n2)
+  }
+
+  /** Exact-integer nearest whitened centroid (argmax dot, first-wins
+    * tie-break = smallest cid — the oracle's ORDER BY dot DESC, wc). */
+  private def nearestWhiteCentroid(cents: Array[Array[Long]],
+                                   w: Array[Long]): Int = {
+    var best = 0; var bestDot = Long.MinValue; var i = 0
+    while (i < cents.length) {
+      val dd = whiteDot(cents(i), w)
+      if (dd > bestDot) { bestDot = dd; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Probe order in whitened space: exact integer dot, descending,
+    * cid tie-break — mirrors the oracle's ORDER BY dot DESC, cid. */
+  private def topWhiteCentroids(cents: Array[Array[Long]], w: Array[Long],
+                                nprobe: Int): Seq[Int] =
+    cents.indices.map(i => (i, whiteDot(cents(i), w)))
+      .sortBy(t => (-t._2, t._1)).take(nprobe).map(_._1)
+
+  /** ann_ivf_white — IVF ANN served over WHITENED vectors: the
+    * production retrieval post-processing ([[whitenEmbeddings]])
+    * finally composed with the serving shape. Whitening rescales
+    * every principal axis to unit variance, so cosine stops
+    * over-weighting high-variance directions — neighbors genuinely
+    * DIFFER from the raw-cosine tiers (on this deliberately
+    * isotropic corpus only mildly; on real anisotropic embeddings
+    * this is the difference between retrieving by dominant-axis
+    * noise and retrieving by meaning). Recall is therefore measured
+    * against WHITENED brute force ([[annWhiteBruteforce]]), never
+    * the raw ground truth.
+    *
+    * Determinism (the strongest recipe in the ANN family): whitened
+    * codes are exact 1e-6-unit BIGINTs ([[whitenCode6]]); bucket
+    * assignment/probing rank an exact integer dot (snapped 1e-9
+    * centroids × integer codes); the serving score is an exact
+    * integer dot and two exact integer norms combined by fixed
+    * scalar IEEE ops (÷, √, ×1e6, floor) into `cos_e6` — every
+    * value in the result is either an exact integer or one
+    * deterministic function of exact integers. No accumulated
+    * float exists anywhere in the chain.
+    *
+    * 100 TB shape: identical to [[annIvf]] — one coding pass
+    * (dim² flops/row), bucket-pruned candidates, broadcast probes,
+    * bounded TopK. The stored-layout form is the same
+    * writeIvfPartitioned discipline over the coded frame. */
+  def annIvfWhite(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                  nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    import s.implicits._
+    val (comps, offE9, scales) = whitenParams(s, d)
+    val cents = whiteCentroidsE9(s, d, nlist)
+    val bc = s.sparkContext.broadcast((comps, offE9, scales, cents))
+    val emb = Tables.embeddings(s, d)
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (cs, os, sc, ce) = bc.value
+        val (w, n2) = whiteCodeNorm(v, cs, os, sc)
+        (id, nearestWhiteCentroid(ce, w), w, n2)
+      }.toDF("neighbor_id", "bucket", "w", "xn2")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val (cs, os, sc, ce) = bc.value
+        val (w, n2) = whiteCodeNorm(v, cs, os, sc)
+        topWhiteCentroids(ce, w, nprobe).iterator.map(b => (id, b, w, n2))
+      }.toDF("query_id", "bucket", "qw", "qn2")
+    val scored = coded.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(col("xn2") > 0 && col("qn2") > 0)
+      .withColumn("s",
+        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)"))
+      .withColumn("cos_sim",
+        floor(col("s").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The whitening + whitened-quantizer bundle a serving node ships
+    * (all exact-travel literals; one training per corpus). */
+  case class WhitenModel(comps: Array[Array[Double]], offE9: Array[Long],
+                         scales: Array[Double], centsE9: Array[Array[Long]])
+
+  def whitenModel(s: SparkSession, d: String,
+                  nlist: Int = IvfNlist): WhitenModel = {
+    val (c, o, sc) = whitenParams(s, d)
+    WhitenModel(c, o, sc, whiteCentroidsE9(s, d, nlist))
+  }
+
+  /** Write the whitened STORED serving layout: exact integer codes
+    * (vec_id, w, n2) partitioned by the whitened-space bucket — the
+    * writeIvfPartitioned discipline over [[whitenCode6]] codes. The
+    * raw embeddings never ship: every serve scores on the codes
+    * alone. The layout is vec_id-keyed and bucket-partitioned, so the
+    * standard layout verbs work unchanged ([[deleteFromLayout]]
+    * tombstones, [[compactIvfPartitioned]] folds them). */
+  def writeIvfWhitePartitioned(s: SparkSession, d: String, dir: String,
+                               nlist: Int = IvfNlist): Unit = {
+    import s.implicits._
+    val m = whitenModel(s, d, nlist)
+    val bc = s.sparkContext.broadcast(m)
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val (w, n2) = whiteCodeNorm(v, mm.comps, mm.offE9, mm.scales)
+        (id, w, n2, nearestWhiteCentroid(mm.centsE9, w))
+      }.toDF("vec_id", "w", "n2", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** Serve a query batch over the stored whitened layout: queries
+    * whiten + probe map-side, the scan reads ONLY the probed bucket
+    * directories, scoring is [[annIvfWhite]]'s exact integer chain.
+    * Serving contract mirrors [[annIvfServeBatch]]: query ids are an
+    * independent id space (excludeSelf opt-in), tombstones
+    * subtracted. `queries` must have (query_id, embedding). */
+  def annIvfWhiteServeBatch(s: SparkSession, dir: String, m: WhitenModel,
+                            queries: DataFrame, k: Int = 5,
+                            nprobe: Int = IvfNprobe,
+                            excludeSelf: Boolean = false): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(m)
+    val probes = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val mm = bc.value
+        val (w, n2) = whiteCodeNorm(v, mm.comps, mm.offE9, mm.scales)
+        topWhiteCentroids(mm.centsE9, w, nprobe).iterator
+          .map(b => (id, b, w, n2))
+      }.toDF("query_id", "bucket", "qw", "qn2")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val corpus = minusTombstones(s, dir, s.read.parquet(dir)
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
+      .select(col("vec_id").as("neighbor_id"), col("w"),
+        col("n2").as("xn2"), col("bucket"))
+    val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
+    val cand = if (excludeSelf) cand0.filter(col("neighbor_id") =!= col("query_id"))
+               else cand0
+    val scored = cand
+      .filter(col("xn2") > 0 && col("qn2") > 0)
+      .withColumn("s",
+        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)"))
+      .withColumn("cos_sim",
+        floor(col("s").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Whitened brute force — the ground truth [[annIvfWhite]]'s recall
+    * is measured against (RecallSpec): the identical exact scoring
+    * chain with the bucket restriction removed. */
+  def annWhiteBruteforce(s: SparkSession, d: String, nQueries: Int = 10,
+                         k: Int = 5): DataFrame = {
+    import s.implicits._
+    val (comps, offE9, scales) = whitenParams(s, d)
+    val bc = s.sparkContext.broadcast((comps, offE9, scales))
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (cs, os, sc) = bc.value
+        val (w, n2) = whiteCodeNorm(v, cs, os, sc)
+        (id, w, n2)
+      }.toDF("neighbor_id", "w", "xn2")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (cs, os, sc) = bc.value
+        val (w, n2) = whiteCodeNorm(v, cs, os, sc)
+        (id, w, n2)
+      }.toDF("query_id", "qw", "qn2")
+    val scored = corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .filter(col("xn2") > 0 && col("qn2") > 0)
+      .withColumn("s",
+        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)"))
+      .withColumn("cos_sim",
+        floor(col("s").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[annIvfWhite]]: the whitening parameters and
+    * snapped centroids as literals, the identical integer chain —
+    * per-component exact projection, w6 codes, integer-argmax
+    * assignment/probes, integer dot + norms, the same
+    * floor(S/(√Q·√X)·1e6 + ½) score. Data-dependent → emitted by
+    * oracleSqlFor. */
+  def annIvfWhiteOracleSql(s: SparkSession, d: String, nQueries: Int = 10,
+                           k: Int = 5, nlist: Int = IvfNlist,
+                           nprobe: Int = IvfNprobe): String = {
+    val (comps, offE9, scales) = whitenParams(s, d)
+    val dim = comps.head.length
+    val compRows = comps.indices.map { c =>
+      s"($c, [${comps(c).map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${offE9(c)}, ${scales(c).toString})"
+    }.mkString(",\n        ")
+    val centRows = whiteCentroidsE9(s, d, nlist).zipWithIndex.map {
+      case (ce9, i) => s"($i, [${ce9.mkString(", ")}]::BIGINT[])"
+    }.mkString(",\n        ")
+    s"""
+      WITH comps(cid, e, offe9, scale) AS (VALUES
+        $compRows),
+      wcents(wc, ce9) AS (VALUES
+        $centRows),
+      white AS (
+        SELECT vec_id, list(w6 ORDER BY cid) AS w
+        FROM (
+          SELECT emb.vec_id, c.cid,
+            CAST(floor((CAST(list_sum(list_transform(range(1, $dim + 1),
+                i -> CAST(floor(c.e[i] * CAST(emb.embedding[i] AS DOUBLE)
+                                * 1e9 + 0.5) AS BIGINT))) AS BIGINT)
+              - c.offe9) * c.scale / 1000.0 + 0.5) AS BIGINT) AS w6
+          FROM embeddings emb CROSS JOIN comps c)
+        GROUP BY 1),
+      coded AS (
+        SELECT vec_id, w,
+          CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS n2
+        FROM white),
+      cdot AS (
+        SELECT v.vec_id, wc.wc,
+          CAST(list_sum(list_transform(range(1, $dim + 1),
+            i -> wc.ce9[i] * v.w[i])) AS BIGINT) AS dot
+        FROM coded v CROSS JOIN wcents wc),
+      assign AS (
+        SELECT vec_id, wc AS bucket FROM (
+          SELECT vec_id, wc,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot DESC, wc) AS rn
+          FROM cdot) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, wc AS bucket FROM (
+          SELECT vec_id, wc,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot DESC, wc) AS rn
+          FROM cdot WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+      rer AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          CAST(floor(CAST(list_sum(list_transform(range(1, $dim + 1),
+                i -> q.w[i] * x.w[i])) AS DOUBLE)
+            / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(x.n2 AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS cos_e6
+        FROM probes p
+        JOIN assign a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+        JOIN coded q ON q.vec_id = p.query_id
+        JOIN coded x ON x.vec_id = a.vec_id
+        WHERE q.n2 > 0 AND x.n2 > 0)
+      SELECT query_id, neighbor_id, cos_e6, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_e6 DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   /** DuckDB oracle for [[embPca]]: component literals + 1e-9-unit

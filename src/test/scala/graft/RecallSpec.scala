@@ -37,6 +37,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"knn_graph recall@5 = $recall")
   }
 
+  test("whitened IVF recall@5 vs WHITENED brute force >= 0.8") {
+    // whitening rescales every principal axis, so the ground truth is
+    // the whitened brute force, never the raw one; on this isotropic
+    // corpus the whitened quantizer should track plain IVF closely
+    val wexact = pairs(Similarity.annWhiteBruteforce(spark, sf01))
+    val recall = (pairs(Similarity.annIvfWhite(spark, sf01)) & wexact)
+      .size.toDouble / wexact.size
+    assert(recall >= 0.8, s"ann_ivf_white recall@5 = $recall")
+  }
+
   test("SQ8 recall@5 vs brute force >= 0.9") {
     // int8 quantization error on this grid is ~0.4% of the value
     // range per dim — far below the neighbor/non-neighbor cosine gap,

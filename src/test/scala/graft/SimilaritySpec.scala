@@ -206,6 +206,44 @@ class SimilaritySpec extends SparkSpec {
     val _ = afterSecond
   }
 
+  test("whitened stored layout serves the in-query tier bit-exactly; deletes fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivfwhite").toString
+    Similarity.writeIvfWhitePartitioned(spark, sf, s"$tmp/idx")
+    val m = Similarity.whitenModel(spark, sf)
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve(dir: String) = Similarity.annIvfWhiteServeBatch(spark, dir, m,
+      queries, excludeSelf = true).collect().map(_.toSeq).toSeq
+    val served = serve(s"$tmp/idx")
+    // the stored form IS the in-query tier (same codes, same exact
+    // integer scoring, same quantizer)
+    val direct = Similarity.annIvfWhite(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == direct)
+    // whitening genuinely changed the metric even on this
+    // near-isotropic corpus: at least one rank differs from raw IVF
+    val raw = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val white = Similarity.annIvfWhite(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(white != raw, "whitened ranking identical to raw — vacuous tier")
+    // the standard layout verbs work unchanged on the coded layout
+    val victims = served.map(_(1).asInstanceOf[Long]).distinct.take(3)
+    Similarity.deleteFromLayout(spark, s"$tmp/idx", victims.toDF("vec_id"))
+    val after = serve(s"$tmp/idx")
+    assert(!after.map(_(1).asInstanceOf[Long]).exists(victims.contains))
+    Similarity.compactIvfPartitioned(spark, s"$tmp/idx")
+    val physIds = spark.read.parquet(s"$tmp/idx")
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(!physIds.contains(_)))
+    assert(after == serve(s"$tmp/idx"))
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
