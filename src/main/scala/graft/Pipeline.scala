@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curate, Dedup}
+import graft.operators.{Curate, Dedup, Similarity}
 import graft.functions.TextFunctions
 
 /** End-to-end training-data curation pipeline — the library's
@@ -265,7 +265,26 @@ object Pipeline {
   case class DayReport(day: String, input: Long, afterDedup: Long,
                        contaminated: Long, retracted: Long,
                        afterQuality: Long, train: Long, eval: Long,
-                       shardTokens: Long, dqViolations: Long)
+                       shardTokens: Long, dqViolations: Long,
+                       graphOutliers: Long = 0)
+
+  /** Graph-gate configuration for [[curateAndPackDayStep]] — the
+    * maintained kNN graph's first PIPELINE CONSUMER (until r13 the
+    * graph family was all diagnostics): `embeddings` is the day's
+    * (vec_id, embedding) frame with vec_id ≡ doc_id, and the gate
+    * drops curated docs whose vector's IN-DEGREE in the maintained
+    * graph is below `minInDegree` — the antihub-outlier signal
+    * (knn_hubness's zero/low-in-degree bucket: nobody's top-k cites
+    * them, the classic OOD/noise indicator on an embedding corpus).
+    * Docs without a vector pass (the gate covers the embedded
+    * corpus, the pipeline_emb convention). The graph artifact lives
+    * at `stateDir/knn_graph` — today's vectors append BEFORE the
+    * gate evaluates, so day-N decisions read the graph of ALL
+    * arrivals ≤ N (≡ the one-shot graph of that prefix — the r12
+    * append invariant; composition spec'd in PipelineSpec), and
+    * [[forgetDocs]] scrubs it like every other maintained
+    * artifact. */
+  case class GraphGate(embeddings: DataFrame, minInDegree: Long = 1)
 
   /** Create the EMPTY maintained state a day loop starts from. The
     * chunk/band/shingle/retraction artifacts are schema-typed empty
@@ -329,6 +348,7 @@ object Pipeline {
                            lmArtifact: Option[(DataFrame, DataFrame)] = None,
                            exciseChunks: Boolean = true,
                            dedupLines: Boolean = false,
+                           graphGate: Option[GraphGate] = None,
                            shardBudget: Long = 20000,
                            bpeMerges: Option[Seq[(String, String)]] = None,
                            unigramPieces: Option[Seq[(String, Long)]] = None,
@@ -453,8 +473,57 @@ object Pipeline {
         heuristicKeep.join(lmKeep, Seq("doc_id"), "left_semi")
       case None => heuristicKeep
     }
-    val curated = clean.join(keepIds, Seq("doc_id"), "left_semi")
+    val curated0 = clean.join(keepIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
+
+    // 4.5. graph gate (optional): maintain the kNN-graph artifact
+    // with today's vectors, then drop curated docs whose in-degree
+    // says nobody's top-k cites them (antihub outliers). The append
+    // runs FIRST, so the gate reads the graph of ALL arrivals ≤ today
+    // (≡ the one-shot graph of that prefix — the r12 append spec).
+    val (curated, graphOutliers) = graphGate match {
+      case None => (curated0, 0L)
+      case Some(g) =>
+        val gDir = s"$stateDir/knn_graph"
+        val centsDir = s"$stateDir/knn_graph_cents"
+        val fs = new org.apache.hadoop.fs.Path(gDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val emb = g.embeddings.select(col("vec_id"), col("embedding"))
+          .localCheckpoint() // materialize before the artifact writes
+        // the coarse quantizer is FIXED across appends (the artifact
+        // contract): trained once on the bootstrap day's bounded
+        // sample, persisted, read back bit-identically (doubles
+        // round-trip parquet exactly)
+        val cents: Array[Array[Double]] =
+          if (fs.exists(new org.apache.hadoop.fs.Path(centsDir)))
+            spark.read.parquet(centsDir).orderBy("cid")
+              .select("c").as[Seq[Double]].collect().map(_.toArray)
+          else {
+            val sample = emb.orderBy("vec_id").limit(2048)
+              .select("embedding").as[Array[Float]].collect()
+            val cs = Similarity.trainCentroids(sample,
+              math.min(Similarity.IvfNlist, math.max(1, sample.length / 8)),
+              iters = 10)
+            cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+              .toSeq.toDF("cid", "c")
+              .write.mode("overwrite").parquet(centsDir)
+            cs
+          }
+        if (!fs.exists(new org.apache.hadoop.fs.Path(gDir)))
+          Similarity.writeKnnGraph(emb, cents, gDir)
+        else Similarity.knnGraphAppendStep(spark, gDir, emb, cents)
+        val inDeg = spark.read.parquet(s"$gDir/edges")
+          .groupBy(col("neighbor_id").as("doc_id"))
+          .agg(count(lit(1)).as("in_deg"))
+        val antihubs = spark.read.parquet(s"$gDir/nodes")
+          .select(col("vec_id").as("doc_id"))
+          .join(inDeg, Seq("doc_id"), "left")
+          .filter(coalesce(col("in_deg"), lit(0L)) < g.minInDegree)
+          .select("doc_id")
+        val gated = curated0.join(antihubs, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (gated, curated0.count() - gated.count())
+    }
     val afterQuality = curated.count()
     val train = curated.filter(col("split") === "train").count()
     val eval = afterQuality - train
@@ -503,7 +572,7 @@ object Pipeline {
       .agg(sum(col("value")).as("v")).collect().head.getLong(0)
 
     DayReport(day, input, afterDedup, contaminated, retracted,
-      afterQuality, train, eval, shardTokens, dqViolations)
+      afterQuality, train, eval, shardTokens, dqViolations, graphOutliers)
   }
 
   /** All shard rows of the given days (default: every day present),
@@ -645,7 +714,16 @@ object Pipeline {
     graft.sources.Compact.compactInPlace(spark, s"$stateDir/train_shingles",
       transform = _.join(broadcast(forget.select(col("doc_id")
           .as("train_id"))), Seq("train_id"), "left_anti"))
-    // 5. cluster map (present only once a day produced edges)
+    // 5. maintained kNN graph (present only when the graph gate ran):
+    // the forgotten docs' vectors leave nodes/probes/edges and every
+    // survivor top-k that cited one refills exactly
+    val gDir = s"$stateDir/knn_graph"
+    val gfs = new org.apache.hadoop.fs.Path(gDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (gfs.exists(new org.apache.hadoop.fs.Path(gDir)))
+      Similarity.forgetFromKnnGraph(spark, gDir,
+        forget.select(col("doc_id").as("vec_id")))
+    // 6. cluster map (present only once a day produced edges)
     val mapDir = s"$stateDir/cluster_map"
     val fs = new org.apache.hadoop.fs.Path(mapDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

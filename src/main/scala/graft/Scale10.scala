@@ -373,6 +373,47 @@ object Scale10 {
       }
       last
     }
+    // the GRAPH GATE composed into the day loop (r13): the mult×
+    // embedded corpus bootstraps the maintained kNN graph, then
+    // constant-size days append their vectors and gate on in-degree —
+    // per-day cost = the plain day loop + the knnGraphAppendStep cost
+    // (at toy nlist the append saturates every bucket — the r12
+    // wave-11 analysis; production nlist collapses it)
+    t(s"pipeline_day_steps_graph_${mult}x") {
+      val state = s"/tmp/scale_pipeline_days_gg_$mult/state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state), true)
+      Pipeline.initDailyState(spark, state)
+      val docsE = docs.join(emb.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val t0 = System.nanoTime()
+      Pipeline.curateAndPackDayStep(spark, docsE, state, "d0",
+        graphGate = Some(Pipeline.GraphGate(emb, minInDegree = 1)))
+      println(f"SCALE pipeline_day_steps_graph bootstrap(${mult}x corpus)=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      var last = 0L
+      (1 to 2).foreach { i =>
+        val batch = Tables.documents(spark, d)
+          .select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("lang"),
+            concat(regexp_replace(col("text"), " ", s"x$i "),
+              lit(s"x$i")).as("text"))
+          .join(Tables.embeddings(spark, d)
+            .select((col("vec_id") + i * 10000000L).as("doc_id")),
+            Seq("doc_id"), "left_semi")
+        val bEmb = Tables.embeddings(spark, d)
+          .select((col("vec_id") + i * 10000000L).as("vec_id"),
+            col("embedding"))
+        val ti = System.nanoTime()
+        val r = Pipeline.curateAndPackDayStep(spark, batch, state, s"d$i",
+          graphGate = Some(Pipeline.GraphGate(bEmb, minInDegree = 1)))
+        println(f"SCALE pipeline_day_steps_graph day$i=" +
+          f"${(System.nanoTime() - ti) / 1e9}%.2fs report=$r")
+        last = r.afterQuality
+      }
+      last
+    }
     // the embedding-dedup front-end composed end-to-end: replicas are
     // EXACT embedding dups, so τ=0.9 (32×16 geometry, output-bound)
     // collapses each replica cluster; downstream stages identical.

@@ -552,6 +552,72 @@ class PipelineSpec extends SparkSpec {
       "line index still references a forgotten id")
   }
 
+  test("graph gate: day steps drop exactly the one-shot antihub signal; forget scrubs the graph") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val b1 = daySlice(0, 60)
+    val b2 = daySlice(60, 120)
+    val emb = Tables.embeddings(spark, sf)
+    val e1 = emb.filter(col("vec_id") < 60)
+    val e2 = emb.filter(col("vec_id") >= 60 && col("vec_id") < 120)
+    // reference run: gate ON but dropping nothing (minInDegree = 0) —
+    // maintains the graph identically, ships the ungated corpus
+    val stateU = java.nio.file.Files.createTempDirectory("graft-gg-u").toString
+    Pipeline.initDailyState(spark, stateU)
+    Pipeline.curateAndPackDayStep(spark, b1, stateU, "d1",
+      graphGate = Some(Pipeline.GraphGate(e1, minInDegree = 0)))
+    Pipeline.curateAndPackDayStep(spark, b2, stateU, "d2",
+      graphGate = Some(Pipeline.GraphGate(e2, minInDegree = 0)))
+    // the maintained graph the gate reads IS the one-shot graph of
+    // all arrivals (the append invariant, re-proved through the
+    // pipeline path)
+    val cents = spark.read.parquet(s"$stateU/knn_graph_cents")
+      .orderBy("cid").select("c").as[Seq[Double]].collect().map(_.toArray)
+    val oneShot = Similarity.knnGraphOn(e1.unionByName(e2), cents)
+    def edgeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    assert(edgeRows(Similarity.readKnnGraph(spark, s"$stateU/knn_graph")) ==
+      edgeRows(oneShot))
+    val inDeg = oneShot.groupBy(col("neighbor_id")).count()
+      .as[(Long, Long)].collect().toMap
+    def shippedD2(state: String) = spark.read
+      .json(s"$state/days/d2/train/shards")
+      .unionByName(spark.read.json(s"$state/days/d2/val/shards"),
+        allowMissingColumns = true)
+      .unionByName(spark.read.json(s"$state/days/d2/test/shards"),
+        allowMissingColumns = true)
+      .select("doc_id").as[Long].collect().toSet
+    val shippedU = shippedD2(stateU)
+    // pick the gate threshold FROM the data so the day-2 drop set is
+    // guaranteed nonempty: one above the weakest shipped doc's
+    // in-degree
+    val m = shippedU.map(id => inDeg.getOrElse(id, 0L)).min + 1
+    val stateG = java.nio.file.Files.createTempDirectory("graft-gg-g").toString
+    Pipeline.initDailyState(spark, stateG)
+    Pipeline.curateAndPackDayStep(spark, b1, stateG, "d1",
+      graphGate = Some(Pipeline.GraphGate(e1, minInDegree = 0)))
+    val r2 = Pipeline.curateAndPackDayStep(spark, b2, stateG, "d2",
+      graphGate = Some(Pipeline.GraphGate(e2, minInDegree = m)))
+    val shippedG = shippedD2(stateG)
+    val dropped = shippedU -- shippedG
+    val expected = shippedU.filter(id => inDeg.getOrElse(id, 0L) < m)
+    assert(dropped == expected && dropped.nonEmpty,
+      s"gate dropped $dropped, one-shot signal says $expected")
+    assert(r2.graphOutliers == expected.size.toLong)
+    // erasure covers the pipeline's graph artifact
+    val victim = shippedG.min
+    Pipeline.forgetDocs(spark, stateG, Seq(victim).toDF("doc_id"))
+    Seq("edges", "nodes", "probes").foreach { part =>
+      val df = spark.read.parquet(s"$stateG/knn_graph/$part")
+      val idCols = df.columns.filter(c => c == "vec_id" || c == "neighbor_id")
+      idCols.foreach { c =>
+        assert(df.filter(col(c) === victim).count() == 0,
+          s"knn_graph/$part.$c still references the forgotten doc")
+      }
+    }
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the
