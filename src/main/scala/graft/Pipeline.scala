@@ -556,19 +556,71 @@ object Pipeline {
       .write.mode("append").parquet(s"$stateDir/train_shingles")
 
     // 6. DQ gate over the day's append (the publish-gate discipline:
-    // nonzero violations mean the WRITE went wrong, not the data)
+    // nonzero violations mean the WRITE went wrong, not the data).
+    // With a tokenizer artifact, the gate also PUBLISHES the day's
+    // fertility + coverage block over the shipped text (tok_* rows —
+    // informational, excluded from the violation sum): the report a
+    // consumer reads before pointing a training loader at the drop.
     val dayRows = readShardDocs(spark, stateDir, Seq(day))
+    val tokEnc: Option[(String, String => Int, String => Option[Int])] =
+      bpeMerges.map { m =>
+        ("bpe",
+          (w: String) => graft.functions.Bpe.encode(w, m).length,
+          (w: String) => Some(graft.functions.Bpe.encode(w, m).length)
+            : Option[Int])
+      }.orElse(unigramPieces.map { p =>
+        val mp = p.toMap
+        ("unigram",
+          (w: String) => graft.functions.Unigram.segment(w, mp)
+            .map(_.length).getOrElse(0),
+          (w: String) => graft.functions.Unigram.segment(w, mp)
+            .map(_.length))
+      }).orElse(wordpiecePieces.map { p =>
+        val sp = p.toSet
+        ("wordpiece",
+          (w: String) => graft.functions.Wordpiece.encode(w, sp)
+            .map(_.length).getOrElse(1),
+          (w: String) => graft.functions.Wordpiece.encode(w, sp)
+            .map(_.length))
+      })
+    val tokBlock: Seq[DataFrame] = tokEnc match {
+      case Some((tname, encLen, encOpt))
+          if dayRows.limit(1).count() > 0 =>
+        val f = graft.functions.TokenizerStats
+          .fertilityOn(dayRows, tname, encLen).collect().head
+        val c = graft.functions.TokenizerStats
+          .coverageOn(dayRows, tname, encOpt).collect().head
+        if (f.isNullAt(f.fieldIndex("n_tokens")) ||
+            f.getAs[Long]("n_tokens") == 0L) Seq.empty
+        else {
+        val rows = Seq(
+          "tok_n_words" -> f.getAs[Long]("n_words"),
+          "tok_n_chars" -> f.getAs[Long]("n_chars"),
+          "tok_n_tokens" -> f.getAs[Long]("n_tokens"),
+          "tok_tokens_per_word_e6" -> math.floor(
+            f.getAs[Double]("tokens_per_word") * 1e6 + 0.5).toLong,
+          "tok_chars_per_token_e6" -> math.floor(
+            f.getAs[Double]("chars_per_token") * 1e6 + 0.5).toLong,
+          "tok_covered" -> c.getAs[Long]("n_covered"),
+          "tok_oov" -> c.getAs[Long]("n_oov"),
+          "tok_whole" -> c.getAs[Long]("n_whole"),
+          "tok_max_pieces" -> c.getAs[Int]("max_pieces").toLong)
+        Seq(rows.toDF("metric", "value"))
+        }
+      case _ => Seq.empty
+    }
     val dq = operators.DataQuality.suite(
-      operators.DataQuality.rowMetrics(dayRows, Seq(
+      Seq(operators.DataQuality.rowMetrics(dayRows, Seq(
         "null_lang" -> col("lang").isNull,
         "empty_docs" -> (col("n_tokens") <= 0),
         "bad_split" -> !col("split").isin("train", "val", "test"))),
       operators.DataQuality.keyDuplicates(dayRows, Seq("doc_id"),
-        "dup_doc_keys"))
+        "dup_doc_keys")) ++ tokBlock: _*)
     dq.write.mode("overwrite").parquet(s"$stateDir/days/$day/dq_report")
     val dqViolations = spark.read
       .parquet(s"$stateDir/days/$day/dq_report")
-      .filter(col("metric") =!= "row_count")
+      .filter(col("metric") =!= "row_count" &&
+        !col("metric").startsWith("tok_"))
       .agg(sum(col("value")).as("v")).collect().head.getLong(0)
 
     DayReport(day, input, afterDedup, contaminated, retracted,

@@ -127,6 +127,63 @@ object TokenizerStats {
       .orderBy(col("tokenizer"))
   }
 
+  /** Fertility over an ARBITRARY docs frame for ONE supplied encoder
+    * — the day-gate form ([[graft.Pipeline.curateAndPackDayStep]]
+    * ships with exactly one tokenizer artifact and publishes this
+    * table over the day's shipped text): same vocab-collapse
+    * discipline and output row as [[tokenizerFertility]] (spec'd
+    * equal to the query's row under the query's own encoder).
+    * `encLen` must embed the tokenizer's own OOV fallback (the
+    * query's: BPE always encodes, unigram 0, WordPiece 1). */
+  def fertilityOn(docs: DataFrame, name: String,
+                  encLen: String => Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(Bpe.SegWordRe))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val wt = vocab.select(col("word")).as[String]
+      .map(w => (w, encLen(w))).toDF("word", "w_tokens")
+    vocab.join(broadcast(wt), "word")
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * length(col("word"))).as("n_chars"),
+        sum(col("n_occ") * col("w_tokens")).as("n_tokens"))
+      .select(lit(name).as("tokenizer"),
+        col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("tokens_per_word"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"))
+  }
+
+  /** Coverage over an ARBITRARY docs frame for ONE supplied
+    * segmentability rule (None = the word is OOV for this artifact) —
+    * the day-gate twin of [[tokenizerCoverage]]; `probes` lets the
+    * caller inject OOV probe words (the query does, the day gate
+    * reports the shipped vocabulary's REAL UNK rate and injects
+    * none). */
+  def coverageOn(docs: DataFrame, name: String,
+                 enc: String => Option[Int],
+                 probes: Seq[String] = Nil): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val probe = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(Bpe.SegWordRe))
+      .distinct().as[String]
+      .union(probes.toDS()).distinct()
+    probe.map(w => enc(w).getOrElse(-1)).toDF("nt")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("nt") >= 0, 1L).otherwise(0L)).as("n_covered"),
+        sum(when(col("nt") < 0, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("nt") === 1, 1L).otherwise(0L)).as("n_whole"),
+        max(when(col("nt") >= 0, col("nt"))).as("max_pieces"))
+      .select(lit(name).as("tokenizer"), col("n_words"), col("n_covered"),
+        col("n_oov"), col("n_whole"), col("max_pieces"))
+  }
+
   /** DuckDB oracle for [[tokenizerCoverage]] — the three coverage
     * chains (injected VALUES + trained-artifact literals), one
     * WITH-subquery per row. Data-dependent → emitted by

@@ -197,19 +197,51 @@ object Wordpiece {
       (x.num * y.den).compare(y.num * x.den)
   }
 
+  /** Truncation accounting for [[trainWordpiece]] — the repo's
+    * no-silent-caps rule applied to the trainer: when the vocabulary
+    * exceeds the driver budget, training uses the top-`limit` words
+    * by (count DESC, word) — standard tokenizer practice
+    * (SentencePiece caps its training sentences the same way), but
+    * the CALLER must be able to see it happened. `truncated` says so;
+    * `vocabWords`/`trainedWords` quantify it. */
+  case class WpTrainReport(pieces: Seq[String], vocabWords: Long,
+                           trainedWords: Long) {
+    def truncated: Boolean = trainedWords < vocabWords
+  }
+
   /** Train from a (word, count) vocabulary frame — the [[Bpe]]
-    * dispatch: vocabularies beyond the driver budget truncate to the
-    * top-limit words by (count DESC, word), deterministically. */
+    * dispatch shape. Vocabularies beyond the driver budget truncate
+    * to the top-limit words by (count DESC, word), deterministically;
+    * the truncation is NOT silent — use [[trainWordpieceWithReport]]
+    * to observe it (this convenience form notes it on stderr). */
   def trainWordpiece(vocab: DataFrame,
                      numMerges: Int = WpMerges): Seq[String] = {
+    val r = trainWordpieceWithReport(vocab, numMerges)
+    if (r.truncated)
+      System.err.println(s"[graft] wordpiece trainer truncated the " +
+        s"vocabulary: ${r.trainedWords} of ${r.vocabWords} words " +
+        s"(top by count desc, word) — use trainWordpieceWithReport " +
+        s"to handle this explicitly")
+    r.pieces
+  }
+
+  /** [[trainWordpiece]] with the truncation made observable. `limit`
+    * is a parameter so the behavior is testable below the real
+    * [[Bpe.DriverVocabLimit]] budget. */
+  def trainWordpieceWithReport(vocab: DataFrame,
+                               numMerges: Int = WpMerges,
+                               limit: Int = Bpe.DriverVocabLimit)
+      : WpTrainReport = {
     val slim = vocab.select(col("word"), col("count"))
       .filter(col("word").rlike(WordRe))
+    val over = slim.limit(limit + 1).count() > limit
     val src =
-      if (slim.limit(Bpe.DriverVocabLimit + 1).count() > Bpe.DriverVocabLimit)
-        slim.orderBy(col("count").desc, col("word")).limit(Bpe.DriverVocabLimit)
+      if (over) slim.orderBy(col("count").desc, col("word")).limit(limit)
       else slim
-    trainWordpieceLocal(
-      src.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, numMerges)
+    val rows = src.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = if (over) slim.count() else rows.length.toLong
+    WpTrainReport(trainWordpieceLocal(rows, numMerges), total,
+      rows.length.toLong)
   }
 
   /** Greedy longest-match-first (MaxMatch) encoding. None = [UNK]

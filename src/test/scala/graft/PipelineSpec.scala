@@ -552,6 +552,47 @@ class PipelineSpec extends SparkSpec {
       "line index still references a forgotten id")
   }
 
+  test("day DQ report publishes the tokenizer fertility/coverage block over shipped text") {
+    import spark.implicits._
+    import graft.functions.{Bpe, TokenizerStats}
+    val state = java.nio.file.Files.createTempDirectory("graft-days-dq").toString
+    Pipeline.initDailyState(spark, state)
+    val docs = daySlice(0, 60)
+    val merges = Bpe.trainMerges(Bpe.wordVocab(docs), 30)
+    val r = Pipeline.curateAndPackDayStep(spark, docs, state, "d1",
+      bpeMerges = Some(merges))
+    assert(r.dqViolations == 0, "tok_* rows must not count as violations")
+    val dq = spark.read.parquet(s"$state/days/d1/dq_report")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // the block is present and equals the day-gate forms computed
+    // over the SHIPPED day text with the SAME artifact
+    val shipped = Pipeline.readCuratedDocs(spark, state)
+      .select(col("doc_id"), col("text"))
+    val f = TokenizerStats.fertilityOn(shipped, "bpe",
+      w => Bpe.encode(w, merges).length).collect().head
+    val c = TokenizerStats.coverageOn(shipped, "bpe",
+      w => Some(Bpe.encode(w, merges).length)).collect().head
+    assert(dq("tok_n_words") == f.getAs[Long]("n_words"))
+    assert(dq("tok_n_chars") == f.getAs[Long]("n_chars"))
+    assert(dq("tok_n_tokens") == f.getAs[Long]("n_tokens"))
+    assert(dq("tok_tokens_per_word_e6") ==
+      math.floor(f.getAs[Double]("tokens_per_word") * 1e6 + 0.5).toLong)
+    assert(dq("tok_chars_per_token_e6") ==
+      math.floor(f.getAs[Double]("chars_per_token") * 1e6 + 0.5).toLong)
+    assert(dq("tok_covered") == c.getAs[Long]("n_covered"))
+    assert(dq("tok_oov") == c.getAs[Long]("n_oov"))
+    assert(dq("tok_whole") == c.getAs[Long]("n_whole"))
+    assert(dq("tok_max_pieces") == c.getAs[Int]("max_pieces").toLong)
+    // BPE coverage over its own training text: nothing is OOV
+    assert(dq("tok_oov") == 0 && dq("tok_covered") > 0)
+    // without an artifact the report carries no tok_ rows
+    val state2 = java.nio.file.Files.createTempDirectory("graft-days-dq2").toString
+    Pipeline.initDailyState(spark, state2)
+    Pipeline.curateAndPackDayStep(spark, docs, state2, "d1")
+    assert(spark.read.parquet(s"$state2/days/d1/dq_report")
+      .filter(col("metric").startsWith("tok_")).count() == 0)
+  }
+
   test("graph gate: day steps drop exactly the one-shot antihub signal; forget scrubs the graph") {
     import spark.implicits._
     import graft.operators.Similarity

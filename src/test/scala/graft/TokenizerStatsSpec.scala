@@ -21,6 +21,25 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(fert("wordpiece") == totals("wordpiece_token_count", "wp_tokens"))
   }
 
+  test("fertilityOn/coverageOn (the day-gate forms) reproduce the query rows") {
+    import graft.functions.{Bpe, TokenizerStats}
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.trainedMerges(spark, sf, Bpe.SegMerges)
+    val alphabet = TokenizerStats.trainedAlphabet(spark, sf).toSet
+    val fOn = TokenizerStats.fertilityOn(docs, "bpe",
+      w => Bpe.encode(w, merges).length).collect().head.toSeq
+    val fQuery = TokenizerStats.tokenizerFertility(spark, sf)
+      .filter(col("tokenizer") === "bpe").collect().head.toSeq
+    assert(fOn == fQuery)
+    val cOn = TokenizerStats.coverageOn(docs, "bpe",
+      w => if (w.forall(alphabet.contains)) Some(Bpe.encode(w, merges).length)
+           else None,
+      probes = TokenizerStats.OovProbes).collect().head.toSeq
+    val cQuery = TokenizerStats.tokenizerCoverage(spark, sf)
+      .filter(col("tokenizer") === "bpe").collect().head.toSeq
+    assert(cOn == cQuery)
+  }
+
   test("coverage flags the injected OOV probes and only them as uncovered") {
     val rows = TokenizerStats.tokenizerCoverage(spark, sf).collect()
       .map(r => r.getAs[String]("tokenizer") ->

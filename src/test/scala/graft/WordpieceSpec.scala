@@ -40,6 +40,23 @@ class WordpieceSpec extends SparkSpec {
     assert(alphabet.subsetOf(ps))
   }
 
+  test("vocab truncation is observable, deterministic, and trains the top words") {
+    // the no-silent-caps rule: past the driver budget, training uses
+    // the top-limit words by (count DESC, word) and SAYS SO
+    val limit = 25
+    val r = Wordpiece.trainWordpieceWithReport(vocab, limit = limit)
+    assert(r.truncated && r.trainedWords == limit &&
+      r.vocabWords == localVocab.length.toLong)
+    val expectedTop = localVocab
+      .sortBy { case (w, c) => (-c, w) }.take(limit)
+    assert(r.pieces == Wordpiece.trainWordpieceLocal(expectedTop))
+    // under the budget: no truncation, full vocab trained
+    val full = Wordpiece.trainWordpieceWithReport(vocab)
+    assert(!full.truncated &&
+      full.trainedWords == localVocab.length.toLong &&
+      full.pieces == pieces)
+  }
+
   test("encode is total over corpus words, concatenates back, and is greedy") {
     val ps = pieces.toSet
     localVocab.map(_._1).foreach { w =>
