@@ -94,7 +94,8 @@ object Bench {
     val exact = pairs("ann_bruteforce").cache()
     val n = exact.count().toDouble
     val out = Seq("ann_lsh", "ann_ivf", "ann_sq8", "ann_ivf_sq8", "ann_pq",
-      "ann_ivf_pq", "ann_prefix", "ann_ivf_prefix").map { q =>
+      "ann_ivf_pq", "ann_prefix", "ann_ivf_prefix", "ann_graph_walk")
+      .map { q =>
       q -> (if (n == 0) 0.0
             else pairs(q).join(exact, Seq("query_id", "neighbor_id"), "left_semi")
               .count() / n)

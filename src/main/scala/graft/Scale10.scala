@@ -276,6 +276,13 @@ object Scale10 {
             .cast("double") / count(lit(1)), 6).as("mean_nll"))
         .count()
     }
+    // graph-walk ANN (r13): edge build = the knn_graph pass (its
+    // Scale10 row); the walk itself is O(beam·deg·depth) scores per
+    // query over bounded broadcast frontiers — must track the edge
+    // build, not the corpus
+    t(s"graph_walk_${mult}x")(
+      operators.Similarity.annGraphWalkFrom(emb,
+        operators.Similarity.ivfCentroids(spark, d)).count())
     // CCNet bucketing: the LM-score chain + the bounded 6-dp-grid
     // histogram walk for the tertile elements (r13 replaced the
     // corpus-proportional TakeOrdered) — cost must track the LM scan

@@ -79,6 +79,7 @@ object SparkEntry {
     "ann_ivf_prefix"      -> ((s, d) => Similarity.annIvfPrefix(s, d)),
     "ann_ivf_filtered"    -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_ivf_white"       -> ((s, d) => Similarity.annIvfWhite(s, d)),
+    "ann_graph_walk"      -> ((s, d) => Similarity.annGraphWalk(s, d)),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "kmeans_report"       -> ((s, d) => Similarity.kmeansReport(s, d)),
     "mine_bitext"         -> ((s, d) => Similarity.mineBitext(s, d)),
@@ -182,6 +183,7 @@ object SparkEntry {
       ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
       ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
       ("ann_ivf_white" -> Similarity.annIvfWhiteOracleSql(s, d)) +
+      ("ann_graph_walk" -> Similarity.annGraphWalkOracleSql(s, d)) +
       ("knn_graph" -> Similarity.knnGraphOracleSql(s, d)) +
       ("kmeans_report" -> Similarity.kmeansReportOracleSql(s, d)) +
       ("mine_bitext" -> Similarity.mineBitextOracleSql(s, d)) +

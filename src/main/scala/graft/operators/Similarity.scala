@@ -3537,6 +3537,265 @@ object Similarity {
       WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  // ---- graph-walk ANN (ann_graph_walk) ------------------------------------
+
+  /** Graph-walk defaults. Degree 8 (the stored edge out-degree the
+    * walk navigates — denser than KnnK=5 because navigability, not
+    * the answer set, is what the edges buy); beam 32; depth 3 —
+    * measured on the isotropic corpus (§6 walk sweep). */
+  private[graft] val GraphWalkDeg = 8
+  private[graft] val GraphWalkBeam = 32
+  private[graft] val GraphWalkDepth = 3
+
+  /** Exact 1e-9-snapped per-term dot (the §5 no-accumulated-float
+    * rule): Σ_j floor(a_j·b_j·1e9 + ½) as a BIGINT. */
+  private def snapDot9(a: Array[Float], b: Array[Float]): Long = {
+    var s = 0L; var j = 0
+    while (j < a.length) {
+      s += math.floor(a(j).toDouble * b(j) * 1e9 + 0.5).toLong; j += 1
+    }
+    s
+  }
+
+  /** cos_e6 from exact integer dot/norms — one fixed scalar IEEE
+    * chain on identical int inputs (bit-identical cross-engine). */
+  private def cosE6(s: Long, qn: Long, xn: Long): Long =
+    math.floor(s.toDouble /
+      (math.sqrt(qn.toDouble) * math.sqrt(xn.toDouble)) * 1e6 + 0.5).toLong
+
+  /** ann_graph_walk — GRAPH-NAVIGATION ANN (the NSW/HNSW family,
+    * completing the ANN story: quantization, dims, hashing, coarse
+    * quantizer, whitening — and now graph walk): serve queries by
+    * BEAM SEARCH over the corpus kNN graph instead of probing
+    * quantizer buckets. Entry points are one deterministic medoid
+    * per IVF bucket (min vec_id — bounded by nlist, spread by the
+    * quantizer); each round the frontier expands through the stored
+    * out-edges and keeps the best `beam` nodes; after `depth` fixed
+    * rounds the top-k of the final frontier answers (monotone: the
+    * frontier only ever improves, since S ⊆ S ∪ N(S) before the
+    * cut). Self-exclusion applies at the FINAL cut only — the query
+    * vector itself is the best possible navigation node.
+    *
+    * Determinism: scores are exact-integer cos_e6 (per-term 1e-9
+    * snaps — [[snapDot9]]); entry assignment is an exact integer
+    * argmax (per-term-snapped centroid dots, cid tie-break); ranks
+    * break ties on node id. The walk is a FIXED number of rounds, so
+    * the oracle UNROLLS it (the graph_pagerank discipline).
+    *
+    * 100 TB shape: the edges come from the maintained kNN-graph
+    * artifact ([[writeKnnGraph]] — here built in-query so the oracle
+    * can replay it); per round ONE broadcast join of the bounded
+    * frontier (queries × beam rows) against the edge list and ONE
+    * broadcast-frontier candidate scoring pass against the pruned
+    * corpus — per-query work is O(beam · deg · depth) candidate
+    * scores, independent of corpus size once the edges exist. The
+    * serving twin over the stored artifact is
+    * [[annGraphWalkServeBatch]]. */
+  def annGraphWalk(s: SparkSession, d: String, nQueries: Int = 10,
+                   k: Int = 5, deg: Int = GraphWalkDeg,
+                   beam: Int = GraphWalkBeam, depth: Int = GraphWalkDepth,
+                   nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+    annGraphWalkFrom(Tables.embeddings(s, d), ivfCentroids(s, d, nlist),
+      nQueries, k, deg, beam, depth, nprobe)
+  }
+
+  /** [[annGraphWalk]] over an arbitrary embeddings frame — the
+    * Scale10 probe entry. */
+  def annGraphWalkFrom(emb: DataFrame, cents: Array[Array[Double]],
+                       nQueries: Int = 10, k: Int = 5,
+                       deg: Int = GraphWalkDeg, beam: Int = GraphWalkBeam,
+                       depth: Int = GraphWalkDepth,
+                       nprobe: Int = IvfNprobe): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val edges = knnGraphOn(emb, cents, deg, nprobe)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val bcC = s.sparkContext.broadcast(cents)
+    // one deterministic entry medoid per bucket: exact-integer
+    // centroid argmax (per-term snaps), min id per bucket
+    val entries = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value
+        var best = 0; var bestDot = Long.MinValue; var i = 0
+        while (i < cs.length) {
+          val e = cs(i); var dd = 0L; var j = 0
+          while (j < v.length) {
+            dd += math.floor(e(j) * v(j) * 1e9 + 0.5).toLong; j += 1
+          }
+          if (dd > bestDot) { bestDot = dd; best = i }
+          i += 1
+        }
+        (best, id)
+      }.toDF("bucket", "vec_id")
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("node"))
+      .select(col("node")).as[Long].collect().sorted // bounded by nlist
+    annGraphWalkOn(emb, edges, entries,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, beam, depth, excludeSelf = true)
+  }
+
+  /** Serve a query batch by graph walk over the STORED kNN-graph
+    * artifact ([[writeKnnGraph]]/[[knnGraphAppendStep]]): edges and
+    * corpus vectors come from `edges/` and `nodes/`, entry medoids
+    * from the stored bucket column (min vec_id per bucket). The
+    * [[annIvfServeBatch]] serving contract: query ids are an
+    * independent space, excludeSelf opt-in. Walk degree is whatever
+    * the artifact stored (its k). */
+  def annGraphWalkServeBatch(s: SparkSession, dir: String,
+                             queries: DataFrame, k: Int = 5,
+                             beam: Int = GraphWalkBeam,
+                             depth: Int = GraphWalkDepth,
+                             excludeSelf: Boolean = false): DataFrame = {
+    import s.implicits._
+    val nodes = s.read.parquet(s"$dir/nodes")
+    val entries = nodes.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("node"))
+      .select(col("node")).as[Long].collect().sorted // bounded by nlist
+    val edges = s.read.parquet(s"$dir/edges")
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    annGraphWalkOn(nodes.select(col("vec_id"), col("embedding")),
+      edges, entries,
+      queries.select(col("query_id"), col("embedding")),
+      k, beam, depth, excludeSelf)
+  }
+
+  /** The walk itself over given (src, dst) edges, corpus vectors,
+    * entry ids, and a bounded query frame — shared by the in-query
+    * form and the stored-artifact serving twin. */
+  private[graft] def annGraphWalkOn(emb: DataFrame, edges: DataFrame,
+                                    entries: Seq[Long], queries: DataFrame,
+                                    k: Int, beam: Int, depth: Int,
+                                    excludeSelf: Boolean): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    // bounded query set rides a broadcast map (qid → vector)
+    val qMap = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val bcQ = s.sparkContext.broadcast(qMap)
+    def score(cand: DataFrame): DataFrame = {
+      // candidates are (query_id, node); fetch vectors by one
+      // broadcast semi-join against the corpus, score exactly
+      val nodes = cand.select(col("node")).distinct()
+      val vecs = emb.join(broadcast(nodes),
+          emb("vec_id") === nodes("node"))
+        .select(col("vec_id").as("node"), col("embedding"))
+      cand.join(broadcast(vecs), Seq("node"))
+        .select(col("query_id"), col("node"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (qid, node, v) =>
+          val q = bcQ.value(qid)
+          (qid, node, cosE6(snapDot9(q, v), snapDot9(q, q), snapDot9(v, v)))
+        }.toDF("query_id", "node", "cos_e6")
+    }
+    // initial frontier assembled on the driver: queries × entry
+    // medoids are both bounded (never a crossJoin plan)
+    val init = for (q <- qMap.keys.toSeq.sorted; e <- entries) yield (q, e)
+    var frontier = score(init.toDF("query_id", "node"))
+      .localCheckpoint()
+    for (_ <- 1 to depth) {
+      val neigh = edges
+        .join(broadcast(frontier.select(col("query_id"),
+          col("node").as("src"))), Seq("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .distinct()
+        .join(broadcast(frontier.select(col("query_id"), col("node"))),
+          Seq("query_id", "node"), "left_anti")
+      val cand = frontier
+        .unionByName(score(neigh))
+      frontier = topKPerQuery(cand
+          .select(col("query_id"), col("node").as("neighbor_id"),
+            col("cos_e6").cast("double").as("cos_sim")), beam)
+        .select(col("query_id"), col("neighbor_id").as("node"),
+          col("cos_sim").cast("long").as("cos_e6"))
+        .localCheckpoint()
+    }
+    val fin = if (excludeSelf) frontier.filter(col("node") =!= col("query_id"))
+              else frontier
+    topKPerQuery(fin
+        .select(col("query_id"), col("node").as("neighbor_id"),
+          col("cos_e6").cast("double").as("cos_sim")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[annGraphWalk]]: the knnGraph chain (at walk
+    * degree) as the edge subquery, exact-integer entry assignment,
+    * and the beam search UNROLLED `depth` rounds (fixed rounds — the
+    * graph_pagerank discipline), each = expand through edges ∪ keep
+    * the ranked beam. Data-dependent → emitted by oracleSqlFor. */
+  def annGraphWalkOracleSql(s: SparkSession, d: String, nQueries: Int = 10,
+                            k: Int = 5, deg: Int = GraphWalkDeg,
+                            beam: Int = GraphWalkBeam,
+                            depth: Int = GraphWalkDepth,
+                            nlist: Int = IvfNlist,
+                            nprobe: Int = IvfNprobe): String = {
+    val cents = ivfCentroids(s, d, nlist)
+    val dim = cents.head.length
+    val centsSql = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    val knnSql = knnGraphOracleSql(s, d, deg, nlist, nprobe)
+    def snapSum(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, $dim + 1),
+          i -> CAST(floor($a[i] * $b[i] * 1e9 + 0.5) AS BIGINT))) AS BIGINT)"""
+    val rounds = (1 to depth).map { r =>
+      s"""c$r AS (
+        SELECT query_id, node FROM s${r - 1}
+        UNION
+        SELECT f.query_id, e.dst AS node
+        FROM s${r - 1} f JOIN edges e ON e.src = f.node),
+      s$r AS (
+        SELECT query_id, node, cos_e6 FROM (
+          SELECT sc.query_id, sc.node, sc.cos_e6,
+            row_number() OVER (PARTITION BY sc.query_id
+              ORDER BY sc.cos_e6 DESC, sc.node) AS rn
+          FROM (SELECT c.query_id, c.node,
+                  CAST(floor(CAST(${snapSum("q.de", "x.de")} AS DOUBLE)
+                    / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(xn.n2 AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT) AS cos_e6
+                FROM c$r c
+                JOIN dembs q ON q.vec_id = c.query_id
+                JOIN dembs x ON x.vec_id = c.node
+                JOIN norms qn ON qn.vec_id = c.query_id
+                JOIN norms xn ON xn.vec_id = c.node) sc)
+        WHERE rn <= $beam)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH wcents(cid, c) AS (VALUES
+        $centsSql),
+      edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM ($knnSql)),
+      dembs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      norms AS (
+        SELECT vec_id, ${snapSum("de", "de")} AS n2 FROM dembs),
+      cdotE AS (
+        SELECT e.vec_id, w.cid, ${snapSum("w.c", "e.de")} AS dot
+        FROM dembs e CROSS JOIN wcents w),
+      entries AS (
+        SELECT MIN(vec_id) AS node FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot DESC, cid) AS rn
+          FROM cdotE) WHERE rn = 1 GROUP BY cid),
+      s0 AS (
+        SELECT q.vec_id AS query_id, en.node,
+          CAST(0 AS BIGINT) AS cos_e6
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < $nQueries) q
+        CROSS JOIN entries en),
+      $rounds
+      SELECT query_id, neighbor_id, cos_e6, rank FROM (
+        SELECT query_id, node AS neighbor_id, cos_e6,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_e6 DESC, node) AS INT) AS rank
+        FROM s$depth WHERE node <> query_id)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** DuckDB oracle for [[embPca]]: component literals + 1e-9-unit
     * BIGINT offsets, the identical per-term-snap → exact-integer-sum
     * → one-floor-division pe6 chain (NO float accumulation — r12's

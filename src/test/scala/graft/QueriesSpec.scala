@@ -16,7 +16,7 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
       Set("ann_ivf", "ann_ivf_sq8", "ann_pq", "ann_ivf_pq",
         "ann_ivf_prefix", "ann_ivf_filtered", "ann_ivf_white",
-        "dedup_semantic",
+        "ann_graph_walk", "dedup_semantic",
         "select_prototypes", "knn_graph", "kmeans_report", "mine_bitext",
         "tokenizer_fertility", "tokenizer_coverage", "graph_pagerank",
         "emb_pca", "knn_hubness", "knn_components", "graph_profile",

@@ -47,6 +47,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"ann_ivf_white recall@5 = $recall")
   }
 
+  test("graph-walk recall@5 vs brute force >= 0.8") {
+    // beam search over the degree-8 kNN graph from one entry medoid
+    // per IVF bucket — isotropic data is graph-ANN's hardest regime
+    // (poor navigability), hence the denser walk degree
+    val recall = (pairs(Similarity.annGraphWalk(spark, sf01)) & exact)
+      .size.toDouble / exact.size
+    info(s"ann_graph_walk recall@5 = $recall")
+    assert(recall >= 0.8, s"ann_graph_walk recall@5 = $recall")
+  }
+
   test("SQ8 recall@5 vs brute force >= 0.9") {
     // int8 quantization error on this grid is ~0.4% of the value
     // range per dim — far below the neighbor/non-neighbor cosine gap,

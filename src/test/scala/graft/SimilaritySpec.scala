@@ -244,6 +244,45 @@ class SimilaritySpec extends SparkSpec {
     assert(after == serve(s"$tmp/idx"))
   }
 
+  test("graph-walk serving over the stored artifact: dense ranks, recall, forget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("gwserve").toString + "/g"
+    // the artifact's stored degree IS the walk degree
+    Similarity.writeKnnGraph(emb, cents, dir, k = 8)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = Similarity.annGraphWalkServeBatch(spark, dir, queries,
+      excludeSelf = true)
+    val rows = served.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("cos_e6"), b.getAs[Long]("cos_e6"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[Long]("neighbor_id") < b.getAs[Long]("neighbor_id")))
+      }
+    }
+    // the walk finds real neighbors: recall vs brute force
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = pairs(Similarity.annBruteforce(spark, sf))
+    val recall = (pairs(served) & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"stored-walk recall@5 = $recall")
+    // erasure: a forgotten neighbor leaves the served results
+    val victim = rows.head.getAs[Long]("neighbor_id")
+    Similarity.forgetFromKnnGraph(spark, dir, Seq(victim).toDF("vec_id"),
+      k = 8)
+    val after = Similarity.annGraphWalkServeBatch(spark, dir, queries,
+      excludeSelf = true).collect()
+    assert(!after.map(_.getAs[Long]("neighbor_id")).contains(victim))
+  }
+
   test("SQ8 codes are uint8 and dequantization error is bounded by half a grid step") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
