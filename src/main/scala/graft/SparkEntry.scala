@@ -102,6 +102,7 @@ object SparkEntry {
     "text_repetition"     -> TextFunctions.textRepetition _,
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "ngram_lm_score"      -> TextFunctions.ngramLmScore _,
+    "select_learnability" -> TextFunctions.selectLearnability _,
     "ccnet_buckets"       -> TextFunctions.ccnetBuckets _,
     "collocations"        -> ((s, d) => TextFunctions.collocations(s, d)),
     "ngram_lm_heldout"    -> TextFunctions.ngramLmHeldOut _,
@@ -208,6 +209,48 @@ object SparkEntry {
         functions.Wordpiece.wordpieceSegmentOracleSql(s, d)) +
       ("wordpiece_token_count" ->
         functions.Wordpiece.wordpieceTokenCountOracleSql(s, d))
+
+  /** The ngram_lm_heldout oracle body — shared verbatim by the
+    * ngram_lm_heldout entry and select_learnability's reference
+    * subquery. */
+  private def ngramLmHeldoutSql: String = raw"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      bgl AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
+      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs
+                WHERE doc_id % 50 <> 0 GROUP BY 1),
+      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs
+              WHERE doc_id % 50 <> 0 GROUP BY 1),
+      voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+                SELECT unnest(toks) AS tok FROM t WHERE doc_id % 50 <> 0)),
+      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.k,
+          CAST(round(ln((CAST(COALESCE(m.cnt, 0) AS DOUBLE) + 0.25) /
+                        (CAST(COALESCE(c.ctx, 0) AS DOUBLE) + 0.25 * voc.v)),
+                     9) AS DECIMAL(13,9)) AS lp
+        FROM docbg d
+        LEFT JOIN model m USING (bigram)
+        LEFT JOIN ctx c USING (w1)
+        CROSS JOIN voc),
+      agg AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
+        FROM scored GROUP BY doc_id),
+      fin AS (
+        SELECT doc_id, n_bigrams,
+          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
+        FROM agg)
+      SELECT doc_id, n_bigrams, avg_neg_logp,
+        round(exp(avg_neg_logp), 6) AS ppl
+      FROM fin ORDER BY doc_id"""
 
   /** Shared CTE chain for the bigram-LM per-doc score (`fin` =
     * (doc_id, n_bigrams, avg_neg_logp)) — used by ngram_lm_score and
@@ -1605,44 +1648,27 @@ object SparkEntry {
     // all docs scored with add-0.25 smoothing (0.25 and 0.25·V are
     // binary-exact; p is one IEEE division), then the same
     // ln→1e-9→decimal-sum→6dp→exp recipe
-    "ngram_lm_heldout" -> raw"""
-      WITH t AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-                                   x -> length(x) > 0) AS toks
-        FROM documents),
-      bgl AS (
-        SELECT doc_id,
-          unnest(list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
-        FROM t WHERE len(toks) >= 2),
-      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
-      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs
-                WHERE doc_id % 50 <> 0 GROUP BY 1),
-      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs
-              WHERE doc_id % 50 <> 0 GROUP BY 1),
-      voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
-                SELECT unnest(toks) AS tok FROM t WHERE doc_id % 50 <> 0)),
-      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
-      scored AS (
-        SELECT d.doc_id, d.k,
-          CAST(round(ln((CAST(COALESCE(m.cnt, 0) AS DOUBLE) + 0.25) /
-                        (CAST(COALESCE(c.ctx, 0) AS DOUBLE) + 0.25 * voc.v)),
-                     9) AS DECIMAL(13,9)) AS lp
-        FROM docbg d
-        LEFT JOIN model m USING (bigram)
-        LEFT JOIN ctx c USING (w1)
-        CROSS JOIN voc),
-      agg AS (
-        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-          SUM(CAST(k AS DECIMAL(9,0)) * lp) AS slp
-        FROM scored GROUP BY doc_id),
-      fin AS (
-        SELECT doc_id, n_bigrams,
-          round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
-        FROM agg)
-      SELECT doc_id, n_bigrams, avg_neg_logp,
-        round(exp(avg_neg_logp), 6) AS ppl
-      FROM fin ORDER BY doc_id""",
+    "ngram_lm_heldout" -> ngramLmHeldoutSql,
+
+    // learnability selection (RHO family): delta = self-MLE surprise
+    // minus held-out-reference surprise — both chains reused verbatim
+    // as FROM subqueries (CTE names collide otherwise), one
+    // subtraction of identical 6-dp inputs re-rounded, explicit-floor
+    // fixed bins, keep = delta > 0
+    "select_learnability" -> s"""
+      WITH selfs AS (
+        SELECT doc_id, avg_neg_logp AS self_nll FROM (
+          WITH $ngramLmCtes
+          SELECT doc_id, avg_neg_logp FROM fin)),
+      refs AS (
+        SELECT doc_id, avg_neg_logp AS ref_nll FROM (
+          $ngramLmHeldoutSql))
+      SELECT selfs.doc_id, self_nll, ref_nll,
+        round(self_nll - ref_nll, 6) AS delta,
+        CAST(floor(round(self_nll - ref_nll, 6) * 10) AS INT) AS bin,
+        CAST(CASE WHEN round(self_nll - ref_nll, 6) > 0
+             THEN 1 ELSE 0 END AS INT) AS keep
+      FROM selfs JOIN refs USING (doc_id) ORDER BY doc_id""",
 
     // Jelinek-Mercer interpolation: λ-terms are literal × one IEEE
     // division each, summed left-associatively in the same tree; ln

@@ -832,6 +832,40 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** select_learnability — LEARNABILITY-based data selection (the
+    * RHO-loss family: Mindermann et al. ICML'22 prioritize points
+    * that are "learnable, worth learning, and not yet learnt"; RHO-1
+    * (2024) applies the same excess-loss signal token-level): score
+    * each doc by EXCESS loss — the self-trained current-model
+    * surprise ([[ngramLmScore]]'s MLE avg_neg_logp) minus the
+    * held-out REFERENCE model's surprise ([[ngramLmHeldOut]]'s
+    * smoothed avg_neg_logp). High delta = the current model finds
+    * the doc hard but the reference does not — learnable, worth
+    * training on; near-zero/negative = already learnt (or noise the
+    * reference also rejects). Output per doc: both scores, delta,
+    * the FIXED score bin (floor(delta·10) — never rank deciles: a
+    * global rank is a single-partition window at scale), and
+    * keep = delta > 0.
+    *
+    * Determinism: both inputs are already 6-dp doubles from verified
+    * recipes; delta is one subtraction of identical bit inputs
+    * re-rounded 6 dp; bin/keep are integers off the rounded value
+    * with explicit floor. Scale shape: the two LM chains (at 100 TB
+    * both models are write-once ngramLmModel artifacts — the scoring
+    * is then two broadcast-joined passes) + ONE doc_id equi-join. */
+  def selectLearnability(s: SparkSession, d: String): DataFrame = {
+    val self = ngramLmScore(s, d)
+      .select(col("doc_id"), col("avg_neg_logp").as("self_nll"))
+    val ref = ngramLmHeldOut(s, d)
+      .select(col("doc_id"), col("avg_neg_logp").as("ref_nll"))
+    self.join(ref, "doc_id")
+      .withColumn("delta", round(col("self_nll") - col("ref_nll"), 6))
+      .withColumn("bin", floor(col("delta") * 10).cast("int"))
+      .withColumn("keep",
+        when(col("delta") > 0, 1).otherwise(0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ccnet_buckets — CCNet's head/middle/tail perplexity
     * partitioning (Wenzek et al., "CCNet: Extracting High Quality
     * Monolingual Datasets from Web Crawl Data", LREC 2020): the

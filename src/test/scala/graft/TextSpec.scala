@@ -586,4 +586,33 @@ class TextSpec extends SparkSpec {
     assert(got(3L).getAs[Int]("n_mojibake") == 0 &&
       got(3L).getAs[Int]("n_controls") == 0)
   }
+  test("select_learnability: delta replays from the two LM scorers, bins/keep exact") {
+    val out = TextFunctions.selectLearnability(spark, sf).collect()
+    def nll(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_neg_logp"))
+      .toMap
+    val self = nll(TextFunctions.ngramLmScore(spark, sf))
+    val ref = nll(TextFunctions.ngramLmHeldOut(spark, sf))
+    assert(out.map(_.getAs[Long]("doc_id")).toSet ==
+      (self.keySet & ref.keySet))
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val d = r.getAs[Double]("delta")
+      val want = BigDecimal(self(id) - ref(id))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(d == want, s"doc $id delta $d != $want")
+      assert(r.getAs[Int]("bin") == math.floor(d * 10).toInt)
+      assert(r.getAs[Int]("keep") == (if (d > 0) 1 else 0))
+    }
+    // structural direction on this corpus (the self-trained-gate
+    // blindness note): the self MLE saw every doc, the reference did
+    // not see the holdout carve — so holdout docs (doc_id%50==0) sit
+    // at MORE NEGATIVE excess loss than the train carve on average
+    val (ho, tr) = out.partition(_.getAs[Long]("doc_id") % 50 == 0)
+    def mean(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getAs[Double]("delta")).sum / xs.length
+    assert(mean(ho) < mean(tr),
+      s"holdout mean ${mean(ho)} !< train mean ${mean(tr)}")
+  }
 }
+
