@@ -281,8 +281,12 @@ object Scale10 {
     // query over bounded broadcast frontiers — must track the edge
     // build, not the corpus
     t(s"graph_walk_${mult}x")(
-      operators.Similarity.annGraphWalkFrom(emb,
-        operators.Similarity.ivfCentroids(spark, d)).count())
+      // nlist ∝ corpus (the knn_graph probe's constant-occupancy
+      // rule — a FIXED nlist at mult× makes the edge build's
+      // candidate volume quadratic); the walk rounds themselves are
+      // O(beam·deg·depth) per query over the built edges
+      operators.Similarity.annGraphWalkFrom(emb.localCheckpoint(),
+        operators.Similarity.ivfCentroids(spark, d, 32 * mult)).count())
     // CCNet bucketing: the LM-score chain + the bounded 6-dp-grid
     // histogram walk for the tertile elements (r13 replaced the
     // corpus-proportional TakeOrdered) — cost must track the LM scan
@@ -409,9 +413,24 @@ object Scale10 {
           .join(Tables.embeddings(spark, d)
             .select((col("vec_id") + i * 10000000L).as("doc_id")),
             Seq("doc_id"), "left_semi")
-        val bEmb = Tables.embeddings(spark, d)
-          .select((col("vec_id") + i * 10000000L).as("vec_id"),
-            col("embedding"))
+        // day vectors must be NOVEL directions, not exact replica
+        // copies: at mult× replication a new exact copy loses every
+        // cos-1.0 tie to the mult standing replicas (id tie-break),
+        // lands at in-degree 0, and the gate degenerately drops the
+        // whole day — a replication artifact, not a gate property.
+        // A per-day circular dim rotation keeps the isotropic
+        // geometry while making each day's directions fresh.
+        val bEmb = {
+          import spark.implicits._
+          Tables.embeddings(spark, d)
+            .select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])]
+            .map { case (id, v) =>
+              val n = v.length
+              (id + i * 10000000L,
+                Array.tabulate(n)(j => v((j + i) % n)))
+            }.toDF("vec_id", "embedding")
+        }
         val ti = System.nanoTime()
         val r = Pipeline.curateAndPackDayStep(spark, batch, state, s"d$i",
           graphGate = Some(Pipeline.GraphGate(bEmb, minInDegree = 1)))
