@@ -280,6 +280,23 @@ object Scale10 {
     // Scale10 row); the walk itself is O(beam·deg·depth) scores per
     // query over bounded broadcast frontiers — must track the edge
     // build, not the corpus
+    // whitened-tier nprobe sweep at BENCH scale (sf0.1, 1× only):
+    // recall@5 vs whitened brute force per nprobe — run as
+    // `Scale10 1 white_sweep`
+    if (mult == 1) t(s"white_sweep_${mult}x") {
+      val wexact = operators.Similarity.annWhiteBruteforce(spark, d)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val n = wexact.count().toDouble
+      Seq(12, 16, 20, 24).foreach { np =>
+        val r = operators.Similarity.annIvfWhite(spark, d, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(wexact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count() / n
+        println(f"SCALE white_sweep nprobe=$np recall=$r%.2f")
+      }
+      wexact.unpersist()
+      n.toLong
+    }
     t(s"graph_walk_${mult}x")(
       // nlist ∝ corpus (the knn_graph probe's constant-occupancy
       // rule — a FIXED nlist at mult× makes the edge build's

@@ -103,6 +103,7 @@ object SparkEntry {
     "vocab_topk"          -> ((s, d) => TextFunctions.vocabTopK(s, d)),
     "ngram_lm_score"      -> TextFunctions.ngramLmScore _,
     "select_learnability" -> TextFunctions.selectLearnability _,
+    "mixture_reweight"    -> ((s, d) => operators.Curate.mixtureReweight(s, d)),
     "ccnet_buckets"       -> TextFunctions.ccnetBuckets _,
     "collocations"        -> ((s, d) => TextFunctions.collocations(s, d)),
     "ngram_lm_heldout"    -> TextFunctions.ngramLmHeldOut _,
@@ -1669,6 +1670,45 @@ object SparkEntry {
         CAST(CASE WHEN round(self_nll - ref_nll, 6) > 0
              THEN 1 ELSE 0 END AS INT) AS keep
       FROM selfs JOIN refs USING (doc_id) ORDER BY doc_id""",
+
+    // DoReMi one-step domain reweighting: per-lang mean excess loss
+    // (exact decimal sums of 6-dp deltas), exp-boost off the corpus
+    // share, decimal-exact renormalization, c-smoothed ppm by
+    // explicit floor — every Σ over sources rides DECIMAL (a float
+    // sum is aggregation-order-dependent even at 5 rows)
+    "mixture_reweight" -> s"""
+      WITH selfs AS (
+        SELECT doc_id, avg_neg_logp AS self_nll FROM (
+          WITH $ngramLmCtes
+          SELECT doc_id, avg_neg_logp FROM fin)),
+      refs AS (
+        SELECT doc_id, avg_neg_logp AS ref_nll FROM (
+          $ngramLmHeldoutSql)),
+      dl AS (
+        SELECT selfs.doc_id, round(self_nll - ref_nll, 6) AS delta
+        FROM selfs JOIN refs USING (doc_id)),
+      ag AS (
+        SELECT d.lang, COUNT(*) AS n_docs,
+          round(CAST(SUM(CAST(dl.delta AS DECIMAL(13,6))) AS DOUBLE) /
+            COUNT(*), 6) AS excess
+        FROM dl JOIN documents d USING (doc_id) GROUP BY 1),
+      st AS (
+        SELECT lang, n_docs, excess,
+          round(CAST(n_docs AS DOUBLE) /
+            CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share,
+          round(exp(1.0 * excess), 6) AS boost
+        FROM ag),
+      uv AS (SELECT *, round(share * boost, 6) AS u FROM st),
+      wv AS (
+        SELECT *,
+          round(u / CAST(SUM(CAST(u AS DECIMAL(13,6))) OVER ()
+            AS DOUBLE), 6) AS w,
+          COUNT(*) OVER () AS k
+        FROM uv)
+      SELECT lang, n_docs, excess, share, boost, w,
+        CAST(floor((1.0 - 0.5) * w * 1e6 +
+          0.5 * 1e6 / CAST(k AS DOUBLE) + 0.5) AS BIGINT) AS target_ppm
+      FROM wv ORDER BY lang""",
 
     // Jelinek-Mercer interpolation: λ-terms are literal × one IEEE
     // division each, summed left-associatively in the same tree; ln

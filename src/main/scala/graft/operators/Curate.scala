@@ -557,6 +557,64 @@ object Curate {
                   budget: Long = DefaultMixTokenBudget): DataFrame =
     mixturePlan(Tables.documents(s, d), targets, budget)
 
+  /** mixture_reweight — ONE step of DoReMi-style domain reweighting
+    * (Xie et al. 2023: Group-DRO upweights domains with high EXCESS
+    * loss against a reference model; the learned weights then feed
+    * the mixture plan): per source language, the mean excess loss
+    * comes from [[graft.functions.TextFunctions.selectLearnability]]
+    * (self-model surprise − reference surprise), the multiplicative-
+    * weights update boosts the source by exp(η·excess) off its
+    * current corpus share, weights renormalize, and the final target
+    * mixes with uniform smoothing — target_ppm =
+    * floor((1−c)·w·1e6 + c·1e6/k + ½), DoReMi's c-smoothed output
+    * that [[mixturePlan]]/[[sampleTemperature]] consume as targets.
+    *
+    * Determinism: per-source means are exact DECIMAL(13,6) sums of
+    * already-6-dp deltas, ONE division, 6 dp; exp only ever on an
+    * already-rounded value; share/boost/u each one IEEE op re-rounded
+    * 6 dp; Z is an exact DECIMAL sum of the 6-dp u values (a plain
+    * float Σ over sources is aggregation-order-dependent even at 5
+    * rows), one division; the ppm lands by explicit floor. η=1 and
+    * c=0.5 are binary-exact literals ((1 − 0.5) written as the
+    * expression on both engines — the one-ulp literal trap).
+    *
+    * Scale shape: the two LM chains + one doc_id equi-join + ONE
+    * language partial agg; everything after lives on the
+    * sources-sized frame (unpartitioned windows over ≤ a-few-dozen
+    * rows — the blessed tiny-agg-frame pattern, never a crossJoin
+    * of the 1-row total). */
+  def mixtureReweight(s: SparkSession, d: String, eta: Double = 1.0,
+                      smooth: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val delta = graft.functions.TextFunctions.selectLearnability(s, d)
+      .select(col("doc_id"), col("delta"))
+    val src = delta.join(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    src.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("delta").cast(DecimalType(13, 6))).cast("double") /
+          count(lit(1)), 6).as("excess"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wAll).cast("double"), 6))
+      .withColumn("boost", round(exp(lit(eta) * col("excess")), 6))
+      .withColumn("u", round(col("share") * col("boost"), 6))
+      .withColumn("w",
+        round(col("u") /
+          sum(col("u").cast(DecimalType(13, 6))).over(wAll).cast("double"),
+          6))
+      .withColumn("target_ppm",
+        floor((lit(1.0) - lit(smooth)) * col("w") * lit(1e6) +
+          lit(smooth) * lit(1e6) /
+            count(lit(1)).over(wAll).cast("double") + lit(0.5))
+          .cast("long"))
+      .select(col("lang"), col("n_docs"), col("excess"), col("share"),
+        col("boost"), col("w"), col("target_ppm"))
+      .orderBy(col("lang"))
+  }
+
   def mixturePlan(docs: DataFrame, targets: Seq[(String, Long)],
                   budget: Long): DataFrame = {
     val s = docs.sparkSession

@@ -3281,6 +3281,18 @@ object Similarity {
     cents.indices.map(i => (i, whiteDot(cents(i), w)))
       .sortBy(t => (-t._2, t._1)).take(nprobe).map(_._1)
 
+  /** Default probe width for the WHITENED tier: wider than the raw
+    * IvfNprobe=16 because whitening equalizes per-axis variance —
+    * the space becomes MORE isotropic than the raw one, so bucket
+    * membership correlates less with the true top-k and each probe
+    * buys less recall (the FilteredNprobe situation from a different
+    * cause). Measured knee at sf0.1 vs whitened brute force
+    * (§6 white_sweep): nprobe 12/16/20/24 → 0.84/0.84/0.88/0.94 —
+    * 16 sat 0.04 above the RecallSpec floor (one data drift from
+    * red, the exact margin rule the raw tier's default was chosen
+    * by); 24 restores the raw tier's 0.14 margin. */
+  private[graft] val WhiteNprobe = 24
+
   /** ann_ivf_white — IVF ANN served over WHITENED vectors: the
     * production retrieval post-processing ([[whitenEmbeddings]])
     * finally composed with the serving shape. Whitening rescales
@@ -3308,7 +3320,7 @@ object Similarity {
     * bounded TopK. The stored-layout form is the same
     * writeIvfPartitioned discipline over the coded frame. */
   def annIvfWhite(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-                  nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
+                  nlist: Int = IvfNlist, nprobe: Int = WhiteNprobe): DataFrame = {
     import s.implicits._
     val (comps, offE9, scales) = whitenParams(s, d)
     val cents = whiteCentroidsE9(s, d, nlist)
@@ -3387,7 +3399,7 @@ object Similarity {
     * subtracted. `queries` must have (query_id, embedding). */
   def annIvfWhiteServeBatch(s: SparkSession, dir: String, m: WhitenModel,
                             queries: DataFrame, k: Int = 5,
-                            nprobe: Int = IvfNprobe,
+                            nprobe: Int = WhiteNprobe,
                             excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(m)
@@ -3473,7 +3485,7 @@ object Similarity {
     * oracleSqlFor. */
   def annIvfWhiteOracleSql(s: SparkSession, d: String, nQueries: Int = 10,
                            k: Int = 5, nlist: Int = IvfNlist,
-                           nprobe: Int = IvfNprobe): String = {
+                           nprobe: Int = WhiteNprobe): String = {
     val (comps, offE9, scales) = whitenParams(s, d)
     val dim = comps.head.length
     val compRows = comps.indices.map { c =>

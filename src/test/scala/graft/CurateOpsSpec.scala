@@ -325,4 +325,29 @@ class CurateOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDecimal(3)).toMap
     assert(re == orig)
   }
+  test("mixture_reweight: DoReMi step — boosts follow excess, weights and ppm consistent") {
+    val rows = Curate.mixtureReweight(spark, sf).collect()
+    assert(rows.length >= 2)
+    // boost is monotone in excess (exp is), weights renormalize to 1
+    // within 6-dp rounding, and the smoothed ppm sums to ~1e6
+    val sorted = rows.sortBy(_.getAs[Double]("excess"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("boost") <= b.getAs[Double]("boost"))
+    }
+    val wSum = rows.map(_.getAs[Double]("w")).sum
+    assert(math.abs(wSum - 1.0) < 1e-5, s"weights sum to $wSum")
+    val ppmSum = rows.map(_.getAs[Long]("target_ppm")).sum
+    assert(math.abs(ppmSum - 1000000L) <= rows.length,
+      s"ppm sums to $ppmSum")
+    // uniform smoothing floors every source at c/k of the budget
+    val k = rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_ppm") >= (500000L / k) - 1,
+        s"${r.getAs[String]("lang")} fell through the smoothing floor")
+    }
+    // the update genuinely moved mass: some source differs from its
+    // corpus share by more than rounding
+    assert(rows.exists(r => math.abs(r.getAs[Double]("w") -
+      r.getAs[Double]("share")) > 1e-4))
+  }
 }
