@@ -408,6 +408,43 @@ object StreamScale {
       println(f"SCALE stream_ann_ivf_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
         f"(unpruned would be ~${mult}x)")
 
+      // graph-walk serving (r13): per-batch beam walk over the stored
+      // kNN-graph artifact — edge reads pruned to the frontier's _eb
+      // partitions, node fetches amortized over the batch; a mult×
+      // graph must not cost ~mult× per batch
+      locally {
+        def walkServe(dir: String, tag: String): Double = {
+          val input = MemoryStream[EventStream.QueryVec]
+          var emitted = 0L
+          val q = EventStream.streamingGraphWalkTopK(input.toDS(), dir) {
+            topk => emitted += topk.count()
+          }
+          val t0 = System.nanoTime()
+          val nq = math.min(200, qVecs.length)
+          (0 until 5).foreach { b =>
+            input.addData((0 until nq / 5).map { j =>
+              val (id, v) = qVecs((b * (nq / 5) + j) % qVecs.length)
+              EventStream.QueryVec(id + 1000000L * (b + 1), v)
+            })
+            q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          println(f"SCALE stream_graph_walk_$tag queries=$nq time=$sec%.1fs " +
+            f"qps=${nq / sec}%.1f topkRows=$emitted")
+          sec
+        }
+        graft.operators.Similarity.writeKnnGraph(emb1, cents,
+          "/tmp/streamscale_gw1", k = 8)
+        graft.operators.Similarity.writeKnnGraph(embN,
+          graft.operators.Similarity.ivfCentroids(spark, d, 32 * mult),
+          s"/tmp/streamscale_gw$mult", k = 8)
+        val g1 = walkServe("/tmp/streamscale_gw1", "corpus1x")
+        val gN = walkServe(s"/tmp/streamscale_gw$mult", s"corpus${mult}x")
+        println(f"SCALE stream_graph_walk_${mult}x_vs_1x " +
+          f"slowdown=${gN / g1}%.2f (unpruned would approach ~${mult}x)")
+      }
+
       // the composed SQ8 serving stack: same pruned per-batch probe
       // over 1-byte/dim stored codes (partition-pruned scan + per-row
       // dequantize + asymmetric rerank)

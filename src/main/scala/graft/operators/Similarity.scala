@@ -3666,10 +3666,25 @@ object Similarity {
     val entries = nodes.groupBy(col("bucket"))
       .agg(min(col("vec_id")).as("node"))
       .select(col("node")).as[Long].collect().sorted // bounded by nlist
-    val edges = s.read.parquet(s"$dir/edges")
-      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    // per-round edge fetch PRUNED to the frontier's `_eb` partitions
+    // (the bounded-partition-VALUES discipline: ≤ GraphEb ints per
+    // round, never an id set) — the scan cost tracks the touched
+    // adjacency partitions, not the stored graph; at toy GraphEb a
+    // small frontier touches most of the 64 values (the append
+    // saturation analysis), production scales GraphEb with the corpus
+    val expand = (frontier: DataFrame) => {
+      val ebs = frontier
+        .select((col("node") % GraphEb).cast("int").as("eb"))
+        .distinct().as[Int].collect().toSeq
+      s.read.parquet(s"$dir/edges")
+        .filter(col("_eb").isin(ebs: _*))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .join(broadcast(frontier.select(col("query_id"),
+          col("node").as("src"))), Seq("src"))
+        .select(col("query_id"), col("dst").as("node"))
+    }
     annGraphWalkOn(nodes.select(col("vec_id"), col("embedding")),
-      edges, entries,
+      expand, entries,
       queries.select(col("query_id"), col("embedding")),
       k, beam, depth, excludeSelf)
   }
@@ -3677,7 +3692,28 @@ object Similarity {
   /** The walk itself over given (src, dst) edges, corpus vectors,
     * entry ids, and a bounded query frame — shared by the in-query
     * form and the stored-artifact serving twin. */
+  /** Default expansion: one broadcast-frontier join against an
+    * in-memory edge frame (the in-query form — the edges were just
+    * built and checkpointed, nothing to prune). */
+  private def expandAll(edges: DataFrame)(frontier: DataFrame): DataFrame =
+    edges.join(broadcast(frontier.select(col("query_id"),
+        col("node").as("src"))), Seq("src"))
+      .select(col("query_id"), col("dst").as("node"))
+
   private[graft] def annGraphWalkOn(emb: DataFrame, edges: DataFrame,
+                                    entries: Seq[Long], queries: DataFrame,
+                                    k: Int, beam: Int, depth: Int,
+                                    excludeSelf: Boolean): DataFrame =
+    annGraphWalkOn(emb, expandAll(edges)(_), entries, queries, k, beam,
+      depth, excludeSelf)
+
+  /** The walk core with a pluggable frontier expansion (the serving
+    * twin prunes its stored-edge reads by the frontier's `_eb`
+    * partition values; the in-query form joins its checkpointed edge
+    * frame directly). `expand` maps a (query_id, node, …) frontier to
+    * the (query_id, node) out-neighbor rows of its nodes. */
+  private[graft] def annGraphWalkOn(emb: DataFrame,
+                                    expand: DataFrame => DataFrame,
                                     entries: Seq[Long], queries: DataFrame,
                                     k: Int, beam: Int, depth: Int,
                                     excludeSelf: Boolean): DataFrame = {
@@ -3708,10 +3744,7 @@ object Similarity {
     var frontier = score(init.toDF("query_id", "node"))
       .localCheckpoint()
     for (_ <- 1 to depth) {
-      val neigh = edges
-        .join(broadcast(frontier.select(col("query_id"),
-          col("node").as("src"))), Seq("src"))
-        .select(col("query_id"), col("dst").as("node"))
+      val neigh = expand(frontier)
         .distinct()
         .join(broadcast(frontier.select(col("query_id"), col("node"))),
           Seq("query_id", "node"), "left_anti")

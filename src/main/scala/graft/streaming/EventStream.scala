@@ -1002,6 +1002,29 @@ object EventStream {
       }
       .start()
 
+  /** [[streamingAnnIvfTopK]]'s GRAPH-NAVIGATION twin: each
+    * micro-batch beam-walks the stored kNN-graph artifact
+    * ([[graft.operators.Similarity.writeKnnGraph]]) instead of
+    * probing quantizer buckets — the NSW/HNSW serving shape,
+    * state-free per batch (entries/edges/vectors all come from the
+    * artifact; the walk is O(beam·deg·depth) scores per query).
+    * Same independent-id-space default as every serving twin. */
+  def streamingGraphWalkTopK(queries: Dataset[QueryVec], graphDir: String,
+                             k: Int = 5,
+                             beam: Int = graft.operators.Similarity.GraphWalkBeam,
+                             depth: Int = graft.operators.Similarity.GraphWalkDepth,
+                             excludeSelf: Boolean = false)(
+                             writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annGraphWalkServeBatch(
+          s, graphDir, batch.toDF("query_id", "embedding"),
+          k, beam, depth, excludeSelf))
+      }
+      .start()
+
   /** [[streamingAnnIvfTopK]] over the composed IVF×SQ8 stored-code
     * layout ([[graft.operators.Similarity.writeIvfSq8Partitioned]]) —
     * the full production serving stack: state-free micro-batch probe,

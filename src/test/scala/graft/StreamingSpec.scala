@@ -374,6 +374,37 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming graph-walk search matches the one-shot serve on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("gwstream").toString + "/g"
+    Similarity.writeKnnGraph(Tables.embeddings(spark, sf),
+      Similarity.ivfCentroids(spark, sf), dir, k = 8)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingGraphWalkTopK(input.toDS(), dir,
+      excludeSelf = true) {
+      topk => results ++= topk.collect().map(_.toSeq)
+    }
+    // a walk is per-query independent, so the split changes nothing
+    input.addData(queries.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(queries.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = Similarity.annGraphWalkServeBatch(spark, dir,
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        excludeSelf = true)
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == oneShot)
+  }
+
   test("streaming prefix IVF search matches the batch annIvfPrefix on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
