@@ -52,6 +52,48 @@ object Ingest {
   def normalizeName(c: Column): Column =
     trim(translate(c, "™®", ""))
 
+  /** Per-batch accounting of a quarantining read. */
+  case class QuarantineReport(valid: Long, quarantined: Long)
+
+  /** QUARANTINING JSON-lines reader — the ingestion-robustness verb a
+    * production feed needs (the reference survives malformed
+    * appdetails responses by skipping them, main.py:288-316; at 100 TB
+    * a bad record must neither kill the job NOR silently vanish):
+    * parse `jsonCol` rows against `schema` in PERMISSIVE mode with a
+    * corrupt-record column, split the batch into VALID rows (parsed
+    * columns + the id column) and QUARANTINED raw rows (unparseable,
+    * or parseable but failing `required` non-null fields — the
+    * half-parsed rows PERMISSIVE would otherwise let through as
+    * nulls), append the quarantined originals to `quarantineDir`
+    * (raw text + the id, so an operator can replay them after a
+    * fix), and return (valid frame, report). One map-side pass, no
+    * shuffle; the quarantine write is the only extra I/O and it is
+    * proportional to the bad rows. */
+  def readJsonQuarantine(df: DataFrame, idCol: String, jsonCol: String,
+                         schema: StructType, quarantineDir: String,
+                         required: Seq[String] = Nil)
+      : (DataFrame, QuarantineReport) = {
+    val s = df.sparkSession
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val parsed = df.select(col(idCol).as("_id"), col(jsonCol).as("_raw"),
+        from_json(col(jsonCol), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      .localCheckpoint() // one parse feeds both splits and the write
+    val bad = required.map(f => col("j").getField(f).isNull)
+      .foldLeft(col("j").isNull ||
+        col("j").getField("_corrupt_record").isNotNull)(_ || _)
+    val quarantined = parsed.filter(bad)
+      .select(col("_id").as(idCol), col("_raw").as(jsonCol))
+      .localCheckpoint() // materialize before the append
+    quarantined.write.mode("append").parquet(quarantineDir)
+    val valid = parsed.filter(!bad)
+      .select(col("_id").as(idCol) +:
+        schema.fields.map(f => col("j").getField(f.name).as(f.name)): _*)
+    (valid, QuarantineReport(valid.count(), quarantined.count()))
+  }
+
   /** Extract every id matching `pattern` (first group) from a markup
     * column — the fetch_paginated_list id-extraction analog
     * (main.py:215-242), one row per id. */

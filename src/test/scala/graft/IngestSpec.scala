@@ -29,4 +29,38 @@ class IngestSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(ids == Set("10", "20"))
   }
+
+  test("quarantining read: bad rows land in quarantine, valid rows parse, nothing vanishes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("price", LongType)))
+    val rows = Seq(
+      ("1", """{"name":"ok","price":10}"""),          // valid
+      ("2", """{"name":"broken","price":"""),          // malformed JSON
+      ("3", """{"price":5}"""),                        // parses, name null
+      ("4", """not json at all"""),                    // malformed
+      ("5", """{"name":"fine","price":7}"""))          // valid
+    val qdir = java.nio.file.Files.createTempDirectory("quarantine").toString + "/q"
+    val (valid, rep) = Ingest.readJsonQuarantine(
+      rows.toDF("id", "raw"), "id", "raw", schema, qdir,
+      required = Seq("name"))
+    assert(rep == Ingest.QuarantineReport(2, 3))
+    val v = valid.collect().map(r =>
+      (r.getAs[String]("id"), r.getAs[String]("name"), r.getAs[Long]("price")))
+      .toSet
+    assert(v == Set(("1", "ok", 10L), ("5", "fine", 7L)))
+    // the quarantine holds the ORIGINAL raw text keyed by id (replayable)
+    val q = spark.read.parquet(qdir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("raw")).toMap
+    assert(q.keySet == Set("2", "3", "4"))
+    assert(q("3") == """{"price":5}""")
+    // appends accumulate (a later batch quarantines into the same dir)
+    val (_, rep2) = Ingest.readJsonQuarantine(
+      Seq(("6", "junk")).toDF("id", "raw"), "id", "raw", schema, qdir,
+      required = Seq("name"))
+    assert(rep2 == Ingest.QuarantineReport(0, 1))
+    assert(spark.read.parquet(qdir).count() == 4)
+  }
 }
