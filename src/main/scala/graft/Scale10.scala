@@ -457,6 +457,76 @@ object Scale10 {
       }
       last
     }
+    // the FULL-STACK day (r13 capstone): line excision + chunk
+    // excision + band dedup + decontamination + heuristic+LM gates +
+    // graph gate + BPE-budgeted shards + tokenizer DQ block, all in
+    // one step — the complete C4/RefinedWeb-order curation day; cost
+    // must stay flat across days (every stage reads a maintained
+    // artifact, none re-touch corpus text)
+    t(s"pipeline_day_steps_full_${mult}x") {
+      def withLines(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("text", concat(
+          regexp_replace(col("text"), "( \\S+){9} ", "$0\n"),
+          when(col("doc_id") % 5 === 0,
+            lit("\nSUBSCRIBE TO OUR NEWSLETTER footer")).otherwise(lit(""))))
+      val state = s"/tmp/scale_pipeline_days_full_$mult/state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state), true)
+      Pipeline.initDailyState(spark, state)
+      // artifacts trained ONCE on the bootstrap corpus (the provided-
+      // artifact discipline: the daily loop never self-trains)
+      val bootDocs = withLines(docs)
+        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+      val (model, ctx) = functions.TextFunctions.ngramLmModel(
+        functions.TextFunctions.docBigrams(bootDocs))
+      val merges = functions.Bpe.trainMerges(
+        functions.Bpe.wordVocab(Tables.documents(spark, d)), 60)
+      val t0 = System.nanoTime()
+      Pipeline.curateAndPackDayStep(spark, bootDocs, state, "d0",
+        dedupLines = true,
+        graphGate = Some(Pipeline.GraphGate(emb, minInDegree = 1)),
+        pplCeiling = Some(1000.0), lmArtifact = Some((model, ctx)),
+        bpeMerges = Some(merges))
+      println(f"SCALE pipeline_day_steps_full bootstrap(${mult}x corpus)=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      var last = 0L
+      (1 to 2).foreach { i =>
+        val batch = withLines(Tables.documents(spark, d)
+          .select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("lang"),
+            concat(regexp_replace(col("text"), " ", s"x$i "),
+              lit(s"x$i")).as("text")))
+          .join(Tables.embeddings(spark, d)
+            .select((col("vec_id") + i * 10000000L).as("doc_id")),
+            Seq("doc_id"), "left_semi")
+        val bEmb = {
+          import spark.implicits._
+          Tables.embeddings(spark, d)
+            .select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])]
+            .map { case (id, v) =>
+              val n = v.length
+              (id + i * 10000000L, Array.tabulate(n)(j => v((j + i) % n)))
+            }.toDF("vec_id", "embedding")
+        }
+        val ti = System.nanoTime()
+        // the per-day token-suffix rewrite makes day bigrams NOVEL to
+        // the bootstrap-trained LM by construction — the gate still
+        // runs its full chain, the ceiling just must not interact
+        // with the synthetic vocab split (this probe measures COST)
+        val r = Pipeline.curateAndPackDayStep(spark, batch, state, s"d$i",
+          dedupLines = true,
+          graphGate = Some(Pipeline.GraphGate(bEmb, minInDegree = 1)),
+          pplCeiling = Some(1e9), lmArtifact = Some((model, ctx)),
+          bpeMerges = Some(merges))
+        println(f"SCALE pipeline_day_steps_full day$i=" +
+          f"${(System.nanoTime() - ti) / 1e9}%.2fs report=$r")
+        last = r.afterQuality
+      }
+      last
+    }
     // the embedding-dedup front-end composed end-to-end: replicas are
     // EXACT embedding dups, so τ=0.9 (32×16 geometry, output-bound)
     // collapses each replica cluster; downstream stages identical.

@@ -659,6 +659,76 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("full-stack day: lines + chunks + graph gate + LM gate + tokenizer DQ compose in one step") {
+    import spark.implicits._
+    import graft.functions.{Bpe, TextFunctions}
+    import graft.operators.Similarity
+    val state = java.nio.file.Files.createTempDirectory("graft-full").toString
+    Pipeline.initDailyState(spark, state)
+    def withLines(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nSUBSCRIBE TO OUR NEWSLETTER footer")).otherwise(lit(""))))
+    val b1 = withLines(daySlice(0, 60))
+    val b2 = withLines(daySlice(60, 120))
+    val emb = Tables.embeddings(spark, sf)
+    val e1 = emb.filter(col("vec_id") < 60)
+    val e2 = emb.filter(col("vec_id") >= 60 && col("vec_id") < 120)
+    // LM artifact (the provided-artifact discipline) + BPE artifact
+    val docBg = TextFunctions.docBigrams(b1.unionByName(b2))
+    val (model, ctx) = TextFunctions.ngramLmModel(docBg)
+    val merges = Bpe.trainMerges(Bpe.wordVocab(b1), 30)
+    def day(b: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame, name: String) =
+      Pipeline.curateAndPackDayStep(spark, b, state, name,
+        dedupLines = true, exciseChunks = true,
+        graphGate = Some(Pipeline.GraphGate(e, minInDegree = 1)),
+        pplCeiling = Some(1000.0), lmArtifact = Some((model, ctx)),
+        bpeMerges = Some(merges))
+    val r1 = day(b1, e1, "d1")
+    val r2 = day(b2, e2, "d2")
+    // stage accounting is monotone through every gate, DQ clean
+    Seq(r1, r2).foreach { r =>
+      assert(r.input == 60 && r.afterDedup <= r.input)
+      assert(r.afterQuality <= r.afterDedup - r.contaminated + r.graphOutliers
+        || r.afterQuality <= r.afterDedup) // gates only remove
+      assert(r.dqViolations == 0)
+    }
+    val shipped = Pipeline.readCuratedDocs(spark, state)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(shipped.nonEmpty)
+    // the planted boilerplate line survives at most once corpus-wide
+    assert(shipped.count(_._2.contains("NEWSLETTER")) <= 1)
+    // every shipped doc passes the graph gate's one-shot signal: its
+    // in-degree in the final maintained graph is >= 1 (or it has no
+    // vector at all)
+    val inDeg = spark.read.parquet(s"$state/knn_graph/edges")
+      .groupBy(col("neighbor_id")).count()
+      .as[(Long, Long)].collect().toMap
+    val hasVec = spark.read.parquet(s"$state/knn_graph/nodes")
+      .select("vec_id").as[Long].collect().toSet
+    // day-1 decisions predate day-2 arrivals, so assert only the
+    // docs gated on the FINAL graph state (day-2 ids)
+    shipped.map(_._1).filter(id => id >= 60 && hasVec(id)).foreach { id =>
+      assert(inDeg.getOrElse(id, 0L) >= 1,
+        s"shipped day-2 doc $id is an antihub in the final graph")
+    }
+    // the DQ report carries the tokenizer block for both days
+    Seq("d1", "d2").foreach { dy =>
+      val dq = spark.read.parquet(s"$state/days/$dy/dq_report")
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(dq.contains("tok_n_tokens") && dq("tok_n_tokens") > 0)
+    }
+    // and erasure still covers every artifact of the composed state
+    val victim = shipped.map(_._1).min
+    Pipeline.forgetDocs(spark, state, Seq(victim).toDF("doc_id"))
+    assert(spark.read.parquet(s"$state/line_index")
+      .filter(col("keeper_id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$state/knn_graph/edges")
+      .filter(col("vec_id") === victim ||
+        col("neighbor_id") === victim).count() == 0)
+  }
+
   test("written segments are split-pruned and fill windows to cap") {
     val segs = spark.read.parquet(s"$outDir/segments")
     // partition pruning: the split predicate must appear INSIDE the
