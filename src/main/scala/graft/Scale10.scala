@@ -871,6 +871,16 @@ object Scale10 {
             operators.Similarity.knnGraphAppendStep(spark, dir, day(i), centsK)
             day(i).count()
           }
+        // erasure (r13): forget 20 standing vectors — cost = the
+        // affected-survivor refill (pruned candidate joins) + one
+        // compact-swap per layout; must track the affected volume
+        // and the artifact rewrite, never re-grading the whole graph
+        t(s"knn_graph_forget_${mult}x") {
+          import spark.implicits._
+          operators.Similarity.forgetFromKnnGraph(spark, dir,
+            (0L until 20L).toDF("vec_id"))
+          spark.read.parquet(s"$dir/edges").count()
+        }
       }
     }
     // novelty: one distinct over the 80% train shingles + the
