@@ -3281,6 +3281,29 @@ object Similarity {
     cents.indices.map(i => (i, whiteDot(cents(i), w)))
       .sortBy(t => (-t._2, t._1)).take(nprobe).map(_._1)
 
+
+  /** Score whitened candidate pairs and cut the top-k: the exact
+    * integer dot over (qw, w) codes, cos_e6 = floor(S/(√Q·√X)·1e6+½)
+    * — shared by the in-query tier, the stored-layout serve, and the
+    * brute-force ground truth (one chain, zero drift between them).
+    * `cand` needs (query_id, neighbor_id, qw, w, qn2, xn2). */
+  private def whiteTopK(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
+      .filter(col("xn2") > 0 && col("qn2") > 0)
+      .withColumn("s",
+        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)"))
+      .withColumn("cos_sim",
+        floor(col("s").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Default probe width for the WHITENED tier: wider than the raw
     * IvfNprobe=16 because whitening equalizes per-axis variance —
     * the space becomes MORE isotropic than the raw one, so bucket
@@ -3341,21 +3364,8 @@ object Similarity {
         val (w, n2) = whiteCodeNorm(v, cs, os, sc)
         topWhiteCentroids(ce, w, nprobe).iterator.map(b => (id, b, w, n2))
       }.toDF("query_id", "bucket", "qw", "qn2")
-    val scored = coded.join(broadcast(probes), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .filter(col("xn2") > 0 && col("qn2") > 0)
-      .withColumn("s",
-        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)"))
-      .withColumn("cos_sim",
-        floor(col("s").cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
-          * lit(1e6) + lit(0.5)).cast("double"))
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    topKPerQuery(scored, k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    whiteTopK(coded.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id")), k)
   }
 
   /** The whitening + whitened-quantizer bundle a serving node ships
@@ -3420,20 +3430,7 @@ object Similarity {
     val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
     val cand = if (excludeSelf) cand0.filter(col("neighbor_id") =!= col("query_id"))
                else cand0
-    val scored = cand
-      .filter(col("xn2") > 0 && col("qn2") > 0)
-      .withColumn("s",
-        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)"))
-      .withColumn("cos_sim",
-        floor(col("s").cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
-          * lit(1e6) + lit(0.5)).cast("double"))
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    topKPerQuery(scored, k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    whiteTopK(cand, k)
   }
 
   /** Whitened brute force — the ground truth [[annIvfWhite]]'s recall
@@ -3460,21 +3457,8 @@ object Similarity {
         val (w, n2) = whiteCodeNorm(v, cs, os, sc)
         (id, w, n2)
       }.toDF("query_id", "qw", "qn2")
-    val scored = corpus.join(broadcast(queries),
-        col("neighbor_id") =!= col("query_id"))
-      .filter(col("xn2") > 0 && col("qn2") > 0)
-      .withColumn("s",
-        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)"))
-      .withColumn("cos_sim",
-        floor(col("s").cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
-          * lit(1e6) + lit(0.5)).cast("double"))
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    topKPerQuery(scored, k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cos_sim").cast("long").as("cos_e6"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    whiteTopK(corpus.join(broadcast(queries),
+      col("neighbor_id") =!= col("query_id")), k)
   }
 
   /** DuckDB oracle for [[annIvfWhite]]: the whitening parameters and
