@@ -175,41 +175,51 @@ object SparkEntry {
   /** Full oracle map for a concrete dataset: the static SQL plus the
     * data-dependent entries (ann_ivf embeds its trained centroids as
     * literals, so it can only be rendered once the data is known).
-    * Verify dumps THIS map — the driver replays it in DuckDB. */
-  def oracleSqlFor(s: SparkSession, d: String): Map[String, String] =
-    oracleSql +
-      ("ann_ivf" -> Similarity.annIvfOracleSql(s, d)) +
-      ("ann_ivf_sq8" -> Similarity.annIvfSq8OracleSql(s, d)) +
-      ("ann_pq" -> Similarity.annPqOracleSql(s, d)) +
-      ("ann_ivf_pq" -> Similarity.annIvfPqOracleSql(s, d)) +
-      ("ann_ivf_prefix" -> Similarity.annIvfPrefixOracleSql(s, d)) +
-      ("ann_ivf_filtered" -> Similarity.annIvfFilteredOracleSql(s, d)) +
-      ("ann_ivf_white" -> Similarity.annIvfWhiteOracleSql(s, d)) +
-      ("ann_graph_walk" -> Similarity.annGraphWalkOracleSql(s, d)) +
-      ("knn_graph" -> Similarity.knnGraphOracleSql(s, d)) +
-      ("kmeans_report" -> Similarity.kmeansReportOracleSql(s, d)) +
-      ("mine_bitext" -> Similarity.mineBitextOracleSql(s, d)) +
-      ("graph_pagerank" -> Similarity.graphPagerankOracleSql(s, d)) +
-      ("emb_pca" -> Similarity.embPcaOracleSql(s, d)) +
-      ("knn_hubness" -> Similarity.knnHubnessOracleSql(s, d)) +
-      ("knn_components" -> Similarity.knnComponentsOracleSql(s, d)) +
-      ("graph_profile" -> Similarity.graphProfileOracleSql(s, d)) +
-      ("graph_ppr" -> Similarity.graphPprOracleSql(s, d)) +
-      ("tokenizer_fertility" ->
-        functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)) +
-      ("tokenizer_coverage" ->
-        functions.TokenizerStats.tokenizerCoverageOracleSql(s, d)) +
-      ("dedup_semantic" -> Similarity.dedupSemanticOracleSql(s, d)) +
-      ("select_prototypes" -> Similarity.selectPrototypesOracleSql(s, d)) +
-      ("bpe_segment" -> functions.Bpe.bpeSegmentOracleSql(s, d)) +
-      ("bpe_token_count" -> functions.Bpe.bpeTokenCountOracleSql(s, d)) +
-      ("unigram_segment" -> functions.Unigram.unigramSegmentOracleSql(s, d)) +
-      ("unigram_token_count" ->
-        functions.Unigram.unigramTokenCountOracleSql(s, d)) +
-      ("wordpiece_segment" ->
-        functions.Wordpiece.wordpieceSegmentOracleSql(s, d)) +
-      ("wordpiece_token_count" ->
-        functions.Wordpiece.wordpieceTokenCountOracleSql(s, d))
+    * Verify dumps THIS map — the driver replays it in DuckDB.
+    * `only` restricts WHICH oracles are rendered: data-dependent
+    * entries train models to build their literals, so a single-query
+    * dev dump (SPARK_GRAFT_ONLY) must not pay for the other 28. */
+  def oracleSqlFor(s: SparkSession, d: String,
+      only: Option[Set[String]] = None): Map[String, String] = {
+    val dataDependent: Map[String, () => String] = Map(
+      "ann_ivf" -> (() => Similarity.annIvfOracleSql(s, d)),
+      "ann_ivf_sq8" -> (() => Similarity.annIvfSq8OracleSql(s, d)),
+      "ann_pq" -> (() => Similarity.annPqOracleSql(s, d)),
+      "ann_ivf_pq" -> (() => Similarity.annIvfPqOracleSql(s, d)),
+      "ann_ivf_prefix" -> (() => Similarity.annIvfPrefixOracleSql(s, d)),
+      "ann_ivf_filtered" -> (() => Similarity.annIvfFilteredOracleSql(s, d)),
+      "ann_ivf_white" -> (() => Similarity.annIvfWhiteOracleSql(s, d)),
+      "ann_graph_walk" -> (() => Similarity.annGraphWalkOracleSql(s, d)),
+      "knn_graph" -> (() => Similarity.knnGraphOracleSql(s, d)),
+      "kmeans_report" -> (() => Similarity.kmeansReportOracleSql(s, d)),
+      "mine_bitext" -> (() => Similarity.mineBitextOracleSql(s, d)),
+      "graph_pagerank" -> (() => Similarity.graphPagerankOracleSql(s, d)),
+      "emb_pca" -> (() => Similarity.embPcaOracleSql(s, d)),
+      "knn_hubness" -> (() => Similarity.knnHubnessOracleSql(s, d)),
+      "knn_components" -> (() => Similarity.knnComponentsOracleSql(s, d)),
+      "graph_profile" -> (() => Similarity.graphProfileOracleSql(s, d)),
+      "graph_ppr" -> (() => Similarity.graphPprOracleSql(s, d)),
+      "tokenizer_fertility" ->
+        (() => functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)),
+      "tokenizer_coverage" ->
+        (() => functions.TokenizerStats.tokenizerCoverageOracleSql(s, d)),
+      "dedup_semantic" -> (() => Similarity.dedupSemanticOracleSql(s, d)),
+      "select_prototypes" ->
+        (() => Similarity.selectPrototypesOracleSql(s, d)),
+      "bpe_segment" -> (() => functions.Bpe.bpeSegmentOracleSql(s, d)),
+      "bpe_token_count" -> (() => functions.Bpe.bpeTokenCountOracleSql(s, d)),
+      "unigram_segment" ->
+        (() => functions.Unigram.unigramSegmentOracleSql(s, d)),
+      "unigram_token_count" ->
+        (() => functions.Unigram.unigramTokenCountOracleSql(s, d)),
+      "wordpiece_segment" ->
+        (() => functions.Wordpiece.wordpieceSegmentOracleSql(s, d)),
+      "wordpiece_token_count" ->
+        (() => functions.Wordpiece.wordpieceTokenCountOracleSql(s, d)))
+    val keep = (n: String) => only.forall(_(n))
+    oracleSql.filter(kv => keep(kv._1)) ++
+      dataDependent.collect { case (k, f) if keep(k) => k -> f() }
+  }
 
   /** The ngram_lm_heldout oracle body — shared verbatim by the
     * ngram_lm_heldout entry and select_learnability's reference
@@ -611,7 +621,7 @@ object SparkEntry {
                AS DECIMAL(22,9)) AS term
         FROM r)
       SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
-        round(CAST(SUM(term) AS DOUBLE), 6) AS ewma
+        round(CAST(SUM(term) AS DOUBLE), 6) + 0 AS ewma
       FROM t GROUP BY user_id ORDER BY user_id""",
 
     // exact-decimal moments: S1 (2dp) and S2 (4dp) sums are exact;
@@ -632,7 +642,7 @@ object SparkEntry {
         FROM st2 WHERE variance > 0)
       SELECT e.user_id, e.event_id,
         CAST(CAST(e."value" AS DECIMAL(18,2)) AS DOUBLE) AS "value",
-        round((e."value" - s.mean) / s.std, 6) AS z
+        round((e."value" - s.mean) / s.std, 6) + 0 AS z
       FROM events e JOIN st3 s USING (user_id)
       WHERE abs(round((e."value" - s.mean) / s.std, 6)) > 3
       ORDER BY e.user_id, e.event_id""",
@@ -1640,7 +1650,7 @@ object SparkEntry {
       ub AS (SELECT w2, COUNT(*) AS n_b FROM bg GROUP BY 1)
       SELECT ab.w1 || ' ' || ab.w2 AS bigram, n_ab, n_a, n_b,
         round(ln(CAST(st.n * n_ab AS DOUBLE) /
-                 CAST(n_a * n_b AS DOUBLE)), 6) AS pmi
+                 CAST(n_a * n_b AS DOUBLE)), 6) + 0 AS pmi
       FROM ab JOIN ua USING (w1) JOIN ub USING (w2), st
       WHERE n_ab >= 5
       ORDER BY pmi DESC, bigram LIMIT 50""",
@@ -1665,7 +1675,7 @@ object SparkEntry {
         SELECT doc_id, avg_neg_logp AS ref_nll FROM (
           $ngramLmHeldoutSql))
       SELECT selfs.doc_id, self_nll, ref_nll,
-        round(self_nll - ref_nll, 6) AS delta,
+        round(self_nll - ref_nll, 6) + 0 AS delta,
         CAST(floor(round(self_nll - ref_nll, 6) * 10) AS INT) AS bin,
         CAST(CASE WHEN round(self_nll - ref_nll, 6) > 0
              THEN 1 ELSE 0 END AS INT) AS keep
@@ -1690,7 +1700,7 @@ object SparkEntry {
       ag AS (
         SELECT d.lang, COUNT(*) AS n_docs,
           round(CAST(SUM(CAST(dl.delta AS DECIMAL(13,6))) AS DOUBLE) /
-            COUNT(*), 6) AS excess
+            COUNT(*), 6) + 0 AS excess
         FROM dl JOIN documents d USING (doc_id) GROUP BY 1),
       st AS (
         SELECT lang, n_docs, excess,
@@ -2266,11 +2276,11 @@ object SparkEntry {
           n * syy - sy * sy AS dy, sx, sy
         FROM m)
       SELECT event_type, n AS n_days,
-        round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS slope,
+        round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE), 6) + 0 AS slope,
         round(CAST(CAST(sy AS DECIMAL(18,0)) * CAST(dd AS DECIMAL(18,0))
                    - CAST(nn AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0))
                    AS DOUBLE)
-              / CAST(n * dd AS DOUBLE), 6) AS intercept,
+              / CAST(n * dd AS DOUBLE), 6) + 0 AS intercept,
         round(CAST(CAST(nn AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(18,0))
                    AS DOUBLE)
               / CAST(CAST(dd AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))
@@ -2314,11 +2324,11 @@ object SparkEntry {
             sy * (s1 * s12 - s11 * s2) AS d2
         FROM mom)
       SELECT n_docs,
-        round(d0 / dd, 6) AS intercept,
-        round(d1 / dd, 6) AS b_len,
-        round(d2 / dd, 6) AS b_stop,
+        round(d0 / dd, 6) + 0 AS intercept,
+        round(d1 / dd, 6) + 0 AS b_len,
+        round(d2 / dd, 6) + 0 AS b_stop,
         round(1.0 - (syy - (d0 * sy + d1 * s1y + d2 * s2y) / dd) /
-          (syy - sy * sy / n), 6) AS r2
+          (syy - sy * sy / n), 6) + 0 AS r2
       FROM det""",
 
     "snapshot_diff" -> operators.Cdc.snapshotDiffOracle,

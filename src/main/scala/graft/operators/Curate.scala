@@ -1084,6 +1084,6 @@ object Curate {
       SELECT doc_id, lang, n_grams, slw FROM sc
       ORDER BY slw DESC, doc_id LIMIT 100)
     SELECT doc_id, lang, n_grams,
-      round(CAST(slw AS DOUBLE), 6) AS logw
+      round(CAST(slw AS DOUBLE), 6) + 0 AS logw
     FROM top ORDER BY logw DESC, doc_id"""
 }

@@ -10,6 +10,7 @@ name and rows by all columns.
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -49,8 +50,31 @@ for qname, sql in sorted(oracle.items()):
     try:
         pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                       check_exact=True)
-        print(f"OK   {qname} ({len(got)} rows)")
     except AssertionError as e:
         print(f"FAIL {qname}: values differ: {str(e)[:400]}")
         fails += 1
+        continue
+    # BIT-exact float compare: the driver hashes raw value bytes, so
+    # +0.0 (Spark round, BigDecimal-based) vs -0.0 (DuckDB round,
+    # IEEE-preserving) hash-mismatches even though == and
+    # assert_frame_equal both pass — that's how emb_pca stayed red
+    # through a green local gate in r13. NaNs (none expected) compare
+    # equal to each other regardless of payload.
+    bit_bad = []
+    for c in g_cols:
+        if got[c].dtype.kind != "f":
+            continue
+        g = got[c].to_numpy()
+        e = exp[c].to_numpy()
+        ib = f"int{g.dtype.itemsize * 8}"
+        same = (g.view(ib) == e.view(ib)) | (np.isnan(g) & np.isnan(e))
+        if not same.all():
+            i = int(np.argmin(same))
+            bit_bad.append(f"{c}[{i}]: spark {g[i]!r} vs oracle {e[i]!r}"
+                           f" (bits {g.view(ib)[i]:#x} vs {e.view(ib)[i]:#x})")
+    if bit_bad:
+        print(f"FAIL {qname}: float bits differ: {bit_bad[:4]}")
+        fails += 1
+    else:
+        print(f"OK   {qname} ({len(got)} rows)")
 sys.exit(1 if fails else 0)
