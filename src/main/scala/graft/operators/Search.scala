@@ -564,12 +564,11 @@ object Search {
     val lex = bm25TopK(s, d, depth)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val qids = BmQueries.map(_._1)
-    val qv = broadcast(Tables.embeddings(s, d)
-      .filter(col("vec_id").isInCollection(qids))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val semScored = Tables.embeddings(s, d)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
-      .join(qv)
+    // semantic side: the exhaustive bucket EQUI-join pair product
+    // (bit-identical to the broadcast cross product this used through
+    // r13, but it plans as a hash join — the last two hybrid BNLJs
+    // retired by the annIvfPrefix precedent)
+    val semScored = Similarity.exhaustivePairsFor(s, d, qids)
       .select(col("query_id"), col("neighbor_id"),
         round(cosSim(col("qv"), col("v")), 6).as("cos_sim"))
     val sem = Similarity.topKPerQuery(semScored, depth)

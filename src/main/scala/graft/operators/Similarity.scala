@@ -267,6 +267,35 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
   }
 
+  /** The full (query × corpus) pair product as a bucket EQUI-join at
+    * EXHAUSTIVE nprobe: corpus rows keep their single assigned IVF
+    * bucket, every query probes ALL nlist buckets, so each pair meets
+    * exactly once — result-identical to a broadcast cross product but
+    * it plans as a hash join, never a BroadcastNestedLoopJoin (the
+    * annIvfPrefix r12 precedent, applied to the hybrid-search
+    * semantic side in r14). Self pairs are KEPT (the hybrid fusion
+    * ranks the query document itself). Returns
+    * (query_id, neighbor_id, qv, v). */
+  private[graft] def exhaustivePairsFor(s: SparkSession, d: String,
+                                        queryIds: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d)
+    val bc = s.sparkContext.broadcast(cents)
+    val bucketed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("neighbor_id", "bucket", "v")
+    val probes = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until bc.value.length).iterator.map(b => (id, b, v)) }
+      .toDF("query_id", "bucket", "qv")
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
+  }
+
   /** Default LSH geometry: 16 tables × 4 hyperplane bits. Chosen by
     * measuring recall@5 vs brute force on the synthetic corpus, whose
     * embeddings are ISOTROPIC (top-5 neighbors sit at cos≈0.3, barely
@@ -2579,20 +2608,35 @@ object Similarity {
     *   - `probes/` (vec_id) partitioned by PROBED bucket — the
     *     REVERSE index: exactly the standing nodes whose top-k an
     *     arrival landing in bucket b can change;
-    *   - `edges/`  (vec_id, neighbor_id, cos_sim, rank) partitioned
-    *     by `_eb` = vec_id % GraphEb — the dynamic-overwrite rewrite
-    *     granularity for affected nodes.
+    *   - `edges/`  (vec_id, neighbor_id, cos_sim, rank, n_bucket)
+    *     partitioned by `_eb` = vec_id % GraphEb — the
+    *     dynamic-overwrite rewrite granularity for affected nodes.
+    *     n_bucket = the NEIGHBOR's assigned IVF bucket, carried so
+    *     graph-walk serving can prune its vector fetch to the
+    *     frontier's bucket partition VALUES (the `_eb` discipline
+    *     applied to `nodes/` — without it every walk round re-scans
+    *     the whole corpus for ≤ beam·deg vectors, a corpus-linear
+    *     cost per served batch);
+    *   - `entries/` (bucket, node, embedding) — ONE medoid
+    *     (min vec_id) per bucket, ≤ nlist rows, precomputed here so
+    *     serving never pays the per-call `nodes/` groupBy scan.
     * Centroids are FIXED across appends (the appendIvfPartitioned
     * contract; drift → retrain-and-rebuild, the IVF loops' verb). */
   def writeKnnGraph(emb: DataFrame, cents: Array[Array[Double]], dir: String,
                     k: Int = KnnK, nprobe: Int = IvfNprobe): Unit = {
     val s = emb.sparkSession
     import s.implicits._
+    val assigned = ivfAssign(emb, cents)
     // cluster by the partition key BEFORE partitionBy or every task
     // writes a file into every directory it holds (the r10 lesson)
-    ivfAssign(emb, cents).repartition(col("bucket"))
+    assigned.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/nodes")
+    assigned
+      .join(assigned.groupBy(col("bucket")).agg(min(col("vec_id"))
+        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
+      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
     val bc = s.sparkContext.broadcast(cents)
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
@@ -2600,15 +2644,51 @@ object Similarity {
       .toDF("vec_id", "probed").repartition(col("probed"))
       .write.mode("overwrite").partitionBy("probed").parquet(s"$dir/probes")
     knnGraphOn(emb, cents, k, nprobe)
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("n_bucket")), Seq("neighbor_id"))
       .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
       .repartition(col("_eb"))
       .write.mode("overwrite").partitionBy("_eb").parquet(s"$dir/edges")
   }
 
-  def readKnnGraph(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/edges")
+  def readKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val edges = s.read.parquet(s"$dir/edges")
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    knnGraphTombstones(s, dir).fold(edges)(t => edges
+        .join(broadcast(t), Seq("vec_id"), "left_anti")
+        .join(broadcast(t.withColumnRenamed("vec_id", "neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank")))
       .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** BATCHED erasure for the graph artifact — the tombstone-
+    * accumulate form of [[forgetFromKnnGraph]] (which pays three
+    * compact-swap layout rewrites PER CALL — 8.1/32.2/59.4s at
+    * 1×/10×/20×, §6): ids append to `$dir/_tombstones` (the
+    * [[deleteFromLayout]] discipline), every serve/read SUBTRACTS
+    * them (readKnnGraph drops rows citing a tombstoned endpoint —
+    * survivors' top-k stay stale-short until the fold, the Lucene
+    * deleted-docs semantics; graph-walk serving drops tombstoned
+    * entries and expansion targets), and the next [[compactKnnGraph]]
+    * folds the WHOLE accumulated batch through one forget surgery —
+    * amortizing the rewrites over every erasure request in the
+    * cycle. Spec'd: fold-at-compact ≡ sequential forgetFromKnnGraph
+    * ≡ one-shot graph of the survivors (ErasureSpec). */
+  def deleteFromKnnGraph(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode("append").parquet(s"$dir/_tombstones")
+
+  /** The graph artifact's pending-erasure log, if any deletes are
+    * outstanding — None means no extra plan nodes on any serve. */
+  private[graft] def knnGraphTombstones(s: SparkSession,
+                                        dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(s.read.parquet(p.toString).select(col("vec_id")).distinct())
+  }
 
   /** Daily append to the maintained kNN graph — spec'd ≡ the one-shot
     * [[knnGraphOn]] of the union under the same centroids:
@@ -2648,12 +2728,17 @@ object Similarity {
         col("embedding").as("v"))
       .unionByName(batchNodes.select(col("vec_id").as("neighbor_id"),
         col("bucket"), col("embedding").as("v")))
+    // neighbor→assigned-bucket mapping, PRUNED (cand already carries
+    // each candidate's assigned bucket — no nodes/ scan)
+    val nbCand = cand.select(col("neighbor_id"), col("bucket").as("n_bucket"))
+      .distinct()
     val batchEdges = topKPerQuery(
       cand.hint("shuffle_hash").join(batchProbes, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("vec_id"))
         .select(col("vec_id").as("query_id"), col("neighbor_id"),
           round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
       .withColumnRenamed("query_id", "vec_id")
+      .join(nbCand, Seq("neighbor_id"))
     // 2. affected standing nodes (exclude replayed batch ids)
     val affProbes = s.read.parquet(s"$dir/probes")
       .filter(col("probed").isin(assignedBuckets: _*))
@@ -2685,10 +2770,18 @@ object Similarity {
           col("cos_sim"))
         .unionByName(newCand.withColumnRenamed("vec_id", "query_id")), k)
       .withColumnRenamed("query_id", "vec_id")
-    val cols = Seq("vec_id", "neighbor_id", "cos_sim", "rank").map(col)
+    // merged neighbors are old neighbors (bucket on the stored edge
+    // rows) or batch nodes — both mappings pruned, no nodes/ scan
+    val nbMerge = oldPart.select(col("neighbor_id"), col("n_bucket"))
+      .unionByName(batchNodes.select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("n_bucket")))
+      .distinct()
+    val cols = Seq("vec_id", "neighbor_id", "cos_sim", "rank",
+      "n_bucket").map(col)
     val out = oldPart.join(affIds, Seq("vec_id"), "left_anti")
       .select(cols: _*)
-      .unionByName(merged.select(cols: _*))
+      .unionByName(merged.join(nbMerge, Seq("neighbor_id"))
+        .select(cols: _*))
       .unionByName(batchEdges.select(cols: _*))
       .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
       .localCheckpoint() // materialize BEFORE overwriting partitions we read
@@ -2700,21 +2793,44 @@ object Similarity {
       .parquet(s"$dir/nodes")
     batchProbes.select(col("vec_id"), col("bucket").as("probed"))
       .write.mode("append").partitionBy("probed").parquet(s"$dir/probes")
+    // 4. entry medoids: min(stored, batch min) per bucket — bounded
+    // ≤ nlist rows both sides, materialized before the overwrite
+    val batchEntries = batchNodes
+      .join(batchNodes.groupBy(col("bucket")).agg(min(col("vec_id"))
+        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
+      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
+    val entryW = Window.partitionBy(col("bucket")).orderBy(col("node"))
+    val newEntries = s.read.parquet(s"$dir/entries")
+      .unionByName(batchEntries)
+      .withColumn("_rn", row_number().over(entryW))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint()
+    newEntries.coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
   }
 
   /** Small-file fold for the graph artifact's append-accumulating
     * layouts (`nodes/`, `probes/`) — `edges/` self-compacts (every
     * append REWRITES its touched `_eb` partitions whole). Identity
     * spec'd: the folded artifact reads and appends exactly like the
-    * unfolded one. */
+    * unfolded one. If [[deleteFromKnnGraph]] tombstones are pending,
+    * the fold FIRST runs the forget surgery once for the whole
+    * accumulated batch (refilling affected survivors) and clears the
+    * log — every rewrite of a tombstoned layout must fold its
+    * tombstones or a later reader would resurrect the deletes. */
   def compactKnnGraph(s: SparkSession, dir: String,
                       targetBytes: Long = 128L << 20)
       : (graft.sources.Compact.CompactReport,
-         graft.sources.Compact.CompactReport) =
+         graft.sources.Compact.CompactReport) = {
+    knnGraphTombstones(s, dir).foreach { ts =>
+      forgetFromKnnGraph(s, dir, ts.localCheckpoint())
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
     (graft.sources.Compact.compactInPlace(s, s"$dir/nodes", targetBytes,
        partitionCols = Seq("bucket")),
      graft.sources.Compact.compactInPlace(s, s"$dir/probes", targetBytes,
        partitionCols = Seq("probed")))
+  }
 
   /** ERASE vectors from the maintained kNN-graph artifact — the graph
     * loop's right-to-be-forgotten verb ([[graft.operators.Dedup
@@ -2738,12 +2854,21 @@ object Similarity {
     * Spec'd ≡ the one-shot [[knnGraphOn]] of the surviving corpus
     * under the same centroids (ErasureSpec) — and the enumerating
     * erasure spec asserts no maintained artifact retains a forgotten
-    * id. */
+    * id.
+    *
+    * `k ≤ 0` (the default) derives the refill degree from the
+    * artifact itself (max stored rank) — the artifact does not record
+    * its k, and refilling at a DIFFERENT degree than it was written
+    * with would break erasure ≡ one-shot (a pipeline state written at
+    * a non-default degree must not depend on every forget caller
+    * remembering it). */
   def forgetFromKnnGraph(s: SparkSession, dir: String, ids: DataFrame,
-                         k: Int = KnnK): Unit = {
+                         k: Int = -1): Unit = {
     import s.implicits._
     val forget = ids.select(col("vec_id")).distinct().localCheckpoint()
     val edges = s.read.parquet(s"$dir/edges")
+    val kk = if (k > 0) k
+             else edges.agg(max(col("rank"))).head.getInt(0)
     val aff = edges
       .join(broadcast(forget), Seq("vec_id"), "left_anti")
       .join(broadcast(forget.withColumnRenamed("vec_id", "neighbor_id")),
@@ -2768,11 +2893,13 @@ object Similarity {
         .join(cand.hint("shuffle_hash"), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("vec_id"))
         .select(col("vec_id").as("query_id"), col("neighbor_id"),
-          round(cos(col("embedding"), col("v")), 6).as("cos_sim")), k)
+          round(cos(col("embedding"), col("v")), 6).as("cos_sim")), kk)
       .withColumnRenamed("query_id", "vec_id")
+      .join(cand.select(col("neighbor_id"), col("bucket").as("n_bucket"))
+        .distinct(), Seq("neighbor_id"))
       .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
-        col("rank"), col("_eb"))
+        col("rank"), col("n_bucket"), col("_eb"))
       .localCheckpoint() // materialize before the layouts it read swap
     graft.sources.Compact.compactInPlace(s, s"$dir/edges",
       partitionCols = Seq("_eb"),
@@ -2780,7 +2907,7 @@ object Similarity {
         .join(broadcast(forget), Seq("vec_id"), "left_anti")
         .join(aff, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
-          col("rank"), col("_eb"))
+          col("rank"), col("n_bucket"), col("_eb"))
         .unionByName(refilled))
     graft.sources.Compact.compactInPlace(s, s"$dir/nodes",
       partitionCols = Seq("bucket"),
@@ -2788,6 +2915,16 @@ object Similarity {
     graft.sources.Compact.compactInPlace(s, s"$dir/probes",
       partitionCols = Seq("probed"),
       transform = _.join(broadcast(forget), Seq("vec_id"), "left_anti"))
+    // entry medoids: a forgotten node may BE a bucket's medoid —
+    // recompute from the swapped (survivor-only) nodes/ layout. The
+    // full forget already rewrites every layout, so one more pass
+    // over nodes/ costs nothing extra in kind.
+    val surv = s.read.parquet(s"$dir/nodes")
+    surv
+      .join(surv.groupBy(col("bucket")).agg(min(col("vec_id"))
+        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
+      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
   }
 
   // ---- knn_components: mutual-kNN connected components --------------------
@@ -3634,22 +3771,32 @@ object Similarity {
   }
 
   /** Serve a query batch by graph walk over the STORED kNN-graph
-    * artifact ([[writeKnnGraph]]/[[knnGraphAppendStep]]): edges and
-    * corpus vectors come from `edges/` and `nodes/`, entry medoids
-    * from the stored bucket column (min vec_id per bucket). The
-    * [[annIvfServeBatch]] serving contract: query ids are an
-    * independent space, excludeSelf opt-in. Walk degree is whatever
-    * the artifact stored (its k). */
+    * artifact ([[writeKnnGraph]]/[[knnGraphAppendStep]]): entry
+    * medoids come from the precomputed `entries/` file (≤ nlist rows
+    * WITH embeddings — no per-call `nodes/` scan), per-round edge
+    * reads are pruned to the frontier's `_eb` partition values, and
+    * the per-round VECTOR fetch is pruned to the candidates'
+    * `n_bucket` partition values carried on the stored edges (the
+    * same bounded-partition-VALUES discipline applied to `nodes/` —
+    * before r14 this fetch was an unpruned corpus scan per round, the
+    * one corpus-linear cost in the serve path). Pending
+    * [[deleteFromKnnGraph]] tombstones are subtracted from entries
+    * and expansions. The [[annIvfServeBatch]] serving contract:
+    * query ids are an independent space, excludeSelf opt-in. Walk
+    * degree is whatever the artifact stored (its k). */
   def annGraphWalkServeBatch(s: SparkSession, dir: String,
                              queries: DataFrame, k: Int = 5,
                              beam: Int = GraphWalkBeam,
                              depth: Int = GraphWalkDepth,
                              excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
+    val ts = knnGraphTombstones(s, dir)
+    val entryVecs0 = s.read.parquet(s"$dir/entries")
+      .select(col("node"), col("embedding"))
+    val entryVecs = ts.fold(entryVecs0)(t =>
+      entryVecs0.join(broadcast(t.withColumnRenamed("vec_id", "node")),
+        Seq("node"), "left_anti"))
     val nodes = s.read.parquet(s"$dir/nodes")
-    val entries = nodes.groupBy(col("bucket"))
-      .agg(min(col("vec_id")).as("node"))
-      .select(col("node")).as[Long].collect().sorted // bounded by nlist
     // per-round edge fetch PRUNED to the frontier's `_eb` partitions
     // (the bounded-partition-VALUES discipline: ≤ GraphEb ints per
     // round, never an id set) — the scan cost tracks the touched
@@ -3660,22 +3807,31 @@ object Similarity {
       val ebs = frontier
         .select((col("node") % GraphEb).cast("int").as("eb"))
         .distinct().as[Int].collect().toSeq
-      s.read.parquet(s"$dir/edges")
+      val out = s.read.parquet(s"$dir/edges")
         .filter(col("_eb").isin(ebs: _*))
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
+          col("n_bucket"))
+      ts.fold(out)(t =>
+          out.join(broadcast(t.withColumnRenamed("vec_id", "dst")),
+            Seq("dst"), "left_anti"))
         .join(broadcast(frontier.select(col("query_id"),
           col("node").as("src"))), Seq("src"))
-        .select(col("query_id"), col("dst").as("node"))
+        .select(col("query_id"), col("dst").as("node"), col("n_bucket"))
     }
-    annGraphWalkOn(nodes.select(col("vec_id"), col("embedding")),
-      expand, entries,
+    // vector fetch PRUNED to the candidates' assigned-bucket
+    // partitions (≤ nlist ints per round — the point of n_bucket)
+    val fetch = (cand: DataFrame) => {
+      val bks = cand.select(col("n_bucket")).distinct()
+        .as[Int].collect().toSeq
+      nodes.filter(col("bucket").isin(bks: _*))
+        .select(col("vec_id").as("node"), col("embedding"))
+        .join(broadcast(cand.select(col("node"))), Seq("node"), "left_semi")
+    }
+    annGraphWalkOn(fetch, expand, entryVecs,
       queries.select(col("query_id"), col("embedding")),
       k, beam, depth, excludeSelf)
   }
 
-  /** The walk itself over given (src, dst) edges, corpus vectors,
-    * entry ids, and a bounded query frame — shared by the in-query
-    * form and the stored-artifact serving twin. */
   /** Default expansion: one broadcast-frontier join against an
     * in-memory edge frame (the in-query form — the edges were just
     * built and checkpointed, nothing to prune). */
@@ -3684,36 +3840,46 @@ object Similarity {
         col("node").as("src"))), Seq("src"))
       .select(col("query_id"), col("dst").as("node"))
 
+  /** The walk over an in-memory corpus + edge frame — the in-query
+    * form: vectors fetch by one broadcast semi-join against the whole
+    * corpus frame (nothing stored to prune). */
   private[graft] def annGraphWalkOn(emb: DataFrame, edges: DataFrame,
-                                    entries: Seq[Long], queries: DataFrame,
-                                    k: Int, beam: Int, depth: Int,
-                                    excludeSelf: Boolean): DataFrame =
-    annGraphWalkOn(emb, expandAll(edges)(_), entries, queries, k, beam,
-      depth, excludeSelf)
-
-  /** The walk core with a pluggable frontier expansion (the serving
-    * twin prunes its stored-edge reads by the frontier's `_eb`
-    * partition values; the in-query form joins its checkpointed edge
-    * frame directly). `expand` maps a (query_id, node, …) frontier to
-    * the (query_id, node) out-neighbor rows of its nodes. */
-  private[graft] def annGraphWalkOn(emb: DataFrame,
-                                    expand: DataFrame => DataFrame,
                                     entries: Seq[Long], queries: DataFrame,
                                     k: Int, beam: Int, depth: Int,
                                     excludeSelf: Boolean): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    val fetch = (cand: DataFrame) => {
+      val nodes = cand.select(col("node")).distinct()
+      emb.join(broadcast(nodes), emb("vec_id") === nodes("node"))
+        .select(col("vec_id").as("node"), col("embedding"))
+    }
+    annGraphWalkOn(fetch, expandAll(edges)(_),
+      fetch(entries.toDF("node")), queries, k, beam, depth, excludeSelf)
+  }
+
+  /** The walk core with pluggable frontier expansion AND vector
+    * fetch (the serving twin prunes its stored-edge reads by the
+    * frontier's `_eb` partition values and its `nodes/` vector reads
+    * by the candidates' `n_bucket` partition values; the in-query
+    * form joins its in-memory frames directly). `expand` maps a
+    * (query_id, node) frontier to (query_id, node[, n_bucket])
+    * out-neighbor rows; `fetch` maps a distinct (node[, n_bucket])
+    * candidate frame to (node, embedding); `entryVecs` is the
+    * bounded (node, embedding) entry-medoid frame (≤ nlist rows). */
+  private[graft] def annGraphWalkOn(fetch: DataFrame => DataFrame,
+                                    expand: DataFrame => DataFrame,
+                                    entryVecs: DataFrame, queries: DataFrame,
+                                    k: Int, beam: Int, depth: Int,
+                                    excludeSelf: Boolean): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
     // bounded query set rides a broadcast map (qid → vector)
     val qMap = queries.select(col("query_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().toMap
     val bcQ = s.sparkContext.broadcast(qMap)
-    def score(cand: DataFrame): DataFrame = {
-      // candidates are (query_id, node); fetch vectors by one
-      // broadcast semi-join against the corpus, score exactly
-      val nodes = cand.select(col("node")).distinct()
-      val vecs = emb.join(broadcast(nodes),
-          emb("vec_id") === nodes("node"))
-        .select(col("vec_id").as("node"), col("embedding"))
+    // (query_id, node) + a bounded (node, embedding) frame → scores
+    def score(cand: DataFrame, vecs: DataFrame): DataFrame =
       cand.join(broadcast(vecs), Seq("node"))
         .select(col("query_id"), col("node"), col("embedding"))
         .as[(Long, Long, Array[Float])]
@@ -3721,19 +3887,21 @@ object Similarity {
           val q = bcQ.value(qid)
           (qid, node, cosE6(snapDot9(q, v), snapDot9(q, q), snapDot9(v, v)))
         }.toDF("query_id", "node", "cos_e6")
-    }
     // initial frontier assembled on the driver: queries × entry
     // medoids are both bounded (never a crossJoin plan)
-    val init = for (q <- qMap.keys.toSeq.sorted; e <- entries) yield (q, e)
-    var frontier = score(init.toDF("query_id", "node"))
+    val eIds = entryVecs.select(col("node")).as[Long].collect().sorted
+    val init = for (q <- qMap.keys.toSeq.sorted; e <- eIds) yield (q, e)
+    var frontier = score(init.toDF("query_id", "node"), entryVecs)
       .localCheckpoint()
     for (_ <- 1 to depth) {
-      val neigh = expand(frontier)
+      val neigh = expand(frontier.select(col("query_id"), col("node")))
         .distinct()
         .join(broadcast(frontier.select(col("query_id"), col("node"))),
           Seq("query_id", "node"), "left_anti")
+      val vecs = fetch(neigh.drop("query_id").distinct())
       val cand = frontier
-        .unionByName(score(neigh))
+        .unionByName(score(neigh.select(col("query_id"), col("node")),
+          vecs))
       frontier = topKPerQuery(cand
           .select(col("query_id"), col("node").as("neighbor_id"),
             col("cos_e6").cast("double").as("cos_sim")), beam)
@@ -3831,8 +3999,14 @@ object Similarity {
     * red row was `list_inner_product` here, whose accumulation order
     * is engine-environment-sensitive), HUGEINT moments (sp*sp routed
     * through HUGEINT — BIGINT² overflows), the same single divisions
-    * and the exact ve9 cumulative ratio. Data-dependent → emitted by
-    * oracleSqlFor. */
+    * and the exact ve9 cumulative ratio. Final rounded DOUBLEs are
+    * normalized with `+ 0`: DuckDB's round() preserves IEEE -0.0
+    * (the mean-centered projections are ≈0 and sp is often a small
+    * negative integer) while Spark's BigDecimal-based round() cannot
+    * represent it — numerically equal, bit-different, and the
+    * driver's hash is bit-sensitive (r13's one red row).
+    * `-0.0 + 0.0 = +0.0`; every other value is unchanged.
+    * Data-dependent → emitted by oracleSqlFor. */
   def embPcaOracleSql(s: SparkSession, d: String): String = {
     val (comps, offs) = pcaBasis(s, d)
     val dim = comps.head.length
@@ -3855,16 +4029,17 @@ object Similarity {
         FROM proj GROUP BY 1),
       v AS (
         SELECT cid, n,
-          round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS mean_p,
+          round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0
+            AS mean_p,
           round(CAST(n * sp2 - CAST(sp AS HUGEINT) * sp AS DOUBLE) /
-            (CAST(n AS DOUBLE) * n * 1e12), 6) AS var_p
+            (CAST(n AS DOUBLE) * n * 1e12), 6) + 0 AS var_p
         FROM ag),
       e9 AS (
         SELECT *, CAST(floor(var_p * 1e9 + 0.5) AS BIGINT) AS ve9 FROM v)
       SELECT cid AS component, n, mean_p, var_p,
         round(CAST(SUM(ve9) OVER (ORDER BY cid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
-          CAST(SUM(ve9) OVER () AS DOUBLE), 6) AS cum_frac
+          CAST(SUM(ve9) OVER () AS DOUBLE), 6) + 0 AS cum_frac
       FROM e9 ORDER BY component"""
   }
 

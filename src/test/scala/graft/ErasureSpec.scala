@@ -49,7 +49,7 @@ class ErasureSpec extends SparkSpec {
     "forgetFromBandIndex", "forgetFromSpanIndex", "forgetFromChunkIndex",
     "forgetFromLineIndex", "forgetFromWinnowIndex",
     "forgetFromEmbCodeIndex", "forgetFromClusterIndex",
-    "forgetFromKnnGraph", "forgetFromPhashIndex",
+    "forgetFromKnnGraph", "deleteFromKnnGraph", "forgetFromPhashIndex",
     "deleteFromLayout", "deleteFromInvertedIndex")
 
   test("keeper-attributed fingerprint indexes forget") {
@@ -153,6 +153,42 @@ class ErasureSpec extends SparkSpec {
       emb.filter(col("vec_id").isin(victims: _*))
         .withColumn("vec_id", col("vec_id") + 9000L), cents)
     assert(rows(Similarity.readKnnGraph(spark, dir)).nonEmpty)
+  }
+
+  test("deleteFromKnnGraph: serves subtract pending tombstones; compact folds the batch once") {
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val dir = tmp("er-knng-batch")
+    Similarity.writeKnnGraph(emb, cents, dir)
+    Similarity.deleteFromKnnGraph(spark, dir, victimsDf("vec_id"))
+    // pre-fold: reads subtract — no forgotten id visible even though
+    // the layouts still hold the rows physically (Lucene semantics)
+    assert(Similarity.readKnnGraph(spark, dir)
+      .filter(col("vec_id").isin(victims: _*) ||
+        col("neighbor_id").isin(victims: _*)).count() == 0)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = Similarity.annGraphWalkServeBatch(spark, dir, queries,
+      excludeSelf = true)
+    assert(served.filter(col("neighbor_id").isin(victims: _*)).count() == 0)
+    // fold: ONE surgery for the whole batch ≡ one-shot of survivors
+    Similarity.compactKnnGraph(spark, dir)
+    assert(tombstonesGone(dir), "graph tombstone log not cleared")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val got = rows(Similarity.readKnnGraph(spark, dir))
+    val want = rows(Similarity.knnGraphOn(
+      emb.filter(!col("vec_id").isin(victims: _*)), cents))
+    assert(got.nonEmpty && got == want)
+    assertClean("knn_graph/edges", s"$dir/edges",
+      Seq("vec_id", "neighbor_id"))
+    assertClean("knn_graph/nodes", s"$dir/nodes", Seq("vec_id"))
+    assertClean("knn_graph/probes", s"$dir/probes", Seq("vec_id"))
+    // victim 0 was its bucket's medoid — entries must be recomputed
+    val entries = spark.read.parquet(s"$dir/entries")
+    assert(entries.filter(col("node").isin(victims: _*)).count() == 0)
+    assert(entries.count() > 0)
   }
 
   test("ANN layout and inverted/positional indexes: tombstones fold to zero references") {

@@ -274,6 +274,15 @@ class SimilaritySpec extends SparkSpec {
     val exact = pairs(Similarity.annBruteforce(spark, sf))
     val recall = (pairs(served) & exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"stored-walk recall@5 = $recall")
+    // the pruned serve path (entries/ medoids, n_bucket vector fetch)
+    // is bit-identical to the in-query walk at the same degree
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_e6"), r.getAs[Int]("rank"))).sorted.toSeq
+    val inQuery = Similarity.annGraphWalkFrom(emb, cents,
+      nQueries = 10, deg = 8) // annGraphWalkFrom already excludes self
+    assert(tup(served) == tup(inQuery),
+      "pruned serving diverged from the in-query walk")
     // erasure: a forgotten neighbor leaves the served results
     val victim = rows.head.getAs[Long]("neighbor_id")
     Similarity.forgetFromKnnGraph(spark, dir, Seq(victim).toDF("vec_id"),
