@@ -286,6 +286,20 @@ object Pipeline {
     * artifact. */
   case class GraphGate(embeddings: DataFrame, minInDegree: Long = 1)
 
+  /** Raw-ingest configuration for [[curateAndPackDayStep]]'s stage
+    * -1: the day's batch arrives as RAW JSON lines (doc_id, `jsonCol`)
+    * instead of an already-typed frame — the shape a real feed has
+    * (the reference's malformed-appdetails story, main.py:288-316).
+    * Rows that fail to parse, or parse with a `required` field null,
+    * append to `stateDir/quarantine` as replayable (doc_id, raw)
+    * originals ([[graft.sources.Ingest.readJsonQuarantine]]) and the
+    * day's DQ report carries ingest_valid / ingest_quarantined rows
+    * (the tok_* pattern: INFORMATIONAL, excluded from the violation
+    * sum — a quarantined row was handled, not shipped wrong; spec'd
+    * in PipelineSpec). */
+  case class RawIngest(jsonCol: String = "raw",
+                       required: Seq[String] = Seq("lang", "text"))
+
   /** Create the EMPTY maintained state a day loop starts from. The
     * chunk/band/shingle/retraction artifacts are schema-typed empty
     * parquet (readable before any append); the cluster map
@@ -352,7 +366,8 @@ object Pipeline {
                            shardBudget: Long = 20000,
                            bpeMerges: Option[Seq[(String, String)]] = None,
                            unigramPieces: Option[Seq[(String, Long)]] = None,
-                           wordpiecePieces: Option[Seq[String]] = None)
+                           wordpiecePieces: Option[Seq[String]] = None,
+                           rawIngest: Option[RawIngest] = None)
       : DayReport = {
     require(pplCeiling.isEmpty || lmArtifact.nonEmpty,
       "the daily LM gate needs a provided artifact (it never self-trains)")
@@ -361,7 +376,21 @@ object Pipeline {
       "supply at most one tokenizer artifact " +
         "(bpeMerges OR unigramPieces OR wordpiecePieces)")
     import spark.implicits._
-    val docs = batchDocs.select(col("doc_id"), col("lang"), col("text"))
+    // -1. raw-JSON ingest with quarantine (optional stage 0 of the
+    // ingest story): malformed or required-null rows append to the
+    // replayable quarantine log and are counted in the DQ report
+    val (docs, ingestReport) = rawIngest match {
+      case None =>
+        (batchDocs.select(col("doc_id"), col("lang"), col("text")), None)
+      case Some(ri) =>
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val (valid, rep) = graft.sources.Ingest.readJsonQuarantine(
+          batchDocs, "doc_id", ri.jsonCol,
+          StructType(Seq(StructField("lang", StringType),
+            StructField("text", StringType))),
+          s"$stateDir/quarantine", ri.required)
+        (valid.select(col("doc_id"), col("lang"), col("text")), Some(rep))
+    }
     val input = docs.count()
 
     // 0. normalize
@@ -609,18 +638,26 @@ object Pipeline {
         }
       case _ => Seq.empty
     }
+    // ingest accounting rides the report like tok_*: informational
+    // (a quarantined row was handled — replayable, never shipped —
+    // so it is not a violation of the written shards)
+    val ingestBlock: Seq[DataFrame] = ingestReport.toSeq.map { r =>
+      Seq("ingest_valid" -> r.valid,
+        "ingest_quarantined" -> r.quarantined).toDF("metric", "value")
+    }
     val dq = operators.DataQuality.suite(
       Seq(operators.DataQuality.rowMetrics(dayRows, Seq(
         "null_lang" -> col("lang").isNull,
         "empty_docs" -> (col("n_tokens") <= 0),
         "bad_split" -> !col("split").isin("train", "val", "test"))),
       operators.DataQuality.keyDuplicates(dayRows, Seq("doc_id"),
-        "dup_doc_keys")) ++ tokBlock: _*)
+        "dup_doc_keys")) ++ tokBlock ++ ingestBlock: _*)
     dq.write.mode("overwrite").parquet(s"$stateDir/days/$day/dq_report")
     val dqViolations = spark.read
       .parquet(s"$stateDir/days/$day/dq_report")
       .filter(col("metric") =!= "row_count" &&
-        !col("metric").startsWith("tok_"))
+        !col("metric").startsWith("tok_") &&
+        !col("metric").startsWith("ingest_"))
       .agg(sum(col("value")).as("v")).collect().head.getLong(0)
 
     DayReport(day, input, afterDedup, contaminated, retracted,

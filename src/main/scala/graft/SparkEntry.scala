@@ -126,6 +126,7 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, d) => operators.Curate.decontaminateBloom(s, d)),
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
+    "pack_bestfit"        -> ((s, d) => operators.Curate.packBestfit(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "multimodal_audio"    -> ((s, d) => Multimodal.audioFeatures(s, d)),
@@ -2051,6 +2052,49 @@ object SparkEntry {
         CAST(cum_before // 512 AS BIGINT) AS bin_id,
         CAST(cum_before % 512 AS INT) AS bin_offset
       FROM c ORDER BY lang, doc_id""",
+
+    // first-fit-decreasing replayed as a recursive CTE: items ordered
+    // (n_tokens DESC, doc_id) per (lang, shard), bin loads carried as
+    // a BIGINT list, fit = first index whose load + size fits (NULL ->
+    // open a new bin); recursion depth bounded by shardSize = 100
+    "pack_bestfit" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang, CAST(doc_id // 100 AS BIGINT) AS shard,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> length(x) > 0)) AS INT) AS n_tokens
+        FROM documents),
+      items AS (
+        SELECT lang, shard, doc_id, n_tokens,
+          CAST(least(n_tokens, 512) AS BIGINT) AS sz,
+          CAST(row_number() OVER (PARTITION BY lang, shard
+            ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
+        FROM t WHERE n_tokens > 0),
+      ffd AS (
+        SELECT lang, shard, rn, doc_id, n_tokens, sz,
+          CAST(0 AS INT) AS bin, CAST(0 AS INT) AS bin_offset,
+          [sz] AS loads
+        FROM items WHERE rn = 1
+        UNION ALL
+        SELECT lang, shard, rn, doc_id, n_tokens, sz,
+          CAST(CASE WHEN fit IS NULL THEN len(loads0)
+               ELSE fit - 1 END AS INT) AS bin,
+          CAST(CASE WHEN fit IS NULL THEN 0
+               ELSE loads0[fit] END AS INT) AS bin_offset,
+          CASE WHEN fit IS NULL THEN list_append(loads0, sz)
+               ELSE list_transform(range(1, len(loads0) + 1),
+                 j -> CASE WHEN j = fit THEN loads0[j] + sz
+                      ELSE loads0[j] END)
+          END AS loads
+        FROM (
+          SELECT i.lang, i.shard, i.rn, i.doc_id, i.n_tokens, i.sz,
+            f.loads AS loads0,
+            list_filter(range(1, len(f.loads) + 1),
+              j -> f.loads[j] + i.sz <= 512)[1] AS fit
+          FROM ffd f JOIN items i
+            ON i.lang = f.lang AND i.shard = f.shard AND i.rn = f.rn + 1))
+      SELECT lang, shard, doc_id, n_tokens, CAST(sz AS INT) AS packed,
+        bin, bin_offset
+      FROM ffd ORDER BY lang, shard, bin, bin_offset""",
 
     // same prefix-sum CTE as pack_sequences, then one row per
     // (doc, window) segment via generate_series over the exact offsets

@@ -187,6 +187,62 @@ object Curate {
              s"greatest(0L, bin_id * $cap - cum_before) AS INT)").as("seg_len"))
       .orderBy(col("lang"), col("doc_id"), col("bin_id"))
 
+  /** pack_bestfit: FIRST-FIT-DECREASING bin packing within each
+    * (lang, shard) — the third packing form, cutting the padding and
+    * cross-document-attention waste the concat-and-chunk pair
+    * ([[packSequences]]/[[packSegments]]) accepts: docs never split
+    * across windows, so a training loader gets whole documents per
+    * window at the cost of per-bin padding, and FFD (sort by token
+    * count DESC, first bin that fits, open a new bin otherwise) is
+    * the classic 11/9·OPT+1 heuristic that keeps that padding small.
+    * Deterministic end to end: item order is (n_tokens DESC, doc_id),
+    * bins are probed in creation order, a doc longer than `cap`
+    * truncates to `cap` (packed < n_tokens marks it — the waste the
+    * DQ gate can consume alongside per-bin padding).
+    *
+    * Scale shape: one token-count pass (fanned out), then ONE
+    * groupByKey on (lang, shard) — each group is ≤ shardSize docs of
+    * (id, count) pairs, so the per-group FFD is bounded driver-free
+    * work and the whole operator is a single shuffle of (id, int)
+    * rows. The oracle replays the FFD as a recursive CTE over the
+    * bounded per-shard item sequence (bin loads carried as a list). */
+  def packBestfit(s: SparkSession, d: String, cap: Int = 512,
+                  shardSize: Long = 100): DataFrame =
+    packBestfit(Tables.documents(s, d), cap, shardSize)
+
+  def packBestfit(docsIn: DataFrame, cap: Int, shardSize: Long): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val nTok = size(graft.functions.TextFunctions.tokens(col("text")))
+    val sized = graft.Util
+      .fanOutIfAtLeast(docsIn.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("lang"), col("doc_id"), nTok.cast("int").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    sized.select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, Long),
+                        it: Iterator[(String, Long, Long, Int)]) =>
+        val (lang, shard) = key
+        // ≤ shardSize (id, count) pairs per group — bounded memory
+        val items = it.map(t => (t._3, t._4)).toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+        items.iterator.map { case (id, n) =>
+          val sz = math.min(n, cap)
+          val fit = loads.indexWhere(_ + sz <= cap)
+          val (bin, off) =
+            if (fit < 0) { loads += sz; (loads.length - 1, 0) }
+            else { val o = loads(fit); loads(fit) += sz; (fit, o) }
+          (lang, shard, id, n, sz, bin, off)
+        }
+      }
+      .toDF("lang", "shard", "doc_id", "n_tokens", "packed", "bin",
+        "bin_offset")
+      .orderBy(col("lang"), col("shard"), col("bin"), col("bin_offset"))
+  }
+
   /** decontaminate: benchmark-decontamination — find TRAINING docs
     * that share ≥ `minShared` word n-grams with an EVAL-set doc (the
     * GPT-3-style 13-gram overlap check, scaled to this corpus's short

@@ -3086,6 +3086,16 @@ object Similarity {
       import s.implicits._
       val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
         .select("embedding").as[Array[Float]].collect()
+      pcaBasisOfSample(sample)
+    })
+  }
+
+  /** The PCA basis computation on a given bounded sample — the pure
+    * core of [[pcaBasis]], reused by the whitened tier's retrain
+    * (which samples the layout's CURRENT contents, not the original
+    * corpus). */
+  private def pcaBasisOfSample(sample: Array[Array[Float]])
+      : (Array[Array[Double]], Array[Double]) = {
       val n = sample.length
       val dim = sample.head.length
       val mean = new Array[Double](dim)
@@ -3122,7 +3132,6 @@ object Similarity {
         dot
       }
       (comps, offs)
-    })
   }
 
   /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues,
@@ -3309,21 +3318,30 @@ object Similarity {
       whitenParamCache.keySet.filter(k => k._1 == d && k._2 == eps && k != key)
         .foreach(whitenParamCache.remove)
       import s.implicits._
-      val (comps, offs) = pcaBasis(s, d)
       val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
         .select("embedding").as[Array[Float]].collect()
-      val scales = comps.zip(offs).map { case (e, off) =>
-        var ss = 0.0
-        sample.foreach { v =>
-          var dot = 0.0; var j = 0
-          while (j < v.length) { dot += e(j) * v(j); j += 1 }
-          val p = dot - off
-          ss += p * p
-        }
-        1.0 / math.sqrt(ss / sample.length + eps)
-      }
-      (comps, offs.map(o => math.floor(o * 1e9 + 0.5).toLong), scales)
+      whitenParamsOfSample(sample, eps)
     })
+  }
+
+  /** [[whitenParams]] on a given bounded sample — the pure core the
+    * retrain loop uses (it samples the layout's CURRENT live rows,
+    * not the original corpus). */
+  private def whitenParamsOfSample(sample: Array[Array[Float]],
+                                   eps: Double = 1e-6)
+      : (Array[Array[Double]], Array[Long], Array[Double]) = {
+    val (comps, offs) = pcaBasisOfSample(sample)
+    val scales = comps.zip(offs).map { case (e, off) =>
+      var ss = 0.0
+      sample.foreach { v =>
+        var dot = 0.0; var j = 0
+        while (j < v.length) { dot += e(j) * v(j); j += 1 }
+        val p = dot - off
+        ss += p * p
+      }
+      1.0 / math.sqrt(ss / sample.length + eps)
+    }
+    (comps, offs.map(o => math.floor(o * 1e9 + 0.5).toLong), scales)
   }
 
   /** Exact whitened code of one embedding: per component the
@@ -3373,11 +3391,29 @@ object Similarity {
       val (comps, offE9, scales) = whitenParams(s, d)
       val sample = Tables.embeddings(s, d).orderBy("vec_id").limit(2048)
         .select("embedding").as[Array[Float]].collect()
-      val wsample = sample.map(v =>
-        whitenCode6(v, comps, offE9, scales).map(_.toFloat))
-      trainCentroids(wsample, nlist, iters = 10)
-        .map(_.map(x => math.floor(x * 1e9 + 0.5).toLong))
+      whiteCentroidsOfSample(sample, comps, offE9, scales, nlist)
     })
+  }
+
+  private def whiteCentroidsOfSample(sample: Array[Array[Float]],
+                                     comps: Array[Array[Double]],
+                                     offE9: Array[Long],
+                                     scales: Array[Double],
+                                     nlist: Int): Array[Array[Long]] = {
+    val wsample = sample.map(v =>
+      whitenCode6(v, comps, offE9, scales).map(_.toFloat))
+    trainCentroids(wsample, nlist, iters = 10)
+      .map(_.map(x => math.floor(x * 1e9 + 0.5).toLong))
+  }
+
+  /** Train the whole whitening + quantizer bundle from one bounded
+    * sample — what [[retrainIvfWhitePartitioned]] runs against the
+    * layout's current live rows. */
+  def whitenModelOfSample(sample: Array[Array[Float]],
+                          nlist: Int = IvfNlist,
+                          eps: Double = 1e-6): WhitenModel = {
+    val (c, o, sc) = whitenParamsOfSample(sample, eps)
+    WhitenModel(c, o, sc, whiteCentroidsOfSample(sample, c, o, sc, nlist))
   }
 
   private def whiteDot(ce9: Array[Long], w6: Array[Long]): Long = {
@@ -3486,8 +3522,10 @@ object Similarity {
     val cents = whiteCentroidsE9(s, d, nlist)
     val bc = s.sparkContext.broadcast((comps, offE9, scales, cents))
     val emb = Tables.embeddings(s, d)
-    val coded = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    // dim² per-row coding fans out (the r10 single-row-group rule)
+    val coded = graft.Util.fanOutIfAtLeast(
+        emb.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])])
       .map { case (id, v) =>
         val (cs, os, sc, ce) = bc.value
         val (w, n2) = whiteCodeNorm(v, cs, os, sc)
@@ -3524,18 +3562,48 @@ object Similarity {
     * standard layout verbs work unchanged ([[deleteFromLayout]]
     * tombstones, [[compactIvfPartitioned]] folds them). */
   def writeIvfWhitePartitioned(s: SparkSession, d: String, dir: String,
-                               nlist: Int = IvfNlist): Unit = {
+                               nlist: Int = IvfNlist): Unit =
+    writeIvfWhitePartitionedOn(Tables.embeddings(s, d),
+      whitenModel(s, d, nlist), dir)
+
+  /** [[writeIvfWhitePartitioned]] over an arbitrary embeddings frame
+    * with a pre-trained model — the retrain loop's rewrite form. The
+    * dim² coding pass fans out (single-row-group inputs otherwise
+    * code the whole corpus in one task — the r10 rule). */
+  def writeIvfWhitePartitionedOn(emb: DataFrame, m: WhitenModel,
+                                 dir: String): Unit = {
+    val s = emb.sparkSession
     import s.implicits._
-    val m = whitenModel(s, d, nlist)
     val bc = s.sparkContext.broadcast(m)
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.Util.fanOutIfAtLeast(
+        emb.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])])
+      .map { case (id, v) =>
+        val mm = bc.value
+        val (w, n2) = whiteCodeNorm(v, mm.comps, mm.offE9, mm.scales)
+        (id, w, n2, nearestWhiteCentroid(mm.centsE9, w))
+      }.toDF("vec_id", "w", "n2", "bucket")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** Append a batch of arriving vectors to the standing whitened
+    * layout — codes under the SAME standing model (the
+    * appendIvfPartitioned contract: geometry is fixed between
+    * retrains; drift → [[whiteDrifted]] → [[retrainIvfWhitePartitioned]]). */
+  def appendIvfWhitePartitioned(batch: DataFrame, m: WhitenModel,
+                                dir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(m)
+    batch.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val mm = bc.value
         val (w, n2) = whiteCodeNorm(v, mm.comps, mm.offE9, mm.scales)
         (id, w, n2, nearestWhiteCentroid(mm.centsE9, w))
       }.toDF("vec_id", "w", "n2", "bucket")
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
   }
 
   /** Serve a query batch over the stored whitened layout: queries
@@ -3570,6 +3638,101 @@ object Similarity {
     whiteTopK(cand, k)
   }
 
+  /** Monitoring snapshot of the whitened serving layout — the
+    * staleness signal the whitened tier lacked (IVF and IVF-PQ have
+    * had drift monitors + retrain loops since r11/r12; this tier's
+    * basis was trained once with nothing alerting when embedding
+    * drift degrades it): corpus size, bucket-occupancy skew (the IVF
+    * signal), and the MAX per-component variance of the stored
+    * whitened coordinates. Whitening scales every component to unit
+    * variance AT TRAINING TIME (the scree is exact), so a healthy
+    * layout sits at maxCompVar ≈ 1; arrivals whose geometry outgrew
+    * the basis inflate the affected components' variance — the
+    * whitening-specific drift axis, computable from the CODES alone
+    * (no raw-embedding scan). One pass: bucket counts + per-component
+    * moment partials (mapPartitions, no shuffle). */
+  case class WhiteLayoutStats(nVectors: Long, nBuckets: Int,
+                              occSkew: Double, maxCompVar: Double)
+
+  def whiteLayoutStats(s: SparkSession, dir: String,
+                       nlist: Int = IvfNlist): WhiteLayoutStats = {
+    import s.implicits._
+    val occ = s.read.parquet(dir).groupBy(col("bucket")).count().collect()
+    val n = occ.map(_.getAs[Long]("count")).sum
+    val maxOcc = occ.map(_.getAs[Long]("count")).max.toDouble
+    val partials = s.read.parquet(dir).select(col("w"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        var cnt = 0L
+        var sum: Array[Double] = null
+        var sq: Array[Double] = null
+        it.foreach { w =>
+          if (sum == null) {
+            sum = new Array[Double](w.length); sq = new Array[Double](w.length)
+          }
+          var j = 0
+          while (j < w.length) {
+            val x = w(j) / 1e6
+            sum(j) += x; sq(j) += x * x; j += 1
+          }
+          cnt += 1
+        }
+        if (cnt == 0) Iterator.empty
+        else Iterator.single((cnt, sum, sq))
+      }.collect()
+    val dim = partials.head._2.length
+    val tot = partials.map(_._1).sum.toDouble
+    val maxVar = (0 until dim).map { j =>
+      val sm = partials.map(_._2(j)).sum
+      val s2 = partials.map(_._3(j)).sum
+      s2 / tot - (sm / tot) * (sm / tot)
+    }.max
+    WhiteLayoutStats(n, occ.length, maxOcc / (n.toDouble / nlist), maxVar)
+  }
+
+  /** The whitened tier's retrain decision — drift RELATIVE to the
+    * write-time snapshot (the [[ivfDrifted]] discipline): occupancy
+    * skew past `skewTol`× the baseline, or the max whitened-component
+    * variance past `varTol`× (a basis that still whitens holds every
+    * component near 1; a drift wave inflates its components ∝ the
+    * squared scale factor, so the signal is loud). */
+  def whiteDrifted(current: WhiteLayoutStats, baseline: WhiteLayoutStats,
+                   skewTol: Double = 1.5, varTol: Double = 1.5): Boolean =
+    current.occSkew > baseline.occSkew * skewTol ||
+      current.maxCompVar > baseline.maxCompVar * varTol
+
+  /** Retrain-and-migrate for the whitened layout: re-derive the PCA
+    * basis, whitening scales AND whitened-space quantizer from a
+    * bounded sample of the layout's CURRENT live rows (full precision
+    * from `emb` — the codes store only 1e-6-grid integers), re-code
+    * every stored vector, and swap the rewritten layout in under the
+    * same path (the [[retrainIvfPartitioned]] rename discipline, one
+    * `.old` grace generation). Tombstones fold: training and the
+    * rewrite read live rows only. Returns the new [[WhitenModel]] —
+    * serving must switch to it atomically with the layout (basis,
+    * scales and centroids jointly define the geometry). */
+  def retrainIvfWhitePartitioned(s: SparkSession, dir: String,
+                                 emb: DataFrame,
+                                 nlist: Int = IvfNlist): WhitenModel = {
+    import s.implicits._
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .join(minusTombstones(s, dir,
+        s.read.parquet(dir).select(col("vec_id"))), Seq("vec_id"))
+    val sample = full.orderBy("vec_id").limit(2048)
+      .select("embedding").as[Array[Float]].collect()
+    val m = whitenModelOfSample(sample, nlist)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
+    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
+    writeIvfWhitePartitionedOn(full, m, dir + ".retraining")
+    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
+    require(fs.rename(p(dir + ".retraining"), p(dir)),
+      s"could not swap retrained $dir in")
+    m
+  }
+
   /** Whitened brute force — the ground truth [[annIvfWhite]]'s recall
     * is measured against (RecallSpec): the identical exact scoring
     * chain with the bucket restriction removed. */
@@ -3579,8 +3742,10 @@ object Similarity {
     val (comps, offE9, scales) = whitenParams(s, d)
     val bc = s.sparkContext.broadcast((comps, offE9, scales))
     val emb = Tables.embeddings(s, d)
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    // dim² per-row coding fans out (the r10 single-row-group rule)
+    val corpus = graft.Util.fanOutIfAtLeast(
+        emb.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])])
       .map { case (id, v) =>
         val (cs, os, sc) = bc.value
         val (w, n2) = whiteCodeNorm(v, cs, os, sc)

@@ -73,7 +73,9 @@ object Ingest {
                          schema: StructType, quarantineDir: String,
                          required: Seq[String] = Nil)
       : (DataFrame, QuarantineReport) = {
-    val s = df.sparkSession
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema already has a _corrupt_record field — it would shadow " +
+        "the PERMISSIVE corrupt-record channel and mask parse failures")
     val withCorrupt = StructType(schema.fields :+
       StructField("_corrupt_record", StringType))
     val parsed = df.select(col(idCol).as("_id"), col(jsonCol).as("_raw"),
@@ -87,11 +89,16 @@ object Ingest {
     val quarantined = parsed.filter(bad)
       .select(col("_id").as(idCol), col("_raw").as(jsonCol))
       .localCheckpoint() // materialize before the append
-    quarantined.write.mode("append").parquet(quarantineDir)
+    val nQuarantined = quarantined.count()
+    // clean batches write NOTHING: an unconditional append would leave
+    // one empty parquet file (plus the directory) per batch, silting a
+    // long-running daily loop with small files
+    if (nQuarantined > 0)
+      quarantined.write.mode("append").parquet(quarantineDir)
     val valid = parsed.filter(!bad)
       .select(col("_id").as(idCol) +:
         schema.fields.map(f => col("j").getField(f.name).as(f.name)): _*)
-    (valid, QuarantineReport(valid.count(), quarantined.count()))
+    (valid, QuarantineReport(valid.count(), nQuarantined))
   }
 
   /** Extract every id matching `pattern` (first group) from a markup

@@ -285,6 +285,56 @@ class PipelineSpec extends SparkSpec {
     Tables.documents(spark, sf).select("doc_id", "lang", "text")
       .filter(col("doc_id") >= lo && col("doc_id") < hi)
 
+  test("raw-ingest stage: malformed rows quarantine, DQ reports them, replay works") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-rawing").toString
+    Pipeline.initDailyState(spark, state)
+    val rawGood = daySlice(0, 40).select(col("doc_id"),
+      to_json(struct(col("lang"), col("text"))).as("raw"))
+    val rawBad = Seq(
+      (90001L, """{"lang": "en", "text": """), // truncated JSON
+      (90002L, """{"lang": "en"}"""),          // required field null
+      (90003L, "not json at all")).toDF("doc_id", "raw")
+    val r = Pipeline.curateAndPackDayStep(spark, rawGood.unionByName(rawBad),
+      state, "d1", exciseChunks = false,
+      rawIngest = Some(Pipeline.RawIngest()))
+    // quarantined originals are replayable (doc_id, raw) appends
+    val q = spark.read.parquet(s"$state/quarantine")
+    assert(q.select("doc_id").as[Long].collect().toSet ==
+      Set(90001L, 90002L, 90003L))
+    // the DQ report carries the accounting; quarantined rows were
+    // HANDLED, so the publish gate stays green (informational rows,
+    // the tok_* discipline)
+    val dq = spark.read.parquet(s"$state/days/d1/dq_report").collect()
+      .map(x => x.getAs[String]("metric") -> x.getAs[Long]("value")).toMap
+    assert(dq("ingest_valid") == 40L && dq("ingest_quarantined") == 3L)
+    assert(r.dqViolations == 0, s"quarantine counted as violation: $r")
+    assert(r.input == 40)
+    // nothing quarantined leaked into the curated corpus
+    val ids = Pipeline.readCuratedDocs(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.exists(_ >= 90000L))
+    // replay: fix the quarantined rows, feed them back as day 2
+    val fixed = q.select(col("doc_id"),
+      lit("""{"lang": "en", "text": "replayed fixed document content"}""")
+        .as("raw"))
+    val r2 = Pipeline.curateAndPackDayStep(spark, fixed, state, "d2",
+      exciseChunks = false, rawIngest = Some(Pipeline.RawIngest()))
+    assert(r2.input == 3, s"replayed rows did not re-ingest: $r2")
+    // a clean day appends NOTHING to the quarantine log
+    val filesBefore = new java.io.File(s"$state/quarantine")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val r3 = Pipeline.curateAndPackDayStep(spark,
+      daySlice(40, 60).select(col("doc_id"),
+        to_json(struct(col("lang"), col("text"))).as("raw")),
+      state, "d3", exciseChunks = false,
+      rawIngest = Some(Pipeline.RawIngest()))
+    val filesAfter = new java.io.File(s"$state/quarantine")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(r3.input == 20 && filesAfter == filesBefore,
+      "clean day silted the quarantine log with an empty file")
+  }
+
   test("daily loop equals the one-shot pipeline on the union, recalls included") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("graft-days").toString

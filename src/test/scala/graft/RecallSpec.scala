@@ -267,6 +267,59 @@ class RecallSpec extends SparkSpec {
       s"retrain did not reduce quantization error: $drifted -> $restored")
   }
 
+  test("whitened drift monitor: out-of-geometry wave trips both axes, retrain restores") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("whitedrift").toString + "/c"
+    val emb = graft.Tables.embeddings(spark, sf01)
+    Similarity.writeIvfWhitePartitioned(spark, sf01, dir)
+    val m = Similarity.whitenModel(spark, sf01)
+    val baseline = Similarity.whiteLayoutStats(spark, dir)
+    assert(!Similarity.whiteDrifted(baseline, baseline))
+    // whitening held at training time: every component near unit var
+    assert(baseline.maxCompVar > 0.5 && baseline.maxCompVar < 1.5,
+      s"write-time whitened variance off unit: $baseline")
+    // the ×3-scaled copy wave (the IVF-PQ drift construction): piles
+    // into one whitened bucket (skew axis) AND inflates the hot
+    // vector's components ×9 past the stored scales (variance axis)
+    val hot = emb.filter(col("vec_id") === 0)
+    val wave = (1 to 6).map(i =>
+        hot.withColumn("vec_id", col("vec_id") + i * 100000L))
+      .reduce(_ unionByName _)
+      .crossJoin(spark.range(40).select(col("id").as("_r")))
+      .withColumn("vec_id", col("vec_id") + col("_r")).drop("_r")
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(3.0)).cast("float")))
+    Similarity.appendIvfWhitePartitioned(wave, m, dir)
+    val drifted = Similarity.whiteLayoutStats(spark, dir)
+    assert(Similarity.whiteDrifted(drifted, baseline),
+      s"out-of-geometry wave not flagged: $baseline -> $drifted")
+    assert(drifted.maxCompVar > baseline.maxCompVar * 1.5,
+      s"whitening-variance branch did not trip: $baseline -> $drifted")
+    // retrain-and-migrate: basis+scales+quantizer re-derived from the
+    // layout's current live rows, every vector re-coded, path stable.
+    // The whitened SCORES legitimately change with the basis (unlike
+    // raw IVF), so the invariant is: the swapped-in layout is
+    // code-identical to a FRESH one-shot write under the new model.
+    val embPlus = emb.unionByName(wave)
+    val m2 = Similarity.retrainIvfWhitePartitioned(spark, dir, embPlus)
+    val fresh = java.nio.file.Files.createTempDirectory("whitefresh").toString + "/c"
+    Similarity.writeIvfWhitePartitionedOn(embPlus, m2, fresh)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve(p: String) = Similarity.annIvfWhiteServeBatch(spark, p, m2,
+        queries, nprobe = m2.centsE9.length)
+      .collect().map(_.toSeq).toSeq
+    val swapped = serve(dir)
+    assert(swapped.nonEmpty && swapped == serve(fresh),
+      "retrained swap diverged from a fresh write under the same model")
+    // and the retrained geometry absorbs the wave on both axes
+    val restored = Similarity.whiteLayoutStats(spark, dir)
+    assert(restored.occSkew < drifted.occSkew,
+      s"retrain did not reduce skew: $drifted -> $restored")
+    assert(restored.maxCompVar < drifted.maxCompVar,
+      s"retrain did not re-whiten: $drifted -> $restored")
+  }
+
   test("production-τ (0.9) derived geometry pair recall vs all-pairs >= 0.8") {
     import org.apache.spark.sql.functions._
     // the raw corpus is isotropic — no natural ≥0.9 pairs — so plant

@@ -135,6 +135,67 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("pack_bestfit: FFD invariants, truncation marking, beats naive-order packing") {
+    import org.apache.spark.sql.functions._
+    val cap = 64 // small cap so packing is non-trivial on ~30-token docs
+    val rows = operators.Curate.packBestfit(
+      Tables.documents(spark, sf), cap, 100).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case ((lang, shard), rs) =>
+        // capacity holds exactly per bin; offsets are the running fill
+        rs.groupBy(_.getAs[Int]("bin")).foreach { case (bin, brs) =>
+          val sorted = brs.sortBy(_.getAs[Int]("bin_offset"))
+          var fill = 0
+          sorted.foreach { r =>
+            assert(r.getAs[Int]("bin_offset") == fill,
+              s"$lang/$shard bin $bin offset gap")
+            fill += r.getAs[Int]("packed")
+          }
+          assert(fill <= cap, s"$lang/$shard bin $bin overflows: $fill")
+        }
+        // bins dense 0..max; docs never split (one row per doc)
+        val bins = rs.map(_.getAs[Int]("bin")).toSet
+        assert(bins == (0 until bins.size).toSet)
+        assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == rs.length)
+        // FFD bin count within the 11/9 OPT + 1 guarantee (OPT >=
+        // ceil(total/cap) — the volume lower bound)
+        val total = rs.map(_.getAs[Int]("packed").toLong).sum
+        val optLb = (total + cap - 1) / cap
+        assert(bins.size <= (11 * optLb) / 9 + 1,
+          s"$lang/$shard FFD used ${bins.size} bins vs OPT >= $optLb")
+      }
+    // truncation: a doc longer than cap packs exactly cap and is marked
+    val long = Tables.documents(spark, sf).limit(1)
+      .select(lit("zz").as("lang"), lit(999L).as("doc_id"),
+        concat_ws(" ", array((0 until 100).map(i => lit(s"w$i")): _*))
+          .as("text"))
+    val t = operators.Curate.packBestfit(long, cap, 100).collect()
+    assert(t.length == 1 && t.head.getAs[Int]("n_tokens") == 100 &&
+      t.head.getAs[Int]("packed") == cap)
+    // FFD wastes no more padding than packing whole docs in id order
+    // (the baseline a naive loader uses when it refuses to split docs)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id") / 100,
+        r.getAs[Long]("doc_id"), r.getAs[Int]("n")))
+    val naiveBins = docs.groupBy(t4 => (t4._1, t4._2)).map { case (_, ds) =>
+      var fill = 0; var bins = 1
+      ds.sortBy(_._3).foreach { case (_, _, _, n) =>
+        val sz = math.min(n, cap)
+        if (fill + sz > cap) { bins += 1; fill = sz } else fill += sz
+      }
+      bins
+    }.sum
+    val ffdBins = rows.groupBy(r =>
+        (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .map(_._2.map(_.getAs[Int]("bin")).max + 1).sum
+    assert(ffdBins <= naiveBins,
+      s"FFD used $ffdBins bins, naive order $naiveBins")
+  }
+
   test("redaction finds and masks the planted email+IP, leaves others alone") {
     val rows = TextFunctions.textRedact(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
