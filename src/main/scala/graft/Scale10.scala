@@ -304,6 +304,28 @@ object Scale10 {
       // O(beam·deg·depth) per query over the built edges
       operators.Similarity.annGraphWalkFrom(emb.localCheckpoint(),
         operators.Similarity.ivfCentroids(spark, d, 32 * mult)).count())
+    // whitened drift loop (r14): layout written once at mult×, then
+    // the monitor (one code scan — bucket counts + per-component
+    // moment partials, no shuffle) and one retrain-and-migrate
+    // (sample + full re-code + swap: must track the layout rewrite,
+    // i.e. the write row above it)
+    locally {
+      val wdir = s"/tmp/scale_white_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val wm = operators.Similarity.whitenModel(spark, d)
+      t(s"white_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(wdir), true)
+        operators.Similarity.writeIvfWhitePartitionedOn(emb, wm, wdir)
+        spark.read.parquet(wdir).count()
+      }
+      t(s"white_stats_${mult}x")(
+        operators.Similarity.whiteLayoutStats(spark, wdir).nVectors)
+      t(s"white_retrain_${mult}x") {
+        operators.Similarity.retrainIvfWhitePartitioned(spark, wdir, emb)
+        spark.read.parquet(wdir).count()
+      }
+    }
     // CCNet bucketing: the LM-score chain + the bounded 6-dp-grid
     // histogram walk for the tertile elements (r13 replaced the
     // corpus-proportional TakeOrdered) — cost must track the LM scan
@@ -879,6 +901,26 @@ object Scale10 {
           import spark.implicits._
           operators.Similarity.forgetFromKnnGraph(spark, dir,
             (0L until 20L).toDF("vec_id"))
+          spark.read.parquet(s"$dir/edges").count()
+        }
+        // batched erasure (r14): 5 erasure REQUESTS arriving
+        // separately — the per-call form pays 3 compact-swap layout
+        // rewrites per request (15 rewrites); the tombstone form
+        // accumulates and folds ONCE at the next compaction (3
+        // rewrites + the folds) — amortization must show here
+        t(s"knn_graph_forget_seq5_${mult}x") {
+          import spark.implicits._
+          for (g <- 0 until 5)
+            operators.Similarity.forgetFromKnnGraph(spark, dir,
+              (20L + g * 4 until 24L + g * 4).toDF("vec_id"))
+          spark.read.parquet(s"$dir/edges").count()
+        }
+        t(s"knn_graph_forget_batch5_${mult}x") {
+          import spark.implicits._
+          for (g <- 0 until 5)
+            operators.Similarity.deleteFromKnnGraph(spark, dir,
+              (40L + g * 4 until 44L + g * 4).toDF("vec_id"))
+          operators.Similarity.compactKnnGraph(spark, dir)
           spark.read.parquet(s"$dir/edges").count()
         }
       }

@@ -458,12 +458,16 @@ object Dedup {
 
   def dedupLines(docs: DataFrame): DataFrame = {
     val lines = docLines(docs)
+    // lexicographic min over (doc_id, idx) structs — a packed
+    // doc_id*K+idx key silently breaks keep-first selection past K
+    // lines per doc; the struct min has no such bound and matches the
+    // incremental step's row_number ordering exactly
     val stats = lines.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
-        min(col("doc_id") * lit(2000000L) + col("idx")).as("keep_key"))
+        min(struct(col("doc_id"), col("idx"))).as("keep_key"))
     lines.join(stats, "h")
       .withColumn("kept", col("n_occ") === 1 ||
-        (col("doc_id") * lit(2000000L) + col("idx")) === col("keep_key"))
+        struct(col("doc_id"), col("idx")) === col("keep_key"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
@@ -489,12 +493,16 @@ object Dedup {
     * shuffle, a bounded per-doc rebuild. */
   def dedupLinesExcise(docs: DataFrame): DataFrame = {
     val lines = docLines(docs)
+    // lexicographic min over (doc_id, idx) structs — a packed
+    // doc_id*K+idx key silently breaks keep-first selection past K
+    // lines per doc; the struct min has no such bound and matches the
+    // incremental step's row_number ordering exactly
     val stats = lines.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
-        min(col("doc_id") * lit(2000000L) + col("idx")).as("keep_key"))
+        min(struct(col("doc_id"), col("idx"))).as("keep_key"))
     lines.join(stats, "h")
       .withColumn("kept", col("n_occ") === 1 ||
-        (col("doc_id") * lit(2000000L) + col("idx")) === col("keep_key"))
+        struct(col("doc_id"), col("idx")) === col("keep_key"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("kept"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
