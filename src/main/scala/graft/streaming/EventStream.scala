@@ -1048,6 +1048,34 @@ object EventStream {
       }
       .start()
 
+  /** Streaming semantic search over the stored WHITENED layout
+    * ([[graft.operators.Similarity.writeIvfWhitePartitioned]]) — the
+    * state-free pruned-serving shape over exact-integer whitened
+    * codes: queries whiten + probe map-side under the shipped
+    * [[graft.operators.Similarity.WhitenModel]], the scan reads only
+    * the probed bucket directories, scoring is the all-integer
+    * cos_e6 chain. Two-batch parity with the batch annIvfWhite is
+    * spec'd; on drift ([[graft.operators.Similarity.whiteDrifted]])
+    * the serving node swaps model + layout together
+    * (retrainIvfWhitePartitioned's contract). */
+  def streamingAnnIvfWhiteTopK(queries: Dataset[QueryVec],
+                               whiteDir: String,
+                               m: graft.operators.Similarity.WhitenModel,
+                               k: Int = 5,
+                               nprobe: Int =
+                                 graft.operators.Similarity.WhiteNprobe,
+                               excludeSelf: Boolean = false)(
+                               writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Similarity.annIvfWhiteServeBatch(
+          s, whiteDir, m, batch.toDF("query_id", "embedding"),
+          k, nprobe, excludeSelf))
+      }
+      .start()
+
   /** Streaming semantic search over the stored IVF-PQ layout
     * ([[graft.operators.Similarity.writeIvfPqPartitioned]]) — the
     * same state-free pruned-serving shape as

@@ -486,6 +486,34 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming whitened search matches the batch annIvfWhite on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfwhitestream").toString
+    Similarity.writeIvfWhitePartitioned(spark, sf, dir)
+    val m = Similarity.whitenModel(spark, sf)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingAnnIvfWhiteTopK(input.toDS(), dir, m,
+      excludeSelf = true) {
+      topk => results ++= topk.collect().map(_.toSeq)
+    }
+    input.addData(queries.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(queries.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Similarity.annIvfWhite(spark, sf).collect().map(_.toSeq).toSet
+    assert(results.nonEmpty)
+    assert(results.toSet == batch,
+      s"streaming ${results.size} rows != batch ${batch.size}")
+  }
+
   test("streaming IVF-PQ search matches the batch annIvfPq on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
