@@ -326,6 +326,27 @@ object Scale10 {
         spark.read.parquet(wdir).count()
       }
     }
+    // SQ8 drift loop (r14): same shape as the whitened loop — the
+    // monitor is one code scan (saturation fraction + occupancy),
+    // retrain = grid+quantizer from live rows + one re-code + swap
+    locally {
+      val qdir = s"/tmp/scale_sq8_$mult/idx"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val qc = operators.Similarity.ivfCentroids(spark, d)
+      t(s"sq8_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(qdir), true)
+        val (mns, mxs) = operators.Similarity.sq8Grid(emb)
+        operators.Similarity.writeIvfSq8PartitionedOn(emb, qc, mns, mxs, qdir)
+        spark.read.parquet(qdir).count()
+      }
+      t(s"sq8_stats_${mult}x")(
+        operators.Similarity.sq8LayoutStats(spark, qdir).nVectors)
+      t(s"sq8_retrain_${mult}x") {
+        operators.Similarity.retrainIvfSq8Partitioned(spark, qdir, emb)
+        spark.read.parquet(qdir).count()
+      }
+    }
     // CCNet bucketing: the LM-score chain + the bounded 6-dp-grid
     // histogram walk for the tertile elements (r13 replaced the
     // corpus-proportional TakeOrdered) — cost must track the LM scan

@@ -1798,8 +1798,15 @@ object Similarity {
     val mnA = typedlit(mns); val mxA = typedlit(mxs)
     transform(v, (x, i) => {
       val mn = element_at(mnA, i + 1); val mx = element_at(mxA, i + 1)
-      when(mx > mn,
-        round((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("int"))
+      // CLAMP to the grid: an out-of-grid coordinate (an append after
+      // the grid was trained) saturates at the edge code — the
+      // standard SQ behavior. Without the clamp the (q − 128).toByte
+      // storage step WRAPS out-of-range codes into garbage; with it,
+      // recall degrades gracefully and sq8LayoutStats' saturation
+      // fraction sees exactly how much is clipping.
+      when(mx > mn, least(lit(255), greatest(lit(0),
+        round((x.cast("double") - mn) * lit(255.0) / (mx - mn))
+          .cast("int"))))
         .otherwise(lit(0))
     })
   }
@@ -1931,10 +1938,20 @@ object Similarity {
   def writeIvfSq8Partitioned(s: SparkSession, d: String, dir: String,
                              nlist: Int = IvfNlist)
       : (Array[Array[Double]], Array[Double], Array[Double]) = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d, nlist)
     val (mns, mxs) = sq8Grid(emb)
+    writeIvfSq8PartitionedOn(emb, cents, mns, mxs, dir)
+    (cents, mns, mxs)
+  }
+
+  /** [[writeIvfSq8Partitioned]] over an arbitrary embeddings frame
+    * with pre-trained artifacts — the retrain loop's rewrite form. */
+  def writeIvfSq8PartitionedOn(emb: DataFrame, cents: Array[Array[Double]],
+                               mns: Array[Double], mxs: Array[Double],
+                               dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
     emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -1946,6 +1963,115 @@ object Similarity {
       .map { case (id, b, q) => (id, b, q.map(x => (x - 128).toByte)) }
       .toDF("vec_id", "bucket", "codes")
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** Append arrivals to the standing SQ8 layout under the STANDING
+    * grid + quantizer (the appendIvfPartitioned contract — geometry
+    * fixed between retrains): out-of-grid coordinates CLAMP to the
+    * grid edge ([[sq8Codes]]'s saturation), recall degrades
+    * gracefully, and [[sq8LayoutStats]]' saturation fraction measures
+    * exactly how much clipped so [[sq8Drifted]] can page for a
+    * retrain. */
+  def appendIvfSq8Partitioned(batch: DataFrame,
+                              cents: Array[Array[Double]],
+                              mns: Array[Double], mxs: Array[Double],
+                              dir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(bc.value, v), v) }
+      .toDF("vec_id", "bucket", "embedding")
+      .select(col("vec_id"), col("bucket"),
+        sq8Codes(col("embedding"), mns, mxs).as("q"))
+      .as[(Long, Int, Array[Int])]
+      .map { case (id, b, q) => (id, b, q.map(x => (x - 128).toByte)) }
+      .toDF("vec_id", "bucket", "codes")
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
+  /** Monitoring snapshot of the SQ8 code layout — the quantization
+    * tier's staleness signal (the IVF/IVF-PQ/whitened drift
+    * discipline applied to the GRID): corpus size, bucket-occupancy
+    * skew, and the SATURATION FRACTION — the share of stored code
+    * entries at 0 or 255. At write time only each dimension's
+    * half-step tails sit on the edge codes (tiny but nonzero, so the
+    * relative tolerance is well-defined); arrivals whose coordinates
+    * outgrew the trained [mn, mx] grid clamp there, so saturation is
+    * a direct, codes-only readout of grid staleness (the dequantized
+    * error it causes is unbounded — unlike in-grid error, which the
+    * half-step bound caps). One pass: bucket counts + a
+    * mapPartitions code scan, no shuffle. */
+  case class Sq8LayoutStats(nVectors: Long, nBuckets: Int,
+                            occSkew: Double, satFrac: Double)
+
+  def sq8LayoutStats(s: SparkSession, dir: String,
+                     nlist: Int = IvfNlist): Sq8LayoutStats = {
+    import s.implicits._
+    val occ = s.read.parquet(dir).groupBy(col("bucket")).count().collect()
+    val n = occ.map(_.getAs[Long]("count")).sum
+    val maxOcc = occ.map(_.getAs[Long]("count")).max.toDouble
+    val sat = s.read.parquet(dir).select(col("codes")).as[Array[Byte]]
+      .mapPartitions { it =>
+        var tot = 0L; var satd = 0L
+        it.foreach { cs =>
+          var j = 0
+          while (j < cs.length) {
+            val q = cs(j).toInt + 128
+            if (q == 0 || q == 255) satd += 1
+            tot += 1; j += 1
+          }
+        }
+        if (tot == 0) Iterator.empty else Iterator.single((tot, satd))
+      }.collect()
+    val tot = sat.map(_._1).sum
+    Sq8LayoutStats(n, occ.length, maxOcc / (n.toDouble / nlist),
+      sat.map(_._2).sum.toDouble / math.max(1L, tot))
+  }
+
+  /** The SQ8 retrain decision — drift RELATIVE to the write-time
+    * snapshot: occupancy skew past `skewTol`×, or the saturation
+    * fraction past `satTol`× (the grid-staleness axis: a ×3 drift
+    * wave clips a quarter of its coordinates, orders of magnitude
+    * above the write-time edge-tail baseline). */
+  def sq8Drifted(current: Sq8LayoutStats, baseline: Sq8LayoutStats,
+                 skewTol: Double = 1.5, satTol: Double = 3.0): Boolean =
+    current.occSkew > baseline.occSkew * skewTol ||
+      current.satFrac > baseline.satFrac * satTol
+
+  /** Retrain-and-migrate for the SQ8 layout: re-derive the grid
+    * (exact per-dim min/max — the write-time recipe) AND the coarse
+    * quantizer from the layout's CURRENT live rows (full precision
+    * from `emb`, the IVF-PQ pattern — codes alone cannot re-grid:
+    * clipped entries lost their true magnitude), re-code every
+    * stored vector, swap under the same path (one `.old` grace
+    * generation), tombstones fold. Returns the new
+    * (centroids, mns, mxs) — serving switches atomically with the
+    * layout. Spec'd: the swapped-in layout is code-identical to a
+    * fresh one-shot write under the new artifacts (dequantized
+    * values legitimately move with the grid, so serve-invariance is
+    * the wrong invariant — the whitened-retrain precedent). */
+  def retrainIvfSq8Partitioned(s: SparkSession, dir: String,
+                               emb: DataFrame, nlist: Int = IvfNlist)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
+    import s.implicits._
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .join(minusTombstones(s, dir,
+        s.read.parquet(dir).select(col("vec_id"))), Seq("vec_id"))
+    val sample = full.orderBy("vec_id").limit(2048)
+      .select("embedding").as[Array[Float]].collect()
+    val cents = trainCentroids(sample, nlist, iters = 10)
+    val (mns, mxs) = sq8Grid(full)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
+    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
+    writeIvfSq8PartitionedOn(full, cents, mns, mxs, dir + ".retraining")
+    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
+    require(fs.rename(p(dir + ".retraining"), p(dir)),
+      s"could not swap retrained $dir in")
     (cents, mns, mxs)
   }
 

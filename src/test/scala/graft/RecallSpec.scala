@@ -267,6 +267,62 @@ class RecallSpec extends SparkSpec {
       s"retrain did not reduce quantization error: $drifted -> $restored")
   }
 
+  test("SQ8 drift monitor: out-of-grid wave saturates codes, retrain restores") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sq8drift").toString + "/c"
+    val emb = graft.Tables.embeddings(spark, sf01)
+    val (cents, mns, mxs) = Similarity.writeIvfSq8Partitioned(spark, sf01, dir)
+    val baseline = Similarity.sq8LayoutStats(spark, dir)
+    assert(!Similarity.sq8Drifted(baseline, baseline))
+    // write-time saturation = each dimension's half-step edge tails:
+    // nonzero (the per-dim min/max rows land exactly on 0/255) but tiny
+    assert(baseline.satFrac > 0 && baseline.satFrac < 0.05,
+      s"write-time saturation off: $baseline")
+    // the ×3-scaled copy wave: out-of-grid coordinates CLAMP at the
+    // edge codes (without sq8Codes' clamp they would wrap through the
+    // byte cast into garbage) — saturation jumps, occupancy skews
+    val hot = emb.filter(col("vec_id") === 0)
+    val wave = (1 to 6).map(i =>
+        hot.withColumn("vec_id", col("vec_id") + i * 100000L))
+      .reduce(_ unionByName _)
+      .crossJoin(spark.range(40).select(col("id").as("_r")))
+      .withColumn("vec_id", col("vec_id") + col("_r")).drop("_r")
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(3.0)).cast("float")))
+    Similarity.appendIvfSq8Partitioned(wave, cents, mns, mxs, dir)
+    val drifted = Similarity.sq8LayoutStats(spark, dir)
+    assert(Similarity.sq8Drifted(drifted, baseline),
+      s"out-of-grid wave not flagged: $baseline -> $drifted")
+    assert(drifted.satFrac > baseline.satFrac * 3,
+      s"saturation branch did not trip: $baseline -> $drifted")
+    // clamped codes still serve sanely (every stored code a valid
+    // [0,255] grid point — the wave ids are servable, not garbage)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(Similarity.annIvfSq8ServeBatch(spark, dir, cents, mns, mxs,
+      queries, nprobe = cents.length).count() > 0)
+    // retrain-and-migrate: grid + quantizer re-derived from live rows,
+    // every vector re-coded, path stable. Dequantized values move
+    // with the grid, so the invariant is code-identity with a FRESH
+    // write under the new artifacts (the whitened-retrain precedent).
+    val embPlus = emb.unionByName(wave)
+    val (c2, mn2, mx2) = Similarity.retrainIvfSq8Partitioned(spark, dir,
+      embPlus)
+    val fresh = java.nio.file.Files.createTempDirectory("sq8fresh").toString + "/c"
+    Similarity.writeIvfSq8PartitionedOn(embPlus, c2, mn2, mx2, fresh)
+    def serve(p: String) = Similarity.annIvfSq8ServeBatch(spark, p, c2,
+        mn2, mx2, queries, nprobe = c2.length)
+      .collect().map(_.toSeq).toSeq
+    val swapped = serve(dir)
+    assert(swapped.nonEmpty && swapped == serve(fresh),
+      "retrained swap diverged from a fresh write under the same grid")
+    // the retrained grid absorbs the wave: saturation back to tails
+    val restored = Similarity.sq8LayoutStats(spark, dir)
+    assert(restored.satFrac < drifted.satFrac &&
+      restored.occSkew < drifted.occSkew,
+      s"retrain did not absorb the wave: $drifted -> $restored")
+  }
+
   test("whitened drift monitor: out-of-geometry wave trips both axes, retrain restores") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("whitedrift").toString + "/c"
