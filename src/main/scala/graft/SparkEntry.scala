@@ -851,14 +851,16 @@ object SparkEntry {
             kk -> CAST((strpos('0123456789abcdef', md5(line)[kk:kk]) - 1)
                  * CAST(16 ** (15 - kk) AS BIGINT) AS BIGINT))) AS BIGINT) AS h
         FROM lines),
-      stats AS (
-        SELECT h, COUNT(*) AS n_occ,
-               MIN(doc_id * 2000000 + idx) AS keep_key
-        FROM k GROUP BY 1),
       flag AS (
-        SELECT k.doc_id, k.idx, k.line,
-          (s.n_occ = 1 OR k.doc_id * 2000000 + k.idx = s.keep_key) AS kept
-        FROM k JOIN stats s USING (h))
+        -- keep-first = lexicographic (doc_id, idx) min per hash — the
+        -- same rule the Spark side's min(struct(doc_id, idx)) applies
+        -- (the packed doc_id*2e6+idx key this replaced silently broke
+        -- past 2M lines/doc and overflowed on large doc_id spaces)
+        SELECT doc_id, idx, line,
+          (COUNT(*) OVER (PARTITION BY h) = 1 OR
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+            AS kept
+        FROM k)
       SELECT doc_id,
         CAST(COUNT(*) AS BIGINT) AS n_lines,
         CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,

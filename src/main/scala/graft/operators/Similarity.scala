@@ -595,6 +595,24 @@ object Similarity {
     current.occSkew > baseline.occSkew * skewTol ||
       current.meanAssignDist > baseline.meanAssignDist * distTol
 
+  /** The retrain-and-migrate rename discipline shared by every layout
+    * retrain (IVF, IVF-PQ, SQ8, whitened): clear stale generations,
+    * `write` the rebuilt layout at `dir + ".retraining"`, stage the
+    * live one aside as `.old` (one pinned-reader grace generation),
+    * swap the rebuilt one in. */
+  private def swapInRetrained(s: SparkSession, dir: String)
+                             (write: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
+    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
+    write(dir + ".retraining")
+    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
+    require(fs.rename(p(dir + ".retraining"), p(dir)),
+      s"could not swap retrained $dir in")
+  }
+
   /** Retrain-and-migrate: re-train the coarse quantizer on the
     * layout's CURRENT contents (bounded deterministic sample, like
     * the original training), re-assign every vector, and swap the
@@ -617,15 +635,7 @@ object Similarity {
       .orderBy("vec_id").limit(2048)
       .select("embedding").as[Array[Float]].collect()
     val cents = trainCentroids(sample, nlist, iters = 10)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new org.apache.hadoop.fs.Path(x)
-    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
-    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
-    writeIvfPartitionedOn(live, cents, dir + ".retraining")
-    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
-    require(fs.rename(p(dir + ".retraining"), p(dir)),
-      s"could not swap retrained $dir in")
+    swapInRetrained(s, dir)(writeIvfPartitionedOn(live, cents, _))
     cents
   }
 
@@ -1561,15 +1571,7 @@ object Similarity {
           java.util.Arrays.copyOfRange(r, mi * sub, (mi + 1) * sub)),
         kS, iters = 10)
     }
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new org.apache.hadoop.fs.Path(x)
-    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
-    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
-    writeIvfPqPartitionedOn(full, cents, books, dir + ".retraining")
-    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
-    require(fs.rename(p(dir + ".retraining"), p(dir)),
-      s"could not swap retrained $dir in")
+    swapInRetrained(s, dir)(writeIvfPqPartitionedOn(full, cents, books, _))
     (cents, books)
   }
 
@@ -2001,8 +2003,8 @@ object Similarity {
     * outgrew the trained [mn, mx] grid clamp there, so saturation is
     * a direct, codes-only readout of grid staleness (the dequantized
     * error it causes is unbounded — unlike in-grid error, which the
-    * half-step bound caps). One pass: bucket counts + a
-    * mapPartitions code scan, no shuffle. */
+    * half-step bound caps). Two bounded passes: the bucket-count
+    * aggregate and a shuffle-free mapPartitions code scan. */
   case class Sq8LayoutStats(nVectors: Long, nBuckets: Int,
                             occSkew: Double, satFrac: Double)
 
@@ -2010,6 +2012,7 @@ object Similarity {
                      nlist: Int = IvfNlist): Sq8LayoutStats = {
     import s.implicits._
     val occ = s.read.parquet(dir).groupBy(col("bucket")).count().collect()
+    if (occ.isEmpty) return Sq8LayoutStats(0L, 0, 0.0, 0.0) // drained index
     val n = occ.map(_.getAs[Long]("count")).sum
     val maxOcc = occ.map(_.getAs[Long]("count")).max.toDouble
     val sat = s.read.parquet(dir).select(col("codes")).as[Array[Byte]]
@@ -2063,15 +2066,7 @@ object Similarity {
       .select("embedding").as[Array[Float]].collect()
     val cents = trainCentroids(sample, nlist, iters = 10)
     val (mns, mxs) = sq8Grid(full)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new org.apache.hadoop.fs.Path(x)
-    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
-    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
-    writeIvfSq8PartitionedOn(full, cents, mns, mxs, dir + ".retraining")
-    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
-    require(fs.rename(p(dir + ".retraining"), p(dir)),
-      s"could not swap retrained $dir in")
+    swapInRetrained(s, dir)(writeIvfSq8PartitionedOn(full, cents, mns, mxs, _))
     (cents, mns, mxs)
   }
 
@@ -2724,6 +2719,37 @@ object Similarity {
     * hash-bucket directories, dynamically overwritten per append. */
   private[graft] val GraphEb = 64
 
+  /** One (bucket, node, embedding) entry-medoid row per bucket —
+    * min vec_id over `assigned` (vec_id, bucket, embedding) rows.
+    * Shared by the write/append/forget maintenance of `entries/`. */
+  private def entriesOf(assigned: DataFrame): DataFrame =
+    assigned
+      .join(assigned.groupBy(col("bucket")).agg(min(col("vec_id"))
+        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
+      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
+
+  /** Swap the (≤ nlist-row) `entries/` file in under the rename
+    * discipline every other layout rewrite here uses — a bare
+    * overwrite has a window where a concurrent serve lists a
+    * half-deleted directory. The previous `.old` generation deletes
+    * at the START of the next swap (pinned-reader grace). */
+  private def writeEntries(s: SparkSession, dir: String,
+                           df: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    if (fs.exists(p(s"$dir/entries.old")))
+      fs.delete(p(s"$dir/entries.old"), true)
+    if (fs.exists(p(s"$dir/entries.tmp")))
+      fs.delete(p(s"$dir/entries.tmp"), true)
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/entries.tmp")
+    if (fs.exists(p(s"$dir/entries")))
+      require(fs.rename(p(s"$dir/entries"), p(s"$dir/entries.old")),
+        s"could not stage $dir/entries aside")
+    require(fs.rename(p(s"$dir/entries.tmp"), p(s"$dir/entries")),
+      s"could not swap $dir/entries in")
+  }
+
   /** One-time build of the MAINTAINED kNN-graph artifact at `dir` —
     * the graph family's daily-increment loop (the twelfth maintained
     * artifact, the band/span/chunk/IVF discipline applied to
@@ -2758,11 +2784,7 @@ object Similarity {
     assigned.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/nodes")
-    assigned
-      .join(assigned.groupBy(col("bucket")).agg(min(col("vec_id"))
-        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
-      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+    writeEntries(s, dir, entriesOf(assigned))
     val bc = s.sparkContext.broadcast(cents)
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
@@ -2920,18 +2942,14 @@ object Similarity {
     batchProbes.select(col("vec_id"), col("bucket").as("probed"))
       .write.mode("append").partitionBy("probed").parquet(s"$dir/probes")
     // 4. entry medoids: min(stored, batch min) per bucket — bounded
-    // ≤ nlist rows both sides, materialized before the overwrite
-    val batchEntries = batchNodes
-      .join(batchNodes.groupBy(col("bucket")).agg(min(col("vec_id"))
-        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
-      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
+    // ≤ nlist rows both sides, materialized before the swap
     val entryW = Window.partitionBy(col("bucket")).orderBy(col("node"))
     val newEntries = s.read.parquet(s"$dir/entries")
-      .unionByName(batchEntries)
+      .unionByName(entriesOf(batchNodes))
       .withColumn("_rn", row_number().over(entryW))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint()
-    newEntries.coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+    writeEntries(s, dir, newEntries)
   }
 
   /** Small-file fold for the graph artifact's append-accumulating
@@ -2946,17 +2964,22 @@ object Similarity {
   def compactKnnGraph(s: SparkSession, dir: String,
                       targetBytes: Long = 128L << 20)
       : (graft.sources.Compact.CompactReport,
-         graft.sources.Compact.CompactReport) = {
-    knnGraphTombstones(s, dir).foreach { ts =>
-      forgetFromKnnGraph(s, dir, ts.localCheckpoint())
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+         graft.sources.Compact.CompactReport) =
+    knnGraphTombstones(s, dir) match {
+      case Some(ts) =>
+        // the fold's own compact-swaps already collapse nodes/ and
+        // probes/ — a second identity rewrite would double the very
+        // cost the batched-erasure form amortizes
+        val reports = forgetFromKnnGraph(s, dir, ts.localCheckpoint())
+        val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        reports
+      case None =>
+        (graft.sources.Compact.compactInPlace(s, s"$dir/nodes", targetBytes,
+           partitionCols = Seq("bucket")),
+         graft.sources.Compact.compactInPlace(s, s"$dir/probes", targetBytes,
+           partitionCols = Seq("probed")))
     }
-    (graft.sources.Compact.compactInPlace(s, s"$dir/nodes", targetBytes,
-       partitionCols = Seq("bucket")),
-     graft.sources.Compact.compactInPlace(s, s"$dir/probes", targetBytes,
-       partitionCols = Seq("probed")))
-  }
 
   /** ERASE vectors from the maintained kNN-graph artifact — the graph
     * loop's right-to-be-forgotten verb ([[graft.operators.Dedup
@@ -2989,12 +3012,18 @@ object Similarity {
     * a non-default degree must not depend on every forget caller
     * remembering it). */
   def forgetFromKnnGraph(s: SparkSession, dir: String, ids: DataFrame,
-                         k: Int = -1): Unit = {
+                         k: Int = -1)
+      : (graft.sources.Compact.CompactReport,
+         graft.sources.Compact.CompactReport) = {
     import s.implicits._
     val forget = ids.select(col("vec_id")).distinct().localCheckpoint()
     val edges = s.read.parquet(s"$dir/edges")
+    // max over an empty edges layout (every node already erased)
+    // aggregates to NULL — fall back to the default degree so a
+    // second erasure wave stays a graceful no-op, not an NPE
     val kk = if (k > 0) k
-             else edges.agg(max(col("rank"))).head.getInt(0)
+             else Option(edges.agg(max(col("rank"))).head
+               .getAs[Integer](0)).map(_.toInt).getOrElse(KnnK)
     val aff = edges
       .join(broadcast(forget), Seq("vec_id"), "left_anti")
       .join(broadcast(forget.withColumnRenamed("vec_id", "neighbor_id")),
@@ -3035,22 +3064,18 @@ object Similarity {
         .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
           col("rank"), col("n_bucket"), col("_eb"))
         .unionByName(refilled))
-    graft.sources.Compact.compactInPlace(s, s"$dir/nodes",
+    val rn = graft.sources.Compact.compactInPlace(s, s"$dir/nodes",
       partitionCols = Seq("bucket"),
       transform = _.join(broadcast(forget), Seq("vec_id"), "left_anti"))
-    graft.sources.Compact.compactInPlace(s, s"$dir/probes",
+    val rp = graft.sources.Compact.compactInPlace(s, s"$dir/probes",
       partitionCols = Seq("probed"),
       transform = _.join(broadcast(forget), Seq("vec_id"), "left_anti"))
     // entry medoids: a forgotten node may BE a bucket's medoid —
     // recompute from the swapped (survivor-only) nodes/ layout. The
     // full forget already rewrites every layout, so one more pass
     // over nodes/ costs nothing extra in kind.
-    val surv = s.read.parquet(s"$dir/nodes")
-    surv
-      .join(surv.groupBy(col("bucket")).agg(min(col("vec_id"))
-        .as("vec_id")), Seq("bucket", "vec_id"), "left_semi")
-      .select(col("bucket"), col("vec_id").as("node"), col("embedding"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+    writeEntries(s, dir, entriesOf(s.read.parquet(s"$dir/nodes")))
+    (rn, rp)
   }
 
   // ---- knn_components: mutual-kNN connected components --------------------
@@ -3775,8 +3800,8 @@ object Similarity {
     * layout sits at maxCompVar ≈ 1; arrivals whose geometry outgrew
     * the basis inflate the affected components' variance — the
     * whitening-specific drift axis, computable from the CODES alone
-    * (no raw-embedding scan). One pass: bucket counts + per-component
-    * moment partials (mapPartitions, no shuffle). */
+    * (no raw-embedding scan). Two bounded passes: the bucket-count
+    * aggregate and a shuffle-free mapPartitions moment scan. */
   case class WhiteLayoutStats(nVectors: Long, nBuckets: Int,
                               occSkew: Double, maxCompVar: Double)
 
@@ -3784,6 +3809,7 @@ object Similarity {
                        nlist: Int = IvfNlist): WhiteLayoutStats = {
     import s.implicits._
     val occ = s.read.parquet(dir).groupBy(col("bucket")).count().collect()
+    if (occ.isEmpty) return WhiteLayoutStats(0L, 0, 0.0, 0.0) // drained
     val n = occ.map(_.getAs[Long]("count")).sum
     val maxOcc = occ.map(_.getAs[Long]("count")).max.toDouble
     val partials = s.read.parquet(dir).select(col("w"))
@@ -3847,15 +3873,7 @@ object Similarity {
     val sample = full.orderBy("vec_id").limit(2048)
       .select("embedding").as[Array[Float]].collect()
     val m = whitenModelOfSample(sample, nlist)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new org.apache.hadoop.fs.Path(x)
-    if (fs.exists(p(dir + ".old"))) fs.delete(p(dir + ".old"), true)
-    if (fs.exists(p(dir + ".retraining"))) fs.delete(p(dir + ".retraining"), true)
-    writeIvfWhitePartitionedOn(full, m, dir + ".retraining")
-    require(fs.rename(p(dir), p(dir + ".old")), s"could not stage $dir aside")
-    require(fs.rename(p(dir + ".retraining"), p(dir)),
-      s"could not swap retrained $dir in")
+    swapInRetrained(s, dir)(writeIvfWhitePartitionedOn(full, m, _))
     m
   }
 

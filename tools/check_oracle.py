@@ -58,8 +58,10 @@ for qname, sql in sorted(oracle.items()):
     # +0.0 (Spark round, BigDecimal-based) vs -0.0 (DuckDB round,
     # IEEE-preserving) hash-mismatches even though == and
     # assert_frame_equal both pass — that's how emb_pca stayed red
-    # through a green local gate in r13. NaNs (none expected) compare
-    # equal to each other regardless of payload.
+    # through a green local gate in r13. NaNs (none expected) must
+    # also match BIT-for-bit: a payload/sign-differing NaN would pass
+    # an isnan-escape here and still fail the driver's byte hash —
+    # the exact split this check exists to kill, so no escape.
     bit_bad = []
     for c in g_cols:
         if got[c].dtype.kind != "f":
@@ -67,7 +69,7 @@ for qname, sql in sorted(oracle.items()):
         g = got[c].to_numpy()
         e = exp[c].to_numpy()
         ib = f"int{g.dtype.itemsize * 8}"
-        same = (g.view(ib) == e.view(ib)) | (np.isnan(g) & np.isnan(e))
+        same = g.view(ib) == e.view(ib)
         if not same.all():
             i = int(np.argmin(same))
             bit_bad.append(f"{c}[{i}]: spark {g[i]!r} vs oracle {e[i]!r}"
