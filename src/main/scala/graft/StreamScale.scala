@@ -408,6 +408,44 @@ object StreamScale {
       println(f"SCALE stream_ann_ivf_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
         f"(unpruned would be ~${mult}x)")
 
+      // whitened serving (r14): the same pruned-probe scorecard over
+      // the exact-integer whitened code layout — queries whiten
+      // map-side under the shipped model, the scan reads only the
+      // probed buckets
+      locally {
+        val wm = graft.operators.Similarity.whitenModel(spark, d)
+        def whiteServe(dir: String, tag: String): Double = {
+          val input = MemoryStream[EventStream.QueryVec]
+          var emitted = 0L
+          val q = EventStream.streamingAnnIvfWhiteTopK(input.toDS(), dir, wm) {
+            topk => emitted += topk.count()
+          }
+          val t0 = System.nanoTime()
+          val qBatches = 10
+          (0 until qBatches).foreach { b =>
+            val rows = (0 until nq / qBatches).map { j =>
+              val (id, v) = qVecs((b * (nq / qBatches) + j) % qVecs.length)
+              EventStream.QueryVec(id + 1000000L * (b + 1), v)
+            }
+            input.addData(rows)
+            q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          println(f"SCALE stream_ann_ivf_white_$tag queries=$nq " +
+            f"time=$sec%.1fs qps=${nq / sec}%.1f topkRows=$emitted")
+          sec
+        }
+        graft.operators.Similarity.writeIvfWhitePartitionedOn(
+          emb1, wm, "/tmp/streamscale_white1")
+        graft.operators.Similarity.writeIvfWhitePartitionedOn(
+          embN, wm, s"/tmp/streamscale_white$mult")
+        val w1 = whiteServe("/tmp/streamscale_white1", "corpus1x")
+        val wN = whiteServe(s"/tmp/streamscale_white$mult", s"corpus${mult}x")
+        println(f"SCALE stream_ann_ivf_white_${mult}x_vs_1x " +
+          f"slowdown=${wN / w1}%.2f (unpruned would be ~${mult}x)")
+      }
+
       // graph-walk serving (r13): per-batch beam walk over the stored
       // kNN-graph artifact — edge reads pruned to the frontier's _eb
       // partitions, node fetches amortized over the batch; a mult×

@@ -3610,18 +3610,28 @@ object Similarity {
     * integer dot over (qw, w) codes, cos_e6 = floor(S/(√Q·√X)·1e6+½)
     * — shared by the in-query tier, the stored-layout serve, and the
     * brute-force ground truth (one chain, zero drift between them).
-    * `cand` needs (query_id, neighbor_id, qw, w, qn2, xn2). */
+    * `cand` needs (query_id, neighbor_id, qw, w, qn2, xn2). The dot
+    * runs in a typed map (one primitive loop per pair) — the
+    * aggregate(zip_with(...)) HOF it replaced is CodegenFallback and
+    * its per-candidate interpretation cost was the whitened serving
+    * channel's whole 10×-corpus slowdown gap vs raw IVF (1.65× vs
+    * 0.98× in StreamScale); every value is integer arithmetic plus
+    * one fixed scalar IEEE chain, so results are bit-identical. */
   private def whiteTopK(cand: DataFrame, k: Int): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
     val scored = cand
       .filter(col("xn2") > 0 && col("qn2") > 0)
-      .withColumn("s",
-        expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)"))
-      .withColumn("cos_sim",
-        floor(col("s").cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("xn2").cast("double")))
-          * lit(1e6) + lit(0.5)).cast("double"))
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"), col("qw"), col("w"),
+        col("qn2"), col("xn2"))
+      .as[(Long, Long, Array[Long], Array[Long], Long, Long)]
+      .map { case (qid, nid, qw, w, qn2, xn2) =>
+        var acc = 0L; var j = 0
+        while (j < w.length) { acc += qw(j) * w(j); j += 1 }
+        (qid, nid, math.floor(acc.toDouble /
+          (math.sqrt(qn2.toDouble) * math.sqrt(xn2.toDouble))
+          * 1e6 + 0.5))
+      }.toDF("query_id", "neighbor_id", "cos_sim")
     topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         col("cos_sim").cast("long").as("cos_e6"), col("rank"))
