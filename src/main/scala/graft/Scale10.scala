@@ -94,6 +94,44 @@ object Scale10 {
           operators.Dedup.dedupSpansIncrementalStep(spark, idxDir, batch).count()
         }
     }
+    // hamming-space serving: the fixed 50-doc query set probes the
+    // mult× corpus through the banded equi-join — cost must track the
+    // corpus banding scan (one signature pass + the key index), never
+    // a query×corpus product; replicas are exact twins, so output
+    // stays top-k-capped per query
+    t(s"hamming_topk_${mult}x")(operators.Dedup.hammingTopK(docs).count())
+    // the trained NB gate loop: training is one explode + a
+    // (label, token) partial agg (linear in the corpus); serving a
+    // fixed 5k-doc day joins its token counts to the VOCAB-sized
+    // model — corpus-size-independent once trained; append/forget are
+    // model-sized rewrites (count algebra), not corpus rescans
+    locally {
+      val nbDir = s"/tmp/scale_nb_$mult/nb"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"nb_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(nbDir).getParent), true)
+        functions.Classify.writeNbModel(docs, nbDir)
+        spark.read.parquet(s"$nbDir/model").count()
+      }
+      t(s"nb_serve_${mult}x") {
+        functions.Classify.classifyNbServeBatch(spark, nbDir,
+          Tables.documents(spark, d)).count()
+      }
+      t(s"nb_append_${mult}x") {
+        val batch = Tables.documents(spark, d)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        functions.Classify.appendToNbModel(batch, nbDir)
+        spark.read.parquet(s"$nbDir/model").count()
+      }
+      t(s"nb_forget_${mult}x") {
+        val batch = Tables.documents(spark, d)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        functions.Classify.forgetFromNbModel(batch, nbDir)
+        spark.read.parquet(s"$nbDir/model").count()
+      }
+    }
     // the embedding analog: the mult× corpus is coded and persisted
     // ONCE; each day codes only its 2k-vector batch and joins the
     // stored index — per-day cost must track the batch + the index

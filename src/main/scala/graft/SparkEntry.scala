@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Relational, Similarity, Timeseries}
-import graft.functions.TextFunctions
+import graft.functions.{Classify, TextFunctions}
 import graft.sources.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersStar _,
     "dedup_keep_best"     -> Dedup.dedupKeepBest _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
+    "hamming_topk"        -> ((s, d) => Dedup.hammingTopK(s, d)),
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
     "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
@@ -97,6 +98,8 @@ object SparkEntry {
     "sketch_bloom"        -> operators.Sketches.sketchBloom _,
     "text_stats"          -> TextFunctions.textStats _,
     "text_langid"         -> TextFunctions.langId _,
+    "classify_nb"         -> Classify.classifyNb _,
+    "classify_nb_eval"    -> Classify.classifyNbEval _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
@@ -292,6 +295,62 @@ object SparkEntry {
         SELECT doc_id, n_bigrams,
           round(-(CAST(slp AS DOUBLE) / n_bigrams), 6) AS avg_neg_logp
         FROM agg)"""
+
+  /** Shared CTE chain replaying the multinomial-NB classifier
+    * (train on doc_id%5≠0, score the held-out carve) — used by
+    * classify_nb and classify_nb_eval. Every ln argument is an
+    * integer ≥ 1 (so round-half-up == half-away), snapped to the
+    * 1e-9 grid and carried as an exact BIGINT in 1e-9 units via
+    * floor(round(ln,9)·1e9 + 0.5) on the identical rounded double
+    * (the Classify.lnE9 recipe — values ≪ 2^53, the ±ulp of the
+    * ×1e9 sits far inside the +0.5 guard); products that could
+    * exceed 2^63 go through HUGEINT and cast back. `pred` ends at
+    * (doc_id, label, score_e9, r) with r = 1 the argmax row
+    * (score desc, label asc). */
+  private def nbCtes: String = raw"""d AS (
+        SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> length(x) > 0) AS toks
+        FROM documents),
+      tr AS (SELECT lang AS label, unnest(toks) AS token FROM d
+             WHERE doc_id % 5 <> 0),
+      m AS (SELECT label, token, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
+      mw AS (SELECT label, token, cnt,
+               CAST(floor(round(ln(CAST(cnt + 1 AS DOUBLE)), 9) * 1e9 + 0.5)
+                    AS BIGINT) AS w_e9
+             FROM m),
+      voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM m),
+      ct AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM m GROUP BY 1),
+      cd AS (SELECT lang AS label, COUNT(*) AS n_docs FROM d
+             WHERE doc_id % 5 <> 0 GROUP BY 1),
+      ntr AS (SELECT COUNT(*) AS n FROM d WHERE doc_id % 5 <> 0),
+      cs AS (SELECT ct.label,
+               CAST(floor(round(ln(CAST(cd.n_docs AS DOUBLE)), 9) * 1e9 + 0.5)
+                    AS BIGINT)
+             - CAST(floor(round(ln(CAST(ntr.n AS DOUBLE)), 9) * 1e9 + 0.5)
+                    AS BIGINT) AS prior_e9,
+               - CAST(floor(round(ln(CAST(ct.tot + voc.v AS DOUBLE)), 9) * 1e9 + 0.5)
+                    AS BIGINT) AS lp0_e9
+             FROM ct JOIN cd USING (label), ntr, voc),
+      te AS (SELECT doc_id, unnest(toks) AS token FROM d WHERE doc_id % 5 = 0),
+      tc AS (SELECT doc_id, token, COUNT(*) AS k FROM te GROUP BY 1, 2),
+      vt AS (SELECT DISTINCT token FROM m),
+      ndv AS (SELECT tc.doc_id, CAST(SUM(tc.k) AS BIGINT) AS nd
+              FROM tc JOIN vt USING (token) GROUP BY 1),
+      adj AS (SELECT tc.doc_id, mw.label,
+                CAST(SUM(CAST(tc.k AS HUGEINT) * mw.w_e9) AS BIGINT) AS adj_e9
+              FROM tc JOIN mw USING (token) GROUP BY 1, 2),
+      base AS (SELECT dd.doc_id, cs.label,
+                 cs.prior_e9 + COALESCE(ndv.nd, 0) * cs.lp0_e9 AS base_e9
+               FROM (SELECT doc_id FROM d WHERE doc_id % 5 = 0) dd
+               LEFT JOIN ndv USING (doc_id) CROSS JOIN cs),
+      sc AS (SELECT base.doc_id, base.label,
+               base.base_e9 + COALESCE(adj.adj_e9, 0) AS score_e9
+             FROM base LEFT JOIN adj
+               ON adj.doc_id = base.doc_id AND adj.label = base.label),
+      pred AS (SELECT doc_id, label, score_e9,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_e9 DESC, label) AS r
+               FROM sc)"""
 
   /** Shared CTE chain reconstructing the minhash LSH band buckets and
     * candidate pairs in pure SQL — used by dedup_minhash and as the
@@ -1291,6 +1350,46 @@ object SparkEntry {
       FROM pairs WHERE bit_count(xor(sx, sy)) <= 3
       ORDER BY d1, d2""",
 
+    // Hamming-ball top-k over the same simhash reconstruction: the
+    // oracle brute-forces every (query, corpus) pair — the banding
+    // guarantee (no false negatives within the budget) makes the
+    // Spark side's equi-join candidates identical inside the radius
+    "hamming_topk" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+      tokmult AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> length(x) > 0)) AS tok
+        FROM docs),
+      th AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, 16),
+            k -> CAST((strpos('0123456789abcdef', md5(tok)[k:k]) - 1)
+                 * CAST(16 ** (15 - k) AS BIGINT) AS BIGINT))) AS BIGINT) AS hv
+        FROM tokmult),
+      bits AS (
+        SELECT doc_id, j,
+          SUM(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN range(0, 60) r(j) GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1),
+      q AS (SELECT doc_id AS q_id, simhash AS qs FROM sig WHERE doc_id < 50),
+      pr AS (SELECT q.q_id, s.doc_id,
+               CAST(bit_count(xor(q.qs, s.simhash)) AS INT) AS hamming
+             FROM q JOIN sig s ON s.doc_id <> q.q_id),
+      rk AS (SELECT q_id, doc_id, hamming,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY hamming, doc_id) AS INT) AS rank
+             FROM pr WHERE hamming <= 3)
+      SELECT q_id, rank, doc_id, hamming FROM rk WHERE rank <= 5
+      ORDER BY q_id, rank""",
+
     // the decoded plane (pixel (x,y) = text byte (y*w+x) mod L — the
     // multimodal_meta recipe), 11×6 nearest-neighbor downscale and
     // horizontal-gradient bits are all integer arithmetic; banding
@@ -1495,6 +1594,23 @@ object SparkEntry {
              WHEN hits_es >= hits_fr THEN 'es'
              ELSE 'fr' END AS pred_lang
       FROM h ORDER BY doc_id""",
+
+    // trained multinomial-NB language gate: the shared CTE chain
+    // replays train (doc_id%5≠0) → exact-nanolog model → held-out
+    // scoring → per-doc argmax; scores are exact BIGINTs in 1e-9
+    // units, so the hash compare is integer-exact end to end
+    "classify_nb" -> s"""
+      WITH $nbCtes
+      SELECT doc_id, label AS pred, CAST(score_e9 AS BIGINT) AS score_e9
+      FROM pred WHERE r = 1 ORDER BY doc_id""",
+
+    // confusion matrix of the same chain on the held-out carve
+    "classify_nb_eval" -> s"""
+      WITH $nbCtes
+      SELECT d.lang AS label, p.label AS pred, COUNT(*) AS n
+      FROM pred p JOIN d USING (doc_id)
+      WHERE p.r = 1
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "ann_lsh" -> s"""
       WITH planes(tid, pid, p) AS (VALUES

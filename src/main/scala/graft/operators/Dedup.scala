@@ -1894,6 +1894,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("d1"), col("d2"))
 
+  /** hamming_topk over the planted corpus: queries = the original
+    * docs that own a planted twin (doc_id < 50), so every query has
+    * a known hamming-0 (exact plant) or near-0 (suffixed plant)
+    * neighbor to retrieve. */
+  def hammingTopK(s: SparkSession, d: String): DataFrame =
+    hammingTopK(withPlants(Tables.documents(s, d)))
+
+  /** hamming_topk: Hamming-space top-k retrieval over SimHash codes —
+    * the ANN serving form of the Manku banding (the dedup family's
+    * metric space joining the cosine tiers' serving story): for each
+    * query document, the corpus neighbors within `maxHamming` bits,
+    * ranked by (hamming, doc_id) and cut at k. The banding guarantee
+    * makes this EXACT within the ball — a pair inside the budget
+    * differs in at most maxHamming chunks, so at least one
+    * (numChunks − maxHamming)-combination matches — while pair
+    * generation stays an equi-join on the compound (combo, key): no
+    * brute-force scan, no BNLJ. The self row (identical doc_id) is
+    * excluded; radius misses simply produce fewer than k rows (a
+    * bounded-radius top-k, the standard near-dup-lookup contract).
+    *
+    * Scale shape: both sides build the same banded key index and
+    * meet in ONE shuffle-hash equi-join keyed by 30-bit compound
+    * keys (2^30 key space — occupancy bounded into the 10^10-doc
+    * regime, same geometry note as [[simhashNearDups]]); the final
+    * rank is a per-query window over candidate sets the radius
+    * already bounded. At 100 TB the corpus-side index is the
+    * write-once artifact ([[writeBandIndex]]'s role) and only the
+    * query batch is indexed per run. */
+  def hammingTopK(docs: DataFrame, k: Int = 5, maxHamming: Int = 3,
+                  numChunks: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = simhashSignatures(docs)
+    val queries = sig.filter(col("doc_id") < 50)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("doc_id"))
+    bandedHammingCandidatesAcross(sig, queries, "simhash",
+        maxHamming, numChunks)
+      .filter(col("hamming") <= maxHamming &&
+        col("corpus_id") =!= col("batch_id"))
+      .select(col("batch_id").as("q_id"), col("corpus_id").as("doc_id"),
+        col("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- Dedup clustering (pairs -> connected components) -----------------
 
   /** Connected components over candidate near-dup pairs — the step

@@ -1076,6 +1076,26 @@ object EventStream {
       }
       .start()
 
+  /** Streaming classification over the stored NB model
+    * ([[graft.functions.Classify.writeNbModel]]) — the gate-at-ingest
+    * shape: each arriving micro-batch of documents is scored against
+    * the standing model artifact and routed by predicted class.
+    * State-free (the model is the state, maintained out-of-band by
+    * append/forget); per-doc answers are batch-independent, so
+    * two-batch parity with the batch
+    * [[graft.functions.Classify.classifyNbServeBatch]] is exact
+    * (spec'd in StreamingSpec). */
+  def streamingClassifyNb(docs: Dataset[DocText], nbDir: String)(
+      writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[DocText], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.functions.Classify.classifyNbServeBatch(
+          s, nbDir, batch.toDF("doc_id", "text")))
+      }
+      .start()
+
   /** Streaming semantic search over the stored IVF-PQ layout
     * ([[graft.operators.Similarity.writeIvfPqPartitioned]]) — the
     * same state-free pruned-serving shape as

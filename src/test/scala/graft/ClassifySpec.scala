@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.Classify
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Mechanism specs for the trained NB gate and the Hamming top-k —
+  * the corpus is a uniform token soup (§5: test gates by MECHANISM,
+  * not discrimination), so the classifier specs plant separable
+  * synthetic classes and the Hamming specs lean on the planted
+  * twins + a brute-force replay. */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+
+  test("classify_nb separates planted marker classes") {
+    // two classes with disjoint dominant vocabulary on a shared floor
+    val train = docsOf(
+      (1L, "aa", "alpha alpha alpha shared"),
+      (2L, "aa", "alpha alpha shared shared"),
+      (3L, "bb", "beta beta beta shared"),
+      (4L, "bb", "beta beta shared shared"))
+    val test_ = docsOf(
+      (10L, "aa", "alpha alpha shared"),
+      (11L, "bb", "beta beta shared"))
+    val out = Classify.classifyNbWith(train, test_).collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(10L -> "aa", 11L -> "bb"))
+  }
+
+  test("all-OOV and empty docs fall back to the prior argmax") {
+    // class "aa" has 3 train docs, "bb" has 1 — prior favors aa
+    val train = docsOf(
+      (1L, "aa", "alpha"), (2L, "aa", "alpha"), (3L, "aa", "alpha"),
+      (4L, "bb", "beta"))
+    val test_ = docsOf((10L, "zz", "unseen tokens only"), (11L, "zz", ""))
+    val out = Classify.classifyNbWith(train, test_)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(10L -> "aa", 11L -> "aa"))
+  }
+
+  test("argmax ties break to the lexicographically least label") {
+    // perfectly symmetric classes: same doc counts, same token
+    // counts — every test score identical across classes
+    val train = docsOf(
+      (1L, "bb", "tok tok"), (2L, "aa", "tok tok"))
+    val test_ = docsOf((10L, "?", "tok"))
+    val out = Classify.classifyNbWith(train, test_).collect()
+    assert(out.head.getString(1) === "aa")
+  }
+
+  test("score_e9 replays the affine NB decomposition exactly") {
+    // hand-check one score: train "aa" = {x:2, y:1}, "bb" = {y:3};
+    // V = 2, tot_aa = 3, tot_bb = 3, priors ln(1/2) each
+    val train = docsOf((1L, "aa", "x x y"), (2L, "bb", "y y y"))
+    val test_ = docsOf((10L, "?", "x x"))
+    def ln9(x: Long): Long =
+      BigDecimal(math.log(x.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    val prior = ln9(1) - ln9(2)          // ln(1/2)
+    val lp0 = -ln9(3 + 2)                // -ln(tot + V)
+    val scoreAa = prior + 2 * lp0 + 2 * ln9(2 + 1) // k=2 of x, cnt=2
+    val scoreBb = prior + 2 * lp0       // x absent from bb
+    assert(scoreAa > scoreBb)
+    val out = Classify.classifyNbWith(train, test_).collect()
+    assert(out.head.getString(1) === "aa")
+    assert(out.head.getLong(2) === scoreAa)
+  }
+
+  test("classify_nb_eval counts the full held-out carve") {
+    val eval = Classify.classifyNbEval(spark, sf)
+    val total = eval.agg(sum("n")).head.getLong(0)
+    val testN = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(total === testN)
+    // every predicted label is a train-carve class
+    val langs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select("lang").distinct().as[String].collect().toSet
+    val preds = eval.select("pred").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(langs))
+  }
+
+  test("appendToNbModel == one-shot training of the concatenated corpus") {
+    val all = Tables.documents(spark, sf)
+    val a = all.filter(col("doc_id") < 30)
+    val b = all.filter(col("doc_id") >= 30 && col("doc_id") < 45)
+    val dir = java.nio.file.Files.createTempDirectory("nb-append").toString + "/nb"
+    Classify.writeNbModel(a, dir)
+    Classify.appendToNbModel(b, dir)
+    val fresh = java.nio.file.Files.createTempDirectory("nb-fresh").toString + "/nb"
+    Classify.writeNbModel(a.unionByName(b), fresh)
+    for (part <- Seq("model", "classes")) {
+      val got = spark.read.parquet(s"$dir/$part")
+      val want = spark.read.parquet(s"$fresh/$part")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"nb_model/$part after append != fresh training of the union")
+    }
+  }
+
+  test("serving the stored model == the in-query classifier, bit-exactly") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test_ = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("nb-serve").toString + "/nb"
+    Classify.writeNbModel(train, dir)
+    assert(Classify.classifyNbServeBatch(spark, dir, test_).collect().toSeq ===
+      Classify.classifyNbWith(train, test_).collect().toSeq)
+  }
+
+  test("hamming_topk: banding candidates == brute force inside the radius") {
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val got = Dedup.hammingTopK(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // brute-force replay on the collected signatures (test-scale only)
+    val sigs = Dedup.simhashSignatures(docs)
+      .as[(Long, Long)].collect()
+    val expected = sigs.filter(_._1 < 50).flatMap { case (q, qs) =>
+      sigs.filter(_._1 != q)
+        .map { case (id, s2) => (id, java.lang.Long.bitCount(qs ^ s2)) }
+        .filter(_._2 <= 3)
+        .sortBy { case (id, h) => (h, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, h), i) => (q, i + 1, id, h) }
+    }
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    // every doc_id < 25 query has its planted exact twin in the ball,
+    // so rank 1 is at hamming 0 (the twin itself, unless a NATURAL
+    // hamming-0 doc with a smaller id wins the tie-break — both occur)
+    val r1 = got.filter(t => t._1 < 25 && t._2 == 1)
+    assert(r1.size == 25 && r1.forall(_._4 == 0))
+    assert((0L until 25L).forall(q =>
+      got.exists(t => t._1 == q && t._3 == q + 100000 && t._4 == 0)))
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.Classify
 import graft.operators.{Dedup, Search, Similarity}
 import graft.sources.Multimodal
 import org.apache.spark.sql.functions._
@@ -50,7 +51,7 @@ class ErasureSpec extends SparkSpec {
     "forgetFromLineIndex", "forgetFromWinnowIndex",
     "forgetFromEmbCodeIndex", "forgetFromClusterIndex",
     "forgetFromKnnGraph", "deleteFromKnnGraph", "forgetFromPhashIndex",
-    "deleteFromLayout", "deleteFromInvertedIndex")
+    "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel")
 
   test("keeper-attributed fingerprint indexes forget") {
     locally {
@@ -219,8 +220,33 @@ class ErasureSpec extends SparkSpec {
     }
   }
 
+  test("NB model erasure == the one-shot model of the survivors") {
+    // the count-algebra artifact: subtracting the victims' counts
+    // must land EXACTLY on what training the survivors would write —
+    // no tombstones, no refill, no approximation
+    val dir = tmp("er-nb")
+    val all = docs
+    val victimDocs = all.filter(col("doc_id").isin(victims: _*))
+    val survivors = all.filter(!col("doc_id").isin(victims: _*))
+    Classify.writeNbModel(all, dir)
+    Classify.forgetFromNbModel(victimDocs, dir)
+    val fresh = tmp("er-nb-fresh")
+    Classify.writeNbModel(survivors, fresh)
+    for (part <- Seq("model", "classes")) {
+      val got = spark.read.parquet(s"$dir/$part")
+      val want = spark.read.parquet(s"$fresh/$part")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"nb_model/$part after forget != fresh training of survivors")
+    }
+    // and serving the erased model == serving the fresh one
+    val probe = all.filter(col("doc_id") < 5)
+    assert(Classify.classifyNbServeBatch(spark, dir, probe).collect().toSeq ===
+      Classify.classifyNbServeBatch(spark, fresh, probe).collect().toSeq)
+  }
+
   test("every forget/delete verb in the library is exercised by this suite") {
-    val objs = Seq[AnyRef](Dedup, Similarity, Search, Multimodal, Pipeline)
+    val objs = Seq[AnyRef](Dedup, Similarity, Search, Multimodal, Pipeline,
+      Classify)
     val verbs = objs.flatMap(_.getClass.getDeclaredMethods.toSeq
         .map(_.getName)
         .filter(n => (n.startsWith("forgetFrom") || n.startsWith("deleteFrom"))

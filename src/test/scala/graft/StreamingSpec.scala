@@ -542,6 +542,32 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming NB classification matches the batch serve on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Classify
+    val dir = java.nio.file.Files.createTempDirectory("nbstream").toString + "/nb"
+    val docs = Tables.documents(spark, sf)
+    Classify.writeNbModel(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    val testDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => EventStream.DocText(id, t) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingClassifyNb(input.toDS(), dir) {
+      preds => results ++= preds.collect().map(_.toSeq)
+    }
+    // per-doc answers are batch-independent: the split changes nothing
+    input.addData(testDocs.take(10).toSeq)
+    q.processAllAvailable()
+    input.addData(testDocs.drop(10).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Classify.classifyNbServeBatch(spark, dir, docs.filter(col("doc_id") % 5 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming HLL estimate equals the batch sketch on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
