@@ -367,7 +367,8 @@ object Pipeline {
                            bpeMerges: Option[Seq[(String, String)]] = None,
                            unigramPieces: Option[Seq[(String, Long)]] = None,
                            wordpiecePieces: Option[Seq[String]] = None,
-                           rawIngest: Option[RawIngest] = None)
+                           rawIngest: Option[RawIngest] = None,
+                           nbGate: Boolean = false)
       : DayReport = {
     require(pplCeiling.isEmpty || lmArtifact.nonEmpty,
       "the daily LM gate needs a provided artifact (it never self-trains)")
@@ -645,19 +646,53 @@ object Pipeline {
       Seq("ingest_valid" -> r.valid,
         "ingest_quarantined" -> r.quarantined).toDF("metric", "value")
     }
+    // trained-label audit (optional): classify today's SHIPPED rows
+    // against the NB model of PRIOR days and publish agreement as
+    // cls_* rows (informational, the tok_* discipline — disagreement
+    // flags label drift in the feed, not a bad write), then fold
+    // today's rows into the model: incremental NB training is exact
+    // count algebra (appendToNbModel ≡ fresh training, spec'd), so
+    // day-N audits always read the model of arrivals < N. The model
+    // trains on shard rows AS SHIPPED (post-normalization), which is
+    // what [[forgetDocs]] subtracts back out.
+    val nbBlock: Seq[DataFrame] = if (!nbGate) Seq.empty else {
+      val nbDir = s"$stateDir/nb_model"
+      val nfs = new org.apache.hadoop.fs.Path(nbDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasModel = nfs.exists(new org.apache.hadoop.fs.Path(nbDir))
+      val shipped = dayRows.limit(1).count() > 0
+      val rows =
+        if (!hasModel || !shipped) Seq.empty[(String, Long)]
+        else {
+          val agree = graft.functions.Classify
+            .classifyNbServeBatch(spark, nbDir, dayRows)
+            .join(dayRows.select(col("doc_id"), col("lang")), "doc_id")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("a"))
+            .collect().head
+          Seq("cls_total" -> agree.getLong(0),
+            "cls_agree" -> agree.getLong(1))
+        }
+      if (shipped) {
+        if (hasModel) graft.functions.Classify.appendToNbModel(dayRows, nbDir)
+        else graft.functions.Classify.writeNbModel(dayRows, nbDir)
+      }
+      if (rows.isEmpty) Seq.empty else Seq(rows.toDF("metric", "value"))
+    }
     val dq = operators.DataQuality.suite(
       Seq(operators.DataQuality.rowMetrics(dayRows, Seq(
         "null_lang" -> col("lang").isNull,
         "empty_docs" -> (col("n_tokens") <= 0),
         "bad_split" -> !col("split").isin("train", "val", "test"))),
       operators.DataQuality.keyDuplicates(dayRows, Seq("doc_id"),
-        "dup_doc_keys")) ++ tokBlock ++ ingestBlock: _*)
+        "dup_doc_keys")) ++ tokBlock ++ ingestBlock ++ nbBlock: _*)
     dq.write.mode("overwrite").parquet(s"$stateDir/days/$day/dq_report")
     val dqViolations = spark.read
       .parquet(s"$stateDir/days/$day/dq_report")
       .filter(col("metric") =!= "row_count" &&
         !col("metric").startsWith("tok_") &&
-        !col("metric").startsWith("ingest_"))
+        !col("metric").startsWith("ingest_") &&
+        !col("metric").startsWith("cls_"))
       .agg(sum(col("value")).as("v")).collect().head.getLong(0)
 
     DayReport(day, input, afterDedup, contaminated, retracted,
@@ -785,6 +820,22 @@ object Pipeline {
                  ids: DataFrame): Unit = {
     import spark.implicits._
     val forget = ids.select(col("doc_id")).distinct().localCheckpoint()
+    // 0. trained-label audit model (present only when the NB gate
+    // ran): subtract the victims' SHIPPED rows — read from shard
+    // storage BEFORE the vacuum below removes them, which also makes
+    // a REPEAT forget a no-op on the counts (nothing left to
+    // attribute — the count algebra can only be applied once per row)
+    val nbDir = s"$stateDir/nb_model"
+    val nbFs = new org.apache.hadoop.fs.Path(nbDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (nbFs.exists(new org.apache.hadoop.fs.Path(nbDir))) {
+      val victimRows = readShardDocs(spark, stateDir,
+          listDays(spark, stateDir))
+        .join(forget, Seq("doc_id"), "left_semi")
+        .localCheckpoint() // materialize before the vacuum/rewrite
+      if (victimRows.limit(1).count() > 0)
+        graft.functions.Classify.forgetFromNbModel(victimRows, nbDir)
+    }
     // 1. consumer view + shard storage
     forget.withColumn("day", lit("forgotten"))
       .write.mode("append").parquet(s"$stateDir/retractions")

@@ -409,6 +409,64 @@ class PipelineSpec extends SparkSpec {
     assert(r4.afterDedup == 0, s"post-maintenance dedup missed: $r4")
   }
 
+  test("NB gate: audits read the prior-days model, cls_* rows ride the report, forget subtracts") {
+    import spark.implicits._
+    import graft.functions.Classify
+    val state = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    Pipeline.initDailyState(spark, state)
+    val r1 = Pipeline.curateAndPackDayStep(spark, daySlice(0, 60), state,
+      "d1", exciseChunks = false, nbGate = true)
+    // day 1 has no prior model: no cls rows, but the model is written
+    assert(spark.read.parquet(s"$state/days/d1/dq_report")
+      .filter(col("metric").startsWith("cls_")).count() == 0)
+    assert(new java.io.File(s"$state/nb_model/model").exists())
+    val r2 = Pipeline.curateAndPackDayStep(spark, daySlice(60, 120), state,
+      "d2", exciseChunks = false, nbGate = true)
+    // day 2 audits against the day-1 model and publishes agreement
+    val cls = spark.read.parquet(s"$state/days/d2/dq_report")
+      .filter(col("metric").startsWith("cls_"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cls.keySet == Set("cls_total", "cls_agree"))
+    assert(cls("cls_total") > 0 && cls("cls_agree") <= cls("cls_total"))
+    // informational rows: the publish gate stays green
+    assert(r1.dqViolations == 0 && r2.dqViolations == 0)
+    // the maintained model == a fresh training of the SHIPPED-DAY
+    // rows (incremental NB is exact count algebra). Deliberately NOT
+    // readCuratedDocs: a naturally recall-retracted doc leaves the
+    // consumer view but stays counted until an explicit forget names
+    // it — the Lucene stale-stats semantics every maintained index
+    // here uses
+    val shipped = Seq("d1", "d2")
+      .flatMap(dy => Seq("train", "val", "test")
+        .map(sp => s"$state/days/$dy/$sp/shards"))
+      .filter(p => new java.io.File(p).exists())
+      .map(p => spark.read.json(p))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+    val fresh = java.nio.file.Files.createTempDirectory("nb-f").toString + "/nb"
+    Classify.writeNbModel(shipped, fresh)
+    def sameModel(a: String, b: String): Unit =
+      for (part <- Seq("model", "classes")) {
+        val x = spark.read.parquet(s"$a/$part")
+        val y = spark.read.parquet(s"$b/$part")
+        assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+          s"$part differs between $a and $b")
+      }
+    sameModel(s"$state/nb_model", fresh)
+    // forgetting shipped docs subtracts their counts exactly
+    val victims = shipped.select("doc_id").as[Long].collect().sorted.take(2)
+    val survivors = shipped.filter(!col("doc_id").isin(victims: _*))
+      .localCheckpoint()
+    Pipeline.forgetDocs(spark, state, victims.toSeq.toDF("doc_id"))
+    val fresh2 = java.nio.file.Files.createTempDirectory("nb-f2").toString + "/nb"
+    Classify.writeNbModel(survivors, fresh2)
+    sameModel(s"$state/nb_model", fresh2)
+    // a repeat forget of the same ids is a no-op on the counts (the
+    // shard rows are gone — nothing left to attribute)
+    Pipeline.forgetDocs(spark, state, victims.toSeq.toDF("doc_id"))
+    sameModel(s"$state/nb_model", fresh2)
+  }
+
   test("forgetDocs erases a doc from every artifact and the corpus forgets its content") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("graft-forget").toString
