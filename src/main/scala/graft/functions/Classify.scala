@@ -123,14 +123,12 @@ object Classify {
         (-lnE9(coalesce(col("tot"), lit(0L)) + lit(vocab))).as("lp0_e9"))
   }
 
-  /** Score `test` against a trained model: (doc_id, pred, score_e9) —
-    * pred = argmax class (ties to the lexicographically least
-    * label), score_e9 = the winning class's exact integer score in
-    * 1e-9 units. Documents whose every token is out-of-vocabulary
-    * (or that are empty) fall back to the prior argmax — they stay
-    * in the output, one row per test doc. */
-  def classifyWithModel(model: DataFrame, classes: DataFrame,
-                        test: DataFrame): DataFrame = {
+  /** The full per-(doc, class) score frame (doc_id, label, score_e9)
+    * — every test doc × every class, scores exact BIGINTs in 1e-9
+    * units. [[classifyWithModel]] arg-maxes this; [[qualityNb]]
+    * pivots it into a two-class log-odds. */
+  def nbScores(model: DataFrame, classes: DataFrame,
+               test: DataFrame): DataFrame = {
     // bounded collect: one row per label (curated enum)
     val scalars = nbClassScalars(
       model.select(col("label"), col("token"), col("cnt")), classes).collect()
@@ -168,13 +166,23 @@ object Classify {
       .join(adj, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
         (col("base_e9") + coalesce(col("adj_e9"), lit(0L))).as("score_e9"))
+  }
+
+  /** Score `test` against a trained model: (doc_id, pred, score_e9) —
+    * pred = argmax class (ties to the lexicographically least
+    * label), score_e9 = the winning class's exact integer score in
+    * 1e-9 units. Documents whose every token is out-of-vocabulary
+    * (or that are empty) fall back to the prior argmax — they stay
+    * in the output, one row per test doc. */
+  def classifyWithModel(model: DataFrame, classes: DataFrame,
+                        test: DataFrame): DataFrame =
+    nbScores(model, classes, test)
       // argmax with lex-min tie-break: min over (-score, label)
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score_e9")).as("neg"), col("label").as("label"))).as("m"))
       .select(col("doc_id"), col("m.label").as("pred"),
         (-col("m.neg")).as("score_e9"))
       .orderBy(col("doc_id"))
-  }
 
   /** Train on `train`, classify `test` — the in-query composition of
     * [[nbModel]] + [[classifyWithModel]]. */
@@ -205,6 +213,39 @@ object Classify {
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("pred"))
+  }
+
+  /** quality_nb: the CCNet-DISTILLATION quality filter (Wenzek et
+    * al. 2020 §4.3; the fastText quality classifier of the GPT-3 /
+    * RedPajama pipelines): label the corpus by its own LM-perplexity
+    * tertiles ([[TextFunctions.ccnetBuckets]] — head = fluent, tail
+    * = suspect), train the NB classifier on the head-vs-tail token
+    * distributions, and score EVERY document with the head-vs-tail
+    * log-odds. The payoff at 100 TB is the distillation: the LM
+    * chain runs once over the label carve, and from then on new
+    * documents are gated by one cheap token-count join against the
+    * vocab-sized model (the quality_distill argument, with a
+    * classifier instead of a regression).
+    *
+    * Output (doc_id, logodds_e9, keep): logodds_e9 = score(head) −
+    * score(tail) — the DIFFERENCE of two exact BIGINT scores, so it
+    * is exact with no rounding anywhere; keep = logodds > 0 (strict:
+    * a zero log-odds — e.g. an all-OOV doc under equal-size tertile
+    * carves — is not positive evidence of fluency). Middle-tertile
+    * docs train nothing but are scored like everything else. */
+  def qualityNb(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labeled = docs.join(
+      TextFunctions.ccnetBuckets(docs)
+        .filter(col("bucket").isin("head", "tail"))
+        .select(col("doc_id"), col("bucket")), "doc_id")
+    nbScores(nbModel(labeled, "bucket"), nbClasses(labeled, "bucket"), docs)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("label") === "head", col("score_e9"))).as("h"),
+        max(when(col("label") === "tail", col("score_e9"))).as("t"))
+      .select(col("doc_id"), (col("h") - col("t")).as("logodds_e9"),
+        (col("h") > col("t")).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- maintained model artifact -----------------------------------------
