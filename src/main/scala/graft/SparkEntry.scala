@@ -101,6 +101,7 @@ object SparkEntry {
     "classify_nb"         -> Classify.classifyNb _,
     "classify_nb_eval"    -> Classify.classifyNbEval _,
     "quality_nb"          -> Classify.qualityNb _,
+    "classify_centroid"   -> Classify.classifyCentroid _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
@@ -1674,6 +1675,40 @@ object SparkEntry {
         (MAX(CASE WHEN label = 'head' THEN score_e9 END)
          > MAX(CASE WHEN label = 'tail' THEN score_e9 END)) AS keep
       FROM qsc GROUP BY doc_id ORDER BY doc_id""",
+
+    // Rocchio nearest-centroid over embeddings: coordinates snap to
+    // 1e-6-unit BIGINTs, class SUMS replace means (cosine is
+    // scale-invariant), the score is the ann_ivf_white cos_e6 scalar
+    // chain on exact integers — the model retrains in SQL
+    // (order-independent BIGINT sums, no artifact literal)
+    "classify_centroid" -> """
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS c
+                 FROM embeddings),
+      tr AS (SELECT label, unnest(c) AS cj, unnest(range(1, len(c) + 1)) AS j
+             FROM e WHERE vec_id % 5 <> 0),
+      ce AS (SELECT label, j, CAST(SUM(cj) AS BIGINT) AS s FROM tr GROUP BY 1, 2),
+      cn AS (SELECT label, CAST(SUM(CAST(s AS HUGEINT) * s) AS BIGINT) AS sn
+             FROM ce GROUP BY 1),
+      te AS (SELECT vec_id, unnest(c) AS qj, unnest(range(1, len(c) + 1)) AS j
+             FROM e WHERE vec_id % 5 = 0),
+      qn AS (SELECT vec_id, CAST(SUM(CAST(qj AS HUGEINT) * qj) AS BIGINT) AS qn
+             FROM te GROUP BY 1),
+      dots AS (SELECT te.vec_id, ce.label,
+                 CAST(SUM(CAST(te.qj AS HUGEINT) * ce.s) AS BIGINT) AS dot
+               FROM te JOIN ce USING (j) GROUP BY 1, 2),
+      scoredc AS (SELECT d.vec_id, d.label,
+                   CAST(floor(CAST(d.dot AS DOUBLE) /
+                     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(cn.sn AS DOUBLE)))
+                     * 1e6 + 0.5) AS BIGINT) AS cos_e6
+                 FROM dots d JOIN qn q USING (vec_id) JOIN cn USING (label)),
+      p AS (SELECT vec_id, label, cos_e6,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_e6 DESC, label) AS r
+            FROM scoredc)
+      SELECT vec_id, label AS pred, cos_e6 FROM p WHERE r = 1
+      ORDER BY vec_id""",
 
     "ann_lsh" -> s"""
       WITH planes(tid, pid, p) AS (VALUES

@@ -248,6 +248,85 @@ object Classify {
       .orderBy(col("doc_id"))
   }
 
+  /** classify_centroid: ROCCHIO nearest-centroid classification over
+    * the embedding column — the classifier family's embedding
+    * modality (route-by-domain over vectors, the counterpart of the
+    * token-space [[classifyNb]]): train = per-class centroid of the
+    * vec_id%5≠0 carve, test vectors take the class whose centroid
+    * they are most cosine-similar to. Cosine is SCALE-INVARIANT, so
+    * the class coordinate SUM replaces the mean and the chain never
+    * divides by a count: coordinates snap per-term to 1e-6-unit
+    * BIGINTs, class sums are exact order-independent BIGINT
+    * aggregates (the retrained-in-SQL property — no artifact
+    * literals in the oracle), and the score is the ann_ivf_white
+    * cos_e6 chain — exact integer dot + two exact integer norms
+    * combined by one fixed scalar IEEE expression (÷, √, ×1e6,
+    * floor), bit-identical cross-engine. Argmax on the ROUNDED
+    * cos_e6 with least-label tie-break.
+    *
+    * Integer bounds: coords ≤ ~1e6 in e6 units, so a class sum stays
+    * ≪ 2^63 up to ~10^5 vectors per class and the dot/norm products
+    * stay inside BIGINT with 10× headroom; beyond that, route the
+    * sums through DECIMAL(38,0) (the emb_pca precedent) — the
+    * argmax semantics don't change.
+    *
+    * Scale shape: training is one posexplode + groupBy(label, j) —
+    * map-side combinable, C·dim output rows (tiny, collected);
+    * scoring is a broadcast typed map over the test vectors —
+    * corpus-size-independent per-vector work, no join at all. */
+  def classifyCentroid(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    classifyCentroidWith(emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0))
+  }
+
+  private def snapE6(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+
+  def classifyCentroidWith(train: DataFrame, test: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    // per-class exact coordinate sums: C·dim rows, collected (bounded
+    // by the curated label enum × the embedding dim)
+    val sums = train.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .map { case (l, v) => (l, snapE6(v)) }
+      .toDF("label", "c")
+      .select(col("label"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy(col("label"), col("j")).agg(sum(col("cj")).as("s"))
+      .collect()
+    val cents: Array[(Int, Array[Long], Long)] = sums
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (l, rows) =>
+        val vec = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+        (l, vec, vec.map(x => x * x).sum) // |S|^2 exact
+      }
+    val bc = spark.sparkContext.broadcast(cents)
+    test.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = snapE6(v)
+        var qn = 0L; var j = 0
+        while (j < q.length) { qn += q(j) * q(j); j += 1 }
+        var bestL = Int.MaxValue; var bestC = Long.MinValue
+        for ((l, sv, sn) <- bc.value) {
+          var dot = 0L; var i = 0
+          while (i < q.length) { dot += q(i) * sv(i); i += 1 }
+          // the ann_ivf_white scalar chain — division first, then the
+          // 1e6 scale, floor: the oracle writes the identical tree
+          val cE6 = math.floor(dot.toDouble /
+            (math.sqrt(qn.toDouble) * math.sqrt(sn.toDouble)) *
+            1e6 + 0.5).toLong
+          if (cE6 > bestC || (cE6 == bestC && l < bestL)) {
+            bestC = cE6; bestL = l
+          }
+        }
+        (id, bestL, bestC)
+      }
+      .toDF("vec_id", "pred", "cos_e6")
+      .orderBy(col("vec_id"))
+  }
+
   // ---- maintained model artifact -----------------------------------------
 
   /** Write the trained model at `dir`: `model/` = the nonzero

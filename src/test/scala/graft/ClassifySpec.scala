@@ -132,6 +132,29 @@ class ClassifySpec extends SparkSpec {
       s"no in-sample separation: $byBucket")
   }
 
+  test("classify_centroid separates planted clusters and tie-breaks to least label") {
+    // two separable directions in 4-d: class 7 along e1, class 2
+    // along e2 (deliberately unordered labels so the tie-break is
+    // exercised independently of insertion order)
+    def vecs(rows: (Long, Array[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    val train = vecs(
+      (1L, Array(1f, 0.1f, 0f, 0f), 7), (2L, Array(0.9f, -0.1f, 0f, 0f), 7),
+      (3L, Array(0.1f, 1f, 0f, 0f), 2), (4L, Array(-0.1f, 0.9f, 0f, 0f), 2))
+    val test_ = vecs(
+      (10L, Array(1f, 0f, 0f, 0f), -1), (11L, Array(0f, 1f, 0f, 0f), -1))
+    val out = graft.functions.Classify.classifyCentroidWith(train, test_)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(10L -> 7, 11L -> 2))
+    // exact tie: a query equidistant from two mirrored classes takes
+    // the least label
+    val sym = graft.functions.Classify.classifyCentroidWith(
+      vecs((1L, Array(1f, 0f), 5), (2L, Array(0f, 1f), 3)),
+      vecs((10L, Array(1f, 1f), -1)))
+      .collect().head
+    assert(sym.getInt(1) === 3)
+  }
+
   test("hamming_topk: banding candidates == brute force inside the radius") {
     val docs = Dedup.withPlants(Tables.documents(spark, sf))
     val got = Dedup.hammingTopK(docs)
