@@ -102,6 +102,7 @@ object SparkEntry {
     "classify_nb_eval"    -> Classify.classifyNbEval _,
     "quality_nb"          -> Classify.qualityNb _,
     "classify_centroid"   -> Classify.classifyCentroid _,
+    "classify_knn"        -> ((s, d) => Classify.classifyKnn(s, d)),
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
@@ -1708,6 +1709,40 @@ object SparkEntry {
                                  ORDER BY cos_e6 DESC, label) AS r
             FROM scoredc)
       SELECT vec_id, label AS pred, cos_e6 FROM p WHERE r = 1
+      ORDER BY vec_id""",
+
+    // kNN vote: the oracle brute-forces every (test, train) pair —
+    // the Spark side's exhaustive-probe bucket join is result-
+    // identical (each pair meets exactly once; centroids only shape
+    // the join), so no artifact literal is needed
+    "classify_knn" -> """
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS c
+                 FROM embeddings),
+      qs AS (SELECT vec_id, c,
+               CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS qn
+             FROM e WHERE vec_id % 5 = 0),
+      ts AS (SELECT vec_id, label, c,
+               CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS vn
+             FROM e WHERE vec_id % 5 <> 0),
+      pr AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, t.label,
+               CAST(floor(CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+                      k -> q.c[k] * t.c[k])) AS DOUBLE) /
+                 (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(t.vn AS DOUBLE)))
+                 * 1e6 + 0.5) AS BIGINT) AS cos_e6
+             FROM qs q, ts t),
+      rk AS (SELECT q_id, n_id, label, cos_e6,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_e6 DESC, n_id) AS r
+             FROM pr),
+      votes AS (SELECT q_id, label, COUNT(*) AS votes
+                FROM rk WHERE r <= 5 GROUP BY 1, 2),
+      p AS (SELECT q_id, label, votes,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY votes DESC, label) AS rr
+            FROM votes)
+      SELECT q_id AS vec_id, label AS pred, votes FROM p WHERE rr = 1
       ORDER BY vec_id""",
 
     "ann_lsh" -> s"""

@@ -327,6 +327,78 @@ object Classify {
       .orderBy(col("vec_id"))
   }
 
+  /** classify_knn: k-NEAREST-NEIGHBOR classification over the
+    * embedding column — classification VIA RETRIEVAL (the third
+    * classifier modality after token-space NB and the parametric
+    * centroid): each test vector takes the majority label of its
+    * k=5 nearest TRAIN vectors by exact-integer cosine, vote ties to
+    * the least label. The non-parametric gate a curation pipeline
+    * reaches for when class boundaries aren't linear — and the one
+    * that composes directly with the ANN serving tiers (the top-k
+    * here IS the ann query, run against the train carve).
+    *
+    * Scale shape: the pair generation is the exhaustive IVF bucket
+    * equi-join (corpus rows keep their single assigned bucket,
+    * queries probe ALL nlist buckets — each pair meets exactly once
+    * in a hash join, never a BroadcastNestedLoopJoin; the
+    * search_hybrid/ann_prefix precedent), scoring is one typed pass
+    * (e6-snapped integer dot + norms, the cos_e6 scalar chain), the
+    * top-k is a per-query window over the radius the broadcasted
+    * query index already bounded. The bucketing exists purely to
+    * shape the join — exhaustive probing makes the RESULT
+    * centroid-independent, so the oracle brute-forces without
+    * artifact literals. At scale, serve the same vote off the stored
+    * IVF layout at pruned nprobe (annIvfServeBatch + the vote). */
+  def classifyKnn(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.operators.Similarity.ivfCentroids(s, d)
+    val bc = s.sparkContext.broadcast(cents)
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, l, v) =>
+        (id, l, graft.operators.Similarity.nearestCentroid(bc.value, v),
+          snapE6(v))
+      }
+      .toDF("neighbor_id", "label", "bucket", "vc")
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val q = snapE6(v)
+        (0 until bc.value.length).iterator.map(b => (id, b, q))
+      }
+      .toDF("query_id", "bucket", "qc")
+    val scored = train.join(broadcast(queries), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("qc"), col("vc"))
+      .as[(Long, Long, Int, Array[Long], Array[Long])]
+      .map { case (q, n, l, qc, vc) =>
+        var dot = 0L; var qn = 0L; var vn = 0L; var j = 0
+        while (j < qc.length) {
+          dot += qc(j) * vc(j); qn += qc(j) * qc(j); vn += vc(j) * vc(j)
+          j += 1
+        }
+        (q, n, l, math.floor(dot.toDouble /
+          (math.sqrt(qn.toDouble) * math.sqrt(vn.toDouble)) *
+          1e6 + 0.5).toLong)
+      }
+      .toDF("query_id", "neighbor_id", "label", "cos_e6")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      // majority with least-label tie-break: min over (-votes, label)
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("label"))).as("m"))
+      .select(col("query_id").as("vec_id"), col("m.label").as("pred"),
+        (-col("m.nv")).as("votes"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- maintained model artifact -----------------------------------------
 
   /** Write the trained model at `dir`: `model/` = the nonzero

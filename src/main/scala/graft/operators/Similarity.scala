@@ -150,7 +150,7 @@ object Similarity {
     cents
   }
 
-  private[operators] def nearestCentroid(cents: Array[Array[Double]],
+  private[graft] def nearestCentroid(cents: Array[Array[Double]],
                                          v: Array[Float]): Int = {
     var best = 0; var bestDot = Double.MinValue
     var i = 0

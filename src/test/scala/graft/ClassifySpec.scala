@@ -155,6 +155,31 @@ class ClassifySpec extends SparkSpec {
     assert(sym.getInt(1) === 3)
   }
 
+  test("classify_knn == a brute-force k-NN vote replay") {
+    import graft.functions.Classify
+    val out = Classify.classifyKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val all = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def snap(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val train = all.filter(_._1 % 5 != 0).map { case (id, l, v) => (id, l, snap(v)) }
+    val tests = all.filter(_._1 % 5 == 0).map { case (id, _, v) => (id, snap(v)) }
+    val expected = tests.map { case (qid, qc) =>
+      val qn = qc.map(x => x * x).sum
+      val top = train.map { case (nid, l, vc) =>
+        var dot = 0L; var vn = 0L; var j = 0
+        while (j < qc.length) { dot += qc(j) * vc(j); vn += vc(j) * vc(j); j += 1 }
+        (nid, l, math.floor(dot.toDouble /
+          (math.sqrt(qn.toDouble) * math.sqrt(vn.toDouble)) * 1e6 + 0.5).toLong)
+      }.sortBy { case (nid, _, c) => (-c, nid) }.take(5)
+      val (pl, pv) = top.groupBy(_._2).map { case (l, g) => (l, g.size) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (qid, pl, pv.toLong)
+    }.sortBy(_._1)
+    assert(out.toSeq === expected.toSeq)
+  }
+
   test("hamming_topk: banding candidates == brute force inside the radius") {
     val docs = Dedup.withPlants(Tables.documents(spark, sf))
     val got = Dedup.hammingTopK(docs)
