@@ -90,6 +90,7 @@ object SparkEntry {
     "knn_components"      -> ((s, d) => Similarity.knnComponents(s, d)),
     "graph_profile"       -> ((s, d) => Similarity.graphProfile(s, d)),
     "graph_ppr"           -> ((s, d) => Similarity.graphPpr(s, d)),
+    "graph_label_prop"    -> ((s, d) => Similarity.graphLabelProp(s, d)),
     "tokenizer_fertility" -> functions.TokenizerStats.tokenizerFertility _,
     "tokenizer_coverage"  -> functions.TokenizerStats.tokenizerCoverage _,
     "sketch_distinct"     -> operators.Sketches.sketchDistinct _,
@@ -100,6 +101,7 @@ object SparkEntry {
     "text_langid"         -> TextFunctions.langId _,
     "classify_nb"         -> Classify.classifyNb _,
     "classify_nb_eval"    -> Classify.classifyNbEval _,
+    "classify_nb_f1"      -> Classify.classifyNbF1 _,
     "quality_nb"          -> Classify.qualityNb _,
     "classify_centroid"   -> Classify.classifyCentroid _,
     "classify_knn"        -> ((s, d) => Classify.classifyKnn(s, d)),
@@ -206,6 +208,8 @@ object SparkEntry {
       "knn_components" -> (() => Similarity.knnComponentsOracleSql(s, d)),
       "graph_profile" -> (() => Similarity.graphProfileOracleSql(s, d)),
       "graph_ppr" -> (() => Similarity.graphPprOracleSql(s, d)),
+      "graph_label_prop" ->
+        (() => Similarity.graphLabelPropOracleSql(s, d)),
       "tokenizer_fertility" ->
         (() => functions.TokenizerStats.tokenizerFertilityOracleSql(s, d)),
       "tokenizer_coverage" ->
@@ -1614,6 +1618,29 @@ object SparkEntry {
       FROM pred p JOIN d USING (doc_id)
       WHERE p.r = 1
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // per-class precision/recall/F1 of the same chain: every metric
+    // a rational of exact integers with ONE IEEE division (F1
+    // collapses to 2·tp/(pred_n + true_n)), rounded 6 dp; all ≥ 0 so
+    // no signed-zero wrap; never-predicted class pins precision 0
+    "classify_nb_f1" -> s"""
+      WITH $nbCtes,
+      j AS (SELECT p.doc_id, p.label AS pred, d.lang AS label
+            FROM pred p JOIN d USING (doc_id) WHERE p.r = 1),
+      tn AS (SELECT label, COUNT(*) AS true_n,
+               CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp
+             FROM j GROUP BY 1),
+      pn AS (SELECT pred AS label, COUNT(*) AS pred_n FROM j GROUP BY 1)
+      SELECT tn.label, tn.tp,
+        COALESCE(pn.pred_n, 0) AS pred_n, tn.true_n,
+        CASE WHEN COALESCE(pn.pred_n, 0) > 0
+             THEN round(CAST(tn.tp AS DOUBLE) / pn.pred_n, 6)
+             ELSE CAST(0 AS DOUBLE) END AS prec,
+        round(CAST(tn.tp AS DOUBLE) / tn.true_n, 6) AS rec,
+        round(CAST(2 * tn.tp AS DOUBLE)
+              / (COALESCE(pn.pred_n, 0) + tn.true_n), 6) AS f1
+      FROM tn LEFT JOIN pn USING (label) ORDER BY tn.label""",
 
     // CCNet-distillation quality filter: the self-trained LM chain
     // labels the corpus by ppl tertile (the ccnet_buckets recipe),

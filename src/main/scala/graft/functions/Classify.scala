@@ -215,6 +215,44 @@ object Classify {
       .orderBy(col("label"), col("pred"))
   }
 
+  /** classify_nb_f1: per-class precision / recall / F1 of
+    * [[classifyNb]] on the held-out carve — the metrics row a gate
+    * review actually reads (the confusion matrix's
+    * [[classifyNbEval]] rolled into the standard summary). One row
+    * per TRUE class; a predicted-only ghost class has no row (its
+    * false positives still charge the classes they were stolen
+    * from via pred_n).
+    *
+    * Determinism: every metric is a RATIONAL OF EXACT INTEGERS with
+    * one IEEE division (the bm25 recipe) — precision = tp/pred_n,
+    * recall = tp/true_n, and F1 collapses algebraically to
+    * 2·tp/(pred_n + true_n) (no nested rounded divisions), each
+    * rounded to 6 dp; all values ≥ 0, so no signed-zero wrap is
+    * needed. A never-predicted class pins precision to 0 (the
+    * sklearn zero_division=0 convention) rather than NULL/NaN. */
+  def classifyNbF1(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val joined = classifyNb(s, d)
+      .join(docs.select(col("doc_id"), col("lang").as("label")), "doc_id")
+    val truth = joined.groupBy(col("label"))
+      .agg(count(lit(1)).as("true_n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
+    val predN = joined.groupBy(col("pred"))
+      .agg(count(lit(1)).as("pred_n"))
+      .withColumnRenamed("pred", "label")
+    truth.join(broadcast(predN), Seq("label"), "left")
+      .select(col("label"), col("tp"),
+        coalesce(col("pred_n"), lit(0L)).as("pred_n"), col("true_n"))
+      .select(col("label"), col("tp"), col("pred_n"), col("true_n"),
+        when(col("pred_n") > 0,
+          round(col("tp").cast("double") / col("pred_n"), 6))
+          .otherwise(lit(0.0)).as("prec"),
+        round(col("tp").cast("double") / col("true_n"), 6).as("rec"),
+        round((col("tp") * 2).cast("double") /
+          (col("pred_n") + col("true_n")), 6).as("f1"))
+      .orderBy(col("label"))
+  }
+
   /** quality_nb: the CCNet-DISTILLATION quality filter (Wenzek et
     * al. 2020 §4.3; the fastText quality classifier of the GPT-3 /
     * RedPajama pipelines): label the corpus by its own LM-perplexity
@@ -283,24 +321,52 @@ object Classify {
   private def snapE6(v: Array[Float]): Array[Long] =
     v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
 
-  def classifyCentroidWith(train: DataFrame, test: DataFrame): DataFrame = {
+  /** Per-class exact e6-unit coordinate sums — (label, j, s), C·dim
+    * rows (bounded by the curated label enum × the embedding dim).
+    * This frame IS the centroid-model artifact's storage form: like
+    * the NB count table, it is pure sum algebra, so the maintained
+    * artifact's append/forget are EXACT (spec'd equal to fresh
+    * training — the second artifact family with that property). */
+  private def centroidSums(train: DataFrame): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
-    // per-class exact coordinate sums: C·dim rows, collected (bounded
-    // by the curated label enum × the embedding dim)
-    val sums = train.select(col("label"), col("embedding"))
+    train.select(col("label"), col("embedding"))
       .as[(Int, Array[Float])]
       .map { case (l, v) => (l, snapE6(v)) }
       .toDF("label", "c")
       .select(col("label"), posexplode(col("c")).as(Seq("j", "cj")))
       .groupBy(col("label"), col("j")).agg(sum(col("cj")).as("s"))
-      .collect()
-    val cents: Array[(Int, Array[Long], Long)] = sums
+  }
+
+  /** (label, n_vecs) class frame of the centroid artifact — the
+    * bookkeeping that lets forget drop a class whose every training
+    * vector is erased (its sum rows cancel to zero but a FRESH
+    * training of the survivors would have no rows at all). */
+  private def centroidClasses(train: DataFrame): DataFrame =
+    train.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+
+  /** Collected (label, sumVec, |S|²) centroid array from a sums
+    * frame — label-sorted so the broadcast is deterministic. */
+  private def collectCentroids(sums: DataFrame): Array[(Int, Array[Long], Long)] =
+    sums.collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map { case (l, rows) =>
         val vec = rows.sortBy(_.getInt(1)).map(_.getLong(2))
         (l, vec, vec.map(x => x * x).sum) // |S|^2 exact
       }
+
+  def classifyCentroidWith(train: DataFrame, test: DataFrame): DataFrame =
+    scoreAgainstCentroids(collectCentroids(centroidSums(train)), test)
+
+  /** The shared scoring pass: one broadcast typed map over the test
+    * vectors (corpus-size-independent per-vector work) — the body the
+    * in-query form and [[classifyCentroidServeBatch]] both run, so
+    * serving the stored artifact is bit-identical to in-query
+    * training on the same corpus. */
+  private def scoreAgainstCentroids(cents: Array[(Int, Array[Long], Long)],
+                                    test: DataFrame): DataFrame = {
+    val spark = test.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
     test.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -351,7 +417,6 @@ object Classify {
     * IVF layout at pruned nprobe (annIvfServeBatch + the vote). */
   def classifyKnn(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
     val cents = graft.operators.Similarity.ivfCentroids(s, d)
     val bc = s.sparkContext.broadcast(cents)
@@ -371,7 +436,19 @@ object Classify {
         (0 until bc.value.length).iterator.map(b => (id, b, q))
       }
       .toDF("query_id", "bucket", "qc")
-    val scored = train.join(broadcast(queries), Seq("bucket"))
+    knnVote(scorePairsE6(train.join(broadcast(queries), Seq("bucket"))), k)
+  }
+
+  /** The exact-integer pair scorer shared by the in-query
+    * [[classifyKnn]] and the stored-layout serve: input columns
+    * (query_id, neighbor_id, label, qc, vc) with qc/vc e6-snapped
+    * coordinate arrays; output adds cos_e6 via the fixed scalar IEEE
+    * chain on exact integers (bit-identical wherever the same pair
+    * meets). */
+  private def scorePairsE6(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs
       .select(col("query_id"), col("neighbor_id"), col("label"),
         col("qc"), col("vc"))
       .as[(Long, Long, Int, Array[Long], Array[Long])]
@@ -386,6 +463,14 @@ object Classify {
           1e6 + 0.5).toLong)
       }
       .toDF("query_id", "neighbor_id", "label", "cos_e6")
+  }
+
+  /** The k-NN majority vote over a scored pair frame: per query, keep
+    * the k nearest by (cos_e6 desc, neighbor_id), count votes per
+    * label, majority with least-label tie-break. Output (vec_id,
+    * pred, votes), sorted. */
+  private def knnVote(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
     scored.withColumn("r", row_number().over(w)).filter(col("r") <= k)
@@ -486,5 +571,151 @@ object Classify {
     val counts = s.read.parquet(s"$dir/model")
     classifyWithModel(counts.withColumn("w_e9", lnE9(col("cnt") + 1)),
       s.read.parquet(s"$dir/classes"), test)
+  }
+
+  // ---- maintained centroid-model artifact ---------------------------------
+
+  /** Write the trained Rocchio centroid model at `dir`: `sums/` = the
+    * (label, j, s) exact e6-unit coordinate sums (C·dim rows),
+    * `classes/` = (label, n_vecs). Sums, not means, are stored —
+    * cosine scale-invariance makes the sum THE centroid, so the
+    * artifact is additive and maintenance stays exact integer
+    * algebra, the [[writeNbModel]] property carried to the embedding
+    * modality. */
+  def writeCentroidModel(train: DataFrame, dir: String): Unit = {
+    centroidSums(train).write.mode("overwrite").parquet(s"$dir/sums")
+    centroidClasses(train).write.mode("overwrite").parquet(s"$dir/classes")
+  }
+
+  /** Incremental training: add a labeled batch's coordinate sums into
+    * the stored model. EXACT — the merged artifact equals a fresh
+    * [[writeCentroidModel]] of the concatenated corpus (sum algebra;
+    * spec'd equal, not just equivalent). A class new to the batch
+    * appears with its batch sums, like fresh training would write. */
+  def appendToCentroidModel(batch: DataFrame, dir: String): Unit = {
+    val s = batch.sparkSession
+    val sums = s.read.parquet(s"$dir/sums")
+      .unionByName(centroidSums(batch))
+      .groupBy(col("label"), col("j")).agg(sum(col("s")).as("s"))
+    val classes = s.read.parquet(s"$dir/classes")
+      .unionByName(centroidClasses(batch))
+      .groupBy(col("label")).agg(sum(col("n_vecs")).as("n_vecs"))
+    swapRewrite(s, dir) { tmp =>
+      sums.write.parquet(s"$tmp/sums")
+      classes.write.parquet(s"$tmp/classes")
+    }
+  }
+
+  /** Erasure: subtract the victim vectors' coordinates from the
+    * stored sums — a class whose vector count reaches zero disappears
+    * entirely (its sum rows would cancel to all-zero, but a fresh
+    * training of the survivors has NO rows for an absent class, and
+    * the spec demands EQUALITY, so surviving sum rows are kept by a
+    * semi-join on the surviving classes, zero-valued coordinates of
+    * live classes included — fresh training emits those too). The
+    * caller passes the victim VECTORS (the forgetFromNbModel shape:
+    * an aggregate artifact carries no per-vector attribution to erase
+    * by id alone). */
+  def forgetFromCentroidModel(victims: DataFrame, dir: String): Unit = {
+    val s = victims.sparkSession
+    val classes = s.read.parquet(s"$dir/classes")
+      .unionByName(centroidClasses(victims)
+        .withColumn("n_vecs", -col("n_vecs")))
+      .groupBy(col("label")).agg(sum(col("n_vecs")).as("n_vecs"))
+      .filter(col("n_vecs") > 0)
+    val sums = s.read.parquet(s"$dir/sums")
+      .unionByName(centroidSums(victims).withColumn("s", -col("s")))
+      .groupBy(col("label"), col("j")).agg(sum(col("s")).as("s"))
+      .join(classes.select(col("label")), Seq("label"), "left_semi")
+    swapRewrite(s, dir) { tmp =>
+      sums.write.parquet(s"$tmp/sums")
+      classes.write.parquet(s"$tmp/classes")
+    }
+  }
+
+  /** Serve from the stored centroid artifact — bit-identical to the
+    * in-query [[classifyCentroidWith]] of the same train corpus
+    * (spec'd): the collected centroid array rebuilds from the stored
+    * exact sums, and the scoring pass is the shared body. */
+  def classifyCentroidServeBatch(s: SparkSession, dir: String,
+                                 test: DataFrame): DataFrame =
+    scoreAgainstCentroids(collectCentroids(s.read.parquet(s"$dir/sums")),
+      test)
+
+  // ---- stored labeled layout + pruned kNN-classification serving ---------
+
+  /** Write the LABELED IVF layout the kNN classifier serves from:
+    * (vec_id, label, embedding) rows partitioned by assigned bucket —
+    * the [[graft.operators.Similarity.writeIvfPartitioned]] layout
+    * with the label carried through the write, so serving never pays
+    * a corpus-linear label join (the label rides the pruned scan).
+    * The generic layout-by-convention verbs apply unchanged:
+    * [[graft.operators.Similarity.deleteFromLayout]] tombstones by
+    * vec_id and every serve here subtracts pending tombstones. */
+  def writeIvfLabeled(train: DataFrame, cents: Array[Array[Double]],
+                      dir: String): Unit =
+    labeledAssign(train, cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Append a labeled batch into the standing layout — same trained
+    * centroids, rows land inside existing bucket directories (the
+    * appendIvfPartitioned daily-maintenance shape). */
+  def appendIvfLabeled(batch: DataFrame, cents: Array[Array[Double]],
+                       dir: String): Unit =
+    labeledAssign(batch, cents)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+
+  private def labeledAssign(emb: DataFrame,
+                            cents: Array[Array[Double]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, l, v) =>
+        (id, l, graft.operators.Similarity.nearestCentroid(bc.value, v), v) }
+      .toDF("vec_id", "label", "bucket", "embedding")
+  }
+
+  /** Serve ONE batch of queries against the stored labeled layout:
+    * each query probes its `nprobe` nearest centroids, the batch's
+    * probed bucket set prunes the scan to those partition directories
+    * (per-batch cost tracks probes, not corpus size — the
+    * annIvfServeBatch discipline), candidates score through the
+    * exact-integer cos_e6 chain and the k-NN majority vote. At
+    * exhaustive nprobe (= nlist) this is bit-identical to the
+    * in-query [[classifyKnn]] of the same carves (spec'd); at the
+    * pruned default the vote agreement vs exhaustive is the measured
+    * channel (RecallSpec floor). `excludeSelf` defaults FALSE — query
+    * ids are an independent id space from corpus vec_ids (the r12
+    * serving rule). */
+  def classifyKnnServeBatch(s: SparkSession, dir: String,
+                            cents: Array[Array[Double]],
+                            queries: DataFrame, k: Int = 5,
+                            nprobe: Int =
+                              graft.operators.Similarity.IvfNprobe,
+                            excludeSelf: Boolean = false): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        graft.operators.Similarity.topCentroids(bc.value, v, nprobe)
+          .iterator.map(b => (id, b, snapE6(v))) }
+      .toDF("query_id", "bucket", "qc")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val corpus = graft.operators.Similarity.minusTombstones(s, dir,
+        s.read.parquet(dir)
+          .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("bucket"), col("embedding"))
+      .as[(Long, Int, Int, Array[Float])]
+      .map { case (id, l, b, v) => (id, l, b, snapE6(v)) }
+      .toDF("neighbor_id", "label", "bucket", "vc")
+    val cand0 = corpus.join(broadcast(probes), Seq("bucket"))
+    val cand = if (excludeSelf)
+      cand0.filter(col("neighbor_id") =!= col("query_id")) else cand0
+    knnVote(scorePairsE6(cand), k)
   }
 }

@@ -2713,6 +2713,138 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- graph_label_prop: semi-supervised label propagation ---------------
+
+  /** Synchronous label-propagation rounds — enough for the label
+    * frontier to cross the kNN graph's short paths (80% seeds + degree
+    * k=5 label ~99% of the unlabeled carve in round 1; rounds 2-3
+    * settle votes that round 1's new labels change). */
+  private[graft] val LpRounds = 3
+
+  /** graph_label_prop — SEMI-SUPERVISED LABEL PROPAGATION over the
+    * corpus kNN graph (Zhu & Ghahramani 2002; the RAK label-spreading
+    * family): seed labels from the curated carve (vec_id % 5 ≠ 0 —
+    * the classify_* train split), then for `rounds` synchronous
+    * iterations every UNLABELED node takes the majority label of its
+    * out-neighbors' current labels (ties to the least label); seeds
+    * are clamped. The curation use: spread a small set of trusted
+    * domain/quality labels over the embedding-similarity structure to
+    * pseudo-label the rest of the corpus — the graph counterpart of
+    * [[graft.functions.Classify.classifyKnn]] (whose vote is one
+    * round of exactly this, against train neighbors only; propagation
+    * lets labels flow THROUGH unlabeled regions in later rounds).
+    *
+    * Determinism: votes are exact integer counts over deterministic
+    * edges, argmax = (votes desc, label asc) — all-integer end to
+    * end, no floats anywhere. Output (vec_id, label, votes) = the
+    * final round's assignment for every unlabeled node that has a
+    * labeled neighbor (coverage is monotone across rounds: labels are
+    * never removed, so each round's assigned set contains the last).
+    *
+    * Scale shape: the per-round cost is one equi-join of the edge
+    * list (k·n rows) against the current label frame plus a
+    * two-level aggregate — the PageRank loop shape exactly, with
+    * localCheckpoint pinning each round's frame (the pagerankOn
+    * lineage discipline). Rounds are few and fixed; everything
+    * shuffles on vec_id. */
+  def graphLabelProp(s: SparkSession, d: String, k: Int = KnnK,
+                     nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+                     rounds: Int = LpRounds): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = knnGraph(s, d, k, nlist, nprobe)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    labelPropOn(edges,
+      emb.filter(col("vec_id") % 5 =!= 0).select(col("vec_id"), col("label")),
+      col("src") % 5 === 0, rounds)
+  }
+
+  /** Label propagation over explicit (src, dst) edges: `seeds` =
+    * clamped (vec_id, label) rows, `unlabeledSrc` = the predicate
+    * selecting edges whose SOURCE is an unlabeled node (votes are
+    * only computed for those; every dst may contribute once labeled).
+    * Returns the final round's (vec_id, label, votes). */
+  def labelPropOn(edges: DataFrame, seeds: DataFrame,
+                  unlabeledSrc: Column, rounds: Int): DataFrame = {
+    // only unlabeled sources ever vote — filter once, pin the frame
+    // (the per-round joins would otherwise re-derive the whole kNN
+    // graph each iteration: the pagerankOn lineage rule)
+    val e = edges.filter(unlabeledSrc).localCheckpoint()
+    var labels = seeds.localCheckpoint()
+    var assigned: DataFrame = null
+    for (_ <- 1 to rounds) {
+      assigned = e
+        .join(labels.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        // majority with least-label tie-break: min over (-votes, label)
+        .groupBy(col("src"))
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("label")))
+          .as("m"))
+        .select(col("src").as("vec_id"), col("m.label").as("label"),
+          (-col("m.nv")).as("votes"))
+        .localCheckpoint()
+      labels = seeds.unionByName(assigned.select(col("vec_id"), col("label")))
+        .localCheckpoint()
+    }
+    assigned.orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[graphLabelProp]]: the knn_graph edge CTEs +
+    * the rounds UNROLLED as chained aggregating CTEs (the PageRank
+    * recipe — a recursive CTE cannot aggregate over its own
+    * reference). Data-dependent (trained centroid literals) →
+    * emitted by oracleSqlFor. */
+  def graphLabelPropOracleSql(s: SparkSession, d: String, k: Int = KnnK,
+                              nlist: Int = IvfNlist,
+                              nprobe: Int = IvfNprobe,
+                              rounds: Int = LpRounds): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""a$t AS (
+        SELECT vec_id, label, votes FROM (
+          SELECT vec_id, label, votes,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY votes DESC, label) AS rn
+          FROM (
+            SELECT e.src AS vec_id, l.label, count(*) AS votes
+            FROM lpedges e JOIN lab${t - 1} l ON l.vec_id = e.dst
+            GROUP BY e.src, l.label))
+        WHERE rn = 1),
+      lab$t AS (
+        SELECT vec_id, label FROM seeds
+        UNION ALL SELECT vec_id, label FROM a$t)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${centsCteSql(ivfCentroids(s, d, nlist))},
+      probes AS (
+        SELECT vec_id, cid AS bucket FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+          FROM scored) WHERE rn <= $nprobe),
+      cand AS (
+        SELECT p.vec_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probes p
+          ON a.bucket = p.bucket AND a.vec_id <> p.vec_id),
+      rer AS (
+        SELECT c.vec_id, c.neighbor_id,
+          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                       CAST(ne.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.vec_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+      lpedges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM (
+          SELECT vec_id, neighbor_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM rer)
+        WHERE rank <= $k AND vec_id % 5 = 0),
+      seeds AS (
+        SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 0),
+      lab0 AS (SELECT vec_id, label FROM seeds),
+      $roundCtes
+      SELECT vec_id, label, votes FROM a$rounds ORDER BY vec_id"""
+  }
+
   // ---- maintained kNN-graph artifact --------------------------------------
 
   /** Rewrite granularity of the edges artifact: vec_id % GraphEb

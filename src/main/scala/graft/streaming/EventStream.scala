@@ -1096,6 +1096,49 @@ object EventStream {
       }
       .start()
 
+  /** Streaming Rocchio classification over the stored centroid model
+    * ([[graft.functions.Classify.writeCentroidModel]]) — the
+    * embedding-modality twin of [[streamingClassifyNb]]: each
+    * arriving micro-batch of vectors is routed by its nearest class
+    * centroid. State-free (the artifact is the state, maintained
+    * out-of-band by the exact append/forget sum algebra); per-vector
+    * answers are batch-independent, so two-batch parity with the
+    * batch [[graft.functions.Classify.classifyCentroidServeBatch]]
+    * is exact (spec'd in StreamingSpec). */
+  def streamingClassifyCentroid(vecs: Dataset[QueryVec], centDir: String)(
+      writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.functions.Classify.classifyCentroidServeBatch(
+          s, centDir, batch.toDF("vec_id", "embedding")))
+      }
+      .start()
+
+  /** Streaming k-NN classification over the stored LABELED layout
+    * ([[graft.functions.Classify.writeIvfLabeled]]) — the
+    * non-parametric twin: per micro-batch, the probed bucket set
+    * prunes the layout scan, exact-integer cos_e6 candidates, k-NN
+    * majority vote. State-free; per-query answers are
+    * batch-independent, so two-batch parity with the batch
+    * [[graft.functions.Classify.classifyKnnServeBatch]] is exact
+    * (spec'd in StreamingSpec). */
+  def streamingClassifyKnn(vecs: Dataset[QueryVec], layoutDir: String,
+                           cents: Array[Array[Double]], k: Int = 5,
+                           nprobe: Int =
+                             graft.operators.Similarity.IvfNprobe)(
+                           writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVec], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.functions.Classify.classifyKnnServeBatch(
+          s, layoutDir, cents, batch.toDF("query_id", "embedding"),
+          k, nprobe))
+      }
+      .start()
+
   /** Streaming semantic search over the stored IVF-PQ layout
     * ([[graft.operators.Similarity.writeIvfPqPartitioned]]) — the
     * same state-free pruned-serving shape as

@@ -111,6 +111,27 @@ class ClassifySpec extends SparkSpec {
       Classify.classifyNbWith(train, test_).collect().toSeq)
   }
 
+  test("classify_nb_f1 metrics replay from the confusion matrix") {
+    val conf = Classify.classifyNbEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val f1 = Classify.classifyNbF1(spark, sf).collect()
+    val testN = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(f1.map(_.getLong(3)).sum === testN)        // true_n partitions
+    for (r <- f1) {
+      val l = r.getString(0)
+      val tp = conf.filter(c => c._1 == l && c._2 == l).map(_._3).sum
+      val trueN = conf.filter(_._1 == l).map(_._3).sum
+      val predN = conf.filter(_._2 == l).map(_._3).sum
+      assert(r.getLong(1) === tp && r.getLong(2) === predN &&
+        r.getLong(3) === trueN, s"counts for $l")
+      assert(math.abs(r.getDouble(5) -
+        math.round(tp.toDouble / trueN * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(r.getDouble(6) -
+        math.round(2.0 * tp / (predN + trueN) * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("quality_nb: exact log-odds per doc, strict keep, in-sample separation") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sf)
@@ -155,6 +176,34 @@ class ClassifySpec extends SparkSpec {
     assert(sym.getInt(1) === 3)
   }
 
+  test("centroid artifact: serve == in-query; append == fresh training of the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    val test_ = emb.filter(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("cent-serve").toString + "/cent"
+    graft.functions.Classify.writeCentroidModel(train, dir)
+    // bit-identical serving: the stored exact sums rebuild the same
+    // centroid array the in-query form collects
+    assert(graft.functions.Classify.classifyCentroidServeBatch(spark, dir, test_)
+        .collect().toSeq ===
+      graft.functions.Classify.classifyCentroidWith(train, test_)
+        .collect().toSeq)
+    // exact incremental training: sum algebra, spec'd EQUAL
+    val a = train.filter(col("vec_id") < 300)
+    val b = train.filter(col("vec_id") >= 300)
+    val inc = java.nio.file.Files.createTempDirectory("cent-append").toString + "/cent"
+    graft.functions.Classify.writeCentroidModel(a, inc)
+    graft.functions.Classify.appendToCentroidModel(b, inc)
+    val fresh = java.nio.file.Files.createTempDirectory("cent-fresh").toString + "/cent"
+    graft.functions.Classify.writeCentroidModel(a.unionByName(b), fresh)
+    for (part <- Seq("sums", "classes")) {
+      val got = spark.read.parquet(s"$inc/$part")
+      val want = spark.read.parquet(s"$fresh/$part")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"centroid_model/$part after append != fresh training of the union")
+    }
+  }
+
   test("classify_knn == a brute-force k-NN vote replay") {
     import graft.functions.Classify
     val out = Classify.classifyKnn(spark, sf).collect()
@@ -178,6 +227,48 @@ class ClassifySpec extends SparkSpec {
       (qid, pl, pv.toLong)
     }.sortBy(_._1)
     assert(out.toSeq === expected.toSeq)
+  }
+
+  test("classify_knn serving: exhaustive == in-query; pruned agreement; tombstones subtract") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("knn-serve").toString + "/layout"
+    Classify.writeIvfLabeled(train, cents, dir)
+    // exhaustive probing meets every (train, query) pair exactly once
+    // in the bucket equi-join — bit-identical to the in-query form
+    val exhaustive = Classify.classifyKnnServeBatch(spark, dir, cents,
+      queries, nprobe = cents.length).collect().toSeq
+    assert(exhaustive === Classify.classifyKnn(spark, sf).collect().toSeq)
+    // pruned default: vote agreement vs exhaustive (recall channel)
+    val pruned = Classify.classifyKnnServeBatch(spark, dir, cents, queries)
+      .collect()
+    val exMap = exhaustive.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = pruned.count(r => exMap(r.getLong(0)) == r.getInt(1))
+      .toDouble / pruned.length
+    info(s"classify_knn pruned-nprobe vote agreement = $agree")
+    assert(agree >= 0.8, s"classify_knn serve agreement = $agree")
+    // append == one-shot layout (vote-identical at any nprobe)
+    val dir2 = java.nio.file.Files.createTempDirectory("knn-app").toString + "/layout"
+    Classify.writeIvfLabeled(train.filter(col("vec_id") < 300), cents, dir2)
+    Classify.appendIvfLabeled(train.filter(col("vec_id") >= 300), cents, dir2)
+    assert(Classify.classifyKnnServeBatch(spark, dir2, cents, queries)
+      .collect().toSeq === pruned.toSeq)
+    // the generic tombstone verb applies by layout convention: serving
+    // after deleteFromLayout == serving a fresh layout of the survivors
+    import spark.implicits._
+    val victims = train.filter(col("vec_id") < 100)
+      .select(col("vec_id")).as[Long].collect()
+    Similarity.deleteFromLayout(spark, dir, victims.toSeq.toDF("vec_id"))
+    val dir3 = java.nio.file.Files.createTempDirectory("knn-surv").toString + "/layout"
+    Classify.writeIvfLabeled(train.filter(col("vec_id") >= 100), cents, dir3)
+    assert(Classify.classifyKnnServeBatch(spark, dir, cents, queries)
+        .collect().toSeq ===
+      Classify.classifyKnnServeBatch(spark, dir3, cents, queries)
+        .collect().toSeq)
   }
 
   test("hamming_topk: banding candidates == brute force inside the radius") {

@@ -51,7 +51,8 @@ class ErasureSpec extends SparkSpec {
     "forgetFromLineIndex", "forgetFromWinnowIndex",
     "forgetFromEmbCodeIndex", "forgetFromClusterIndex",
     "forgetFromKnnGraph", "deleteFromKnnGraph", "forgetFromPhashIndex",
-    "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel")
+    "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel",
+    "forgetFromCentroidModel")
 
   test("keeper-attributed fingerprint indexes forget") {
     locally {
@@ -242,6 +243,43 @@ class ErasureSpec extends SparkSpec {
     val probe = all.filter(col("doc_id") < 5)
     assert(Classify.classifyNbServeBatch(spark, dir, probe).collect().toSeq ===
       Classify.classifyNbServeBatch(spark, fresh, probe).collect().toSeq)
+  }
+
+  test("centroid model erasure == the one-shot model of the survivors") {
+    // the second count/sum-algebra artifact: subtracting the victim
+    // vectors' coordinates must land EXACTLY on what training the
+    // survivors would write — including dropping a class erased whole
+    val dir = tmp("er-cent")
+    val victimVecs = emb.filter(col("vec_id").isin(victims: _*))
+    val survivors = emb.filter(!col("vec_id").isin(victims: _*))
+    Classify.writeCentroidModel(emb, dir)
+    Classify.forgetFromCentroidModel(victimVecs, dir)
+    val fresh = tmp("er-cent-fresh")
+    Classify.writeCentroidModel(survivors, fresh)
+    for (part <- Seq("sums", "classes")) {
+      val got = spark.read.parquet(s"$dir/$part")
+      val want = spark.read.parquet(s"$fresh/$part")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"centroid_model/$part after forget != fresh training of survivors")
+    }
+    // a class erased WHOLE disappears (not an all-zero ghost): forget
+    // every vector of one label from a small crafted model
+    val crafted = emb.filter(col("vec_id") < 20)
+    val victimClass = crafted.select(min(col("label"))).head.getInt(0)
+    val dir2 = tmp("er-cent-class")
+    Classify.writeCentroidModel(crafted, dir2)
+    Classify.forgetFromCentroidModel(
+      crafted.filter(col("label") === victimClass), dir2)
+    assert(spark.read.parquet(s"$dir2/classes")
+      .filter(col("label") === victimClass).count() == 0)
+    assert(spark.read.parquet(s"$dir2/sums")
+      .filter(col("label") === victimClass).count() == 0)
+    // and serving the erased model == serving the fresh one
+    val probe = emb.filter(col("vec_id") < 5)
+    assert(Classify.classifyCentroidServeBatch(spark, dir, probe)
+        .collect().toSeq ===
+      Classify.classifyCentroidServeBatch(spark, fresh, probe)
+        .collect().toSeq)
   }
 
   test("every forget/delete verb in the library is exercised by this suite") {

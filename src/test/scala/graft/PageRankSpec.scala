@@ -146,6 +146,39 @@ class PageRankSpec extends SparkSpec {
     assert(rows(Similarity.readKnnGraph(spark, dir)) == want)
   }
 
+  test("label propagation: majority, least-label ties, multi-hop rounds") {
+    import spark.implicits._
+    // seeds: 1 -> label 10, 2 -> label 20, 6 -> label 20
+    val seeds = Seq((1L, 10), (2L, 20), (6L, 20)).toDF("vec_id", "label")
+    val edges = Seq(
+      (3L, 1L), (3L, 2L),           // tie (1 vote each) -> least label 10
+      (5L, 1L), (5L, 2L), (5L, 6L), // majority 20:2 over 10:1
+      (4L, 3L)                      // only path to labels runs THROUGH 3:
+    ).toDF("src", "dst")            // round 1 leaves 4 unlabeled, round 2 labels it
+    val out = Similarity.labelPropOn(edges, seeds, col("src") >= 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((3L, 10, 1L), (4L, 10, 1L), (5L, 20, 2L)))
+    // coverage is monotone: one round only reaches 3 and 5
+    val r1 = Similarity.labelPropOn(edges, seeds, col("src") >= 3, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 === Set(3L, 5L))
+  }
+
+  test("graph_label_prop covers the unlabeled carve against the corpus graph") {
+    val out = SparkEntry.queries("graph_label_prop")(spark, sf)
+    val unl = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0).count()
+    // 80% seeds + degree-5 edges: essentially every unlabeled node has
+    // a labeled neighbor in round 1 (coverage pinned loosely)
+    assert(out.count() >= (unl * 9) / 10)
+    // every propagated label is a real class
+    import spark.implicits._
+    val classes = Tables.embeddings(spark, sf)
+      .select("label").distinct().as[Int].collect().toSet
+    assert(out.select("label").distinct().as[Int].collect().toSet
+      .subsetOf(classes))
+  }
+
   test("a star hub outranks its spokes on a crafted graph") {
     import spark.implicits._
     val nodes = (0L to 5L).toDF("vec_id")

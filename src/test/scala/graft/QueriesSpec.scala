@@ -20,7 +20,7 @@ class QueriesSpec extends SparkSpec {
         "select_prototypes", "knn_graph", "kmeans_report", "mine_bitext",
         "tokenizer_fertility", "tokenizer_coverage", "graph_pagerank",
         "emb_pca", "knn_hubness", "knn_components", "graph_profile",
-        "graph_ppr",
+        "graph_ppr", "graph_label_prop",
         "bpe_segment", "bpe_token_count",
         "unigram_segment", "unigram_token_count",
         "wordpiece_segment", "wordpiece_token_count"))

@@ -568,6 +568,63 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming centroid classification matches the batch serve on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Classify
+    val dir = java.nio.file.Files.createTempDirectory("centstream").toString + "/cent"
+    val emb = Tables.embeddings(spark, sf)
+    Classify.writeCentroidModel(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    val testVecs = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingClassifyCentroid(input.toDS(), dir) {
+      preds => results ++= preds.collect().map(_.toSeq)
+    }
+    // per-vector answers are batch-independent: the split changes nothing
+    input.addData(testVecs.take(10).toSeq)
+    q.processAllAvailable()
+    input.addData(testVecs.drop(10).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Classify.classifyCentroidServeBatch(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
+  test("streaming kNN classification matches the batch serve on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Classify
+    val dir = java.nio.file.Files.createTempDirectory("knnstream").toString + "/layout"
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.ivfCentroids(spark, sf)
+    Classify.writeIvfLabeled(emb.filter(col("vec_id") % 5 =!= 0), cents, dir)
+    val testVecs = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => EventStream.QueryVec(id, v) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVec]
+    val q = EventStream.streamingClassifyKnn(input.toDS(), dir, cents) {
+      preds => results ++= preds.collect().map(_.toSeq)
+    }
+    input.addData(testVecs.take(10).toSeq)
+    q.processAllAvailable()
+    input.addData(testVecs.drop(10).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Classify.classifyKnnServeBatch(spark, dir, cents,
+        emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding")))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming HLL estimate equals the batch sketch on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
