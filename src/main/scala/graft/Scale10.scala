@@ -132,6 +132,62 @@ object Scale10 {
         spark.read.parquet(s"$nbDir/model").count()
       }
     }
+    // the Rocchio centroid loop (the NB shape on the embedding
+    // modality): training is one posexplode + (label, j) partial agg
+    // — linear in the corpus with a C·dim output; serving a fixed
+    // 2k-vector day is one broadcast typed map, corpus-size-
+    // independent once trained; append/forget are model-sized exact
+    // sum rewrites, never corpus rescans
+    locally {
+      val centDir = s"/tmp/scale_cent_$mult/cent"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"cent_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(centDir).getParent), true)
+        functions.Classify.writeCentroidModel(emb, centDir)
+        spark.read.parquet(s"$centDir/sums").count()
+      }
+      t(s"cent_serve_${mult}x") {
+        functions.Classify.classifyCentroidServeBatch(spark, centDir,
+          Tables.embeddings(spark, d).filter(col("vec_id") < 2000)).count()
+      }
+      t(s"cent_append_${mult}x") {
+        val batch = Tables.embeddings(spark, d)
+          .withColumn("vec_id", col("vec_id") + 900000000L)
+        functions.Classify.appendToCentroidModel(batch, centDir)
+        spark.read.parquet(s"$centDir/sums").count()
+      }
+      t(s"cent_forget_${mult}x") {
+        val batch = Tables.embeddings(spark, d)
+          .withColumn("vec_id", col("vec_id") + 900000000L)
+        functions.Classify.forgetFromCentroidModel(batch, centDir)
+        spark.read.parquet(s"$centDir/sums").count()
+      }
+    }
+    // kNN-classification serving off the stored LABELED layout: the
+    // mult× corpus laid out ONCE under a mult-scaled quantizer
+    // (constant bucket occupancy); each served batch probes nprobe
+    // of 32·mult buckets, so per-batch candidate volume stays ~flat
+    // as the corpus grows — the annIvfServeBatch scale story with
+    // the vote on top
+    locally {
+      val dir = s"/tmp/scale_knncls_$mult/layout"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      lazy val centsC = operators.Similarity.ivfCentroids(spark, d, 32 * mult)
+      t(s"knncls_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(dir).getParent), true)
+        functions.Classify.writeIvfLabeled(emb, centsC, dir)
+        spark.read.parquet(dir).count()
+      }
+      t(s"knncls_serve_${mult}x") {
+        functions.Classify.classifyKnnServeBatch(spark, dir, centsC,
+          Tables.embeddings(spark, d).filter(col("vec_id") < 2000)
+            .select(col("vec_id").as("query_id"), col("embedding"))).count()
+      }
+    }
     // the embedding analog: the mult× corpus is coded and persisted
     // ONCE; each day codes only its 2k-vector batch and joins the
     // stored index — per-day cost must track the batch + the index
@@ -922,6 +978,19 @@ object Scale10 {
       t(s"knn_graph_${mult}x")(edges.count())
       t(s"pagerank_${mult}x")(operators.Similarity
         .pagerankOn(edges, emb.select(col("vec_id"))).count())
+      // label propagation rides the same checkpointed edge frame:
+      // 3 rounds of (edge ⋈ labels) + two-level aggregate — the
+      // pagerank loop shape with integer votes instead of rank mass.
+      // The carve is % 7 here, NOT the query's % 5: the replica id
+      // step (1000000) is ≡ 0 mod 5, so a %5 carve is CLOSED under
+      // replication — an unlabeled node's cos-1.0 replica neighbors
+      // would all be unlabeled and the probe would measure an empty
+      // output (the r13 exact-replica tie artifact); %7 shifts each
+      // replica's residue, so labels reach every replica group
+      t(s"label_prop_${mult}x")(operators.Similarity.labelPropOn(edges,
+        emb.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("label")),
+        col("src") % 7 === 0, operators.Similarity.LpRounds).count())
       t(s"knn_components_${mult}x") {
         val mutual = edges.as("a").join(edges.hint("shuffle_hash").as("b"),
             col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))

@@ -357,6 +357,80 @@ object StreamScale {
     }
 
     // ---- streamingAnnIvf: pruned probe of a standing IVF corpus ----
+    // streaming kNN classification over the stored labeled layout:
+    // the same 1×-vs-mult× scorecard as stream_ann_ivf below — the
+    // vote rides the pruned probe, so per-batch cost must track
+    // probed-bucket occupancy, never the corpus. The centroid twin
+    // is measured on the mult× model only: its serve is one
+    // broadcast map against a C·dim artifact, so corpus size cannot
+    // appear anywhere but training.
+    locally {
+      val d = "/root/testdata/sf0.1"
+      import org.apache.spark.sql.functions.{col, lit}
+      val emb1 = graft.Tables.embeddings(spark, d)
+      val cents = graft.operators.Similarity.ivfCentroids(spark, d)
+      val embN = (0 until mult).map { i =>
+        emb1.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+      val qVecs = emb1.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val nq = math.min(mult * 100L, qVecs.length.toLong).toInt
+      def serveCls(dir: String, tag: String): Double = {
+        val input = MemoryStream[EventStream.QueryVec]
+        var emitted = 0L
+        val q = EventStream.streamingClassifyKnn(input.toDS(), dir, cents) {
+          preds => emitted += preds.count()
+        }
+        val t0 = System.nanoTime()
+        val qBatches = 10
+        (0 until qBatches).foreach { b =>
+          val rows = (0 until nq / qBatches).map { j =>
+            val (id, v) = qVecs((b * (nq / qBatches) + j) % qVecs.length)
+            EventStream.QueryVec(id + 1000000L * (b + 1), v)
+          }
+          input.addData(rows)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_classify_knn_$tag queries=$nq time=$sec%.1fs " +
+          f"qps=${nq / sec}%.1f preds=$emitted")
+        sec
+      }
+      graft.functions.Classify.writeIvfLabeled(
+        emb1, cents, "/tmp/streamscale_knncls1")
+      graft.functions.Classify.writeIvfLabeled(
+        embN, cents, s"/tmp/streamscale_knncls$mult")
+      val s1 = serveCls("/tmp/streamscale_knncls1", "corpus1x")
+      val sN = serveCls(s"/tmp/streamscale_knncls$mult", s"corpus${mult}x")
+      println(f"SCALE stream_classify_knn_${mult}x_vs_1x slowdown=${sN / s1}%.2f " +
+        f"(unpruned would be ~${mult}x)")
+      // centroid twin: model trained on the mult× corpus, streamed
+      // serve of the same query set — absolute qps is the story
+      graft.functions.Classify.writeCentroidModel(
+        embN, s"/tmp/streamscale_cent$mult/cent")
+      locally {
+        val input = MemoryStream[EventStream.QueryVec]
+        var emitted = 0L
+        val q = EventStream.streamingClassifyCentroid(
+          input.toDS(), s"/tmp/streamscale_cent$mult/cent") {
+          preds => emitted += preds.count()
+        }
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          input.addData((0 until nq / 10).map { j =>
+            val (id, v) = qVecs((b * (nq / 10) + j) % qVecs.length)
+            EventStream.QueryVec(id + 1000000L * (b + 1), v)
+          })
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_classify_centroid_${mult}x queries=$nq " +
+          f"time=$sec%.1fs qps=${nq / sec}%.1f preds=$emitted")
+      }
+    }
+
     // state-FREE serving path: the per-batch probe reads ONLY the
     // probed bucket partitions (bucket.isin over the partitioned
     // layout), so per-batch cost must track nprobe×queries, NOT

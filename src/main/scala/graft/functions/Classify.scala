@@ -655,7 +655,9 @@ object Classify {
   def writeIvfLabeled(train: DataFrame, cents: Array[Array[Double]],
                       dir: String): Unit =
     labeledAssign(train, cents)
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .repartition(col("bucket")) // cluster before partitionBy (r10/r12
+      .write.mode("overwrite")    // rule: else every task writes into
+      .partitionBy("bucket").parquet(dir) // every bucket directory)
 
   /** Append a labeled batch into the standing layout — same trained
     * centroids, rows land inside existing bucket directories (the
@@ -663,6 +665,7 @@ object Classify {
   def appendIvfLabeled(batch: DataFrame, cents: Array[Array[Double]],
                        dir: String): Unit =
     labeledAssign(batch, cents)
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(dir)
 
   private def labeledAssign(emb: DataFrame,
@@ -676,6 +679,16 @@ object Classify {
         (id, l, graft.operators.Similarity.nearestCentroid(bc.value, v), v) }
       .toDF("vec_id", "label", "bucket", "embedding")
   }
+
+  /** Default probe width for the kNN-classification serve: wider
+    * than the raw ANN IvfNprobe=16 because the VOTE is more fragile
+    * than the pair list — missing one true neighbor flips a 3-2
+    * majority even when recall@5 stays high. Measured agreement vs
+    * the exhaustive vote (sf0.01, isotropic corpus): nprobe
+    * 12/16/20/24/28/32 → 0.68/0.75/0.87/0.95/0.98/1.00 — 24 is the
+    * knee (+0.08 over 20, while 28 buys only +0.03); the same knee
+    * FilteredNprobe sits on, for the same missing-candidate reason. */
+  private[graft] val ClsNprobe = 24
 
   /** Serve ONE batch of queries against the stored labeled layout:
     * each query probes its `nprobe` nearest centroids, the batch's
@@ -692,8 +705,7 @@ object Classify {
   def classifyKnnServeBatch(s: SparkSession, dir: String,
                             cents: Array[Array[Double]],
                             queries: DataFrame, k: Int = 5,
-                            nprobe: Int =
-                              graft.operators.Similarity.IvfNprobe,
+                            nprobe: Int = ClsNprobe,
                             excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)

@@ -1126,8 +1126,7 @@ object EventStream {
     * (spec'd in StreamingSpec). */
   def streamingClassifyKnn(vecs: Dataset[QueryVec], layoutDir: String,
                            cents: Array[Array[Double]], k: Int = 5,
-                           nprobe: Int =
-                             graft.operators.Similarity.IvfNprobe)(
+                           nprobe: Int = graft.functions.Classify.ClsNprobe)(
                            writeBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append)
