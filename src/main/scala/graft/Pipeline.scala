@@ -368,7 +368,8 @@ object Pipeline {
                            unigramPieces: Option[Seq[(String, Long)]] = None,
                            wordpiecePieces: Option[Seq[String]] = None,
                            rawIngest: Option[RawIngest] = None,
-                           nbGate: Boolean = false)
+                           nbGate: Boolean = false,
+                           qualityGate: Boolean = false)
       : DayReport = {
     require(pplCeiling.isEmpty || lmArtifact.nonEmpty,
       "the daily LM gate needs a provided artifact (it never self-trains)")
@@ -679,13 +680,44 @@ object Pipeline {
       }
       if (rows.isEmpty) Seq.empty else Seq(rows.toDF("metric", "value"))
     }
+    // distilled-quality audit (optional): score today's SHIPPED rows
+    // against the quality model distilled from the BOOTSTRAP day and
+    // publish the keep fraction as cls_qual_* rows (informational —
+    // a sagging keep rate flags feed-quality drift against the fixed
+    // reference ruler). CCNet train-once semantics: the first
+    // shipping day trains the artifact and later days only SCORE —
+    // folding new days in would move the ruler with the very data it
+    // measures (and tertile labels are corpus-level statistics, so
+    // there is deliberately no append verb — see writeQualityModel).
+    val qualBlock: Seq[DataFrame] = if (!qualityGate) Seq.empty else {
+      val qDir = s"$stateDir/quality_model"
+      val qfs = new org.apache.hadoop.fs.Path(qDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasModel = qfs.exists(new org.apache.hadoop.fs.Path(qDir))
+      val shipped = dayRows.limit(1).count() > 0
+      val rows =
+        if (!hasModel || !shipped) Seq.empty[(String, Long)]
+        else {
+          val k = graft.functions.Classify
+            .qualityNbServeBatch(spark, qDir, dayRows)
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+            .collect().head
+          Seq("cls_qual_total" -> k.getLong(0),
+            "cls_qual_keep" -> k.getLong(1))
+        }
+      if (!hasModel && shipped)
+        graft.functions.Classify.writeQualityModel(dayRows, qDir)
+      if (rows.isEmpty) Seq.empty else Seq(rows.toDF("metric", "value"))
+    }
     val dq = operators.DataQuality.suite(
       Seq(operators.DataQuality.rowMetrics(dayRows, Seq(
         "null_lang" -> col("lang").isNull,
         "empty_docs" -> (col("n_tokens") <= 0),
         "bad_split" -> !col("split").isin("train", "val", "test"))),
       operators.DataQuality.keyDuplicates(dayRows, Seq("doc_id"),
-        "dup_doc_keys")) ++ tokBlock ++ ingestBlock ++ nbBlock: _*)
+        "dup_doc_keys")) ++ tokBlock ++ ingestBlock ++ nbBlock ++
+      qualBlock: _*)
     dq.write.mode("overwrite").parquet(s"$stateDir/days/$day/dq_report")
     val dqViolations = spark.read
       .parquet(s"$stateDir/days/$day/dq_report")
@@ -835,6 +867,20 @@ object Pipeline {
         .localCheckpoint() // materialize before the vacuum/rewrite
       if (victimRows.limit(1).count() > 0)
         graft.functions.Classify.forgetFromNbModel(victimRows, nbDir)
+    }
+    // 0b. distilled quality model (present only when the quality
+    // gate ran): the artifact stores its own bucket attribution, so
+    // victims subtract under their stored labels; like the NB model,
+    // victim rows read from shard storage BEFORE the vacuum (repeat
+    // forget finds nothing left to attribute — idempotent)
+    val qualDir = s"$stateDir/quality_model"
+    if (nbFs.exists(new org.apache.hadoop.fs.Path(qualDir))) {
+      val victimRows = readShardDocs(spark, stateDir,
+          listDays(spark, stateDir))
+        .join(forget, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      if (victimRows.limit(1).count() > 0)
+        graft.functions.Classify.forgetFromQualityModel(victimRows, qualDir)
     }
     // 1. consumer view + shard storage
     forget.withColumn("day", lit("forgotten"))

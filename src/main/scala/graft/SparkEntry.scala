@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_minhash"       -> Dedup.minhashCandidates _,
     "dedup_incremental"   -> Dedup.dedupIncremental _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
+    "dedup_soft"          -> Dedup.dedupSoft _,
     "dedup_clusters_star" -> Dedup.dedupClustersStar _,
     "dedup_keep_best"     -> Dedup.dedupKeepBest _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
@@ -105,6 +106,9 @@ object SparkEntry {
     "quality_nb"          -> Classify.qualityNb _,
     "classify_centroid"   -> Classify.classifyCentroid _,
     "classify_knn"        -> ((s, d) => Classify.classifyKnn(s, d)),
+    "select_uncertain"    -> ((s, d) => Classify.selectUncertain(s, d)),
+    "mine_hard_negatives" -> ((s, d) => Classify.mineHardNegatives(s, d)),
+    "select_kcenter"      -> ((s, d) => Similarity.selectKcenter(s, d)),
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
@@ -132,6 +136,7 @@ object SparkEntry {
     "text_ngram_novelty"  -> ((s, d) => operators.Curate.textNgramNovelty(s, d)),
     "decontaminate_excise" -> ((s, d) => operators.Curate.decontaminateExcise(s, d)),
     "decontaminate_bloom" -> ((s, d) => operators.Curate.decontaminateBloom(s, d)),
+    "decontaminate_minkprob" -> TextFunctions.minkProb _,
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "pack_bestfit"        -> ((s, d) => operators.Curate.packBestfit(s, d)),
@@ -1316,6 +1321,29 @@ object SparkEntry {
       FROM ranked GROUP BY cluster_id ORDER BY cluster_id""",
 
     "dedup_clusters" -> ccOracleSql,
+
+    // soft dedup: the cc chain + cluster sizes + a left join back to
+    // the planted corpus; w_ppm = exact integer floor-division
+    "dedup_soft" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM mh_pairs
+        UNION ALL SELECT d2, d1 FROM mh_pairs),
+      reach(node, root) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+             FROM reach GROUP BY node),
+      sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM cc GROUP BY 1)
+      SELECT dd.doc_id,
+        COALESCE(cc.cluster_id, dd.doc_id) AS cluster_id,
+        COALESCE(sizes.csize, 1) AS csize,
+        1000000 // COALESCE(sizes.csize, 1) AS w_ppm
+      FROM (SELECT doc_id FROM docs) dd
+      LEFT JOIN cc USING (doc_id)
+      LEFT JOIN sizes ON sizes.cluster_id = cc.cluster_id
+      ORDER BY dd.doc_id""",
     // the star-contraction algorithm must produce the exact same
     // component labels — one oracle, two implementations under test
     "dedup_clusters_star" -> ccOracleSql,
@@ -1642,6 +1670,52 @@ object SparkEntry {
               / (COALESCE(pn.pred_n, 0) + tn.true_n), 6) AS f1
       FROM tn LEFT JOIN pn USING (label) ORDER BY tn.label""",
 
+    // uncertainty sampling: margin = top1 − top2 NB score — a
+    // difference of two exact BIGINT e9 scores (no rounding
+    // anywhere); the 20 smallest margins win the labeling budget,
+    // doc_id tie-break makes the cut deterministic
+    "select_uncertain" -> s"""
+      WITH $nbCtes,
+      top2 AS (SELECT doc_id,
+                 MAX(CASE WHEN r = 1 THEN label END) AS pred,
+                 MAX(CASE WHEN r = 1 THEN score_e9 END) AS s1,
+                 MAX(CASE WHEN r = 2 THEN score_e9 END) AS s2
+               FROM pred WHERE r <= 2 GROUP BY doc_id)
+      SELECT doc_id, pred, s1 - s2 AS margin_e9
+      FROM top2 ORDER BY margin_e9, doc_id LIMIT 20""",
+
+    // hard-negative mining: the classify_knn brute-force cos_e6
+    // chain with the cross-label filter inside the pair set and a
+    // rank cut instead of the vote
+    "mine_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS c
+                 FROM embeddings),
+      qs AS (SELECT vec_id, label AS qlabel, c,
+               CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS qn
+             FROM e WHERE vec_id % 10 = 0),
+      ts AS (SELECT vec_id, label, c,
+               CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS vn
+             FROM e),
+      pr AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label,
+               CAST(floor(CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+                      k -> q.c[k] * t.c[k])) AS DOUBLE) /
+                 (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(t.vn AS DOUBLE)))
+                 * 1e6 + 0.5) AS BIGINT) AS cos_e6
+             FROM qs q JOIN ts t ON t.label <> q.qlabel),
+      rk AS (SELECT query_id, neighbor_id, label, cos_e6,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_e6 DESC, neighbor_id)
+                    AS INT) AS rank
+             FROM pr)
+      SELECT query_id, rank, neighbor_id, label, cos_e6
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // greedy k-center: rounds unrolled as chained CTEs (static —
+    // every pick derives from the data in-query, no artifact)
+    "select_kcenter" -> Similarity.selectKcenterOracleSql(),
+
     // CCNet-distillation quality filter: the self-trained LM chain
     // labels the corpus by ppl tertile (the ccnet_buckets recipe),
     // the NB chain trains on head-vs-tail token counts (same
@@ -1939,6 +2013,56 @@ object SparkEntry {
     // binary-exact; p is one IEEE division), then the same
     // ln→1e-9→decimal-sum→6dp→exp recipe
     "ngram_lm_heldout" -> ngramLmHeldoutSql,
+
+    // Min-K% Prob membership audit: the held-out add-α lp chain
+    // verbatim, then the bottom-20% occurrence cut — cumulative walk
+    // ordered by (lp, bigram), m = ceil(n/5) via integer div, a
+    // partial take at the boundary only ever splits ONE equal-lp
+    // group; window cumsums CAST to BIGINT (SUM(BIGINT) → HUGEINT)
+    "decontaminate_minkprob" -> raw"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      bgl AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bgs AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bgl),
+      model AS (SELECT bigram, COUNT(*) AS cnt FROM bgs
+                WHERE doc_id % 50 <> 0 GROUP BY 1),
+      ctx AS (SELECT w1, COUNT(*) AS ctx FROM bgs
+              WHERE doc_id % 50 <> 0 GROUP BY 1),
+      voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+                SELECT unnest(toks) AS tok FROM t WHERE doc_id % 50 <> 0)),
+      docbg AS (SELECT doc_id, w1, bigram, COUNT(*) AS k FROM bgs GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.bigram, d.k,
+          CAST(round(ln((CAST(COALESCE(m.cnt, 0) AS DOUBLE) + 0.25) /
+                        (CAST(COALESCE(c.ctx, 0) AS DOUBLE) + 0.25 * voc.v)),
+                     9) AS DECIMAL(13,9)) AS lp
+        FROM docbg d
+        LEFT JOIN model m USING (bigram)
+        LEFT JOIN ctx c USING (w1)
+        CROSS JOIN voc),
+      win AS (
+        SELECT doc_id, k, lp,
+          CAST(SUM(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+          CAST(SUM(k) OVER (PARTITION BY doc_id ORDER BY lp, bigram
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM scored),
+      tk AS (
+        SELECT doc_id, n_bigrams, (n_bigrams + 4) // 5 AS m,
+          LEAST(k, GREATEST(0, (n_bigrams + 4) // 5 - (cum - k))) AS take, lp
+        FROM win),
+      agg AS (
+        SELECT doc_id, MAX(n_bigrams) AS n_bigrams, MAX(m) AS n_sel,
+          SUM(CAST(take AS DECIMAL(9,0)) * lp) AS ssel
+        FROM tk WHERE take > 0 GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, n_sel,
+        round(-(CAST(ssel AS DOUBLE) / n_sel), 6) AS mink_neg_logp
+      FROM agg ORDER BY doc_id""",
 
     // learnability selection (RHO family): delta = self-MLE surprise
     // minus held-out-reference surprise — both chains reused verbatim

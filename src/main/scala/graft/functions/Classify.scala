@@ -253,6 +253,50 @@ object Classify {
       .orderBy(col("label"))
   }
 
+  /** select_uncertain: UNCERTAINTY SAMPLING over the NB gate — the
+    * active-learning step of a classifier-curated pipeline (Lewis &
+    * Gale 1994; the label-budget allocator every production filter
+    * loop runs: human labels are the scarcest resource, so they go to
+    * the documents the model is LEAST sure about, where one label
+    * moves the boundary most). Margin variant: for every held-out doc
+    * the margin is score(top-1 class) − score(top-2 class) — the
+    * DIFFERENCE of two exact BIGINT e9 scores, so it is exact with no
+    * rounding anywhere (the quality_nb log-odds argument, applied to
+    * the argmax pair) — and the `kSel` smallest margins win the
+    * labeling budget (ties to the least doc_id).
+    *
+    * Scale shape: the score frame is the [[nbScores]] chain (one
+    * vocab-keyed shuffle join); the top-2 pivot is a per-doc window
+    * (millions of small partitions, never global); the budget cut is
+    * an orderBy(margin, doc_id).limit(kSel) — Spark plans
+    * TakeOrderedAndProject (per-partition heaps + one bounded merge),
+    * never a single-partition global sort. */
+  def selectUncertain(s: SparkSession, d: String, kSel: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    selectUncertainWith(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), kSel)
+  }
+
+  /** Carve-parameterized core of [[selectUncertain]]. */
+  def selectUncertainWith(train: DataFrame, test: DataFrame,
+                          kSel: Int, labelCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = nbScores(nbModel(train, labelCol), nbClasses(train, labelCol),
+      test)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e9").desc, col("label"))
+    sc.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("r") === 1, col("label"))).as("pred"),
+        max(when(col("r") === 1, col("score_e9"))).as("s1"),
+        max(when(col("r") === 2, col("score_e9"))).as("s2"))
+      .select(col("doc_id"), col("pred"),
+        (col("s1") - col("s2")).as("margin_e9"))
+      .orderBy(col("margin_e9"), col("doc_id"))
+      .limit(kSel)
+  }
+
   /** quality_nb: the CCNet-DISTILLATION quality filter (Wenzek et
     * al. 2020 §4.3; the fastText quality classifier of the GPT-3 /
     * RedPajama pipelines): label the corpus by its own LM-perplexity
@@ -273,18 +317,29 @@ object Classify {
     * docs train nothing but are scored like everything else. */
   def qualityNb(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val labeled = docs.join(
+    val labeled = qualityLabeled(docs)
+    qualityLogOdds(nbScores(nbModel(labeled, "bucket"),
+      nbClasses(labeled, "bucket"), docs))
+  }
+
+  /** The quality training carve: docs labeled by their LM-ppl
+    * tertile, head/tail kept (middle trains nothing). */
+  private def qualityLabeled(docs: DataFrame): DataFrame =
+    docs.join(
       TextFunctions.ccnetBuckets(docs)
         .filter(col("bucket").isin("head", "tail"))
         .select(col("doc_id"), col("bucket")), "doc_id")
-    nbScores(nbModel(labeled, "bucket"), nbClasses(labeled, "bucket"), docs)
-      .groupBy(col("doc_id"))
+
+  /** Pivot the two-class score frame into the head-vs-tail log-odds
+    * — shared by the in-query [[qualityNb]] and the stored-artifact
+    * [[qualityNbServeBatch]] (one code path, the two cannot drift). */
+  private def qualityLogOdds(scores: DataFrame): DataFrame =
+    scores.groupBy(col("doc_id"))
       .agg(max(when(col("label") === "head", col("score_e9"))).as("h"),
         max(when(col("label") === "tail", col("score_e9"))).as("t"))
       .select(col("doc_id"), (col("h") - col("t")).as("logodds_e9"),
         (col("h") > col("t")).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** classify_centroid: ROCCHIO nearest-centroid classification over
     * the embedding column — the classifier family's embedding
@@ -439,6 +494,65 @@ object Classify {
     knnVote(scorePairsE6(train.join(broadcast(queries), Seq("bucket"))), k)
   }
 
+  /** mine_hard_negatives: HARD-NEGATIVE MINING for contrastive /
+    * retrieval training (the ANCE / DPR / RocketQA stage; the "hard"
+    * complement of contrastive_triplets' salted-RANDOM negatives):
+    * for each query vector, the k corpus vectors MOST cosine-similar
+    * to it among those with a DIFFERENT label — the cross-boundary
+    * near-misses that carry the training gradient random negatives
+    * waste (same-label neighbors are excluded as false negatives,
+    * the standard supervised filter). Output (query_id, rank,
+    * neighbor_id, label, cos_e6), rank 1..k by (cos desc,
+    * neighbor_id).
+    *
+    * Determinism: the [[classifyKnn]] chain verbatim — e6-snapped
+    * integer coordinates, exact integer dot/norms, cos_e6 one fixed
+    * scalar IEEE expression, ranks id-tie-broken.
+    *
+    * Scale shape: pair generation is the same exhaustive IVF bucket
+    * equi-join (corpus keeps its assigned bucket, queries probe all
+    * nlist buckets — every pair meets exactly once in a hash join,
+    * never a BNLJ), the label exclusion applies INSIDE the candidate
+    * join, and the top-k is a per-query window. Exhaustive probing
+    * keeps the result centroid-independent (the oracle brute-forces
+    * with no artifact literal); at 100 TB serve the same mine off
+    * the stored labeled layout at pruned nprobe
+    * ([[classifyKnnServeBatch]]'s scan with the rank cut instead of
+    * the vote). */
+  def mineHardNegatives(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.operators.Similarity.ivfCentroids(s, d)
+    val bc = s.sparkContext.broadcast(cents)
+    val corpus = emb
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, l, v) =>
+        (id, l, graft.operators.Similarity.nearestCentroid(bc.value, v),
+          snapE6(v))
+      }
+      .toDF("neighbor_id", "label", "bucket", "vc")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .flatMap { case (id, l, v) =>
+        val q = snapE6(v)
+        (0 until bc.value.length).iterator.map(b => (id, l, b, q))
+      }
+      .toDF("query_id", "qlabel", "bucket", "qc")
+    val cand = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("label") =!= col("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    scorePairsE6(cand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The exact-integer pair scorer shared by the in-query
     * [[classifyKnn]] and the stored-layout serve: input columns
     * (query_id, neighbor_id, label, qc, vc) with qc/vc e6-snapped
@@ -571,6 +685,81 @@ object Classify {
     val counts = s.read.parquet(s"$dir/model")
     classifyWithModel(counts.withColumn("w_e9", lnE9(col("cnt") + 1)),
       s.read.parquet(s"$dir/classes"), test)
+  }
+
+  // ---- maintained quality-model artifact (CCNet distillation) -------------
+
+  /** Write the DISTILLED quality filter as a maintained artifact —
+    * the point of [[qualityNb]] at 100 TB: the expensive LM +
+    * tertile-labeling chain runs ONCE over the reference corpus, the
+    * resulting head/tail NB model ships, and from then on every new
+    * document gates on one token-count join against the vocab-sized
+    * model ([[qualityNbServeBatch]]). Layout: `model/` + `classes/`
+    * (the [[writeNbModel]] tables at labelCol = bucket) plus
+    * `labels/` = the (doc_id, bucket) TRAINING ATTRIBUTION. The
+    * labels sidecar exists because tertile labels are CORPUS-LEVEL
+    * statistics — a victim's label cannot be recomputed from the
+    * victim alone at forget time (re-running the chain over the
+    * drifted corpus would relabel everything), which is exactly the
+    * case where an aggregate artifact must store its own attribution
+    * (unlike [[forgetFromNbModel]], whose caller holds the labels);
+    * it is two thin columns over the head/tail carve only.
+    *
+    * No append verb BY DESIGN: the CCNet loop labels data by the
+    * reference corpus's own perplexity distribution — new raw data
+    * has no labels until a full re-labeling pass, so "append" is a
+    * retrain ([[writeQualityModel]] again), not count algebra. */
+  def writeQualityModel(docs: DataFrame, dir: String): Unit = {
+    val labeled = qualityLabeled(docs)
+    writeNbModel(labeled, dir, "bucket")
+    labeled.select(col("doc_id"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/labels")
+  }
+
+  /** Score a batch against the stored quality model — bit-identical
+    * to the in-query [[qualityNb]] of the training corpus (spec'd):
+    * weights re-derive from the stored counts on the same 1e-9 grid
+    * and the log-odds pivot is the shared [[qualityLogOdds]]. */
+  def qualityNbServeBatch(s: SparkSession, dir: String,
+                          batch: DataFrame): DataFrame = {
+    val counts = s.read.parquet(s"$dir/model")
+    qualityLogOdds(nbScores(counts.withColumn("w_e9", lnE9(col("cnt") + 1)),
+      s.read.parquet(s"$dir/classes"), batch))
+  }
+
+  /** Erasure: subtract the victim documents' token counts from the
+    * stored quality model, attributing each victim to its STORED
+    * bucket label (`labels/` — see [[writeQualityModel]] for why the
+    * attribution is stored here and caller-provided in
+    * [[forgetFromNbModel]]). Survivors keep their ORIGINAL labels —
+    * the artifact stays "trained at bootstrap, with the victims'
+    * contributions removed", spec'd EQUAL to a fresh
+    * [[writeNbModel]] of the surviving labeled rows (re-deriving
+    * tertiles over survivors would be a RETRAIN, a different
+    * operation). Middle-tertile victims trained nothing and subtract
+    * nothing; labels/ drops the victims either way. */
+  def forgetFromQualityModel(victimDocs: DataFrame, dir: String): Unit = {
+    val s = victimDocs.sparkSession
+    val labels = s.read.parquet(s"$dir/labels")
+    val victims = victimDocs.select(col("doc_id"), col("text"))
+      .join(labels, "doc_id")
+    val model = s.read.parquet(s"$dir/model")
+      .unionByName(nbCounts(victims, "bucket")
+        .withColumn("cnt", -col("cnt")))
+      .groupBy(col("label"), col("token")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+    val classes = s.read.parquet(s"$dir/classes")
+      .unionByName(nbClasses(victims, "bucket")
+        .withColumn("n_docs", -col("n_docs")))
+      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    val survivors = labels.join(victimDocs.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    swapRewrite(s, dir) { tmp =>
+      model.write.parquet(s"$tmp/model")
+      classes.write.parquet(s"$tmp/classes")
+      survivors.write.parquet(s"$tmp/labels")
+    }
   }
 
   // ---- maintained centroid-model artifact ---------------------------------

@@ -647,6 +647,85 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** decontaminate_minkprob — the MIN-K% PROB membership audit (Shi
+    * et al. 2023, "Detecting Pretraining Data from Large Language
+    * Models"): score every document by the mean negative
+    * log-probability of its 20% LEAST-LIKELY bigram occurrences under
+    * the held-out-trained smoothed LM. The contamination direction of
+    * the decontaminate family's exact n-gram matching: a document the
+    * model has effectively memorized has NO surprising tail (its
+    * min-k% mean sits low), while genuinely novel text keeps a heavy
+    * tail of unlikely transitions — so an anomalously LOW score on a
+    * benchmark document is membership evidence the exact-match
+    * scanners can't see (paraphrased or reformatted contamination
+    * shifts every shingle but not the tail statistics). Averaging
+    * only the bottom tail rather than all tokens (plain perplexity)
+    * is the paper's point: memorization shows up in the minimum,
+    * not the mean.
+    *
+    * Determinism: per-bigram lp is the held-out add-α recipe verbatim
+    * (one IEEE division, ln to the 1e-9 grid, DECIMAL(13,9)); the
+    * bottom-20% cut orders occurrences by (lp, bigram) inside each
+    * doc — the bigram tie-break fixes the cumulative walk, and
+    * because partial takes only ever split a single (doc, bigram)
+    * group, every selected occurrence at the boundary carries the
+    * SAME lp, so the selected sum is tie-order-independent by
+    * construction as well; m = ceil(n/5) in integer arithmetic
+    * ((n+4) div 5 — positive operands, truncating div == floor both
+    * engines), the take·lp products sum in exact DECIMAL, one double
+    * division at the end, 6 dp (strictly positive — no signed-zero
+    * wrap needed: lp < 0 always, since cnt ≤ ctx and V ≥ 2).
+    *
+    * Scale shape: the held-out scoring joins (bigram-keyed shuffle,
+    * broadcastable ctx) plus one per-doc window pair (cumulative sum
+    * + partition total — millions of SMALL partitions, the docBigrams
+    * shape, never a global window) and one final per-doc aggregate. */
+  def minkProb(s: SparkSession, d: String): DataFrame =
+    minkProbOn(Tables.documents(s, d))
+
+  /** Corpus-parameterized form of [[minkProb]] (train carve stays
+    * doc_id % 50 ≠ 0). */
+  def minkProbOn(docs: DataFrame): DataFrame = {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = ngramLmModel(docBigrams(train))
+    val vocab = train.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    minkProbExact(docBigrams(docs), model, ctx, vocab)
+  }
+
+  /** Exact-decimal core of [[minkProb]] (α fixed at 0.25, k% at 20%). */
+  def minkProbExact(docBg: DataFrame, model: DataFrame,
+                    ctx: DataFrame, vocab: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val num = coalesce(col("cnt"), lit(0L)).cast("double") + lit(0.25)
+    val den = coalesce(col("ctx"), lit(0L)).cast("double") + lit(0.25 * vocab)
+    val lp = round(log(num / den), 9).cast(DecimalType(13, 9))
+    val scored = docBg
+      .join(model, Seq("bigram"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .select(col("doc_id"), col("bigram"), col("k"), lp.as("lp"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("lp"), col("bigram"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("n_bigrams", sum(col("k")).over(wAll))
+      .withColumn("cum", sum(col("k")).over(wOrd))
+      .withColumn("m", expr("(n_bigrams + 4) div 5"))
+      .withColumn("take",
+        least(col("k"), greatest(lit(0L), col("m") - (col("cum") - col("k")))))
+      .filter(col("take") > 0)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_bigrams")).as("n_bigrams"),
+        max(col("m")).as("n_sel"),
+        sum(col("take").cast(DecimalType(9, 0)) * col("lp")).as("ssel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_sel"),
+        round(-(col("ssel").cast("double") / col("n_sel")), 6)
+          .as("mink_neg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ngram_lm_interp — the JELINEK-MERCER interpolated gate, the
     * third standard smoothing next to MLE ([[ngramLmScoreWith]]) and
     * add-α ([[ngramLmHeldOut]]): p = λ₂·p_bigram + λ₁·p_unigram +

@@ -2097,6 +2097,35 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** dedup_soft — SOFT DEDUPLICATION: reweight duplicates instead of
+    * removing them (the SoftDeDup posture — down-weighting a
+    * near-dup cluster to one document's worth of gradient keeps the
+    * coverage hard removal throws away, and several modern pretrain
+    * mixes prefer it for high-quality sources): every document gets
+    * a training weight of 1e6/|its minhash near-dup cluster| in ppm
+    * (exact integer floor-division — the sample_temperature ppm
+    * discipline), so each cluster contributes ~one doc of total
+    * weight; singletons keep 1e6. The weight column is what a
+    * sampling loader consumes directly.
+    *
+    * Composition: the [[dedupClusters]] chain verbatim (banded
+    * minhash candidates → verified CC labels) + one cluster-size
+    * aggregate + a left join back to the full corpus — all
+    * equi-joins on ids, nothing new shuffles at scale. */
+  def dedupSoft(s: SparkSession, d: String): DataFrame = {
+    val docs = withPlants(Tables.documents(s, d)).select(col("doc_id"))
+    val cc = connectedComponentsSafe(
+        minhashCandidates(withPlants(Tables.documents(s, d))))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    docs.join(cc.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .withColumn("w_ppm", expr("1000000 div csize"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Same clustering through [[connectedComponentsStar]] — exposed as
     * its own query so the star algorithm is ALSO hash-verified
     * against the DuckDB reachability oracle, not just against the

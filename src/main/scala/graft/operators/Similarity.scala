@@ -2323,6 +2323,140 @@ object Similarity {
       FROM ranked ORDER BY vec_id"""
   }
 
+  // ---- select_kcenter: greedy k-center coreset -----------------------------
+
+  /** Default coreset size for the in-query diagnostic form (each
+    * round is one corpus pass — kept small for the oracle's unrolled
+    * CTE replay; the operator takes any k). */
+  private[graft] val KcenterK = 8
+
+  private def snapE6L(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var j = 0
+    while (j < v.length) {
+      out(j) = math.floor(v(j).toDouble * 1e6 + 0.5).toLong; j += 1 }
+    out
+  }
+
+  /** Exact-integer cosine (e6 units) between two e6-snapped
+    * coordinate arrays — object-level so Dataset closures calling it
+    * capture nothing (the r13 Task-not-serializable rule). */
+  private def cosE6Arrays(a: Array[Long], b: Array[Long]): Long = {
+    var dot = 0L; var an = 0L; var bn = 0L; var j = 0
+    while (j < a.length) {
+      dot += a(j) * b(j); an += a(j) * a(j); bn += b(j) * b(j); j += 1 }
+    cosE6(dot, an, bn)
+  }
+
+  /** select_kcenter — GREEDY K-CENTER coreset selection over the
+    * embedding column (Gonzalez 1985 farthest-point traversal; the
+    * DIVERSIFICATION stage of training-data selection — D4's
+    * complement to [[selectPrototypes]]' per-cluster typicality:
+    * prototypes keep what is REPRESENTATIVE, k-center keeps what is
+    * SPREAD — together they bound both redundancy and coverage; the
+    * greedy sweep is the classic 2-approximation of the k-center
+    * objective). Seed = the least vec_id; each round picks the
+    * vector whose MAXIMUM cosine to the already-chosen set is
+    * MINIMUM (the farthest point under cosine distance, ties to the
+    * least vec_id). Output (r, vec_id, maxcos_e6) — r the selection
+    * round, maxcos_e6 the cover radius AT selection (monotone
+    * non-decreasing from round 2 on, the standard coreset quality
+    * readout; the seed row carries 1000000 = cos with itself, by
+    * convention).
+    *
+    * Determinism: coordinates e6-snap to exact BIGINTs, every
+    * pairwise score is the cos_e6 fixed scalar IEEE chain on exact
+    * integers (bit-identical cross-engine), the per-round argmin is
+    * an integer (maxcos, vec_id) minimum — the oracle replays the
+    * rounds as unrolled chained CTEs ([[selectKcenterOracleSql]],
+    * the graph_pagerank discipline).
+    *
+    * Scale shape: the snap pass runs once (localCheckpoint — eager,
+    * and every round collects anyway); each round is ONE corpus-linear
+    * pass against a broadcast ≤k·dim integer array plus a
+    * TakeOrdered(1) — k passes total, no join, no shuffle beyond the
+    * bounded take. At 100 TB the same loop runs on a uniform sample
+    * (greedy k-center is 2-approx on the sample, and the cover-radius
+    * readout tells you if the sample was too thin) — the loop shape
+    * does not change. */
+  def selectKcenter(s: SparkSession, d: String,
+                    kSel: Int = KcenterK): DataFrame =
+    selectKcenterOn(Tables.embeddings(s, d), kSel)
+
+  /** Corpus-parameterized core of [[selectKcenter]]. */
+  def selectKcenterOn(emb: DataFrame, kSel: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val base = graft.Util.fanOutIfAtLeast(
+        emb.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, snapE6L(v)) }
+      .toDF("vec_id", "c").as[(Long, Array[Long])]
+      .localCheckpoint()
+    val seed = base.orderBy(col("vec_id")).head()
+    var chosen = Vector((1, seed._1, 1000000L, seed._2))
+    for (r <- 2 to kSel) {
+      val bcCodes = s.sparkContext.broadcast(chosen.map(_._4).toArray)
+      val ids = chosen.map(_._2)
+      val pick = base.filter(!col("vec_id").isInCollection(ids))
+        .map { case (id, c) =>
+          var best = Long.MinValue
+          var i = 0
+          while (i < bcCodes.value.length) {
+            val cs = cosE6Arrays(c, bcCodes.value(i))
+            if (cs > best) best = cs
+            i += 1
+          }
+          (best, id, c)
+        }
+        .toDF("mc", "vec_id", "c")
+        .orderBy(col("mc"), col("vec_id")).limit(1)
+        .as[(Long, Long, Array[Long])].head()
+      chosen = chosen :+ ((r, pick._2, pick._1, pick._3))
+    }
+    chosen.map(t => (t._1, t._2, t._3)).toDF("r", "vec_id", "maxcos_e6")
+  }
+
+  /** DuckDB oracle for [[selectKcenter]]: the greedy rounds unrolled
+    * as chained CTEs — each round joins the corpus against the
+    * accumulated chosen set (≤ k rows), takes the per-vector MAX
+    * cos_e6, and picks the (mc, vec_id) minimum; the cos_e6 chain is
+    * the classify_knn brute-force expression verbatim. Static (seed
+    * and every pick derive from the data in-query — no artifact
+    * literals). */
+  def selectKcenterOracleSql(k: Int = KcenterK): String = {
+    def cos(va: String, vb: String) =
+      s"""CAST(floor(CAST(list_sum(list_transform(range(1, len($va.c) + 1),
+                 i -> $va.c[i] * $vb.c[i])) AS DOUBLE) /
+            (sqrt(CAST($va.vn AS DOUBLE)) * sqrt(CAST($vb.vn AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT)"""
+    val rounds = (2 to k).map { i =>
+      s"""mx$i AS (
+        SELECT v.vec_id, MAX(${cos("v", "ch")}) AS mc
+        FROM e v, acc${i - 1} ch
+        WHERE v.vec_id NOT IN (SELECT vec_id FROM acc${i - 1})
+        GROUP BY v.vec_id),
+      pk$i AS (
+        SELECT $i AS r, e.vec_id, mx$i.mc AS maxcos_e6, e.c, e.vn
+        FROM mx$i JOIN e USING (vec_id)
+        ORDER BY mx$i.mc, e.vec_id LIMIT 1),
+      acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM pk$i)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, c,
+          CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS vn
+        FROM (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS c
+              FROM embeddings)),
+      acc1 AS (
+        SELECT 1 AS r, vec_id, CAST(1000000 AS BIGINT) AS maxcos_e6, c, vn
+        FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+      $rounds
+      SELECT r, vec_id, maxcos_e6 FROM acc$k ORDER BY r"""
+  }
+
   /** DuckDB oracle for [[dedupSemantic]]: trained centroids as
     * DOUBLE[] literals (the [[annIvfOracleSql]] recipe), assignment
     * argmax-dot with lowest-cid ties, within-cluster keep-first max

@@ -1096,6 +1096,25 @@ object EventStream {
       }
       .start()
 
+  /** Streaming quality gate over the stored DISTILLED quality model
+    * ([[graft.functions.Classify.writeQualityModel]]) — the CCNet
+    * loop's production shape: the LM + tertile chain trained the
+    * artifact once; every arriving micro-batch gates on one
+    * token-count join against it. State-free; per-doc answers are
+    * batch-independent, so two-batch parity with the batch
+    * [[graft.functions.Classify.qualityNbServeBatch]] is exact
+    * (spec'd in StreamingSpec). */
+  def streamingQualityNb(docs: Dataset[DocText], qualityDir: String)(
+      writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[DocText], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.functions.Classify.qualityNbServeBatch(
+          s, qualityDir, batch.toDF("doc_id", "text")))
+      }
+      .start()
+
   /** Streaming Rocchio classification over the stored centroid model
     * ([[graft.functions.Classify.writeCentroidModel]]) — the
     * embedding-modality twin of [[streamingClassifyNb]]: each

@@ -51,6 +51,65 @@ class ClassifySpec extends SparkSpec {
     assert(out.head.getString(1) === "aa")
   }
 
+  test("select_uncertain returns exactly the kSel smallest margins") {
+    val train = docsOf(
+      (1L, "aa", "alpha alpha alpha shared"),
+      (2L, "aa", "alpha alpha shared shared"),
+      (3L, "bb", "beta beta beta shared"),
+      (4L, "bb", "beta beta shared shared"))
+    // 12 carries perfectly SYMMETRIC evidence (margin 0), 13 only the
+    // class-neutral token (margin 0 too — the classes are mirror
+    // images); 10 and 11 are confident (strictly positive margins)
+    val test_ = docsOf(
+      (10L, "?", "alpha alpha alpha"),
+      (11L, "?", "beta beta beta"),
+      (12L, "?", "alpha beta shared"),
+      (13L, "?", "shared shared"))
+    val sel = Classify.selectUncertainWith(train, test_, 2).collect()
+    assert(sel.length === 2)
+    assert(sel.map(_.getLong(0)).toSet === Set(12L, 13L))
+    assert(sel.forall(_.getLong(2) === 0L), "mirror classes ⇒ zero margin")
+    // the cut is the prefix of the full margin ordering
+    val all = Classify.selectUncertainWith(train, test_, 100).collect()
+      .map(r => (r.getLong(2), r.getLong(0))).sorted
+    assert(all.length === 4)
+    assert(sel.map(r => (r.getLong(2), r.getLong(0))).sorted.toSeq ===
+      all.take(2).toSeq)
+    assert(all.forall(_._1 >= 0L), "margin = top1 − top2 is never negative")
+  }
+
+  test("mine_hard_negatives: brute-force replay, cross-label only, ranked") {
+    val got = Classify.mineHardNegatives(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("cos_e6")))
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]](2)
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    def cosE6(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var an = 0L; var bn = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); an += a(i) * a(i); bn += b(i) * b(i); i += 1 }
+      math.floor(dot.toDouble /
+        (math.sqrt(an.toDouble) * math.sqrt(bn.toDouble)) * 1e6 + 0.5).toLong
+    }
+    val expected = emb.filter(_._1 % 10 == 0).toSeq.flatMap {
+      case (qid, ql, qc) =>
+        emb.filter(_._2 != ql).toSeq
+          .map { case (nid, nl, nc) => (nid, nl, cosE6(qc, nc)) }
+          .sortBy(p => (-p._3, p._1)).take(5).zipWithIndex
+          .map { case ((nid, nl, ce), i) => (qid, i + 1, nid, nl, ce) }
+    }.sortBy(p => (p._1, p._2))
+    assert(got.toSeq === expected, "hard-negative replay")
+    val labels = emb.map(e => e._1 -> e._2).toMap
+    got.foreach { case (qid, _, nid, nl, _) =>
+      assert(labels(nid) === nl)
+      assert(nl !== labels(qid), "a hard negative must cross the boundary")
+    }
+  }
+
   test("score_e9 replays the affine NB decomposition exactly") {
     // hand-check one score: train "aa" = {x:2, y:1}, "bb" = {y:3};
     // V = 2, tot_aa = 3, tot_bb = 3, priors ln(1/2) each
@@ -109,6 +168,20 @@ class ClassifySpec extends SparkSpec {
     Classify.writeNbModel(train, dir)
     assert(Classify.classifyNbServeBatch(spark, dir, test_).collect().toSeq ===
       Classify.classifyNbWith(train, test_).collect().toSeq)
+  }
+
+  test("quality model artifact: stored serve == the in-query distillation") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("qual-serve")
+      .toString + "/quality"
+    Classify.writeQualityModel(docs, dir)
+    assert(Classify.qualityNbServeBatch(spark, dir, docs).collect().toSeq ===
+      Classify.qualityNb(spark, sf).collect().toSeq)
+    // the attribution sidecar holds exactly the head/tail carve
+    val labs = spark.read.parquet(s"$dir/labels")
+    assert(labs.select("bucket").distinct().collect()
+      .map(_.getString(0)).toSet === Set("head", "tail"))
+    assert(labs.count() < docs.count(), "middle tertile trains nothing")
   }
 
   test("classify_nb_f1 metrics replay from the confusion matrix") {

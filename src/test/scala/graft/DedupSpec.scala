@@ -146,6 +146,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_soft: weights invert cluster size, singletons keep full weight") {
+    val rows = Dedup.dedupSoft(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "one weight row per planted-corpus doc")
+    // stored csize == member count per cluster, w_ppm = 1e6 div csize
+    rows.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.forall(_._3 == ms.length.toLong),
+        s"cluster $cid stored csize != member count")
+      assert(ms.forall(_._4 == 1000000L / ms.length),
+        s"cluster $cid weight != 1e6 div csize")
+    }
+    // planted exact twins (doc_id < 25 ↔ doc_id + 100000) must share
+    // a cluster, so every such original weighs at most half
+    val twinned = rows.filter(r => r._1 < 25)
+    assert(twinned.nonEmpty && twinned.forall(_._4 <= 500000L))
+    // singletons: full weight, own-id cluster label
+    val singles = rows.filter(_._3 == 1L)
+    assert(singles.forall(r => r._4 == 1000000L && r._2 == r._1))
+  }
+
   test("reliable-checkpoint CC mode is output-identical to localCheckpoint") {
     // cluster runs use reliable checkpoints (executor-resident
     // localCheckpoint blocks die with an executor); the mode must be

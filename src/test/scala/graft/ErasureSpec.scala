@@ -52,7 +52,7 @@ class ErasureSpec extends SparkSpec {
     "forgetFromEmbCodeIndex", "forgetFromClusterIndex",
     "forgetFromKnnGraph", "deleteFromKnnGraph", "forgetFromPhashIndex",
     "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel",
-    "forgetFromCentroidModel")
+    "forgetFromCentroidModel", "forgetFromQualityModel")
 
   test("keeper-attributed fingerprint indexes forget") {
     locally {
@@ -243,6 +243,38 @@ class ErasureSpec extends SparkSpec {
     val probe = all.filter(col("doc_id") < 5)
     assert(Classify.classifyNbServeBatch(spark, dir, probe).collect().toSeq ===
       Classify.classifyNbServeBatch(spark, fresh, probe).collect().toSeq)
+  }
+
+  test("quality model erasure == fresh training of the surviving labeled rows") {
+    // the stored-attribution artifact: victims subtract under their
+    // STORED bucket label (tertile labels are corpus-level stats —
+    // not recomputable from the victims alone), survivors keep their
+    // original labels, so forget must land EXACTLY on a fresh NB
+    // training of the surviving labeled rows
+    val dir = tmp("er-qual")
+    graft.functions.Classify.writeQualityModel(docs, dir)
+    val victimDocs = docs.filter(col("doc_id").isin(victims: _*))
+    Classify.forgetFromQualityModel(victimDocs, dir)
+    // the bootstrap labeling is deterministic — rebuild it for the
+    // comparator rather than racing the artifact's own labels/ file
+    val labeled = docs.join(
+      graft.functions.TextFunctions.ccnetBuckets(docs)
+        .filter(col("bucket").isin("head", "tail"))
+        .select(col("doc_id"), col("bucket")), "doc_id")
+    val fresh = tmp("er-qual-fresh")
+    Classify.writeNbModel(labeled.filter(!col("doc_id").isin(victims: _*)),
+      fresh, "bucket")
+    for (part <- Seq("model", "classes")) {
+      val got = spark.read.parquet(s"$dir/$part")
+      val want = spark.read.parquet(s"$fresh/$part")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"quality_model/$part after forget != fresh training of survivors")
+    }
+    assertClean("quality_model_labels", s"$dir/labels", Seq("doc_id"))
+    // and serving the erased model == serving the fresh one
+    val probe = docs.filter(col("doc_id") < 5)
+    assert(Classify.qualityNbServeBatch(spark, dir, probe).collect().toSeq ===
+      Classify.qualityNbServeBatch(spark, fresh, probe).collect().toSeq)
   }
 
   test("centroid model erasure == the one-shot model of the survivors") {

@@ -467,6 +467,59 @@ class PipelineSpec extends SparkSpec {
     sameModel(s"$state/nb_model", fresh2)
   }
 
+  test("quality gate: day 1 distills the ruler, later days publish keep rates, forget subtracts") {
+    import spark.implicits._
+    import graft.functions.Classify
+    val state = java.nio.file.Files.createTempDirectory("graft-qual").toString
+    Pipeline.initDailyState(spark, state)
+    val r1 = Pipeline.curateAndPackDayStep(spark, daySlice(0, 60), state,
+      "d1", exciseChunks = false, qualityGate = true)
+    // day 1 has no prior model: no cls_qual rows, but the ruler is distilled
+    assert(spark.read.parquet(s"$state/days/d1/dq_report")
+      .filter(col("metric").startsWith("cls_qual")).count() == 0)
+    assert(new java.io.File(s"$state/quality_model/model").exists())
+    assert(new java.io.File(s"$state/quality_model/labels").exists())
+    val r2 = Pipeline.curateAndPackDayStep(spark, daySlice(60, 120), state,
+      "d2", exciseChunks = false, qualityGate = true)
+    // day 2 scores against the day-1 ruler and publishes the keep rate
+    val q = spark.read.parquet(s"$state/days/d2/dq_report")
+      .filter(col("metric").startsWith("cls_qual"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q.keySet == Set("cls_qual_total", "cls_qual_keep"))
+    assert(q("cls_qual_total") > 0 && q("cls_qual_keep") <= q("cls_qual_total"))
+    // informational rows: the publish gate stays green
+    assert(r1.dqViolations == 0 && r2.dqViolations == 0)
+    // train-once: the stored model == a fresh distillation of the
+    // DAY-1 shipped rows alone (day 2 only scored)
+    val d1rows = Seq("train", "val", "test")
+      .map(sp => s"$state/days/d1/$sp/shards")
+      .filter(p => new java.io.File(p).exists())
+      .map(p => spark.read.json(p))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+    val fresh = java.nio.file.Files.createTempDirectory("qual-f")
+      .toString + "/quality"
+    Classify.writeQualityModel(d1rows, fresh)
+    def sameModel(a: String, b: String): Unit =
+      for (part <- Seq("model", "classes", "labels")) {
+        val x = spark.read.parquet(s"$a/$part")
+        val y = spark.read.parquet(s"$b/$part")
+        assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+          s"$part differs between $a and $b")
+      }
+    sameModel(s"$state/quality_model", fresh)
+    // forgetting labeled day-1 docs subtracts under the stored labels
+    val victims = spark.read.parquet(s"$state/quality_model/labels")
+      .select("doc_id").as[Long].collect().sorted.take(2)
+    Pipeline.forgetDocs(spark, state, victims.toSeq.toDF("doc_id"))
+    Classify.forgetFromQualityModel(
+      d1rows.filter(col("doc_id").isin(victims: _*)), fresh)
+    sameModel(s"$state/quality_model", fresh)
+    // repeat forget: nothing left to attribute — a no-op
+    Pipeline.forgetDocs(spark, state, victims.toSeq.toDF("doc_id"))
+    sameModel(s"$state/quality_model", fresh)
+  }
+
   test("forgetDocs erases a doc from every artifact and the corpus forgets its content") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("graft-forget").toString

@@ -395,6 +395,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("select_kcenter replays a driver-side greedy farthest-point sweep") {
+    val got = Similarity.selectKcenter(spark, sf).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("maxcos_e6")))
+    // driver replay over the snapped codes
+    val codes = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map { r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      }.sortBy(_._1)
+    def cosE6(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var an = 0L; var bn = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); an += a(i) * a(i); bn += b(i) * b(i); i += 1 }
+      math.floor(dot.toDouble /
+        (math.sqrt(an.toDouble) * math.sqrt(bn.toDouble)) * 1e6 + 0.5).toLong
+    }
+    var chosen = Vector((1, codes.head._1, 1000000L))
+    var chosenCodes = Vector(codes.head._2)
+    for (r <- 2 to 8) {
+      val ids = chosen.map(_._2).toSet
+      val (mc, id, c) = codes.filterNot(p => ids(p._1))
+        .map { case (id, c) => (chosenCodes.map(cc => cosE6(c, cc)).max, id, c) }
+        .minBy(p => (p._1, p._2))
+      chosen = chosen :+ ((r, id, mc))
+      chosenCodes = chosenCodes :+ c
+    }
+    assert(got.toSeq === chosen, "greedy sweep replay")
+    // cover radius is monotone from round 2 on: each added center can
+    // only RAISE every vector's max-cos, so the picked minima ascend
+    val mcs = got.drop(1).map(_._3)
+    assert(mcs.zip(mcs.tail).forall { case (a, b) => a <= b })
+  }
+
   test("knn_graph restricted to the query slice is bit-identical to annIvf") {
     // the graph runs the SAME probe/score/top-k mechanics for every
     // source that annIvf runs for its query batch — on the shared

@@ -542,6 +542,34 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming quality gate matches the batch serve on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Classify
+    val dir = java.nio.file.Files.createTempDirectory("qualstream")
+      .toString + "/quality"
+    val docs = Tables.documents(spark, sf)
+    Classify.writeQualityModel(docs, dir)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => EventStream.DocText(id, t) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.DocText]
+    val q = EventStream.streamingQualityNb(input.toDS(), dir) {
+      scores => results ++= scores.collect().map(_.toSeq)
+    }
+    // per-doc answers are batch-independent: the split changes nothing
+    input.addData(newDocs.take(10).toSeq)
+    q.processAllAvailable()
+    input.addData(newDocs.drop(10).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Classify.qualityNbServeBatch(spark, dir,
+        docs.filter(col("doc_id") % 5 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming NB classification matches the batch serve on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -469,6 +469,47 @@ class TextSpec extends SparkSpec {
     assert(m(4L) > m(1L), "rare continuation must score higher (worse)")
   }
 
+  test("min-k% prob replays a brute-force bottom-20% walk, partial takes included") {
+    import spark.implicits._
+    // doc 1 exercises a PARTIAL take: bigrams {a b:3, b a:2, b c:1},
+    // n=6 → m=2 — the rarest occurrence (b c) plus ONE of an
+    // equal-lp pair. docs 2-3 cover m=1 cuts at n=5 and n=3.
+    val docs = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "a b c d e f"),
+      (3L, "a a a a")).toDF("doc_id", "text")
+    val out = TextFunctions.minkProbOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_sel"),
+          r.getAs[Double]("mink_neg_logp")))).toMap
+
+    // brute-force replay (no carve: no doc_id % 50 == 0 here)
+    val toks = Map(1L -> "a b a b a b c", 2L -> "a b c d e f",
+      3L -> "a a a a").map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val bgs = toks.map { case (id, ts) =>
+      id -> ts.zip(ts.tail).map { case (x, y) => s"$x $y" } }
+    val model = bgs.values.flatten.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val ctx = bgs.values.flatten.map(_.split(" ")(0))
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val v = toks.values.flatten.toSet.size.toLong
+    def lp9(b: String): BigDecimal = {
+      val p = (model.getOrElse(b, 0L) + 0.25) /
+        (ctx.getOrElse(b.split(" ")(0), 0L) + 0.25 * v)
+      BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    bgs.foreach { case (id, bl) =>
+      val n = bl.size
+      val m = (n + 4) / 5
+      val sel = bl.map(lp9).sorted.take(m)
+      val expect = BigDecimal(-(sel.sum.toDouble / m))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gm, gs) = out(id)
+      assert(gn === n.toLong && gm === m.toLong, s"doc $id counts")
+      assert(gs === expect, s"doc $id min-k% score")
+      assert(gs > 0.0)
+    }
+  }
+
   test("ngram LM: scoring against a materialized model artifact matches self-trained") {
     val tmp = java.nio.file.Files.createTempDirectory("lm_model").toString
     val docs = Tables.documents(spark, sf)
