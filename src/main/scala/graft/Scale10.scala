@@ -188,6 +188,38 @@ object Scale10 {
             .select(col("vec_id").as("query_id"), col("embedding"))).count()
       }
     }
+    // the distilled quality-model loop: write pays the LM + tertile
+    // chain over the corpus ONCE (linear — the ccnet_buckets cost
+    // plus the NB count agg); serving a fixed 5k-doc day joins the
+    // vocab-sized model (corpus-size-independent); forget is a
+    // model-sized rewrite attributed by the stored labels sidecar
+    locally {
+      val qDir = s"/tmp/scale_qual_$mult/quality"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      t(s"qual_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(qDir).getParent), true)
+        functions.Classify.writeQualityModel(docs, qDir)
+        spark.read.parquet(s"$qDir/model").count()
+      }
+      t(s"qual_serve_${mult}x") {
+        functions.Classify.qualityNbServeBatch(spark, qDir,
+          Tables.documents(spark, d)).count()
+      }
+      t(s"qual_forget_${mult}x") {
+        functions.Classify.forgetFromQualityModel(
+          docs.filter(col("doc_id") % 1000000L < 100), qDir)
+        spark.read.parquet(s"$qDir/model").count()
+      }
+    }
+    // greedy k-center: one snap pass (checkpointed) + k=8
+    // corpus-linear passes against a broadcast chosen array — must
+    // track k scans, no join, no shuffle beyond TakeOrdered(1)
+    t(s"kcenter_${mult}x")(operators.Similarity.selectKcenterOn(emb, 8).count())
+    // Min-K% Prob membership audit: the held-out LM joins plus
+    // per-doc windows — must track the ngram_lm_heldout linear shape
+    t(s"minkprob_${mult}x")(functions.TextFunctions.minkProbOn(docs).count())
     // the embedding analog: the mult× corpus is coded and persisted
     // ONCE; each day codes only its 2k-vector batch and joins the
     // stored index — per-day cost must track the batch + the index

@@ -109,6 +109,8 @@ object SparkEntry {
     "select_uncertain"    -> ((s, d) => Classify.selectUncertain(s, d)),
     "mine_hard_negatives" -> ((s, d) => Classify.mineHardNegatives(s, d)),
     "select_kcenter"      -> ((s, d) => Similarity.selectKcenter(s, d)),
+    "select_kcenter_assign" -> ((s, d) => Similarity.selectKcenterAssign(s, d)),
+    "mask_spans"          -> TextFunctions.maskSpans _,
     "text_fingerprint"    -> TextFunctions.fingerprint _,
     "text_keywords"       -> ((s, d) => TextFunctions.textKeywords(s, d)),
     "text_repetition"     -> TextFunctions.textRepetition _,
@@ -1715,6 +1717,37 @@ object SparkEntry {
     // greedy k-center: rounds unrolled as chained CTEs (static —
     // every pick derives from the data in-query, no artifact)
     "select_kcenter" -> Similarity.selectKcenterOracleSql(),
+    "select_kcenter_assign" -> Similarity.selectKcenterAssignOracleSql(),
+
+    // T5 span-corruption masks: the mask depends only on
+    // (doc_id, token count) — starts where the 32-bit md5 prefix of
+    // "doc:pos" (the minhash digit-sum recipe) ≡ 0 mod 20, covered
+    // positions merge into islands via the pos − row_number group key
+    "mask_spans" -> raw"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS toks
+        FROM documents),
+      pos AS (SELECT doc_id, len(toks) AS n,
+                unnest(range(0, len(toks))) AS p
+              FROM t WHERE len(toks) > 0),
+      h AS (SELECT doc_id, n, p,
+              CAST(list_sum(list_transform(range(1, 9),
+                k -> (strpos('0123456789abcdef',
+                             md5(doc_id || ':' || p)[k:k]) - 1)
+                     * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) AS hv
+            FROM pos),
+      starts AS (SELECT doc_id, n, p FROM h WHERE hv % 20 = 0),
+      covered AS (SELECT DISTINCT doc_id, p + i AS cp
+                  FROM starts, (SELECT unnest([0, 1, 2]) AS i) off
+                  WHERE p + i < n),
+      isl AS (SELECT doc_id, cp,
+                cp - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cp) AS grp
+              FROM covered)
+      SELECT doc_id, CAST(MIN(cp) AS BIGINT) AS span_start,
+        CAST(COUNT(*) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
 
     // CCNet-distillation quality filter: the self-trained LM chain
     // labels the corpus by ppl tertile (the ccnet_buckets recipe),

@@ -429,6 +429,41 @@ object StreamScale {
         println(f"SCALE stream_classify_centroid_${mult}x queries=$nq " +
           f"time=$sec%.1fs qps=${nq / sec}%.1f preds=$emitted")
       }
+      // distilled-quality twin: the ruler distills from the mult×
+      // corpus ONCE (the expensive LM + tertile chain), then every
+      // streamed micro-batch gates on one token-count join against
+      // the vocab-sized model — absolute doc/s is the story (the
+      // model is corpus-size-independent once trained, like the
+      // centroid artifact)
+      locally {
+        val docs1 = graft.Tables.documents(spark, d)
+        val docsN = (0 until mult).map { i =>
+          docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        }.reduce(_ unionByName _)
+        graft.functions.Classify.writeQualityModel(
+          docsN, s"/tmp/streamscale_qual$mult/quality")
+        val qDocs = docs1.select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect()
+        val nd = math.min(mult * 100L, qDocs.length.toLong).toInt
+        val input = MemoryStream[EventStream.DocText]
+        var emitted = 0L
+        val q = EventStream.streamingQualityNb(
+          input.toDS(), s"/tmp/streamscale_qual$mult/quality") {
+          scores => emitted += scores.count()
+        }
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          input.addData((0 until nd / 10).map { j =>
+            val (id, tx) = qDocs((b * (nd / 10) + j) % qDocs.length)
+            EventStream.DocText(id + 1000000L * (b + 1), tx)
+          })
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_quality_nb_${mult}x docs=$nd " +
+          f"time=$sec%.1fs docsPerSec=${nd / sec}%.1f scored=$emitted")
+      }
     }
 
     // state-FREE serving path: the per-batch probe reads ONLY the

@@ -647,6 +647,71 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** mask_spans — T5-STYLE SPAN-CORRUPTION MASK GENERATION (Raffel
+    * et al. 2020 §3.1.4; the training-OBJECTIVE stage of a pretrain
+    * pipeline: after curation and packing, each sequence needs its
+    * corruption mask, and generating masks in the data pipeline —
+    * rather than in the training loop — makes them REPRODUCIBLE,
+    * auditable, and shardable like any other column): for every
+    * document, deterministic mask spans over its token positions —
+    * position p starts a span iff md5(doc_id:p) ≡ 0 (mod 20) (≈5% of
+    * positions; span length 3, clipped at the doc end ⇒ ≈15% token
+    * corruption, the T5 default), overlapping/adjacent spans MERGE
+    * (the island rule — T5 merges adjacent corruptions into one
+    * sentinel). Output one row per merged span: (doc_id, span_start,
+    * span_len), 0-based token positions.
+    *
+    * Determinism: the mask depends ONLY on (doc_id, token count) —
+    * md5 is the library's cross-engine hash (the minhash digit-sum
+    * recipe reconstructs the identical 32-bit value in SQL), so the
+    * same shard always gets the same mask on any engine, any day.
+    *
+    * Scale shape: one tokenize pass (the count is the only text
+    * dependence) + a per-doc typed flatMap emitting merged spans
+    * directly — no shuffle at all before the output sort. */
+  def maskSpans(s: SparkSession, d: String): DataFrame =
+    maskSpansOn(Tables.documents(s, d))
+
+  /** Corpus-parameterized form of [[maskSpans]]. */
+  def maskSpansOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.Util.fanOutIfAtLeast(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      .as[(Long, Int)]
+      .flatMap { case (id, n) => maskSpansOf(id, n) }
+      .toDF("doc_id", "span_start", "span_len")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Merged mask spans of one document — object-level so the Dataset
+    * closure captures nothing (the r13 serialization rule). Exposed
+    * private[graft] as the spec's replay hook. */
+  private[graft] def maskSpansOf(docId: Long,
+                                 n: Int): Iterator[(Long, Long, Long)] = {
+    if (n <= 0) return Iterator.empty
+    val covered = new Array[Boolean](n)
+    var p = 0
+    while (p < n) {
+      if (graft.operators.Dedup.posMaskHash(docId, p) % 20 == 0) {
+        var i = p; val e = math.min(p + 2, n - 1)
+        while (i <= e) { covered(i) = true; i += 1 }
+      }
+      p += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var i = 0
+    while (i < n) {
+      if (covered(i)) {
+        var j = i
+        while (j + 1 < n && covered(j + 1)) j += 1
+        out += ((docId, i.toLong, (j - i + 1).toLong))
+        i = j + 1
+      } else i += 1
+    }
+    out.iterator
+  }
+
   /** decontaminate_minkprob — the MIN-K% PROB membership audit (Shi
     * et al. 2023, "Detecting Pretraining Data from Large Language
     * Models"): score every document by the mean negative

@@ -1213,6 +1213,12 @@ object Dedup {
   }
 
   /** First 8 md5 hex digits as an unsigned 32-bit value. */
+  /** The position-mask hash ([[graft.functions.TextFunctions
+    * .maskSpans]]): the 32-bit md5 prefix of "docId:pos" — the SQL
+    * side reconstructs it with the minhash digit-sum recipe. */
+  private[graft] def posMaskHash(docId: Long, pos: Int): Long =
+    md5Hash32(s"$docId:$pos")
+
   private[operators] def md5Hash32(s: String): Long = {
     val d = digest(s)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |

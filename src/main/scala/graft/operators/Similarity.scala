@@ -2387,6 +2387,17 @@ object Similarity {
   def selectKcenterOn(emb: DataFrame, kSel: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    kcenterChosen(emb, kSel).map(t => (t._1, t._2, t._3))
+      .toDF("r", "vec_id", "maxcos_e6")
+  }
+
+  /** The greedy sweep shared by [[selectKcenterOn]] and
+    * [[selectKcenterAssignOn]]: (round, vec_id, maxcos-at-pick,
+    * snapped code) per chosen center. */
+  private def kcenterChosen(emb: DataFrame, kSel: Int)
+      : Vector[(Int, Long, Long, Array[Long])] = {
+    val s = emb.sparkSession
+    import s.implicits._
     val base = graft.Util.fanOutIfAtLeast(
         emb.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
@@ -2414,7 +2425,47 @@ object Similarity {
         .as[(Long, Long, Array[Long])].head()
       chosen = chosen :+ ((r, pick._2, pick._1, pick._3))
     }
-    chosen.map(t => (t._1, t._2, t._3)).toDF("r", "vec_id", "maxcos_e6")
+    chosen
+  }
+
+  /** select_kcenter_assign — the VORONOI WEIGHTS of the k-center
+    * coreset: every corpus vector assigned to its most-cosine-similar
+    * chosen center (ties to the least center id), reported as
+    * (center_id, n_members). This is what a training loop actually
+    * consumes from a coreset — each center stands in for its cell,
+    * weighted by the cell's mass (the sensitivity-sampling /
+    * importance-weight readout); Σ n_members = corpus size
+    * (spec'd). One broadcast typed pass + one bounded aggregate on
+    * top of the [[selectKcenterOn]] sweep. */
+  def selectKcenterAssign(s: SparkSession, d: String,
+                          kSel: Int = KcenterK): DataFrame =
+    selectKcenterAssignOn(Tables.embeddings(s, d), kSel)
+
+  /** Corpus-parameterized core of [[selectKcenterAssign]]. */
+  def selectKcenterAssignOn(emb: DataFrame, kSel: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(
+      kcenterChosen(emb, kSel).map(t => (t._2, t._4)).toArray)
+    graft.Util.fanOutIfAtLeast(emb.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        val c = snapE6L(v)
+        var bestCos = Long.MinValue; var bestId = Long.MaxValue
+        var i = 0
+        while (i < bc.value.length) {
+          val (cid, cc) = bc.value(i)
+          val cs = cosE6Arrays(c, cc)
+          if (cs > bestCos || (cs == bestCos && cid < bestId)) {
+            bestCos = cs; bestId = cid
+          }
+          i += 1
+        }
+        bestId
+      }
+      .toDF("center_id")
+      .groupBy(col("center_id")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("center_id"))
   }
 
   /** DuckDB oracle for [[selectKcenter]]: the greedy rounds unrolled
@@ -2424,15 +2475,18 @@ object Similarity {
     * the classify_knn brute-force expression verbatim. Static (seed
     * and every pick derive from the data in-query — no artifact
     * literals). */
-  def selectKcenterOracleSql(k: Int = KcenterK): String = {
-    def cos(va: String, vb: String) =
-      s"""CAST(floor(CAST(list_sum(list_transform(range(1, len($va.c) + 1),
-                 i -> $va.c[i] * $vb.c[i])) AS DOUBLE) /
-            (sqrt(CAST($va.vn AS DOUBLE)) * sqrt(CAST($vb.vn AS DOUBLE)))
-            * 1e6 + 0.5) AS BIGINT)"""
+  private def kcenterCosSql(va: String, vb: String) =
+    s"""CAST(floor(CAST(list_sum(list_transform(range(1, len($va.c) + 1),
+               i -> $va.c[i] * $vb.c[i])) AS DOUBLE) /
+          (sqrt(CAST($va.vn AS DOUBLE)) * sqrt(CAST($vb.vn AS DOUBLE)))
+          * 1e6 + 0.5) AS BIGINT)"""
+
+  /** The unrolled-greedy CTE chain shared by the two kcenter oracles
+    * (ends at acc`k` = the chosen set with codes). */
+  private def kcenterOracleBody(k: Int): String = {
     val rounds = (2 to k).map { i =>
       s"""mx$i AS (
-        SELECT v.vec_id, MAX(${cos("v", "ch")}) AS mc
+        SELECT v.vec_id, MAX(${kcenterCosSql("v", "ch")}) AS mc
         FROM e v, acc${i - 1} ch
         WHERE v.vec_id NOT IN (SELECT vec_id FROM acc${i - 1})
         GROUP BY v.vec_id),
@@ -2453,9 +2507,29 @@ object Similarity {
       acc1 AS (
         SELECT 1 AS r, vec_id, CAST(1000000 AS BIGINT) AS maxcos_e6, c, vn
         FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
-      $rounds
-      SELECT r, vec_id, maxcos_e6 FROM acc$k ORDER BY r"""
+      $rounds"""
   }
+
+  def selectKcenterOracleSql(k: Int = KcenterK): String =
+    s"""${kcenterOracleBody(k)}
+      SELECT r, vec_id, maxcos_e6 FROM acc$k ORDER BY r"""
+
+  /** DuckDB oracle for [[selectKcenterAssign]]: the shared greedy
+    * chain + a corpus × chosen argmax (cos desc, center_id asc) and
+    * the cell-size aggregate. */
+  def selectKcenterAssignOracleSql(k: Int = KcenterK): String =
+    s"""${kcenterOracleBody(k)},
+      asg AS (
+        SELECT v.vec_id, ch.vec_id AS center_id,
+          ${kcenterCosSql("v", "ch")} AS ce
+        FROM e v, acc$k ch),
+      best AS (
+        SELECT vec_id, center_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ce DESC, center_id) AS rn
+        FROM asg)
+      SELECT center_id, COUNT(*) AS n_members
+      FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
 
   /** DuckDB oracle for [[dedupSemantic]]: trained centroids as
     * DOUBLE[] literals (the [[annIvfOracleSql]] recipe), assignment

@@ -430,6 +430,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mcs.zip(mcs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("select_kcenter_assign: cells partition the corpus, argmax replayed") {
+    val cells = Similarity.selectKcenterAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("center_id") -> r.getAs[Long]("n_members"))
+    val centers = Similarity.selectKcenter(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(cells.map(_._1).toSet.subsetOf(centers),
+      "every cell key is a chosen center")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(cells.map(_._2).sum === n, "cells partition the corpus")
+    assert(cells.forall(_._2 >= 1), "each center holds at least itself")
+    // argmax replay on the collected codes
+    val codes = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map { r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      }
+    def cosE6(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var an = 0L; var bn = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); an += a(i) * a(i); bn += b(i) * b(i); i += 1 }
+      math.floor(dot.toDouble /
+        (math.sqrt(an.toDouble) * math.sqrt(bn.toDouble)) * 1e6 + 0.5).toLong
+    }
+    val centCodes = codes.filter(p => centers(p._1))
+    val expected = codes
+      .map { case (_, c) =>
+        centCodes.map { case (cid, cc) => (-cosE6(c, cc), cid) }.min._2 }
+      .groupBy(identity).map { case (cid, xs) => cid -> xs.length.toLong }
+    assert(cells.toMap === expected, "Voronoi cell sizes replay")
+  }
+
   test("knn_graph restricted to the query slice is bit-identical to annIvf") {
     // the graph runs the SAME probe/score/top-k mechanics for every
     // source that annIvf runs for its query batch — on the shared

@@ -469,6 +469,51 @@ class TextSpec extends SparkSpec {
     assert(m(4L) > m(1L), "rare continuation must score higher (worse)")
   }
 
+  test("mask_spans: independent md5 replay, islands merged, bounds respected") {
+    import spark.implicits._
+    // independent hash replay (MessageDigest directly — NOT the
+    // library helper, so a drift in either side fails here)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val docs = Seq(
+      (1L, (0 until 200).map(i => s"w$i").mkString(" ")),
+      (2L, "one two three"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextFunctions.maskSpansOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay: covered set → islands
+    val expected = Seq(1L -> 200, 2L -> 3).flatMap { case (id, n) =>
+      val cov = Array.fill(n)(false)
+      for (p <- 0 until n if h32(s"$id:$p") % 20 == 0;
+           i <- p to math.min(p + 2, n - 1)) cov(i) = true
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < n) {
+        if (cov(i)) {
+          var j = i; while (j + 1 < n && cov(j + 1)) j += 1
+          spans += ((id, i.toLong, (j - i + 1).toLong)); i = j + 1
+        } else i += 1
+      }
+      spans
+    }
+    assert(got.toSeq === expected, "mask replay")
+    // islands truly merged: consecutive spans of a doc never touch
+    got.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, s1, l1), (_, s2, _)) =>
+        assert(s1 + l1 < s2, "adjacent spans must have merged")
+      }
+    }
+    // determinism: the mask depends only on (doc_id, token count)
+    val again = TextFunctions.maskSpansOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("min-k% prob replays a brute-force bottom-20% walk, partial takes included") {
     import spark.implicits._
     // doc 1 exercises a PARTIAL take: bigrams {a b:3, b a:2, b c:1},
