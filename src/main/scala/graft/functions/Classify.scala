@@ -919,4 +919,50 @@ object Classify {
       cand0.filter(col("neighbor_id") =!= col("query_id")) else cand0
     knnVote(scorePairsE6(cand), k)
   }
+
+  /** Serve hard-negative mining off the stored LABELED layout — the
+    * production form of [[mineHardNegatives]] (whose in-query shape
+    * probes exhaustively for oracle independence): each query probes
+    * its `nprobe` nearest centroids, the batch's probed bucket set
+    * prunes the scan, the CROSS-LABEL filter applies inside the
+    * candidate join, and the per-query top-k by (cos_e6 desc, id)
+    * answers. Queries carry their own `label`; tombstoned corpus
+    * rows subtract. At exhaustive nprobe (= nlist) this is
+    * bit-identical to the in-query miner over the same corpus
+    * (spec'd — the classifyKnnServeBatch discipline). */
+  def mineHardNegativesServeBatch(s: SparkSession, dir: String,
+                                  cents: Array[Array[Double]],
+                                  queries: DataFrame, k: Int = 5,
+                                  nprobe: Int = ClsNprobe): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = queries.select(col("query_id"), col("label"),
+        col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .flatMap { case (id, l, v) =>
+        graft.operators.Similarity.topCentroids(bc.value, v, nprobe)
+          .iterator.map(b => (id, l, b, snapE6(v))) }
+      .toDF("query_id", "qlabel", "bucket", "qc")
+    val probedBuckets = probes.select("bucket").distinct()
+      .as[Int].collect().sorted // bounded by nlist — driver-safe
+    val corpus = graft.operators.Similarity.minusTombstones(s, dir,
+        s.read.parquet(dir)
+          .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*)))
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("bucket"), col("embedding"))
+      .as[(Long, Int, Int, Array[Float])]
+      .map { case (id, l, b, v) => (id, l, b, snapE6(v)) }
+      .toDF("neighbor_id", "label", "bucket", "vc")
+    val cand = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("label") =!= col("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    scorePairsE6(cand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

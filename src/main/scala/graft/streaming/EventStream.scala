@@ -1208,6 +1208,29 @@ object EventStream {
   case class QueryVecLabeled(query_id: Long, embedding: Array[Float],
                              label: Int)
 
+  /** Streaming hard-negative mining off the stored LABELED layout
+    * ([[graft.functions.Classify.writeIvfLabeled]]) — the contrastive
+    * trainer's feed: arriving anchors carry their label; per
+    * micro-batch the probed bucket set prunes the scan, the
+    * cross-label filter applies inside the candidate join, top-k by
+    * (cos_e6 desc, id) per anchor. State-free; two-batch parity with
+    * the batch [[graft.functions.Classify.mineHardNegativesServeBatch]]
+    * is exact (spec'd in StreamingSpec). */
+  def streamingMineHardNegatives(vecs: Dataset[QueryVecLabeled],
+                                 layoutDir: String,
+                                 cents: Array[Array[Double]], k: Int = 5,
+                                 nprobe: Int = graft.functions.Classify.ClsNprobe)(
+                                 writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[QueryVecLabeled], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.functions.Classify.mineHardNegativesServeBatch(
+          s, layoutDir, cents,
+          batch.toDF("query_id", "embedding", "label"), k, nprobe))
+      }
+      .start()
+
   /** Streaming FILTERED vector search (NEW r12): arriving queries
     * carry their predicate value; per micro-batch, probed buckets AND
     * the batch's label set prune/push into the attribute-carrying

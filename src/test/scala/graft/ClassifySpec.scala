@@ -344,6 +344,37 @@ class ClassifySpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("hard-negative serving: exhaustive == in-query; pruned overlap; labels cross") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("label"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("hn-serve")
+      .toString + "/layout"
+    // the in-query miner's corpus is the WHOLE embeddings table
+    Classify.writeIvfLabeled(emb, cents, dir)
+    val exhaustive = Classify.mineHardNegativesServeBatch(spark, dir, cents,
+      queries, nprobe = cents.length).collect().toSeq
+    assert(exhaustive === Classify.mineHardNegatives(spark, sf)
+      .collect().toSeq, "exhaustive serve == in-query miner")
+    // pruned default: top-k overlap vs exhaustive per query
+    val pruned = Classify.mineHardNegativesServeBatch(spark, dir, cents,
+      queries).collect()
+    val exSet = exhaustive.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pruned.count(r =>
+      exSet((r.getLong(0), r.getLong(2)))).toDouble / pruned.length
+    info(s"hard-negative pruned-nprobe overlap = $overlap")
+    assert(overlap >= 0.8, s"hard-negative serve overlap = $overlap")
+    // every mined negative crosses the anchor's label boundary
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pruned.foreach { r =>
+      assert(r.getInt(3) !== labels(r.getLong(0)),
+        "served negative must cross the boundary")
+    }
+  }
+
   test("hamming_topk: banding candidates == brute force inside the radius") {
     val docs = Dedup.withPlants(Tables.documents(spark, sf))
     val got = Dedup.hammingTopK(docs)

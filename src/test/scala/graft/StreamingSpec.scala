@@ -542,6 +542,38 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${results.size} rows != batch ${batch.size}")
   }
 
+  test("streaming hard-negative mining matches the batch serve on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Classify
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("hnstream")
+      .toString + "/layout"
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(spark, sf)
+    Classify.writeIvfLabeled(emb, cents, dir)
+    val anchors = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, v, l) => EventStream.QueryVecLabeled(id, v, l) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.QueryVecLabeled]
+    val q = EventStream.streamingMineHardNegatives(input.toDS(), dir, cents) {
+      negs => results ++= negs.collect().map(_.toSeq)
+    }
+    input.addData(anchors.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(anchors.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Classify.mineHardNegativesServeBatch(spark, dir, cents,
+        emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("label"),
+            col("embedding")))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming quality gate matches the batch serve on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
