@@ -703,8 +703,10 @@ object Pipeline {
             .agg(count(lit(1)).as("n"),
               sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
             .collect().head
+          // a DRAINED ruler (all labeled docs forgotten) serves an
+          // empty frame: count 0, NULL sum — report zeros, not NPE
           Seq("cls_qual_total" -> k.getLong(0),
-            "cls_qual_keep" -> k.getLong(1))
+            "cls_qual_keep" -> (if (k.isNullAt(1)) 0L else k.getLong(1)))
         }
       if (!hasModel && shipped)
         graft.functions.Classify.writeQualityModel(dayRows, qDir)
@@ -858,29 +860,26 @@ object Pipeline {
     // a REPEAT forget a no-op on the counts (nothing left to
     // attribute — the count algebra can only be applied once per row)
     val nbDir = s"$stateDir/nb_model"
+    val qualDir = s"$stateDir/quality_model"
     val nbFs = new org.apache.hadoop.fs.Path(nbDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (nbFs.exists(new org.apache.hadoop.fs.Path(nbDir))) {
+    val nbExists = nbFs.exists(new org.apache.hadoop.fs.Path(nbDir))
+    val qualExists = nbFs.exists(new org.apache.hadoop.fs.Path(qualDir))
+    if (nbExists || qualExists) {
+      // ONE corpus scan shared by both trained artifacts
       val victimRows = readShardDocs(spark, stateDir,
           listDays(spark, stateDir))
         .join(forget, Seq("doc_id"), "left_semi")
         .localCheckpoint() // materialize before the vacuum/rewrite
-      if (victimRows.limit(1).count() > 0)
-        graft.functions.Classify.forgetFromNbModel(victimRows, nbDir)
-    }
-    // 0b. distilled quality model (present only when the quality
-    // gate ran): the artifact stores its own bucket attribution, so
-    // victims subtract under their stored labels; like the NB model,
-    // victim rows read from shard storage BEFORE the vacuum (repeat
-    // forget finds nothing left to attribute — idempotent)
-    val qualDir = s"$stateDir/quality_model"
-    if (nbFs.exists(new org.apache.hadoop.fs.Path(qualDir))) {
-      val victimRows = readShardDocs(spark, stateDir,
-          listDays(spark, stateDir))
-        .join(forget, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-      if (victimRows.limit(1).count() > 0)
-        graft.functions.Classify.forgetFromQualityModel(victimRows, qualDir)
+      if (victimRows.limit(1).count() > 0) {
+        if (nbExists)
+          graft.functions.Classify.forgetFromNbModel(victimRows, nbDir)
+        // 0b. distilled quality model: the artifact stores its own
+        // bucket attribution, so victims subtract under their stored
+        // labels (repeat forget finds nothing left — idempotent)
+        if (qualExists)
+          graft.functions.Classify.forgetFromQualityModel(victimRows, qualDir)
+      }
     }
     // 1. consumer view + shard storage
     forget.withColumn("day", lit("forgotten"))

@@ -39,6 +39,18 @@ object Util {
     * round-robin repartition (KBs over the wire here, bounded by the
     * input's own size in general) buys back full parallelism. No-op —
     * no shuffle — when the input is already split at least that wide. */
+  /** The library's ONE e6 coordinate snap (exact 1e-6-unit BIGINTs
+    * via floor(x·1e6 + 0.5) — the classify/kcenter/hard-negative
+    * integer-cosine chain and the SQL `list_transform` oracles all
+    * mirror this exact expression; change it here and nowhere else). */
+  def snapE6(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var j = 0
+    while (j < v.length) {
+      out(j) = math.floor(v(j).toDouble * 1e6 + 0.5).toLong; j += 1 }
+    out
+  }
+
   def fanOut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val p = ds.sparkSession.sparkContext.defaultParallelism
     if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds

@@ -373,8 +373,7 @@ object Classify {
       emb.filter(col("vec_id") % 5 === 0))
   }
 
-  private def snapE6(v: Array[Float]): Array[Long] =
-    v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+  private def snapE6(v: Array[Float]): Array[Long] = Util.snapE6(v)
 
   /** Per-class exact e6-unit coordinate sums — (label, j, s), C·dim
     * rows (bounded by the curated label enum × the embedding dim).
@@ -719,12 +718,22 @@ object Classify {
   /** Score a batch against the stored quality model — bit-identical
     * to the in-query [[qualityNb]] of the training corpus (spec'd):
     * weights re-derive from the stored counts on the same 1e-9 grid
-    * and the log-odds pivot is the shared [[qualityLogOdds]]. */
+    * and the log-odds pivot is the shared [[qualityLogOdds]]. A
+    * DRAINED artifact (every labeled doc forgotten — classes/ holds
+    * zero rows) serves an empty frame instead of throwing (the
+    * drift-monitor zeroed-stats discipline): there is no ruler left
+    * to measure with, and the caller decides whether that means
+    * "pass" or "retrain". */
   def qualityNbServeBatch(s: SparkSession, dir: String,
                           batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val classes = s.read.parquet(s"$dir/classes")
+    if (classes.limit(1).count() == 0) // bounded drained-artifact probe
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("doc_id", "logodds_e9", "keep")
     val counts = s.read.parquet(s"$dir/model")
     qualityLogOdds(nbScores(counts.withColumn("w_e9", lnE9(col("cnt") + 1)),
-      s.read.parquet(s"$dir/classes"), batch))
+      classes, batch))
   }
 
   /** Erasure: subtract the victim documents' token counts from the
@@ -901,8 +910,9 @@ object Classify {
     val probes = queries.select(col("query_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
+        val q = snapE6(v)
         graft.operators.Similarity.topCentroids(bc.value, v, nprobe)
-          .iterator.map(b => (id, b, snapE6(v))) }
+          .iterator.map(b => (id, b, q)) }
       .toDF("query_id", "bucket", "qc")
     val probedBuckets = probes.select("bucket").distinct()
       .as[Int].collect().sorted // bounded by nlist — driver-safe
@@ -941,8 +951,9 @@ object Classify {
         col("embedding"))
       .as[(Long, Int, Array[Float])]
       .flatMap { case (id, l, v) =>
+        val q = snapE6(v)
         graft.operators.Similarity.topCentroids(bc.value, v, nprobe)
-          .iterator.map(b => (id, l, b, snapE6(v))) }
+          .iterator.map(b => (id, l, b, q)) }
       .toDF("query_id", "qlabel", "bucket", "qc")
     val probedBuckets = probes.select("bucket").distinct()
       .as[Int].collect().sorted // bounded by nlist — driver-safe

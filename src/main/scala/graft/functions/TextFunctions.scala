@@ -676,7 +676,9 @@ object TextFunctions {
   def maskSpansOn(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    graft.Util.fanOutIfAtLeast(docs.select(col("doc_id"), col("text")))
+    // ungated fanOut: one md5 per token position is the heavy
+    // rolling-hash tier (the r11 two-tier rule), not token counting
+    graft.Util.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), size(tokens(col("text"))).as("n"))
       .as[(Long, Int)]
       .flatMap { case (id, n) => maskSpansOf(id, n) }

@@ -1212,13 +1212,13 @@ object Dedup {
     md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** First 8 md5 hex digits as an unsigned 32-bit value. */
   /** The position-mask hash ([[graft.functions.TextFunctions
     * .maskSpans]]): the 32-bit md5 prefix of "docId:pos" — the SQL
     * side reconstructs it with the minhash digit-sum recipe. */
   private[graft] def posMaskHash(docId: Long, pos: Int): Long =
     md5Hash32(s"$docId:$pos")
 
+  /** First 8 md5 hex digits as an unsigned 32-bit value. */
   private[operators] def md5Hash32(s: String): Long = {
     val d = digest(s)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
@@ -2119,12 +2119,12 @@ object Dedup {
     * aggregate + a left join back to the full corpus — all
     * equi-joins on ids, nothing new shuffles at scale. */
   def dedupSoft(s: SparkSession, d: String): DataFrame = {
-    val docs = withPlants(Tables.documents(s, d)).select(col("doc_id"))
-    val cc = connectedComponentsSafe(
-        minhashCandidates(withPlants(Tables.documents(s, d))))
+    val plants = withPlants(Tables.documents(s, d))
+    val cc = connectedComponentsSafe(minhashCandidates(plants))
       .select(col("node").as("doc_id"), col("cluster_id"))
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
-    docs.join(cc.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+    plants.select(col("doc_id"))
+      .join(cc.join(sizes, "cluster_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("csize"), lit(1L)).as("csize"))

@@ -2330,14 +2330,6 @@ object Similarity {
     * CTE replay; the operator takes any k). */
   private[graft] val KcenterK = 8
 
-  private def snapE6L(v: Array[Float]): Array[Long] = {
-    val out = new Array[Long](v.length)
-    var j = 0
-    while (j < v.length) {
-      out(j) = math.floor(v(j).toDouble * 1e6 + 0.5).toLong; j += 1 }
-    out
-  }
-
   /** Exact-integer cosine (e6 units) between two e6-snapped
     * coordinate arrays — object-level so Dataset closures calling it
     * capture nothing (the r13 Task-not-serializable rule). */
@@ -2401,7 +2393,7 @@ object Similarity {
     val base = graft.Util.fanOutIfAtLeast(
         emb.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, snapE6L(v)) }
+      .map { case (id, v) => (id, graft.Util.snapE6(v)) }
       .toDF("vec_id", "c").as[(Long, Array[Long])]
       .localCheckpoint()
     val seed = base.orderBy(col("vec_id")).head()
@@ -2450,7 +2442,7 @@ object Similarity {
     graft.Util.fanOutIfAtLeast(emb.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .map { case (_, v) =>
-        val c = snapE6L(v)
+        val c = graft.Util.snapE6(v)
         var bestCos = Long.MinValue; var bestId = Long.MaxValue
         var i = 0
         while (i < bc.value.length) {

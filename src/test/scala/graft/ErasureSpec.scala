@@ -275,6 +275,12 @@ class ErasureSpec extends SparkSpec {
     val probe = docs.filter(col("doc_id") < 5)
     assert(Classify.qualityNbServeBatch(spark, dir, probe).collect().toSeq ===
       Classify.qualityNbServeBatch(spark, fresh, probe).collect().toSeq)
+    // DRAIN the ruler entirely: forgetting every remaining labeled
+    // doc empties classes/ — serving must return an EMPTY frame
+    // (the drift-monitor zeroed-stats discipline), never throw
+    Classify.forgetFromQualityModel(docs, dir)
+    assert(spark.read.parquet(s"$dir/classes").count() == 0)
+    assert(Classify.qualityNbServeBatch(spark, dir, probe).count() == 0)
   }
 
   test("centroid model erasure == the one-shot model of the survivors") {
