@@ -217,6 +217,11 @@ object Scale10 {
     // corpus-linear passes against a broadcast chosen array — must
     // track k scans, no join, no shuffle beyond TakeOrdered(1)
     t(s"kcenter_${mult}x")(operators.Similarity.selectKcenterOn(emb, 8).count())
+    // composable two-level form: one distributed per-slice greedy
+    // pass + a driver merge over ≤ parts·kLocal points — the driver
+    // leaves the per-round loop entirely
+    t(s"kcenter_comp_${mult}x")(
+      operators.Similarity.selectKcenterComposable(emb).count())
     // Min-K% Prob membership audit: the held-out LM joins plus
     // per-doc windows — must track the ngram_lm_heldout linear shape
     t(s"minkprob_${mult}x")(functions.TextFunctions.minkProbOn(docs).count())

@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_phash"         -> ((s, d) => Multimodal.phashDups(s, d)),
     "dedup_phash_incremental" -> ((s, d) => Multimodal.phashIncremental(s, d)),
     "dedup_phash_clusters" -> Multimodal.phashClusters _,
+    "phash_topk"          -> Multimodal.phashTopK _,
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -1435,6 +1436,22 @@ object SparkEntry {
     "dedup_phash" -> s"""
       WITH $phashCtes
       SELECT d1, d2, hamming FROM ph_pairs ORDER BY d1, d2""",
+
+    // image hamming top-k: the sig CTE's integer dHash replay +
+    // brute-force xor/bit_count inside the radius (banding is exact
+    // within the ball, so the oracle needs no banding at all)
+    "phash_topk" -> s"""
+      WITH $phashCtes,
+      q AS (SELECT doc_id AS q_id, phash AS qp FROM sig WHERE doc_id < 50),
+      pr AS (SELECT q.q_id, s.doc_id,
+               CAST(bit_count(xor(q.qp, s.phash)) AS INT) AS hamming
+             FROM q JOIN sig s ON s.doc_id <> q.q_id),
+      rk AS (SELECT q_id, doc_id, hamming,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY hamming, doc_id) AS INT) AS rank
+             FROM pr WHERE hamming <= 3)
+      SELECT q_id, rank, doc_id, hamming FROM rk WHERE rank <= 5
+      ORDER BY q_id, rank""",
 
     // batch-vs-corpus slice of the same banded hamming space: plants
     // (ids >= 96000) are the arriving batch, originals the corpus —

@@ -2460,6 +2460,98 @@ object Similarity {
       .orderBy(col("center_id"))
   }
 
+  /** In-memory greedy k-center over a sorted point slice (seed = the
+    * slice's least id — the [[selectKcenterOn]] semantics applied
+    * locally). Object-level: Dataset closures calling it capture
+    * nothing (the r13 rule). O(k²·n) — n is a SLICE, not the corpus. */
+  private def greedyLocal(pts: Array[(Long, Array[Long])],
+                          k: Int): Array[(Long, Array[Long])] = {
+    if (pts.isEmpty) return Array.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(pts.head)
+    while (chosen.length < k && chosen.length < pts.length) {
+      var bestMc = Long.MaxValue; var bestId = Long.MaxValue
+      var bestCode: Array[Long] = null
+      var i = 0
+      while (i < pts.length) {
+        val (id, c) = pts(i)
+        if (!chosen.exists(_._1 == id)) {
+          var mc = Long.MinValue
+          var j = 0
+          while (j < chosen.length) {
+            val cs = cosE6Arrays(c, chosen(j)._2)
+            if (cs > mc) mc = cs
+            j += 1
+          }
+          if (mc < bestMc || (mc == bestMc && id < bestId)) {
+            bestMc = mc; bestId = id; bestCode = c
+          }
+        }
+        i += 1
+      }
+      chosen += ((bestId, bestCode))
+    }
+    chosen.toArray
+  }
+
+  /** COMPOSABLE two-level k-center — the 100 TB form of
+    * [[selectKcenterOn]] (whose k driver-coordinated corpus passes
+    * are fine at k=8 but serialize the driver into the loop): the
+    * corpus deterministically slices by vec_id mod `parts`, each
+    * slice runs the greedy sweep LOCALLY to `kLocal` centers in one
+    * distributed pass (the composable-coreset pattern — a slice is
+    * sized to executor memory, which is what `parts` controls at
+    * scale), and the ≤ parts·kLocal union (driver-bounded) runs the
+    * same greedy to the final k. Guarantee: per-level greedy is the
+    * Gonzalez 2-approximation and the union is a coreset, so the
+    * final cover radius is within a small constant of the one-shot
+    * sweep's (≤ 4·OPT analytically; measured ≈ 1× on the isotropic
+    * corpus — spec'd against [[coverMaxcosE6]] with the 4× analytic
+    * bound). Deterministic end to end: slices by id arithmetic,
+    * in-slice order sorted, greedy id-tie-broken — spec'd
+    * run-to-run identical. Output (r, vec_id) in final pick order. */
+  def selectKcenterComposable(emb: DataFrame, kSel: Int = KcenterK,
+                              parts: Int = 8,
+                              kLocal: Int = 16): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val union = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, graft.Util.snapE6(v)) }
+      .groupByKey(_._1 % parts)
+      .flatMapGroups { (_, it) =>
+        greedyLocal(it.toArray.sortBy(_._1), kLocal).iterator
+      }
+      .collect().sortBy(_._1) // ≤ parts·kLocal rows — driver-bounded
+    greedyLocal(union, kSel).zipWithIndex
+      .map { case ((id, _), i) => (i + 1, id) }
+      .toSeq.toDF("r", "vec_id")
+  }
+
+  /** The cover quality of a chosen center set: MIN over the corpus of
+    * (MAX cosine to any center) in e6 units — higher = tighter cover
+    * (1e6 − value is the cover radius in cosine distance). One
+    * corpus-linear pass against the broadcast centers. */
+  def coverMaxcosE6(emb: DataFrame, centerIds: Seq[Long]): Long = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, graft.Util.snapE6(v)) }
+    val cents = coded.filter(c => centerIds.contains(c._1)).collect()
+    val bc = s.sparkContext.broadcast(cents.map(_._2))
+    coded.map { case (_, c) =>
+        var mc = Long.MinValue
+        var i = 0
+        while (i < bc.value.length) {
+          val cs = cosE6Arrays(c, bc.value(i))
+          if (cs > mc) mc = cs
+          i += 1
+        }
+        mc
+      }
+      .toDF("mc").agg(min(col("mc"))).head().getLong(0)
+  }
+
   /** DuckDB oracle for [[selectKcenter]]: the greedy rounds unrolled
     * as chained CTEs — each round joins the corpus against the
     * accumulated chosen set (≤ k rows), takes the per-vector MAX

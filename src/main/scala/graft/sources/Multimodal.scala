@@ -459,6 +459,47 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("corpus_id"), col("batch_id"))
 
+  /** phash_topk over the planted corpus: queries = the original docs
+    * that own a planted twin (doc_id < 50), so every query has a
+    * known hamming-0 (exact replant) or near-0 (retouched) neighbor
+    * to retrieve. */
+  def phashTopK(s: SparkSession, d: String): DataFrame =
+    phashTopK(withPhashPlants(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  /** phash_topk: Hamming-space top-k retrieval over IMAGE dHash
+    * codes — the multimodal SERVING tier ([[graft.operators.Dedup
+    * .hammingTopK]]'s contract on the image modality, completing the
+    * per-modality arc pairs → incremental → clusters → index →
+    * forget → TOP-K): for each query image, the corpus images within
+    * `maxHamming` gradient bits, ranked by (hamming, doc_id), cut at
+    * k — reverse-image lookup / provenance search over a standing
+    * image corpus. EXACT within the ball (the Manku banding
+    * guarantee), pair generation an equi-join on compound chunk keys
+    * (never a brute-force scan), radius misses simply return fewer
+    * than k rows. At 100 TB the corpus side is the write-once
+    * [[writePhashIndex]] artifact — serving re-derives banding keys
+    * from 8 stored bytes per image, never re-decoding. */
+  def phashTopK(docs: DataFrame, k: Int = 5, maxHamming: Int = 3,
+                numChunks: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = phashSignatures(docs)
+    val queries = sig.filter(col("doc_id") < 50)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("doc_id"))
+    graft.operators.Dedup
+      .bandedHammingCandidatesAcross(sig, queries, "phash",
+        maxHamming, numChunks)
+      .filter(col("hamming") <= maxHamming &&
+        col("corpus_id") =!= col("batch_id"))
+      .select(col("batch_id").as("q_id"), col("corpus_id").as("doc_id"),
+        col("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Persist the corpus's image signatures — (doc_id, phash), the
     * write-once artifact [[phashIncremental]]'s corpus side assumes
     * (the image analog of [[graft.operators.Dedup.writeBandIndex]]).

@@ -430,6 +430,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mcs.zip(mcs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("composable k-center: deterministic, corpus points, radius in the bound") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.selectKcenterComposable(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val b = Similarity.selectKcenterComposable(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq, "run-to-run deterministic")
+    assert(a.length === 8 && a.map(_._1).toSeq === (1 to 8))
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(p => ids(p._2)), "centers are corpus points")
+    // cover quality within the analytic composable bound of one-shot
+    val oneShot = Similarity.selectKcenter(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val rComp = 1000000L - Similarity.coverMaxcosE6(emb, a.map(_._2).toSeq)
+    val rOne = 1000000L - Similarity.coverMaxcosE6(emb, oneShot)
+    info(s"cover radius composable=$rComp oneshot=$rOne " +
+      s"ratio=${rComp.toDouble / rOne}")
+    assert(rComp <= 4 * rOne, "composable radius within the analytic 4x bound")
+  }
+
   test("select_kcenter_assign: cells partition the corpus, argmax replayed") {
     val cells = Similarity.selectKcenterAssign(spark, sf).collect()
       .map(r => r.getAs[Long]("center_id") -> r.getAs[Long]("n_members"))

@@ -368,6 +368,36 @@ class TextSpec extends SparkSpec {
       "no near-image plant within hamming 3")
   }
 
+  test("phash_topk: brute-force replay inside the radius, twins in the ball") {
+    import org.apache.spark.sql.functions._
+    val docs = Multimodal.withPhashPlants(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val got = Multimodal.phashTopK(docs).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("hamming")))
+    val sigs = Multimodal.phashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash"))
+    val expected = sigs.filter(_._1 < 50).toSeq.flatMap { case (q, qp) =>
+      sigs.filter(_._1 != q).toSeq
+        .map { case (id, p) => (id, java.lang.Long.bitCount(qp ^ p)) }
+        .filter(_._2 <= 3)
+        .sortBy(p => (p._2, p._1)).take(5).zipWithIndex
+        .map { case ((id, hm), i) => (q, i + 1, id, hm) }
+    }.sortBy(p => (p._1, p._2))
+    assert(got.toSeq === expected, "phash top-k replay")
+    // every exact replant (doc_id < 25 ↔ +96000) is IN its query's
+    // ball at hamming 0 — assert membership, not rank 1 (natural
+    // hamming-0 partners may win the id tie-break, the hamming_topk
+    // lesson)
+    val ball = got.groupBy(_._1)
+    (0L until 25L).foreach { i =>
+      assert(ball.get(i).exists(rs =>
+          rs.exists(r => r._3 == i + 96000 && r._4 == 0) ||
+            rs.count(_._4 == 0) == 5),
+        s"exact replant $i not in its query's ball (and ball unsaturated)")
+    }
+  }
+
   test("incremental phash equals the cross-boundary slice of the self-join") {
     import org.apache.spark.sql.functions._
     val all = Multimodal.withPhashPlants(
