@@ -105,6 +105,7 @@ object SparkEntry {
     "classify_nb_eval"    -> Classify.classifyNbEval _,
     "classify_nb_f1"      -> Classify.classifyNbF1 _,
     "quality_nb"          -> Classify.qualityNb _,
+    "quality_nb_eval"     -> Classify.qualityNbEval _,
     "classify_centroid"   -> Classify.classifyCentroid _,
     "classify_knn"        -> ((s, d) => Classify.classifyKnn(s, d)),
     "select_uncertain"    -> ((s, d) => Classify.selectUncertain(s, d)),
@@ -366,6 +367,58 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY score_e9 DESC, label) AS r
                FROM sc)"""
+
+  /** The quality_nb CTE body (self-trained LM chain → ppl tertile
+    * labels `lab` → head-vs-tail NB training → per-(doc, class)
+    * exact scores `qsc`) — shared by quality_nb and
+    * quality_nb_eval. */
+  private def qualityNbCtes: String = s"""$ngramLmCtes,
+      sc2 AS (SELECT doc_id, round(exp(avg_neg_logp), 6) AS ppl FROM fin),
+      stq AS (SELECT COUNT(*) AS n FROM sc2),
+      rnq AS (SELECT doc_id, ppl,
+                row_number() OVER (ORDER BY ppl, doc_id) AS r FROM sc2),
+      th1 AS (SELECT ppl AS p1 FROM rnq, stq WHERE r = (n + 2) // 3),
+      th2 AS (SELECT ppl AS p2 FROM rnq, stq WHERE r = (2 * n + 2) // 3),
+      lab AS (SELECT sc2.doc_id,
+                CASE WHEN sc2.ppl <= th1.p1 THEN 'head'
+                     WHEN sc2.ppl <= th2.p2 THEN 'middle'
+                     ELSE 'tail' END AS label
+              FROM sc2, th1, th2),
+      qtr AS (SELECT lab.label, unnest(t.toks) AS token
+              FROM lab JOIN t USING (doc_id) WHERE lab.label <> 'middle'),
+      qm AS (SELECT label, token, COUNT(*) AS cnt FROM qtr GROUP BY 1, 2),
+      qmw AS (SELECT label, token,
+                CAST(floor(round(ln(CAST(cnt + 1 AS DOUBLE)), 9) * 1e9 + 0.5)
+                     AS BIGINT) AS w_e9
+              FROM qm),
+      qvoc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM qm),
+      qct AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM qm GROUP BY 1),
+      qcd AS (SELECT label, COUNT(*) AS n_docs FROM lab
+              WHERE label <> 'middle' GROUP BY 1),
+      qntr AS (SELECT COUNT(*) AS n FROM lab WHERE label <> 'middle'),
+      qcs AS (SELECT qct.label,
+                CAST(floor(round(ln(CAST(qcd.n_docs AS DOUBLE)), 9) * 1e9 + 0.5)
+                     AS BIGINT)
+              - CAST(floor(round(ln(CAST(qntr.n AS DOUBLE)), 9) * 1e9 + 0.5)
+                     AS BIGINT) AS prior_e9,
+                - CAST(floor(round(ln(CAST(qct.tot + qvoc.v AS DOUBLE)), 9) * 1e9 + 0.5)
+                     AS BIGINT) AS lp0_e9
+              FROM qct JOIN qcd USING (label), qntr, qvoc),
+      qte AS (SELECT doc_id, unnest(toks) AS token FROM t),
+      qtc AS (SELECT doc_id, token, COUNT(*) AS k FROM qte GROUP BY 1, 2),
+      qvt AS (SELECT DISTINCT token FROM qm),
+      qnd AS (SELECT qtc.doc_id, CAST(SUM(qtc.k) AS BIGINT) AS nd
+              FROM qtc JOIN qvt USING (token) GROUP BY 1),
+      qadj AS (SELECT qtc.doc_id, qmw.label,
+                 CAST(SUM(CAST(qtc.k AS HUGEINT) * qmw.w_e9) AS BIGINT) AS adj_e9
+               FROM qtc JOIN qmw USING (token) GROUP BY 1, 2),
+      qbase AS (SELECT t.doc_id, qcs.label,
+                  qcs.prior_e9 + COALESCE(qnd.nd, 0) * qcs.lp0_e9 AS base_e9
+                FROM t LEFT JOIN qnd USING (doc_id) CROSS JOIN qcs),
+      qsc AS (SELECT qbase.doc_id, qbase.label,
+                qbase.base_e9 + COALESCE(qadj.adj_e9, 0) AS score_e9
+              FROM qbase LEFT JOIN qadj
+                ON qadj.doc_id = qbase.doc_id AND qadj.label = qbase.label)"""
 
   /** Shared CTE chain reconstructing the minhash LSH band buckets and
     * candidate pairs in pure SQL — used by dedup_minhash and as the
@@ -1773,53 +1826,7 @@ object SparkEntry {
     // log-odds is a DIFFERENCE of two exact integer scores — exact
     // end to end, keep = strictly positive
     "quality_nb" -> s"""
-      WITH $ngramLmCtes,
-      sc2 AS (SELECT doc_id, round(exp(avg_neg_logp), 6) AS ppl FROM fin),
-      stq AS (SELECT COUNT(*) AS n FROM sc2),
-      rnq AS (SELECT doc_id, ppl,
-                row_number() OVER (ORDER BY ppl, doc_id) AS r FROM sc2),
-      th1 AS (SELECT ppl AS p1 FROM rnq, stq WHERE r = (n + 2) // 3),
-      th2 AS (SELECT ppl AS p2 FROM rnq, stq WHERE r = (2 * n + 2) // 3),
-      lab AS (SELECT sc2.doc_id,
-                CASE WHEN sc2.ppl <= th1.p1 THEN 'head'
-                     WHEN sc2.ppl <= th2.p2 THEN 'middle'
-                     ELSE 'tail' END AS label
-              FROM sc2, th1, th2),
-      qtr AS (SELECT lab.label, unnest(t.toks) AS token
-              FROM lab JOIN t USING (doc_id) WHERE lab.label <> 'middle'),
-      qm AS (SELECT label, token, COUNT(*) AS cnt FROM qtr GROUP BY 1, 2),
-      qmw AS (SELECT label, token,
-                CAST(floor(round(ln(CAST(cnt + 1 AS DOUBLE)), 9) * 1e9 + 0.5)
-                     AS BIGINT) AS w_e9
-              FROM qm),
-      qvoc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM qm),
-      qct AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM qm GROUP BY 1),
-      qcd AS (SELECT label, COUNT(*) AS n_docs FROM lab
-              WHERE label <> 'middle' GROUP BY 1),
-      qntr AS (SELECT COUNT(*) AS n FROM lab WHERE label <> 'middle'),
-      qcs AS (SELECT qct.label,
-                CAST(floor(round(ln(CAST(qcd.n_docs AS DOUBLE)), 9) * 1e9 + 0.5)
-                     AS BIGINT)
-              - CAST(floor(round(ln(CAST(qntr.n AS DOUBLE)), 9) * 1e9 + 0.5)
-                     AS BIGINT) AS prior_e9,
-                - CAST(floor(round(ln(CAST(qct.tot + qvoc.v AS DOUBLE)), 9) * 1e9 + 0.5)
-                     AS BIGINT) AS lp0_e9
-              FROM qct JOIN qcd USING (label), qntr, qvoc),
-      qte AS (SELECT doc_id, unnest(toks) AS token FROM t),
-      qtc AS (SELECT doc_id, token, COUNT(*) AS k FROM qte GROUP BY 1, 2),
-      qvt AS (SELECT DISTINCT token FROM qm),
-      qnd AS (SELECT qtc.doc_id, CAST(SUM(qtc.k) AS BIGINT) AS nd
-              FROM qtc JOIN qvt USING (token) GROUP BY 1),
-      qadj AS (SELECT qtc.doc_id, qmw.label,
-                 CAST(SUM(CAST(qtc.k AS HUGEINT) * qmw.w_e9) AS BIGINT) AS adj_e9
-               FROM qtc JOIN qmw USING (token) GROUP BY 1, 2),
-      qbase AS (SELECT t.doc_id, qcs.label,
-                  qcs.prior_e9 + COALESCE(qnd.nd, 0) * qcs.lp0_e9 AS base_e9
-                FROM t LEFT JOIN qnd USING (doc_id) CROSS JOIN qcs),
-      qsc AS (SELECT qbase.doc_id, qbase.label,
-                qbase.base_e9 + COALESCE(qadj.adj_e9, 0) AS score_e9
-              FROM qbase LEFT JOIN qadj
-                ON qadj.doc_id = qbase.doc_id AND qadj.label = qbase.label)
+      WITH $qualityNbCtes
       SELECT doc_id,
         CAST(MAX(CASE WHEN label = 'head' THEN score_e9 END)
            - MAX(CASE WHEN label = 'tail' THEN score_e9 END) AS BIGINT)
@@ -1827,6 +1834,19 @@ object SparkEntry {
         (MAX(CASE WHEN label = 'head' THEN score_e9 END)
          > MAX(CASE WHEN label = 'tail' THEN score_e9 END)) AS keep
       FROM qsc GROUP BY doc_id ORDER BY doc_id""",
+
+    // distillation fidelity: how the distilled keep verdict lands on
+    // the LM tertiles themselves — the CCNet paper's own sanity
+    // readout (head should mostly keep, tail mostly drop)
+    "quality_nb_eval" -> s"""
+      WITH $qualityNbCtes,
+      kp AS (SELECT doc_id,
+               (MAX(CASE WHEN label = 'head' THEN score_e9 END)
+                > MAX(CASE WHEN label = 'tail' THEN score_e9 END)) AS keep
+             FROM qsc GROUP BY doc_id)
+      SELECT lab.label AS bucket, kp.keep, COUNT(*) AS n
+      FROM kp JOIN lab USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Rocchio nearest-centroid over embeddings: coordinates snap to
     // 1e-6-unit BIGINTs, class SUMS replace means (cosine is

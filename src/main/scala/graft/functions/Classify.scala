@@ -686,6 +686,24 @@ object Classify {
       s.read.parquet(s"$dir/classes"), test)
   }
 
+  /** quality_nb_eval: DISTILLATION FIDELITY of [[qualityNb]] — how
+    * the distilled keep verdict lands on the LM tertiles themselves
+    * (the CCNet paper's own sanity readout: head should mostly keep,
+    * tail mostly drop; middle is where the boundary genuinely lives).
+    * Exact (bucket, keep, n) counts — the 2×3 confusion a gate
+    * review reads before shipping the distilled filter. Composes the
+    * two chains as a join of their outputs (the select_learnability
+    * composition shape). */
+  def qualityNbEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    qualityNb(s, d)
+      .join(TextFunctions.ccnetBuckets(docs)
+        .select(col("doc_id"), col("bucket")), "doc_id")
+      .groupBy(col("bucket"), col("keep"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("keep"))
+  }
+
   // ---- maintained quality-model artifact (CCNet distillation) -------------
 
   /** Write the DISTILLED quality filter as a maintained artifact —

@@ -170,6 +170,20 @@ class ClassifySpec extends SparkSpec {
       Classify.classifyNbWith(train, test_).collect().toSeq)
   }
 
+  test("quality_nb_eval: confusion sums to the labeled corpus, head keeps more than tail") {
+    val rows = Classify.qualityNbEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val labeled = graft.functions.TextFunctions
+      .ccnetBuckets(Tables.documents(spark, sf)).count()
+    assert(rows.map(_._3).sum === labeled, "confusion partitions the labeled docs")
+    def keepRate(b: String): Double = {
+      val n = rows.filter(_._1 == b).map(_._3).sum
+      rows.filter(r => r._1 == b && r._2).map(_._3).sum.toDouble / n
+    }
+    assert(keepRate("head") > keepRate("tail"),
+      "the distilled verdict must separate the tertiles it distilled from")
+  }
+
   test("quality model artifact: stored serve == the in-query distillation") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("qual-serve")
