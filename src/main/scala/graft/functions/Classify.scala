@@ -696,9 +696,18 @@ object Classify {
     * composition shape). */
   def qualityNbEval(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    qualityNb(s, d)
-      .join(TextFunctions.ccnetBuckets(docs)
-        .select(col("doc_id"), col("bucket")), "doc_id")
+    // ONE ccnetBuckets call (its ppl frame localCheckpoints
+    // internally): both the training carve and the eval join derive
+    // from it — calling qualityNb here instead would re-run the
+    // whole LM chain a second time (the r12 lineage-recompute trap;
+    // measured 7.7 → ~4s at sf0.1)
+    val buckets = TextFunctions.ccnetBuckets(docs)
+      .select(col("doc_id"), col("bucket"))
+    val labeled = docs.join(
+      buckets.filter(col("bucket").isin("head", "tail")), "doc_id")
+    qualityLogOdds(nbScores(nbModel(labeled, "bucket"),
+        nbClasses(labeled, "bucket"), docs))
+      .join(buckets, "doc_id")
       .groupBy(col("bucket"), col("keep"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"), col("keep"))
