@@ -144,6 +144,7 @@ object SparkEntry {
     "pack_sequences"      -> ((s, d) => operators.Curate.packSequences(s, d)),
     "pack_segments"       -> ((s, d) => operators.Curate.packSegments(s, d)),
     "pack_bestfit"        -> ((s, d) => operators.Curate.packBestfit(s, d)),
+    "pack_masked"         -> ((s, d) => operators.Curate.packMasked(s, d)),
     "multimodal_meta"     -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "multimodal_audio"    -> ((s, d) => Multimodal.audioFeatures(s, d)),
@@ -2595,6 +2596,67 @@ object SparkEntry {
         CAST(least(n_tokens, (bin_id + 1) * 512 - cum_before)
              - greatest(0, bin_id * 512 - cum_before) AS INT) AS seg_len
       FROM seg ORDER BY lang, doc_id, bin_id""",
+
+    // masks in packed-window coordinates: the pack_segments prefix
+    // chain and the mask_spans island chain composed on one shared
+    // tokenize, intersected per (segment, span) with the affine
+    // doc→window translation
+    "pack_masked" -> raw"""
+      WITH t0 AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM t0),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+        FROM t),
+      seg AS (
+        SELECT lang, doc_id, bin_id,
+          CAST(greatest(0, cum_before - bin_id * 512) AS INT) AS bin_offset,
+          CAST(greatest(0, bin_id * 512 - cum_before) AS BIGINT) AS seg_start,
+          CAST(least(n_tokens, (bin_id + 1) * 512 - cum_before)
+               - greatest(0, bin_id * 512 - cum_before) AS BIGINT) AS seg_len
+        FROM (
+          SELECT lang, doc_id, n_tokens, cum_before,
+            unnest(range(cum_before // 512,
+                         (cum_before + n_tokens - 1) // 512 + 1)) AS bin_id
+          FROM c WHERE n_tokens > 0)),
+      pos AS (SELECT doc_id, len(toks) AS n, unnest(range(0, len(toks))) AS p
+              FROM t0 WHERE len(toks) > 0),
+      h AS (SELECT doc_id, n, p,
+              CAST(list_sum(list_transform(range(1, 9),
+                k -> (strpos('0123456789abcdef',
+                             md5(doc_id || ':' || p)[k:k]) - 1)
+                     * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) AS hv
+            FROM pos),
+      starts AS (SELECT doc_id, n, p FROM h WHERE hv % 20 = 0),
+      covered AS (SELECT DISTINCT doc_id, p + i AS cp
+                  FROM starts, (SELECT unnest([0, 1, 2]) AS i) off
+                  WHERE p + i < n),
+      isl AS (SELECT doc_id, cp,
+                cp - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cp) AS grp
+              FROM covered),
+      spans AS (SELECT doc_id, CAST(MIN(cp) AS BIGINT) AS span_start,
+                  CAST(COUNT(*) AS BIGINT) AS span_len
+                FROM isl GROUP BY doc_id, grp),
+      ix AS (
+        SELECT seg.lang, seg.doc_id, seg.bin_id, seg.bin_offset,
+          seg.seg_start,
+          greatest(spans.span_start, seg.seg_start) AS lo,
+          least(spans.span_start + spans.span_len,
+                seg.seg_start + seg.seg_len) AS hi
+        FROM seg JOIN spans USING (doc_id))
+      SELECT lang, doc_id, bin_id,
+        CAST(bin_offset + (lo - seg_start) AS INT) AS win_start,
+        CAST(hi - lo AS INT) AS win_len
+      FROM ix WHERE hi > lo
+      ORDER BY lang, doc_id, bin_id, win_start""",
 
     "text_fingerprint" -> """
       WITH g AS (

@@ -187,6 +187,44 @@ object Curate {
              s"greatest(0L, bin_id * $cap - cum_before) AS INT)").as("seg_len"))
       .orderBy(col("lang"), col("doc_id"), col("bin_id"))
 
+  /** pack_masked: the span-corruption masks
+    * ([[graft.functions.TextFunctions.maskSpans]]) TRANSLATED INTO
+    * PACKED-WINDOW COORDINATES — the row set a trainer actually
+    * consumes: [[packSegments]] decides where each doc's tokens land
+    * (window id + offset), the masks say which doc positions corrupt,
+    * and this intersects the two so every output row is (window,
+    * in-window start, length) ready for the data loader, with doc
+    * lineage kept for audits. A mask span crossing a window boundary
+    * splits with the segment that carries it; total masked positions
+    * are CONSERVED through packing (every masked token lands in
+    * exactly one window — spec'd corpus-wide).
+    *
+    * Scale shape: one doc-keyed equi-join of two frames the
+    * components already produce (segments: Θ(tokens/cap + docs)
+    * rows; masks: sparse per doc) + per-row interval arithmetic —
+    * nothing new shuffles beyond the doc-keyed join. */
+  def packMasked(s: SparkSession, d: String, cap: Int = 512,
+                 shardSize: Long = 100): DataFrame =
+    packMaskedOn(Tables.documents(s, d), cap, shardSize)
+
+  /** Corpus-parameterized core of [[packMasked]]. */
+  def packMaskedOn(docs: DataFrame, cap: Int, shardSize: Long): DataFrame = {
+    val segs = packSegments(docs, cap, shardSize)
+      .select(col("lang"), col("doc_id"), col("bin_id"), col("bin_offset"),
+        col("seg_start"), col("seg_len"))
+    val masks = graft.functions.TextFunctions.maskSpansOn(docs)
+    segs.join(masks, Seq("doc_id"))
+      .withColumn("lo", greatest(col("span_start"), col("seg_start")))
+      .withColumn("hi", least(col("span_start") + col("span_len"),
+        col("seg_start") + col("seg_len")))
+      .filter(col("hi") > col("lo"))
+      .select(col("lang"), col("doc_id"), col("bin_id"),
+        (col("bin_offset") + (col("lo") - col("seg_start")))
+          .cast("int").as("win_start"),
+        (col("hi") - col("lo")).cast("int").as("win_len"))
+      .orderBy(col("lang"), col("doc_id"), col("bin_id"), col("win_start"))
+  }
+
   /** pack_bestfit: FIRST-FIT-DECREASING bin packing within each
     * (lang, shard) — the third packing form, cutting the padding and
     * cross-document-attention waste the concat-and-chunk pair

@@ -544,6 +544,39 @@ class TextSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("pack_masked: masked tokens conserved through packing, replay from components") {
+    import graft.operators.Curate
+    val d = Tables.documents(spark, sf)
+    val got = Curate.packMaskedOn(d, 512, 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    // in-window bounds: every translated span fits its cap-512 window
+    got.foreach { case (_, _, _, ws, wl) =>
+      assert(ws >= 0 && wl >= 1 && ws + wl <= 512) }
+    // conservation: every masked position lands in exactly one window
+    val spans = TextFunctions.maskSpansOn(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perDocMask = spans.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._3).sum }
+    val perDocWin = got.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._5.toLong).sum }
+    assert(perDocWin === perDocMask, "masked-token totals must be conserved")
+    // full replay from the two component operators' own outputs
+    val segs = Curate.packSegments(d, 512, 100).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("bin_id"), r.getAs[Int]("bin_offset"),
+        r.getAs[Int]("seg_start"), r.getAs[Int]("seg_len")))
+    val bySpanDoc = spans.groupBy(_._1)
+    val expected = (for {
+      (did, lang, bin, boff, ss, sl) <- segs.toSeq
+      (_, sp, spl) <- bySpanDoc.getOrElse(did, Array.empty[(Long, Long, Long)]).toSeq
+      lo = math.max(sp, ss.toLong)
+      hi = math.min(sp + spl, ss + sl.toLong)
+      if hi > lo
+    } yield (lang, did, bin, (boff + (lo - ss)).toInt, (hi - lo).toInt)).sorted
+    assert(got.toSeq.sorted === expected)
+  }
+
   test("min-k% prob replays a brute-force bottom-20% walk, partial takes included") {
     import spark.implicits._
     // doc 1 exercises a PARTIAL take: bigrams {a b:3, b a:2, b c:1},
