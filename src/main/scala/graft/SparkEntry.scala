@@ -100,6 +100,7 @@ object SparkEntry {
     "sketch_quantiles"    -> operators.Sketches.sketchQuantiles _,
     "sketch_bloom"        -> operators.Sketches.sketchBloom _,
     "text_stats"          -> TextFunctions.textStats _,
+    "corpus_card"         -> TextFunctions.corpusCard _,
     "text_langid"         -> TextFunctions.langId _,
     "classify_nb"         -> Classify.classifyNb _,
     "classify_nb_eval"    -> Classify.classifyNbEval _,
@@ -2596,6 +2597,35 @@ object SparkEntry {
         CAST(least(n_tokens, (bin_id + 1) * 512 - cum_before)
              - greatest(0, bin_id * 512 - cum_before) AS INT) AS seg_len
       FROM seg ORDER BY lang, doc_id, bin_id""",
+
+    // per-language datasheet: exact integer counts + one division
+    // (the Spark md5 of the lowercased text matches DuckDB's md5 —
+    // both hash UTF-8 bytes)
+    "corpus_card" -> raw"""
+      WITH base AS (SELECT lang, doc_id, text FROM documents),
+      tok AS (
+        SELECT lang, doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> length(x) > 0)) AS token
+        FROM base),
+      totals AS (SELECT lang, COUNT(*) AS n_docs FROM base GROUP BY 1),
+      tt AS (SELECT lang, COUNT(*) AS total_tokens FROM tok GROUP BY 1),
+      voc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab FROM (
+                SELECT DISTINCT lang, token FROM tok) GROUP BY 1),
+      dups AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS dup_docs FROM (
+                 SELECT lang, md5(lower(text)) AS h, COUNT(*) AS c
+                 FROM base GROUP BY 1, 2) WHERE c > 1 GROUP BY 1)
+      SELECT totals.lang, totals.n_docs,
+        COALESCE(tt.total_tokens, 0) AS total_tokens,
+        COALESCE(voc.vocab, 0) AS vocab,
+        COALESCE(dups.dup_docs, 0) AS dup_docs,
+        round(CAST(COALESCE(tt.total_tokens, 0) AS DOUBLE) / totals.n_docs,
+              6) AS mean_tokens
+      FROM totals
+      LEFT JOIN tt USING (lang)
+      LEFT JOIN voc USING (lang)
+      LEFT JOIN dups USING (lang)
+      ORDER BY totals.lang""",
 
     // masks in packed-window coordinates: the pack_segments prefix
     // chain and the mask_spans island chain composed on one shared

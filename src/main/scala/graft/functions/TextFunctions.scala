@@ -647,6 +647,54 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** corpus_card — the per-language CORPUS DATASHEET (Gebru et al.
+    * "Datasheets for Datasets"; the data card every released
+    * pretraining corpus ships): one row per language with the counts
+    * a consumer reads before training — documents, token volume,
+    * vocabulary size, exact-duplicate documents (docs whose
+    * lowercased text md5 occurs more than once WITHIN the language —
+    * the residual-dup rate a release note must disclose), and mean
+    * document length. Every value is an exact integer except
+    * mean_tokens (one IEEE division of exact integers, 6 dp — the
+    * bm25 recipe).
+    *
+    * Scale shape: one tokenize pass feeding two partial aggs
+    * (per-lang totals; (lang, token) distinct for vocab) + one
+    * md5-keyed dup agg — all map-side combinable, output is
+    * languages-sized. */
+  def corpusCard(s: SparkSession, d: String): DataFrame =
+    corpusCardOn(Tables.documents(s, d))
+
+  /** Corpus-parameterized core of [[corpusCard]]. */
+  def corpusCardOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("lang"), col("doc_id"), col("text"))
+    val tok = graft.Util.fanOutIfAtLeast(base)
+      .select(col("lang"), col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+    val totals = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokTotals = tok.groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"))
+    val vocab = tok.select(col("lang"), col("token")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
+    val dups = base
+      .select(col("lang"), md5(lower(col("text"))).as("h"))
+      .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy(col("lang")).agg(sum(col("c")).as("dup_docs"))
+    totals
+      .join(tokTotals, Seq("lang"), "left")
+      .join(vocab, Seq("lang"), "left")
+      .join(dups, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        round(coalesce(col("total_tokens"), lit(0L)).cast("double") /
+          col("n_docs"), 6).as("mean_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** mask_spans — T5-STYLE SPAN-CORRUPTION MASK GENERATION (Raffel
     * et al. 2020 §3.1.4; the training-OBJECTIVE stage of a pretrain
     * pipeline: after curation and packing, each sequence needs its

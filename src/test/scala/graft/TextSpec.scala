@@ -544,6 +544,22 @@ class TextSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("corpus_card: exact per-language counts on a crafted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "x y x"),
+      (2L, "aa", "X Y x"), // exact dup of 1 after lowercasing
+      (3L, "aa", "z z"),
+      (4L, "bb", "w")).toDF("doc_id", "lang", "text")
+    val rows = TextFunctions.corpusCardOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows("aa") === ((3L, 8L, 3L, 2L,
+      BigDecimal(8.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    assert(rows("bb") === ((1L, 1L, 1L, 0L, 1.0)))
+  }
+
   test("pack_masked: masked tokens conserved through packing, replay from components") {
     import graft.operators.Curate
     val d = Tables.documents(spark, sf)
