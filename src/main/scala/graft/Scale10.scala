@@ -225,6 +225,15 @@ object Scale10 {
     // Min-K% Prob membership audit: the held-out LM joins plus
     // per-doc windows — must track the ngram_lm_heldout linear shape
     t(s"minkprob_${mult}x")(functions.TextFunctions.minkProbOn(docs).count())
+    // mask generation + window translation: one tokenize pass + a
+    // per-doc flatMap (masks), + the doc-keyed segment join (packed)
+    // — both must scale linearly with zero extra shuffles
+    t(s"mask_spans_${mult}x")(functions.TextFunctions.maskSpansOn(docs).count())
+    t(s"pack_masked_${mult}x")(
+      operators.Curate.packMaskedOn(docs, 512, 100).count())
+    // the datasheet: partial aggs only — languages-sized output
+    t(s"corpus_card_${mult}x")(
+      functions.TextFunctions.corpusCardOn(docs).count())
     // the embedding analog: the mult× corpus is coded and persisted
     // ONCE; each day codes only its 2k-vector batch and joins the
     // stored index — per-day cost must track the batch + the index

@@ -721,15 +721,24 @@ object TextFunctions {
     maskSpansOn(Tables.documents(s, d))
 
   /** Corpus-parameterized form of [[maskSpans]]. */
-  def maskSpansOn(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  def maskSpansOn(docs: DataFrame): DataFrame =
+    maskSpansFromCounts(
+      // ungated fanOut: one md5 per token position is the heavy
+      // rolling-hash tier (the r11 two-tier rule), not token counting
+      graft.Util.fanOut(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long")
+          .as("n_tokens")))
+
+  /** [[maskSpansOn]] over a PRECOMPUTED (doc_id, n_tokens) frame —
+    * the mask depends on nothing else, so a caller that already
+    * counted tokens (pack_masked shares one tokenize with the
+    * packer) skips the text scan entirely. */
+  def maskSpansFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
     import s.implicits._
-    // ungated fanOut: one md5 per token position is the heavy
-    // rolling-hash tier (the r11 two-tier rule), not token counting
-    graft.Util.fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), size(tokens(col("text"))).as("n"))
-      .as[(Long, Int)]
-      .flatMap { case (id, n) => maskSpansOf(id, n) }
+    graft.Util.fanOut(counts.select(col("doc_id"), col("n_tokens")))
+      .as[(Long, Long)]
+      .flatMap { case (id, n) => maskSpansOf(id, n.toInt) }
       .toDF("doc_id", "span_start", "span_len")
       .orderBy(col("doc_id"), col("span_start"))
   }

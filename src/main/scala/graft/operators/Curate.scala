@@ -209,10 +209,22 @@ object Curate {
 
   /** Corpus-parameterized core of [[packMasked]]. */
   def packMaskedOn(docs: DataFrame, cap: Int, shardSize: Long): DataFrame = {
-    val segs = packSegments(docs, cap, shardSize)
+    // ONE tokenize shared by packer and masker (both consume only
+    // the per-doc count): the counts frame checkpoints eagerly so
+    // the two lazy consumers read it instead of re-scanning text
+    // (the ccnetBuckets localCheckpoint precedent)
+    val counts = graft.Util.fanOutIfAtLeast(
+        docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val segs = packSegments(docs, cap, shardSize,
+        Some(counts.select(col("doc_id"), col("n_tokens"))))
       .select(col("lang"), col("doc_id"), col("bin_id"), col("bin_offset"),
         col("seg_start"), col("seg_len"))
-    val masks = graft.functions.TextFunctions.maskSpansOn(docs)
+    val masks = graft.functions.TextFunctions.maskSpansFromCounts(
+      counts.select(col("doc_id"), col("n_tokens")))
     segs.join(masks, Seq("doc_id"))
       .withColumn("lo", greatest(col("span_start"), col("seg_start")))
       .withColumn("hi", least(col("span_start") + col("span_len"),

@@ -1929,13 +1929,26 @@ object Dedup {
     * write-once artifact ([[writeBandIndex]]'s role) and only the
     * query batch is indexed per run. */
   def hammingTopK(docs: DataFrame, k: Int = 5, maxHamming: Int = 3,
-                  numChunks: Int = 6): DataFrame = {
+                  numChunks: Int = 6): DataFrame =
+    // the query-side signature pass runs over the FILTERED docs (the
+    // signature is per-doc, so the filter commutes — and it cannot be
+    // pushed through the signature computation by Catalyst)
+    bandedTopK(simhashSignatures(docs),
+      simhashSignatures(docs.filter(col("doc_id") < 50)), "simhash",
+      k, maxHamming, numChunks)
+
+  /** The banded Hamming TOP-K core shared by [[hammingTopK]] (text
+    * SimHash) and [[graft.sources.Multimodal.phashTopK]] (image
+    * dHash): cross-set Manku banding, radius cut, self-exclusion,
+    * per-query (hamming, doc_id) rank — one contract, two
+    * modalities (they cannot drift). */
+  private[graft] def bandedTopK(sig: DataFrame, queries: DataFrame,
+                                hashCol: String, k: Int, maxHamming: Int,
+                                numChunks: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = simhashSignatures(docs)
-    val queries = sig.filter(col("doc_id") < 50)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("doc_id"))
-    bandedHammingCandidatesAcross(sig, queries, "simhash",
+    bandedHammingCandidatesAcross(sig, queries, hashCol,
         maxHamming, numChunks)
       .filter(col("hamming") <= maxHamming &&
         col("corpus_id") =!= col("batch_id"))

@@ -2467,28 +2467,29 @@ object Similarity {
   private def greedyLocal(pts: Array[(Long, Array[Long])],
                           k: Int): Array[(Long, Array[Long])] = {
     if (pts.isEmpty) return Array.empty
+    // Gonzalez running max: each round scores candidates against only
+    // the NEWEST center and keeps a per-point max — O(k·n·dim), same
+    // picks as recomputing all chosen each round (the max is the
+    // max); pts are id-sorted, so the strict < keeps the least id on
+    // ties (the selectKcenterOn tie-break)
     val chosen = scala.collection.mutable.ArrayBuffer(pts.head)
+    val maxCos = Array.fill(pts.length)(Long.MinValue)
+    val taken = new Array[Boolean](pts.length)
+    taken(0) = true
     while (chosen.length < k && chosen.length < pts.length) {
-      var bestMc = Long.MaxValue; var bestId = Long.MaxValue
-      var bestCode: Array[Long] = null
+      val newest = chosen.last._2
+      var bestMc = Long.MaxValue; var bestIdx = -1
       var i = 0
       while (i < pts.length) {
-        val (id, c) = pts(i)
-        if (!chosen.exists(_._1 == id)) {
-          var mc = Long.MinValue
-          var j = 0
-          while (j < chosen.length) {
-            val cs = cosE6Arrays(c, chosen(j)._2)
-            if (cs > mc) mc = cs
-            j += 1
-          }
-          if (mc < bestMc || (mc == bestMc && id < bestId)) {
-            bestMc = mc; bestId = id; bestCode = c
-          }
+        if (!taken(i)) {
+          val cs = cosE6Arrays(pts(i)._2, newest)
+          if (cs > maxCos(i)) maxCos(i) = cs
+          if (maxCos(i) < bestMc) { bestMc = maxCos(i); bestIdx = i }
         }
         i += 1
       }
-      chosen += ((bestId, bestCode))
+      taken(bestIdx) = true
+      chosen += pts(bestIdx)
     }
     chosen.toArray
   }
@@ -2514,7 +2515,8 @@ object Similarity {
                               kLocal: Int = 16): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val union = emb.select(col("vec_id"), col("embedding"))
+    val union = graft.Util.fanOutIfAtLeast(
+        emb.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, graft.Util.snapE6(v)) }
       .groupByKey(_._1 % parts)

@@ -481,24 +481,15 @@ object Multimodal {
     * [[writePhashIndex]] artifact — serving re-derives banding keys
     * from 8 stored bytes per image, never re-decoding. */
   def phashTopK(docs: DataFrame, k: Int = 5, maxHamming: Int = 3,
-                numChunks: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sig = phashSignatures(docs)
-    val queries = sig.filter(col("doc_id") < 50)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming"), col("doc_id"))
-    graft.operators.Dedup
-      .bandedHammingCandidatesAcross(sig, queries, "phash",
-        maxHamming, numChunks)
-      .filter(col("hamming") <= maxHamming &&
-        col("corpus_id") =!= col("batch_id"))
-      .select(col("batch_id").as("q_id"), col("corpus_id").as("doc_id"),
-        col("hamming"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("doc_id"), col("hamming"))
-      .orderBy(col("q_id"), col("rank"))
-  }
+                numChunks: Int = 6): DataFrame =
+    // the query-side DECODE runs over the filtered docs only (50
+    // images, not the corpus — the image decode dominates every
+    // phash operator and the filter cannot cross the opaque
+    // mapPartitions signature pass on its own); the top-k contract
+    // is the shared banded core (one code path with the text tier)
+    graft.operators.Dedup.bandedTopK(phashSignatures(docs),
+      phashSignatures(docs.filter(col("doc_id") < 50)), "phash",
+      k, maxHamming, numChunks)
 
   /** Persist the corpus's image signatures — (doc_id, phash), the
     * write-once artifact [[phashIncremental]]'s corpus side assumes
