@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_keep_best"     -> Dedup.dedupKeepBest _,
     "dedup_simhash"       -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "hamming_topk"        -> ((s, d) => Dedup.hammingTopK(s, d)),
+    "jaccard_topk"        -> Dedup.jaccardTopK _,
     "dedup_emb_cosine"    -> ((s, d) => Dedup.embCosineDups(s, d)),
     "dedup_emb_lsh"       -> ((s, d) => Dedup.embLshDups(s, d)),
     "dedup_emb_clusters"  -> Dedup.dedupEmbClusters _,
@@ -937,6 +938,34 @@ object SparkEntry {
     "dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d1, d2 FROM mh_pairs ORDER BY d1, d2""",
+
+    // Jaccard-space top-k lookup: the banded candidates (mh_pairs,
+    // replayed) reranked by EXACT 3-shingle jaccard — one IEEE
+    // division of exact integers (the q8 unrounded class), ranks on
+    // identical doubles with doc_id tie-break
+    "jaccard_topk" -> s"""
+      WITH $minhashCtes,
+      qc AS (SELECT d1 AS q_id, d2 AS doc_id FROM mh_pairs WHERE d1 < 50
+             UNION ALL
+             SELECT d2, d1 FROM mh_pairs WHERE d2 < 50),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      shr AS (SELECT qc.q_id, qc.doc_id, COUNT(*) AS shared
+              FROM qc
+              JOIN sh a ON a.doc_id = qc.q_id
+              JOIN sh b ON b.doc_id = qc.doc_id AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+      rk AS (SELECT shr.q_id, shr.doc_id, shr.shared,
+               CAST(shr.shared AS DOUBLE)
+                 / (n1.n_sh + n2.n_sh - shr.shared) AS jaccard,
+               CAST(row_number() OVER (PARTITION BY shr.q_id ORDER BY
+                 CAST(shr.shared AS DOUBLE)
+                   / (n1.n_sh + n2.n_sh - shr.shared) DESC, shr.doc_id)
+                 AS INT) AS rank
+             FROM shr
+             JOIN sizes n1 ON n1.doc_id = shr.q_id
+             JOIN sizes n2 ON n2.doc_id = shr.doc_id)
+      SELECT q_id, rank, doc_id, shared, jaccard
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // corpus ids are < 100000 and the planted "arriving batch" ids
     // are >= 100000, so the batch-vs-corpus join is exactly the

@@ -1466,6 +1466,60 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** jaccard_topk over the planted corpus: queries = the original
+    * docs that own a planted twin (doc_id < 50) — every query has a
+    * known jaccard-1.0 (exact plant) or near-1.0 (suffixed plant)
+    * neighbor to retrieve. */
+  def jaccardTopK(s: SparkSession, d: String): DataFrame =
+    jaccardTopK(withPlants(Tables.documents(s, d)))
+
+  /** jaccard_topk — NEAR-DUP LOOKUP in JACCARD space: the minhash
+    * family's serving story, completing the per-metric top-k arc
+    * (simhash [[hammingTopK]], image dHash phash_topk, the cosine
+    * ANN tiers — and now shingle Jaccard): for each query document,
+    * its banded minhash CANDIDATES reranked by EXACT 3-shingle
+    * Jaccard, ranked (jaccard desc, doc_id), cut at k. Unlike the
+    * Hamming tiers the banding here is probabilistic (the LSH recall
+    * floor, measured per geometry in lsh_calibration) — the
+    * candidates-are-banded contract is exactly what the oracle
+    * replays. The jaccard value is ONE IEEE division of exact
+    * integers (shared, set sizes — the q8 unrounded class: a single
+    * shared expression tree on both engines), so ranks compare
+    * identical doubles.
+    *
+    * Scale shape: candidates from the banded equi-join (never
+    * all-pairs); the rerank joins are bounded by the candidates'
+    * actual shingle overlap. At 100 TB the corpus side is the
+    * maintained band index ([[writeBandIndex]]) and a query batch
+    * bands only itself — the [[dedupIncremental]] shape with a rank
+    * cut instead of the pair dump. */
+  def jaccardTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = minhashCandidates(docs).select(col("d1"), col("d2"))
+    val qcand = cand.filter(col("d1") < 50)
+        .select(col("d1").as("q_id"), col("d2").as("doc_id"))
+      .unionByName(cand.filter(col("d2") < 50)
+        .select(col("d2").as("q_id"), col("d1").as("doc_id")))
+    val sh = shingles(docs, 3).select(col("doc_id"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    qcand
+      .join(sh.select(col("doc_id").as("q_id"), col("shingle")), Seq("q_id"))
+      .join(sh, Seq("doc_id", "shingle"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("q_id"), col("n_sh").as("n1")),
+        Seq("q_id"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n2")), Seq("doc_id"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("shared"),
+        col("jaccard"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** dedup_incremental: NEW-BATCH vs CORPUS near-dup detection — the
     * production shape at 100 TB, where the standing corpus's band
     * index is computed once (and at scale stored bucketed by

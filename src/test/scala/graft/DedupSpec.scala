@@ -146,6 +146,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccard_topk: banded candidates reranked exactly, twins in the ball at 1.0") {
+    val docs = Dedup.withPlants(Tables.documents(spark, sf))
+    val got = Dedup.jaccardTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // driver replay over the candidates + collected shingle sets
+    val cand = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = Dedup.shingles(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val qc = cand.filter(_._1 < 50).map(p => (p._1, p._2)) ++
+      cand.filter(_._2 < 50).map(p => (p._2, p._1))
+    val expected = qc.groupBy(_._1).toSeq.flatMap { case (q, ns) =>
+      ns.map(_._2).distinct.toSeq.flatMap { n =>
+        val s1 = byDoc(q); val s2 = byDoc.getOrElse(n, Set.empty[String])
+        val shd = (s1 & s2).size
+        if (shd == 0) None
+        else Some((n, shd.toLong, shd.toDouble / (s1.size + s2.size - shd)))
+      }.sortBy(p => (-p._3, p._1)).take(5).zipWithIndex
+        .map { case ((n, shd, j), i) => (q, i + 1, n, shd, j) }
+    }.sortBy(p => (p._1, p._2))
+    assert(got.toSeq === expected, "banded-candidate rerank replay")
+    // exact plants (doc_id < 25 ↔ +100000): the twin sits in the
+    // ball at jaccard 1.0 unless the ball saturates with 1.0 ties
+    val ball = got.groupBy(_._1)
+    (0L until 25L).foreach { i =>
+      assert(ball.get(i).exists(rs =>
+          rs.exists(r => r._3 == i + 100000 && r._5 == 1.0) ||
+            rs.count(_._5 == 1.0) == 5),
+        s"exact plant $i not retrieved at jaccard 1.0")
+    }
+  }
+
   test("dedup_soft: weights invert cluster size, singletons keep full weight") {
     val rows = Dedup.dedupSoft(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
