@@ -78,6 +78,24 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passA":${passJson(passA)},"passB":${passJson(passB)},"recall":$rc,"failed":$fl,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
+    // the driver captures only the LAST ~2000 chars of stdout and
+    // parses the JSON it finds there — the full line above is >4k
+    // chars (171 per-query times + both raw passes + recall), so
+    // every prior round's driver record had parsed=null. Print a
+    // COMPACT line LAST: headline q* queries at 2 dp plus totals,
+    // ~700 chars, so the tail always holds one complete JSON object.
+    // The full artifact still lives in outFile / the committed
+    // BENCH_LOCAL_r{N}.json.
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val headline = ordered.collect {
+      case (name, _) if name.startsWith("q") =>
+        s"\"" + name + "\":" + r2(results(name))
+    }.mkString("{", ",", "}")
+    val recallMin = if (recall.isEmpty) 0.0
+      else math.rint(recall.values.min * 1000) / 1000
+    val compact =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$headline,"n_queries":${results.size},"recall_min":$recallMin,"failed":$fl,"detail":"$outFile","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

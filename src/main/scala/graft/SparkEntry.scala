@@ -37,6 +37,8 @@ object SparkEntry {
     "q15_latest_sample"  -> Timeseries.q15LatestSample _,
     "q16_json_flatten"   -> Relational.q16JsonFlatten _,
     "q17_recommend"      -> Relational.q17Recommend _,
+    "recommend_collab"   -> ((s, d) => Relational.recommendCollab(s, d)),
+    "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
     "retention_cohorts"   -> Timeseries.retentionCohorts _,
@@ -794,6 +796,104 @@ object SparkEntry {
       WHERE a.p_partkey <= 20
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY shared_tokens DESC, p1, p2 LIMIT 100""",
+
+    // item-item CF: shared-user equi-join pairs, exact BIGINT
+    // co-occurrence counts, ONE IEEE cosine snapped e6 (the ann
+    // cos_e6 shape), rank ties broken by rec_item
+    "recommend_collab" -> raw"""
+      WITH inter AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM inter a JOIN inter b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      scored AS (
+        SELECT s.i AS item, s.j AS rec_item, s.c AS shared_users,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY item
+          ORDER BY cos_e6 DESC, rec_item) AS INT) AS rank
+        FROM scored)
+      SELECT item, rank, rec_item, shared_users, cos_e6
+      FROM ranked WHERE rank <= 10 ORDER BY item, rank""",
+
+    // Holt-Winters: the integer recurrence replayed as a recursive
+    // CTE carrying (l, b, seasonal LIST) state — one step per day per
+    // series, lateral aliases sequence lnew→bnew→snew, floor division
+    // via the exactly-divisible (a - pmod(a,d)) // d form (operands
+    // go negative through the trend)
+    "holt_winters" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, y,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS r,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM daily),
+      init AS (
+        SELECT event_type, n,
+          SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
+          SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
+          list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
+        FROM seq WHERE n >= 14 GROUP BY event_type, n),
+      st0 AS (
+        SELECT event_type, n,
+          CAST(sum1 // 7 AS BIGINT) AS l,
+          CAST(((sum2 - sum1) - (((sum2 - sum1) % 49 + 49) % 49)) // 49
+            AS BIGINT) AS b,
+          list_transform(ys, v -> CAST(v - sum1 // 7 AS BIGINT)) AS s
+        FROM init),
+      hw AS (
+        SELECT event_type, n, CAST(7 AS BIGINT) AS r, l, b, s,
+          CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
+        FROM st0
+        UNION ALL
+        SELECT event_type, n, r,
+          lnew AS l,
+          (((lnew - l) + 9*b) - ((((lnew - l) + 9*b) % 10 + 10) % 10)) // 10
+            AS b,
+          list_transform(range(1, 8), i -> CASE WHEN i = idx
+            THEN (((yy - lnew) + 4*sold)
+                  - ((((yy - lnew) + 4*sold) % 5 + 5) % 5)) // 5
+            ELSE s[i] END) AS s,
+          y,
+          l + b + sold AS fitted
+        FROM (
+          SELECT h.event_type, h.n, q.r, q.y * 1000000 AS yy, q.y, h.l, h.b,
+            h.s,
+            CAST((q.r - 1) % 7 + 1 AS INT) AS idx,
+            h.s[CAST((q.r - 1) % 7 + 1 AS INT)] AS sold,
+            (((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
+               + 4*(h.l + h.b))
+              - ((((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
+                   + 4*(h.l + h.b)) % 5 + 5) % 5)) // 5 AS lnew
+          FROM hw h JOIN seq q
+            ON q.event_type = h.event_type AND q.r = h.r + 1)),
+      fin AS (
+        SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
+          max_by(s, r) AS s
+        FROM hw GROUP BY event_type, n),
+      fc AS (
+        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
+          l + h * b + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
+        FROM fin, (SELECT unnest(range(1, 8)) AS h))
+      SELECT event_type, CAST(r AS BIGINT) AS r, y,
+        CAST(fitted AS BIGINT) AS fitted_e6
+      FROM (SELECT event_type, r, y, fitted FROM hw WHERE r >= 8
+            UNION ALL SELECT * FROM fc)
+      ORDER BY event_type, r""",
 
     "q18_stream_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -30,15 +30,6 @@ object Util {
   /** avg as exact-sum / count — reproducible double division. */
   def avg2(c: Column): Column = sum2(c) / count(lit(1))
 
-  /** Spread a frame across the session's cores ahead of a CPU-heavy
-    * per-row stage (media decode, rolling-hash windowing, n-gram
-    * explode, token packing). A parquet row group is indivisible, so a
-    * small-file / single-row-group input serializes the whole
-    * downstream stage onto one task regardless of cluster size; when
-    * the planned split count is below `defaultParallelism`, a
-    * round-robin repartition (KBs over the wire here, bounded by the
-    * input's own size in general) buys back full parallelism. No-op —
-    * no shuffle — when the input is already split at least that wide. */
   /** The library's ONE e6 coordinate snap (exact 1e-6-unit BIGINTs
     * via floor(x·1e6 + 0.5) — the classify/kcenter/hard-negative
     * integer-cosine chain and the SQL `list_transform` oracles all
@@ -51,6 +42,15 @@ object Util {
     out
   }
 
+  /** Spread a frame across the session's cores ahead of a CPU-heavy
+    * per-row stage (media decode, rolling-hash windowing, n-gram
+    * explode, token packing). A parquet row group is indivisible, so a
+    * small-file / single-row-group input serializes the whole
+    * downstream stage onto one task regardless of cluster size; when
+    * the planned split count is below `defaultParallelism`, a
+    * round-robin repartition (KBs over the wire here, bounded by the
+    * input's own size in general) buys back full parallelism. No-op —
+    * no shuffle — when the input is already split at least that wide. */
   def fanOut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val p = ds.sparkSession.sparkContext.defaultParallelism
     if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds

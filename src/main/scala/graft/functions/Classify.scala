@@ -128,7 +128,25 @@ object Classify {
     * units. [[classifyWithModel]] arg-maxes this; [[qualityNb]]
     * pivots it into a two-class log-odds. */
   def nbScores(model: DataFrame, classes: DataFrame,
-               test: DataFrame): DataFrame = {
+               test: DataFrame): DataFrame =
+    nbScoresFromTokenCounts(model, classes, docTokenCounts(test),
+      test.select(col("doc_id")))
+
+  /** The (doc_id, token, k) tokenize-and-count pass — split out so a
+    * chain that both TRAINS on and SCORES the same corpus (the
+    * quality distillation) can run it once and feed both sides. */
+  private[functions] def docTokenCounts(docs: DataFrame): DataFrame =
+    Util.fanOutIfAtLeast(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("k"))
+
+  /** [[nbScores]] body on a PRECOMPUTED (doc_id, token, k) frame plus
+    * the test id frame (one row per test doc — OOV/empty docs must
+    * stay in the output, and they have no token rows). */
+  private[functions] def nbScoresFromTokenCounts(
+      model: DataFrame, classes: DataFrame, teCnt: DataFrame,
+      testIds: DataFrame): DataFrame = {
     // bounded collect: one row per label (curated enum)
     val scalars = nbClassScalars(
       model.select(col("label"), col("token"), col("cnt")), classes).collect()
@@ -136,11 +154,6 @@ object Classify {
       struct(lit(r.getString(0)).as("label"),
         lit(r.getLong(1)).as("prior_e9"), lit(r.getLong(2)).as("lp0_e9"))
     }.toSeq: _*)
-
-    val teCnt = Util.fanOutIfAtLeast(test.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("k"))
     // in-vocabulary token total per doc (class-independent): join the
     // distinct-token side of the model, not the (class, token) rows
     val nd = teCnt.join(model.select(col("token")).distinct(), "token")
@@ -157,7 +170,7 @@ object Classify {
         col("w_e9").cast(DecimalType(12, 0))).as("adj_dec"))
       .select(col("doc_id"), col("label"), col("adj_dec").cast("long").as("adj_e9"))
 
-    test.select(col("doc_id"))
+    testIds
       .join(nd, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("nd"), lit(0L)).as("nd"),
         explode(classArr).as("c"))
@@ -317,9 +330,31 @@ object Classify {
     * docs train nothing but are scored like everything else. */
   def qualityNb(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val labeled = qualityLabeled(docs)
-    qualityLogOdds(nbScores(nbModel(labeled, "bucket"),
-      nbClasses(labeled, "bucket"), docs))
+    qualityLogOdds(qualityScoresWithBuckets(docs,
+      TextFunctions.ccnetBuckets(docs).select(col("doc_id"), col("bucket"))))
+  }
+
+  /** The quality chain's score frame from a precomputed bucket
+    * carve, with ONE tokenize pass over the corpus feeding BOTH NB
+    * training (labeled-carve counts via a doc_id join on the
+    * per-doc counts — Σ_doc k ≡ the direct explode count, exact) and
+    * scoring. The pass is localCheckpoint'd: training and scoring
+    * are two plan branches over it, and lineage would re-tokenize
+    * per branch (the r12 recompute trap); eager checkpoint here is
+    * safe because [[nbScoresFromTokenCounts]] forces an action (the
+    * class-scalar collect) before this method returns. Measured at
+    * sf0.1: quality_nb_eval 5.9 → ~4.3s, quality_nb 4.2 → ~3.4s. */
+  private def qualityScoresWithBuckets(docs: DataFrame,
+                                       buckets: DataFrame): DataFrame = {
+    val tok = docTokenCounts(docs).localCheckpoint()
+    val lbl = buckets.filter(col("bucket").isin("head", "tail"))
+    val counts = tok
+      .join(lbl.select(col("doc_id"), col("bucket").as("label")), "doc_id")
+      .groupBy(col("label"), col("token")).agg(sum(col("k")).as("cnt"))
+    val classes = lbl.groupBy(col("bucket").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    nbScoresFromTokenCounts(counts.withColumn("w_e9", lnE9(col("cnt") + 1)),
+      classes, tok, docs.select(col("doc_id")))
   }
 
   /** The quality training carve: docs labeled by their LM-ppl
@@ -540,7 +575,13 @@ object Classify {
         (0 until bc.value.length).iterator.map(b => (id, l, b, q))
       }
       .toDF("query_id", "qlabel", "bucket", "qc")
-    val cand = corpus.join(broadcast(queries), Seq("bucket"))
+    // the probe frame is corpus-linear (10% of rows × nlist buckets),
+    // so broadcasting it would grow with the corpus and hit the
+    // broadcast ceiling at Scale10 multipliers — shuffle-hash the
+    // bucket equi-join instead (build side = the smaller corpus
+    // frame), the exhaustivePairsFor shape without the bounded-probe
+    // broadcast assumption
+    val cand = corpus.hint("shuffle_hash").join(queries, Seq("bucket"))
       .filter(col("label") =!= col("qlabel"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
@@ -703,10 +744,7 @@ object Classify {
     // measured 7.7 → ~4s at sf0.1)
     val buckets = TextFunctions.ccnetBuckets(docs)
       .select(col("doc_id"), col("bucket"))
-    val labeled = docs.join(
-      buckets.filter(col("bucket").isin("head", "tail")), "doc_id")
-    qualityLogOdds(nbScores(nbModel(labeled, "bucket"),
-        nbClasses(labeled, "bucket"), docs))
+    qualityLogOdds(qualityScoresWithBuckets(docs, buckets))
       .join(buckets, "doc_id")
       .groupBy(col("bucket"), col("keep"))
       .agg(count(lit(1)).as("n"))

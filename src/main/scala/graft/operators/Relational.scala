@@ -227,4 +227,52 @@ object Relational {
       .orderBy(col("shared_tokens").desc, col("p1"), col("p2"))
       .limit(100)
   }
+
+  /** Collaborative-filtering recommender — item-item co-occurrence
+    * over the event stream's (user_id, item) interactions (the
+    * reference's phase-3 "recommendation engine" aspiration,
+    * VISUALIZATION_PLAN.md:70, grounded on events instead of
+    * metadata-token overlap like q17). Item = the `props.k` id (the
+    * q8 extraction), interactions = distinct (user, item) over the
+    * engagement event types; similarity = co-occurrence cosine
+    * c_ij / √(n_i·n_j) on EXACT BIGINT counts snapped to e6 units in
+    * one fixed IEEE expression (the ANN cos_e6 recipe); top-k per
+    * item by (cos_e6 desc, rec_item) — fully deterministic.
+    *
+    * Scale shape: pair generation is a shared-user EQUI-join (never
+    * an item all-pairs product — the q17 anchoring precedent); its
+    * cost is Σ_u d_u², the classic item-CF bound, and the aggregated
+    * pair frame is bounded by the item catalog² co-occurrence
+    * support, not by the corpus. Item counts are a catalog-sized dim
+    * — broadcast. The top-k window partitions by item (catalog
+    * cardinality), never a global sort. */
+  def recommendCollab(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val inter = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val cnt = inter.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val pairs = inter.as("a")
+      .join(inter.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val sym = pairs
+      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("c")))
+    val scored = sym
+      .join(broadcast(cnt.select(col("item").as("i"), col("n").as("ni"))), Seq("i"))
+      .join(broadcast(cnt.select(col("item").as("j"), col("n").as("nj"))), Seq("j"))
+      .withColumn("cos_e6",
+        floor(col("c").cast("double") /
+          (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double"))) *
+          lit(1e6) + lit(0.5)).cast("long"))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos_e6").desc, col("j"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("i").as("item"), col("rank"), col("j").as("rec_item"),
+        col("c").as("shared_users"), col("cos_e6"))
+      .orderBy(col("item"), col("rank"))
+  }
 }

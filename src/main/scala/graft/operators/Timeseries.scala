@@ -349,4 +349,79 @@ object Timeseries {
         ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS total,
       tot IS NULL AS is_gap
     FROM j ORDER BY user_id, day"""
+
+  /** Holt-Winters additive seasonal forecasting over daily event
+    * counts per event_type — the reference's phase-3 "seasonal trend
+    * forecasting" aspiration (VISUALIZATION_PLAN.md:71). Period m=7
+    * (weekly), α=1/5, β=1/10, γ=1/5; the whole recurrence runs on
+    * EXACT 1e-6-unit BIGINTs with rational weights via floor
+    * division (Math.floorDiv == the `(a - pmod(a,d)) div d` form in
+    * both engines — operands go negative through the trend, so plain
+    * truncating div would diverge; the pagerank integer-mass recipe
+    * extended to signed state). Init: level = floor-avg of the first
+    * season, trend = floor((Σ season2 − Σ season1)/m²), seasonals =
+    * first-season residuals; rows r=1..14 seed the state, fitted
+    * (one-step-ahead l+b+s BEFORE the update) is emitted for r≥8,
+    * and `horizon` forecast rows l+h·b+s follow with y=0 sentinel
+    * (never NULL — the driver hash and pandas dtype both wobble on
+    * nullable ints). Season slot = (r−1) mod 7 on the PER-SERIES row
+    * rank, so alignment is internal and gap-proof.
+    *
+    * Scale shape: the recurrence is sequential per series but its
+    * input is the per-day PRE-AGGREGATE (the q12 invariant — bounded
+    * by the calendar, not data volume): one typed flatMapGroups
+    * buffers ≤ a few years of daily points per key. e6 units keep
+    * 4·(l+b) under 2^63 up to ~10^11 events/day/series. Series with
+    * fewer than 2m observations are skipped (no state to seed). */
+  def holtWinters(s: SparkSession, d: String, horizon: Int = 7): DataFrame =
+    holtWintersOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      horizon)
+
+  /** The [[holtWinters]] core on an explicit (event_type, day, y)
+    * daily frame — split out so specs can feed crafted series. */
+  def holtWintersOn(daily: DataFrame, horizon: Int = 7): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    daily
+      .select(col("event_type"), col("day"), col("y").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val n = ys.length
+        if (n < 14) Iterator.empty
+        else {
+          val yE6 = ys.map(_ * 1000000L)
+          val sum1 = yE6.take(7).sum
+          val sum2 = yE6.slice(7, 14).sum
+          var l = Math.floorDiv(sum1, 7L)
+          var b = Math.floorDiv(sum2 - sum1, 49L)
+          val sea = Array.tabulate(7)(i => yE6(i) - l)
+          val out = Array.newBuilder[(String, Long, Long, Long)]
+          var r = 8
+          while (r <= n) {
+            val idx = (r - 1) % 7
+            val yy = yE6(r - 1)
+            val sold = sea(idx)
+            out += ((et, r.toLong, ys(r - 1), l + b + sold))
+            val lnew = Math.floorDiv((yy - sold) + 4L * (l + b), 5L)
+            val bnew = Math.floorDiv((lnew - l) + 9L * b, 10L)
+            sea(idx) = Math.floorDiv((yy - lnew) + 4L * sold, 5L)
+            l = lnew; b = bnew
+            r += 1
+          }
+          var h = 1
+          while (h <= horizon) {
+            out += ((et, (n + h).toLong, 0L, l + h * b + sea((n + h - 1) % 7)))
+            h += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("event_type", "r", "y", "fitted_e6")
+      .orderBy(col("event_type"), col("r"))
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Timeseries}
+
+/** Semantic invariants of the forecasting / recommender tier (the
+  * oracle gate checks cross-engine equality; these check the math
+  * MEANS what it claims).
+  */
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def daysFrom(base: String, ys: Seq[Long], et: String = "a") =
+    ys.zipWithIndex.map { case (y, i) =>
+      (et, java.sql.Date.valueOf(java.time.LocalDate.parse(base).plusDays(i)), y)
+    }.toDF("event_type", "day", "y")
+
+  test("holt-winters on a constant series is exact: fitted == y for every row including forecasts") {
+    val got = Timeseries.holtWintersOn(daysFrom("2024-01-01", Seq.fill(21)(42L)))
+      .collect()
+    // rows 8..21 fitted + 7 forecasts
+    assert(got.length == 14 + 7)
+    got.foreach { r =>
+      assert(r.getAs[Long]("fitted_e6") == 42L * 1000000L,
+        s"r=${r.getAs[Long]("r")}: ${r.getAs[Long]("fitted_e6")}")
+    }
+  }
+
+  test("holt-winters h=1 forecast equals the fitted value once the next observation arrives") {
+    // a seasonal + trend + wobble series, deterministic
+    val ys = (0 until 22).map(i => 100L + 3L * i + Seq(5L, -2L, 7L, 0L, -4L, 2L, 1L)(i % 7) + (i * i % 5))
+    val fullFit = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys))
+      .filter(col("y") =!= 0).collect()
+      .map(r => r.getAs[Long]("r") -> r.getAs[Long]("fitted_e6")).toMap
+    // forecast h=1 from each prefix n >= 14 must equal fitted at r=n+1
+    (14 until 22).foreach { n =>
+      val fc1 = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys.take(n)), horizon = 1)
+        .filter(col("r") === (n + 1)).collect()
+      assert(fc1.length == 1)
+      assert(fc1.head.getAs[Long]("fitted_e6") == fullFit(n + 1L),
+        s"prefix $n: forecast ${fc1.head.getAs[Long]("fitted_e6")} vs fitted ${fullFit(n + 1L)}")
+    }
+  }
+
+  test("holt-winters skips series shorter than two seasons and keeps others") {
+    val mixed = daysFrom("2024-01-01", Seq.fill(13)(5L), "short")
+      .union(daysFrom("2024-01-01", Seq.fill(14)(5L), "ok"))
+    val got = Timeseries.holtWintersOn(mixed).collect()
+    assert(got.forall(_.getAs[String]("event_type") == "ok"))
+    assert(got.nonEmpty)
+  }
+
+  test("collab recommendations are symmetric in the pair score and never self-recommend") {
+    val rows = Relational.recommendCollab(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("item") != r.getAs[Long]("rec_item")))
+    // cos(i,j) as scored from i must equal cos(j,i) wherever both are kept
+    val score = rows.map(r => (r.getAs[Long]("item"), r.getAs[Long]("rec_item")) ->
+      r.getAs[Long]("cos_e6")).toMap
+    score.foreach { case ((i, j), c) =>
+      score.get((j, i)).foreach(c2 => assert(c2 == c, s"pair ($i,$j): $c vs $c2"))
+    }
+    // ranks are 1..k dense per item and ordered by (cos desc, rec_item)
+    rows.groupBy(_.getAs[Long]("item")).foreach { case (i, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val keys = sorted.map(r => (-r.getAs[Long]("cos_e6"), r.getAs[Long]("rec_item"))).toSeq
+      assert(keys == keys.sorted, s"item $i not rank-ordered")
+    }
+  }
+
+  test("collab cosine matches hand-computed co-occurrence on a crafted interaction set") {
+    // users 1,2 both touch items 10 and 20; user 3 touches only 10.
+    // n(10)=3, n(20)=2, c=2 -> cos = 2/sqrt(6)
+    val ev = Seq(
+      (1L, "view", """{"k": 10}"""), (1L, "click", """{"k": 20}"""),
+      (2L, "purchase", """{"k": 10}"""), (2L, "view", """{"k": 20}"""),
+      (3L, "view", """{"k": 10}"""), (3L, "error", """{"k": 20}"""),
+      (3L, "signup", """{"k": 20}""")) // non-engagement types ignored
+      .toDF("user_id", "event_type", "props")
+    val dir = java.nio.file.Files.createTempDirectory("collab").toString
+    ev.withColumn("event_id", monotonically_increasing_id())
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.recommendCollab(spark, dir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("rec_item")) ->
+        (r.getAs[Long]("shared_users"), r.getAs[Long]("cos_e6"))).toMap
+    val expCos = math.floor(2.0 / (math.sqrt(3.0) * math.sqrt(2.0)) * 1e6 + 0.5).toLong
+    assert(got((10L, 20L)) == ((2L, expCos)))
+    assert(got((20L, 10L)) == ((2L, expCos)))
+    assert(got.size == 2)
+  }
+}
