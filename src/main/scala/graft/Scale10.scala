@@ -100,6 +100,48 @@ object Scale10 {
     // a query×corpus product; replicas are exact twins, so output
     // stays top-k-capped per query
     t(s"hamming_topk_${mult}x")(operators.Dedup.hammingTopK(docs).count())
+    // stored-index top-k SERVING (r15): the corpus artifact is
+    // written once at mult×; each serve hashes only the fixed 50-doc
+    // query batch and equi-joins the index — per-serve cost must
+    // track the index scan (cheap columnar read, linear in mult) and
+    // output stays batch-bound (the dedupIncremental shape with a
+    // rank cut)
+    locally {
+      val root = s"/tmp/scale_topkserve_$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val queries = Tables.documents(spark, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 950000000L)
+      t(s"simhash_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/simhash"), true)
+        operators.Dedup.writeSimhashIndex(docs, s"$root/simhash")
+        spark.read.parquet(s"$root/simhash").count()
+      }
+      t(s"hamming_topk_serve_${mult}x")(
+        operators.Dedup.hammingTopKServeBatch(spark, s"$root/simhash",
+          queries).count())
+      t(s"jaccard_band_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands"), true)
+        operators.Dedup.writeBandIndex(docs, s"$root/bands")
+        spark.read.parquet(s"$root/bands").count()
+      }
+      // the rerank shingles corpus TEXT only for candidate ids — at
+      // mult× every replica of a hit is a candidate, so output (and
+      // the pruned shingle pass) grows with the replica count, not
+      // the corpus
+      t(s"jaccard_topk_serve_${mult}x")(
+        operators.Dedup.jaccardTopKServeBatch(spark, s"$root/bands",
+          docs, queries).count())
+      t(s"phash_index_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/phash"), true)
+        sources.Multimodal.writePhashIndex(docs, s"$root/phash")
+        spark.read.parquet(s"$root/phash").count()
+      }
+      t(s"phash_topk_serve_${mult}x")(
+        sources.Multimodal.phashTopKServeBatch(spark, s"$root/phash",
+          queries).count())
+    }
     // the trained NB gate loop: training is one explode + a
     // (label, token) partial agg (linear in the corpus); serving a
     // fixed 5k-doc day joins its token counts to the VOCAB-sized

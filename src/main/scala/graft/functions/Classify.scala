@@ -656,8 +656,8 @@ object Classify {
     * concurrent readers), then the live generation stages aside as
     * `.old` (one pinned-reader grace generation) and the rebuilt one
     * renames in — the library-wide compactInPlace discipline. */
-  private def swapRewrite(s: SparkSession, dir: String)
-                         (write: String => Unit): Unit = {
+  private[graft] def swapRewrite(s: SparkSession, dir: String)
+                                (write: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     def p(x: String) = new org.apache.hadoop.fs.Path(x)

@@ -1494,23 +1494,34 @@ object Dedup {
     * bands only itself — the [[dedupIncremental]] shape with a rank
     * cut instead of the pair dump. */
   def jaccardTopK(docs: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cand = minhashCandidates(docs).select(col("d1"), col("d2"))
     val qcand = cand.filter(col("d1") < 50)
         .select(col("d1").as("q_id"), col("d2").as("doc_id"))
       .unionByName(cand.filter(col("d2") < 50)
         .select(col("d2").as("q_id"), col("d1").as("doc_id")))
     val sh = shingles(docs, 3).select(col("doc_id"), col("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    jaccardRerankTopK(qcand,
+      sh.select(col("doc_id").as("q_id"), col("shingle")), sh, k)
+  }
+
+  /** The exact-Jaccard rerank-and-cut shared by the in-query
+    * [[jaccardTopK]] and the stored-index serve
+    * ([[jaccardTopKServeBatch]]) — one contract, so the two cannot
+    * drift. `qcand` = (q_id, doc_id) candidate pairs, `qsh`/`csh` =
+    * (q_id|doc_id, shingle) distinct-shingle frames covering (at
+    * least) the candidates' two sides. */
+  private def jaccardRerankTopK(qcand: DataFrame, qsh: DataFrame,
+                                csh: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("jaccard").desc, col("doc_id"))
     qcand
-      .join(sh.select(col("doc_id").as("q_id"), col("shingle")), Seq("q_id"))
-      .join(sh, Seq("doc_id", "shingle"))
+      .join(qsh, Seq("q_id"))
+      .join(csh, Seq("doc_id", "shingle"))
       .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("q_id"), col("n_sh").as("n1")),
-        Seq("q_id"))
-      .join(sizes.select(col("doc_id"), col("n_sh").as("n2")), Seq("doc_id"))
+      .join(qsh.groupBy(col("q_id")).agg(count(lit(1)).as("n1")), Seq("q_id"))
+      .join(csh.groupBy(col("doc_id")).agg(count(lit(1)).as("n2")),
+        Seq("doc_id"))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n1") + col("n2") - col("shared")))
       .withColumn("rank", row_number().over(w))
@@ -1518,6 +1529,34 @@ object Dedup {
       .select(col("q_id"), col("rank"), col("doc_id"), col("shared"),
         col("jaccard"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Serve jaccard top-k off the maintained band index — the
+    * production form the [[jaccardTopK]] Scaladoc promises: the
+    * standing corpus is banded ONCE ([[writeBandIndex]]); a query
+    * batch bands only itself, equi-joins the index for candidates
+    * (the [[dedupIncrementalStep]] probe, minus the append), and the
+    * exact-shingle rerank touches corpus TEXT only for the candidate
+    * ids (semi-join pruned — the bounded-decode discipline). Query
+    * and corpus ids are independent spaces, so self-exclusion is
+    * OPT-IN (the annIvfServeBatch rule); parity with the in-query
+    * form on a shared id space is spec'd with excludeSelf = true. */
+  def jaccardTopKServeBatch(s: SparkSession, indexDir: String,
+                            corpus: DataFrame, batch: DataFrame,
+                            k: Int = 5,
+                            excludeSelf: Boolean = false): DataFrame = {
+    val cand0 = s.read.parquet(indexDir).as("c")
+      .join(minhashBands(batch).hint("shuffle_hash").as("b"),
+        col("c.band") === col("b.band") && col("c.sig") === col("b.sig"))
+      .select(col("b.doc_id").as("q_id"), col("c.doc_id").as("doc_id"))
+      .distinct()
+    val cand = if (excludeSelf) cand0.filter(col("q_id") =!= col("doc_id"))
+               else cand0
+    val pruned = corpus.join(
+      cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    jaccardRerankTopK(cand,
+      shingles(batch, 3).select(col("doc_id").as("q_id"), col("shingle")),
+      shingles(pruned, 3).select(col("doc_id"), col("shingle")), k)
   }
 
   /** dedup_incremental: NEW-BATCH vs CORPUS near-dup detection — the
@@ -1954,6 +1993,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("d1"), col("d2"))
 
+  // ---- Maintained simhash-signature artifact (hamming serving) ----------
+
+  /** Persist the corpus's SimHash signatures — (doc_id, simhash), 8
+    * stored bytes per doc: the text-hamming analog of
+    * [[graft.sources.Multimodal.writePhashIndex]]. What the index
+    * saves per serve is the corpus tokenize+hash pass; the banding
+    * keys re-derive from the stored signature in pure column
+    * arithmetic, so any (maxHamming, numChunks) geometry can probe
+    * the same artifact. */
+  def writeSimhashIndex(docs: DataFrame, dir: String): Unit =
+    simhashSignatures(docs).write.mode("overwrite").parquet(dir)
+
+  /** Serve hamming top-k off the maintained signature index — the
+    * production form the [[hammingTopK]] Scaladoc promises: the
+    * batch is tokenized+hashed once, both sides band, and they meet
+    * in the one cross-set equi-join; corpus text is never touched.
+    * Self-exclusion is opt-in (independent id spaces — the
+    * annIvfServeBatch rule); parity with the in-query form on a
+    * shared id space is spec'd with excludeSelf = true. */
+  def hammingTopKServeBatch(s: SparkSession, indexDir: String,
+                            batch: DataFrame, k: Int = 5,
+                            maxHamming: Int = 3, numChunks: Int = 6,
+                            excludeSelf: Boolean = false): DataFrame =
+    bandedTopK(s.read.parquet(indexDir), simhashSignatures(batch),
+      "simhash", k, maxHamming, numChunks, excludeSelf)
+
+  /** Periodic maintenance for the simhash-signature artifact —
+    * file-level re-collapse of daily appends (content-identical,
+    * path-stable). */
+  def compactSimhashIndex(s: SparkSession, dir: String,
+                          targetBytes: Long = 128L << 20)
+      : graft.sources.Compact.CompactReport =
+    graft.sources.Compact.compactInPlace(s, dir, targetBytes)
+
+  /** ERASE docs from the maintained simhash index — the forgotten
+    * docs' signature rows rewritten away (a copy of erased content
+    * re-arrives NOVEL; [[forgetFromLineIndex]] has the contract). */
+  def forgetFromSimhashIndex(s: SparkSession, dir: String,
+                             ids: DataFrame): Unit =
+    graft.sources.Compact.compactInPlace(s, dir,
+      transform = _.join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+
   /** hamming_topk over the planted corpus: queries = the original
     * docs that own a planted twin (doc_id < 50), so every query has
     * a known hamming-0 (exact plant) or near-0 (suffixed plant)
@@ -1998,14 +2080,21 @@ object Dedup {
     * modalities (they cannot drift). */
   private[graft] def bandedTopK(sig: DataFrame, queries: DataFrame,
                                 hashCol: String, k: Int, maxHamming: Int,
-                                numChunks: Int): DataFrame = {
+                                numChunks: Int,
+                                excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("doc_id"))
-    bandedHammingCandidatesAcross(sig, queries, hashCol,
+    val cand = bandedHammingCandidatesAcross(sig, queries, hashCol,
         maxHamming, numChunks)
-      .filter(col("hamming") <= maxHamming &&
-        col("corpus_id") =!= col("batch_id"))
+      .filter(col("hamming") <= maxHamming)
+    // the in-query forms draw queries FROM the corpus, so the id
+    // equality really is the self row; serving batches live in an
+    // independent id space, where the same filter would silently
+    // drop a legitimate neighbor (the annIvfServeBatch rule) —
+    // exclusion is the caller's choice
+    (if (excludeSelf) cand.filter(col("corpus_id") =!= col("batch_id"))
+     else cand)
       .select(col("batch_id").as("q_id"), col("corpus_id").as("doc_id"),
         col("hamming"))
       .withColumn("rank", row_number().over(w))

@@ -246,33 +246,6 @@ object Relational {
     * support, not by the corpus. Item counts are a catalog-sized dim
     * — broadcast. The top-k window partitions by item (catalog
     * cardinality), never a global sort. */
-  def recommendCollab(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val inter = Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
-      .distinct()
-    val cnt = inter.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    val pairs = inter.as("a")
-      .join(inter.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-      .agg(count(lit(1)).as("c"))
-    val sym = pairs
-      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("c")))
-    val scored = sym
-      .join(broadcast(cnt.select(col("item").as("i"), col("n").as("ni"))), Seq("i"))
-      .join(broadcast(cnt.select(col("item").as("j"), col("n").as("nj"))), Seq("j"))
-      .withColumn("cos_e6",
-        floor(col("c").cast("double") /
-          (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double"))) *
-          lit(1e6) + lit(0.5)).cast("long"))
-    val w = Window.partitionBy(col("i")).orderBy(col("cos_e6").desc, col("j"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("i").as("item"), col("rank"), col("j").as("rec_item"),
-        col("c").as("shared_users"), col("cos_e6"))
-      .orderBy(col("item"), col("rank"))
-  }
+  def recommendCollab(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    Recommend.recommendTopK(Recommend.interactions(Tables.events(s, d)), k)
 }

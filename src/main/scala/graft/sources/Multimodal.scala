@@ -500,6 +500,22 @@ object Multimodal {
   def writePhashIndex(docs: DataFrame, dir: String): Unit =
     phashSignatures(docs).write.mode("overwrite").parquet(dir)
 
+  /** Serve reverse-image top-k off the maintained signature index —
+    * the production form the [[phashTopK]] Scaladoc promises: the
+    * query batch is decoded+hashed once, the corpus side reads 8
+    * bytes per image from the artifact (never re-decoding), and both
+    * meet in the shared banded core. Self-exclusion is opt-in
+    * (independent id spaces — the annIvfServeBatch rule); parity
+    * with the in-query form on a shared id space is spec'd with
+    * excludeSelf = true. */
+  def phashTopKServeBatch(s: SparkSession, indexDir: String,
+                          batch: DataFrame, k: Int = 5,
+                          maxHamming: Int = 3, numChunks: Int = 6,
+                          excludeSelf: Boolean = false): DataFrame =
+    graft.operators.Dedup.bandedTopK(s.read.parquet(indexDir),
+      phashSignatures(batch), "phash", k, maxHamming, numChunks,
+      excludeSelf)
+
   /** One day of the image-dedup production loop: decode + hash the
     * arriving batch ONCE, detect its near-dups against the maintained
     * signature index (cross-set banding join — corpus images never

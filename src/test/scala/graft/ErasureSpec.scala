@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Classify
-import graft.operators.{Dedup, Search, Similarity}
+import graft.operators.{Dedup, Recommend, Search, Similarity}
 import graft.sources.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -51,8 +51,10 @@ class ErasureSpec extends SparkSpec {
     "forgetFromLineIndex", "forgetFromWinnowIndex",
     "forgetFromEmbCodeIndex", "forgetFromClusterIndex",
     "forgetFromKnnGraph", "deleteFromKnnGraph", "forgetFromPhashIndex",
+    "forgetFromSimhashIndex",
     "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel",
-    "forgetFromCentroidModel", "forgetFromQualityModel")
+    "forgetFromCentroidModel", "forgetFromQualityModel",
+    "forgetFromCfModel")
 
   test("keeper-attributed fingerprint indexes forget") {
     locally {
@@ -106,6 +108,21 @@ class ErasureSpec extends SparkSpec {
         .filter(col("doc_id").isin(victims: _*)).count() > 0)
       Multimodal.forgetFromPhashIndex(spark, dir, victimsDf("doc_id"))
       assertClean("phash_index", dir, Seq("doc_id"))
+    }
+    locally {
+      val dir = tmp("er-simhash")
+      Dedup.writeSimhashIndex(docs, dir)
+      assert(spark.read.parquet(dir)
+        .filter(col("doc_id").isin(victims: _*)).count() > 0)
+      Dedup.forgetFromSimhashIndex(spark, dir, victimsDf("doc_id"))
+      assertClean("simhash_index", dir, Seq("doc_id"))
+      // the serve keeps running over survivors: a forgotten doc's
+      // exact twin (same text, new id) finds NO hamming-0 neighbor
+      // at the forgotten id
+      val twin = docs.filter(col("doc_id") === 0L)
+        .withColumn("doc_id", col("doc_id") + 5000L)
+      val hits = Dedup.hammingTopKServeBatch(spark, dir, twin).collect()
+      assert(hits.forall(r => !victims.contains(r.getAs[Long]("doc_id"))))
     }
   }
 
@@ -320,9 +337,33 @@ class ErasureSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("CF model erasure == fresh training of the surviving users") {
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val dir = tmp("er-cf")
+    Recommend.writeCfModel(inter, dir)
+    // victims leave as WHOLE USERS (the CF maintenance contract) —
+    // the caller passes their full interaction sets
+    Recommend.forgetFromCfModel(
+      inter.filter(col("user_id").isin(victims: _*)), dir)
+    val fresh = tmp("er-cf-fresh")
+    Recommend.writeCfModel(
+      inter.filter(!col("user_id").isin(victims: _*)), fresh)
+    def sorted(d: String, sub: String, cols: Seq[String]) =
+      spark.read.parquet(s"$d/$sub").orderBy(cols.map(col): _*)
+        .collect().toSeq
+    assert(sorted(dir, "pairs", Seq("i", "j")) ==
+      sorted(fresh, "pairs", Seq("i", "j")))
+    assert(sorted(dir, "items", Seq("item")) ==
+      sorted(fresh, "items", Seq("item")))
+    // and the served top-k is the survivors' top-k
+    assert(Recommend.recommendTopKFromModel(spark, dir).collect().toSeq ==
+      Recommend.recommendTopKFromModel(spark, fresh).collect().toSeq)
+  }
+
   test("every forget/delete verb in the library is exercised by this suite") {
     val objs = Seq[AnyRef](Dedup, Similarity, Search, Multimodal, Pipeline,
-      Classify)
+      Classify, Recommend)
     val verbs = objs.flatMap(_.getClass.getDeclaredMethods.toSeq
         .map(_.getName)
         .filter(n => (n.startsWith("forgetFrom") || n.startsWith("deleteFrom"))

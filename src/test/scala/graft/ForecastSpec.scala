@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Relational, Timeseries}
+import graft.operators.{Recommend, Relational, Timeseries}
 
 /** Semantic invariants of the forecasting / recommender tier (the
   * oracle gate checks cross-engine equality; these check the math
@@ -90,5 +90,52 @@ class ForecastSpec extends SparkSpec {
     assert(got((10L, 20L)) == ((2L, expCos)))
     assert(got((20L, 10L)) == ((2L, expCos)))
     assert(got.size == 2)
+  }
+
+  private def tmpDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/cf"
+
+  test("CF model: stored-model top-k == in-query; append of new users == fresh training") {
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val dir = tmpDir("cf-serve")
+    Recommend.writeCfModel(inter, dir)
+    assert(Recommend.recommendTopKFromModel(spark, dir).collect().toSeq ==
+      Recommend.recommendTopK(inter).collect().toSeq)
+    // a day of NEW users (disjoint user ids) folds in exactly
+    val day = inter.withColumn("user_id", col("user_id") + 1000L)
+      .filter(col("user_id") % 3 === 0)
+    Recommend.appendToCfModel(day, dir)
+    val fresh = tmpDir("cf-fresh")
+    Recommend.writeCfModel(inter.unionByName(day), fresh)
+    assert(Recommend.recommendTopKFromModel(spark, dir).collect().toSeq ==
+      Recommend.recommendTopKFromModel(spark, fresh).collect().toSeq)
+    assert(spark.read.parquet(s"$dir/pairs").orderBy("i", "j").collect().toSeq
+      == spark.read.parquet(s"$fresh/pairs").orderBy("i", "j").collect().toSeq)
+  }
+
+  test("per-user recommendations exclude the user's own history and rank by summed cosine") {
+    import spark.implicits._
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val dir = tmpDir("cf-users")
+    Recommend.writeCfModel(inter, dir)
+    val history = inter.filter(col("user_id") < 3)
+    val recs = Recommend.recommendForUsers(spark, dir, history, n = 5)
+      .collect()
+    assert(recs.nonEmpty)
+    val hist = history.as[(Long, Long)].collect().toSet
+    recs.foreach { r =>
+      assert(!hist.contains((r.getAs[Long]("user_id"),
+        r.getAs[Long]("rec_item"))), "recommended an already-touched item")
+    }
+    // rank order: (score desc, rec_item) dense from 1 per user
+    recs.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val keys = byRank.map(r => (-r.getAs[Long]("score_e6"),
+        r.getAs[Long]("rec_item"))).toSeq
+      assert(keys == keys.sorted)
+    }
   }
 }
