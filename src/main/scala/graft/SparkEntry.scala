@@ -39,6 +39,7 @@ object SparkEntry {
     "q17_recommend"      -> Relational.q17Recommend _,
     "recommend_collab"   -> ((s, d) => Relational.recommendCollab(s, d)),
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
+    "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
     "retention_cohorts"   -> Timeseries.retentionCohorts _,
@@ -194,6 +195,69 @@ object SparkEntry {
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_excise" -> Dedup.dedupChunksExcise _,
   )
+
+  /** The Holt-Winters recursive-CTE chain (daily counts -> seeded
+    * state -> one recursion step per day -> final-state forecasts)
+    * shared by the holt_winters and forecast_anomaly oracles — one
+    * replay of the recurrence, two readouts. */
+  private val holtWintersCtes: String = """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, y,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS r,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM daily),
+      init AS (
+        SELECT event_type, n,
+          SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
+          SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
+          list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
+        FROM seq WHERE n >= 14 GROUP BY event_type, n),
+      st0 AS (
+        SELECT event_type, n,
+          CAST(sum1 // 7 AS BIGINT) AS l,
+          CAST(((sum2 - sum1) - (((sum2 - sum1) % 49 + 49) % 49)) // 49
+            AS BIGINT) AS b,
+          list_transform(ys, v -> CAST(v - sum1 // 7 AS BIGINT)) AS s
+        FROM init),
+      hw AS (
+        SELECT event_type, n, CAST(7 AS BIGINT) AS r, l, b, s,
+          CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
+        FROM st0
+        UNION ALL
+        SELECT event_type, n, r,
+          lnew AS l,
+          (((lnew - l) + 9*b) - ((((lnew - l) + 9*b) % 10 + 10) % 10)) // 10
+            AS b,
+          list_transform(range(1, 8), i -> CASE WHEN i = idx
+            THEN (((yy - lnew) + 4*sold)
+                  - ((((yy - lnew) + 4*sold) % 5 + 5) % 5)) // 5
+            ELSE s[i] END) AS s,
+          y,
+          l + b + sold AS fitted
+        FROM (
+          SELECT h.event_type, h.n, q.r, q.y * 1000000 AS yy, q.y, h.l, h.b,
+            h.s,
+            CAST((q.r - 1) % 7 + 1 AS INT) AS idx,
+            h.s[CAST((q.r - 1) % 7 + 1 AS INT)] AS sold,
+            (((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
+               + 4*(h.l + h.b))
+              - ((((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
+                   + 4*(h.l + h.b)) % 5 + 5) % 5)) // 5 AS lnew
+          FROM hw h JOIN seq q
+            ON q.event_type = h.event_type AND q.r = h.r + 1)),
+      fin AS (
+        SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
+          max_by(s, r) AS s
+        FROM hw GROUP BY event_type, n),
+      fc AS (
+        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
+          l + h * b + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
+        FROM fin, (SELECT unnest(range(1, 8)) AS h))"""
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
     * data-dependent entries (ann_ivf embeds its trained centroids as
@@ -831,69 +895,29 @@ object SparkEntry {
     // series, lateral aliases sequence lnew→bnew→snew, floor division
     // via the exactly-divisible (a - pmod(a,d)) // d form (operands
     // go negative through the trend)
-    "holt_winters" -> """
-      WITH RECURSIVE daily AS (
-        SELECT event_type, CAST(ts AS DATE) AS day,
-          CAST(count(*) AS BIGINT) AS y
-        FROM events GROUP BY 1, 2),
-      seq AS (
-        SELECT event_type, y,
-          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-            AS BIGINT) AS r,
-          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        FROM daily),
-      init AS (
-        SELECT event_type, n,
-          SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
-          SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
-          list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
-        FROM seq WHERE n >= 14 GROUP BY event_type, n),
-      st0 AS (
-        SELECT event_type, n,
-          CAST(sum1 // 7 AS BIGINT) AS l,
-          CAST(((sum2 - sum1) - (((sum2 - sum1) % 49 + 49) % 49)) // 49
-            AS BIGINT) AS b,
-          list_transform(ys, v -> CAST(v - sum1 // 7 AS BIGINT)) AS s
-        FROM init),
-      hw AS (
-        SELECT event_type, n, CAST(7 AS BIGINT) AS r, l, b, s,
-          CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
-        FROM st0
-        UNION ALL
-        SELECT event_type, n, r,
-          lnew AS l,
-          (((lnew - l) + 9*b) - ((((lnew - l) + 9*b) % 10 + 10) % 10)) // 10
-            AS b,
-          list_transform(range(1, 8), i -> CASE WHEN i = idx
-            THEN (((yy - lnew) + 4*sold)
-                  - ((((yy - lnew) + 4*sold) % 5 + 5) % 5)) // 5
-            ELSE s[i] END) AS s,
-          y,
-          l + b + sold AS fitted
-        FROM (
-          SELECT h.event_type, h.n, q.r, q.y * 1000000 AS yy, q.y, h.l, h.b,
-            h.s,
-            CAST((q.r - 1) % 7 + 1 AS INT) AS idx,
-            h.s[CAST((q.r - 1) % 7 + 1 AS INT)] AS sold,
-            (((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
-               + 4*(h.l + h.b))
-              - ((((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
-                   + 4*(h.l + h.b)) % 5 + 5) % 5)) // 5 AS lnew
-          FROM hw h JOIN seq q
-            ON q.event_type = h.event_type AND q.r = h.r + 1)),
-      fin AS (
-        SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
-          max_by(s, r) AS s
-        FROM hw GROUP BY event_type, n),
-      fc AS (
-        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
-          l + h * b + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
-        FROM fin, (SELECT unnest(range(1, 8)) AS h))
+    "holt_winters" -> (holtWintersCtes + """
       SELECT event_type, CAST(r AS BIGINT) AS r, y,
         CAST(fitted AS BIGINT) AS fitted_e6
       FROM (SELECT event_type, r, y, fitted FROM hw WHERE r >= 8
             UNION ALL SELECT * FROM fc)
-      ORDER BY event_type, r""",
+      ORDER BY event_type, r"""),
+
+    // the HW chain's residual monitor: resid and the mean-absolute
+    // scale stay BIGINT end to end (non-negative sums, so // == div)
+    "forecast_anomaly" -> (holtWintersCtes + """,
+      fit AS (
+        SELECT event_type, r, y, fitted, y * 1000000 - fitted AS resid
+        FROM hw WHERE r >= 8),
+      marr AS (
+        SELECT event_type,
+          CAST(SUM(ABS(resid)) // COUNT(*) AS BIGINT) AS mar
+        FROM fit GROUP BY event_type)
+      SELECT f.event_type, CAST(f.r AS BIGINT) AS r, f.y,
+        CAST(f.fitted AS BIGINT) AS fitted_e6,
+        CAST(f.resid AS BIGINT) AS resid_e6, m.mar AS mar_e6,
+        ABS(f.resid) > 3 * m.mar AS is_anomaly
+      FROM fit f JOIN marr m USING (event_type)
+      ORDER BY f.event_type, f.r"""),
 
     "q18_stream_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -901,6 +925,7 @@ object SparkEntry {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
 
     "q22_above_avg" -> """
       SELECT p_partkey, p_brand, p_retailprice FROM part p

@@ -380,6 +380,40 @@ object Timeseries {
         .agg(count(lit(1)).as("y")),
       horizon)
 
+  /** Forecast-residual anomaly monitor over the [[holtWinters]] fit
+    * — the "is today off-trend?" readout a forecasting dashboard
+    * gates on: per observed day, residual = y − fitted (exact e6
+    * BIGINTs), flagged when |residual| exceeds `k` × the series'
+    * mean absolute residual (an integer-algebra robust scale: one
+    * floor division per series — no float accumulation anywhere, so
+    * the flag boundary is exact cross-engine). The seasonal model
+    * absorbs weekly structure, so the flag fires on genuinely
+    * off-pattern days, not on seasonality. */
+  def forecastAnomaly(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    forecastAnomalyOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      k)
+
+  /** The [[forecastAnomaly]] core on an explicit daily frame — split
+    * out so specs can plant off-trend days. */
+  def forecastAnomalyOn(daily: DataFrame, k: Int = 3): DataFrame = {
+    val fit = holtWintersOn(daily).filter(col("y") > 0)
+      .withColumn("resid_e6", col("y") * lit(1000000L) - col("fitted_e6"))
+    // |resid| sums are non-negative, so truncating div == floor div
+    // in both engines (the pagerank rule); `div` keeps the whole
+    // chain in BIGINT — no double division anywhere
+    val mar = fit.groupBy(col("event_type"))
+      .agg(sum(abs(col("resid_e6"))).as("sar"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), expr("sar div cnt").as("mar_e6"))
+    fit.join(mar, "event_type")
+      .select(col("event_type"), col("r"), col("y"), col("fitted_e6"),
+        col("resid_e6"), col("mar_e6"),
+        (abs(col("resid_e6")) > lit(k) * col("mar_e6")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("r"))
+  }
+
   /** The [[holtWinters]] core on an explicit (event_type, day, y)
     * daily frame — split out so specs can feed crafted series. */
   def holtWintersOn(daily: DataFrame, horizon: Int = 7): DataFrame = {

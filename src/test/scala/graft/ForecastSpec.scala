@@ -92,6 +92,23 @@ class ForecastSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("forecast anomaly flags a planted off-trend spike and nothing on a clean seasonal series") {
+    // clean weekly-seasonal series: zero residual everywhere once the
+    // state is seeded, so NO day can exceed 3x the mean abs residual
+    val season = Seq(100L, 90L, 80L, 70L, 60L, 50L, 40L)
+    val clean = (0 until 28).map(i => season(i % 7))
+    val got0 = Timeseries.forecastAnomalyOn(daysFrom("2024-01-01", clean))
+      .collect()
+    assert(got0.nonEmpty && got0.forall(!_.getAs[Boolean]("is_anomaly")))
+    // plant one big spike late in the series: that day must flag
+    val spiked = clean.updated(24, 500L)
+    val got = Timeseries.forecastAnomalyOn(daysFrom("2024-01-01", spiked))
+      .collect()
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[Long]("r"))
+    assert(flagged.contains(25L), s"spike day not flagged (flagged: ${flagged.mkString(",")})")
+  }
+
   private def tmpDir(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/cf"
 
