@@ -174,6 +174,43 @@ object Scale10 {
         spark.read.parquet(s"$nbDir/model").count()
       }
     }
+    // the CF-model loop (r15 — the NB count-algebra shape on
+    // interactions): training is the shared-user equi-join (Σ_u d_u²,
+    // linear in users at fixed per-user degree); the model is
+    // catalog²-bounded, so top-k/user-serve/append/forget are
+    // model-sized — corpus-size-independent once trained
+    locally {
+      val cfDir = s"/tmp/scale_cf_$mult/cf"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val inter = operators.Recommend.interactions(
+        rep(Tables.events(spark, d), Seq("user_id"), 1000000L))
+      t(s"cf_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(cfDir).getParent), true)
+        operators.Recommend.writeCfModel(inter, cfDir)
+        spark.read.parquet(s"$cfDir/pairs").count()
+      }
+      t(s"cf_topk_${mult}x")(
+        operators.Recommend.recommendTopKFromModel(spark, cfDir).count())
+      t(s"cf_user_serve_${mult}x") {
+        val hist = operators.Recommend.interactions(Tables.events(spark, d))
+          .filter(col("user_id") < 50)
+        operators.Recommend.recommendForUsers(spark, cfDir, hist).count()
+      }
+      t(s"cf_append_${mult}x") {
+        val day = operators.Recommend.interactions(Tables.events(spark, d))
+          .withColumn("user_id", col("user_id") + 900000000L)
+        operators.Recommend.appendToCfModel(day, cfDir)
+        spark.read.parquet(s"$cfDir/pairs").count()
+      }
+      t(s"cf_forget_${mult}x") {
+        val day = operators.Recommend.interactions(Tables.events(spark, d))
+          .withColumn("user_id", col("user_id") + 900000000L)
+        operators.Recommend.forgetFromCfModel(day, cfDir)
+        spark.read.parquet(s"$cfDir/pairs").count()
+      }
+    }
     // the Rocchio centroid loop (the NB shape on the embedding
     // modality): training is one posexplode + (label, j) partial agg
     // — linear in the corpus with a C·dim output; serving a fixed

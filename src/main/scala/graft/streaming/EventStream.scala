@@ -1115,6 +1115,33 @@ object EventStream {
       }
       .start()
 
+  /** One recommendation request: a user id with their interaction
+    * history snapshot (the items they've engaged). */
+  case class RecRequest(user_id: Long, items: Seq[Long])
+
+  /** Streaming per-user recommendations over the stored CF model
+    * ([[graft.operators.Recommend.writeCfModel]]) — the
+    * recommendation engine's production serve: each arriving request
+    * carries ITS OWN history snapshot (one row per request, the
+    * serving-request contract — a user's history is request state,
+    * not stream state), explodes to (user, item) votes and joins the
+    * catalog²-bounded model. State-free; per-REQUEST answers are
+    * batch-independent, so two-batch parity with the batch
+    * [[graft.operators.Recommend.recommendForUsers]] is exact
+    * (spec'd in StreamingSpec). */
+  def streamingRecommend(reqs: Dataset[RecRequest], cfDir: String,
+                         n: Int = 5)(writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    reqs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[RecRequest], _: Long) =>
+        val s = batch.sparkSession
+        val history = batch.toDF("user_id", "items")
+          .select(col("user_id"), explode(col("items")).as("item"))
+        writeBatch(graft.operators.Recommend
+          .recommendForUsers(s, cfDir, history, n))
+      }
+      .start()
+
   /** Streaming Rocchio classification over the stored centroid model
     * ([[graft.functions.Classify.writeCentroidModel]]) — the
     * embedding-modality twin of [[streamingClassifyNb]]: each

@@ -602,6 +602,37 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming recommendations match the batch serve on a user-split two-batch stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Recommend
+    val dir = java.nio.file.Files.createTempDirectory("cfstream")
+      .toString + "/cf"
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    Recommend.writeCfModel(inter, dir)
+    // each request carries its own history snapshot (the serving
+    // contract) — splitting REQUESTS across batches changes nothing
+    val reqs = inter.filter(col("user_id") < 6).as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (u, rows) =>
+        EventStream.RecRequest(u, rows.map(_._2).sorted.toSeq) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.RecRequest]
+    val q = EventStream.streamingRecommend(input.toDS(), dir) {
+      recs => results ++= recs.collect().map(_.toSeq)
+    }
+    input.addData(reqs.take(3))
+    q.processAllAvailable()
+    input.addData(reqs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val batch = Recommend.recommendForUsers(spark, dir,
+        inter.filter(col("user_id") < 6))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming NB classification matches the batch serve on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
