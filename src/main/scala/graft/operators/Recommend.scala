@@ -64,9 +64,24 @@ object Recommend {
   private[graft] def topKFromCounts(pairs: DataFrame, items: DataFrame,
                                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sym = pairs.select(col("i"), col("j"), col("c"))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos_e6").desc, col("j"))
+    scoredSym(pairs, items)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("i").as("item"), col("rank"), col("j").as("rec_item"),
+        col("c").as("shared_users"), col("cos_e6"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  /** The symmetrized, cosine-scored pair frame (i, j, c, cos_e6) —
+    * the rank-free core [[topKFromCounts]] windows over and
+    * [[recommendForUsers]] votes with (no per-item window on the
+    * serve path: the vote aggregates ALL of a history item's
+    * neighbors, so a rank cut there would be both wasted work and a
+    * recall hole). */
+  private def scoredSym(pairs: DataFrame, items: DataFrame): DataFrame =
+    pairs.select(col("i"), col("j"), col("c"))
       .union(pairs.select(col("j").as("i"), col("i").as("j"), col("c")))
-    val scored = sym
       .join(broadcast(items.select(col("item").as("i"), col("n").as("ni"))),
         Seq("i"))
       .join(broadcast(items.select(col("item").as("j"), col("n").as("nj"))),
@@ -75,14 +90,6 @@ object Recommend {
         floor(col("c").cast("double") /
           (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double"))) *
           lit(1e6) + lit(0.5)).cast("long"))
-    val w = Window.partitionBy(col("i")).orderBy(col("cos_e6").desc, col("j"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("i").as("item"), col("rank"), col("j").as("rec_item"),
-        col("c").as("shared_users"), col("cos_e6"))
-      .orderBy(col("item"), col("rank"))
-  }
 
   /** In-query form over an interaction frame (Relational
     * .recommendCollab wraps this over the events table). */
@@ -114,8 +121,9 @@ object Recommend {
   def recommendForUsers(s: SparkSession, dir: String, history: DataFrame,
                         n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sims = recommendTopKFromModel(s, dir, Int.MaxValue)
-      .select(col("item"), col("rec_item"), col("cos_e6"))
+    val sims = scoredSym(s.read.parquet(s"$dir/pairs"),
+        s.read.parquet(s"$dir/items"))
+      .select(col("i").as("item"), col("j").as("rec_item"), col("cos_e6"))
     val votes = history.select(col("user_id"), col("item"))
       .join(sims, Seq("item"))
       .groupBy(col("user_id"), col("rec_item"))

@@ -429,27 +429,18 @@ object Timeseries {
         if (n < 14) Iterator.empty
         else {
           val yE6 = ys.map(_ * 1000000L)
-          val sum1 = yE6.take(7).sum
-          val sum2 = yE6.slice(7, 14).sum
-          var l = Math.floorDiv(sum1, 7L)
-          var b = Math.floorDiv(sum2 - sum1, 49L)
-          val sea = Array.tabulate(7)(i => yE6(i) - l)
+          var st = hwSeed(yE6)
           val out = Array.newBuilder[(String, Long, Long, Long)]
           var r = 8
           while (r <= n) {
-            val idx = (r - 1) % 7
-            val yy = yE6(r - 1)
-            val sold = sea(idx)
-            out += ((et, r.toLong, ys(r - 1), l + b + sold))
-            val lnew = Math.floorDiv((yy - sold) + 4L * (l + b), 5L)
-            val bnew = Math.floorDiv((lnew - l) + 9L * b, 10L)
-            sea(idx) = Math.floorDiv((yy - lnew) + 4L * sold, 5L)
-            l = lnew; b = bnew
+            val (fitted, next) = hwStep(st, r, yE6(r - 1))
+            out += ((et, r.toLong, ys(r - 1), fitted))
+            st = next
             r += 1
           }
           var h = 1
           while (h <= horizon) {
-            out += ((et, (n + h).toLong, 0L, l + h * b + sea((n + h - 1) % 7)))
+            out += ((et, (n + h).toLong, 0L, hwForecast(st, n, h)))
             h += 1
           }
           out.result().iterator
@@ -458,4 +449,38 @@ object Timeseries {
       .toDF("event_type", "r", "y", "fitted_e6")
       .orderBy(col("event_type"), col("r"))
   }
+
+  /** Holt-Winters state: level and trend in e6 units plus the 7
+    * seasonal residuals — the whole recurrence is these 9 BIGINTs. */
+  case class HwState(l: Long, b: Long, sea: Seq[Long])
+
+  /** Seed from the first TWO SEASONS (e6-unit values): level =
+    * floor-avg of season 1, trend = floor((Σs2 − Σs1)/m²),
+    * seasonals = season-1 residuals. Rows 8..14 are also stepped
+    * through by the recurrence — seeding consumes them only for the
+    * trend init. */
+  private[graft] def hwSeed(yE6: IndexedSeq[Long]): HwState = {
+    val sum1 = yE6.take(7).sum
+    val sum2 = yE6.slice(7, 14).sum
+    val l = Math.floorDiv(sum1, 7L)
+    HwState(l, Math.floorDiv(sum2 - sum1, 49L),
+      (0 until 7).map(i => yE6(i) - l))
+  }
+
+  /** One recurrence step at row rank r with observation yy (e6
+    * units): returns (one-step-ahead fitted BEFORE the update, the
+    * updated state). α=1/5, β=1/10, γ=1/5 as exact floor divisions. */
+  private[graft] def hwStep(st: HwState, r: Int, yy: Long): (Long, HwState) = {
+    val idx = (r - 1) % 7
+    val sold = st.sea(idx)
+    val fitted = st.l + st.b + sold
+    val lnew = Math.floorDiv((yy - sold) + 4L * (st.l + st.b), 5L)
+    val bnew = Math.floorDiv((lnew - st.l) + 9L * st.b, 10L)
+    (fitted, HwState(lnew, bnew,
+      st.sea.updated(idx, Math.floorDiv((yy - lnew) + 4L * sold, 5L))))
+  }
+
+  /** h-step-ahead forecast from the state after n observed rows. */
+  private[graft] def hwForecast(st: HwState, n: Int, h: Int): Long =
+    st.l + h * st.b + st.sea((n + h - 1) % 7)
 }

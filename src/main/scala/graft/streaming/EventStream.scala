@@ -1119,6 +1119,78 @@ object EventStream {
     * history snapshot (the items they've engaged). */
   case class RecRequest(user_id: Long, items: Seq[Long])
 
+  /** A finalized daily count arriving on the stream (the daily
+    * micro-batch cadence: one row per (series, day) once the day
+    * closes). */
+  case class DayCount(event_type: String, day: java.sql.Date, y: Long)
+
+  /** A one-step-ahead fit emitted by the streaming forecaster. */
+  case class HwFit(event_type: String, r: Long, y: Long, fitted_e6: Long)
+
+  // NOT `private`: the state encoder's generated serializer calls
+  // the accessors from Janino-compiled code, which cannot see a
+  // Scala-private inner class ("no applicable constructor/method
+  // found ... candidates are: public long trend()")
+  case class HwStreamState(bufE6: Seq[Long], rank: Long, lvl: Long,
+                           trend: Long, seaE6: Seq[Long], seeded: Boolean)
+
+  /** Streaming Holt-Winters — the [[graft.operators.Timeseries
+    * .holtWintersOn]] recurrence as per-series stream state (9
+    * BIGINTs once seeded, a ≤14-value buffer before): each arriving
+    * closed day advances the state through the SHARED hwStep (one
+    * step function, batch and stream cannot drift) and emits its
+    * one-step-ahead fit; the first two seasons buffer, seed
+    * (hwSeed), then replay rows 8..14 exactly like the batch form.
+    * State is bounded per series by construction — no TTL needed.
+    * Requires per-series arrival in day order across batches (the
+    * r12 arrival-order invariant; within a batch rows are sorted).
+    * Two-batch parity with the batch fitted rows is spec'd in
+    * StreamingSpec. */
+  def streamingHoltWinters(days: Dataset[DayCount]): Dataset[HwFit] = {
+    import days.sparkSession.implicits._
+    import graft.operators.Timeseries
+    days.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[DayCount],
+         state: GroupState[HwStreamState]) =>
+          val arrived = rows.toArray.sortBy(_.day.getTime)
+          var st = state.getOption
+            .getOrElse(HwStreamState(Vector.empty, 7L, 0L, 0L, Nil, false))
+          val out = Array.newBuilder[HwFit]
+          arrived.foreach { dRow =>
+            val yy = dRow.y * 1000000L
+            if (!st.seeded) {
+              val buf = st.bufE6 :+ yy
+              if (buf.size < 14) st = st.copy(bufE6 = buf)
+              else {
+                // seed, then replay rows 8..14 exactly like the
+                // batch loop (they feed the trend init AND step)
+                var hw = Timeseries.hwSeed(buf.toIndexedSeq)
+                var r = 8
+                while (r <= 14) {
+                  val (fitted, next) = Timeseries.hwStep(hw, r, buf(r - 1))
+                  out += HwFit(et, r.toLong, buf(r - 1) / 1000000L, fitted)
+                  hw = next
+                  r += 1
+                }
+                st = HwStreamState(Vector.empty, 14L, hw.l, hw.b, hw.sea,
+                  seeded = true)
+              }
+            } else {
+              val r = st.rank + 1
+              val (fitted, next) = Timeseries.hwStep(
+                Timeseries.HwState(st.lvl, st.trend, st.seaE6), r.toInt, yy)
+              out += HwFit(et, r, dRow.y, fitted)
+              st = HwStreamState(Vector.empty, r, next.l, next.b, next.sea,
+                seeded = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming per-user recommendations over the stored CF model
     * ([[graft.operators.Recommend.writeCfModel]]) — the
     * recommendation engine's production serve: each arriving request

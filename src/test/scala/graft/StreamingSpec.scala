@@ -633,6 +633,40 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming Holt-Winters matches the batch fitted rows on a mid-seeding split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Timeseries
+    val ys = (0 until 25).map(i =>
+      100L + 3L * i + Seq(5L, -2L, 7L, 0L, -4L, 2L, 1L)(i % 7) + (i * i % 5))
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.parse("2024-01-01").plusDays(i))
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      EventStream.DayCount("a", day(i), y) }
+    val input = MemoryStream[EventStream.DayCount]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingHoltWinters(input.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.HwFit],
+                       _: Long) =>
+        results ++= b.collect().map(f =>
+          Seq(f.event_type, f.r, f.y, f.fitted_e6)); ()
+      }
+      .start()
+    // split MID-SEEDING (10 < 14) and again mid-recurrence
+    input.addData(rows.take(10)); q.processAllAvailable()
+    input.addData(rows.slice(10, 18)); q.processAllAvailable()
+    input.addData(rows.drop(18)); q.processAllAvailable()
+    q.stop()
+    val batch = Timeseries.holtWintersOn(
+        ys.zipWithIndex.map { case (y, i) => ("a", day(i), y) }
+          .toDF("event_type", "day", "y"))
+      .filter(col("y") > 0).collect()
+      .map(r => Seq(r.getAs[String]("event_type"), r.getAs[Long]("r"),
+        r.getAs[Long]("y"), r.getAs[Long]("fitted_e6"))).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming NB classification matches the batch serve on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
