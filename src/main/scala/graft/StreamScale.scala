@@ -464,6 +464,73 @@ object StreamScale {
         println(f"SCALE stream_quality_nb_${mult}x docs=$nd " +
           f"time=$sec%.1fs docsPerSec=${nd / sec}%.1f scored=$emitted")
       }
+      // CF recommendation serving (r15): the model trains from the
+      // mult× user base ONCE; each streamed request batch explodes
+      // its own history snapshot and joins the catalog²-bounded
+      // model — requests/s against a model whose size is
+      // user-count-INDEPENDENT (pairs cap at catalog² support) is
+      // the story
+      locally {
+        val cfDir = s"/tmp/streamscale_cf$mult/cf"
+        val interN = graft.operators.Recommend.interactions(
+          (0 until mult).map { i =>
+            graft.Tables.events(spark, d)
+              .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          }.reduce(_ unionByName _))
+        graft.operators.Recommend.writeCfModel(interN, cfDir)
+        val hist = graft.operators.Recommend
+          .interactions(graft.Tables.events(spark, d))
+          .as[(Long, Long)].collect().groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (u, rs) =>
+            EventStream.RecRequest(u, rs.map(_._2).sorted.toSeq) }
+        val input = MemoryStream[EventStream.RecRequest]
+        var emitted = 0L
+        val q = EventStream.streamingRecommend(input.toDS(), cfDir) {
+          recs => emitted += recs.count()
+        }
+        val per = math.max(1, hist.length / 10)
+        val nq = per * 10
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          input.addData(hist.slice(b * per, (b + 1) * per))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_recommend_${mult}x reqs=$nq " +
+          f"time=$sec%.1fs reqsPerSec=${nq / sec}%.1f recs=$emitted")
+      }
+      // streaming Holt-Winters (r15): mult×100 independent series
+      // advance one closed day per micro-batch — state is exactly 9
+      // BIGINTs per seeded series (bounded by construction), so
+      // rows/s at a growing series count is the story
+      locally {
+        val nSeries = mult * 100
+        val base = java.time.LocalDate.parse("2024-01-01")
+        val input = MemoryStream[EventStream.DayCount]
+        var emitted = 0L
+        val q = EventStream.streamingHoltWinters(input.toDS()).writeStream
+          .outputMode(OutputMode.Append)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[EventStream.HwFit], _: Long) =>
+              emitted += b.count(); ()
+          }
+          .start()
+        val t0 = System.nanoTime()
+        (0 until 30).foreach { day =>
+          input.addData((0 until nSeries).map { sid =>
+            EventStream.DayCount(s"s$sid",
+              java.sql.Date.valueOf(base.plusDays(day)),
+              100L + (sid + day * 3) % 17)
+          })
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_holt_winters_${mult}x series=$nSeries " +
+          f"rows=${30L * nSeries} time=$sec%.1fs " +
+          f"rowsPerSec=${30L * nSeries / sec}%.1f fits=$emitted")
+      }
     }
 
     // state-FREE serving path: the per-batch probe reads ONLY the
