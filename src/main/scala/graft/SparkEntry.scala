@@ -40,6 +40,7 @@ object SparkEntry {
     "recommend_collab"   -> ((s, d) => Relational.recommendCollab(s, d)),
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
+    "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
     "retention_cohorts"   -> Timeseries.retentionCohorts _,
@@ -200,7 +201,13 @@ object SparkEntry {
     * state -> one recursion step per day -> final-state forecasts)
     * shared by the holt_winters and forecast_anomaly oracles — one
     * replay of the recurrence, two readouts. */
-  private val holtWintersCtes: String = """
+  private val holtWintersCtes: String = holtWintersCtesOver(0)
+
+  /** The same chain with the last `holdout` days per series HELD OUT
+    * of training (seq keeps the full actuals; tr is what seeds and
+    * steps the recurrence) — forecast_eval backtests fc against the
+    * held-out seq rows. holdout = 0 degenerates tr to seq. */
+  private def holtWintersCtesOver(holdout: Int): String = s"""
       WITH RECURSIVE daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
           CAST(count(*) AS BIGINT) AS y
@@ -209,14 +216,16 @@ object SparkEntry {
         SELECT event_type, y,
           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
             AS BIGINT) AS r,
-          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          CAST(count(*) OVER (PARTITION BY event_type) - $holdout
+            AS BIGINT) AS n
         FROM daily),
+      tr AS (SELECT * FROM seq WHERE r <= n),
       init AS (
         SELECT event_type, n,
           SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
           SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
           list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
-        FROM seq WHERE n >= 14 GROUP BY event_type, n),
+        FROM tr WHERE n >= 14 GROUP BY event_type, n),
       st0 AS (
         SELECT event_type, n,
           CAST(sum1 // 7 AS BIGINT) AS l,
@@ -248,7 +257,7 @@ object SparkEntry {
                + 4*(h.l + h.b))
               - ((((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
                    + 4*(h.l + h.b)) % 5 + 5) % 5)) // 5 AS lnew
-          FROM hw h JOIN seq q
+          FROM hw h JOIN tr q
             ON q.event_type = h.event_type AND q.r = h.r + 1)),
       fin AS (
         SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
@@ -918,6 +927,25 @@ object SparkEntry {
         ABS(f.resid) > 3 * m.mar AS is_anomaly
       FROM fit f JOIN marr m USING (event_type)
       ORDER BY f.event_type, f.r"""),
+
+    // the backtest readout: the recurrence trains on seq MINUS the
+    // 7-day holdout (tr), fc forecasts the held-out ranks, and the
+    // full seq supplies the actuals — h = r − n, MAE per horizon an
+    // exact floor division
+    "forecast_eval" -> (holtWintersCtesOver(7) + """,
+      ev AS (
+        SELECT s.event_type, CAST(s.r - s.n AS BIGINT) AS h, s.y,
+          CAST(f.fitted AS BIGINT) AS forecast_e6,
+          ABS(s.y * 1000000 - f.fitted) AS ae
+        FROM seq s JOIN fc f
+          ON f.event_type = s.event_type AND f.r = s.r),
+      maeh AS (
+        SELECT h, CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_e6
+        FROM ev GROUP BY h)
+      SELECT e.event_type, e.h, e.y, e.forecast_e6,
+        CAST(e.ae AS BIGINT) AS ae_e6, m.mae_e6
+      FROM ev e JOIN maeh m USING (h)
+      ORDER BY e.event_type, e.h"""),
 
     "q18_stream_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -450,6 +450,54 @@ object Timeseries {
       .orderBy(col("event_type"), col("r"))
   }
 
+  /** Forecast BACKTEST: hold the last `holdout` days of each series
+    * out of training, forecast them from the truncated state, and
+    * score absolute error per horizon — the "would I have trusted
+    * this forecaster last week" readout that gates shipping one.
+    * Per-(series, h) detail plus the per-horizon MAE (exact integer
+    * floor division over non-negative sums) in one frame; everything
+    * BIGINT end to end. Series shorter than 2m + holdout are
+    * skipped (no seedable train prefix). */
+  def forecastEval(s: SparkSession, d: String, holdout: Int = 7): DataFrame =
+    forecastEvalOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      holdout)
+
+  /** The [[forecastEval]] core on an explicit daily frame. */
+  def forecastEvalOn(daily: DataFrame, holdout: Int = 7): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val detail = daily
+      .select(col("event_type"), col("day"), col("y").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val n = ys.length - holdout
+        if (n < 14) Iterator.empty
+        else {
+          val yE6 = ys.map(_ * 1000000L)
+          var st = hwSeed(yE6)
+          var r = 8
+          while (r <= n) { st = hwStep(st, r, yE6(r - 1))._2; r += 1 }
+          (1 to holdout).iterator.map { h =>
+            val fc = hwForecast(st, n, h)
+            (et, h.toLong, ys(n + h - 1), fc, math.abs(yE6(n + h - 1) - fc))
+          }
+        }
+      }
+      .toDF("event_type", "h", "y", "forecast_e6", "ae")
+    val mae = detail.groupBy(col("h"))
+      .agg(sum(col("ae")).as("sae"), count(lit(1)).as("cnt"))
+      .select(col("h"), expr("sae div cnt").as("mae_e6"))
+    detail.join(mae, "h")
+      .select(col("event_type"), col("h"), col("y"), col("forecast_e6"),
+        col("ae").as("ae_e6"), col("mae_e6"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Holt-Winters state: level and trend in e6 units plus the 7
     * seasonal residuals — the whole recurrence is these 9 BIGINTs. */
   case class HwState(l: Long, b: Long, sea: Seq[Long])

@@ -109,6 +109,26 @@ class ForecastSpec extends SparkSpec {
     assert(flagged.contains(25L), s"spike day not flagged (flagged: ${flagged.mkString(",")})")
   }
 
+  test("forecast_eval backtest == holtWinters forecasts of the truncated series, exact-zero error on a constant series") {
+    val ys = (0 until 28).map(i => 50L + 2L * i + Seq(3L, 0L, -1L, 4L, 1L, -2L, 2L)(i % 7))
+    val eval = Timeseries.forecastEvalOn(daysFrom("2024-01-01", ys))
+      .collect().map(r => r.getAs[Long]("h") -> r.getAs[Long]("forecast_e6")).toMap
+    assert(eval.keySet == (1L to 7L).toSet)
+    // the backtest forecast at horizon h IS the HW forecast from the
+    // truncated series (train = first 21 days) at rank 21+h
+    val fc = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys.take(21)))
+      .filter(col("r") > 21).collect()
+      .map(r => (r.getAs[Long]("r") - 21) -> r.getAs[Long]("fitted_e6")).toMap
+    assert(eval == fc)
+    // constant series: forecasts are exact, every ae and mae is 0
+    val const = Timeseries.forecastEvalOn(daysFrom("2024-01-01", Seq.fill(28)(9L)))
+      .collect()
+    assert(const.length == 7)
+    assert(const.forall(r => r.getAs[Long]("ae_e6") == 0L &&
+      r.getAs[Long]("mae_e6") == 0L &&
+      r.getAs[Long]("forecast_e6") == 9000000L))
+  }
+
   private def tmpDir(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/cf"
 
