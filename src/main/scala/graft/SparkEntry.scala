@@ -41,6 +41,7 @@ object SparkEntry {
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
+    "recommend_eval"     -> ((s, d) => operators.Recommend.recommendEval(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
     "retention_cohorts"   -> Timeseries.retentionCohorts _,
@@ -898,6 +899,71 @@ object SparkEntry {
         FROM scored)
       SELECT item, rank, rec_item, shared_users, cos_e6
       FROM ranked WHERE rank <= 10 ORDER BY item, rank""",
+
+    // leave-last-out CF backtest: held item = max(item) per >=2-item
+    // user, model retrained on the carve, held rank among unseen
+    // candidates (0 = no co-occurrence path), hit = rank in top-5
+    "recommend_eval" -> raw"""
+      WITH inter AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      hv AS (
+        SELECT user_id, item,
+          CAST(list_sum(list_transform(range(1, 9),
+            k -> (strpos('0123456789abcdef',
+                         md5(user_id || ':' || item)[k:k]) - 1)
+                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) AS hvv
+        FROM inter),
+      hvr AS (
+        SELECT user_id, item,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_items,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY hvv DESC, item DESC) AS rn
+        FROM hv),
+      held AS (
+        SELECT user_id, item AS held_item
+        FROM hvr WHERE rn = 1 AND n_items >= 2),
+      train AS (
+        SELECT i.user_id, i.item FROM inter i
+        LEFT JOIN held h ON h.user_id = i.user_id AND h.held_item = i.item
+        WHERE h.user_id IS NULL),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+              FROM train GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM train a JOIN train b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      sims AS (
+        SELECT s.i AS item, s.j AS rec_item,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      votes AS (
+        SELECT t.user_id, s.rec_item,
+          CAST(SUM(s.cos_e6) AS BIGINT) AS score_e6
+        FROM train t JOIN sims s ON s.item = t.item
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT v.user_id, v.rec_item, v.score_e6 FROM votes v
+        LEFT JOIN train t
+          ON t.user_id = v.user_id AND t.item = v.rec_item
+        WHERE t.user_id IS NULL),
+      ranked AS (
+        SELECT user_id, rec_item,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY score_e6 DESC, rec_item) AS INT) AS rank
+        FROM cand)
+      SELECT h.user_id, h.held_item,
+        CAST(COALESCE(r.rank, 0) AS INT) AS rank,
+        COALESCE(r.rank, 0) BETWEEN 1 AND 5 AS hit
+      FROM held h LEFT JOIN ranked r
+        ON r.user_id = h.user_id AND r.rec_item = h.held_item
+      ORDER BY h.user_id""",
 
     // Holt-Winters: the integer recurrence replayed as a recursive
     // CTE carrying (l, b, seasonal LIST) state — one step per day per

@@ -96,6 +96,61 @@ object Recommend {
   def recommendTopK(inter: DataFrame, k: Int = 10): DataFrame =
     topKFromCounts(pairCounts(inter), itemCounts(inter), k)
 
+  /** Leave-last-out BACKTEST of the recommender — the "would these
+    * recommendations have predicted real behavior" gate (the
+    * forecast_eval counterpart on the CF arc): for every user with
+    * ≥2 interactions, hold out ONE item (the max item id —
+    * deterministic, no sampling), train the model on the rest, vote
+    * the user's remaining history, and report the held-out item's
+    * rank among unseen candidates (0 sentinel when it shares no
+    * co-occurrence with the history) and whether it landed in the
+    * top-k. All integer/boolean outputs — exact cross-engine.
+    *
+    * Scale shape: the train carve is one anti-join; everything after
+    * is the recommend_collab machinery (shared-user equi-join,
+    * catalog-bounded model, per-user windows). */
+  def recommendEval(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    recommendEvalOn(interactions(graft.Tables.events(s, d)), k)
+
+  /** The [[recommendEval]] core on an explicit interaction frame. */
+  def recommendEvalOn(inter: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the held item is the per-user md5-ARGMAX, not max(item): a
+    // shared deterministic order (every user holding out their max
+    // id) drains the top items from the ENTIRE training carve —
+    // item 99 vanished for all 57 of its owners and scored rank 0.
+    // The 32-bit md5 prefix of "user:item" decorrelates holdouts
+    // across users (conv on 8 nibbles is exact — the A-ES rule) and
+    // stays reproducible cross-engine (the digit-sum recipe).
+    val held = inter
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(concat(user_id, ':', item)), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("hv"), col("item"))).as("m"),
+        count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 2)
+      .select(col("user_id"), col("m.item").as("held_item"))
+    val train = inter.join(held,
+      inter("user_id") === held("user_id") &&
+        inter("item") === held("held_item"), "left_anti")
+    val sims = scoredSym(pairCounts(train), itemCounts(train))
+      .select(col("i").as("item"), col("j").as("rec_item"), col("cos_e6"))
+    val votes = train.join(sims, Seq("item"))
+      .groupBy(col("user_id"), col("rec_item"))
+      .agg(sum(col("cos_e6")).as("score_e6"))
+      .join(train.select(col("user_id"), col("item").as("rec_item")),
+        Seq("user_id", "rec_item"), "left_anti")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_e6").desc, col("rec_item"))
+    val ranked = votes.withColumn("rank", row_number().over(w))
+      .select(col("user_id"), col("rec_item").as("held_item"), col("rank"))
+    held.join(ranked, Seq("user_id", "held_item"), "left")
+      .select(col("user_id"), col("held_item"),
+        coalesce(col("rank"), lit(0)).as("rank"),
+        coalesce(col("rank"), lit(0)).between(1, k).as("hit"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- maintained CF-model artifact --------------------------------------
 
   /** Train and persist the model: `pairs/` + `items/`. */

@@ -129,6 +129,31 @@ class ForecastSpec extends SparkSpec {
       r.getAs[Long]("forecast_e6") == 9000000L))
   }
 
+  test("recommend_eval: one row per multi-item user; a perfectly-correlated clique ranks its held item first") {
+    import spark.implicits._
+    // users 1..6 all touch items {10, 20, 30}: whichever item is held
+    // out, the other two vote it with maximal cosine — rank 1, hit
+    val clique = for (u <- 1L to 6L; i <- Seq(10L, 20L, 30L)) yield (u, i)
+    // one single-item user: excluded from eval entirely
+    val inter = (clique :+ (99L, 50L)).toDF("user_id", "item")
+    val got = Recommend.recommendEvalOn(inter).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getAs[Int]("rank") == 1 && r.getAs[Boolean]("hit"),
+        s"user ${r.getAs[Long]("user_id")}: rank ${r.getAs[Int]("rank")}")
+      assert(Seq(10L, 20L, 30L).contains(r.getAs[Long]("held_item")))
+    }
+    // and on the natural corpus the mechanism holds: every eligible
+    // user appears once, hits iff rank in 1..5
+    val nat = Recommend.recommendEvalOn(
+      Recommend.interactions(Tables.events(spark, sf))).collect()
+    assert(nat.nonEmpty)
+    nat.foreach { r =>
+      val rk = r.getAs[Int]("rank")
+      assert(r.getAs[Boolean]("hit") == (rk >= 1 && rk <= 5))
+    }
+  }
+
   private def tmpDir(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/cf"
 
