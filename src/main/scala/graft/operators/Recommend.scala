@@ -130,9 +130,15 @@ object Recommend {
         count(lit(1)).as("n_items"))
       .filter(col("n_items") >= 2)
       .select(col("user_id"), col("m.item").as("held_item"))
+    // the carve feeds SIX plan branches (both pair-join sides, item
+    // counts, votes, the unseen anti-join) — lineage would rebuild
+    // the events scan + distinct + md5 argmax per branch (measured
+    // 4.1s -> 1.0s at sf0.1). EAGER localCheckpoint (itself an
+    // action, so nothing stays lazily surprising)
     val train = inter.join(held,
       inter("user_id") === held("user_id") &&
         inter("item") === held("held_item"), "left_anti")
+      .localCheckpoint()
     val sims = scoredSym(pairCounts(train), itemCounts(train))
       .select(col("i").as("item"), col("j").as("rec_item"), col("cos_e6"))
     val votes = train.join(sims, Seq("item"))
