@@ -92,9 +92,14 @@ object Recommend {
           lit(1e6) + lit(0.5)).cast("long"))
 
   /** In-query form over an interaction frame (Relational
-    * .recommendCollab wraps this over the events table). */
-  def recommendTopK(inter: DataFrame, k: Int = 10): DataFrame =
-    topKFromCounts(pairCounts(inter), itemCounts(inter), k)
+    * .recommendCollab wraps this over the events table). The
+    * interaction frame feeds three plan branches (both self-join
+    * sides + the item counts) — eager-checkpoint it once (the
+    * recommend_eval carve rule). */
+  def recommendTopK(inter: DataFrame, k: Int = 10): DataFrame = {
+    val i2 = inter.localCheckpoint()
+    topKFromCounts(pairCounts(i2), itemCounts(i2), k)
+  }
 
   /** Leave-last-out BACKTEST of the recommender — the "would these
     * recommendations have predicted real behavior" gate (the
