@@ -41,6 +41,7 @@ object SparkEntry {
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
+    "forecast_decompose" -> ((s, d) => Timeseries.forecastDecompose(s, d)),
     "recommend_eval"     -> ((s, d) => operators.Recommend.recommendEval(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
@@ -993,6 +994,15 @@ object SparkEntry {
         ABS(f.resid) > 3 * m.mar AS is_anomaly
       FROM fit f JOIN marr m USING (event_type)
       ORDER BY f.event_type, f.r"""),
+
+    // the decomposition readout: the hw rows already carry the
+    // post-update state — level/trend direct, seasonal = the slot
+    // the step just updated
+    "forecast_decompose" -> (holtWintersCtes + """
+      SELECT event_type, CAST(r AS BIGINT) AS r, y,
+        CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+        CAST(s[CAST((r - 1) % 7 + 1 AS INT)] AS BIGINT) AS seasonal_e6
+      FROM hw WHERE r >= 8 ORDER BY event_type, r"""),
 
     // the backtest readout: the recurrence trains on seq MINUS the
     // 7-day holdout (tr), fc forecasts the held-out ranks, and the

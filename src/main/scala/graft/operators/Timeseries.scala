@@ -498,6 +498,47 @@ object Timeseries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** STL-style decomposition readout over the HW fit — the
+    * level/trend/seasonal split a trend dashboard plots (the
+    * reference's VIZ plan §3.3 trend analysis, upgraded from the
+    * moving average): per observed day r ≥ 8, the POST-update state
+    * (level_e6, trend_e6) and the day's post-update seasonal slot.
+    * Same exact-integer recurrence, third readout. */
+  def forecastDecompose(s: SparkSession, d: String): DataFrame =
+    forecastDecomposeOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")))
+
+  /** The [[forecastDecompose]] core on an explicit daily frame. */
+  def forecastDecomposeOn(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    daily
+      .select(col("event_type"), col("day"), col("y").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val n = ys.length
+        if (n < 14) Iterator.empty
+        else {
+          val yE6 = ys.map(_ * 1000000L)
+          var st = hwSeed(yE6)
+          val out = Array.newBuilder[(String, Long, Long, Long, Long, Long)]
+          var r = 8
+          while (r <= n) {
+            st = hwStep(st, r, yE6(r - 1))._2
+            out += ((et, r.toLong, ys(r - 1), st.l, st.b, st.sea((r - 1) % 7)))
+            r += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("event_type", "r", "y", "level_e6", "trend_e6", "seasonal_e6")
+      .orderBy(col("event_type"), col("r"))
+  }
+
   /** Holt-Winters state: level and trend in e6 units plus the 7
     * seasonal residuals — the whole recurrence is these 9 BIGINTs. */
   case class HwState(l: Long, b: Long, sea: Seq[Long])

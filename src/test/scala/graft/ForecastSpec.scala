@@ -154,6 +154,32 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("forecast decomposition reassembles the fit: fitted(r+1) == level(r) + trend(r) + seasonal(r+1-7)") {
+    val ys = (0 until 28).map(i => 80L + 2L * i + Seq(6L, -3L, 1L, 4L, -5L, 0L, 2L)(i % 7) + (i * 7 % 3))
+    val dec = Timeseries.forecastDecomposeOn(daysFrom("2024-01-01", ys))
+      .collect().map(r => r.getAs[Long]("r") ->
+        (r.getAs[Long]("level_e6"), r.getAs[Long]("trend_e6"),
+          r.getAs[Long]("seasonal_e6"))).toMap
+    val fit = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys))
+      .filter(col("y") > 0).collect()
+      .map(r => r.getAs[Long]("r") -> r.getAs[Long]("fitted_e6")).toMap
+    assert(dec.keySet == (8L to 28L).toSet)
+    // the seasonal consumed at r+1 is the slot updated at r+1-7
+    (15L to 28L).foreach { r1 =>
+      val (l, b, _) = dec(r1 - 1)
+      val (_, _, sPrev) = dec(r1 - 7)
+      assert(fit(r1) == l + b + sPrev, s"r=$r1")
+    }
+    // constant series: pure level, zero trend and seasonality
+    val const = Timeseries.forecastDecomposeOn(daysFrom("2024-01-01", Seq.fill(20)(7L)))
+      .collect()
+    assert(const.nonEmpty)
+    const.foreach { r =>
+      assert(r.getAs[Long]("level_e6") == 7000000L &&
+        r.getAs[Long]("trend_e6") == 0L && r.getAs[Long]("seasonal_e6") == 0L)
+    }
+  }
+
   private def tmpDir(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/cf"
 
