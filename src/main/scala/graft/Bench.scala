@@ -24,7 +24,14 @@ object Bench {
     // absorb one-time JVM/codegen/scheduler init outside the timings
     spark.range(1000000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
+    // dev affordance: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (same warmup + best-of-2 discipline); the driver never sets it,
+    // and recall (whose ann queries might be filtered out) is skipped
+    // under a filter so a dev run never pays the ann suite
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyFilter.forall(_(n)) }
     // one untimed pass over EVERY query first: r2 measured the
     // alphabetically-first queries (ann_*) absorbing residual JIT/
     // codegen warmup that the r1 map-order run had spread elsewhere —
@@ -56,7 +63,10 @@ object Bench {
     }.toMap
     // a recall-path crash is a failure like any other: marked in
     // failed[] and a nonzero exit, never a silently-empty recall map
-    val recall = try annRecall(spark, sfDir) catch {
+    val recall = try {
+      if (onlyFilter.isDefined) Map.empty[String, Double]
+      else annRecall(spark, sfDir)
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
         failed ::= "ann_recall"
@@ -91,8 +101,11 @@ object Bench {
       case (name, _) if name.startsWith("q") =>
         s"\"" + name + "\":" + r2(results(name))
     }.mkString("{", ",", "}")
-    val recallMin = if (recall.isEmpty) 0.0
-      else math.rint(recall.values.min * 1000) / 1000
+    // null (not 0.0) when no recall was computed: a driver record
+    // reading recall_min 0.0 is indistinguishable from a true
+    // zero-recall run — absence must be distinguishable from failure
+    val recallMin = if (recall.isEmpty) "null"
+      else (math.rint(recall.values.min * 1000) / 1000).toString
     val compact =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$headline,"n_queries":${results.size},"recall_min":$recallMin,"failed":$fl,"detail":"$outFile","sf":"$sfDir"}"""
     println(compact)

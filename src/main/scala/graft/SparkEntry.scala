@@ -39,8 +39,12 @@ object SparkEntry {
     "q17_recommend"      -> Relational.q17Recommend _,
     "recommend_collab"   -> ((s, d) => Relational.recommendCollab(s, d)),
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
+    "holt_winters_damped" -> ((s, d) => Timeseries.holtWintersDamped(s, d)),
+    "recommend_capped"   -> ((s, d) => operators.Recommend.recommendCapped(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
+    "forecast_damped_eval" -> ((s, d) =>
+      Timeseries.forecastEval(s, d, damped = true)),
     "forecast_decompose" -> ((s, d) => Timeseries.forecastDecompose(s, d)),
     "recommend_eval"     -> ((s, d) => operators.Recommend.recommendEval(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
@@ -205,11 +209,61 @@ object SparkEntry {
     * replay of the recurrence, two readouts. */
   private val holtWintersCtes: String = holtWintersCtesOver(0)
 
+  /** Damped-trend variant of the chain (φ = 9/10, Gardner) — backs
+    * holt_winters_damped. */
+  private lazy val holtWintersDampedCtes: String =
+    hwCtesBody(0, damped = true)
+
   /** The same chain with the last `holdout` days per series HELD OUT
     * of training (seq keeps the full actuals; tr is what seeds and
     * steps the recurrence) — forecast_eval backtests fc against the
     * held-out seq rows. holdout = 0 degenerates tr to seq. */
-  private def holtWintersCtesOver(holdout: Int): String = s"""
+  private def holtWintersCtesOver(holdout: Int): String =
+    hwCtesBody(holdout, damped = false)
+
+  /** The shared HW recurrence body. EVERY state expression is
+    * computed in the inner subquery, where only the OLD-state
+    * columns (h.l, h.b, h.s) and fresh lateral aliases are in scope
+    * — no alias may shadow a state column, so correctness never
+    * rides on DuckDB's name-resolution preference between a lateral
+    * alias and a same-named subquery column. `damped` threads the
+    * trend through φ·b = floorDiv(9b, 10) at every use and replaces
+    * the linear h·b forecast with the iterated geometric damp
+    * (chained lateral aliases d1..d7 — exact signed floor
+    * divisions, identical to [[graft.operators.Timeseries
+    * .hwForecastDamped]]). */
+  private def hwCtesBody(holdout: Int, damped: Boolean): String = {
+    // the exactly-divisible floor-division form: (a - pmod(a,d)) // d
+    // (operands go negative through the trend — truncating division
+    // would diverge from Math.floorDiv)
+    def fd(a: String, d: Int) = s"(($a) - ((($a) % $d + $d) % $d)) // $d"
+    val phb = if (damped) fd("9*h.b", 10) else "h.b"
+    val fcCtes =
+      if (!damped) """
+      fc AS (
+        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
+          l + h * b + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
+        FROM fin, (SELECT unnest(range(1, 8)) AS h))"""
+      else {
+        val ds = (1 to 7).map { k =>
+          val prev = if (k == 1) "b" else s"d${k - 1}"
+          s"${fd(s"9*$prev", 10)} AS d$k"
+        }.mkString(",\n          ")
+        val cases = (1 to 7).map { hh =>
+          s"WHEN $hh THEN ${(1 to hh).map(i => s"d$i").mkString(" + ")}"
+        }.mkString(" ")
+        s"""
+      fin2 AS (
+        SELECT event_type, n, l, s,
+          $ds
+        FROM fin),
+      fc AS (
+        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
+          l + (CASE CAST(h AS INT) $cases END)
+            + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
+        FROM fin2, (SELECT unnest(range(1, 8)) AS h))"""
+      }
+    s"""
       WITH RECURSIVE daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
           CAST(count(*) AS BIGINT) AS y
@@ -242,33 +296,27 @@ object SparkEntry {
         UNION ALL
         SELECT event_type, n, r,
           lnew AS l,
-          (((lnew - l) + 9*b) - ((((lnew - l) + 9*b) % 10 + 10) % 10)) // 10
-            AS b,
+          bnew AS b,
           list_transform(range(1, 8), i -> CASE WHEN i = idx
-            THEN (((yy - lnew) + 4*sold)
-                  - ((((yy - lnew) + 4*sold) % 5 + 5) % 5)) // 5
-            ELSE s[i] END) AS s,
+            THEN snew ELSE s[i] END) AS s,
           y,
-          l + b + sold AS fitted
+          fitted
         FROM (
-          SELECT h.event_type, h.n, q.r, q.y * 1000000 AS yy, q.y, h.l, h.b,
-            h.s,
+          SELECT h.event_type, h.n, q.r, q.y, h.s,
             CAST((q.r - 1) % 7 + 1 AS INT) AS idx,
             h.s[CAST((q.r - 1) % 7 + 1 AS INT)] AS sold,
-            (((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
-               + 4*(h.l + h.b))
-              - ((((q.y * 1000000 - h.s[CAST((q.r - 1) % 7 + 1 AS INT)])
-                   + 4*(h.l + h.b)) % 5 + 5) % 5)) // 5 AS lnew
+            $phb AS phb,
+            h.l + phb + sold AS fitted,
+            ${fd("(q.y * 1000000 - sold) + 4*(h.l + phb)", 5)} AS lnew,
+            ${fd("(lnew - h.l) + 9*phb", 10)} AS bnew,
+            ${fd("(q.y * 1000000 - lnew) + 4*sold", 5)} AS snew
           FROM hw h JOIN tr q
             ON q.event_type = h.event_type AND q.r = h.r + 1)),
       fin AS (
         SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
           max_by(s, r) AS s
-        FROM hw GROUP BY event_type, n),
-      fc AS (
-        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
-          l + h * b + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
-        FROM fin, (SELECT unnest(range(1, 8)) AS h))"""
+        FROM hw GROUP BY event_type, n),$fcCtes"""
+  }
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
     * data-dependent entries (ann_ivf embeds its trained centroids as
@@ -901,6 +949,49 @@ object SparkEntry {
       SELECT item, rank, rec_item, shared_users, cos_e6
       FROM ranked WHERE rank <= 10 ORDER BY item, rank""",
 
+    // the capped ingestion form: per-user top-8 interactions in the
+    // md5 order (hv asc, item asc — the digit-sum recipe on the same
+    // "user:item" key recommend_eval's holdout uses), then the
+    // identical CF chain — the d_u² skew guard, oracle-verified
+    "recommend_capped" -> raw"""
+      WITH inter0 AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      hv AS (
+        SELECT user_id, item,
+          CAST(list_sum(list_transform(range(1, 9),
+            k -> (strpos('0123456789abcdef',
+                         md5(user_id || ':' || item)[k:k]) - 1)
+                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) AS hvv
+        FROM inter0),
+      inter AS (
+        SELECT user_id, item FROM (
+          SELECT user_id, item,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY hvv, item) AS rn
+          FROM hv) WHERE rn <= 8),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM inter a JOIN inter b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      scored AS (
+        SELECT s.i AS item, s.j AS rec_item, s.c AS shared_users,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY item
+          ORDER BY cos_e6 DESC, rec_item) AS INT) AS rank
+        FROM scored)
+      SELECT item, rank, rec_item, shared_users, cos_e6
+      FROM ranked WHERE rank <= 10 ORDER BY item, rank""",
+
     // leave-last-out CF backtest: held item = max(item) per >=2-item
     // user, model retrained on the carve, held rank among unseen
     // candidates (0 = no co-occurrence path), hit = rank in top-5
@@ -978,6 +1069,16 @@ object SparkEntry {
             UNION ALL SELECT * FROM fc)
       ORDER BY event_type, r"""),
 
+    // the damped-trend (φ = 9/10) variant: the same recurrence with
+    // the trend floored through 9b//10 at every use and the
+    // geometric-damp forecast (chained d1..d7 lateral aliases)
+    "holt_winters_damped" -> (holtWintersDampedCtes + """
+      SELECT event_type, CAST(r AS BIGINT) AS r, y,
+        CAST(fitted AS BIGINT) AS fitted_e6
+      FROM (SELECT event_type, r, y, fitted FROM hw WHERE r >= 8
+            UNION ALL SELECT * FROM fc)
+      ORDER BY event_type, r"""),
+
     // the HW chain's residual monitor: resid and the mean-absolute
     // scale stay BIGINT end to end (non-negative sums, so // == div)
     "forecast_anomaly" -> (holtWintersCtes + """,
@@ -1009,6 +1110,23 @@ object SparkEntry {
     // full seq supplies the actuals — h = r − n, MAE per horizon an
     // exact floor division
     "forecast_eval" -> (holtWintersCtesOver(7) + """,
+      ev AS (
+        SELECT s.event_type, CAST(s.r - s.n AS BIGINT) AS h, s.y,
+          CAST(f.fitted AS BIGINT) AS forecast_e6,
+          ABS(s.y * 1000000 - f.fitted) AS ae
+        FROM seq s JOIN fc f
+          ON f.event_type = s.event_type AND f.r = s.r),
+      maeh AS (
+        SELECT h, CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_e6
+        FROM ev GROUP BY h)
+      SELECT e.event_type, e.h, e.y, e.forecast_e6,
+        CAST(e.ae AS BIGINT) AS ae_e6, m.mae_e6
+      FROM ev e JOIN maeh m USING (h)
+      ORDER BY e.event_type, e.h"""),
+
+    // the damped backtest: the SAME holdout readout over the damped
+    // recurrence body — fit mode and backtest mode cannot drift
+    "forecast_damped_eval" -> (hwCtesBody(7, damped = true) + """,
       ev AS (
         SELECT s.event_type, CAST(s.r - s.n AS BIGINT) AS h, s.y,
           CAST(f.fitted AS BIGINT) AS forecast_e6,

@@ -330,23 +330,48 @@ object Classify {
     * docs train nothing but are scored like everything else. */
   def qualityNb(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    qualityLogOdds(qualityScoresWithBuckets(docs,
-      TextFunctions.ccnetBuckets(docs).select(col("doc_id"), col("bucket"))))
+    val (buckets, tokCnt) = qualityInputs(docs)
+    qualityLogOdds(qualityScoresWithCounts(tokCnt,
+      docs.select(col("doc_id")), buckets))
   }
 
-  /** The quality chain's score frame from a precomputed bucket
-    * carve, with ONE tokenize pass over the corpus feeding BOTH NB
-    * training (labeled-carve counts via a doc_id join on the
-    * per-doc counts — Σ_doc k ≡ the direct explode count, exact) and
-    * scoring. The pass is localCheckpoint'd: training and scoring
-    * are two plan branches over it, and lineage would re-tokenize
-    * per branch (the r12 recompute trap); eager checkpoint here is
-    * safe because [[nbScoresFromTokenCounts]] forces an action (the
-    * class-scalar collect) before this method returns. Measured at
-    * sf0.1: quality_nb_eval 5.9 → ~4.3s, quality_nb 4.2 → ~3.4s. */
-  private def qualityScoresWithBuckets(docs: DataFrame,
-                                       buckets: DataFrame): DataFrame = {
-    val tok = docTokenCounts(docs).localCheckpoint()
+  /** ONE tokenize pass for the WHOLE quality chain: the checkpointed
+    * token stream feeds the LM-bigram view (the tertile labeling —
+    * lead window + bigram aggs) AND the token-count view (NB training
+    * + scoring) — previously two independent corpus tokenizes, the
+    * r15 verdict's named shave. The doc-bigram frame is checkpointed
+    * too: it feeds three LM plan branches (model, ctx, the scoring
+    * join), each of which would otherwise replay the lead window
+    * (the ≥3-branch eager-checkpoint rule). Returns (bucket carve,
+    * per-doc token counts). */
+  private def qualityInputs(docs: DataFrame): (DataFrame, DataFrame) = {
+    // measured at sf0.1 (same filtered-Bench harness, best-of-2):
+    // this shape 5.03/5.05s (nb/eval) vs the r15 two-tokenize shape
+    // 5.46/5.92 and a docBg-checkpoint-only variant 5.61/6.61 — the
+    // materialized occurrence stream pays for itself by feeding both
+    // the bigram window and the token-count groupBy
+    val toks = TextFunctions.docTokenStream(docs).localCheckpoint()
+    val docBg = TextFunctions.docBigramsFromToks(toks).localCheckpoint()
+    val buckets = TextFunctions.ccnetBucketsScored(
+        TextFunctions.ngramLmScoreOnBg(docBg))
+      .select(col("doc_id"), col("bucket"))
+    val tokCnt = toks.groupBy(col("doc_id"), col("w1").as("token"))
+      .agg(count(lit(1)).as("k"))
+    (buckets, tokCnt)
+  }
+
+  /** The quality chain's score frame from precomputed per-doc token
+    * counts and a bucket carve: NB training takes the labeled-carve
+    * counts via a doc_id join on the per-doc counts (Σ_doc k ≡ the
+    * direct explode count, exact), scoring reuses the same frame.
+    * The counts are localCheckpoint'd: training and scoring are
+    * separate plan branches over them, and lineage would replay the
+    * groupBy per branch (the r12 recompute trap); eager checkpoint
+    * here is safe because [[nbScoresFromTokenCounts]] forces an
+    * action (the class-scalar collect) before this method returns. */
+  private def qualityScoresWithCounts(tokCnt: DataFrame, docIds: DataFrame,
+                                      buckets: DataFrame): DataFrame = {
+    val tok = tokCnt.localCheckpoint()
     val lbl = buckets.filter(col("bucket").isin("head", "tail"))
     val counts = tok
       .join(lbl.select(col("doc_id"), col("bucket").as("label")), "doc_id")
@@ -354,7 +379,7 @@ object Classify {
     val classes = lbl.groupBy(col("bucket").as("label"))
       .agg(count(lit(1)).as("n_docs"))
     nbScoresFromTokenCounts(counts.withColumn("w_e9", lnE9(col("cnt") + 1)),
-      classes, tok, docs.select(col("doc_id")))
+      classes, tok, docIds)
   }
 
   /** The quality training carve: docs labeled by their LM-ppl
@@ -737,14 +762,15 @@ object Classify {
     * composition shape). */
   def qualityNbEval(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // ONE ccnetBuckets call (its ppl frame localCheckpoints
-    // internally): both the training carve and the eval join derive
-    // from it — calling qualityNb here instead would re-run the
-    // whole LM chain a second time (the r12 lineage-recompute trap;
-    // measured 7.7 → ~4s at sf0.1)
-    val buckets = TextFunctions.ccnetBuckets(docs)
-      .select(col("doc_id"), col("bucket"))
-    qualityLogOdds(qualityScoresWithBuckets(docs, buckets))
+    // ONE shared chain (its token stream, doc-bigrams and ppl frame
+    // all localCheckpoint internally): the training carve, the
+    // scoring pass and the eval join all derive from it — calling
+    // qualityNb here instead would re-run the whole LM chain a
+    // second time (the r12 lineage-recompute trap; measured
+    // 7.7 → ~4s at sf0.1, → ~4.1s with the r16 one-tokenize share)
+    val (buckets, tokCnt) = qualityInputs(docs)
+    qualityLogOdds(qualityScoresWithCounts(tokCnt,
+        docs.select(col("doc_id")), buckets))
       .join(buckets, "doc_id")
       .groupBy(col("bucket"), col("keep"))
       .agg(count(lit(1)).as("n"))

@@ -524,13 +524,25 @@ object TextFunctions {
     * window partitioned by doc_id (millions of small partitions), and
     * the count collapses inside the same stage (the window exchange
     * already clusters by doc_id). */
-  def docBigrams(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // the explode runs in the scan stage — spread a single-split input
-    // across cores before it, or one task tokenizes the whole corpus
+  def docBigrams(docs: DataFrame): DataFrame =
+    docBigramsFromToks(docTokenStream(docs))
+
+  /** The posexploded (doc_id, pos, w1) token-occurrence stream — ONE
+    * fanned-out corpus tokenize. Chains that need BOTH the bigram
+    * and the token-count view of the same corpus (the quality
+    * distillation) checkpoint this once and derive both — previously
+    * two independent tokenize passes. The explode runs in the scan
+    * stage — fanOut spreads a single-split input across cores first,
+    * or one task tokenizes the whole corpus. */
+  private[functions] def docTokenStream(docs: DataFrame): DataFrame =
     graft.Util.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+
+  /** [[docBigrams]] body over a precomputed token stream. */
+  private[functions] def docBigramsFromToks(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
       .withColumn("w2", lead(col("w1"), 1).over(byPos))
       .where(col("w2").isNotNull)
       .select(col("doc_id"), col("w1"),
@@ -986,8 +998,11 @@ object TextFunctions {
     * aggregate here; the production path materializes `ngramLmModel`
     * once instead (see its Scaladoc) — that artifact split, not a
     * cache, is the scale answer. */
-  def ngramLmScore(docs: DataFrame): DataFrame = {
-    val docBg = docBigrams(docs)
+  def ngramLmScore(docs: DataFrame): DataFrame =
+    ngramLmScoreOnBg(docBigrams(docs))
+
+  /** [[ngramLmScore]] body over a precomputed doc-bigram frame. */
+  private[functions] def ngramLmScoreOnBg(docBg: DataFrame): DataFrame = {
     val (model, ctx) = ngramLmModel(docBg)
     ngramLmScoreWith(docBg, model, ctx)
   }
@@ -1096,9 +1111,15 @@ object TextFunctions {
   def ccnetBuckets(s: SparkSession, d: String): DataFrame =
     ccnetBuckets(Tables.documents(s, d))
 
-  def ccnetBuckets(docs: DataFrame): DataFrame = {
+  def ccnetBuckets(docs: DataFrame): DataFrame =
+    ccnetBucketsScored(ngramLmScore(docs))
+
+  /** [[ccnetBuckets]] body over a precomputed LM score frame — split
+    * out so the quality chain can feed it from a shared tokenize
+    * pass. */
+  private[functions] def ccnetBucketsScored(lmScored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = ngramLmScore(docs)
+    val scored = lmScored
       .select(col("doc_id"), col("ppl")).localCheckpoint()
     val n = scored.count()
     val wc = Window.orderBy(col("ppl"))

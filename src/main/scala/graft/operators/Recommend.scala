@@ -42,9 +42,41 @@ object Recommend {
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .distinct()
 
+  /** Deterministic per-user interaction cap — the skew guard ahead
+    * of [[pairCounts]]: the shared-user equi-join costs Σ_u d_u², so
+    * ONE pathological user (a bot/crawler account touching 10^5
+    * catalog items) generates 10^10 pair rows out of a single join
+    * key — an un-splittable straggler no salt can divide (the rows
+    * genuinely belong to one group). The cap bounds d_u ≤ `cap` by
+    * keeping each user's top-`cap` interactions in the md5 order
+    * already used for holdout selection ([[recommendEvalOn]]):
+    * hv = the 32-bit md5 prefix of "user:item" (conv on 8 nibbles is
+    * exact — the A-ES rule), ties broken by item — a deterministic
+    * pseudorandom SAMPLE of the user's history, reproducible
+    * cross-engine (the digit-sum recipe) and STABLE under erasure:
+    * a user's capped set depends only on their own (user, item)
+    * pairs, so append/forget of whole users commutes with the cap.
+    *
+    * Capped output ⊆ the raw interactions and per-user counts ≤ cap
+    * (spec'd); pair counts under the cap are ≤ the uncapped counts.
+    * Bench-scale oracle queries keep the uncapped default — the cap
+    * is the 100 TB ingestion guard, oracle-gated via
+    * `recommend_capped`. */
+  def capInteractions(inter: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cap_hv"), col("item"))
+    inter
+      .withColumn("cap_hv", expr(
+        "CAST(conv(substring(md5(concat(user_id, ':', item)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("cap_rn", row_number().over(w))
+      .filter(col("cap_rn") <= cap)
+      .drop("cap_hv", "cap_rn")
+  }
+
   /** (i, j, c) shared-user pair counts over i < j — exact BIGINTs
     * from the per-user equi-join. */
-  private def pairCounts(inter: DataFrame): DataFrame =
+  private[graft] def pairCounts(inter: DataFrame): DataFrame =
     inter.as("a")
       .join(inter.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
@@ -52,7 +84,7 @@ object Recommend {
       .agg(count(lit(1)).as("c"))
 
   /** (item, n) distinct-user counts. */
-  private def itemCounts(inter: DataFrame): DataFrame =
+  private[graft] def itemCounts(inter: DataFrame): DataFrame =
     inter.groupBy(col("item")).agg(count(lit(1)).as("n"))
 
   /** Ranked top-k recommendations from the two count frames — the
@@ -80,8 +112,16 @@ object Recommend {
     * neighbors, so a rank cut there would be both wasted work and a
     * recall hole). */
   private def scoredSym(pairs: DataFrame, items: DataFrame): DataFrame =
+    scoreSym(symPairs(pairs), items)
+
+  /** Symmetrize the i<j pair counts to both orientations. */
+  private def symPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("i"), col("j"), col("c"))
       .union(pairs.select(col("j").as("i"), col("i").as("j"), col("c")))
+
+  /** Cosine-score an already-symmetrized pair frame. */
+  private def scoreSym(sym: DataFrame, items: DataFrame): DataFrame =
+    sym
       .join(broadcast(items.select(col("item").as("i"), col("n").as("ni"))),
         Seq("i"))
       .join(broadcast(items.select(col("item").as("j"), col("n").as("nj"))),
@@ -100,6 +140,15 @@ object Recommend {
     val i2 = inter.localCheckpoint()
     topKFromCounts(pairCounts(i2), itemCounts(i2), k)
   }
+
+  /** The capped in-query form — [[recommendTopK]] over
+    * [[capInteractions]], the production 100 TB ingestion shape
+    * (oracle-gated as `recommend_capped`). At bench scale the cap
+    * mostly passes users through; its value is the d_u² bound the
+    * Scale10 planted-power-user probe measures. */
+  def recommendCapped(s: SparkSession, d: String, cap: Int = 8,
+                      k: Int = 10): DataFrame =
+    recommendTopK(capInteractions(interactions(graft.Tables.events(s, d)), cap), k)
 
   /** Leave-last-out BACKTEST of the recommender — the "would these
     * recommendations have predicted real behavior" gate (the
@@ -187,18 +236,37 @@ object Recommend {
   def recommendForUsers(s: SparkSession, dir: String, history: DataFrame,
                         n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sims = scoredSym(s.read.parquet(s"$dir/pairs"),
-        s.read.parquet(s"$dir/items"))
+    // distinct BEFORE voting: a duplicate (user, item) row in one
+    // request (a repeated item in a RecRequest's items list) would
+    // double-count that item's votes and diverge from the model's
+    // distinct-interaction semantics (the anti-join side already
+    // dedups — the vote side must match)
+    val hist = history.select(col("user_id"), col("item")).distinct()
+      .localCheckpoint() // feeds 3 branches: prune, votes, anti-join
+    // SERVING PRUNE: only pair rows whose i-side is in the request
+    // batch's item set can ever vote — semi-join the symmetrized
+    // model on those items (batch-bounded, broadcast) BEFORE the
+    // count joins and cosine math, so serve cost tracks the request
+    // batch, not the catalog²-support model size (the
+    // annIvfServeBatch bucket-prune precedent)
+    val histItems = hist.select(col("item").as("i")).distinct()
+    val rawPairs = s.read.parquet(s"$dir/pairs")
+    // per-orientation semi-join (a semi join does not push through a
+    // union the way a filter would — prune each branch at its scan)
+    val sym = rawPairs.select(col("i"), col("j"), col("c"))
+      .join(broadcast(histItems), Seq("i"), "left_semi")
+      .union(rawPairs.select(col("j").as("i"), col("i").as("j"), col("c"))
+        .join(broadcast(histItems), Seq("i"), "left_semi"))
+    val sims = scoreSym(sym, s.read.parquet(s"$dir/items"))
       .select(col("i").as("item"), col("j").as("rec_item"), col("cos_e6"))
-    val votes = history.select(col("user_id"), col("item"))
+    val votes = hist
       .join(sims, Seq("item"))
       .groupBy(col("user_id"), col("rec_item"))
       .agg(sum(col("cos_e6")).as("score_e6"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("score_e6").desc, col("rec_item"))
     votes
-      .join(history.select(col("user_id"),
-          col("item").as("rec_item")).distinct(),
+      .join(hist.select(col("user_id"), col("item").as("rec_item")),
         Seq("user_id", "rec_item"), "left_anti")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)

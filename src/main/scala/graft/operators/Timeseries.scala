@@ -399,7 +399,12 @@ object Timeseries {
   /** The [[forecastAnomaly]] core on an explicit daily frame — split
     * out so specs can plant off-trend days. */
   def forecastAnomalyOn(daily: DataFrame, k: Int = 3): DataFrame = {
-    val fit = holtWintersOn(daily).filter(col("y") > 0)
+    // horizon = 0: no forecast sentinel rows exist, so no filter is
+    // needed to strip them — a filter on y > 0 would also silently
+    // drop a GENUINE zero-valued observed day (a total outage is
+    // exactly what this monitor must flag) from both the flag set
+    // and the residual scale
+    val fit = holtWintersOn(daily, horizon = 0)
       .withColumn("resid_e6", col("y") * lit(1000000L) - col("fitted_e6"))
     // |resid| sums are non-negative, so truncating div == floor div
     // in both engines (the pagerank rule); `div` keeps the whole
@@ -415,8 +420,11 @@ object Timeseries {
   }
 
   /** The [[holtWinters]] core on an explicit (event_type, day, y)
-    * daily frame — split out so specs can feed crafted series. */
-  def holtWintersOn(daily: DataFrame, horizon: Int = 7): DataFrame = {
+    * daily frame — split out so specs can feed crafted series.
+    * `damped` switches the recurrence to the Gardner damped-trend
+    * form (see [[hwStepDamped]]). */
+  def holtWintersOn(daily: DataFrame, horizon: Int = 7,
+                    damped: Boolean = false): DataFrame = {
     val s = daily.sparkSession
     import s.implicits._
     daily
@@ -433,14 +441,17 @@ object Timeseries {
           val out = Array.newBuilder[(String, Long, Long, Long)]
           var r = 8
           while (r <= n) {
-            val (fitted, next) = hwStep(st, r, yE6(r - 1))
+            val (fitted, next) =
+              if (damped) hwStepDamped(st, r, yE6(r - 1))
+              else hwStep(st, r, yE6(r - 1))
             out += ((et, r.toLong, ys(r - 1), fitted))
             st = next
             r += 1
           }
           var h = 1
           while (h <= horizon) {
-            out += ((et, (n + h).toLong, 0L, hwForecast(st, n, h)))
+            out += ((et, (n + h).toLong, 0L,
+              if (damped) hwForecastDamped(st, n, h) else hwForecast(st, n, h)))
             h += 1
           }
           out.result().iterator
@@ -450,6 +461,23 @@ object Timeseries {
       .orderBy(col("event_type"), col("r"))
   }
 
+  /** DAMPED-trend Holt-Winters (Gardner & McKenzie) — the standard
+    * robustness answer when a fitted trend must not be extrapolated
+    * linearly forever (a growth spurt in the last season would
+    * otherwise forecast unbounded growth): the trend is multiplied
+    * by φ = 9/10 at every use, so the h-step forecast adds
+    * Σ_{k≤h} φ^k·b — a geometric approach to l + 9b instead of an
+    * unbounded line. Same exact-integer machinery as [[holtWinters]]
+    * (φ·b = one more signed floor division; the seed and γ update
+    * are shared), fifth readout of the family. */
+  def holtWintersDamped(s: SparkSession, d: String,
+                        horizon: Int = 7): DataFrame =
+    holtWintersOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      horizon, damped = true)
+
   /** Forecast BACKTEST: hold the last `holdout` days of each series
     * out of training, forecast them from the truncated state, and
     * score absolute error per horizon — the "would I have trusted
@@ -458,15 +486,17 @@ object Timeseries {
     * floor division over non-negative sums) in one frame; everything
     * BIGINT end to end. Series shorter than 2m + holdout are
     * skipped (no seedable train prefix). */
-  def forecastEval(s: SparkSession, d: String, holdout: Int = 7): DataFrame =
+  def forecastEval(s: SparkSession, d: String, holdout: Int = 7,
+                   damped: Boolean = false): DataFrame =
     forecastEvalOn(
       Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y")),
-      holdout)
+      holdout, damped)
 
   /** The [[forecastEval]] core on an explicit daily frame. */
-  def forecastEvalOn(daily: DataFrame, holdout: Int = 7): DataFrame = {
+  def forecastEvalOn(daily: DataFrame, holdout: Int = 7,
+                     damped: Boolean = false): DataFrame = {
     val s = daily.sparkSession
     import s.implicits._
     val detail = daily
@@ -481,9 +511,14 @@ object Timeseries {
           val yE6 = ys.map(_ * 1000000L)
           var st = hwSeed(yE6)
           var r = 8
-          while (r <= n) { st = hwStep(st, r, yE6(r - 1))._2; r += 1 }
+          while (r <= n) {
+            st = (if (damped) hwStepDamped(st, r, yE6(r - 1))
+                  else hwStep(st, r, yE6(r - 1)))._2
+            r += 1
+          }
           (1 to holdout).iterator.map { h =>
-            val fc = hwForecast(st, n, h)
+            val fc = if (damped) hwForecastDamped(st, n, h)
+                     else hwForecast(st, n, h)
             (et, h.toLong, ys(n + h - 1), fc, math.abs(yE6(n + h - 1) - fc))
           }
         }
@@ -572,4 +607,36 @@ object Timeseries {
   /** h-step-ahead forecast from the state after n observed rows. */
   private[graft] def hwForecast(st: HwState, n: Int, h: Int): Long =
     st.l + h * st.b + st.sea((n + h - 1) % 7)
+
+  /** One DAMPED recurrence step (φ = 9/10): every use of the trend —
+    * in the fitted value, the level update, and the trend update —
+    * goes through φ·b = floorDiv(9·b, 10) first (one extra signed
+    * floor division; the γ seasonal update is unchanged). With φ < 1
+    * the trend state decays geometrically unless observations keep
+    * re-feeding it. */
+  private[graft] def hwStepDamped(st: HwState, r: Int, yy: Long): (Long, HwState) = {
+    val idx = (r - 1) % 7
+    val sold = st.sea(idx)
+    val phb = Math.floorDiv(9L * st.b, 10L)
+    val fitted = st.l + phb + sold
+    val lnew = Math.floorDiv((yy - sold) + 4L * (st.l + phb), 5L)
+    val bnew = Math.floorDiv((lnew - st.l) + 9L * phb, 10L)
+    (fitted, HwState(lnew, bnew,
+      st.sea.updated(idx, Math.floorDiv((yy - lnew) + 4L * sold, 5L))))
+  }
+
+  /** Damped h-step forecast: l + Σ_{k=1..h} φ^k·b + seasonal, the
+    * geometric damp iterated as exact floor divisions (db_{k+1} =
+    * floorDiv(9·db_k, 10) starting from db_0 = b). */
+  private[graft] def hwForecastDamped(st: HwState, n: Int, h: Int): Long = {
+    var db = st.b
+    var cum = 0L
+    var k = 1
+    while (k <= h) {
+      db = Math.floorDiv(9L * db, 10L)
+      cum += db
+      k += 1
+    }
+    st.l + cum + st.sea((n + h - 1) % 7)
+  }
 }

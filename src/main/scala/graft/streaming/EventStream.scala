@@ -1132,7 +1132,8 @@ object EventStream {
   // Scala-private inner class ("no applicable constructor/method
   // found ... candidates are: public long trend()")
   case class HwStreamState(bufE6: Seq[Long], rank: Long, lvl: Long,
-                           trend: Long, seaE6: Seq[Long], seeded: Boolean)
+                           trend: Long, seaE6: Seq[Long], seeded: Boolean,
+                           lastDay: Long)
 
   /** Streaming Holt-Winters — the [[graft.operators.Timeseries
     * .holtWintersOn]] recurrence as per-series stream state (9
@@ -1146,7 +1147,8 @@ object EventStream {
     * r12 arrival-order invariant; within a batch rows are sorted).
     * Two-batch parity with the batch fitted rows is spec'd in
     * StreamingSpec. */
-  def streamingHoltWinters(days: Dataset[DayCount]): Dataset[HwFit] = {
+  def streamingHoltWinters(days: Dataset[DayCount],
+                           damped: Boolean = false): Dataset[HwFit] = {
     import days.sparkSession.implicits._
     import graft.operators.Timeseries
     days.groupByKey(_.event_type)
@@ -1156,9 +1158,20 @@ object EventStream {
          state: GroupState[HwStreamState]) =>
           val arrived = rows.toArray.sortBy(_.day.getTime)
           var st = state.getOption
-            .getOrElse(HwStreamState(Vector.empty, 7L, 0L, 0L, Nil, false))
+            .getOrElse(HwStreamState(Vector.empty, 7L, 0L, 0L, Nil, false,
+              Long.MinValue))
           val out = Array.newBuilder[HwFit]
           arrived.foreach { dRow =>
+            // guard the per-series day-order invariant ACROSS batches
+            // (within a batch the sort handles it): a duplicate or
+            // late-arriving day would otherwise be stepped as the
+            // next rank, silently corrupting the state and every
+            // subsequent fit — drop it instead (the closed-day
+            // contract says it was already consumed)
+            val epochDay = dRow.day.toLocalDate.toEpochDay
+            if (epochDay <= st.lastDay) ()
+            else {
+            st = st.copy(lastDay = epochDay)
             val yy = dRow.y * 1000000L
             if (!st.seeded) {
               val buf = st.bufE6 :+ yy
@@ -1169,21 +1182,26 @@ object EventStream {
                 var hw = Timeseries.hwSeed(buf.toIndexedSeq)
                 var r = 8
                 while (r <= 14) {
-                  val (fitted, next) = Timeseries.hwStep(hw, r, buf(r - 1))
+                  val (fitted, next) =
+                    if (damped) Timeseries.hwStepDamped(hw, r, buf(r - 1))
+                    else Timeseries.hwStep(hw, r, buf(r - 1))
                   out += HwFit(et, r.toLong, buf(r - 1) / 1000000L, fitted)
                   hw = next
                   r += 1
                 }
                 st = HwStreamState(Vector.empty, 14L, hw.l, hw.b, hw.sea,
-                  seeded = true)
+                  seeded = true, lastDay = epochDay)
               }
             } else {
               val r = st.rank + 1
-              val (fitted, next) = Timeseries.hwStep(
-                Timeseries.HwState(st.lvl, st.trend, st.seaE6), r.toInt, yy)
+              val prev = Timeseries.HwState(st.lvl, st.trend, st.seaE6)
+              val (fitted, next) =
+                if (damped) Timeseries.hwStepDamped(prev, r.toInt, yy)
+                else Timeseries.hwStep(prev, r.toInt, yy)
               out += HwFit(et, r, dRow.y, fitted)
               st = HwStreamState(Vector.empty, r, next.l, next.b, next.sea,
-                seeded = true)
+                seeded = true, lastDay = epochDay)
+            }
             }
           }
           state.update(st)

@@ -202,6 +202,130 @@ class ForecastSpec extends SparkSpec {
       == spark.read.parquet(s"$fresh/pairs").orderBy("i", "j").collect().toSeq)
   }
 
+  test("capInteractions: per-user bound honored, capped set ⊆ raw, no user vanishes") {
+    import spark.implicits._
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val rawSet = inter.as[(Long, Long)].collect().toSet
+    val deg = rawSet.groupBy(_._1).map { case (u, rs) => u -> rs.size }
+    val capRows = Recommend.capInteractions(inter, 8)
+      .as[(Long, Long)].collect()
+    assert(capRows.toSet.subsetOf(rawSet), "capped rows must be raw rows")
+    // exactly min(8, d_u) kept per user — the cap SELECTS, never drops
+    capRows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length == math.min(8, deg(u)), s"user $u: ${rs.length}")
+    }
+    assert(capRows.map(_._1).toSet == rawSet.map(_._1), "no user vanishes")
+    // deterministic: a second evaluation picks the identical sample
+    assert(Recommend.capInteractions(inter, 8).as[(Long, Long)]
+      .collect().toSet == capRows.toSet)
+  }
+
+  test("capped CF: a planted power user is bounded and capped pair counts never exceed uncapped") {
+    import spark.implicits._
+    // one bot user touching the whole catalog + a few normal users
+    val power = (0 until 500).map(i => (999L, i.toLong))
+    val normal = for (u <- 1L to 5L; i <- Seq(1L, 2L, 3L, 4L)) yield (u, i)
+    val inter = (power ++ normal).toDF("user_id", "item").localCheckpoint()
+    val capped = Recommend.capInteractions(inter, 8).localCheckpoint()
+    assert(capped.filter(col("user_id") === 999L).count() == 8)
+    // the power user's pair fan-out collapses from C(500,2) to C(8,2)
+    val rawPairs = Recommend.pairCounts(inter)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val capPairs = Recommend.pairCounts(capped)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(rawPairs.size >= 500 * 499 / 2)
+    assert(capPairs.size <= 8 * 7 / 2 + 4 * 3 / 2 * 1 + 6) // bot C(8,2) + normal support
+    capPairs.foreach { case (ij, c) =>
+      assert(rawPairs.contains(ij) && c <= rawPairs(ij),
+        s"pair $ij: capped $c vs raw ${rawPairs.get(ij)}")
+    }
+  }
+
+  test("damped holt-winters: constant series exact AND identical to the undamped fit (zero trend = damping is a no-op)") {
+    val daily = daysFrom("2024-01-01", Seq.fill(21)(42L))
+    val dmp = Timeseries.holtWintersOn(daily, damped = true).collect()
+    assert(dmp.length == 14 + 7)
+    dmp.foreach(r => assert(r.getAs[Long]("fitted_e6") == 42000000L))
+    assert(dmp.map(_.toSeq).toSeq ==
+      Timeseries.holtWintersOn(daily).collect().map(_.toSeq).toSeq)
+  }
+
+  test("damped h=1 forecast equals the next fitted value once the observation arrives") {
+    val ys = (0 until 22).map(i => 100L + 3L * i + Seq(5L, -2L, 7L, 0L, -4L, 2L, 1L)(i % 7) + (i * i % 5))
+    val fullFit = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys), damped = true)
+      .filter(col("y") =!= 0).collect()
+      .map(r => r.getAs[Long]("r") -> r.getAs[Long]("fitted_e6")).toMap
+    (14 until 22).foreach { n =>
+      val fc1 = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys.take(n)),
+          horizon = 1, damped = true)
+        .filter(col("r") === (n + 1)).collect()
+      assert(fc1.length == 1 &&
+        fc1.head.getAs[Long]("fitted_e6") == fullFit(n + 1L), s"prefix $n")
+    }
+  }
+
+  test("damping geometry: increments decay toward zero and the forecast is bounded by l + 9b, while the undamped line grows unbounded") {
+    // seasonal-free state isolates the trend term
+    val st = Timeseries.HwState(50000000L, 1000000L, Seq.fill(7)(0L))
+    // floor(9·db/10) iterated from 1e6 hits 0 after ~131 steps
+    val damped = (1 to 160).map(h => Timeseries.hwForecastDamped(st, 160, h))
+    val linear = (1 to 160).map(h => Timeseries.hwForecast(st, 160, h))
+    val dInc = damped.zip(damped.tail).map { case (a, b) => b - a }
+    val lInc = linear.zip(linear.tail).map { case (a, b) => b - a }
+    assert(lInc.forall(_ == 1000000L), "undamped increments are exactly b")
+    // damped increments are non-negative, non-increasing, strictly
+    // below b, and reach 0 (the geometric floor-div decay)
+    assert(dInc.head < 1000000L && dInc.forall(_ >= 0L))
+    dInc.zip(dInc.tail).foreach { case (a, b) => assert(b <= a) }
+    assert(dInc.last == 0L)
+    // ceiling: Σ φ^k b ≤ 9b exactly (φ = 9/10)
+    assert(damped.forall(_ <= 50000000L + 9L * 1000000L))
+    assert(linear.last > damped.last)
+  }
+
+  test("damped backtest == damped holtWinters forecasts of the truncated series; undamped eval is unchanged by the flag") {
+    val ys = (0 until 28).map(i => 50L + 4L * i + Seq(3L, 0L, -1L, 4L, 1L, -2L, 2L)(i % 7))
+    val eval = Timeseries.forecastEvalOn(daysFrom("2024-01-01", ys), damped = true)
+      .collect().map(r => r.getAs[Long]("h") -> r.getAs[Long]("forecast_e6")).toMap
+    val fc = Timeseries.holtWintersOn(daysFrom("2024-01-01", ys.take(21)),
+        damped = true)
+      .filter(col("r") > 21).collect()
+      .map(r => (r.getAs[Long]("r") - 21) -> r.getAs[Long]("fitted_e6")).toMap
+    assert(eval == fc)
+    // on a genuine trend the damped backtest forecasts BELOW the
+    // undamped one at the far horizons (the damp bites)
+    val und = Timeseries.forecastEvalOn(daysFrom("2024-01-01", ys))
+      .collect().map(r => r.getAs[Long]("h") -> r.getAs[Long]("forecast_e6")).toMap
+    assert(eval(7L) < und(7L), s"damped ${eval(7L)} vs undamped ${und(7L)}")
+  }
+
+  test("capInteractions commutes with whole-user batches: cap(A ∪ B) == cap(A) ∪ cap(B) on disjoint user sets") {
+    import spark.implicits._
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val a = inter.filter(col("user_id") % 2 === 0)
+    val b = inter.filter(col("user_id") % 2 =!= 0)
+    val whole = Recommend.capInteractions(inter, 8)
+      .as[(Long, Long)].collect().toSet
+    val parts = Recommend.capInteractions(a, 8).as[(Long, Long)].collect().toSet ++
+      Recommend.capInteractions(b, 8).as[(Long, Long)].collect().toSet
+    // a user's capped set depends only on their own rows, so capped
+    // model maintenance by whole users (append/forget) is exact
+    assert(whole == parts)
+  }
+
+  test("a total-outage day (y = 0) is flagged by the anomaly monitor") {
+    val season = Seq(100L, 90L, 80L, 70L, 60L, 50L, 40L)
+    val outage = (0 until 28).map(i => season(i % 7)).updated(24, 0L)
+    val got = Timeseries.forecastAnomalyOn(daysFrom("2024-01-01", outage))
+      .collect()
+    val day25 = got.find(_.getAs[Long]("r") == 25L).get
+    assert(day25.getAs[Long]("y") == 0L)
+    assert(day25.getAs[Boolean]("is_anomaly"),
+      "the zero-valued day must be present AND flagged")
+  }
+
   test("per-user recommendations exclude the user's own history and rank by summed cosine") {
     import spark.implicits._
     val inter = Recommend.interactions(Tables.events(spark, sf))
@@ -225,5 +349,44 @@ class ForecastSpec extends SparkSpec {
         r.getAs[Long]("rec_item"))).toSeq
       assert(keys == keys.sorted)
     }
+  }
+
+  test("recommendForUsers: duplicate history rows never double-count votes, and the item-pruned serve equals a full-model driver replay") {
+    import spark.implicits._
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val dir = tmpDir("cf-dup")
+    Recommend.writeCfModel(inter, dir)
+    val history = inter.filter(col("user_id") < 4).localCheckpoint()
+    val recs = Recommend.recommendForUsers(spark, dir, history, n = 5)
+      .collect().map(_.toSeq).toSeq
+    // a request repeating every history row (the duplicated-item-in-
+    // one-RecRequest shape) must produce the identical answer
+    val dup = Recommend.recommendForUsers(spark, dir,
+      history.union(history), n = 5).collect().map(_.toSeq).toSeq
+    assert(recs == dup, "duplicate history rows changed the votes")
+    // full-model driver replay: score every candidate from the RAW
+    // pairs/items parquet with no pruning — the semi-join prune must
+    // be invisible in the output
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .as[(Long, Long, Long)].collect()
+    val n = spark.read.parquet(s"$dir/items")
+      .as[(Long, Long)].collect().toMap
+    val sims = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .map { case (i, j, c) =>
+        (i, j) -> math.floor(c.toDouble /
+          (math.sqrt(n(i).toDouble) * math.sqrt(n(j).toDouble)) * 1e6 + 0.5).toLong
+      }.toMap
+    val hist = history.as[(Long, Long)].collect().toSet
+    val expected = hist.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val items = rows.map(_._2)
+      val votes = sims.toSeq
+        .collect { case ((i, j), c) if items.contains(i) => j -> c }
+        .groupBy(_._1).map { case (j, cs) => j -> cs.map(_._2).sum }
+        .filter { case (j, _) => !hist.contains((u, j)) }
+      votes.toSeq.sortBy { case (j, sc) => (-sc, j) }.take(5).zipWithIndex
+        .map { case ((j, sc), r) => Seq[Any](u, r + 1, j, sc) }
+    }.toSet
+    assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
   }
 }

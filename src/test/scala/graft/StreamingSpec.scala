@@ -667,6 +667,77 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming DAMPED Holt-Winters matches the batch damped fit on a two-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Timeseries
+    val ys = (0 until 25).map(i =>
+      80L + 5L * i + Seq(4L, -1L, 6L, 0L, -3L, 2L, 1L)(i % 7))
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.parse("2024-01-01").plusDays(i))
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      EventStream.DayCount("a", day(i), y) }
+    val input = MemoryStream[EventStream.DayCount]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingHoltWinters(input.toDS(), damped = true)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.HwFit],
+                       _: Long) =>
+        results ++= b.collect().map(f =>
+          Seq(f.event_type, f.r, f.y, f.fitted_e6)); ()
+      }
+      .start()
+    input.addData(rows.take(16)); q.processAllAvailable()
+    input.addData(rows.drop(16)); q.processAllAvailable()
+    q.stop()
+    val batch = Timeseries.holtWintersOn(
+        ys.zipWithIndex.map { case (y, i) => ("a", day(i), y) }
+          .toDF("event_type", "day", "y"), damped = true)
+      .filter(col("y") > 0).collect()
+      .map(r => Seq(r.getAs[String]("event_type"), r.getAs[Long]("r"),
+        r.getAs[Long]("y"), r.getAs[Long]("fitted_e6"))).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
+  test("streaming Holt-Winters drops replayed and late-arriving days instead of corrupting state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Timeseries
+    val ys = (0 until 25).map(i =>
+      100L + 3L * i + Seq(5L, -2L, 7L, 0L, -4L, 2L, 1L)(i % 7) + (i * i % 5))
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.parse("2024-01-01").plusDays(i))
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      EventStream.DayCount("a", day(i), y) }
+    val input = MemoryStream[EventStream.DayCount]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingHoltWinters(input.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.HwFit],
+                       _: Long) =>
+        results ++= b.collect().map(f =>
+          Seq(f.event_type, f.r, f.y, f.fitted_e6)); ()
+      }
+      .start()
+    input.addData(rows.take(18)); q.processAllAvailable()
+    // batch 2 REPLAYS the tail of batch 1 (a source retry) and one
+    // much earlier day (late arrival) — the day-order guard must
+    // drop all four, not step them as fresh ranks; a corrupted value
+    // rides the replayed day to prove the duplicate isn't re-stepped
+    val poisoned = rows.slice(15, 18).map(_.copy(y = 999999L)) ++
+      Seq(rows(2).copy(y = 888888L))
+    input.addData(poisoned ++ rows.drop(18)); q.processAllAvailable()
+    q.stop()
+    val batch = Timeseries.holtWintersOn(
+        ys.zipWithIndex.map { case (y, i) => ("a", day(i), y) }
+          .toDF("event_type", "day", "y"))
+      .filter(col("y") > 0).collect()
+      .map(r => Seq(r.getAs[String]("event_type"), r.getAs[Long]("r"),
+        r.getAs[Long]("y"), r.getAs[Long]("fitted_e6"))).toSet
+    assert(results.toSet == batch,
+      "replayed/late days must leave the fit stream identical to the clean run")
+  }
+
   test("streaming NB classification matches the batch serve on a two-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
