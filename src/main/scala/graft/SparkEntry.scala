@@ -41,11 +41,13 @@ object SparkEntry {
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
     "holt_winters_damped" -> ((s, d) => Timeseries.holtWintersDamped(s, d)),
     "recommend_capped"   -> ((s, d) => operators.Recommend.recommendCapped(s, d)),
+    "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
     "forecast_damped_eval" -> ((s, d) =>
       Timeseries.forecastEval(s, d, damped = true)),
     "forecast_decompose" -> ((s, d) => Timeseries.forecastDecompose(s, d)),
+    "forecast_intervals" -> ((s, d) => Timeseries.forecastIntervals(s, d)),
     "recommend_eval"     -> ((s, d) => operators.Recommend.recommendEval(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
@@ -992,6 +994,37 @@ object SparkEntry {
       SELECT item, rank, rec_item, shared_users, cos_e6
       FROM ranked WHERE rank <= 10 ORDER BY item, rank""",
 
+    // first-order Markov next-item: consecutive engagement events per
+    // user in (ts, event_id) order, self-loops dropped, top-5 next
+    // per item by (count desc, next_item); prob = ONE IEEE division
+    // of exact counts snapped e6
+    "recommend_markov" -> raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      sq AS (
+        SELECT item,
+          lead(item) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_item
+        FROM ev),
+      trans AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM sq WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      tot AS (SELECT item, CAST(SUM(c) AS BIGINT) AS tc FROM trans GROUP BY 1),
+      ranked AS (
+        SELECT t.item, t.next_item, t.c, o.tc,
+          CAST(row_number() OVER (PARTITION BY t.item
+            ORDER BY t.c DESC, t.next_item) AS INT) AS rank
+        FROM trans t JOIN tot o USING (item))
+      SELECT item, rank, next_item, c AS transitions,
+        CAST(floor(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6 + 0.5)
+          AS BIGINT) AS prob_e6
+      FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+
     // leave-last-out CF backtest: held item = max(item) per >=2-item
     // user, model retrained on the carve, held rank among unseen
     // candidates (0 = no co-occurrence path), hit = rank in top-5
@@ -1104,6 +1137,31 @@ object SparkEntry {
         CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
         CAST(s[CAST((r - 1) % 7 + 1 AS INT)] AS BIGINT) AS seasonal_e6
       FROM hw WHERE r >= 8 ORDER BY event_type, r"""),
+
+    // prediction intervals: each forecast row ± the series' exact
+    // 95th-percentile |residual| ELEMENT (rank (95n+99)//100 over
+    // (|resid|, r) — the ccnet element-not-interpolation discipline),
+    // all BIGINT e6
+    "forecast_intervals" -> (holtWintersCtes + """,
+      fit AS (
+        SELECT event_type, r, ABS(y * 1000000 - fitted) AS aresid
+        FROM hw WHERE r >= 8),
+      nn AS (SELECT event_type, COUNT(*) AS nr FROM fit GROUP BY 1),
+      rk AS (
+        SELECT f.event_type, f.aresid,
+          row_number() OVER (PARTITION BY f.event_type
+            ORDER BY f.aresid, f.r) AS rn,
+          nn.nr
+        FROM fit f JOIN nn USING (event_type)),
+      band AS (
+        SELECT event_type, CAST(aresid AS BIGINT) AS band_e6
+        FROM rk WHERE rn = (95 * nr + 99) // 100)
+      SELECT f.event_type, CAST(f.r AS BIGINT) AS r,
+        CAST(f.fitted AS BIGINT) AS fitted_e6,
+        CAST(f.fitted - b.band_e6 AS BIGINT) AS lo_e6,
+        CAST(f.fitted + b.band_e6 AS BIGINT) AS hi_e6
+      FROM fc f JOIN band b USING (event_type)
+      ORDER BY f.event_type, f.r"""),
 
     // the backtest readout: the recurrence trains on seq MINUS the
     // 7-day holdout (tr), fc forecasts the held-out ranks, and the

@@ -150,6 +150,47 @@ object Recommend {
                       k: Int = 10): DataFrame =
     recommendTopK(capInteractions(interactions(graft.Tables.events(s, d)), cap), k)
 
+  /** SEQUENCE-aware next-item recommendation — the first-order
+    * Markov-chain recommender (the classic session-based baseline,
+    * Rendle et al.'s FPMC ancestor): transitions are consecutive
+    * engagement events per user in (ts, event_id) order (event_id
+    * breaks timestamp ties deterministically), self-loops dropped
+    * (recommending the item just touched is vacuous). Per source
+    * item: top-k next items by transition count (ties by next_item),
+    * with the transition probability c/Σc as one IEEE division of
+    * exact BIGINTs snapped e6. Complements [[recommendTopK]]'s
+    * order-free co-occurrence with ORDER information — "what do
+    * users touch next" vs "what do the same users touch".
+    *
+    * Scale shape: the sequence window partitions by user (bounded
+    * partitions, never a global sort); transition counts aggregate
+    * to catalog²-support rows; the rank window partitions by item. */
+  def recommendMarkov(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = graft.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("next_item", lead(col("item"), 1).over(seq))
+      .filter(col("next_item").isNotNull && col("next_item") =!= col("item"))
+      .groupBy(col("item"), col("next_item"))
+      .agg(count(lit(1)).as("c"))
+    val tot = trans.groupBy(col("item")).agg(sum(col("c")).as("tc"))
+    val byItem = Window.partitionBy(col("item"))
+      .orderBy(col("c").desc, col("next_item"))
+    trans.join(tot, "item")
+      .withColumn("rank", row_number().over(byItem))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("next_item"),
+        col("c").as("transitions"),
+        floor(col("c").cast("double") / col("tc").cast("double") * lit(1e6)
+          + lit(0.5)).cast("long").as("prob_e6"))
+      .orderBy(col("item"), col("rank"))
+  }
+
   /** Leave-last-out BACKTEST of the recommender — the "would these
     * recommendations have predicted real behavior" gate (the
     * forecast_eval counterpart on the CF arc): for every user with

@@ -574,6 +574,57 @@ object Timeseries {
       .orderBy(col("event_type"), col("r"))
   }
 
+  /** Prediction INTERVALS over the [[holtWinters]] forecasts — the
+    * uncertainty bands a forecast dashboard shades: each h-step
+    * forecast carries ± the series' q-th percentile of historical
+    * absolute residuals (the empirical-residual interval — the
+    * standard model-free band when residuals aren't assumed
+    * Gaussian). The band is an exact ELEMENT of the residual set,
+    * never an interpolated quantile (the ccnet tertile discipline:
+    * engines disagree on interpolation, they cannot disagree on the
+    * k-th element of a deterministic sort): rank ceil(q·n/100) =
+    * (q·n + 99) div 100 over (|resid|, r) per series. Everything
+    * BIGINT e6 end to end.
+    *
+    * Scale shape: residual ranking is a PER-SERIES window (calendar-
+    * bounded partitions — never a global sort); the band joins the
+    * horizon rows on the series key. */
+  def forecastIntervals(s: SparkSession, d: String, qPct: Int = 95,
+                        horizon: Int = 7): DataFrame =
+    forecastIntervalsOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      qPct, horizon)
+
+  /** The [[forecastIntervals]] core on an explicit daily frame. */
+  def forecastIntervalsOn(daily: DataFrame, qPct: Int = 95,
+                          horizon: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fit = holtWintersOn(daily, horizon = 0)
+      .withColumn("aresid",
+        abs(col("y") * lit(1000000L) - col("fitted_e6")))
+    val bySeries = Window.partitionBy(col("event_type"))
+    val w = bySeries.orderBy(col("aresid"), col("r"))
+    val band = fit
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nr", count(lit(1)).over(bySeries))
+      .filter(col("rn") === expr(s"($qPct * nr + 99) div 100"))
+      .select(col("event_type"), col("aresid").as("band_e6"))
+    // forecast rows = ranks past the per-series observed-day count
+    // (never the y=0 sentinel: a genuine zero-valued observed day
+    // must not be mistaken for a forecast row)
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_obs"))
+    holtWintersOn(daily, horizon)
+      .join(n, "event_type")
+      .filter(col("r") > col("n_obs"))
+      .join(band, "event_type")
+      .select(col("event_type"), col("r"), col("fitted_e6"),
+        (col("fitted_e6") - col("band_e6")).as("lo_e6"),
+        (col("fitted_e6") + col("band_e6")).as("hi_e6"))
+      .orderBy(col("event_type"), col("r"))
+  }
+
   /** Holt-Winters state: level and trend in e6 units plus the 7
     * seasonal residuals — the whole recurrence is these 9 BIGINTs. */
   case class HwState(l: Long, b: Long, sea: Seq[Long])

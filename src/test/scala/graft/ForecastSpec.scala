@@ -92,6 +92,28 @@ class ForecastSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("markov next-item: hand-checked transitions on a crafted sequence; self-loops dropped, ties by next_item") {
+    // user 1: 10 -> 20 -> 10 -> 20 ; user 2: 10 -> 20 -> 30 -> 30
+    // transitions: (10->20)x3, (20->10)x1, (20->30)x1; 30->30 dropped
+    val rows = Seq(
+      (1L, 0, 10L), (1L, 1, 20L), (1L, 2, 10L), (1L, 3, 20L),
+      (2L, 0, 10L), (2L, 1, 20L), (2L, 2, 30L), (2L, 3, 30L))
+    val ev = rows.zipWithIndex.map { case ((u, t, i), eid) =>
+      (eid.toLong, u, java.sql.Timestamp.valueOf(s"2024-01-01 0$t:00:00"),
+        "view", 1.0, s"""{"k": $i}""")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Recommend.recommendMarkov(spark, dir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("next_item"), r.getAs[Long]("transitions"),
+          r.getAs[Long]("prob_e6"))).toMap
+    assert(got((10L, 1)) == ((20L, 3L, 1000000L)))
+    assert(got((20L, 1)) == ((10L, 1L, 500000L)), "tie broken by next_item")
+    assert(got((20L, 2)) == ((30L, 1L, 500000L)))
+    assert(got.size == 3, s"unexpected rows: $got")
+  }
+
   test("forecast anomaly flags a planted off-trend spike and nothing on a clean seasonal series") {
     // clean weekly-seasonal series: zero residual everywhere once the
     // state is seeded, so NO day can exceed 3x the mean abs residual
@@ -313,6 +335,32 @@ class ForecastSpec extends SparkSpec {
     // a user's capped set depends only on their own rows, so capped
     // model maintenance by whole users (append/forget) is exact
     assert(whole == parts)
+  }
+
+  test("forecast intervals: zero-width on a constant series; band == the exact q95 |residual| element on a noisy one") {
+    val const = Timeseries.forecastIntervalsOn(
+      daysFrom("2024-01-01", Seq.fill(21)(42L))).collect()
+    assert(const.length == 7)
+    const.foreach { r =>
+      assert(r.getAs[Long]("lo_e6") == 42000000L &&
+        r.getAs[Long]("hi_e6") == 42000000L)
+    }
+    val ys = (0 until 28).map(i =>
+      100L + 2L * i + Seq(5L, -2L, 7L, 0L, -4L, 2L, 1L)(i % 7) + (i * i % 11))
+    val daily = daysFrom("2024-01-01", ys)
+    val got = Timeseries.forecastIntervalsOn(daily).collect()
+    assert(got.length == 7)
+    // driver recount of the band: q95 element of |y*1e6 - fitted|
+    // over the observed fit rows, rank ceil(95n/100)
+    val aresid = Timeseries.holtWintersOn(daily, horizon = 0).collect()
+      .map(r => math.abs(r.getAs[Long]("y") * 1000000L -
+        r.getAs[Long]("fitted_e6"))).sorted
+    val band = aresid((95 * aresid.length + 99) / 100 - 1)
+    assert(band > 0L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("lo_e6") == r.getAs[Long]("fitted_e6") - band)
+      assert(r.getAs[Long]("hi_e6") == r.getAs[Long]("fitted_e6") + band)
+    }
   }
 
   test("a total-outage day (y = 0) is flagged by the anomaly monitor") {
