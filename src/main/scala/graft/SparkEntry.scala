@@ -42,6 +42,8 @@ object SparkEntry {
     "holt_winters_damped" -> ((s, d) => Timeseries.holtWintersDamped(s, d)),
     "recommend_capped"   -> ((s, d) => operators.Recommend.recommendCapped(s, d)),
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
+    "recommend_markov_eval" -> ((s, d) =>
+      operators.Recommend.recommendMarkovEval(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
     "forecast_damped_eval" -> ((s, d) =>
@@ -1024,6 +1026,43 @@ object SparkEntry {
         CAST(floor(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6 + 0.5)
           AS BIGINT) AS prob_e6
       FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+
+    // leave-LAST-out Markov backtest: hold each >=3-event user's
+    // chronologically final event, retrain transitions on the prefix
+    // (shorter users' full histories still train), rank the held
+    // item among the context's trained candidates
+    "recommend_markov_eval" -> raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rdesc,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      held AS (SELECT user_id, item AS held_item FROM ev
+               WHERE rdesc = 1 AND n_ev >= 3),
+      ctx AS (SELECT user_id, item AS ctx_item FROM ev
+              WHERE rdesc = 2 AND n_ev >= 3),
+      tr AS (
+        SELECT item, lead(item) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_item
+        FROM ev WHERE rdesc > 1 OR n_ev < 3),
+      model AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM tr WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT item AS ctx_item, next_item AS held_item,
+          CAST(row_number() OVER (PARTITION BY item
+            ORDER BY c DESC, next_item) AS INT) AS rank
+        FROM model)
+      SELECT h.user_id, c.ctx_item, h.held_item,
+        CAST(COALESCE(r.rank, 0) AS INT) AS rank,
+        COALESCE(r.rank, 0) BETWEEN 1 AND 5 AS hit
+      FROM held h JOIN ctx c USING (user_id)
+      LEFT JOIN ranked r
+        ON r.ctx_item = c.ctx_item AND r.held_item = h.held_item
+      ORDER BY h.user_id""",
 
     // leave-last-out CF backtest: held item = max(item) per >=2-item
     // user, model retrained on the carve, held rank among unseen

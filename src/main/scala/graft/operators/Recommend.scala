@@ -165,12 +165,19 @@ object Recommend {
     * Scale shape: the sequence window partitions by user (bounded
     * partitions, never a global sort); transition counts aggregate
     * to catalog²-support rows; the rank window partitions by item. */
-  def recommendMarkov(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def recommendMarkov(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    markovTopK(markovTransitions(graft.Tables.events(s, d)), k)
+
+  /** The (item, next_item, c) transition-count frame — the Markov
+    * model's storage form. PURE COUNT ALGEBRA like the CF pair table:
+    * a user's transitions derive only from their own ordered event
+    * sequence, so whole-user append/forget are exact BIGINT
+    * adds/subtracts (the [[forgetFromCfModel]] contract). */
+  private[graft] def markovTransitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seq = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val trans = graft.Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
+    events.filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
@@ -178,6 +185,16 @@ object Recommend {
       .filter(col("next_item").isNotNull && col("next_item") =!= col("item"))
       .groupBy(col("item"), col("next_item"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** The ranked readout over a transition frame — ONE scoring body
+    * shared by the in-query `recommend_markov`, the stored-model
+    * top-k and the pruned serve (no drift possible). The per-item
+    * probability denominator aggregates INSIDE the frame, so any
+    * item-granular subset (the serve prune) scores identically to
+    * the full model. */
+  private def markovTopK(trans: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = trans.groupBy(col("item")).agg(sum(col("c")).as("tc"))
     val byItem = Window.partitionBy(col("item"))
       .orderBy(col("c").desc, col("next_item"))
@@ -189,6 +206,120 @@ object Recommend {
         floor(col("c").cast("double") / col("tc").cast("double") * lit(1e6)
           + lit(0.5)).cast("long").as("prob_e6"))
       .orderBy(col("item"), col("rank"))
+  }
+
+  // ---- maintained Markov-model artifact -----------------------------------
+
+  /** Train and persist the transition model: `trans/`. */
+  def writeMarkovModel(events: DataFrame, dir: String): Unit =
+    markovTransitions(events).write.mode("overwrite").parquet(s"$dir/trans")
+
+  /** Item-conditional top-k from the stored model — bit-identical to
+    * the in-query form of the same events (one scoring body;
+    * spec'd). */
+  def recommendMarkovFromModel(s: SparkSession, dir: String,
+                               k: Int = 5): DataFrame =
+    markovTopK(s.read.parquet(s"$dir/trans"), k)
+
+  /** NEXT-ITEM serving: each request carries its current context
+    * item; the stored model is semi-join-pruned to the batch's
+    * context items BEFORE ranking (item-granular prune — the
+    * probability denominator is a within-item aggregate, so the
+    * pruned ranking is exactly the full model's restricted to those
+    * items; spec'd). Output one row per (request, rank). */
+  def markovNextServeBatch(s: SparkSession, dir: String, reqs: DataFrame,
+                           k: Int = 5): DataFrame = {
+    val ctxItems = reqs.select(col("item")).distinct()
+    val trans = s.read.parquet(s"$dir/trans")
+      .join(broadcast(ctxItems), Seq("item"), "left_semi")
+    reqs.select(col("user_id"), col("item"))
+      .join(markovTopK(trans, k), Seq("item"))
+      .select(col("user_id"), col("item").as("ctx_item"), col("rank"),
+        col("next_item"), col("transitions"), col("prob_e6"))
+      .orderBy(col("user_id"), col("ctx_item"), col("rank"))
+  }
+
+  /** Fold a batch of NEW USERS' event sequences into the model —
+    * exact (transition counts are user-local; spec'd equal to fresh
+    * training of the concatenation). An existing user's new events
+    * would need their stored last event to stitch the boundary
+    * transition — the same whole-user contract as the CF model. */
+  def appendToMarkovModel(batchEvents: DataFrame, dir: String): Unit = {
+    val s = batchEvents.sparkSession
+    val trans = s.read.parquet(s"$dir/trans")
+      .unionByName(markovTransitions(batchEvents))
+      .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
+    graft.functions.Classify.swapRewrite(s, dir) { tmp =>
+      trans.write.parquet(s"$tmp/trans")
+    }
+  }
+
+  /** Erasure: subtract the victim users' transitions (their full
+    * event sequences passed by the caller). Rows reaching zero
+    * disappear; the result EQUALS fresh training of the surviving
+    * users (ErasureSpec). */
+  def forgetFromMarkovModel(victimEvents: DataFrame, dir: String): Unit = {
+    val s = victimEvents.sparkSession
+    val trans = s.read.parquet(s"$dir/trans")
+      .unionByName(markovTransitions(victimEvents).withColumn("c", -col("c")))
+      .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+    graft.functions.Classify.swapRewrite(s, dir) { tmp =>
+      trans.write.parquet(s"$tmp/trans")
+    }
+  }
+
+  /** Leave-LAST-out BACKTEST of the Markov recommender — temporally
+    * HONEST by construction (unlike CF's md5-holdout, a sequence
+    * model must be evaluated on the chronologically last event, which
+    * is exactly what production would have predicted): per user with
+    * ≥3 engagement events, hold out the final event, retrain
+    * transitions on the prefix, predict from the prefix's last item,
+    * and report the held item's rank among the trained next-item
+    * candidates (0 = the transition was never seen — including a
+    * held self-loop, which the model never predicts by design) and
+    * hit@k. All integer/boolean outputs.
+    *
+    * Scale shape: two user-partitioned windows (hold-out carve +
+    * prefix transitions), the catalog²-support transition table, an
+    * item-partitioned rank window, one join back to the per-user
+    * context. */
+  def recommendMarkovEval(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ev = graft.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("rdesc", row_number().over(seqDesc))
+      .withColumn("n_ev", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .localCheckpoint() // feeds held, ctx and the train carve
+    val held = ev.filter(col("rdesc") === 1 && col("n_ev") >= 3)
+      .select(col("user_id"), col("item").as("held_item"))
+    val ctx = ev.filter(col("rdesc") === 2 && col("n_ev") >= 3)
+      .select(col("user_id"), col("item").as("ctx_item"))
+    // the train carve drops ONLY eligible users' last events — an
+    // ineligible (shorter) user's full history still trains
+    val seqAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val model = ev.filter(col("rdesc") > 1 || col("n_ev") < 3)
+      .withColumn("next_item", lead(col("item"), 1).over(seqAsc))
+      .filter(col("next_item").isNotNull && col("next_item") =!= col("item"))
+      .groupBy(col("item"), col("next_item"))
+      .agg(count(lit(1)).as("c"))
+    val byItem = Window.partitionBy(col("item"))
+      .orderBy(col("c").desc, col("next_item"))
+    val ranked = model.withColumn("rank", row_number().over(byItem))
+      .select(col("item").as("ctx_item"), col("next_item").as("held_item"),
+        col("rank"))
+    held.join(ctx, "user_id")
+      .join(ranked, Seq("ctx_item", "held_item"), "left")
+      .select(col("user_id"), col("ctx_item"), col("held_item"),
+        coalesce(col("rank"), lit(0)).as("rank"),
+        coalesce(col("rank"), lit(0)).between(1, k).as("hit"))
+      .orderBy(col("user_id"))
   }
 
   /** Leave-last-out BACKTEST of the recommender — the "would these

@@ -1232,6 +1232,28 @@ object EventStream {
       }
       .start()
 
+  /** One next-item request: the user's current context item. */
+  case class NextRequest(user_id: Long, item: Long)
+
+  /** Streaming NEXT-ITEM serving over the stored Markov transition
+    * model ([[graft.operators.Recommend.writeMarkovModel]]) — the
+    * session-based recommender's production serve: each arriving
+    * request carries its context item, the micro-batch prunes the
+    * model to its context items and ranks. State-free; per-request
+    * answers are batch-independent, so two-batch parity with the
+    * batch [[graft.operators.Recommend.markovNextServeBatch]] is
+    * exact (spec'd in StreamingSpec). */
+  def streamingMarkovNext(reqs: Dataset[NextRequest], markovDir: String,
+                          k: Int = 5)(writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    reqs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[NextRequest], _: Long) =>
+        val s = batch.sparkSession
+        writeBatch(graft.operators.Recommend.markovNextServeBatch(
+          s, markovDir, batch.toDF("user_id", "item"), k))
+      }
+      .start()
+
   /** Streaming Rocchio classification over the stored centroid model
     * ([[graft.functions.Classify.writeCentroidModel]]) — the
     * embedding-modality twin of [[streamingClassifyNb]]: each

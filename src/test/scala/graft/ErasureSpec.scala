@@ -54,7 +54,7 @@ class ErasureSpec extends SparkSpec {
     "forgetFromSimhashIndex",
     "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel",
     "forgetFromCentroidModel", "forgetFromQualityModel",
-    "forgetFromCfModel")
+    "forgetFromCfModel", "forgetFromMarkovModel")
 
   test("keeper-attributed fingerprint indexes forget") {
     locally {
@@ -359,6 +359,29 @@ class ErasureSpec extends SparkSpec {
     // and the served top-k is the survivors' top-k
     assert(Recommend.recommendTopKFromModel(spark, dir).collect().toSeq ==
       Recommend.recommendTopKFromModel(spark, fresh).collect().toSeq)
+  }
+
+  test("Markov model erasure == fresh training of the surviving users") {
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val dir = tmp("er-markov")
+    Recommend.writeMarkovModel(events, dir)
+    // victims leave as WHOLE USERS with their full event sequences
+    // (the whole-user maintenance contract — transitions are
+    // user-local, so the subtraction is exact)
+    Recommend.forgetFromMarkovModel(
+      events.filter(col("user_id").isin(victims: _*)), dir)
+    val fresh = tmp("er-markov-fresh")
+    Recommend.writeMarkovModel(
+      events.filter(!col("user_id").isin(victims: _*)), fresh)
+    assert(spark.read.parquet(s"$dir/trans").orderBy("item", "next_item")
+      .collect().toSeq ==
+      spark.read.parquet(s"$fresh/trans").orderBy("item", "next_item")
+        .collect().toSeq)
+    // and the served ranking is the survivors' ranking
+    assert(Recommend.recommendMarkovFromModel(spark, dir)
+      .collect().map(_.toSeq).toSeq ==
+      Recommend.recommendMarkovFromModel(spark, fresh)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("every forget/delete verb in the library is exercised by this suite") {

@@ -114,6 +114,35 @@ class ForecastSpec extends SparkSpec {
     assert(got.size == 3, s"unexpected rows: $got")
   }
 
+  test("markov leave-last-out backtest: a dominant pattern ranks its held transition 1; an unseen transition scores 0") {
+    // users 1..4: 10 -> 20 -> 30 (held 30, ctx 20, prefix trains 10->20)
+    // user 5: 10 -> 20 -> 30 -> 40 (held 40, ctx 30 — prefix trains
+    // 10->20, 20->30; the 30->40 transition is never seen => rank 0)
+    val rows = (for (u <- 1L to 4L; (t, i) <- Seq((0, 10L), (1, 20L), (2, 30L)))
+      yield (u, t, i)) ++
+      Seq((5L, 0, 10L), (5L, 1, 20L), (5L, 2, 30L), (5L, 3, 40L))
+    val ev = rows.zipWithIndex.map { case ((u, t, i), eid) =>
+      (eid.toLong, u, java.sql.Timestamp.valueOf(s"2024-01-01 0$t:00:00"),
+        "click", 1.0, s"""{"k": $i}""")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("markoveval").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Recommend.recommendMarkovEval(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ctx_item"), r.getAs[Long]("held_item"),
+          r.getAs[Int]("rank"), r.getAs[Boolean]("hit"))).toMap
+    assert(got.size == 5)
+    (1L to 4L).foreach(u => assert(got(u) == ((20L, 30L, 1, true)), s"user $u: ${got(u)}"))
+    assert(got(5L) == ((30L, 40L, 0, false)))
+    // natural-corpus mechanism: one row per >=3-event user, hit iff rank in 1..5
+    val nat = Recommend.recommendMarkovEval(spark, sf).collect()
+    assert(nat.nonEmpty)
+    nat.foreach { r =>
+      val rk = r.getAs[Int]("rank")
+      assert(r.getAs[Boolean]("hit") == (rk >= 1 && rk <= 5))
+    }
+  }
+
   test("forecast anomaly flags a planted off-trend spike and nothing on a clean seasonal series") {
     // clean weekly-seasonal series: zero residual everywhere once the
     // state is seeded, so NO day can exceed 3x the mean abs residual
@@ -397,6 +426,41 @@ class ForecastSpec extends SparkSpec {
         r.getAs[Long]("rec_item"))).toSeq
       assert(keys == keys.sorted)
     }
+  }
+
+  test("Markov model: stored top-k == in-query; pruned next-item serve == the full ranking restricted to the batch's contexts; append of new users == fresh") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val dir = tmpDir("markov-model")
+    Recommend.writeMarkovModel(events, dir)
+    assert(Recommend.recommendMarkovFromModel(spark, dir)
+      .collect().map(_.toSeq).toSeq ==
+      Recommend.recommendMarkov(spark, sf).collect().map(_.toSeq).toSeq)
+    // pruned serve: per request the rows are exactly the full
+    // ranking's rows for that context item
+    val reqs = Seq((900L, 3L), (901L, 7L)).toDF("user_id", "item")
+    val served = Recommend.markovNextServeBatch(spark, dir, reqs).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ctx_item"),
+        r.getAs[Int]("rank"), r.getAs[Long]("next_item"),
+        r.getAs[Long]("transitions"), r.getAs[Long]("prob_e6"))).toSet
+    val full = Recommend.recommendMarkovFromModel(spark, dir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Int]("rank"),
+        r.getAs[Long]("next_item"), r.getAs[Long]("transitions"),
+        r.getAs[Long]("prob_e6")))
+    val expected = (for ((u, i) <- Seq((900L, 3L), (901L, 7L));
+                         row <- full if row._1 == i)
+      yield (u, i, row._2, row._3, row._4, row._5)).toSet
+    assert(served == expected && served.nonEmpty)
+    // append of disjoint NEW users folds in exactly
+    val day = events.withColumn("user_id", col("user_id") + 5000L)
+      .filter(col("user_id") % 3 === 0)
+    Recommend.appendToMarkovModel(day, dir)
+    val fresh = tmpDir("markov-fresh")
+    Recommend.writeMarkovModel(events.unionByName(day), fresh)
+    assert(spark.read.parquet(s"$dir/trans").orderBy("item", "next_item")
+      .collect().toSeq ==
+      spark.read.parquet(s"$fresh/trans").orderBy("item", "next_item")
+        .collect().toSeq)
   }
 
   test("recommendForUsers: duplicate history rows never double-count votes, and the item-pruned serve equals a full-model driver replay") {

@@ -633,6 +633,29 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming Markov next-item serving matches the batch serve on a two-batch request split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Recommend
+    val dir = java.nio.file.Files.createTempDirectory("markovstream")
+      .toString + "/mk"
+    val events = Tables.events(spark, sf)
+    Recommend.writeMarkovModel(events, dir)
+    val reqs = (0L until 8L).map(i => EventStream.NextRequest(800L + i, i))
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.NextRequest]
+    val q = EventStream.streamingMarkovNext(input.toDS(), dir) {
+      recs => results ++= recs.collect().map(_.toSeq)
+    }
+    input.addData(reqs.take(4)); q.processAllAvailable()
+    input.addData(reqs.drop(4)); q.processAllAvailable()
+    q.stop()
+    val batch = Recommend.markovNextServeBatch(spark, dir,
+        reqs.map(r => (r.user_id, r.item)).toDF("user_id", "item"))
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming Holt-Winters matches the batch fitted rows on a mid-seeding split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
