@@ -211,6 +211,40 @@ object Scale10 {
         spark.read.parquet(s"$cfDir/pairs").count()
       }
     }
+    // the Markov-model loop (r16 — the CF count-algebra shape on
+    // ordered transitions): training is two user-partitioned windows
+    // + a catalog²-support aggregate; serve prunes to the request
+    // batch's context items; append/forget are model-sized rewrites
+    locally {
+      val mkDir = s"/tmp/scale_markov_$mult/mk"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val ev = rep(Tables.events(spark, d), Seq("user_id", "event_id"),
+        1000000000L)
+      t(s"markov_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(mkDir).getParent), true)
+        operators.Recommend.writeMarkovModel(ev, mkDir)
+        spark.read.parquet(s"$mkDir/trans").count()
+      }
+      t(s"markov_serve_${mult}x") {
+        val reqs = spark.range(50)
+          .select((col("id") + 800L).as("user_id"), (col("id") % 20).as("item"))
+        operators.Recommend.markovNextServeBatch(spark, mkDir, reqs).count()
+      }
+      t(s"markov_append_${mult}x") {
+        val day = Tables.events(spark, d)
+          .withColumn("user_id", col("user_id") + 900000000L)
+        operators.Recommend.appendToMarkovModel(day, mkDir)
+        spark.read.parquet(s"$mkDir/trans").count()
+      }
+      t(s"markov_forget_${mult}x") {
+        val day = Tables.events(spark, d)
+          .withColumn("user_id", col("user_id") + 900000000L)
+        operators.Recommend.forgetFromMarkovModel(day, mkDir)
+        spark.read.parquet(s"$mkDir/trans").count()
+      }
+    }
     // the planted-POWER-USER probe (r16 — the verdict's named
     // scale-killer): one bot user touching a mult×500-item catalog
     // slice rides the natural interactions; uncapped pair generation

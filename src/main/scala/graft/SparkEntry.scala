@@ -44,6 +44,7 @@ object SparkEntry {
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
     "recommend_markov_eval" -> ((s, d) =>
       operators.Recommend.recommendMarkovEval(s, d)),
+    "recommend_hybrid"   -> ((s, d) => operators.Recommend.recommendHybrid(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
     "forecast_damped_eval" -> ((s, d) =>
@@ -1026,6 +1027,69 @@ object SparkEntry {
         CAST(floor(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6 + 0.5)
           AS BIGINT) AS prob_e6
       FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+
+    // hybrid RRF fusion of the CF and Markov rankings — the search
+    // tier's exact rrf recipe (1/(60+rank) snapped 1e-9, decimal sum,
+    // 6 dp, re-rank with candidate tie-break) on recommendation lists
+    "recommend_hybrid" -> raw"""
+      WITH inter AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM inter a JOIN inter b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      scored AS (
+        SELECT s.i AS item, s.j AS rec_item,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      cf AS (
+        SELECT item AS query_id, rec_item AS doc_id, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY item
+            ORDER BY cos_e6 DESC, rec_item) AS INT) AS rank
+          FROM scored) WHERE rank <= 10),
+      mev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      msq AS (
+        SELECT item, lead(item) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_item
+        FROM mev),
+      mtr AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM msq WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      mk AS (
+        SELECT item AS query_id, next_item AS doc_id, rank FROM (
+          SELECT item, next_item, CAST(row_number() OVER (PARTITION BY item
+            ORDER BY c DESC, next_item) AS INT) AS rank
+          FROM mtr) WHERE rank <= 10),
+      rrlists AS (
+        SELECT query_id, doc_id,
+          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM cf
+        UNION ALL
+        SELECT query_id, doc_id,
+          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM mk),
+      fused AS (
+        SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
+        FROM rrlists GROUP BY 1, 2)
+      SELECT query_id AS item, doc_id AS rec_item, rrf, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        FROM fused)
+      WHERE rank <= 5 ORDER BY item, rank""",
 
     // leave-LAST-out Markov backtest: hold each >=3-event user's
     // chronologically final event, retrain transitions on the prefix

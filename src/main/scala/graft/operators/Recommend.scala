@@ -208,6 +208,29 @@ object Recommend {
       .orderBy(col("item"), col("rank"))
   }
 
+  /** HYBRID recommendations — reciprocal-rank fusion of the two
+    * item-item signals (the [[graft.operators.Search.rrfFuse]]
+    * machinery, exactly the search tier's verified recipe): the
+    * order-free CF co-occurrence ranking and the order-aware Markov
+    * next-item ranking each contribute 1/(60+rank) per candidate,
+    * fused score rounded 6 dp, re-ranked (rrf desc, candidate). An
+    * item that both "the same users touch" AND "users touch next"
+    * outranks one with a single strong signal — the standard
+    * two-signal blend when neither alone is trusted. */
+  def recommendHybrid(s: SparkSession, d: String, k: Int = 5,
+                      depth: Int = 10): DataFrame = {
+    val cf = recommendTopK(interactions(graft.Tables.events(s, d)), depth)
+      .select(col("item").as("query_id"), col("rec_item").as("doc_id"),
+        col("rank"))
+    val mk = markovTopK(markovTransitions(graft.Tables.events(s, d)), depth)
+      .select(col("item").as("query_id"), col("next_item").as("doc_id"),
+        col("rank"))
+    Search.rrfFuse(Seq(cf, mk), k)
+      .select(col("query_id").as("item"), col("doc_id").as("rec_item"),
+        col("rrf"), col("rank"))
+      .orderBy(col("item"), col("rank"))
+  }
+
   // ---- maintained Markov-model artifact -----------------------------------
 
   /** Train and persist the transition model: `trans/`. */

@@ -428,6 +428,31 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF recommendations == a driver recount over the two collected rankings") {
+    val cf = Recommend.recommendTopK(
+        Recommend.interactions(Tables.events(spark, sf)), 10)
+      .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("rec_item"),
+        r.getAs[Int]("rank")))
+    val mk = Recommend.recommendMarkov(spark, sf, 10)
+      .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("next_item"),
+        r.getAs[Int]("rank")))
+    def term(rank: Int) = BigDecimal(1.0 / (60 + rank))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val fused = (cf ++ mk).groupBy(t => (t._1, t._2))
+      .map { case ((i, c), ts) =>
+        (i, c, ts.map(t => term(t._3)).sum.toDouble) }
+      .map { case (i, c, s) =>
+        (i, c, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val expected = fused.groupBy(_._1).flatMap { case (i, cands) =>
+      cands.toSeq.sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((_, c, s), r) => (i, c, s, r + 1) }
+    }.toSet
+    val got = Recommend.recommendHybrid(spark, sf).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("rec_item"),
+        r.getAs[Double]("rrf"), r.getAs[Int]("rank"))).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("Markov model: stored top-k == in-query; pruned next-item serve == the full ranking restricted to the batch's contexts; append of new users == fresh") {
     import spark.implicits._
     val events = Tables.events(spark, sf).localCheckpoint()
