@@ -500,6 +500,36 @@ object StreamScale {
         println(f"SCALE stream_recommend_${mult}x reqs=$nq " +
           f"time=$sec%.1fs reqsPerSec=${nq / sec}%.1f recs=$emitted")
       }
+      // Markov next-item serving (r16): the transition model trains
+      // from the mult× user base once (catalog²-support-bounded, so
+      // its size is user-count-independent); each streamed request
+      // batch semi-join-prunes the model to its context items —
+      // requests/s against the grown training base is the story
+      locally {
+        val mkDir = s"/tmp/streamscale_mk$mult/mk"
+        graft.operators.Recommend.writeMarkovModel(
+          (0 until mult).map { i =>
+            graft.Tables.events(spark, d)
+              .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+              .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          }.reduce(_ unionByName _), mkDir)
+        val reqs = (0L until 200L).map(i =>
+          EventStream.NextRequest(800L + i, i % 50))
+        val input = MemoryStream[EventStream.NextRequest]
+        var emitted = 0L
+        val q = EventStream.streamingMarkovNext(input.toDS(), mkDir) {
+          recs => emitted += recs.count()
+        }
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          input.addData(reqs.slice(b * 20, (b + 1) * 20))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_markov_${mult}x reqs=200 " +
+          f"time=$sec%.1fs reqsPerSec=${200 / sec}%.1f recs=$emitted")
+      }
       // streaming Holt-Winters (r15): mult×100 independent series
       // advance one closed day per micro-batch — state is exactly 9
       // BIGINTs per seeded series (bounded by construction), so
