@@ -51,6 +51,8 @@ object SparkEntry {
       Timeseries.forecastEval(s, d, damped = true)),
     "forecast_decompose" -> ((s, d) => Timeseries.forecastDecompose(s, d)),
     "forecast_intervals" -> ((s, d) => Timeseries.forecastIntervals(s, d)),
+    "forecast_intervals_eval" -> ((s, d) =>
+      Timeseries.forecastIntervalsEval(s, d)),
     "recommend_eval"     -> ((s, d) => operators.Recommend.recommendEval(s, d)),
     "q18_stream_tumbling" -> Timeseries.q18StreamTumbling _,
     "funnel_steps"        -> Timeseries.funnelSteps _,
@@ -1265,6 +1267,34 @@ object SparkEntry {
         CAST(f.fitted + b.band_e6 AS BIGINT) AS hi_e6
       FROM fc f JOIN band b USING (event_type)
       ORDER BY f.event_type, f.r"""),
+
+    // the interval BACKTEST: bands from the TRAIN fit's residuals
+    // only (the same exact-element selection), held-out actuals
+    // checked against [lo, hi] — per-horizon coverage honesty
+    "forecast_intervals_eval" -> (holtWintersCtesOver(7) + """,
+      fit AS (
+        SELECT event_type, r, ABS(y * 1000000 - fitted) AS aresid
+        FROM hw WHERE r >= 8),
+      nn AS (SELECT event_type, COUNT(*) AS nr FROM fit GROUP BY 1),
+      rk AS (
+        SELECT f.event_type, f.aresid,
+          row_number() OVER (PARTITION BY f.event_type
+            ORDER BY f.aresid, f.r) AS rn,
+          nn.nr
+        FROM fit f JOIN nn USING (event_type)),
+      band AS (
+        SELECT event_type, CAST(aresid AS BIGINT) AS band_e6
+        FROM rk WHERE rn = (95 * nr + 99) // 100)
+      SELECT s.event_type, CAST(s.r - s.n AS BIGINT) AS h, s.y,
+        CAST(f.fitted AS BIGINT) AS fitted_e6,
+        CAST(f.fitted - b.band_e6 AS BIGINT) AS lo_e6,
+        CAST(f.fitted + b.band_e6 AS BIGINT) AS hi_e6,
+        s.y * 1000000 BETWEEN f.fitted - b.band_e6
+          AND f.fitted + b.band_e6 AS covered
+      FROM seq s JOIN fc f
+        ON f.event_type = s.event_type AND f.r = s.r
+      JOIN band b ON b.event_type = s.event_type
+      ORDER BY s.event_type, h"""),
 
     // the backtest readout: the recurrence trains on seq MINUS the
     // 7-day holdout (tr), fc forecasts the held-out ranks, and the

@@ -625,6 +625,61 @@ object Timeseries {
       .orderBy(col("event_type"), col("r"))
   }
 
+  /** Interval BACKTEST — "are my 95% bands honest?": train on each
+    * series minus a `holdout`-day tail (the forecast_eval carve),
+    * derive the residual band from the TRAIN fit only, forecast the
+    * held-out days, and report whether each held-out actual landed
+    * inside [lo, hi]. The per-horizon coverage a gate reads before
+    * trusting the shaded dashboard. Same exact-element band, same
+    * shared recurrence — everything BIGINT/boolean. */
+  def forecastIntervalsEval(s: SparkSession, d: String, qPct: Int = 95,
+                            holdout: Int = 7): DataFrame =
+    forecastIntervalsEvalOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      qPct, holdout)
+
+  /** The [[forecastIntervalsEval]] core on an explicit daily frame. */
+  def forecastIntervalsEvalOn(daily: DataFrame, qPct: Int = 95,
+                              holdout: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySeries = Window.partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("rr", row_number().over(bySeries.orderBy(col("day"))))
+      .withColumn("n_all", count(lit(1)).over(bySeries))
+    val train = ranked.filter(col("rr") <= col("n_all") - holdout)
+      .select(col("event_type"), col("day"), col("y"))
+    // TRAIN-only residual band (the forecastIntervalsOn selection)
+    val fit = holtWintersOn(train, horizon = 0)
+      .withColumn("aresid",
+        abs(col("y") * lit(1000000L) - col("fitted_e6")))
+    val band = fit
+      .withColumn("rn", row_number().over(
+        bySeries.orderBy(col("aresid"), col("r"))))
+      .withColumn("nr", count(lit(1)).over(bySeries))
+      .filter(col("rn") === expr(s"($qPct * nr + 99) div 100"))
+      .select(col("event_type"), col("aresid").as("band_e6"))
+    val nTrain = train.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tr"))
+    val fc = holtWintersOn(train, holdout)
+      .join(nTrain, "event_type")
+      .filter(col("r") > col("n_tr"))
+      .select(col("event_type"), col("r"), col("fitted_e6"), col("n_tr"))
+    val actuals = ranked.select(col("event_type"), col("rr").as("r"),
+      col("y").cast("long").as("y_act"))
+    fc.join(band, "event_type")
+      .join(actuals, Seq("event_type", "r"))
+      .select(col("event_type"), (col("r") - col("n_tr")).as("h"),
+        col("y_act").as("y"), col("fitted_e6"),
+        (col("fitted_e6") - col("band_e6")).as("lo_e6"),
+        (col("fitted_e6") + col("band_e6")).as("hi_e6"),
+        (col("y_act") * lit(1000000L))
+          .between(col("fitted_e6") - col("band_e6"),
+            col("fitted_e6") + col("band_e6")).as("covered"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Holt-Winters state: level and trend in e6 units plus the 7
     * seasonal residuals — the whole recurrence is these 9 BIGINTs. */
   case class HwState(l: Long, b: Long, sea: Seq[Long])

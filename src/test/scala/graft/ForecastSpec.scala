@@ -392,6 +392,25 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("interval backtest: clean held-out days are covered by zero-width bands; a planted held-out spike falls outside") {
+    val season = Seq(100L, 90L, 80L, 70L, 60L, 50L, 40L)
+    val clean = (0 until 28).map(i => season(i % 7))
+    val got0 = Timeseries.forecastIntervalsEvalOn(daysFrom("2024-01-01", clean))
+      .collect()
+    assert(got0.length == 7)
+    got0.foreach { r =>
+      assert(r.getAs[Boolean]("covered") &&
+        r.getAs[Long]("lo_e6") == r.getAs[Long]("hi_e6"),
+        s"h=${r.getAs[Long]("h")}")
+    }
+    // spike day index 24 = rank 25 = holdout horizon 4 (train = 21)
+    val spiked = clean.updated(24, 500L)
+    val got = Timeseries.forecastIntervalsEvalOn(daysFrom("2024-01-01", spiked))
+      .collect().map(r => r.getAs[Long]("h") -> r.getAs[Boolean]("covered")).toMap
+    assert(!got(4L), "the held-out spike must fall outside the bands")
+    assert((1L to 7L).filter(_ != 4L).forall(got), "clean held days stay covered")
+  }
+
   test("a total-outage day (y = 0) is flagged by the anomaly monitor") {
     val season = Seq(100L, 90L, 80L, 70L, 60L, 50L, 40L)
     val outage = (0 until 28).map(i => season(i % 7)).updated(24, 0L)
