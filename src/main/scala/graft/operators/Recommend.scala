@@ -252,11 +252,13 @@ object Recommend {
     * items; spec'd). Output one row per (request, rank). */
   def markovNextServeBatch(s: SparkSession, dir: String, reqs: DataFrame,
                            k: Int = 5): DataFrame = {
-    val ctxItems = reqs.select(col("item")).distinct()
+    // a repeated (user, context) request row would emit duplicate
+    // answer rows — dedup at the door (the recommendForUsers lesson)
+    val rq = reqs.select(col("user_id"), col("item")).distinct()
+    val ctxItems = rq.select(col("item")).distinct()
     val trans = s.read.parquet(s"$dir/trans")
       .join(broadcast(ctxItems), Seq("item"), "left_semi")
-    reqs.select(col("user_id"), col("item"))
-      .join(markovTopK(trans, k), Seq("item"))
+    rq.join(markovTopK(trans, k), Seq("item"))
       .select(col("user_id"), col("item").as("ctx_item"), col("rank"),
         col("next_item"), col("transitions"), col("prob_e6"))
       .orderBy(col("user_id"), col("ctx_item"), col("rank"))
