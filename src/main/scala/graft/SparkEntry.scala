@@ -228,6 +228,27 @@ object SparkEntry {
   private def holtWintersCtesOver(holdout: Int): String =
     hwCtesBody(holdout, damped = false)
 
+  /** The residual-band CTE block shared VERBATIM by the
+    * forecast_intervals and forecast_intervals_eval oracles (one band
+    * selection — a rank-formula tweak cannot desynchronize the two
+    * interval readouts): |residual| per fitted row, exact
+    * 95th-percentile ELEMENT at rank (95n+99)//100 over (|resid|, r)
+    * per series. Appended after a hw-bearing recurrence chain. */
+  private val intervalBandCtes: String = """,
+      fit AS (
+        SELECT event_type, r, ABS(y * 1000000 - fitted) AS aresid
+        FROM hw WHERE r >= 8),
+      nn AS (SELECT event_type, COUNT(*) AS nr FROM fit GROUP BY 1),
+      rk AS (
+        SELECT f.event_type, f.aresid,
+          row_number() OVER (PARTITION BY f.event_type
+            ORDER BY f.aresid, f.r) AS rn,
+          nn.nr
+        FROM fit f JOIN nn USING (event_type)),
+      band AS (
+        SELECT event_type, CAST(aresid AS BIGINT) AS band_e6
+        FROM rk WHERE rn = (95 * nr + 99) // 100)"""
+
   /** The shared HW recurrence body. EVERY state expression is
     * computed in the inner subquery, where only the OLD-state
     * columns (h.l, h.b, h.s) and fresh lateral aliases are in scope
@@ -1060,7 +1081,8 @@ object SparkEntry {
       mev AS (
         SELECT user_id, ts, event_id,
           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
-        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
       msq AS (
         SELECT item, lead(item) OVER (PARTITION BY user_id
           ORDER BY ts, event_id) AS next_item
@@ -1104,7 +1126,8 @@ object SparkEntry {
           row_number() OVER (PARTITION BY user_id
             ORDER BY ts DESC, event_id DESC) AS rdesc,
           COUNT(*) OVER (PARTITION BY user_id) AS n_ev
-        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
       held AS (SELECT user_id, item AS held_item FROM ev
                WHERE rdesc = 1 AND n_ev >= 3),
       ctx AS (SELECT user_id, item AS ctx_item FROM ev
@@ -1247,20 +1270,7 @@ object SparkEntry {
     // 95th-percentile |residual| ELEMENT (rank (95n+99)//100 over
     // (|resid|, r) — the ccnet element-not-interpolation discipline),
     // all BIGINT e6
-    "forecast_intervals" -> (holtWintersCtes + """,
-      fit AS (
-        SELECT event_type, r, ABS(y * 1000000 - fitted) AS aresid
-        FROM hw WHERE r >= 8),
-      nn AS (SELECT event_type, COUNT(*) AS nr FROM fit GROUP BY 1),
-      rk AS (
-        SELECT f.event_type, f.aresid,
-          row_number() OVER (PARTITION BY f.event_type
-            ORDER BY f.aresid, f.r) AS rn,
-          nn.nr
-        FROM fit f JOIN nn USING (event_type)),
-      band AS (
-        SELECT event_type, CAST(aresid AS BIGINT) AS band_e6
-        FROM rk WHERE rn = (95 * nr + 99) // 100)
+    "forecast_intervals" -> (holtWintersCtes + intervalBandCtes + """
       SELECT f.event_type, CAST(f.r AS BIGINT) AS r,
         CAST(f.fitted AS BIGINT) AS fitted_e6,
         CAST(f.fitted - b.band_e6 AS BIGINT) AS lo_e6,
@@ -1271,20 +1281,7 @@ object SparkEntry {
     // the interval BACKTEST: bands from the TRAIN fit's residuals
     // only (the same exact-element selection), held-out actuals
     // checked against [lo, hi] — per-horizon coverage honesty
-    "forecast_intervals_eval" -> (holtWintersCtesOver(7) + """,
-      fit AS (
-        SELECT event_type, r, ABS(y * 1000000 - fitted) AS aresid
-        FROM hw WHERE r >= 8),
-      nn AS (SELECT event_type, COUNT(*) AS nr FROM fit GROUP BY 1),
-      rk AS (
-        SELECT f.event_type, f.aresid,
-          row_number() OVER (PARTITION BY f.event_type
-            ORDER BY f.aresid, f.r) AS rn,
-          nn.nr
-        FROM fit f JOIN nn USING (event_type)),
-      band AS (
-        SELECT event_type, CAST(aresid AS BIGINT) AS band_e6
-        FROM rk WHERE rn = (95 * nr + 99) // 100)
+    "forecast_intervals_eval" -> (holtWintersCtesOver(7) + intervalBandCtes + """
       SELECT s.event_type, CAST(s.r - s.n AS BIGINT) AS h, s.y,
         CAST(f.fitted AS BIGINT) AS fitted_e6,
         CAST(f.fitted - b.band_e6 AS BIGINT) AS lo_e6,

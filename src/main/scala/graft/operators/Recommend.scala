@@ -94,15 +94,18 @@ object Recommend {
     * snapped e6 (the ann cos_e6 recipe), rank (cos desc, rec_item)
     * per item, cut at k. */
   private[graft] def topKFromCounts(pairs: DataFrame, items: DataFrame,
-                                    k: Int): DataFrame = {
+                                    k: Int, ordered: Boolean = true)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("i")).orderBy(col("cos_e6").desc, col("j"))
-    scoredSym(pairs, items)
+    val cut = scoredSym(pairs, items)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("i").as("item"), col("rank"), col("j").as("rec_item"),
         col("c").as("shared_users"), col("cos_e6"))
-      .orderBy(col("item"), col("rank"))
+    // the global sort is presentation-only — fused/derived consumers
+    // (rrfFuse re-ranks) skip the two range-partition+sort shuffles
+    if (ordered) cut.orderBy(col("item"), col("rank")) else cut
   }
 
   /** The symmetrized, cosine-scored pair frame (i, j, c, cos_e6) —
@@ -173,14 +176,27 @@ object Recommend {
     * a user's transitions derive only from their own ordered event
     * sequence, so whole-user append/forget are exact BIGINT
     * adds/subtracts (the [[forgetFromCfModel]] contract). */
-  private[graft] def markovTransitions(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val seq = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+  private[graft] def markovTransitions(events: DataFrame): DataFrame =
+    transitionsFromSeq(engagementSeq(events))
+
+  /** The shared engagement projection: (user_id, ts, event_id, item)
+    * rows for the three engagement event types, item = props.k,
+    * null items dropped. ONE scan of events feeds both the CF
+    * interactions (distinct user/item) and the Markov sequence
+    * windows when checkpointed ([[recommendHybrid]]). */
+  private[graft] def engagementSeq(events: DataFrame): DataFrame =
     events.filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
+
+  /** Transition counts from an already-projected engagement-sequence
+    * frame. */
+  private[graft] def transitionsFromSeq(seqEv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    seqEv
       .withColumn("next_item", lead(col("item"), 1).over(seq))
       .filter(col("next_item").isNotNull && col("next_item") =!= col("item"))
       .groupBy(col("item"), col("next_item"))
@@ -193,19 +209,20 @@ object Recommend {
     * probability denominator aggregates INSIDE the frame, so any
     * item-granular subset (the serve prune) scores identically to
     * the full model. */
-  private def markovTopK(trans: DataFrame, k: Int): DataFrame = {
+  private def markovTopK(trans: DataFrame, k: Int,
+                         ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tot = trans.groupBy(col("item")).agg(sum(col("c")).as("tc"))
     val byItem = Window.partitionBy(col("item"))
       .orderBy(col("c").desc, col("next_item"))
-    trans.join(tot, "item")
+    val cut = trans.join(tot, "item")
       .withColumn("rank", row_number().over(byItem))
       .filter(col("rank") <= k)
       .select(col("item"), col("rank"), col("next_item"),
         col("c").as("transitions"),
         floor(col("c").cast("double") / col("tc").cast("double") * lit(1e6)
           + lit(0.5)).cast("long").as("prob_e6"))
-      .orderBy(col("item"), col("rank"))
+    if (ordered) cut.orderBy(col("item"), col("rank")) else cut
   }
 
   /** HYBRID recommendations — reciprocal-rank fusion of the two
@@ -219,10 +236,23 @@ object Recommend {
     * two-signal blend when neither alone is trusted. */
   def recommendHybrid(s: SparkSession, d: String, k: Int = 5,
                       depth: Int = 10): DataFrame = {
-    val cf = recommendTopK(interactions(graft.Tables.events(s, d)), depth)
+    // ONE events scan feeds both chains: the CF side derives its
+    // distinct interactions and the Markov side its sequence windows
+    // from the same eagerly-checkpointed engagement projection
+    // (lineage would rebuild the events scan + JSON extraction per
+    // chain). Dropping null items is a no-op for CF — a null item
+    // never joins a pair or scores a cosine.
+    val ev = engagementSeq(graft.Tables.events(s, d)).localCheckpoint()
+    // ordered = false: both per-item rankings feed straight into the
+    // fusion's own re-rank — their presentation sorts would be two
+    // wasted range-partition+sort shuffles
+    val inter = ev.select(col("user_id"), col("item")).distinct()
+      .localCheckpoint() // feeds both pair-join sides + item counts
+    val cf = topKFromCounts(pairCounts(inter), itemCounts(inter), depth,
+        ordered = false)
       .select(col("item").as("query_id"), col("rec_item").as("doc_id"),
         col("rank"))
-    val mk = markovTopK(markovTransitions(graft.Tables.events(s, d)), depth)
+    val mk = markovTopK(transitionsFromSeq(ev), depth, ordered = false)
       .select(col("item").as("query_id"), col("next_item").as("doc_id"),
         col("rank"))
     Search.rrfFuse(Seq(cf, mk), k)

@@ -597,11 +597,25 @@ object Timeseries {
         .agg(count(lit(1)).as("y")),
       qPct, horizon)
 
-  /** The [[forecastIntervals]] core on an explicit daily frame. */
+  /** The [[forecastIntervals]] core on an explicit daily frame. ONE
+    * recurrence pass backs both readouts: the horizon-run fit rows
+    * with r ≤ n_obs ARE the horizon-0 fit (the forecast rows are
+    * appended after the same state walk), so the residual band and
+    * the forecast rows both derive from a single eagerly-checkpointed
+    * holtWintersOn — the frame feeds two plan branches, and lineage
+    * would re-run the sequential per-series flatMapGroups (and the
+    * events scan above it) once per branch. */
   def forecastIntervalsOn(daily: DataFrame, qPct: Int = 95,
                           horizon: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fit = holtWintersOn(daily, horizon = 0)
+    // observed-day counts identify forecast rows by RANK (never the
+    // y=0 sentinel: a genuine zero-valued observed day must not be
+    // mistaken for a forecast row)
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_obs"))
+    val all = holtWintersOn(daily, horizon)
+      .join(n, "event_type")
+      .localCheckpoint()
+    val fit = all.filter(col("r") <= col("n_obs"))
       .withColumn("aresid",
         abs(col("y") * lit(1000000L) - col("fitted_e6")))
     val bySeries = Window.partitionBy(col("event_type"))
@@ -611,13 +625,7 @@ object Timeseries {
       .withColumn("nr", count(lit(1)).over(bySeries))
       .filter(col("rn") === expr(s"($qPct * nr + 99) div 100"))
       .select(col("event_type"), col("aresid").as("band_e6"))
-    // forecast rows = ranks past the per-series observed-day count
-    // (never the y=0 sentinel: a genuine zero-valued observed day
-    // must not be mistaken for a forecast row)
-    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_obs"))
-    holtWintersOn(daily, horizon)
-      .join(n, "event_type")
-      .filter(col("r") > col("n_obs"))
+    all.filter(col("r") > col("n_obs"))
       .join(band, "event_type")
       .select(col("event_type"), col("r"), col("fitted_e6"),
         (col("fitted_e6") - col("band_e6")).as("lo_e6"),
@@ -650,8 +658,16 @@ object Timeseries {
       .withColumn("n_all", count(lit(1)).over(bySeries))
     val train = ranked.filter(col("rr") <= col("n_all") - holdout)
       .select(col("event_type"), col("day"), col("y"))
-    // TRAIN-only residual band (the forecastIntervalsOn selection)
-    val fit = holtWintersOn(train, horizon = 0)
+    // ONE recurrence pass (the forecastIntervalsOn share): the
+    // holdout-horizon run's rows with r ≤ n_tr ARE the train fit —
+    // checkpoint once, derive the TRAIN-only residual band and the
+    // held-out forecasts from the same frame
+    val nTrain = train.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tr"))
+    val all = holtWintersOn(train, holdout)
+      .join(nTrain, "event_type")
+      .localCheckpoint()
+    val fit = all.filter(col("r") <= col("n_tr"))
       .withColumn("aresid",
         abs(col("y") * lit(1000000L) - col("fitted_e6")))
     val band = fit
@@ -660,11 +676,7 @@ object Timeseries {
       .withColumn("nr", count(lit(1)).over(bySeries))
       .filter(col("rn") === expr(s"($qPct * nr + 99) div 100"))
       .select(col("event_type"), col("aresid").as("band_e6"))
-    val nTrain = train.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_tr"))
-    val fc = holtWintersOn(train, holdout)
-      .join(nTrain, "event_type")
-      .filter(col("r") > col("n_tr"))
+    val fc = all.filter(col("r") > col("n_tr"))
       .select(col("event_type"), col("r"), col("fitted_e6"), col("n_tr"))
     val actuals = ranked.select(col("event_type"), col("rr").as("r"),
       col("y").cast("long").as("y_act"))

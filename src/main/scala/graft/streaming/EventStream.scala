@@ -1146,7 +1146,14 @@ object EventStream {
     * Requires per-series arrival in day order across batches (the
     * r12 arrival-order invariant; within a batch rows are sorted).
     * Two-batch parity with the batch fitted rows is spec'd in
-    * StreamingSpec. */
+    * StreamingSpec.
+    *
+    * UPGRADE NOTE: [[HwStreamState]] gained a `lastDay` field in r16,
+    * which changed the flatMapGroupsWithState state-encoder schema —
+    * Spark does not evolve state schemas, so a query restored from a
+    * checkpoint written by the pre-r16 operator fails to deserialize
+    * its state. Restart from a FRESH checkpoint path on upgrade (or
+    * version the checkpoint directory per state-schema revision). */
   def streamingHoltWinters(days: Dataset[DayCount],
                            damped: Boolean = false): Dataset[HwFit] = {
     import days.sparkSession.implicits._
