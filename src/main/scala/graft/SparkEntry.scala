@@ -45,6 +45,8 @@ object SparkEntry {
     "recommend_markov_eval" -> ((s, d) =>
       operators.Recommend.recommendMarkovEval(s, d)),
     "recommend_hybrid"   -> ((s, d) => operators.Recommend.recommendHybrid(s, d)),
+    "recommend_hybrid_eval" -> ((s, d) =>
+      operators.Recommend.recommendHybridEval(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
     "forecast_eval"      -> ((s, d) => Timeseries.forecastEval(s, d)),
     "forecast_damped_eval" -> ((s, d) =>
@@ -1114,6 +1116,108 @@ object SparkEntry {
           ORDER BY rrf DESC, doc_id) AS INT) AS rank
         FROM fused)
       WHERE rank <= 5 ORDER BY item, rank""",
+
+    // leave-LAST-out HYBRID backtest: hold each >=3-event user's
+    // final event, train BOTH signals on the prefix, fuse the user's
+    // depth-cut CF vote list and Markov next-item list via the exact
+    // rrf recipe, and report the held item's rank in each list (0 =
+    // absent) plus its fused rank and hit@5
+    "recommend_hybrid_eval" -> raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rdesc,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      held AS (SELECT user_id, item AS held_item FROM ev
+               WHERE rdesc = 1 AND n_ev >= 3),
+      ctx AS (SELECT user_id, item AS ctx_item FROM ev
+              WHERE rdesc = 2 AND n_ev >= 3),
+      trev AS (SELECT user_id, ts, event_id, item FROM ev
+               WHERE rdesc > 1 OR n_ev < 3),
+      train AS (SELECT DISTINCT user_id, item FROM trev),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+              FROM train GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM train a JOIN train b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      sims AS (
+        SELECT s.i AS item, s.j AS rec_item,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      votes AS (
+        SELECT t.user_id, s.rec_item,
+          CAST(SUM(s.cos_e6) AS BIGINT) AS score_e6
+        FROM train t JOIN sims s ON s.item = t.item
+        JOIN held h ON h.user_id = t.user_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT v.user_id, v.rec_item, v.score_e6 FROM votes v
+        LEFT JOIN train t
+          ON t.user_id = v.user_id AND t.item = v.rec_item
+        WHERE t.user_id IS NULL),
+      cfl AS (
+        SELECT user_id AS query_id, rec_item AS doc_id, rank FROM (
+          SELECT user_id, rec_item,
+            CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY score_e6 DESC, rec_item) AS INT) AS rank
+          FROM cand) WHERE rank <= 10),
+      msq AS (
+        SELECT item, lead(item) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_item
+        FROM trev),
+      mtr AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM msq WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      mrk AS (
+        SELECT item, next_item,
+          CAST(row_number() OVER (PARTITION BY item
+            ORDER BY c DESC, next_item) AS INT) AS rank
+        FROM mtr),
+      mkl AS (
+        SELECT c.user_id AS query_id, m.next_item AS doc_id, m.rank
+        FROM ctx c JOIN mrk m ON m.item = c.ctx_item
+        WHERE m.rank <= 10),
+      rrl AS (
+        SELECT query_id, doc_id,
+          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM cfl
+        UNION ALL
+        SELECT query_id, doc_id,
+          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM mkl),
+      fused AS (
+        SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
+        FROM rrl GROUP BY 1, 2),
+      frk AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        FROM fused)
+      SELECT h.user_id, c.ctx_item, h.held_item,
+        CAST(COALESCE(cf.rank, 0) AS INT) AS cf_rank,
+        CAST(COALESCE(mk.rank, 0) AS INT) AS mk_rank,
+        CAST(COALESCE(f.rank, 0) AS INT) AS rank,
+        COALESCE(f.rank, 0) BETWEEN 1 AND 5 AS hit
+      FROM held h JOIN ctx c USING (user_id)
+      LEFT JOIN cfl cf
+        ON cf.query_id = h.user_id AND cf.doc_id = h.held_item
+      LEFT JOIN mkl mk
+        ON mk.query_id = h.user_id AND mk.doc_id = h.held_item
+      LEFT JOIN frk f
+        ON f.query_id = h.user_id AND f.doc_id = h.held_item
+      ORDER BY h.user_id""",
 
     // leave-LAST-out Markov backtest: hold each >=3-event user's
     // chronologically final event, retrain transitions on the prefix

@@ -530,6 +530,40 @@ object StreamScale {
         println(f"SCALE stream_markov_${mult}x reqs=200 " +
           f"time=$sec%.1fs reqsPerSec=${200 / sec}%.1f recs=$emitted")
       }
+      // HYBRID fused serving (r17): BOTH stored models trained from
+      // the mult× user base (each catalog²-support-bounded); every
+      // request batch pays the CF history-item prune + the Markov
+      // context prune + a per-user fusion over ≤ 2·depth rows —
+      // fused requests/s against the grown training base is the
+      // story (the fusion itself is batch-bounded)
+      locally {
+        val cfDir = s"/tmp/streamscale_cf$mult/cf" // written above
+        val mkDir = s"/tmp/streamscale_mk$mult/mk" // written above
+        val reqs = graft.operators.Recommend
+          .interactions(graft.Tables.events(spark, d))
+          .as[(Long, Long)].collect().groupBy(_._1).toSeq.sortBy(_._1)
+          .take(50)
+          .map { case (u, rs) =>
+            val items = rs.map(_._2).sorted.toSeq
+            EventStream.HybridRequest(u, items, items.max) }
+        val input = MemoryStream[EventStream.HybridRequest]
+        var emitted = 0L
+        val q = EventStream.streamingHybridRecommend(input.toDS(),
+            cfDir, mkDir) {
+          recs => emitted += recs.count()
+        }
+        val per = math.max(1, reqs.length / 10)
+        val nq = per * 10
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          input.addData(reqs.slice(b * per, (b + 1) * per))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"SCALE stream_hybrid_${mult}x reqs=$nq " +
+          f"time=$sec%.1fs reqsPerSec=${nq / sec}%.1f recs=$emitted")
+      }
       // streaming Holt-Winters (r15): mult×100 independent series
       // advance one closed day per micro-batch — state is exactly 9
       // BIGINTs per seeded series (bounded by construction), so

@@ -261,6 +261,101 @@ object Recommend {
       .orderBy(col("item"), col("rank"))
   }
 
+  /** Leave-LAST-out BACKTEST of the HYBRID recommender — the fused
+    * ranking's shipping gate (every other predictive tier has one;
+    * the blend you'd actually serve must prove it beats its parts):
+    * per user with ≥3 engagement events, hold out the chronologically
+    * final event (the temporally-honest Markov carve — an order-aware
+    * signal cannot be evaluated on an md5 holdout), train BOTH
+    * signals on the prefix, build the user's two depth-cut candidate
+    * lists — the CF vote ranking over their prefix history and the
+    * Markov next-item ranking from their prefix's last item — fuse
+    * via [[Search.rrfFuse]], and report the held item's rank in EACH
+    * single-signal list (0 = absent) alongside its fused rank and
+    * hit@k, so the readout SHOWS where fusion recovers a miss.
+    *
+    * CF candidates exclude items already in the user's prefix (the
+    * serve-path contract), so a revisited held item is only ever
+    * reachable through the Markov side — exactly the production
+    * asymmetry the fused gate must measure.
+    *
+    * Scale shape: the eligibility carve is two user-partitioned
+    * windows; CF voting is semi-join-pruned to ELIGIBLE users before
+    * the vote join (backtest cost tracks the held cohort, not the
+    * full user base); fusion is a per-user groupBy over ≤ 2·depth
+    * candidate rows. */
+  def recommendHybridEval(s: SparkSession, d: String, k: Int = 5,
+                          depth: Int = 10): DataFrame =
+    recommendHybridEvalOn(engagementSeq(graft.Tables.events(s, d)), k, depth)
+
+  /** The [[recommendHybridEval]] core on an explicit engagement-
+    * sequence frame (user_id, ts, event_id, item) — split out so
+    * specs can plant corpora where one signal is wrong and the other
+    * right. */
+  def recommendHybridEvalOn(seqEv: DataFrame, k: Int = 5,
+                            depth: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val ev = seqEv
+      .withColumn("rdesc", row_number().over(
+        byUser.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_ev", count(lit(1)).over(byUser))
+      .localCheckpoint() // feeds held, ctx and the train carve
+    val held = ev.filter(col("rdesc") === 1 && col("n_ev") >= 3)
+      .select(col("user_id"), col("item").as("held_item"))
+    val ctx = ev.filter(col("rdesc") === 2 && col("n_ev") >= 3)
+      .select(col("user_id"), col("item").as("ctx_item"))
+    // the train carve drops ONLY eligible users' last events — an
+    // ineligible (shorter) user's full history still trains both
+    // models (the recommendMarkovEval carve)
+    val trainEv = ev.filter(col("rdesc") > 1 || col("n_ev") < 3)
+      .localCheckpoint() // feeds interactions AND transitions
+    val inter = trainEv.select(col("user_id"), col("item")).distinct()
+      .localCheckpoint() // feeds pair-join sides, counts, votes
+    val sims = scoredSym(pairCounts(inter), itemCounts(inter))
+      .select(col("i").as("item"), col("j").as("rec_item"), col("cos_e6"))
+    // vote only ELIGIBLE users' histories (the backtest only reads
+    // their lists — serve-prune discipline applied to the gate)
+    val histE = inter.join(held.select(col("user_id")), Seq("user_id"),
+      "left_semi")
+    val votes = histE.join(sims, Seq("item"))
+      .groupBy(col("user_id"), col("rec_item"))
+      .agg(sum(col("cos_e6")).as("score_e6"))
+      .join(histE.select(col("user_id"), col("item").as("rec_item")),
+        Seq("user_id", "rec_item"), "left_anti")
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_e6").desc, col("rec_item"))
+    val cfList = votes.withColumn("rank", row_number().over(wU))
+      .filter(col("rank") <= depth)
+      .select(col("user_id").as("query_id"), col("rec_item").as("doc_id"),
+        col("rank"))
+    val mkRanked = markovTopK(transitionsFromSeq(trainEv), depth,
+      ordered = false)
+    val mkList = ctx.join(mkRanked, col("ctx_item") === col("item"))
+      .select(col("user_id").as("query_id"), col("next_item").as("doc_id"),
+        col("rank"))
+    // k = 2·depth keeps the fused ranking UNCUT (each user fuses at
+    // most 2·depth candidates) — the held item's fused rank must be
+    // reportable even when it sits below the serving cut
+    val fused = Search.rrfFuse(Seq(cfList, mkList), 2 * depth)
+    held.join(ctx, "user_id")
+      .join(cfList.select(col("query_id").as("user_id"),
+          col("doc_id").as("held_item"), col("rank").as("cf_rank")),
+        Seq("user_id", "held_item"), "left")
+      .join(mkList.select(col("query_id").as("user_id"),
+          col("doc_id").as("held_item"), col("rank").as("mk_rank")),
+        Seq("user_id", "held_item"), "left")
+      .join(fused.select(col("query_id").as("user_id"),
+          col("doc_id").as("held_item"), col("rank").as("fused_rank")),
+        Seq("user_id", "held_item"), "left")
+      .select(col("user_id"), col("ctx_item"), col("held_item"),
+        coalesce(col("cf_rank"), lit(0)).as("cf_rank"),
+        coalesce(col("mk_rank"), lit(0)).as("mk_rank"),
+        coalesce(col("fused_rank"), lit(0)).as("rank"),
+        coalesce(col("fused_rank"), lit(0)).between(1, k).as("hit"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- maintained Markov-model artifact -----------------------------------
 
   /** Train and persist the transition model: `trans/`. */
@@ -281,17 +376,18 @@ object Recommend {
     * pruned ranking is exactly the full model's restricted to those
     * items; spec'd). Output one row per (request, rank). */
   def markovNextServeBatch(s: SparkSession, dir: String, reqs: DataFrame,
-                           k: Int = 5): DataFrame = {
+                           k: Int = 5, ordered: Boolean = true): DataFrame = {
     // a repeated (user, context) request row would emit duplicate
     // answer rows — dedup at the door (the recommendForUsers lesson)
     val rq = reqs.select(col("user_id"), col("item")).distinct()
     val ctxItems = rq.select(col("item")).distinct()
     val trans = s.read.parquet(s"$dir/trans")
       .join(broadcast(ctxItems), Seq("item"), "left_semi")
-    rq.join(markovTopK(trans, k), Seq("item"))
+    val out = rq.join(markovTopK(trans, k, ordered = false), Seq("item"))
       .select(col("user_id"), col("item").as("ctx_item"), col("rank"),
         col("next_item"), col("transitions"), col("prob_e6"))
-      .orderBy(col("user_id"), col("ctx_item"), col("rank"))
+    if (ordered) out.orderBy(col("user_id"), col("ctx_item"), col("rank"))
+    else out
   }
 
   /** Fold a batch of NEW USERS' event sequences into the model —
@@ -461,7 +557,7 @@ object Recommend {
     * `history` = (user_id, item) rows — typically today's serving
     * batch, corpus-size-independent. */
   def recommendForUsers(s: SparkSession, dir: String, history: DataFrame,
-                        n: Int = 5): DataFrame = {
+                        n: Int = 5, ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // distinct BEFORE voting: a duplicate (user, item) row in one
     // request (a repeated item in a RecRequest's items list) would
@@ -492,12 +588,42 @@ object Recommend {
       .agg(sum(col("cos_e6")).as("score_e6"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("score_e6").desc, col("rec_item"))
-    votes
+    val out = votes
       .join(hist.select(col("user_id"), col("item").as("rec_item")),
         Seq("user_id", "rec_item"), "left_anti")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select(col("user_id"), col("rank"), col("rec_item"), col("score_e6"))
+    if (ordered) out.orderBy(col("user_id"), col("rank")) else out
+  }
+
+  /** HYBRID per-user serving — the production twin of
+    * [[recommendHybridEval]]'s fused ranking: each request user's
+    * PRUNED CF serve list ([[recommendForUsers]] — per-orientation
+    * semi-join on the batch's history items) and PRUNED Markov serve
+    * list ([[markovNextServeBatch]] — item-granular model prune on
+    * the batch's context items) fuse through the exact
+    * [[Search.rrfFuse]] recipe. Both inputs read only what the
+    * request batch touches, so the fused serve inherits BOTH pruning
+    * stories — cost tracks the batch, never the stored models.
+    * `history` = (user_id, item) interaction snapshots, `ctx` =
+    * (user_id, item) current-context rows (one per user). Output one
+    * (user_id, rank, rec_item, rrf) row per fused slot. Spec'd equal
+    * to a driver-side exact-arithmetic replay of fusing the two
+    * serve lists. */
+  def recommendHybridServeBatch(s: SparkSession, cfDir: String,
+                                mkDir: String, history: DataFrame,
+                                ctx: DataFrame, k: Int = 5,
+                                depth: Int = 10): DataFrame = {
+    val cf = recommendForUsers(s, cfDir, history, depth, ordered = false)
+      .select(col("user_id").as("query_id"), col("rec_item").as("doc_id"),
+        col("rank"))
+    val mk = markovNextServeBatch(s, mkDir, ctx, depth, ordered = false)
+      .select(col("user_id").as("query_id"), col("next_item").as("doc_id"),
+        col("rank"))
+    Search.rrfFuse(Seq(cf, mk), k)
+      .select(col("query_id").as("user_id"), col("rank"),
+        col("doc_id").as("rec_item"), col("rrf"))
       .orderBy(col("user_id"), col("rank"))
   }
 

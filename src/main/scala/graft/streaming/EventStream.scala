@@ -1261,6 +1261,34 @@ object EventStream {
       }
       .start()
 
+  /** One hybrid recommendation request: the user's interaction
+    * history snapshot plus their current context item. */
+  case class HybridRequest(user_id: Long, items: Seq[Long], ctx: Long)
+
+  /** Streaming HYBRID serving over BOTH stored recommender models —
+    * the fused production serve: each arriving request explodes its
+    * history for the pruned CF vote list and carries its context
+    * item for the pruned Markov list; the micro-batch fuses the two
+    * via [[graft.operators.Recommend.recommendHybridServeBatch]].
+    * State-free; per-request answers are batch-independent, so
+    * two-batch parity with the batch serve is exact (spec'd in
+    * StreamingSpec). */
+  def streamingHybridRecommend(reqs: Dataset[HybridRequest], cfDir: String,
+                               mkDir: String, k: Int = 5, depth: Int = 10)(
+      writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    reqs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[HybridRequest], _: Long) =>
+        val s = batch.sparkSession
+        val history = batch.toDF("user_id", "items", "ctx")
+          .select(col("user_id"), explode(col("items")).as("item"))
+        val ctx = batch.toDF("user_id", "items", "ctx")
+          .select(col("user_id"), col("ctx").as("item"))
+        writeBatch(graft.operators.Recommend.recommendHybridServeBatch(
+          s, cfDir, mkDir, history, ctx, k, depth))
+      }
+      .start()
+
   /** Streaming Rocchio classification over the stored centroid model
     * ([[graft.functions.Classify.writeCentroidModel]]) — the
     * embedding-modality twin of [[streamingClassifyNb]]: each

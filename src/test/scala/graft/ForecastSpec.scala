@@ -143,6 +143,57 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("hybrid backtest: fusion recovers what each single signal misses (CF wrong/Markov right and vice versa)") {
+    // Corpus crafted so the two eligible users fail on OPPOSITE
+    // single signals and fusion rescues both:
+    //  user 1 (CF wrong, Markov right): history {200, 100}, held 101.
+    //    Six filler cohorts of 8 users sharing {Ci=1..6, 100} push
+    //    C1..C6 above 101 in the CF vote ranking (cos 8/sqrt(52*8) >
+    //    3/sqrt(52*3)) => cf_rank 7, a top-5 miss; but the three
+    //    {100 -> 101} sequence users make 101 the ONLY trained next
+    //    item of ctx 100 => mk_rank 1, fused rank 1.
+    //  user 2 (CF right, Markov wrong): history {201, 60}, held 50.
+    //    Eight users share {50, 60} ordered [50, 60] (co-occurrence
+    //    WITHOUT a 60 -> 50 transition) => cf_rank 1; ctx 60's only
+    //    trained transition is 60 -> 70 (four [60, 70] users) =>
+    //    mk_rank 0, fused rank 2 (70 fuses cf rank 2 + mk rank 1),
+    //    still a top-5 hit where Markov alone scores 0.
+    val rows =
+      Seq((1L, 0, 200L), (1L, 1, 100L), (1L, 2, 101L),
+          (2L, 0, 201L), (2L, 1, 60L), (2L, 2, 50L)) ++
+      (10L to 12L).flatMap(u => Seq((u, 0, 100L), (u, 1, 101L))) ++
+      (for (i <- 1 to 6; j <- 0 until 8)
+        yield (100L + i * 10L + j, 0, i.toLong)) ++
+      (for (i <- 1 to 6; j <- 0 until 8)
+        yield (100L + i * 10L + j, 1, 100L)) ++
+      (300L to 307L).flatMap(u => Seq((u, 0, 50L), (u, 1, 60L))) ++
+      (400L to 403L).flatMap(u => Seq((u, 0, 60L), (u, 1, 70L)))
+    val seqEv = rows.zipWithIndex.map { case ((u, t, i), eid) =>
+      (u, java.sql.Timestamp.valueOf(s"2024-01-01 0$t:00:00"),
+        eid.toLong, i)
+    }.toDF("user_id", "ts", "event_id", "item")
+    val got = Recommend.recommendHybridEvalOn(seqEv).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ctx_item"), r.getAs[Long]("held_item"),
+          r.getAs[Int]("cf_rank"), r.getAs[Int]("mk_rank"),
+          r.getAs[Int]("rank"), r.getAs[Boolean]("hit"))).toMap
+    assert(got.size == 2, s"only the two 3-event users are eligible: $got")
+    assert(got(1L) == ((100L, 101L, 7, 1, 1, true)),
+      s"CF-miss/Markov-hit user: ${got(1L)}")
+    assert(got(2L) == ((60L, 50L, 1, 0, 2, true)),
+      s"CF-hit/Markov-miss user: ${got(2L)}")
+    // natural-corpus mechanism: one row per >=3-event user; hit is
+    // exactly fused-rank-in-1..k; single-signal ranks respect the
+    // depth cut
+    val nat = Recommend.recommendHybridEval(spark, sf).collect()
+    assert(nat.nonEmpty)
+    nat.foreach { r =>
+      val rk = r.getAs[Int]("rank")
+      assert(r.getAs[Boolean]("hit") == (rk >= 1 && rk <= 5))
+      assert(r.getAs[Int]("cf_rank") <= 10 && r.getAs[Int]("mk_rank") <= 10)
+    }
+  }
+
   test("forecast anomaly flags a planted off-trend spike and nothing on a clean seasonal series") {
     // clean weekly-seasonal series: zero residual everywhere once the
     // state is seeded, so NO day can exceed 3x the mean abs residual
@@ -544,5 +595,44 @@ class ForecastSpec extends SparkSpec {
         .map { case ((j, sc), r) => Seq[Any](u, r + 1, j, sc) }
     }.toSet
     assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
+  }
+
+  test("hybrid serve: fusing the two pruned stored-model serves == an exact-arithmetic driver replay") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val inter = Recommend.interactions(events).localCheckpoint()
+    val cfDir = tmpDir("hyb-cf")
+    val mkDir = tmpDir("hyb-mk")
+    Recommend.writeCfModel(inter, cfDir)
+    Recommend.writeMarkovModel(events, mkDir)
+    val history = inter.filter(col("user_id") < 5).localCheckpoint()
+    // context = each request user's max history item (deterministic)
+    val ctx = history.groupBy(col("user_id"))
+      .agg(max(col("item")).as("item")).localCheckpoint()
+    val got = Recommend
+      .recommendHybridServeBatch(spark, cfDir, mkDir, history, ctx)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("rec_item"), r.getAs[Double]("rrf")))
+    // replay: collect BOTH depth-cut serve lists (each already spec'd
+    // against its full model) and fuse with the exact decimal recipe
+    val cf = Recommend.recommendForUsers(spark, cfDir, history, 10)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("rec_item"), r.getAs[Int]("rank")))
+    val mk = Recommend.markovNextServeBatch(spark, mkDir, ctx, 10)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("next_item"), r.getAs[Int]("rank")))
+    def term(rank: Int) = BigDecimal(1.0 / (60 + rank))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val fused = (cf ++ mk).groupBy(t => (t._1, t._2))
+      .map { case ((u, c), ts) =>
+        (u, c, BigDecimal(ts.map(t => term(t._3)).sum.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val expected = fused.groupBy(_._1).flatMap { case (u, cands) =>
+      cands.toSeq.sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((_, c, s), r) => (u, r + 1, c, s) }
+    }.toSet
+    assert(got.nonEmpty && got.toSet == expected,
+      "fused serve diverged from the exact fusion replay")
   }
 }

@@ -656,6 +656,38 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming hybrid serving matches the batch fused serve on a two-batch request split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Recommend
+    val base = java.nio.file.Files.createTempDirectory("hybstream").toString
+    val events = Tables.events(spark, sf)
+    val inter = Recommend.interactions(events).localCheckpoint()
+    Recommend.writeCfModel(inter, s"$base/cf")
+    Recommend.writeMarkovModel(events, s"$base/mk")
+    val reqs = inter.filter(col("user_id") < 6).as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (u, rows) =>
+        val items = rows.map(_._2).sorted.toSeq
+        EventStream.HybridRequest(u, items, items.max) }
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[EventStream.HybridRequest]
+    val q = EventStream.streamingHybridRecommend(input.toDS(),
+        s"$base/cf", s"$base/mk") {
+      recs => results ++= recs.collect().map(_.toSeq)
+    }
+    input.addData(reqs.take(3)); q.processAllAvailable()
+    input.addData(reqs.drop(3)); q.processAllAvailable()
+    q.stop()
+    val history = reqs.flatMap(r => r.items.map(i => (r.user_id, i)))
+      .toDF("user_id", "item")
+    val ctx = reqs.map(r => (r.user_id, r.ctx)).toDF("user_id", "item")
+    val batch = Recommend.recommendHybridServeBatch(spark,
+        s"$base/cf", s"$base/mk", history, ctx)
+      .collect().map(_.toSeq).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming Holt-Winters matches the batch fitted rows on a mid-seeding split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
