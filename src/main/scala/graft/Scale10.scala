@@ -265,6 +265,33 @@ object Scale10 {
         operators.Recommend.recommendTopK(
           operators.Recommend.capInteractions(inter, 8)).count())
     }
+    // the planted SEQUENCE-BOT probe (r17 — the Markov counterpart
+    // of the CF power user): one bot emitting mult×100k timestamped
+    // events (30s apart, ~2880/day over ~mult×35 days) rides the
+    // natural engagement stream. The raw transition window sorts
+    // that user's ENTIRE history in one task — a linear n·log n
+    // straggler no salt can divide — while the session-bounded
+    // window partitions it by (user, calendar day), so its worst
+    // partition is one bot-DAY and the day-bounded form must stay
+    // near-flat as mult grows
+    locally {
+      val botN = mult * 100000L
+      val baseUs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        .getTime * 1000L
+      val bot = spark.range(botN).select(
+        lit(888888888L).as("user_id"),
+        timestamp_micros(lit(baseUs) + col("id") * lit(30L * 1000000L))
+          .as("ts"),
+        (col("id") + 5000000000L).as("event_id"),
+        (col("id") % 500L + 20000L).as("item"))
+      val seqEv = operators.Recommend
+        .engagementSeq(Tables.events(spark, d))
+        .unionByName(bot).localCheckpoint()
+      t(s"markov_bot_raw_${mult}x")(
+        operators.Recommend.transitionsFromSeq(seqEv).count())
+      t(s"markov_bot_sessions_${mult}x")(
+        operators.Recommend.transitionsFromSeqBounded(seqEv).count())
+    }
     // the serve-prune probe (r16): the CATALOG grows mult× (items
     // shifted per replica, so the pairs model grows ~mult×) while the
     // request batch stays 50 users — the semi-join item prune must

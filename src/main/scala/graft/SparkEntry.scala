@@ -42,6 +42,8 @@ object SparkEntry {
     "holt_winters_damped" -> ((s, d) => Timeseries.holtWintersDamped(s, d)),
     "recommend_capped"   -> ((s, d) => operators.Recommend.recommendCapped(s, d)),
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
+    "recommend_markov_sessions" -> ((s, d) =>
+      operators.Recommend.recommendMarkovSessions(s, d)),
     "recommend_markov_eval" -> ((s, d) =>
       operators.Recommend.recommendMarkovEval(s, d)),
     "recommend_hybrid"   -> ((s, d) => operators.Recommend.recommendHybrid(s, d)),
@@ -1041,6 +1043,41 @@ object SparkEntry {
       trans AS (
         SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
         FROM sq WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      tot AS (SELECT item, CAST(SUM(c) AS BIGINT) AS tc FROM trans GROUP BY 1),
+      ranked AS (
+        SELECT t.item, t.next_item, t.c, o.tc,
+          CAST(row_number() OVER (PARTITION BY t.item
+            ORDER BY t.c DESC, t.next_item) AS INT) AS rank
+        FROM trans t JOIN tot o USING (item))
+      SELECT item, rank, next_item, c AS transitions,
+        CAST(floor(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6 + 0.5)
+          AS BIGINT) AS prob_e6
+      FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+
+    // session-bounded Markov: the transition window partitions by
+    // (user, calendar day) — the sequence family's skew guard — and
+    // a transition requires gap <= 30 min to its successor; epoch_us
+    // on the naive ts equals Spark's unix_micros under the UTC
+    // session
+    "recommend_markov_sessions" -> raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      sq AS (
+        SELECT item, ts,
+          lead(item) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS next_item,
+          lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS next_ts
+        FROM ev),
+      trans AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM sq WHERE next_item IS NOT NULL AND next_item <> item
+          AND epoch_us(next_ts) - epoch_us(ts) <= 1800000000
         GROUP BY 1, 2),
       tot AS (SELECT item, CAST(SUM(c) AS BIGINT) AS tc FROM trans GROUP BY 1),
       ranked AS (

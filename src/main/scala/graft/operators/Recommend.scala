@@ -203,6 +203,51 @@ object Recommend {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** SESSION-bounded transition counts — the sequence family's skew
+    * guard (the [[capInteractions]] counterpart for the Markov
+    * window): [[transitionsFromSeq]] sorts each user's FULL event
+    * history in one window partition, which a 10^8-event bot turns
+    * into a single-task n·log n straggler no salt can divide (one
+    * genuine group). Here the window partitions by (user_id,
+    * calendar day) — a static, derivable key, so the worst partition
+    * is one user-DAY — and a transition additionally requires the
+    * gap to its successor to be ≤ `gapMinutes` (the q11 sessionize
+    * notion: a half-hour pause ends a session, and "what users touch
+    * next" across a pause or an overnight break is noise, not
+    * sequence signal — session-scoping is better MODELING as well as
+    * a bounded partition).
+    *
+    * Containment: events consecutive within a (user, day) partition
+    * are consecutive in the raw order too, so bounded transitions
+    * are a SUBSET of the raw pairs — day boundaries and long gaps
+    * only ever REMOVE transitions, never invent them (spec'd; with
+    * all events same-day and within-gap the two forms are EQUAL).
+    * Counts stay user-local algebra, so the maintained-model verbs
+    * work unchanged on the bounded form. */
+  private[graft] def transitionsFromSeqBounded(seqEv: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"), col("sday"))
+      .orderBy(col("ts"), col("event_id"))
+    seqEv
+      .withColumn("sday", to_date(col("ts")))
+      .withColumn("next_item", lead(col("item"), 1).over(seq))
+      .withColumn("next_ts", lead(col("ts"), 1).over(seq))
+      .filter(col("next_item").isNotNull && col("next_item") =!= col("item") &&
+        unix_micros(col("next_ts")) - unix_micros(col("ts")) <=
+          lit(gapMinutes * 60L * 1000000L))
+      .groupBy(col("item"), col("next_item"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The session-bounded Markov readout — [[recommendMarkov]] over
+    * [[transitionsFromSeqBounded]], the production 100 TB ingestion
+    * shape (oracle-gated as `recommend_markov_sessions`). */
+  def recommendMarkovSessions(s: SparkSession, d: String, k: Int = 5,
+                              gapMinutes: Int = 30): DataFrame =
+    markovTopK(transitionsFromSeqBounded(
+      engagementSeq(graft.Tables.events(s, d)), gapMinutes), k)
+
   /** The ranked readout over a transition frame — ONE scoring body
     * shared by the in-query `recommend_markov`, the stored-model
     * top-k and the pruned serve (no drift possible). The per-item

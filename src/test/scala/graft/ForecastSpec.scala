@@ -143,6 +143,48 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("session-bounded transitions are a subset of the raw pairs, equal within one in-gap day, and drop day/gap boundaries") {
+    import spark.implicits._
+    // natural corpus: bounded counts never exceed raw counts pairwise
+    val seqEv = Recommend.engagementSeq(Tables.events(spark, sf))
+      .localCheckpoint()
+    val raw = Recommend.transitionsFromSeq(seqEv).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bounded = Recommend.transitionsFromSeqBounded(seqEv).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bounded.nonEmpty)
+    bounded.foreach { case (k, c) =>
+      assert(raw.contains(k) && c <= raw(k),
+        s"bounded invented or inflated transition $k") }
+    // crafted: same-day in-gap events => EQUAL; a >30min pause and a
+    // midnight crossing each drop exactly their boundary transition
+    def seqOf(rows: Seq[(Long, String, Long)]) =
+      rows.zipWithIndex.map { case ((u, t, i), eid) =>
+        (u, java.sql.Timestamp.valueOf(t), eid.toLong, i)
+      }.toDF("user_id", "ts", "event_id", "item")
+    val sameDay = seqOf(Seq(
+      (1L, "2024-01-01 10:00:00", 10L), (1L, "2024-01-01 10:10:00", 20L),
+      (1L, "2024-01-01 10:20:00", 30L)))
+    assert(Recommend.transitionsFromSeqBounded(sameDay).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString) ==
+      Recommend.transitionsFromSeq(sameDay).collect().toSeq
+        .map(_.toSeq).sortBy(_.toString))
+    val split = seqOf(Seq(
+      (1L, "2024-01-01 10:00:00", 10L), (1L, "2024-01-01 10:10:00", 20L),
+      (1L, "2024-01-01 11:00:00", 30L), // 50min pause: 20->30 dropped
+      (1L, "2024-01-01 23:50:00", 40L), // 12h gap: 30->40 dropped
+      (1L, "2024-01-02 00:10:00", 50L))) // within gap but crosses
+                                         // midnight: 40->50 dropped
+    val got = Recommend.transitionsFromSeqBounded(split).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L)), s"got $got")
+    // the raw form keeps the in-gap midnight pair — proving 40->50
+    // above was dropped by the DAY boundary, not the gap test
+    assert(Recommend.transitionsFromSeq(split).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((40L, 50L)))
+  }
+
   test("hybrid backtest: fusion recovers what each single signal misses (CF wrong/Markov right and vice versa)") {
     // Corpus crafted so the two eligible users fail on OPPOSITE
     // single signals and fusion rescues both:
