@@ -44,6 +44,10 @@ object SparkEntry {
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
     "recommend_markov_sessions" -> ((s, d) =>
       operators.Recommend.recommendMarkovSessions(s, d)),
+    "recommend_markov2"  -> ((s, d) =>
+      operators.Recommend.recommendMarkov2(s, d)),
+    "recommend_markov2_eval" -> ((s, d) =>
+      operators.Recommend.recommendMarkov2Eval(s, d)),
     "recommend_markov_eval" -> ((s, d) =>
       operators.Recommend.recommendMarkovEval(s, d)),
     "recommend_hybrid"   -> ((s, d) => operators.Recommend.recommendHybrid(s, d)),
@@ -1089,6 +1093,111 @@ object SparkEntry {
         CAST(floor(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6 + 0.5)
           AS BIGINT) AS prob_e6
       FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+
+    // SECOND-order Markov: ((prev2, prev1) -> next) counts via two
+    // leads over the same per-user sequence window, next = prev1
+    // self-loops dropped, top-5 per context pair, prob = within-
+    // context share as one IEEE division snapped e6
+    "recommend_markov2" -> raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      sq AS (
+        SELECT item,
+          lead(item, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS p1,
+          lead(item, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nx
+        FROM ev),
+      trans AS (
+        SELECT item AS prev2_item, p1 AS prev1_item, nx AS next_item,
+          CAST(count(*) AS BIGINT) AS c
+        FROM sq WHERE nx IS NOT NULL AND nx <> p1
+        GROUP BY 1, 2, 3),
+      tot AS (SELECT prev2_item, prev1_item, CAST(SUM(c) AS BIGINT) AS tc
+              FROM trans GROUP BY 1, 2),
+      ranked AS (
+        SELECT t.prev2_item, t.prev1_item, t.next_item, t.c, o.tc,
+          CAST(row_number() OVER (PARTITION BY t.prev2_item, t.prev1_item
+            ORDER BY t.c DESC, t.next_item) AS INT) AS rank
+        FROM trans t JOIN tot o USING (prev2_item, prev1_item))
+      SELECT prev2_item, prev1_item, rank, next_item, c AS transitions,
+        CAST(floor(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6 + 0.5)
+          AS BIGINT) AS prob_e6
+      FROM ranked WHERE rank <= 5
+      ORDER BY prev2_item, prev1_item, rank""",
+
+    // leave-LAST-out order-2 backtest WITH strict backoff: hold each
+    // >=4-event user's final event, train both orders on the prefix,
+    // serve through order 2 when the exact (prev2, prev1) context
+    // was trained, else back off to order 1 from prev1
+    "recommend_markov2_eval" -> raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rdesc,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      held AS (SELECT user_id, item AS held_item FROM ev
+               WHERE rdesc = 1 AND n_ev >= 4),
+      c1 AS (SELECT user_id, item AS ctx1_item FROM ev
+             WHERE rdesc = 2 AND n_ev >= 4),
+      c2 AS (SELECT user_id, item AS ctx2_item FROM ev
+             WHERE rdesc = 3 AND n_ev >= 4),
+      trev AS (SELECT user_id, ts, event_id, item FROM ev
+               WHERE rdesc > 1 OR n_ev < 4),
+      s2 AS (
+        SELECT item,
+          lead(item, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS p1,
+          lead(item, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nx
+        FROM trev),
+      m2 AS (
+        SELECT item AS prev2_item, p1 AS prev1_item, nx AS next_item,
+          CAST(count(*) AS BIGINT) AS c
+        FROM s2 WHERE nx IS NOT NULL AND nx <> p1
+        GROUP BY 1, 2, 3),
+      r2 AS (
+        SELECT prev2_item, prev1_item, next_item,
+          CAST(row_number() OVER (PARTITION BY prev2_item, prev1_item
+            ORDER BY c DESC, next_item) AS INT) AS rank2
+        FROM m2),
+      cs AS (SELECT DISTINCT prev2_item, prev1_item FROM m2),
+      s1 AS (
+        SELECT item, lead(item) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_item
+        FROM trev),
+      m1 AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM s1 WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      r1 AS (
+        SELECT item, next_item,
+          CAST(row_number() OVER (PARTITION BY item
+            ORDER BY c DESC, next_item) AS INT) AS rank1
+        FROM m1)
+      SELECT h.user_id, c2.ctx2_item, c1.ctx1_item, h.held_item,
+        CAST(CASE WHEN cs.prev2_item IS NOT NULL THEN 2 ELSE 1 END
+          AS INT) AS used_order,
+        CAST(CASE WHEN cs.prev2_item IS NOT NULL THEN COALESCE(r2.rank2, 0)
+             ELSE COALESCE(r1.rank1, 0) END AS INT) AS rank,
+        (CASE WHEN cs.prev2_item IS NOT NULL THEN COALESCE(r2.rank2, 0)
+              ELSE COALESCE(r1.rank1, 0) END) BETWEEN 1 AND 5 AS hit
+      FROM held h JOIN c1 USING (user_id) JOIN c2 USING (user_id)
+      LEFT JOIN cs ON cs.prev2_item = c2.ctx2_item
+                  AND cs.prev1_item = c1.ctx1_item
+      LEFT JOIN r2 ON r2.prev2_item = c2.ctx2_item
+                  AND r2.prev1_item = c1.ctx1_item
+                  AND r2.next_item = h.held_item
+      LEFT JOIN r1 ON r1.item = c1.ctx1_item
+                  AND r1.next_item = h.held_item
+      ORDER BY h.user_id""",
 
     // hybrid RRF fusion of the CF and Markov rankings — the search
     // tier's exact rrf recipe (1/(60+rank) snapped 1e-9, decimal sum,

@@ -248,6 +248,128 @@ object Recommend {
     markovTopK(transitionsFromSeqBounded(
       engagementSeq(graft.Tables.events(s, d)), gapMinutes), k)
 
+  /** SECOND-order transition counts (prev2, prev1, next) — the
+    * ngram-LM order step applied to sequences: each position t ≥ 3
+    * in a user's (ts, event_id)-ordered engagement sequence
+    * contributes ((x_{t−2}, x_{t−1}) → x_t), with next = prev1
+    * self-loops dropped (the first-order convention — recommending
+    * the item just touched is vacuous; next = prev2 returns ARE
+    * kept, A→B→A is a real pattern). Counts stay user-local algebra
+    * — the maintained-model verbs carry over unchanged.
+    *
+    * Scale shape: same per-user window as order 1 (two leads instead
+    * of one); the count table is bounded by catalog³ SUPPORT — the
+    * observed (pair, next) triples, far below catalog³ exactly as
+    * the order-1 table sits far below catalog². */
+  private[graft] def markov2TransitionsFromSeq(seqEv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    seqEv
+      .withColumn("p1", lead(col("item"), 1).over(seq))
+      .withColumn("nx", lead(col("item"), 2).over(seq))
+      .filter(col("nx").isNotNull && col("nx") =!= col("p1"))
+      .groupBy(col("item").as("prev2_item"), col("p1").as("prev1_item"),
+        col("nx").as("next_item"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Ranked top-k readout over a second-order transition frame — one
+    * scoring body for the in-query `recommend_markov2`, the stored
+    * model and the pruned serve (the markovTopK discipline): rank by
+    * (count desc, next_item) within each (prev2, prev1) context,
+    * prob = c/Σc within the context as one IEEE division snapped e6.
+    * The denominator aggregates INSIDE the frame, so any
+    * context-granular subset scores identically to the full model. */
+  private def markov2TopK(trans2: DataFrame, k: Int,
+                          ordered: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = trans2.groupBy(col("prev2_item"), col("prev1_item"))
+      .agg(sum(col("c")).as("tc"))
+    val byCtx = Window.partitionBy(col("prev2_item"), col("prev1_item"))
+      .orderBy(col("c").desc, col("next_item"))
+    val cut = trans2.join(tot, Seq("prev2_item", "prev1_item"))
+      .withColumn("rank", row_number().over(byCtx))
+      .filter(col("rank") <= k)
+      .select(col("prev2_item"), col("prev1_item"), col("rank"),
+        col("next_item"), col("c").as("transitions"),
+        floor(col("c").cast("double") / col("tc").cast("double") * lit(1e6)
+          + lit(0.5)).cast("long").as("prob_e6"))
+    if (ordered) cut.orderBy(col("prev2_item"), col("prev1_item"), col("rank"))
+    else cut
+  }
+
+  /** In-query second-order readout (oracle-gated as
+    * `recommend_markov2`). */
+  def recommendMarkov2(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    markov2TopK(markov2TransitionsFromSeq(
+      engagementSeq(graft.Tables.events(s, d))), k)
+
+  /** Leave-LAST-out BACKTEST of the second-order recommender WITH
+    * strict backoff — the ngram_lm_interp discipline applied to
+    * sequences: per user with ≥4 engagement events, hold the final
+    * event, train BOTH orders on the prefix, and predict from the
+    * prefix's last two items — through the order-2 distribution when
+    * that exact (prev2, prev1) context was trained (backoff is on
+    * CONTEXT novelty, never on whether the specific next item was
+    * seen — the standard strict-backoff rule), else through the
+    * order-1 distribution from prev1. Reports which order served
+    * (used_order), the held item's rank in that distribution (0 =
+    * absent) and hit@k — the readout that SHOWS where order 2 beats
+    * order 1 and how often it must back off. */
+  def recommendMarkov2Eval(s: SparkSession, d: String,
+                           k: Int = 5): DataFrame =
+    recommendMarkov2EvalOn(engagementSeq(graft.Tables.events(s, d)), k)
+
+  /** The [[recommendMarkov2Eval]] core on an explicit engagement-
+    * sequence frame. */
+  def recommendMarkov2EvalOn(seqEv: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val ev = seqEv
+      .withColumn("rdesc", row_number().over(
+        byUser.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_ev", count(lit(1)).over(byUser))
+      .localCheckpoint() // feeds held, both ctx ranks and the carve
+    val held = ev.filter(col("rdesc") === 1 && col("n_ev") >= 4)
+      .select(col("user_id"), col("item").as("held_item"))
+    val ctx1 = ev.filter(col("rdesc") === 2 && col("n_ev") >= 4)
+      .select(col("user_id"), col("item").as("ctx1_item"))
+    val ctx2 = ev.filter(col("rdesc") === 3 && col("n_ev") >= 4)
+      .select(col("user_id"), col("item").as("ctx2_item"))
+    val trainEv = ev.filter(col("rdesc") > 1 || col("n_ev") < 4)
+      .localCheckpoint() // feeds both model orders
+    val m2 = markov2TransitionsFromSeq(trainEv)
+    val w2 = Window.partitionBy(col("prev2_item"), col("prev1_item"))
+      .orderBy(col("c").desc, col("next_item"))
+    val r2 = m2.withColumn("rank2", row_number().over(w2))
+      .select(col("prev2_item").as("ctx2_item"),
+        col("prev1_item").as("ctx1_item"),
+        col("next_item").as("held_item"), col("rank2"))
+    val ctxSeen = m2.select(col("prev2_item").as("ctx2_item"),
+      col("prev1_item").as("ctx1_item")).distinct()
+      .withColumn("ctx_trained", lit(true))
+    val m1 = transitionsFromSeq(trainEv)
+    val w1 = Window.partitionBy(col("item"))
+      .orderBy(col("c").desc, col("next_item"))
+    val r1 = m1.withColumn("rank1", row_number().over(w1))
+      .select(col("item").as("ctx1_item"),
+        col("next_item").as("held_item"), col("rank1"))
+    held.join(ctx1, "user_id").join(ctx2, "user_id")
+      .join(ctxSeen, Seq("ctx2_item", "ctx1_item"), "left")
+      .join(r2, Seq("ctx2_item", "ctx1_item", "held_item"), "left")
+      .join(r1, Seq("ctx1_item", "held_item"), "left")
+      .select(col("user_id"), col("ctx2_item"), col("ctx1_item"),
+        col("held_item"),
+        when(col("ctx_trained"), lit(2)).otherwise(lit(1)).as("used_order"),
+        when(col("ctx_trained"), coalesce(col("rank2"), lit(0)))
+          .otherwise(coalesce(col("rank1"), lit(0))).as("rank"),
+        when(col("ctx_trained"), coalesce(col("rank2"), lit(0)))
+          .otherwise(coalesce(col("rank1"), lit(0)))
+          .between(1, k).as("hit"))
+      .orderBy(col("user_id"))
+  }
+
   /** The ranked readout over a transition frame — ONE scoring body
     * shared by the in-query `recommend_markov`, the stored-model
     * top-k and the pruned serve (no drift possible). The per-item
@@ -462,6 +584,111 @@ object Recommend {
       .filter(col("c") > 0)
     graft.functions.Classify.swapRewrite(s, dir) { tmp =>
       trans.write.parquet(s"$tmp/trans")
+    }
+  }
+
+  // ---- maintained second-order (backoff) Markov artifact ------------------
+
+  /** Train and persist the BACKOFF model: `trans2/` (second-order
+    * counts) + `trans/` (the order-1 fallback) — a strict-backoff
+    * recommender is inherently both orders, so the artifact carries
+    * both count tables and every maintenance verb updates both.
+    * Both are user-local count algebra (whole-user append/forget —
+    * the [[writeMarkovModel]] contract). */
+  def writeMarkov2Model(events: DataFrame, dir: String): Unit = {
+    val seqEv = engagementSeq(events).localCheckpoint()
+    markov2TransitionsFromSeq(seqEv).write.mode("overwrite")
+      .parquet(s"$dir/trans2")
+    transitionsFromSeq(seqEv).write.mode("overwrite")
+      .parquet(s"$dir/trans")
+  }
+
+  /** Order-2 top-k from the stored model — bit-identical to the
+    * in-query form of the same events (one scoring body; spec'd). */
+  def recommendMarkov2FromModel(s: SparkSession, dir: String,
+                                k: Int = 5): DataFrame =
+    markov2TopK(s.read.parquet(s"$dir/trans2"), k)
+
+  /** BACKOFF next-item serving: each request carries its last TWO
+    * items (prev2, prev1). The order-2 table is semi-join-pruned to
+    * the batch's context PAIRS and the order-1 table to its prev1
+    * items before any ranking (both prunes are context-granular —
+    * the probability denominators are within-context aggregates, so
+    * pruned rankings equal the full model's restricted; spec'd).
+    * A request whose exact (prev2, prev1) context was never trained
+    * backs off to the order-1 ranking from prev1 (strict backoff —
+    * context novelty only). Output one row per (request, rank) with
+    * the serving order tagged. */
+  def markov2NextServeBatch(s: SparkSession, dir: String, reqs: DataFrame,
+                            k: Int = 5): DataFrame = {
+    val rq = reqs.select(col("user_id"), col("prev2_item"),
+      col("prev1_item")).distinct().localCheckpoint()
+    val ctxPairs = rq.select(col("prev2_item"), col("prev1_item")).distinct()
+    val t2 = s.read.parquet(s"$dir/trans2")
+      .join(broadcast(ctxPairs), Seq("prev2_item", "prev1_item"),
+        "left_semi")
+    val o2 = rq.join(markov2TopK(t2, k, ordered = false),
+        Seq("prev2_item", "prev1_item"))
+      .select(col("user_id"), col("prev2_item"), col("prev1_item"),
+        col("rank"), col("next_item"), col("transitions"), col("prob_e6"),
+        lit(2).as("used_order"))
+    // requests backing off = those whose context pair pruned to
+    // nothing; the bounded ctx-pair frame decides driver-free via an
+    // anti-join against the PRUNED table's distinct contexts
+    val servedCtx = t2.select(col("prev2_item"), col("prev1_item")).distinct()
+    val backoff = rq.join(servedCtx, Seq("prev2_item", "prev1_item"),
+      "left_anti")
+    val ctx1 = backoff.select(col("prev1_item").as("item")).distinct()
+    val t1 = s.read.parquet(s"$dir/trans")
+      .join(broadcast(ctx1), Seq("item"), "left_semi")
+    val o1 = backoff.join(markovTopK(t1, k, ordered = false),
+        col("prev1_item") === col("item"))
+      .select(col("user_id"), col("prev2_item"), col("prev1_item"),
+        col("rank"), col("next_item"), col("transitions"), col("prob_e6"),
+        lit(1).as("used_order"))
+    o2.unionByName(o1)
+      .orderBy(col("user_id"), col("prev2_item"), col("prev1_item"),
+        col("rank"))
+  }
+
+  /** Fold a batch of NEW USERS' sequences into BOTH orders — exact
+    * (user-local counts; spec'd equal to fresh training of the
+    * concatenation). */
+  def appendToMarkov2Model(batchEvents: DataFrame, dir: String): Unit = {
+    val s = batchEvents.sparkSession
+    val seqEv = engagementSeq(batchEvents).localCheckpoint()
+    val t2 = s.read.parquet(s"$dir/trans2")
+      .unionByName(markov2TransitionsFromSeq(seqEv))
+      .groupBy(col("prev2_item"), col("prev1_item"), col("next_item"))
+      .agg(sum(col("c")).as("c"))
+    val t1 = s.read.parquet(s"$dir/trans")
+      .unionByName(transitionsFromSeq(seqEv))
+      .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
+    graft.functions.Classify.swapRewrite(s, dir) { tmp =>
+      t2.write.parquet(s"$tmp/trans2")
+      t1.write.parquet(s"$tmp/trans")
+    }
+  }
+
+  /** Erasure: subtract the victim users' sequences from BOTH orders;
+    * rows reaching zero disappear and the result EQUALS fresh
+    * training of the survivors (ErasureSpec). */
+  def forgetFromMarkov2Model(victimEvents: DataFrame, dir: String): Unit = {
+    val s = victimEvents.sparkSession
+    val seqEv = engagementSeq(victimEvents).localCheckpoint()
+    val t2 = s.read.parquet(s"$dir/trans2")
+      .unionByName(markov2TransitionsFromSeq(seqEv)
+        .withColumn("c", -col("c")))
+      .groupBy(col("prev2_item"), col("prev1_item"), col("next_item"))
+      .agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+    val t1 = s.read.parquet(s"$dir/trans")
+      .unionByName(transitionsFromSeq(seqEv).withColumn("c", -col("c")))
+      .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+    graft.functions.Classify.swapRewrite(s, dir) { tmp =>
+      t2.write.parquet(s"$tmp/trans2")
+      t1.write.parquet(s"$tmp/trans")
     }
   }
 

@@ -54,7 +54,7 @@ class ErasureSpec extends SparkSpec {
     "forgetFromSimhashIndex",
     "deleteFromLayout", "deleteFromInvertedIndex", "forgetFromNbModel",
     "forgetFromCentroidModel", "forgetFromQualityModel",
-    "forgetFromCfModel", "forgetFromMarkovModel")
+    "forgetFromCfModel", "forgetFromMarkovModel", "forgetFromMarkov2Model")
 
   test("keeper-attributed fingerprint indexes forget") {
     locally {
@@ -381,6 +381,29 @@ class ErasureSpec extends SparkSpec {
     assert(Recommend.recommendMarkovFromModel(spark, dir)
       .collect().map(_.toSeq).toSeq ==
       Recommend.recommendMarkovFromModel(spark, fresh)
+        .collect().map(_.toSeq).toSeq)
+  }
+
+  test("second-order Markov model erasure == fresh training of the surviving users (both orders)") {
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val dir = tmp("er-markov2")
+    Recommend.writeMarkov2Model(events, dir)
+    Recommend.forgetFromMarkov2Model(
+      events.filter(col("user_id").isin(victims: _*)), dir)
+    val fresh = tmp("er-markov2-fresh")
+    Recommend.writeMarkov2Model(
+      events.filter(!col("user_id").isin(victims: _*)), fresh)
+    assert(spark.read.parquet(s"$dir/trans2")
+      .orderBy("prev2_item", "prev1_item", "next_item").collect().toSeq ==
+      spark.read.parquet(s"$fresh/trans2")
+        .orderBy("prev2_item", "prev1_item", "next_item").collect().toSeq)
+    assert(spark.read.parquet(s"$dir/trans").orderBy("item", "next_item")
+      .collect().toSeq ==
+      spark.read.parquet(s"$fresh/trans").orderBy("item", "next_item")
+        .collect().toSeq)
+    assert(Recommend.recommendMarkov2FromModel(spark, dir)
+      .collect().map(_.toSeq).toSeq ==
+      Recommend.recommendMarkov2FromModel(spark, fresh)
         .collect().map(_.toSeq).toSeq)
   }
 

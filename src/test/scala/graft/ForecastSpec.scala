@@ -639,6 +639,95 @@ class ForecastSpec extends SparkSpec {
     assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
   }
 
+  test("order-2 backtest: the context pair disambiguates where order 1 ranks wrong, and a novel context backs off to order 1") {
+    import spark.implicits._
+    // 4 users follow 10 -> 20 -> 30; 6 users follow 40 -> 20 -> 50.
+    // From context item 20 alone, order 1 ranks 50 (c=6) over 30
+    // (c=4) — the WRONG call for a user who arrived at 20 via 10.
+    // The order-2 context (10, 20) -> 30 disambiguates. User 300's
+    // context (11, 21) was never trained as a pair => strict backoff
+    // to order 1 from 21 (trained by user 30's [7, 21, 35]).
+    def seqOf(rows: Seq[(Long, Seq[Long])]) =
+      rows.flatMap { case (u, items) => items.zipWithIndex.map {
+        case (i, t) => (u, t, i) } }
+        .zipWithIndex.map { case ((u, t, i), eid) =>
+          (u, java.sql.Timestamp.valueOf(f"2024-01-01 0$t%d:00:00"),
+            eid.toLong, i)
+        }.toDF("user_id", "ts", "event_id", "item")
+    val seqEv = seqOf(
+      (1L to 4L).map(u => u -> Seq(10L, 20L, 30L)) ++
+      (11L to 16L).map(u => u -> Seq(40L, 20L, 50L)) ++
+      Seq(30L -> Seq(7L, 21L, 35L),
+        100L -> Seq(99L, 10L, 20L, 30L),
+        300L -> Seq(98L, 11L, 21L, 35L))).localCheckpoint()
+    val got = Recommend.recommendMarkov2EvalOn(seqEv).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ctx2_item"), r.getAs[Long]("ctx1_item"),
+          r.getAs[Long]("held_item"), r.getAs[Int]("used_order"),
+          r.getAs[Int]("rank"), r.getAs[Boolean]("hit"))).toMap
+    assert(got.size == 2, s"only the two >=4-event users are eligible: $got")
+    assert(got(100L) == ((10L, 20L, 30L, 2, 1, true)),
+      s"order-2 context user: ${got(100L)}")
+    assert(got(300L) == ((11L, 21L, 35L, 1, 1, true)),
+      s"backoff user: ${got(300L)}")
+    // the order-1 contrast on the SAME carve: from 20, the held 30
+    // ranks BELOW 50 — order 2's rank-1 call is a genuine win
+    val carve = seqEv.where(
+      !(col("user_id") === 100L && col("item") === 30L) &&
+      !(col("user_id") === 300L && col("item") === 35L))
+    val m1 = Recommend.transitionsFromSeq(carve).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m1((20L, 50L)) == 6L && m1((20L, 30L)) == 4L,
+      s"order-1 counts from 20 drifted: $m1")
+  }
+
+  test("markov2 model: stored top-k == in-query; backoff serve routes trained contexts to order 2 and novel ones to order 1; append == fresh") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val dir = tmpDir("markov2-model")
+    Recommend.writeMarkov2Model(events, dir)
+    assert(Recommend.recommendMarkov2FromModel(spark, dir)
+      .collect().map(_.toSeq).toSeq ==
+      Recommend.recommendMarkov2(spark, sf).collect().map(_.toSeq).toSeq)
+    // pick one genuinely trained context pair; pair (999999, x) is
+    // guaranteed novel (item ids are bounded by the catalog)
+    val (p2, p1) = spark.read.parquet(s"$dir/trans2")
+      .orderBy("prev2_item", "prev1_item", "next_item")
+      .select("prev2_item", "prev1_item").as[(Long, Long)].head()
+    val reqs = Seq((900L, p2, p1), (901L, 999999L, p1))
+      .toDF("user_id", "prev2_item", "prev1_item")
+    val served = Recommend.markov2NextServeBatch(spark, dir, reqs).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("used_order"),
+        r.getAs[Int]("rank"), r.getAs[Long]("next_item"),
+        r.getAs[Long]("transitions"), r.getAs[Long]("prob_e6"))).toSet
+    val full2 = Recommend.recommendMarkov2FromModel(spark, dir).collect()
+      .filter(r => r.getAs[Long]("prev2_item") == p2 &&
+        r.getAs[Long]("prev1_item") == p1)
+      .map(r => (900L, 2, r.getAs[Int]("rank"), r.getAs[Long]("next_item"),
+        r.getAs[Long]("transitions"), r.getAs[Long]("prob_e6")))
+    val full1 = Recommend.recommendMarkovFromModel(spark, dir).collect()
+      .filter(_.getAs[Long]("item") == p1)
+      .map(r => (901L, 1, r.getAs[Int]("rank"), r.getAs[Long]("next_item"),
+        r.getAs[Long]("transitions"), r.getAs[Long]("prob_e6")))
+    assert(served == (full2 ++ full1).toSet && full2.nonEmpty
+      && full1.nonEmpty,
+      "backoff serve diverged from the full rankings")
+    // append of disjoint NEW users folds both orders in exactly
+    val day = events.withColumn("user_id", col("user_id") + 7000000L)
+      .filter(col("user_id") % 3 === 0)
+    Recommend.appendToMarkov2Model(day, dir)
+    val fresh = tmpDir("markov2-fresh")
+    Recommend.writeMarkov2Model(events.unionByName(day), fresh)
+    assert(spark.read.parquet(s"$dir/trans2")
+      .orderBy("prev2_item", "prev1_item", "next_item").collect().toSeq ==
+      spark.read.parquet(s"$fresh/trans2")
+        .orderBy("prev2_item", "prev1_item", "next_item").collect().toSeq)
+    assert(spark.read.parquet(s"$dir/trans").orderBy("item", "next_item")
+      .collect().toSeq ==
+      spark.read.parquet(s"$fresh/trans").orderBy("item", "next_item")
+        .collect().toSeq)
+  }
+
   test("hybrid serve: fusing the two pruned stored-model serves == an exact-arithmetic driver replay") {
     import spark.implicits._
     val events = Tables.events(spark, sf).localCheckpoint()
