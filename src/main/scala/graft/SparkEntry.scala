@@ -40,6 +40,8 @@ object SparkEntry {
     "recommend_collab"   -> ((s, d) => Relational.recommendCollab(s, d)),
     "holt_winters"       -> ((s, d) => Timeseries.holtWinters(s, d)),
     "holt_winters_damped" -> ((s, d) => Timeseries.holtWintersDamped(s, d)),
+    "holt_winters_mul"   -> ((s, d) => Timeseries.holtWintersMul(s, d)),
+    "forecast_mul_eval"  -> ((s, d) => Timeseries.forecastMulEval(s, d)),
     "recommend_capped"   -> ((s, d) => operators.Recommend.recommendCapped(s, d)),
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
     "recommend_markov_sessions" -> ((s, d) =>
@@ -352,6 +354,81 @@ object SparkEntry {
         SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
           max_by(s, r) AS s
         FROM hw GROUP BY event_type, n),$fcCtes"""
+  }
+
+  /** The MULTIPLICATIVE-seasonality HW recurrence body (the
+    * [[hwCtesBody]] discipline on ratio state): the seasonal list
+    * holds e6-unit RATIOS, deseasonalization is y·1e12 // s and the
+    * fitted/forecast values are (l+b)·s floor-divided back by 1e6.
+    * Divisions by a VARIABLE divisor (s, lnew, l₀) always have
+    * non-negative numerators and positive divisors (the CASE guards
+    * mirror [[graft.operators.Timeseries.hwMulStep]] exactly), so
+    * plain `//` is floor there; constant-divisor divisions may see
+    * negative numerators and use the exactly-divisible pmod form. */
+  private def hwMulCtesBody(holdout: Int): String = {
+    def fd(a: String, d: Int) = s"(($a) - ((($a) % $d + $d) % $d)) // $d"
+    s"""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, y,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS r,
+          CAST(count(*) OVER (PARTITION BY event_type) - $holdout
+            AS BIGINT) AS n
+        FROM daily),
+      tr AS (SELECT * FROM seq WHERE r <= n),
+      init AS (
+        SELECT event_type, n,
+          SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
+          SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
+          list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
+        FROM tr WHERE n >= 14 GROUP BY event_type, n),
+      st0 AS (
+        SELECT event_type, n,
+          CAST(sum1 // 7 AS BIGINT) AS l,
+          CAST(((sum2 - sum1) - (((sum2 - sum1) % 49 + 49) % 49)) // 49
+            AS BIGINT) AS b,
+          list_transform(ys, v -> CAST(CASE WHEN sum1 // 7 > 0
+            THEN (v * 1000000) // (sum1 // 7)
+            ELSE 1000000 END AS BIGINT)) AS s
+        FROM init),
+      hw AS (
+        SELECT event_type, n, CAST(7 AS BIGINT) AS r, l, b, s,
+          CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
+        FROM st0
+        UNION ALL
+        SELECT event_type, n, r,
+          lnew AS l,
+          bnew AS b,
+          list_transform(range(1, 8), i -> CASE WHEN i = idx
+            THEN snew ELSE s[i] END) AS s,
+          y,
+          fitted
+        FROM (
+          SELECT h.event_type, h.n, q.r, q.y, h.s,
+            CAST((q.r - 1) % 7 + 1 AS INT) AS idx,
+            h.s[CAST((q.r - 1) % 7 + 1 AS INT)] AS sold,
+            CASE WHEN sold > 0 THEN sold ELSE 1000000 END AS seff,
+            ${fd("(h.l + h.b) * seff", 1000000)} AS fitted,
+            (q.y * 1000000 * 1000000) // seff AS dy,
+            ${fd("dy + 4*(h.l + h.b)", 5)} AS lnew,
+            ${fd("(lnew - h.l) + 9*h.b", 10)} AS bnew,
+            CASE WHEN lnew > 0 THEN (q.y * 1000000 * 1000000) // lnew
+              ELSE seff END AS robs,
+            ${fd("robs + 4*seff", 5)} AS snew
+          FROM hw h JOIN tr q
+            ON q.event_type = h.event_type AND q.r = h.r + 1)),
+      fin AS (
+        SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
+          max_by(s, r) AS s
+        FROM hw GROUP BY event_type, n),
+      fc AS (
+        SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
+          ${fd("(l + h * b) * (CASE WHEN s[CAST((n + h - 1) % 7 + 1 AS INT)] > 0 THEN s[CAST((n + h - 1) % 7 + 1 AS INT)] ELSE 1000000 END)", 1000000)} AS fitted
+        FROM fin, (SELECT unnest(range(1, 8)) AS h))"""
   }
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1489,6 +1566,33 @@ object SparkEntry {
       FROM (SELECT event_type, r, y, fitted FROM hw WHERE r >= 8
             UNION ALL SELECT * FROM fc)
       ORDER BY event_type, r"""),
+
+    // the multiplicative-seasonality variant: seasonal RATIOS in e6
+    // units, deseasonalize by ratio division, refit by ratio
+    // multiplication — same readout as holt_winters
+    "holt_winters_mul" -> (hwMulCtesBody(0) + """
+      SELECT event_type, CAST(r AS BIGINT) AS r, y,
+        CAST(fitted AS BIGINT) AS fitted_e6
+      FROM (SELECT event_type, r, y, fitted FROM hw WHERE r >= 8
+            UNION ALL SELECT * FROM fc)
+      ORDER BY event_type, r"""),
+
+    // the multiplicative backtest: the forecast_eval readout over
+    // the ratio recurrence — one body, fit and backtest cannot drift
+    "forecast_mul_eval" -> (hwMulCtesBody(7) + """,
+      ev AS (
+        SELECT s.event_type, CAST(s.r - s.n AS BIGINT) AS h, s.y,
+          CAST(f.fitted AS BIGINT) AS forecast_e6,
+          ABS(s.y * 1000000 - f.fitted) AS ae
+        FROM seq s JOIN fc f
+          ON f.event_type = s.event_type AND f.r = s.r),
+      maeh AS (
+        SELECT h, CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_e6
+        FROM ev GROUP BY h)
+      SELECT e.event_type, e.h, e.y, e.forecast_e6,
+        CAST(e.ae AS BIGINT) AS ae_e6, m.mae_e6
+      FROM ev e JOIN maeh m USING (h)
+      ORDER BY e.event_type, e.h"""),
 
     // the HW chain's residual monitor: resid and the mean-absolute
     // scale stay BIGINT end to end (non-negative sums, so // == div)

@@ -757,4 +757,154 @@ object Timeseries {
     }
     st.l + cum + st.sea((n + h - 1) % 7)
   }
+
+  // ---- MULTIPLICATIVE seasonality (Holt-Winters "method 2") --------------
+
+  /** Seed for the multiplicative form: level/trend as in [[hwSeed]],
+    * but the seasonal state holds RATIOS in e6 units (1e6 = ×1.0):
+    * s_i = floorDiv(y_i·1e12, l₀) — season-1 values relative to the
+    * season-1 mean. A non-positive level (an all-zero first week)
+    * degenerates every ratio to 1e6, making the recurrence fall back
+    * to plain trend tracking instead of dividing by zero — the same
+    * deterministic guard the step applies (replicated in the
+    * oracle's CASE arms, so both engines degrade identically). */
+  private[graft] def hwMulSeed(yE6: IndexedSeq[Long]): HwState = {
+    val sum1 = yE6.take(7).sum
+    val sum2 = yE6.slice(7, 14).sum
+    val l = Math.floorDiv(sum1, 7L)
+    HwState(l, Math.floorDiv(sum2 - sum1, 49L),
+      (0 until 7).map(i =>
+        if (l > 0) Math.floorDiv(yE6(i) * 1000000L, l) else 1000000L))
+  }
+
+  /** One multiplicative step (α=1/5, β=1/10, γ=1/5): the observation
+    * is DESEASONALIZED by ratio division (dy = y·1e12 div s) where
+    * the additive form subtracts, the fitted value and the seasonal
+    * update are ratio multiplications/divisions, and every division
+    * is an exact floor division of BIGINTs — the divisor is always
+    * positive (guards: a non-positive stored ratio serves as 1e6, a
+    * non-positive updated level keeps the old ratio), and the
+    * variable-divisor divisions all have NON-NEGATIVE numerators, so
+    * truncating `//` == floor in both engines (the pagerank rule).
+    * Magnitude bound: y·s must stay under 2^63/1e6 ≈ 9.2e12 — at
+    * ratio ~2 that is ~4×10^12 events/day/series, far past any real
+    * daily aggregate. */
+  private[graft] def hwMulStep(st: HwState, r: Int, yy: Long): (Long, HwState) = {
+    val idx = (r - 1) % 7
+    val sold = st.sea(idx)
+    val sEff = if (sold > 0) sold else 1000000L
+    val fitted = Math.floorDiv((st.l + st.b) * sEff, 1000000L)
+    val dy = Math.floorDiv(yy * 1000000L, sEff)
+    val lnew = Math.floorDiv(dy + 4L * (st.l + st.b), 5L)
+    val bnew = Math.floorDiv((lnew - st.l) + 9L * st.b, 10L)
+    val robs = if (lnew > 0) Math.floorDiv(yy * 1000000L, lnew) else sEff
+    val snew = Math.floorDiv(robs + 4L * sEff, 5L)
+    (fitted, HwState(lnew, bnew, st.sea.updated(idx, snew)))
+  }
+
+  /** Multiplicative h-step forecast: (l + h·b) × the stored seasonal
+    * ratio of the target slot (guarded like the step). */
+  private[graft] def hwMulForecast(st: HwState, n: Int, h: Int): Long = {
+    val s0 = st.sea((n + h - 1) % 7)
+    val sEff = if (s0 > 0) s0 else 1000000L
+    Math.floorDiv((st.l + h * st.b) * sEff, 1000000L)
+  }
+
+  /** MULTIPLICATIVE-seasonality Holt-Winters — the other half of the
+    * seasonal-model family: for series whose seasonal AMPLITUDE
+    * scales with level (a weekend dip that is always −40% of
+    * traffic, not −40k events), the additive form's fixed seasonal
+    * offsets chase a moving target while ratios stay stationary.
+    * Same exact-integer discipline as [[holtWinters]] — the seasonal
+    * state is ratios in e6 units and every use is one guarded floor
+    * division (see [[hwMulStep]]); eighth readout of the family,
+    * oracle-gated via a recursive CTE replay of the same algebra. */
+  def holtWintersMul(s: SparkSession, d: String, horizon: Int = 7): DataFrame =
+    holtWintersMulOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      horizon)
+
+  /** The [[holtWintersMul]] core on an explicit daily frame. */
+  def holtWintersMulOn(daily: DataFrame, horizon: Int = 7): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    daily
+      .select(col("event_type"), col("day"), col("y").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val n = ys.length
+        if (n < 14) Iterator.empty
+        else {
+          val yE6 = ys.map(_ * 1000000L)
+          var st = hwMulSeed(yE6)
+          val out = Array.newBuilder[(String, Long, Long, Long)]
+          var r = 8
+          while (r <= n) {
+            val (fitted, next) = hwMulStep(st, r, yE6(r - 1))
+            out += ((et, r.toLong, ys(r - 1), fitted))
+            st = next
+            r += 1
+          }
+          var h = 1
+          while (h <= horizon) {
+            out += ((et, (n + h).toLong, 0L, hwMulForecast(st, n, h)))
+            h += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("event_type", "r", "y", "fitted_e6")
+      .orderBy(col("event_type"), col("r"))
+  }
+
+  /** Holdout BACKTEST of the multiplicative form — the
+    * [[forecastEval]] readout over the ratio recurrence, so fit mode
+    * and backtest mode share one step function. */
+  def forecastMulEval(s: SparkSession, d: String,
+                      holdout: Int = 7): DataFrame =
+    forecastMulEvalOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      holdout)
+
+  /** The [[forecastMulEval]] core on an explicit daily frame. */
+  def forecastMulEvalOn(daily: DataFrame, holdout: Int = 7): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val detail = daily
+      .select(col("event_type"), col("day"), col("y").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val n = ys.length - holdout
+        if (n < 14) Iterator.empty
+        else {
+          val yE6 = ys.map(_ * 1000000L)
+          var st = hwMulSeed(yE6)
+          var r = 8
+          while (r <= n) {
+            st = hwMulStep(st, r, yE6(r - 1))._2
+            r += 1
+          }
+          (1 to holdout).iterator.map { h =>
+            val fc = hwMulForecast(st, n, h)
+            (et, h.toLong, ys(n + h - 1), fc, math.abs(yE6(n + h - 1) - fc))
+          }
+        }
+      }
+      .toDF("event_type", "h", "y", "forecast_e6", "ae")
+    val mae = detail.groupBy(col("h"))
+      .agg(sum(col("ae")).as("sae"), count(lit(1)).as("cnt"))
+      .select(col("h"), expr("sae div cnt").as("mae_e6"))
+    detail.join(mae, "h")
+      .select(col("event_type"), col("h"), col("y"), col("forecast_e6"),
+        col("ae").as("ae_e6"), col("mae_e6"))
+      .orderBy(col("event_type"), col("h"))
+  }
 }

@@ -42,6 +42,31 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("multiplicative holt-winters is exact on a constant series and beats the additive form on proportional seasonality") {
+    // constant series: the seed ratios are exactly 1e6 and every
+    // update is a fixed point — fitted == y for all rows + forecasts
+    val const = Timeseries.holtWintersMulOn(
+      daysFrom("2024-01-01", Seq.fill(21)(42L))).collect()
+    assert(const.length == 14 + 7)
+    const.foreach(r => assert(r.getAs[Long]("fitted_e6") == 42000000L,
+      s"r=${r.getAs[Long]("r")}: ${r.getAs[Long]("fitted_e6")}"))
+    // amplitude-growth series: y = L(i) * s(i%7) with L rising — the
+    // seasonal swing grows with the level, which is exactly what the
+    // additive form's FIXED offsets cannot track; the ratio form's
+    // holdout error must come in strictly below it
+    val ratios = Seq(1.5, 0.5, 1.25, 0.75, 1.0, 1.25, 0.75)
+    val ys = (0 until 63).map(i =>
+      ((100 + 4 * i) * ratios(i % 7)).round)
+    def sumAe(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("ae_e6")).sum
+    val mulAe = sumAe(Timeseries.forecastMulEvalOn(
+      daysFrom("2024-01-01", ys)).collect())
+    val addAe = sumAe(Timeseries.forecastEvalOn(
+      daysFrom("2024-01-01", ys)).collect())
+    assert(mulAe < addAe,
+      s"multiplicative ae $mulAe not below additive ae $addAe")
+  }
+
   test("holt-winters skips series shorter than two seasons and keeps others") {
     val mixed = daysFrom("2024-01-01", Seq.fill(13)(5L), "short")
       .union(daysFrom("2024-01-01", Seq.fill(14)(5L), "ok"))
