@@ -245,6 +245,35 @@ object Scale10 {
         spark.read.parquet(s"$mkDir/trans").count()
       }
     }
+    // the SECOND-order (backoff) model loop (r17): training adds one
+    // more lead over the same windows and a catalog³-SUPPORT
+    // aggregate; the backoff serve prunes trans2 by the batch's
+    // context PAIRS and routes pair-novel requests through the
+    // order-1 prune — both prunes batch-bounded, so serve cost must
+    // stay flat as the training base grows
+    locally {
+      val mk2Dir = s"/tmp/scale_markov2_$mult/mk2"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val ev = rep(Tables.events(spark, d), Seq("user_id", "event_id"),
+        1000000000L)
+      t(s"markov2_write_${mult}x") {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new java.io.File(mk2Dir).getParent), true)
+        operators.Recommend.writeMarkov2Model(ev, mk2Dir)
+        spark.read.parquet(s"$mk2Dir/trans2").count()
+      }
+      t(s"markov2_serve_${mult}x") {
+        // half the requests carry trained-support context pairs,
+        // half a guaranteed-novel pair (exercises both routes)
+        val reqs = spark.range(50).select(
+          (col("id") + 800L).as("user_id"),
+          when(col("id") % 2 === 0, col("id") % 20)
+            .otherwise(lit(999999999L)).as("prev2_item"),
+          (col("id") % 20).as("prev1_item"))
+        operators.Recommend.markov2NextServeBatch(spark, mk2Dir, reqs).count()
+      }
+    }
     // the planted-POWER-USER probe (r16 — the verdict's named
     // scale-killer): one bot user touching a mult×500-item catalog
     // slice rides the natural interactions; uncapped pair generation

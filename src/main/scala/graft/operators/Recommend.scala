@@ -525,9 +525,26 @@ object Recommend {
 
   // ---- maintained Markov-model artifact -----------------------------------
 
-  /** Train and persist the transition model: `trans/`. */
-  def writeMarkovModel(events: DataFrame, dir: String): Unit =
-    markovTransitions(events).write.mode("overwrite").parquet(s"$dir/trans")
+  /** Transition counts for the maintained model — raw by default,
+    * session-bounded (the [[transitionsFromSeqBounded]] skew guard)
+    * when `gapMinutes` is set. Both forms are user-local count
+    * algebra, so the maintenance verbs below work identically;
+    * callers must pass the SAME `gapMinutes` to every verb touching
+    * one model directory (mixing forms would subtract counts that
+    * were never added). */
+  private def modelTransitions(events: DataFrame,
+                               gapMinutes: Option[Int]): DataFrame =
+    gapMinutes match {
+      case Some(g) => transitionsFromSeqBounded(engagementSeq(events), g)
+      case None    => markovTransitions(events)
+    }
+
+  /** Train and persist the transition model: `trans/`. `gapMinutes`
+    * selects the session-bounded production form. */
+  def writeMarkovModel(events: DataFrame, dir: String,
+                       gapMinutes: Option[Int] = None): Unit =
+    modelTransitions(events, gapMinutes).write.mode("overwrite")
+      .parquet(s"$dir/trans")
 
   /** Item-conditional top-k from the stored model — bit-identical to
     * the in-query form of the same events (one scoring body;
@@ -562,10 +579,11 @@ object Recommend {
     * training of the concatenation). An existing user's new events
     * would need their stored last event to stitch the boundary
     * transition — the same whole-user contract as the CF model. */
-  def appendToMarkovModel(batchEvents: DataFrame, dir: String): Unit = {
+  def appendToMarkovModel(batchEvents: DataFrame, dir: String,
+                          gapMinutes: Option[Int] = None): Unit = {
     val s = batchEvents.sparkSession
     val trans = s.read.parquet(s"$dir/trans")
-      .unionByName(markovTransitions(batchEvents))
+      .unionByName(modelTransitions(batchEvents, gapMinutes))
       .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
     graft.functions.Classify.swapRewrite(s, dir) { tmp =>
       trans.write.parquet(s"$tmp/trans")
@@ -576,10 +594,12 @@ object Recommend {
     * event sequences passed by the caller). Rows reaching zero
     * disappear; the result EQUALS fresh training of the surviving
     * users (ErasureSpec). */
-  def forgetFromMarkovModel(victimEvents: DataFrame, dir: String): Unit = {
+  def forgetFromMarkovModel(victimEvents: DataFrame, dir: String,
+                            gapMinutes: Option[Int] = None): Unit = {
     val s = victimEvents.sparkSession
     val trans = s.read.parquet(s"$dir/trans")
-      .unionByName(markovTransitions(victimEvents).withColumn("c", -col("c")))
+      .unionByName(modelTransitions(victimEvents, gapMinutes)
+        .withColumn("c", -col("c")))
       .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
       .filter(col("c") > 0)
     graft.functions.Classify.swapRewrite(s, dir) { tmp =>

@@ -1146,7 +1146,10 @@ object EventStream {
     * Requires per-series arrival in day order across batches (the
     * r12 arrival-order invariant; within a batch rows are sorted).
     * Two-batch parity with the batch fitted rows is spec'd in
-    * StreamingSpec.
+    * StreamingSpec. `damped` switches to the Gardner damped-trend
+    * step; `mul` (r17) to the multiplicative-seasonality step — the
+    * seasonal slots then hold e6-unit RATIOS, the same 9-BIGINT
+    * shape, so the state encoder is identical across modes.
     *
     * UPGRADE NOTE: [[HwStreamState]] gained a `lastDay` field in r16,
     * which changed the flatMapGroupsWithState state-encoder schema —
@@ -1155,7 +1158,9 @@ object EventStream {
     * its state. Restart from a FRESH checkpoint path on upgrade (or
     * version the checkpoint directory per state-schema revision). */
   def streamingHoltWinters(days: Dataset[DayCount],
-                           damped: Boolean = false): Dataset[HwFit] = {
+                           damped: Boolean = false,
+                           mul: Boolean = false): Dataset[HwFit] = {
+    require(!(damped && mul), "damped and mul modes are exclusive")
     import days.sparkSession.implicits._
     import graft.operators.Timeseries
     days.groupByKey(_.event_type)
@@ -1186,11 +1191,13 @@ object EventStream {
               else {
                 // seed, then replay rows 8..14 exactly like the
                 // batch loop (they feed the trend init AND step)
-                var hw = Timeseries.hwSeed(buf.toIndexedSeq)
+                var hw = if (mul) Timeseries.hwMulSeed(buf.toIndexedSeq)
+                         else Timeseries.hwSeed(buf.toIndexedSeq)
                 var r = 8
                 while (r <= 14) {
                   val (fitted, next) =
-                    if (damped) Timeseries.hwStepDamped(hw, r, buf(r - 1))
+                    if (mul) Timeseries.hwMulStep(hw, r, buf(r - 1))
+                    else if (damped) Timeseries.hwStepDamped(hw, r, buf(r - 1))
                     else Timeseries.hwStep(hw, r, buf(r - 1))
                   out += HwFit(et, r.toLong, buf(r - 1) / 1000000L, fitted)
                   hw = next
@@ -1203,7 +1210,8 @@ object EventStream {
               val r = st.rank + 1
               val prev = Timeseries.HwState(st.lvl, st.trend, st.seaE6)
               val (fitted, next) =
-                if (damped) Timeseries.hwStepDamped(prev, r.toInt, yy)
+                if (mul) Timeseries.hwMulStep(prev, r.toInt, yy)
+                else if (damped) Timeseries.hwStepDamped(prev, r.toInt, yy)
                 else Timeseries.hwStep(prev, r.toInt, yy)
               out += HwFit(et, r, dRow.y, fitted)
               st = HwStreamState(Vector.empty, r, next.l, next.b, next.sea,

@@ -706,6 +706,32 @@ class ForecastSpec extends SparkSpec {
       s"order-1 counts from 20 drifted: $m1")
   }
 
+  test("session-bounded Markov model: maintenance verbs under gapMinutes stay exact count algebra (append == fresh, forget round-trips)") {
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val gap = Some(30)
+    val dir = tmpDir("markov-bounded")
+    Recommend.writeMarkovModel(events, dir, gap)
+    // the stored table IS the bounded transition frame
+    assert(spark.read.parquet(s"$dir/trans").orderBy("item", "next_item")
+      .collect().toSeq ==
+      Recommend.transitionsFromSeqBounded(Recommend.engagementSeq(events))
+        .orderBy("item", "next_item").collect().toSeq)
+    val day = events.withColumn("user_id", col("user_id") + 6000000L)
+      .filter(col("user_id") % 4 === 0).localCheckpoint()
+    Recommend.appendToMarkovModel(day, dir, gap)
+    val fresh = tmpDir("markov-bounded-fresh")
+    Recommend.writeMarkovModel(events.unionByName(day), fresh, gap)
+    def trans(d: String) = spark.read.parquet(s"$d/trans")
+      .orderBy("item", "next_item").collect().toSeq
+    assert(trans(dir) == trans(fresh), "bounded append != fresh bounded")
+    // forgetting exactly the appended users round-trips to the
+    // original model (the subtraction is exact)
+    Recommend.forgetFromMarkovModel(day, dir, gap)
+    val orig = tmpDir("markov-bounded-orig")
+    Recommend.writeMarkovModel(events, orig, gap)
+    assert(trans(dir) == trans(orig), "bounded forget did not round-trip")
+  }
+
   test("markov2 model: stored top-k == in-query; backoff serve routes trained contexts to order 2 and novel ones to order 1; append == fresh") {
     import spark.implicits._
     val events = Tables.events(spark, sf).localCheckpoint()

@@ -754,6 +754,41 @@ class StreamingSpec extends SparkSpec {
     assert(results.nonEmpty && results.toSet == batch)
   }
 
+  test("streaming MULTIPLICATIVE Holt-Winters matches the batch ratio fit on a mid-seeding split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Timeseries
+    // amplitude scales with level — the multiplicative regime
+    val ratios = Seq(1.5, 0.5, 1.25, 0.75, 1.0, 1.25, 0.75)
+    val ys = (0 until 25).map(i => ((100 + 4 * i) * ratios(i % 7)).round)
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.parse("2024-01-01").plusDays(i))
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      EventStream.DayCount("a", day(i), y) }
+    val input = MemoryStream[EventStream.DayCount]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventStream.streamingHoltWinters(input.toDS(), mul = true)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.HwFit],
+                       _: Long) =>
+        results ++= b.collect().map(f =>
+          Seq(f.event_type, f.r, f.y, f.fitted_e6)); ()
+      }
+      .start()
+    // split MID-SEEDING (10 < 14) and again mid-recurrence
+    input.addData(rows.take(10)); q.processAllAvailable()
+    input.addData(rows.slice(10, 18)); q.processAllAvailable()
+    input.addData(rows.drop(18)); q.processAllAvailable()
+    q.stop()
+    val batch = Timeseries.holtWintersMulOn(
+        ys.zipWithIndex.map { case (y, i) => ("a", day(i), y) }
+          .toDF("event_type", "day", "y"))
+      .filter(col("y") > 0).collect()
+      .map(r => Seq(r.getAs[String]("event_type"), r.getAs[Long]("r"),
+        r.getAs[Long]("y"), r.getAs[Long]("fitted_e6"))).toSet
+    assert(results.nonEmpty && results.toSet == batch)
+  }
+
   test("streaming Holt-Winters drops replayed and late-arriving days instead of corrupting state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
