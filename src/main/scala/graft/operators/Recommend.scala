@@ -274,6 +274,35 @@ object Recommend {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** SESSION-bounded second-order transitions — the
+    * [[transitionsFromSeqBounded]] skew guard applied to the
+    * two-lead window (the order-2 sort has exactly the same
+    * single-task bot exposure): window partitioned by (user_id,
+    * calendar day), and a triple requires BOTH successor gaps ≤
+    * `gapMinutes` (a context spanning a session break is noise).
+    * Bounded triples ⊆ raw triples (same containment argument —
+    * positions consecutive within a day are consecutive globally;
+    * spec'd). */
+  private[graft] def markov2TransitionsFromSeqBounded(seqEv: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"), col("sday"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    seqEv
+      .withColumn("sday", to_date(col("ts")))
+      .withColumn("p1", lead(col("item"), 1).over(seq))
+      .withColumn("t1", lead(col("ts"), 1).over(seq))
+      .withColumn("nx", lead(col("item"), 2).over(seq))
+      .withColumn("t2", lead(col("ts"), 2).over(seq))
+      .filter(col("nx").isNotNull && col("nx") =!= col("p1") &&
+        unix_micros(col("t1")) - unix_micros(col("ts")) <= lit(gapUs) &&
+        unix_micros(col("t2")) - unix_micros(col("t1")) <= lit(gapUs))
+      .groupBy(col("item").as("prev2_item"), col("p1").as("prev1_item"),
+        col("nx").as("next_item"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Ranked top-k readout over a second-order transition frame — one
     * scoring body for the in-query `recommend_markov2`, the stored
     * model and the pruned serve (the markovTopK discipline): rank by
@@ -615,13 +644,26 @@ object Recommend {
     * both count tables and every maintenance verb updates both.
     * Both are user-local count algebra (whole-user append/forget —
     * the [[writeMarkovModel]] contract). */
-  def writeMarkov2Model(events: DataFrame, dir: String): Unit = {
+  def writeMarkov2Model(events: DataFrame, dir: String,
+                        gapMinutes: Option[Int] = None): Unit = {
     val seqEv = engagementSeq(events).localCheckpoint()
-    markov2TransitionsFromSeq(seqEv).write.mode("overwrite")
-      .parquet(s"$dir/trans2")
-    transitionsFromSeq(seqEv).write.mode("overwrite")
-      .parquet(s"$dir/trans")
+    val (t2, t1) = model2Transitions(seqEv, gapMinutes)
+    t2.write.mode("overwrite").parquet(s"$dir/trans2")
+    t1.write.mode("overwrite").parquet(s"$dir/trans")
   }
+
+  /** Both order tables for the backoff artifact — raw or session-
+    * bounded CONSISTENTLY (a backoff model mixing a bounded order-2
+    * with a raw order-1 would back off into transitions its own
+    * order-2 form deliberately excluded). */
+  private def model2Transitions(seqEv: DataFrame,
+      gapMinutes: Option[Int]): (DataFrame, DataFrame) =
+    gapMinutes match {
+      case Some(g) => (markov2TransitionsFromSeqBounded(seqEv, g),
+        transitionsFromSeqBounded(seqEv, g))
+      case None => (markov2TransitionsFromSeq(seqEv),
+        transitionsFromSeq(seqEv))
+    }
 
   /** Order-2 top-k from the stored model — bit-identical to the
     * in-query form of the same events (one scoring body; spec'd). */
@@ -674,15 +716,17 @@ object Recommend {
   /** Fold a batch of NEW USERS' sequences into BOTH orders — exact
     * (user-local counts; spec'd equal to fresh training of the
     * concatenation). */
-  def appendToMarkov2Model(batchEvents: DataFrame, dir: String): Unit = {
+  def appendToMarkov2Model(batchEvents: DataFrame, dir: String,
+                           gapMinutes: Option[Int] = None): Unit = {
     val s = batchEvents.sparkSession
     val seqEv = engagementSeq(batchEvents).localCheckpoint()
+    val (b2, b1) = model2Transitions(seqEv, gapMinutes)
     val t2 = s.read.parquet(s"$dir/trans2")
-      .unionByName(markov2TransitionsFromSeq(seqEv))
+      .unionByName(b2)
       .groupBy(col("prev2_item"), col("prev1_item"), col("next_item"))
       .agg(sum(col("c")).as("c"))
     val t1 = s.read.parquet(s"$dir/trans")
-      .unionByName(transitionsFromSeq(seqEv))
+      .unionByName(b1)
       .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
     graft.functions.Classify.swapRewrite(s, dir) { tmp =>
       t2.write.parquet(s"$tmp/trans2")
@@ -693,17 +737,18 @@ object Recommend {
   /** Erasure: subtract the victim users' sequences from BOTH orders;
     * rows reaching zero disappear and the result EQUALS fresh
     * training of the survivors (ErasureSpec). */
-  def forgetFromMarkov2Model(victimEvents: DataFrame, dir: String): Unit = {
+  def forgetFromMarkov2Model(victimEvents: DataFrame, dir: String,
+                             gapMinutes: Option[Int] = None): Unit = {
     val s = victimEvents.sparkSession
     val seqEv = engagementSeq(victimEvents).localCheckpoint()
+    val (v2, v1) = model2Transitions(seqEv, gapMinutes)
     val t2 = s.read.parquet(s"$dir/trans2")
-      .unionByName(markov2TransitionsFromSeq(seqEv)
-        .withColumn("c", -col("c")))
+      .unionByName(v2.withColumn("c", -col("c")))
       .groupBy(col("prev2_item"), col("prev1_item"), col("next_item"))
       .agg(sum(col("c")).as("c"))
       .filter(col("c") > 0)
     val t1 = s.read.parquet(s"$dir/trans")
-      .unionByName(transitionsFromSeq(seqEv).withColumn("c", -col("c")))
+      .unionByName(v1.withColumn("c", -col("c")))
       .groupBy(col("item"), col("next_item")).agg(sum(col("c")).as("c"))
       .filter(col("c") > 0)
     graft.functions.Classify.swapRewrite(s, dir) { tmp =>

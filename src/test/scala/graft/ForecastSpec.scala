@@ -732,6 +732,45 @@ class ForecastSpec extends SparkSpec {
     assert(trans(dir) == trans(orig), "bounded forget did not round-trip")
   }
 
+  test("session-bounded order-2 triples are a subset of the raw ones and the bounded backoff artifact round-trips") {
+    val seqEv = Recommend.engagementSeq(Tables.events(spark, sf))
+      .localCheckpoint()
+    val raw = Recommend.markov2TransitionsFromSeq(seqEv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val bounded = Recommend.markov2TransitionsFromSeqBounded(seqEv)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(bounded.nonEmpty)
+    bounded.foreach { case (k, c) =>
+      assert(raw.contains(k) && c <= raw(k),
+        s"bounded invented or inflated triple $k") }
+    // bounded artifact: both order tables bounded CONSISTENTLY;
+    // append then forget of the same users round-trips exactly
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val gap = Some(30)
+    val dir = tmpDir("markov2-bounded")
+    Recommend.writeMarkov2Model(events, dir, gap)
+    assert(spark.read.parquet(s"$dir/trans2")
+      .orderBy("prev2_item", "prev1_item", "next_item").collect().toSeq ==
+      Recommend.markov2TransitionsFromSeqBounded(seqEv)
+        .orderBy("prev2_item", "prev1_item", "next_item").collect().toSeq)
+    val day = events.withColumn("user_id", col("user_id") + 8000000L)
+      .filter(col("user_id") % 5 === 0).localCheckpoint()
+    Recommend.appendToMarkov2Model(day, dir, gap)
+    Recommend.forgetFromMarkov2Model(day, dir, gap)
+    val orig = tmpDir("markov2-bounded-orig")
+    Recommend.writeMarkov2Model(events, orig, gap)
+    def t(d: String, sub: String, cols: Seq[String]) =
+      spark.read.parquet(s"$d/$sub").orderBy(cols.map(col): _*)
+        .collect().toSeq
+    assert(t(dir, "trans2", Seq("prev2_item", "prev1_item", "next_item")) ==
+      t(orig, "trans2", Seq("prev2_item", "prev1_item", "next_item")))
+    assert(t(dir, "trans", Seq("item", "next_item")) ==
+      t(orig, "trans", Seq("item", "next_item")))
+  }
+
   test("markov2 model: stored top-k == in-query; backoff serve routes trained contexts to order 2 and novel ones to order 1; append == fresh") {
     import spark.implicits._
     val events = Tables.events(spark, sf).localCheckpoint()
