@@ -42,6 +42,8 @@ object SparkEntry {
     "holt_winters_damped" -> ((s, d) => Timeseries.holtWintersDamped(s, d)),
     "holt_winters_mul"   -> ((s, d) => Timeseries.holtWintersMul(s, d)),
     "forecast_mul_eval"  -> ((s, d) => Timeseries.forecastMulEval(s, d)),
+    "forecast_model_select" -> ((s, d) =>
+      Timeseries.forecastModelSelect(s, d)),
     "recommend_capped"   -> ((s, d) => operators.Recommend.recommendCapped(s, d)),
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
     "recommend_markov_sessions" -> ((s, d) =>
@@ -270,18 +272,28 @@ object SparkEntry {
     * (chained lateral aliases d1..d7 — exact signed floor
     * divisions, identical to [[graft.operators.Timeseries
     * .hwForecastDamped]]). */
-  private def hwCtesBody(holdout: Int, damped: Boolean): String = {
+  private def hwCtesBody(holdout: Int, damped: Boolean): String =
+    "\n      WITH RECURSIVE" + hwCtesList(holdout, damped, "")
+
+  /** The recurrence CTE LIST (no WITH keyword) with every CTE name
+    * prefixed by `p` — lets forecast_model_select place the
+    * additive, damped and multiplicative chains side by side in ONE
+    * recursive with-list without name collisions (the
+    * select_learnability composition lesson). `p` = "" reproduces
+    * the classic body byte-for-byte. */
+  private def hwCtesList(holdout: Int, damped: Boolean,
+                         p: String): String = {
     // the exactly-divisible floor-division form: (a - pmod(a,d)) // d
     // (operands go negative through the trend — truncating division
     // would diverge from Math.floorDiv)
     def fd(a: String, d: Int) = s"(($a) - ((($a) % $d + $d) % $d)) // $d"
     val phb = if (damped) fd("9*h.b", 10) else "h.b"
     val fcCtes =
-      if (!damped) """
-      fc AS (
+      if (!damped) s"""
+      ${p}fc AS (
         SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
           l + h * b + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
-        FROM fin, (SELECT unnest(range(1, 8)) AS h))"""
+        FROM ${p}fin, (SELECT unnest(range(1, 8)) AS h))"""
       else {
         val ds = (1 to 7).map { k =>
           val prev = if (k == 1) "b" else s"d${k - 1}"
@@ -291,46 +303,45 @@ object SparkEntry {
           s"WHEN $hh THEN ${(1 to hh).map(i => s"d$i").mkString(" + ")}"
         }.mkString(" ")
         s"""
-      fin2 AS (
+      ${p}fin2 AS (
         SELECT event_type, n, l, s,
           $ds
-        FROM fin),
-      fc AS (
+        FROM ${p}fin),
+      ${p}fc AS (
         SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
           l + (CASE CAST(h AS INT) $cases END)
             + s[CAST((n + h - 1) % 7 + 1 AS INT)] AS fitted
-        FROM fin2, (SELECT unnest(range(1, 8)) AS h))"""
+        FROM ${p}fin2, (SELECT unnest(range(1, 8)) AS h))"""
       }
-    s"""
-      WITH RECURSIVE daily AS (
+    s""" ${p}daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
           CAST(count(*) AS BIGINT) AS y
         FROM events GROUP BY 1, 2),
-      seq AS (
+      ${p}seq AS (
         SELECT event_type, y,
           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
             AS BIGINT) AS r,
           CAST(count(*) OVER (PARTITION BY event_type) - $holdout
             AS BIGINT) AS n
-        FROM daily),
-      tr AS (SELECT * FROM seq WHERE r <= n),
-      init AS (
+        FROM ${p}daily),
+      ${p}tr AS (SELECT * FROM ${p}seq WHERE r <= n),
+      ${p}init AS (
         SELECT event_type, n,
           SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
           SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
           list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
-        FROM tr WHERE n >= 14 GROUP BY event_type, n),
-      st0 AS (
+        FROM ${p}tr WHERE n >= 14 GROUP BY event_type, n),
+      ${p}st0 AS (
         SELECT event_type, n,
           CAST(sum1 // 7 AS BIGINT) AS l,
           CAST(((sum2 - sum1) - (((sum2 - sum1) % 49 + 49) % 49)) // 49
             AS BIGINT) AS b,
           list_transform(ys, v -> CAST(v - sum1 // 7 AS BIGINT)) AS s
-        FROM init),
-      hw AS (
+        FROM ${p}init),
+      ${p}hw AS (
         SELECT event_type, n, CAST(7 AS BIGINT) AS r, l, b, s,
           CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
-        FROM st0
+        FROM ${p}st0
         UNION ALL
         SELECT event_type, n, r,
           lnew AS l,
@@ -348,12 +359,12 @@ object SparkEntry {
             ${fd("(q.y * 1000000 - sold) + 4*(h.l + phb)", 5)} AS lnew,
             ${fd("(lnew - h.l) + 9*phb", 10)} AS bnew,
             ${fd("(q.y * 1000000 - lnew) + 4*sold", 5)} AS snew
-          FROM hw h JOIN tr q
+          FROM ${p}hw h JOIN ${p}tr q
             ON q.event_type = h.event_type AND q.r = h.r + 1)),
-      fin AS (
+      ${p}fin AS (
         SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
           max_by(s, r) AS s
-        FROM hw GROUP BY event_type, n),$fcCtes"""
+        FROM ${p}hw GROUP BY event_type, n),$fcCtes"""
   }
 
   /** The MULTIPLICATIVE-seasonality HW recurrence body (the
@@ -365,28 +376,32 @@ object SparkEntry {
     * mirror [[graft.operators.Timeseries.hwMulStep]] exactly), so
     * plain `//` is floor there; constant-divisor divisions may see
     * negative numerators and use the exactly-divisible pmod form. */
-  private def hwMulCtesBody(holdout: Int): String = {
+  private def hwMulCtesBody(holdout: Int): String =
+    "\n      WITH RECURSIVE" + hwMulCtesList(holdout, "")
+
+  /** The multiplicative CTE LIST with prefixed names (the
+    * [[hwCtesList]] composition affordance). */
+  private def hwMulCtesList(holdout: Int, p: String): String = {
     def fd(a: String, d: Int) = s"(($a) - ((($a) % $d + $d) % $d)) // $d"
-    s"""
-      WITH RECURSIVE daily AS (
+    s""" ${p}daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
           CAST(count(*) AS BIGINT) AS y
         FROM events GROUP BY 1, 2),
-      seq AS (
+      ${p}seq AS (
         SELECT event_type, y,
           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
             AS BIGINT) AS r,
           CAST(count(*) OVER (PARTITION BY event_type) - $holdout
             AS BIGINT) AS n
-        FROM daily),
-      tr AS (SELECT * FROM seq WHERE r <= n),
-      init AS (
+        FROM ${p}daily),
+      ${p}tr AS (SELECT * FROM ${p}seq WHERE r <= n),
+      ${p}init AS (
         SELECT event_type, n,
           SUM(CASE WHEN r <= 7 THEN y * 1000000 ELSE 0 END) AS sum1,
           SUM(CASE WHEN r > 7 AND r <= 14 THEN y * 1000000 ELSE 0 END) AS sum2,
           list(y * 1000000 ORDER BY r) FILTER (WHERE r <= 7) AS ys
-        FROM tr WHERE n >= 14 GROUP BY event_type, n),
-      st0 AS (
+        FROM ${p}tr WHERE n >= 14 GROUP BY event_type, n),
+      ${p}st0 AS (
         SELECT event_type, n,
           CAST(sum1 // 7 AS BIGINT) AS l,
           CAST(((sum2 - sum1) - (((sum2 - sum1) % 49 + 49) % 49)) // 49
@@ -394,11 +409,11 @@ object SparkEntry {
           list_transform(ys, v -> CAST(CASE WHEN sum1 // 7 > 0
             THEN (v * 1000000) // (sum1 // 7)
             ELSE 1000000 END AS BIGINT)) AS s
-        FROM init),
-      hw AS (
+        FROM ${p}init),
+      ${p}hw AS (
         SELECT event_type, n, CAST(7 AS BIGINT) AS r, l, b, s,
           CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
-        FROM st0
+        FROM ${p}st0
         UNION ALL
         SELECT event_type, n, r,
           lnew AS l,
@@ -419,16 +434,16 @@ object SparkEntry {
             CASE WHEN lnew > 0 THEN (q.y * 1000000 * 1000000) // lnew
               ELSE seff END AS robs,
             ${fd("robs + 4*seff", 5)} AS snew
-          FROM hw h JOIN tr q
+          FROM ${p}hw h JOIN ${p}tr q
             ON q.event_type = h.event_type AND q.r = h.r + 1)),
-      fin AS (
+      ${p}fin AS (
         SELECT event_type, n, max_by(l, r) AS l, max_by(b, r) AS b,
           max_by(s, r) AS s
-        FROM hw GROUP BY event_type, n),
-      fc AS (
+        FROM ${p}hw GROUP BY event_type, n),
+      ${p}fc AS (
         SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
           ${fd("(l + h * b) * (CASE WHEN s[CAST((n + h - 1) % 7 + 1 AS INT)] > 0 THEN s[CAST((n + h - 1) % 7 + 1 AS INT)] ELSE 1000000 END)", 1000000)} AS fitted
-        FROM fin, (SELECT unnest(range(1, 8)) AS h))"""
+        FROM ${p}fin, (SELECT unnest(range(1, 8)) AS h))"""
   }
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1593,6 +1608,43 @@ object SparkEntry {
         CAST(e.ae AS BIGINT) AS ae_e6, m.mae_e6
       FROM ev e JOIN maeh m USING (h)
       ORDER BY e.event_type, e.h"""),
+
+    // model selection over the seasonal family: all THREE recurrence
+    // chains (additive a_, damped d_, multiplicative m_) side by
+    // side in one recursive with-list via prefixed CTE names; per
+    // series the total absolute holdout error per mode and the
+    // arg-min pick (ties prefer the simpler model: additive, then
+    // damped)
+    "forecast_model_select" -> ("\n      WITH RECURSIVE" +
+      hwCtesList(7, damped = false, "a_") + "," +
+      hwCtesList(7, damped = true, "d_") + "," +
+      hwMulCtesList(7, "m_") + """,
+      aev AS (
+        SELECT s.event_type, ABS(s.y * 1000000 - f.fitted) AS ae
+        FROM a_seq s JOIN a_fc f
+          ON f.event_type = s.event_type AND f.r = s.r),
+      dev AS (
+        SELECT s.event_type, ABS(s.y * 1000000 - f.fitted) AS ae
+        FROM d_seq s JOIN d_fc f
+          ON f.event_type = s.event_type AND f.r = s.r),
+      mev AS (
+        SELECT s.event_type, ABS(s.y * 1000000 - f.fitted) AS ae
+        FROM m_seq s JOIN m_fc f
+          ON f.event_type = s.event_type AND f.r = s.r),
+      asum AS (SELECT event_type, CAST(SUM(ae) AS BIGINT) AS sae_add_e6
+               FROM aev GROUP BY 1),
+      dsum AS (SELECT event_type, CAST(SUM(ae) AS BIGINT) AS sae_damped_e6
+               FROM dev GROUP BY 1),
+      msum AS (SELECT event_type, CAST(SUM(ae) AS BIGINT) AS sae_mul_e6
+               FROM mev GROUP BY 1)
+      SELECT a.event_type, a.sae_add_e6, d.sae_damped_e6, m.sae_mul_e6,
+        CASE WHEN a.sae_add_e6 <= d.sae_damped_e6
+              AND a.sae_add_e6 <= m.sae_mul_e6 THEN 'additive'
+             WHEN d.sae_damped_e6 <= m.sae_mul_e6 THEN 'damped'
+             ELSE 'mul' END AS best
+      FROM asum a JOIN dsum d USING (event_type)
+      JOIN msum m USING (event_type)
+      ORDER BY a.event_type"""),
 
     // the HW chain's residual monitor: resid and the mean-absolute
     // scale stay BIGINT end to end (non-negative sums, so // == div)

@@ -872,6 +872,44 @@ object Timeseries {
         .agg(count(lit(1)).as("y")),
       holdout)
 
+  /** MODEL SELECTION over the seasonal family — the capstone readout
+    * a production forecaster ships on: backtest ALL THREE recurrence
+    * modes (additive, damped, multiplicative) on the same
+    * holdout carve and pick, per series, the mode with the smallest
+    * total absolute holdout error (exact BIGINT sums — ties break by
+    * the fixed precedence additive > damped > mul, i.e. prefer the
+    * simpler model on equal evidence; the same CASE in both
+    * engines). The per-mode errors ride along so the readout shows
+    * HOW decisive the pick was, not just which. One daily
+    * pre-aggregate feeds the three sequential recurrence passes
+    * (eagerly checkpointed — the ≥3-branch rule). */
+  def forecastModelSelect(s: SparkSession, d: String,
+                          holdout: Int = 7): DataFrame =
+    forecastModelSelectOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")),
+      holdout)
+
+  /** The [[forecastModelSelect]] core on an explicit daily frame. */
+  def forecastModelSelectOn(daily: DataFrame, holdout: Int = 7): DataFrame = {
+    val dd = daily.localCheckpoint() // feeds all three recurrences
+    def sae(df: DataFrame, name: String) =
+      df.groupBy(col("event_type")).agg(sum(col("ae_e6")).as(name))
+    val add = sae(forecastEvalOn(dd, holdout), "sae_add_e6")
+    val dmp = sae(forecastEvalOn(dd, holdout, damped = true),
+      "sae_damped_e6")
+    val mul = sae(forecastMulEvalOn(dd, holdout), "sae_mul_e6")
+    add.join(dmp, "event_type").join(mul, "event_type")
+      .select(col("event_type"), col("sae_add_e6"), col("sae_damped_e6"),
+        col("sae_mul_e6"),
+        when(col("sae_add_e6") <= col("sae_damped_e6") &&
+             col("sae_add_e6") <= col("sae_mul_e6"), lit("additive"))
+          .when(col("sae_damped_e6") <= col("sae_mul_e6"), lit("damped"))
+          .otherwise(lit("mul")).as("best"))
+      .orderBy(col("event_type"))
+  }
+
   /** The [[forecastMulEval]] core on an explicit daily frame. */
   def forecastMulEvalOn(daily: DataFrame, holdout: Int = 7): DataFrame = {
     val s = daily.sparkSession

@@ -67,6 +67,34 @@ class ForecastSpec extends SparkSpec {
       s"multiplicative ae $mulAe not below additive ae $addAe")
   }
 
+  test("model selection picks the multiplicative form on amplitude growth and the additive form on fixed offsets") {
+    // series "mulwins": y = L(i)*s(i%7) with L rising — ratio
+    // seasonality, the multiplicative regime. series "addwins":
+    // linear trend + FIXED seasonal offsets — the additive form fits
+    // it exactly after warmup, the others cannot beat zero error.
+    val ratios = Seq(1.5, 0.5, 1.25, 0.75, 1.0, 1.25, 0.75)
+    val mulY = (0 until 63).map(i => ((100 + 4 * i) * ratios(i % 7)).round)
+    val offs = Seq(30L, -20L, 10L, -10L, 0L, 20L, -30L)
+    val addY = (0 until 63).map(i => 500L + 3L * i + offs(i % 7))
+    val daily = daysFrom("2024-01-01", mulY, "mulwins")
+      .union(daysFrom("2024-01-01", addY, "addwins"))
+    val got = Timeseries.forecastModelSelectOn(daily).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sae_add_e6"), r.getAs[Long]("sae_damped_e6"),
+          r.getAs[Long]("sae_mul_e6"), r.getAs[String]("best"))).toMap
+    assert(got.size == 2)
+    assert(got("mulwins")._4 == "mul", s"mulwins: ${got("mulwins")}")
+    assert(got("addwins")._4 == "additive", s"addwins: ${got("addwins")}")
+    // the error columns justify both picks numerically (not exact
+    // zeros: the week-1 seed absorbs the intra-week trend ramp into
+    // the seasonal state, so the additive fit converges
+    // geometrically rather than exactly)
+    assert(got("addwins")._1 < got("addwins")._2 &&
+      got("addwins")._1 < got("addwins")._3)
+    assert(got("mulwins")._3 < got("mulwins")._1 &&
+      got("mulwins")._3 < got("mulwins")._2)
+  }
+
   test("holt-winters skips series shorter than two seasons and keeps others") {
     val mixed = daysFrom("2024-01-01", Seq.fill(13)(5L), "short")
       .union(daysFrom("2024-01-01", Seq.fill(14)(5L), "ok"))
