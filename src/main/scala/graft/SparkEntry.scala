@@ -48,6 +48,8 @@ object SparkEntry {
     "recommend_markov"   -> ((s, d) => operators.Recommend.recommendMarkov(s, d)),
     "recommend_markov_sessions" -> ((s, d) =>
       operators.Recommend.recommendMarkovSessions(s, d)),
+    "markov_stationary"  -> ((s, d) =>
+      operators.Recommend.markovStationary(s, d)),
     "recommend_markov2"  -> ((s, d) =>
       operators.Recommend.recommendMarkov2(s, d)),
     "recommend_markov2_eval" -> ((s, d) =>
@@ -55,6 +57,8 @@ object SparkEntry {
     "recommend_markov_eval" -> ((s, d) =>
       operators.Recommend.recommendMarkovEval(s, d)),
     "recommend_hybrid"   -> ((s, d) => operators.Recommend.recommendHybrid(s, d)),
+    "recommend_hybrid_wrrf" -> ((s, d) =>
+      operators.Recommend.recommendHybridWeighted(s, d)),
     "recommend_hybrid_eval" -> ((s, d) =>
       operators.Recommend.recommendHybridEval(s, d)),
     "forecast_anomaly"   -> ((s, d) => Timeseries.forecastAnomaly(s, d)),
@@ -444,6 +448,116 @@ object SparkEntry {
         SELECT event_type, n + h AS r, CAST(0 AS BIGINT) AS y,
           ${fd("(l + h * b) * (CASE WHEN s[CAST((n + h - 1) % 7 + 1 AS INT)] > 0 THEN s[CAST((n + h - 1) % 7 + 1 AS INT)] ELSE 1000000 END)", 1000000)} AS fitted
         FROM ${p}fin, (SELECT unnest(range(1, 8)) AS h))"""
+  }
+
+  /** The recommend_hybrid oracle body with the CF-side rrf weight as
+    * a SQL literal TEXT (the hybridRrfOracleSql wLex discipline --
+    * "1" reproduces the unweighted gate byte-for-byte, "0.75" the
+    * weighted one; the Markov term stays at weight 1). */
+  private def recommendHybridOracleSql(wCf: String): String = raw"""
+      WITH inter AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM inter a JOIN inter b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      scored AS (
+        SELECT s.i AS item, s.j AS rec_item,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      cf AS (
+        SELECT item AS query_id, rec_item AS doc_id, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY item
+            ORDER BY cos_e6 DESC, rec_item) AS INT) AS rank
+          FROM scored) WHERE rank <= 10),
+      mev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      msq AS (
+        SELECT item, lead(item) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_item
+        FROM mev),
+      mtr AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM msq WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      mk AS (
+        SELECT item AS query_id, next_item AS doc_id, rank FROM (
+          SELECT item, next_item, CAST(row_number() OVER (PARTITION BY item
+            ORDER BY c DESC, next_item) AS INT) AS rank
+          FROM mtr) WHERE rank <= 10),
+      rrlists AS (
+        SELECT query_id, doc_id,
+          CAST(round(CAST($wCf AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM cf
+        UNION ALL
+        SELECT query_id, doc_id,
+          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
+               AS DECIMAL(13,9)) AS c
+        FROM mk),
+      fused AS (
+        SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
+        FROM rrlists GROUP BY 1, 2)
+      SELECT query_id AS item, doc_id AS rec_item, rrf, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        FROM fused)
+      WHERE rank <= 5 ORDER BY item, rank"""
+
+  /** markov_stationary oracle: the weighted-pagerank power iteration
+    * unrolled as chained aggregating CTEs (the graph_pagerank
+    * discipline), with the node count as a SCALAR SUBQUERY so the
+    * SQL stays static. Per-edge outflow = (pr // tc) * c — the
+    * per-unit quotient first (overflow bound), all operands
+    * non-negative so // is floor in both engines. */
+  private def markovStationaryOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (
+        SELECT nd.item,
+          CAST((3 * 1000000000000 // (20 * (SELECT n FROM nn))) +
+            (17 * COALESCE(cs.s, 0)) // 20 AS BIGINT) AS pr
+        FROM nodes nd LEFT JOIN (
+          SELECT t.next_item AS item, SUM((p.pr // o.tc) * t.c) AS s
+          FROM trans t JOIN tot o ON o.item = t.item
+          JOIN pr${i - 1} p ON p.item = t.item
+          GROUP BY 1) cs ON cs.item = nd.item)"""
+    }.mkString(",\n      ")
+    raw"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      sq AS (
+        SELECT item, lead(item) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_item
+        FROM ev),
+      trans AS (
+        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
+        FROM sq WHERE next_item IS NOT NULL AND next_item <> item
+        GROUP BY 1, 2),
+      tot AS (SELECT item, CAST(SUM(c) AS BIGINT) AS tc FROM trans GROUP BY 1),
+      nodes AS (SELECT DISTINCT item FROM (
+        SELECT item FROM trans UNION ALL SELECT next_item FROM trans)),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      pr0 AS (SELECT item,
+        CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS pr
+        FROM nodes),
+      $iterCtes
+      SELECT item, pr AS pr_e12,
+        round(CAST(pr AS DOUBLE) / 1e12, 6) AS stationary
+      FROM pr$iters ORDER BY item"""
   }
 
   /** Full oracle map for a concrete dataset: the static SQL plus the
@@ -1186,6 +1300,10 @@ object SparkEntry {
           AS BIGINT) AS prob_e6
       FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
 
+    // stationary distribution of the browsing chain — weighted
+    // pagerank over transitions, 10 unrolled iterations
+    "markov_stationary" -> markovStationaryOracleSql(10),
+
     // SECOND-order Markov: ((prev2, prev1) -> next) counts via two
     // leads over the same per-user sequence window, next = prev1
     // self-loops dropped, top-5 per context pair, prob = within-
@@ -1294,66 +1412,11 @@ object SparkEntry {
     // hybrid RRF fusion of the CF and Markov rankings — the search
     // tier's exact rrf recipe (1/(60+rank) snapped 1e-9, decimal sum,
     // 6 dp, re-rank with candidate tie-break) on recommendation lists
-    "recommend_hybrid" -> raw"""
-      WITH inter AS (
-        SELECT DISTINCT user_id,
-          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
-        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
-      pairs AS (
-        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
-        FROM inter a JOIN inter b
-          ON a.user_id = b.user_id AND a.item < b.item
-        GROUP BY 1, 2),
-      sym AS (SELECT i, j, c FROM pairs
-              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
-      scored AS (
-        SELECT s.i AS item, s.j AS rec_item,
-          CAST(floor(CAST(s.c AS DOUBLE) /
-            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
-            + 0.5) AS BIGINT) AS cos_e6
-        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
-      cf AS (
-        SELECT item AS query_id, rec_item AS doc_id, rank FROM (
-          SELECT *, CAST(row_number() OVER (PARTITION BY item
-            ORDER BY cos_e6 DESC, rec_item) AS INT) AS rank
-          FROM scored) WHERE rank <= 10),
-      mev AS (
-        SELECT user_id, ts, event_id,
-          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
-        FROM events WHERE event_type IN ('view', 'click', 'purchase')
-          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
-      msq AS (
-        SELECT item, lead(item) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id) AS next_item
-        FROM mev),
-      mtr AS (
-        SELECT item, next_item, CAST(count(*) AS BIGINT) AS c
-        FROM msq WHERE next_item IS NOT NULL AND next_item <> item
-        GROUP BY 1, 2),
-      mk AS (
-        SELECT item AS query_id, next_item AS doc_id, rank FROM (
-          SELECT item, next_item, CAST(row_number() OVER (PARTITION BY item
-            ORDER BY c DESC, next_item) AS INT) AS rank
-          FROM mtr) WHERE rank <= 10),
-      rrlists AS (
-        SELECT query_id, doc_id,
-          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
-               AS DECIMAL(13,9)) AS c
-        FROM cf
-        UNION ALL
-        SELECT query_id, doc_id,
-          CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 9)
-               AS DECIMAL(13,9)) AS c
-        FROM mk),
-      fused AS (
-        SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
-        FROM rrlists GROUP BY 1, 2)
-      SELECT query_id AS item, doc_id AS rec_item, rrf, rank FROM (
-        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY rrf DESC, doc_id) AS INT) AS rank
-        FROM fused)
-      WHERE rank <= 5 ORDER BY item, rank""",
+    "recommend_hybrid" -> recommendHybridOracleSql("1"),
+
+    // the WEIGHTED fusion gate: identical body with the CF term
+    // down-weighted to the binary-exact literal 0.75
+    "recommend_hybrid_wrrf" -> recommendHybridOracleSql("0.75"),
 
     // leave-LAST-out HYBRID backtest: hold each >=3-event user's
     // final event, train BOTH signals on the prefix, fuse the user's

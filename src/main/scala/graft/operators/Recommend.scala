@@ -431,7 +431,8 @@ object Recommend {
     * outranks one with a single strong signal — the standard
     * two-signal blend when neither alone is trusted. */
   def recommendHybrid(s: SparkSession, d: String, k: Int = 5,
-                      depth: Int = 10): DataFrame = {
+                      depth: Int = 10,
+                      weights: Seq[Double] = Nil): DataFrame = {
     // ONE events scan feeds both chains: the CF side derives its
     // distinct interactions and the Markov side its sequence windows
     // from the same eagerly-checkpointed engagement projection
@@ -451,11 +452,28 @@ object Recommend {
     val mk = markovTopK(transitionsFromSeq(ev), depth, ordered = false)
       .select(col("item").as("query_id"), col("next_item").as("doc_id"),
         col("rank"))
-    Search.rrfFuse(Seq(cf, mk), k)
+    Search.rrfFuse(Seq(cf, mk), k, weights)
       .select(col("query_id").as("item"), col("doc_id").as("rec_item"),
         col("rrf"), col("rank"))
       .orderBy(col("item"), col("rank"))
   }
+
+  /** The CF-side weight of the WEIGHTED hybrid gate query (a
+    * binary-exact double, so the oracle's decimal literal parses to
+    * identical bits — the search tier's WrrfLexWeight discipline). */
+  val WrrfCfWeight = 0.75
+
+  /** recommend_hybrid_wrrf — the WEIGHTED fusion gate: the same two
+    * rankings as [[recommendHybrid]] with the order-free CF evidence
+    * down-weighted to 0.75 (the production knob when the sequence
+    * signal is the trusted one — e.g. a session-dominated surface).
+    * Oracle-gated separately so the weighted path is hash-verified,
+    * not just spec'd (the search_hybrid_wrrf precedent); w=1.0 stays
+    * bit-identical to the unweighted form (one IEEE division
+    * either way — the rrfFuse invariant). */
+  def recommendHybridWeighted(s: SparkSession, d: String, k: Int = 5,
+                              depth: Int = 10): DataFrame =
+    recommendHybrid(s, d, k, depth, Seq(WrrfCfWeight, 1.0))
 
   /** Leave-LAST-out BACKTEST of the HYBRID recommender — the fused
     * ranking's shipping gate (every other predictive tier has one;
@@ -634,6 +652,58 @@ object Recommend {
     graft.functions.Classify.swapRewrite(s, dir) { tmp =>
       trans.write.parquet(s"$tmp/trans")
     }
+  }
+
+  /** STATIONARY distribution of the browsing Markov chain — "where
+    * does attention equilibrate if users keep clicking": damped
+    * power iteration over the WEIGHTED transition graph (PageRank
+    * with edge weights c/Σc instead of uniform out-degree shares —
+    * the [[Similarity.pagerankOn]] exact-integer recipe extended to
+    * weights). Rank mass lives in 1e-12-unit BIGINTs; a node's
+    * outflow is floor(pr / tc) · c per edge — the per-unit quotient
+    * FIRST, then the weight multiply, so every intermediate stays ≤
+    * the total mass (pr·c first would overflow 2^63 at corpus
+    * scale); update = base + (17·Σ inflow) div 20 (damping 17/20) —
+    * all operands non-negative, so truncating div == floor in both
+    * engines. Items with no outgoing transitions absorb deterministic
+    * leak (standard dangling treatment; this is a RANKING, not a
+    * normalized distribution — documented). Fixed 10 iterations; the
+    * oracle unrolls them as chained aggregating CTEs with the node
+    * count as a scalar subquery, so the SQL stays STATIC. */
+  def markovStationary(s: SparkSession, d: String,
+                       iters: Int = 10): DataFrame =
+    markovStationaryOn(markovTransitions(graft.Tables.events(s, d)), iters)
+
+  /** The [[markovStationary]] core over an explicit transition
+    * frame. */
+  def markovStationaryOn(trans0: DataFrame, iters: Int = 10): DataFrame = {
+    val Scale = 1000000000000L
+    val trans = trans0.localCheckpoint() // feeds tot, edges and nodes
+    val tot = trans.groupBy(col("item")).agg(sum(col("c")).as("tc"))
+    val edges = trans.join(tot, Seq("item"))
+      .select(col("item").as("src"), col("next_item").as("dst"),
+        col("c"), col("tc"))
+      .localCheckpoint() // reused every iteration
+    val nodes = trans.select(col("item"))
+      .union(trans.select(col("next_item"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = (3L * Scale) / (20L * n)
+    var pr = nodes.select(col("item"), lit(Scale / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(pr.withColumnRenamed("item", "src"), Seq("src"))
+        .select(col("dst").as("item"), expr("(pr div tc) * c").as("sh"))
+        .groupBy(col("item")).agg(sum(col("sh")).as("insum"))
+      pr = nodes.join(inflow, Seq("item"), "left")
+        .select(col("item"), (lit(base) +
+          expr("(17 * coalesce(insum, CAST(0 AS BIGINT))) div 20")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("item"), col("pr").as("pr_e12"),
+        round(col("pr").cast("double") / lit(1e12), 6).as("stationary"))
+      .orderBy(col("item"))
   }
 
   // ---- maintained second-order (backoff) Markov artifact ------------------

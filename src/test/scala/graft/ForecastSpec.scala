@@ -692,6 +692,32 @@ class ForecastSpec extends SparkSpec {
     assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
   }
 
+  test("markov stationary mass follows transition weights into a dangling hub") {
+    import spark.implicits._
+    // node 1 splits its outflow 3:1 between hubs 3 and 4 (both
+    // dangling — no 2-cycle parity; the teleport base keeps mass
+    // flowing); node 2 feeds 3 only. Equilibrium order must be
+    // pr(3) > pr(4) > pr(1) == pr(2) (sources keep only the base)
+    val trans = Seq((1L, 3L, 3L), (1L, 4L, 1L), (2L, 3L, 4L))
+      .toDF("item", "next_item", "c")
+    val got = Recommend.markovStationaryOn(trans).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("pr_e12")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == got(2L), s"pure sources must tie at base: $got")
+    assert(got(3L) > got(4L) && got(4L) > got(1L), s"weight order: $got")
+    // natural corpus: one row per item touched by any transition,
+    // every mass positive, rounded readout consistent with the
+    // integer state
+    val nat = Recommend.markovStationary(spark, sf).collect()
+    assert(nat.nonEmpty)
+    nat.foreach { r =>
+      assert(r.getAs[Long]("pr_e12") > 0L)
+      assert(r.getAs[Double]("stationary") ==
+        BigDecimal(r.getAs[Long]("pr_e12").toDouble / 1e12)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("order-2 backtest: the context pair disambiguates where order 1 ranks wrong, and a novel context backs off to order 1") {
     import spark.implicits._
     // 4 users follow 10 -> 20 -> 30; 6 users follow 40 -> 20 -> 50.
