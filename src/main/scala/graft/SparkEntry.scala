@@ -50,6 +50,8 @@ object SparkEntry {
       operators.Recommend.recommendMarkovSessions(s, d)),
     "markov_stationary"  -> ((s, d) =>
       operators.Recommend.markovStationary(s, d)),
+    "preference_pairs"   -> ((s, d) =>
+      operators.Recommend.preferencePairs(s, d)),
     "recommend_markov2"  -> ((s, d) =>
       operators.Recommend.recommendMarkov2(s, d)),
     "recommend_markov2_eval" -> ((s, d) =>
@@ -1303,6 +1305,41 @@ object SparkEntry {
     // stationary distribution of the browsing chain — weighted
     // pagerank over transitions, 10 unrolled iterations
     "markov_stationary" -> markovStationaryOracleSql(10),
+
+    // preference pairs: per user, cross-level item pairs (purchase >
+    // click > view; level = max engagement) after the deterministic
+    // md5-order per-user cap (the capInteractions guard — the
+    // digit-sum hv recipe, ties by item, rn <= 8)
+    "preference_pairs" -> raw"""
+      WITH ev AS (
+        SELECT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item,
+          CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+            ELSE 1 END AS level
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''),
+      leveled AS (
+        SELECT user_id, item, CAST(MAX(level) AS INT) AS level
+        FROM ev GROUP BY 1, 2),
+      hv AS (
+        SELECT user_id, item, level,
+          CAST(list_sum(list_transform(range(1, 9),
+            k -> (strpos('0123456789abcdef',
+                         md5(user_id || ':' || item)[k:k]) - 1)
+                 * CAST(16 ** (8 - k) AS BIGINT))) AS BIGINT) AS hvv
+        FROM leveled),
+      capped AS (
+        SELECT user_id, item, level FROM (
+          SELECT user_id, item, level,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY hvv, item) AS rn
+          FROM hv) WHERE rn <= 8)
+      SELECT a.user_id, a.item AS chosen_item, a.level AS chosen_level,
+        b.item AS rejected_item, b.level AS rejected_level,
+        CAST(a.level - b.level AS INT) AS margin
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.level > b.level
+      ORDER BY a.user_id, chosen_item, rejected_item""",
 
     // SECOND-order Markov: ((prev2, prev1) -> next) counts via two
     // leads over the same per-user sequence window, next = prev1

@@ -654,6 +654,45 @@ object Recommend {
     }
   }
 
+  /** PREFERENCE-PAIR mining — the reward-model training-data op
+    * (RLHF data construction applied to engagement): within each
+    * user, every pair of items the user engaged at DIFFERENT
+    * strengths (purchase=3 > click=2 > view=1; an item's level is
+    * its MAX engagement) becomes a (chosen, rejected, margin) row —
+    * the user revealed a preference, the margin says how strongly.
+    * The per-user pair fan-out is the CF d_u² bound all over again,
+    * so the [[capInteractions]] guard applies FIRST (deterministic
+    * md5-order cap per user, default 8 — the same reproducible
+    * sample, levels carried through), bounding every user at
+    * C(cap,2) pairs regardless of bot degree.
+    *
+    * Scale shape: one events scan → per-(user,item) max-aggregate →
+    * the capped per-user self-join (bounded fan-out) — all
+    * user-keyed shuffles, catalog-independent output per user. */
+  def preferencePairs(s: SparkSession, d: String, cap: Int = 8): DataFrame = {
+    val leveled = graft.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        when(col("event_type") === "purchase", lit(3))
+          .when(col("event_type") === "click", lit(2))
+          .otherwise(lit(1)).as("level"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item")).agg(max(col("level")).as("level"))
+    val capped = capInteractions(leveled, cap)
+      .localCheckpoint() // both self-join sides
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.level") > col("b.level"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.item").as("chosen_item"), col("a.level").as("chosen_level"),
+        col("b.item").as("rejected_item"),
+        col("b.level").as("rejected_level"),
+        (col("a.level") - col("b.level")).as("margin"))
+      .orderBy(col("user_id"), col("chosen_item"), col("rejected_item"))
+  }
+
   /** STATIONARY distribution of the browsing Markov chain — "where
     * does attention equilibrate if users keep clicking": damped
     * power iteration over the WEIGHTED transition graph (PageRank

@@ -692,6 +692,53 @@ class ForecastSpec extends SparkSpec {
     assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
   }
 
+  test("preference pairs: cross-level pairs with max-engagement levels, bounded per user by the md5 cap") {
+    import spark.implicits._
+    // user 1: purchase 10, click 20, view 30 — and ALSO views item
+    // 10 (max wins: 10 stays level 3). user 2 is a 21-item bot (10
+    // purchases + 11 views) — the cap must bound their pair count.
+    val rows =
+      Seq((1L, "purchase", 10L), (1L, "view", 10L), (1L, "click", 20L),
+          (1L, "view", 30L)) ++
+      (0 until 10).map(i => (2L, "purchase", 100L + i)) ++
+      (0 until 11).map(i => (2L, "view", 200L + i))
+    val ev = rows.zipWithIndex.map { case ((u, t, i), eid) =>
+      (eid.toLong, u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        t, 1.0, s"""{"k": $i}""")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("prefpairs").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Recommend.preferencePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("chosen_item"),
+        r.getAs[Long]("rejected_item"), r.getAs[Int]("chosen_level"),
+        r.getAs[Int]("rejected_level"), r.getAs[Int]("margin")))
+    val u1 = got.filter(_._1 == 1L).toSet
+    assert(u1 == Set((1L, 10L, 20L, 3, 2, 1), (1L, 10L, 30L, 3, 1, 2),
+      (1L, 20L, 30L, 2, 1, 1)), s"user-1 pairs: $u1")
+    // the bot's pairs are bounded by the cap: the kept set is 8
+    // items (deterministic md5 pick), so distinct items across all
+    // their pairs is <= 8 (< the 21 uncapped) and the pairs form the
+    // complete cross-level bipartite product of the kept split
+    val u2 = got.filter(_._1 == 2L)
+    val u2items = (u2.map(_._2) ++ u2.map(_._3)).distinct
+    assert(u2.nonEmpty && u2items.length <= 8,
+      s"cap did not bound the bot: ${u2items.length} items")
+    val kp = u2.map(_._2).distinct.length
+    val kv = u2.map(_._3).distinct.length
+    assert(u2.length == kp * kv, s"not the full bipartite: ${u2.length}")
+    // natural corpus: every pair strictly cross-level, margin exact,
+    // per-user count within the cap bound
+    val nat = Recommend.preferencePairs(spark, sf).collect()
+    assert(nat.nonEmpty)
+    nat.foreach { r =>
+      assert(r.getAs[Int]("chosen_level") > r.getAs[Int]("rejected_level"))
+      assert(r.getAs[Int]("margin") ==
+        r.getAs[Int]("chosen_level") - r.getAs[Int]("rejected_level"))
+    }
+    nat.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      assert(rs.length <= 28, s"user $u exceeds the cap bound") }
+  }
+
   test("markov stationary mass follows transition weights into a dangling hub") {
     import spark.implicits._
     // node 1 splits its outflow 3:1 between hubs 3 and 4 (both
