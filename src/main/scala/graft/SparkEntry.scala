@@ -52,6 +52,8 @@ object SparkEntry {
       operators.Recommend.markovStationary(s, d)),
     "preference_pairs"   -> ((s, d) =>
       operators.Recommend.preferencePairs(s, d)),
+    "recommend_coverage" -> ((s, d) =>
+      operators.Recommend.recommendCoverage(s, d)),
     "recommend_markov2"  -> ((s, d) =>
       operators.Recommend.recommendMarkov2(s, d)),
     "recommend_markov2_eval" -> ((s, d) =>
@@ -1305,6 +1307,51 @@ object SparkEntry {
     // stationary distribution of the browsing chain — weighted
     // pagerank over transitions, 10 unrolled iterations
     "markov_stationary" -> markovStationaryOracleSql(10),
+
+    // coverage/concentration audit of the CF top-10 lists: distinct
+    // recommended items vs catalog (ppm) + the exact-integer gini of
+    // recommendation frequency (f ranked asc, ties by item — equal-f
+    // permutations leave the weighted sum unchanged)
+    "recommend_coverage" -> raw"""
+      WITH inter AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM inter a JOIN inter b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      scored AS (
+        SELECT s.i AS item, s.j AS rec_item,
+          CAST(floor(CAST(s.c AS DOUBLE) /
+            (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE))) * 1e6
+            + 0.5) AS BIGINT) AS cos_e6
+        FROM sym s JOIN cnt ni ON ni.item = s.i JOIN cnt nj ON nj.item = s.j),
+      rk AS (
+        SELECT rec_item FROM (
+          SELECT item, rec_item, CAST(row_number() OVER (PARTITION BY item
+            ORDER BY cos_e6 DESC, rec_item) AS INT) AS rank
+          FROM scored) WHERE rank <= 10),
+      freq AS (SELECT rec_item, CAST(COUNT(*) AS BIGINT) AS f
+               FROM rk GROUP BY 1),
+      ranked AS (
+        SELECT f, CAST(row_number() OVER (ORDER BY f, rec_item)
+          AS BIGINT) AS i
+        FROM freq),
+      ag AS (SELECT CAST(SUM(f) AS BIGINT) AS s,
+               CAST(SUM(i * f) AS BIGINT) AS wf,
+               CAST(COUNT(*) AS BIGINT) AS m
+             FROM ranked),
+      cat AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS cn FROM inter)
+      SELECT cat.cn AS catalog_items, ag.m AS recommended_items,
+        CAST(ag.m * 1000000 // cat.cn AS BIGINT) AS coverage_ppm,
+        CAST((2 * ag.wf - (ag.m + 1) * ag.s) * 1000000 // (ag.m * ag.s)
+          AS BIGINT) AS gini_ppm
+      FROM ag, cat""",
 
     // preference pairs: per user, cross-level item pairs (purchase >
     // click > view; level = max engagement) after the deterministic

@@ -654,6 +654,38 @@ object Recommend {
     }
   }
 
+  /** COVERAGE / CONCENTRATION audit of the CF recommendation lists —
+    * the standard recsys health readout ("do recommendations span
+    * the catalog or funnel everyone to the same head items?"): one
+    * row with the catalog size, how many distinct items appear in
+    * any top-k list, coverage as ppm, and the GINI concentration of
+    * recommendation frequency — exact integer algebra end to end:
+    * with per-item frequencies f ranked ascending (ties by item —
+    * equal-f permutations leave Σi·f unchanged, so the rank
+    * tie-break cannot move the sum), G = (2·Σi·f − (m+1)·Σf) /
+    * (m·Σf) scaled to ppm by one positive floor division. The
+    * frequency rank is a GLOBAL window over ≤ catalog rows —
+    * catalog-bounded, never corpus-bounded (documented; the same
+    * bound as the model itself). */
+  def recommendCoverage(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = interactions(graft.Tables.events(s, d)).localCheckpoint()
+    val catalogN = inter.select(col("item")).distinct().count()
+    val recs = topKFromCounts(pairCounts(inter), itemCounts(inter), k,
+      ordered = false)
+    val freq = recs.groupBy(col("rec_item")).agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("i",
+      row_number().over(Window.orderBy(col("f"), col("rec_item")))
+        .cast("long"))
+    ranked
+      .agg(sum(col("f")).as("s"), sum(col("i") * col("f")).as("wf"),
+        count(lit(1)).as("m"))
+      .select(lit(catalogN).as("catalog_items"),
+        col("m").as("recommended_items"),
+        expr(s"m * 1000000 div $catalogN").as("coverage_ppm"),
+        expr("(2 * wf - (m + 1) * s) * 1000000 div (m * s)").as("gini_ppm"))
+  }
+
   /** PREFERENCE-PAIR mining — the reward-model training-data op
     * (RLHF data construction applied to engagement): within each
     * user, every pair of items the user engaged at DIFFERENT

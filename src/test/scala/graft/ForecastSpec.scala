@@ -692,6 +692,37 @@ class ForecastSpec extends SparkSpec {
     assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
   }
 
+  test("recommendation coverage: a symmetric triangle covers the catalog with zero gini; natural readout stays consistent") {
+    import spark.implicits._
+    // users form a 3-cycle of co-occurrences: every item co-occurs
+    // once with each other item, so every top-k list is symmetric —
+    // coverage exactly 1e6 ppm and recommendation frequency is
+    // uniform, which the exact-integer gini must score EXACTLY 0
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L),
+      (3L, 30L), (3L, 10L))
+    val ev = rows.zipWithIndex.map { case ((u, i), eid) =>
+      (eid.toLong, u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "view", 1.0, s"""{"k": $i}""")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("cov").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Recommend.recommendCoverage(spark, dir).collect().head
+    assert(r.getAs[Long]("catalog_items") == 3L)
+    assert(r.getAs[Long]("recommended_items") == 3L)
+    assert(r.getAs[Long]("coverage_ppm") == 1000000L)
+    assert(r.getAs[Long]("gini_ppm") == 0L)
+    // natural corpus: one row, coverage consistent with the counts,
+    // gini within [0, 1e6)
+    val n = Recommend.recommendCoverage(spark, sf).collect()
+    assert(n.length == 1)
+    val nr = n.head
+    assert(nr.getAs[Long]("coverage_ppm") ==
+      nr.getAs[Long]("recommended_items") * 1000000L /
+        nr.getAs[Long]("catalog_items"))
+    val g = nr.getAs[Long]("gini_ppm")
+    assert(g >= 0L && g < 1000000L)
+  }
+
   test("preference pairs: cross-level pairs with max-engagement levels, bounded per user by the md5 cap") {
     import spark.implicits._
     // user 1: purchase 10, click 20, view 30 — and ALSO views item
