@@ -54,6 +54,8 @@ object SparkEntry {
       operators.Recommend.preferencePairs(s, d)),
     "recommend_coverage" -> ((s, d) =>
       operators.Recommend.recommendCoverage(s, d)),
+    "recommend_cold_start" -> ((s, d) =>
+      operators.Recommend.recommendColdStart(s, d)),
     "recommend_markov2"  -> ((s, d) =>
       operators.Recommend.recommendMarkov2(s, d)),
     "recommend_markov2_eval" -> ((s, d) =>
@@ -1307,6 +1309,47 @@ object SparkEntry {
     // stationary distribution of the browsing chain — weighted
     // pagerank over transitions, 10 unrolled iterations
     "markov_stationary" -> markovStationaryOracleSql(10),
+
+    // cold-start content fallback: the 10 coldest catalog items by
+    // total co-occurrence support (ties by item), each with its
+    // exact cosine top-5 over CATALOG item embeddings (the
+    // ann_bruteforce recipe)
+    "recommend_cold_start" -> raw"""
+      WITH inter AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS item
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      pairs AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+        FROM inter a JOIN inter b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, c FROM pairs
+              UNION ALL SELECT j AS i, i AS j, c FROM pairs),
+      catalog AS (SELECT DISTINCT item FROM inter),
+      warm AS (SELECT i AS item, CAST(SUM(c) AS BIGINT) AS w
+               FROM sym GROUP BY 1),
+      cold AS (
+        SELECT c.item, CAST(COALESCE(w.w, 0) AS BIGINT) AS warmth
+        FROM catalog c LEFT JOIN warm w ON w.item = c.item
+        ORDER BY warmth, c.item LIMIT 10),
+      q AS (SELECT c.item AS query_id, c.warmth, e.embedding AS qvec
+            FROM cold c JOIN embeddings e ON e.vec_id = c.item),
+      cand AS (SELECT e.vec_id AS neighbor_id, e.embedding AS nvec
+               FROM embeddings e JOIN catalog ct ON ct.item = e.vec_id),
+      scored AS (
+        SELECT q.query_id, q.warmth, c.neighbor_id,
+          round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                       CAST(c.nvec AS DOUBLE[])), 6)
+            AS cos_sim
+        FROM cand c CROSS JOIN q WHERE c.neighbor_id <> q.query_id)
+      SELECT query_id AS item, warmth, rank, neighbor_id AS rec_item,
+        cos_sim
+      FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY item, rank""",
 
     // coverage/concentration audit of the CF top-10 lists: distinct
     // recommended items vs catalog (ppm) + the exact-integer gini of

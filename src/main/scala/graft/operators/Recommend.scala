@@ -654,6 +654,51 @@ object Recommend {
     }
   }
 
+  /** COLD-START content fallback — the classic answer to the CF
+    * hole: an item with little co-occurrence support cannot be
+    * recommended-for from behavior, so serve it CONTENT neighbors
+    * instead (its embedding's nearest catalog items — the
+    * content-based bridge every production recommender keeps next to
+    * its CF model). The readout takes the `nCold` COLDEST catalog
+    * items by total pair support (warmth = Σ co-occurrence counts
+    * touching the item, 0 when none; ties by item — always
+    * non-empty, unlike a support=0 cut) and emits each one's exact
+    * cosine top-k over the CATALOG's item embeddings (the
+    * ann_bruteforce 6-dp + id tie-break recipe).
+    *
+    * Scale shape: warmth is a catalog-bounded aggregate; the coldest
+    * set is an orderBy().limit() TakeOrdered (never a global
+    * row_number); candidate scoring rides
+    * [[Similarity.exhaustivePairsFor]]'s exhaustive bucket EQUI-join
+    * (the ann_prefix hash-join precedent — no cartesian) restricted
+    * to catalog embeddings, so the pair fan-out is nCold × catalog. */
+  def recommendColdStart(s: SparkSession, d: String, nCold: Int = 10,
+                         k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = interactions(graft.Tables.events(s, d)).localCheckpoint()
+    val catalog = inter.select(col("item")).distinct().localCheckpoint()
+    val p = pairCounts(inter)
+    val warmth = catalog.join(
+        symPairs(p).groupBy(col("i").as("item")).agg(sum(col("c")).as("w")),
+        Seq("item"), "left")
+      .select(col("item"), coalesce(col("w"), lit(0L)).as("warmth"))
+    val cold = warmth.orderBy(col("warmth"), col("item")).limit(nCold)
+      .localCheckpoint()
+    val coldIds = cold.select(col("item")).collect().map(_.getLong(0)).toSeq
+    val scored = Similarity.exhaustivePairsFor(s, d, coldIds)
+      .join(catalog.withColumnRenamed("item", "neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.CosineSimilarity.cosineSim(col("qv"),
+          col("v")), 6).as("cos_sim"))
+    Similarity.topKPerQuery(scored, k)
+      .join(cold.withColumnRenamed("item", "query_id"), Seq("query_id"))
+      .select(col("query_id").as("item"), col("warmth"), col("rank"),
+        col("neighbor_id").as("rec_item"), col("cos_sim"))
+      .orderBy(col("item"), col("rank"))
+  }
+
   /** COVERAGE / CONCENTRATION audit of the CF recommendation lists —
     * the standard recsys health readout ("do recommendations span
     * the catalog or funnel everyone to the same head items?"): one

@@ -692,6 +692,41 @@ class ForecastSpec extends SparkSpec {
     assert(recs.toSet == expected, "pruned serve diverged from the full-model replay")
   }
 
+  test("cold-start fallback serves the provably coldest items content neighbors from the catalog") {
+    import spark.implicits._
+    val got = Recommend.recommendColdStart(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byItem = got.groupBy(_.getAs[Long]("item"))
+    assert(byItem.size == 10, s"expected 10 cold items, got ${byItem.size}")
+    // the chosen set IS the bottom-10 of the recomputed warmth order
+    val inter = Recommend.interactions(Tables.events(spark, sf))
+      .localCheckpoint()
+    val catalog = inter.select(col("item")).distinct()
+      .as[Long].collect().toSet
+    val w = Recommend.pairCounts(inter).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(2),
+        r.getLong(1) -> r.getLong(2)))
+      .groupBy(_._1).map { case (i, cs) => i -> cs.map(_._2).sum }
+    val expected = catalog.toSeq
+      .map(i => (w.getOrElse(i, 0L), i)).sorted.take(10)
+      .map { case (wm, i) => i -> wm }.toMap
+    byItem.foreach { case (i, rs) =>
+      assert(expected.contains(i), s"item $i is not among the coldest 10")
+      rs.foreach(r => assert(r.getAs[Long]("warmth") == expected(i)))
+      // each list: 5 catalog neighbors, never self, ranked by
+      // (cos desc, rec_item)
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length)
+        && rs.length == 5)
+      byRank.foreach { r =>
+        val rec = r.getAs[Long]("rec_item")
+        assert(rec != i && catalog.contains(rec)) }
+      val keys = byRank.map(r => (-r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("rec_item"))).toSeq
+      assert(keys == keys.sorted)
+    }
+  }
+
   test("recommendation coverage: a symmetric triangle covers the catalog with zero gini; natural readout stays consistent") {
     import spark.implicits._
     // users form a 3-cycle of co-occurrences: every item co-occurs
