@@ -129,7 +129,12 @@ object Classify {
     * pivots it into a two-class log-odds. */
   def nbScores(model: DataFrame, classes: DataFrame,
                test: DataFrame): DataFrame =
-    nbScoresFromTokenCounts(model, classes, docTokenCounts(test),
+    // the test token counts feed two branches (the in-vocab total
+    // and the presence adjustments) — checkpoint once, or the test
+    // tokenize replays (the quality chain passes its own
+    // checkpointed count frame into the body below)
+    nbScoresFromTokenCounts(model, classes,
+      docTokenCounts(test).localCheckpoint(),
       test.select(col("doc_id")))
 
   /** The (doc_id, token, k) tokenize-and-count pass — split out so a
@@ -147,16 +152,23 @@ object Classify {
   private[functions] def nbScoresFromTokenCounts(
       model: DataFrame, classes: DataFrame, teCnt: DataFrame,
       testIds: DataFrame): DataFrame = {
+    // the model frame feeds FOUR actions/branches (the two scalar
+    // aggregates inside nbClassScalars, the distinct-token side of
+    // the in-vocab total, and the presence-adjustment join): when it
+    // arrives as the in-query nbCounts lineage, each one replays the
+    // train-corpus tokenize — checkpoint once (for the stored-model
+    // serve this just pins the small vocab-sized parquet read)
+    val m = model.localCheckpoint()
     // bounded collect: one row per label (curated enum)
     val scalars = nbClassScalars(
-      model.select(col("label"), col("token"), col("cnt")), classes).collect()
+      m.select(col("label"), col("token"), col("cnt")), classes).collect()
     val classArr = array(scalars.map { r =>
       struct(lit(r.getString(0)).as("label"),
         lit(r.getLong(1)).as("prior_e9"), lit(r.getLong(2)).as("lp0_e9"))
     }.toSeq: _*)
     // in-vocabulary token total per doc (class-independent): join the
     // distinct-token side of the model, not the (class, token) rows
-    val nd = teCnt.join(model.select(col("token")).distinct(), "token")
+    val nd = teCnt.join(m.select(col("token")).distinct(), "token")
       .groupBy(col("doc_id")).agg(sum(col("k")).as("nd"))
     // presence adjustments: shuffle join on token (model is
     // vocab-sized at scale — the bigram-LM co-partitioned shape);
@@ -164,7 +176,7 @@ object Classify {
     // doc-token < 1e12, w_e9 < 4e10 — both comfortably inside) and
     // sums exactly in decimal, one cast back at the end (|score| <
     // 2^62 for any doc under ~10^8 in-vocab tokens)
-    val adj = teCnt.join(model.select(col("token"), col("label"), col("w_e9")), "token")
+    val adj = teCnt.join(m.select(col("token"), col("label"), col("w_e9")), "token")
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("k").cast(DecimalType(12, 0)) *
         col("w_e9").cast(DecimalType(12, 0))).as("adj_dec"))

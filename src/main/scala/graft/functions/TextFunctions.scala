@@ -312,10 +312,16 @@ object TextFunctions {
       .flatMap { case (id, t) =>
         (0 until t.length - 1).iterator.map(i => (id, t.substring(i, i + 2))) }
       .toDF("doc_id", "bg")
+    // per-doc total as a window over the counted frame, not a
+    // second aggregate joined back: the self-join shape recomputed
+    // the whole char-bigram explode for the totals branch (lineage
+    // replay — no ReuseExchange here), the window reuses the one
+    // counted frame and adds a doc_id-partitioned pass
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
     val cnts = bg.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = cnts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
-    cnts.join(tot, "doc_id")
+    cnts.withColumn("total", sum(col("cnt")).over(byDoc))
       .select(col("doc_id"), col("total"),
         (col("cnt").cast(DecimalType(9, 0)) *
           (round(log(col("total")), 9).cast(DecimalType(13, 9)) -
@@ -631,10 +637,21 @@ object TextFunctions {
   def ngramLmHeldOut(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val (model, ctx) = ngramLmModel(docBigrams(train))
+    // ONE bigram-window pass for model, ctx and the scoring side
+    // (previously three: each replayed the tokenize + lead window +
+    // pre-agg — a shuffle-bearing subtree, which is exactly the
+    // class where an eager checkpoint wins; the train carve is a
+    // whole-doc filter, which commutes with the per-doc window).
+    // The vocab count stays a LAZY separate explode: it is a
+    // scan-only subtree, and materializing the token stream for it
+    // measured SLOWER than recomputing it (A/B'd at sf0.1 — the
+    // checkpoint barrier serializes what 32 cores overlap).
+    val bgAll = docBigrams(docs).localCheckpoint()
+    val trainBg = bgAll.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = ngramLmModel(trainBg)
     val vocab = train.select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t"))).head.getLong(0)
-    ngramLmScoreHeldOutExact(docBigrams(docs), model, ctx, vocab)
+    ngramLmScoreHeldOutExact(bgAll, model, ctx, vocab)
   }
 
   /** Exact-decimal core of [[ngramLmHeldOut]] (α fixed at 0.25; the
@@ -823,10 +840,15 @@ object TextFunctions {
     * doc_id % 50 ≠ 0). */
   def minkProbOn(docs: DataFrame): DataFrame = {
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val (model, ctx) = ngramLmModel(docBigrams(train))
+    // one checkpointed bigram pass feeds model/ctx/scoring (three
+    // shuffle-bearing replays before — the ngramLmHeldOut share);
+    // vocab stays a lazy scan-only explode (the A/B'd rule)
+    val bgAll = docBigrams(docs).localCheckpoint()
+    val trainBg = bgAll.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = ngramLmModel(trainBg)
     val vocab = train.select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t"))).head.getLong(0)
-    minkProbExact(docBigrams(docs), model, ctx, vocab)
+    minkProbExact(bgAll, model, ctx, vocab)
   }
 
   /** Exact-decimal core of [[minkProb]] (α fixed at 0.25, k% at 20%). */
@@ -882,12 +904,17 @@ object TextFunctions {
   def ngramLmInterp(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val (model, ctx) = ngramLmModel(docBigrams(train))
+    // one checkpointed bigram pass feeds model/ctx/scoring (the
+    // ngramLmHeldOut share — shuffle-bearing subtree); uni/stats
+    // stay lazy scan-only explodes (the A/B'd rule)
+    val bgAll = docBigrams(docs).localCheckpoint()
+    val trainBg = bgAll.filter(col("doc_id") % 50 =!= 0)
+    val (model, ctx) = ngramLmModel(trainBg)
     val uni = train.select(explode(tokens(col("text"))).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("ucnt"))
     val stats = train.select(explode(tokens(col("text"))).as("t"))
       .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v")).head()
-    ngramLmInterpExact(docBigrams(docs), model, ctx, uni,
+    ngramLmInterpExact(bgAll, model, ctx, uni,
       stats.getAs[Long]("n"), stats.getAs[Long]("v"))
   }
 
@@ -947,7 +974,12 @@ object TextFunctions {
   def ngramLmKn(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val trainBg = docBigrams(train)
+    // one checkpointed bigram pass feeds model/cstat/cont/
+    // bigramTypes and the scoring side (five shuffle-bearing
+    // replays before — the ngramLmHeldOut share); vocab stays a
+    // lazy scan-only explode (the A/B'd rule)
+    val bgAll = docBigrams(docs).localCheckpoint()
+    val trainBg = bgAll.filter(col("doc_id") % 50 =!= 0)
     val model = trainBg.groupBy(col("bigram")).agg(sum(col("k")).as("cnt"))
     val cstat = trainBg.groupBy(col("w1"))
       .agg(sum(col("k")).as("ctx"), countDistinct(col("bigram")).as("n1fwd"))
@@ -958,7 +990,7 @@ object TextFunctions {
     val bigramTypes = model.count()
     val vocab = train.select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t"))).head.getLong(0)
-    ngramLmKnExact(docBigrams(docs), model, cstat, cont, bigramTypes, vocab)
+    ngramLmKnExact(bgAll, model, cstat, cont, bigramTypes, vocab)
   }
 
   /** Exact-decimal core of [[ngramLmKn]] (D fixed at 0.75). */
@@ -994,12 +1026,16 @@ object TextFunctions {
     ngramLmScore(Tables.documents(s, d))
 
   /** Self-trained composition (the oracle-gated query): trains on the
-    * input corpus and scores it. Lineage recomputes the explode per
-    * aggregate here; the production path materializes `ngramLmModel`
-    * once instead (see its Scaladoc) — that artifact split, not a
-    * cache, is the scale answer. */
+    * input corpus and scores it. The doc-bigram frame feeds THREE
+    * plan branches (model, ctx, the scoring join), so it is eagerly
+    * checkpointed once — lineage would replay the corpus
+    * tokenize + lead window per branch (measured: the r17 plan
+    * showed the documents scan 6×; the ≥3-branch rule). The
+    * production path still materializes `ngramLmModel` as a parquet
+    * artifact (see its Scaladoc) — the checkpoint is the in-query
+    * form's answer, the artifact split the cross-run one. */
   def ngramLmScore(docs: DataFrame): DataFrame =
-    ngramLmScoreOnBg(docBigrams(docs))
+    ngramLmScoreOnBg(docBigrams(docs).localCheckpoint())
 
   /** [[ngramLmScore]] body over a precomputed doc-bigram frame. */
   private[functions] def ngramLmScoreOnBg(docBg: DataFrame): DataFrame = {

@@ -1134,7 +1134,12 @@ object Curate {
   def dsirSelect(docs: DataFrame,
                  targetPred: org.apache.spark.sql.Column,
                  m: Int = DsirBuckets, k: Int = DsirTopK): DataFrame = {
-    val feats = dsirDocFeats(docs, m)
+    // the feature frame feeds THREE plan branches (λ's raw agg, λ's
+    // target agg, the scoring join) — eagerly checkpointed once, or
+    // the md5 tokenize-and-hash corpus pass replays per branch (the
+    // ≥3-branch rule; the production path's write/read λ artifact
+    // already avoids this across runs)
+    val feats = dsirDocFeats(docs, m).localCheckpoint()
     dsirScore(feats, dsirLambda(feats, targetPred, m))
       .orderBy(col("slw").desc, col("doc_id"))
       .limit(k)

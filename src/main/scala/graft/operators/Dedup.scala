@@ -1457,6 +1457,11 @@ object Dedup {
     minhashCandidates(withPlants(Tables.documents(s, d)))
 
   def minhashCandidates(docs: DataFrame): DataFrame = {
+    // deliberately NOT checkpointed: both join sides replay the
+    // signature scan, but it is a scan-only typed map — the lazy
+    // sides run concurrently across cores, and an eager
+    // materialization barrier measured SLOWER at sf0.1 (r17 A/B:
+    // dedup_minhash 0.81→0.91s with a checkpoint here)
     val buckets = minhashBands(docs)
     buckets.as("x").join(buckets.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
