@@ -806,8 +806,10 @@ object Recommend {
     val n = nodes.count()
     val base = (3L * Scale) / (20L * n)
     var pr = nodes.select(col("item"), lit(Scale / n).as("pr"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // linear chain — periodic checkpoint only (the pagerankOn rule:
+    // each iteration's frame is consumed exactly once by the next,
+    // so per-iteration barriers serialized ten jobs for nothing)
+    for (i <- 1 to iters) {
       val inflow = edges
         .join(pr.withColumnRenamed("item", "src"), Seq("src"))
         .select(col("dst").as("item"), expr("(pr div tc) * c").as("sh"))
@@ -815,7 +817,8 @@ object Recommend {
       pr = nodes.join(inflow, Seq("item"), "left")
         .select(col("item"), (lit(base) +
           expr("(17 * coalesce(insum, CAST(0 AS BIGINT))) div 20")).as("pr"))
-        .localCheckpoint()
+      if (i % graft.operators.Similarity.PrCkEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
     }
     pr.select(col("item"), col("pr").as("pr_e12"),
         round(col("pr").cast("double") / lit(1e12), 6).as("stationary"))

@@ -2986,26 +2986,37 @@ object Similarity {
     * their actual out-degree. */
   def pagerankOn(edges: DataFrame, nodes: DataFrame,
                  iters: Int = PrIters): DataFrame = {
-    val n = nodes.count()
+    // nodes is consumed per iteration plus the count — pin it once
+    // (it was a fresh scan per iteration before)
+    val nd = nodes.localCheckpoint()
+    val n = nd.count()
     val base = (3L * PrScale) / (20L * n)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    var ranks = nodes.select(col("vec_id"), lit(PrScale / n).as("pr"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var ranks = nd.select(col("vec_id"), lit(PrScale / n).as("pr"))
+    for (i <- 1 to iters) {
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst").as("vec_id"), expr("pr div deg").as("share"))
         .groupBy(col("vec_id")).agg(sum(col("share")).as("in_sum"))
-      ranks = nodes.join(contrib, Seq("vec_id"), "left")
+      ranks = nd.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"), (lit(base) +
           expr("(17 * coalesce(in_sum, CAST(0 AS BIGINT))) div 20")).as("pr"))
-        .localCheckpoint()
+      // the rank chain is LINEAR (each iteration's frame is consumed
+      // exactly once by the next), so no per-iteration checkpoint is
+      // needed for recompute protection — one barrier every few
+      // iterations just bounds plan depth/codegen size; ten barriers
+      // serialized the whole loop into ten jobs (A/B'd at sf0.1)
+      if (i % PrCkEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("vec_id"), col("pr").as("pr_e12"),
         round(col("pr").cast("double") / lit(1e12), 6).as("pagerank"))
       .orderBy(col("vec_id"))
   }
+
+  /** Checkpoint cadence for the linear Pregel-style loops — lineage
+    * hygiene only (correctness never depends on it). */
+  private[graft] val PrCkEvery = 5
 
   // ---- graph_label_prop: semi-supervised label propagation ---------------
 
@@ -3063,8 +3074,13 @@ object Similarity {
     // (the per-round joins would otherwise re-derive the whole kNN
     // graph each iteration: the pagerankOn lineage rule)
     val e = edges.filter(unlabeledSrc).localCheckpoint()
-    var labels = seeds.localCheckpoint()
+    val sd = seeds.localCheckpoint() // re-unioned every round
+    var labels: DataFrame = sd
     var assigned: DataFrame = null
+    // the round chain is linear (each round's frames are consumed
+    // once by the next), so the per-round checkpoints were pure
+    // barriers — at the fixed 3 rounds the whole propagation now
+    // plans as one job (see pagerankOn)
     for (_ <- 1 to rounds) {
       assigned = e
         .join(labels.withColumnRenamed("vec_id", "dst"), Seq("dst"))
@@ -3076,9 +3092,7 @@ object Similarity {
           .as("m"))
         .select(col("src").as("vec_id"), col("m.label").as("label"),
           (-col("m.nv")).as("votes"))
-        .localCheckpoint()
-      labels = seeds.unionByName(assigned.select(col("vec_id"), col("label")))
-        .localCheckpoint()
+      labels = sd.unionByName(assigned.select(col("vec_id"), col("label")))
     }
     assigned.orderBy(col("vec_id"))
   }
@@ -4827,8 +4841,7 @@ object Similarity {
       .localCheckpoint()
     var ranks = seeded.select(col("vec_id"),
       when(col("is_seed") === 1, lit(r0)).otherwise(lit(0L)).as("pr"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst").as("vec_id"), expr("pr div deg").as("share"))
@@ -4838,7 +4851,8 @@ object Similarity {
           (when(col("is_seed") === 1, lit(base)).otherwise(lit(0L)) +
             expr("(17 * coalesce(in_sum, CAST(0 AS BIGINT))) div 20"))
             .as("pr"))
-        .localCheckpoint()
+      // linear chain — periodic checkpoint only (see pagerankOn)
+      if (i % PrCkEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("vec_id"), col("pr").as("pr_e12"),
         round(col("pr").cast("double") / lit(1e12), 6).as("ppr"))
