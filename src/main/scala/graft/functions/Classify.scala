@@ -257,8 +257,12 @@ object Classify {
     * sklearn zero_division=0 convention) rather than NULL/NaN. */
   def classifyNbF1(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // joined feeds two aggregate branches (truth and predN) —
+    // checkpoint or the whole classify chain's post-checkpoint tail
+    // replays per branch (shuffle-bearing; the r17 checkpoint rule)
     val joined = classifyNb(s, d)
       .join(docs.select(col("doc_id"), col("lang").as("label")), "doc_id")
+      .localCheckpoint()
     val truth = joined.groupBy(col("label"))
       .agg(count(lit(1)).as("true_n"),
         sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))

@@ -2870,9 +2870,13 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     val srcPool = emb.filter(col("vec_id") % 2 === 0)
     val tgtPool = emb.filter(col("vec_id") % 2 === 1)
+    // fwd feeds two branches (the per-source average and the margin
+    // join) — checkpoint or the whole forward bucket-join + top-k
+    // window replays (shuffle-bearing; the r17 checkpoint rule)
     val fwd = crossPoolKnn(srcPool, tgtPool, cents, k, nprobe)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
         col("cos_sim"))
+      .localCheckpoint()
     val bwd = crossPoolKnn(tgtPool, srcPool, cents, k, nprobe)
     def avgNN(knn: DataFrame, idCol: String) = knn
       .groupBy(col("query_id").as(idCol))
