@@ -539,15 +539,22 @@ object Recommend {
         Seq("user_id", "rec_item"), "left_anti")
     val wU = Window.partitionBy(col("user_id"))
       .orderBy(col("score_e6").desc, col("rec_item"))
+    // each ranked list feeds TWO branches (the fusion union and its
+    // own held-item rank join) — checkpoint both or the full CF-vote
+    // / Markov ranking chains (windows + joins) replay per branch
+    // (the r17 checkpoint rule; the before plan read 56 ExistingRDD
+    // scans / 100 Exchanges from exactly this)
     val cfList = votes.withColumn("rank", row_number().over(wU))
       .filter(col("rank") <= depth)
       .select(col("user_id").as("query_id"), col("rec_item").as("doc_id"),
         col("rank"))
+      .localCheckpoint()
     val mkRanked = markovTopK(transitionsFromSeq(trainEv), depth,
       ordered = false)
     val mkList = ctx.join(mkRanked, col("ctx_item") === col("item"))
       .select(col("user_id").as("query_id"), col("next_item").as("doc_id"),
         col("rank"))
+      .localCheckpoint()
     // k = 2·depth keeps the fused ranking UNCUT (each user fuses at
     // most 2·depth candidates) — the held item's fused rank must be
     // reportable even when it sits below the serving cut
