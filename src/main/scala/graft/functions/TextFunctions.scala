@@ -902,19 +902,18 @@ object TextFunctions {
     * unigram-vocab join; train totals are two bounded driver scalars
     * (the bm25 nDocs precedent). */
   def ngramLmInterp(s: SparkSession, d: String): DataFrame = {
+    // deliberately LAZY throughout: the bgAll checkpoint that wins
+    // for the sibling scorers measured 1.3× SLOWER here in the r17
+    // min-aggregate A/B (this chain's extra uni join keeps the
+    // lazy replays overlapped; the barrier serializes them)
     val docs = Tables.documents(s, d)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-    // one checkpointed bigram pass feeds model/ctx/scoring (the
-    // ngramLmHeldOut share — shuffle-bearing subtree); uni/stats
-    // stay lazy scan-only explodes (the A/B'd rule)
-    val bgAll = docBigrams(docs).localCheckpoint()
-    val trainBg = bgAll.filter(col("doc_id") % 50 =!= 0)
-    val (model, ctx) = ngramLmModel(trainBg)
+    val (model, ctx) = ngramLmModel(docBigrams(train))
     val uni = train.select(explode(tokens(col("text"))).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("ucnt"))
     val stats = train.select(explode(tokens(col("text"))).as("t"))
       .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v")).head()
-    ngramLmInterpExact(bgAll, model, ctx, uni,
+    ngramLmInterpExact(docBigrams(docs), model, ctx, uni,
       stats.getAs[Long]("n"), stats.getAs[Long]("v"))
   }
 
@@ -1108,9 +1107,20 @@ object TextFunctions {
     * both models are write-once ngramLmModel artifacts — the scoring
     * is then two broadcast-joined passes) + ONE doc_id equi-join. */
   def selectLearnability(s: SparkSession, d: String): DataFrame = {
-    val self = ngramLmScore(s, d)
+    // BOTH LM chains score the same corpus: materialize the shared
+    // doc-bigram frame ONCE and feed the two scoring cores — calling
+    // ngramLmScore + ngramLmHeldOut would each checkpoint an
+    // identical docBigrams frame (two materializations of the same
+    // pass, measured 1.17× in the r17 min-aggregate A/B)
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bgAll = docBigrams(docs).localCheckpoint()
+    val (hModel, hCtx) = ngramLmModel(bgAll.filter(col("doc_id") % 50 =!= 0))
+    val vocab = train.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    val self = ngramLmScoreOnBg(bgAll)
       .select(col("doc_id"), col("avg_neg_logp").as("self_nll"))
-    val ref = ngramLmHeldOut(s, d)
+    val ref = ngramLmScoreHeldOutExact(bgAll, hModel, hCtx, vocab)
       .select(col("doc_id"), col("avg_neg_logp").as("ref_nll"))
     self.join(ref, "doc_id")
       .withColumn("delta", round(col("self_nll") - col("ref_nll"), 6))

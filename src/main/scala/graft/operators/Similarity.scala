@@ -2871,12 +2871,13 @@ object Similarity {
     val srcPool = emb.filter(col("vec_id") % 2 === 0)
     val tgtPool = emb.filter(col("vec_id") % 2 === 1)
     // fwd feeds two branches (the per-source average and the margin
-    // join) — checkpoint or the whole forward bucket-join + top-k
-    // window replays (shuffle-bearing; the r17 checkpoint rule)
+    // join), but checkpointing it measured 1.4× SLOWER in the full
+    // bench (r17 min-aggregate A/B): the replayed subtree is
+    // dominated by the scan-only typed code maps, the
+    // checkpoint-loses class — left lazy deliberately
     val fwd = crossPoolKnn(srcPool, tgtPool, cents, k, nprobe)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
         col("cos_sim"))
-      .localCheckpoint()
     val bwd = crossPoolKnn(tgtPool, srcPool, cents, k, nprobe)
     def avgNN(knn: DataFrame, idCol: String) = knn
       .groupBy(col("query_id").as(idCol))
