@@ -2143,13 +2143,31 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
                           reliable: Boolean = false): DataFrame = {
-    val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
-    val sym = cpRound(
-      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))), reliable)
-    var labels = cpRound(sym.select(col("u").as("node")).distinct()
-      .withColumn("cluster_id", col("node")), reliable)
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
+    // Pair generation is shuffle-bearing for every caller (band
+    // joins, salted LSH self-joins, mutual-kNN joins), and the
+    // symmetrizing union evaluates its input once PER BRANCH
+    // (ReuseExchange does not fire across aliased subtrees here —
+    // r12/r17): checkpoint the pair list once and keep the union
+    // LAZY over it — the replay is then a scan of cached blocks
+    // (the r17 rule: checkpoint shuffle-bearing replays, leave
+    // scan-only replays lazy).
+    val ep = cpRound(
+      pairs.select(col("d1").as("u"), col("d2").as("v")), reliable)
+    val sym = ep.unionByName(ep.select(col("v").as("u"), col("u").as("v")))
+    // Round 1 fused into initialization: label(u) = min(u, min of u's
+    // neighbors) — algebraically identical to labels=self followed by
+    // one propagation round (groupBy-min over self ∪ neighbor labels:
+    // every node of sym appears as u, so the groups coincide), but as
+    // ONE aggregation: no distinct exchange, no round-1 join, one
+    // fewer checkpoint barrier (guide §2.4 — remove shuffles outright).
+    var labels = cpRound(sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u").as("node"),
+        least(col("u"), col("mv")).as("cluster_id")), reliable)
+    var prevSum: java.math.BigDecimal =
+      labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var iter = 1
     var done = false
     // maxIters buys maxIters PROPAGATION rounds; the sum-equality
     // check needs one extra no-change round to confirm, hence the +1

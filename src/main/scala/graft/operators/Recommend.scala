@@ -699,7 +699,7 @@ object Recommend {
       .select(col("query_id"), col("neighbor_id"),
         round(graft.functions.CosineSimilarity.cosineSim(col("qv"),
           col("v")), 6).as("cos_sim"))
-    Similarity.topKPerQuery(scored, k)
+    Similarity.topKPerQuery(scored, k, ordered = false)
       .join(cold.withColumnRenamed("item", "query_id"), Seq("query_id"))
       .select(col("query_id").as("item"), col("warmth"), col("rank"),
         col("neighbor_id").as("rec_item"), col("cos_sim"))

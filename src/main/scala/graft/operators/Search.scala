@@ -571,7 +571,7 @@ object Search {
     val semScored = Similarity.exhaustivePairsFor(s, d, qids)
       .select(col("query_id"), col("neighbor_id"),
         round(cosSim(col("qv"), col("v")), 6).as("cos_sim"))
-    val sem = Similarity.topKPerQuery(semScored, depth)
+    val sem = Similarity.topKPerQuery(semScored, depth, ordered = false)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, sem), k, weights)
   }

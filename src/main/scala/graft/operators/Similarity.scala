@@ -36,10 +36,11 @@ object Similarity {
     * bounded buffers, map-side partial top-k, no per-group sort (the
     * window/row_number alternative sorts each query's whole candidate
     * list before discarding all but k). */
-  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int,
+                                  ordered: Boolean = true): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val top = scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => graft.functions.TopK.Scored(t._2, t._3))
@@ -47,7 +48,13 @@ object Similarity {
       .flatMap { case (qid, arr) =>
         arr.iterator.zipWithIndex.map { case (sc, i) => (qid, sc.id, sc.score, i + 1) } }
       .toDF("query_id", "neighbor_id", "cos_sim", "rank")
-      .orderBy(col("query_id"), col("rank"))
+    // ordered=false for INTERIOR consumers (shortlists feeding a
+    // rerank join, edge frames feeding loops/aggregations): the next
+    // operator destroys order anyway, and behind a localCheckpoint
+    // Catalyst cannot eliminate the sort — skipping it drops a range
+    // exchange + the range-partitioner sampling job (guide §2.4).
+    // Rank values are unaffected (the aggregator's array is sorted).
+    if (ordered) top.orderBy(col("query_id"), col("rank")) else top
   }
 
   /** Brute-force top-k: broadcast the (small) query set, one pass
@@ -112,7 +119,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cos(slice(col("qv"), 1, prefixDims),
           slice(col("v"), 1, prefixDims)), 6).as("cos_sim"))
-    val top = topKPerQuery(pre, cand).select("query_id", "neighbor_id")
+    val top = topKPerQuery(pre, cand, ordered = false).select("query_id", "neighbor_id")
     pqRerank(top, Tables.embeddings(s, d).filter(col("vec_id") < nQueries),
       Tables.embeddings(s, d), k)
   }
@@ -902,7 +909,7 @@ object Similarity {
     val pre = c.select(col("query_id"), col("neighbor_id"),
       round(cos(slice(col("qv"), 1, prefixDims),
         slice(col("v"), 1, prefixDims)), 6).as("cos_sim"))
-    val top = topKPerQuery(pre, cand).select("query_id", "neighbor_id")
+    val top = topKPerQuery(pre, cand, ordered = false).select("query_id", "neighbor_id")
     pqRerank(top, Tables.embeddings(s, d).filter(col("vec_id") < nQueries),
       Tables.embeddings(s, d), k)
   }
@@ -940,7 +947,7 @@ object Similarity {
     val pre = candf.select(col("query_id"), col("vec_id").as("neighbor_id"),
       round(cos(slice(col("qv"), 1, prefixDims),
         slice(col("embedding"), 1, prefixDims)), 6).as("cos_sim"))
-    val top = topKPerQuery(pre, cand).select("query_id", "neighbor_id")
+    val top = topKPerQuery(pre, cand, ordered = false).select("query_id", "neighbor_id")
     val qv = queries.select(col("query_id"), col("embedding").as("qv"))
     val nv = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("v"))
@@ -1176,7 +1183,7 @@ object Similarity {
       }
     }.toDF("query_id", "neighbor_id", "adc")
     topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
-      col("adc").cast("double").as("cos_sim")), cand)
+      col("adc").cast("double").as("cos_sim")), cand, ordered = false)
       .select(col("query_id"), col("neighbor_id"))
   }
 
@@ -1312,7 +1319,7 @@ object Similarity {
       }
     }.toDF("query_id", "neighbor_id", "adc")
     val top = topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
-      col("adc").cast("double").as("cos_sim")), cand)
+      col("adc").cast("double").as("cos_sim")), cand, ordered = false)
       .select(col("query_id"), col("neighbor_id"))
     pqRerank(top, emb.filter(col("vec_id") < nQueries), emb, k)
   }
@@ -1413,7 +1420,7 @@ object Similarity {
         }
       }.toDF("query_id", "neighbor_id", "adc")
     val top = topKPerQuery(adc.select(col("query_id"), col("neighbor_id"),
-      col("adc").cast("double").as("cos_sim")), cand)
+      col("adc").cast("double").as("cos_sim")), cand, ordered = false)
       .select(col("query_id"), col("neighbor_id"))
     pqRerank(top,
       queryFrame.select(col("query_id").as("vec_id"), col("embedding")),
@@ -2695,13 +2702,18 @@ object Similarity {
     * probe mechanics; recall@5 reported per round in Bench's
     * knn_graph channel, floored at 0.8 by RecallSpec). */
   def knnGraph(s: SparkSession, d: String, k: Int = KnnK,
-               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame =
-    knnGraphOn(Tables.embeddings(s, d), ivfCentroids(s, d, nlist), k, nprobe)
+               nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+               ordered: Boolean = true): DataFrame =
+    knnGraphOn(Tables.embeddings(s, d), ivfCentroids(s, d, nlist), k, nprobe,
+      ordered)
 
   /** [[knnGraph]] over an explicit embedding frame + trained
-    * centroids (the Scale10 probe entry point). */
+    * centroids (the Scale10 probe entry point). `ordered=false` for
+    * interior consumers (loops, CC, artifact writes) that destroy
+    * order immediately — see [[topKPerQuery]]. */
   def knnGraphOn(emb: DataFrame, cents: Array[Array[Double]],
-                 k: Int = KnnK, nprobe: Int = IvfNprobe): DataFrame = {
+                 k: Int = KnnK, nprobe: Int = IvfNprobe,
+                 ordered: Boolean = true): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)
@@ -2719,8 +2731,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("vec_id"))
       .select(col("vec_id").as("query_id"), col("neighbor_id"),
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-    topKPerQuery(scoredPairs, k).withColumnRenamed("query_id", "vec_id")
-      .orderBy(col("vec_id"), col("rank"))
+    val top = topKPerQuery(scoredPairs, k, ordered = false)
+      .withColumnRenamed("query_id", "vec_id")
+    if (ordered) top.orderBy(col("vec_id"), col("rank")) else top
   }
 
   /** DuckDB oracle for [[knnGraph]]: [[annIvfOracleSql]] with the
@@ -2861,7 +2874,7 @@ object Similarity {
       .join(probes, Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-    topKPerQuery(scoredPairs, k)
+    topKPerQuery(scoredPairs, k, ordered = false)
   }
 
   def mineBitextOn(emb: DataFrame, cents: Array[Array[Double]],
@@ -2979,7 +2992,7 @@ object Similarity {
   def graphPagerank(s: SparkSession, d: String, k: Int = KnnK,
                     nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
                     iters: Int = PrIters): DataFrame = {
-    val edges = knnGraph(s, d, k, nlist, nprobe)
+    val edges = knnGraph(s, d, k, nlist, nprobe, ordered = false)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     val nodes = Tables.embeddings(s, d).select(col("vec_id"))
     pagerankOn(edges, nodes, iters)
@@ -3061,7 +3074,7 @@ object Similarity {
                      nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
                      rounds: Int = LpRounds): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val edges = knnGraph(s, d, k, nlist, nprobe)
+    val edges = knnGraph(s, d, k, nlist, nprobe, ordered = false)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     labelPropOn(edges,
       emb.filter(col("vec_id") % 5 =!= 0).select(col("vec_id"), col("label")),
@@ -3236,7 +3249,7 @@ object Similarity {
         topCentroids(bc.value, v, nprobe).iterator.map(b => (id, b)) }
       .toDF("vec_id", "probed").repartition(col("probed"))
       .write.mode("overwrite").partitionBy("probed").parquet(s"$dir/probes")
-    knnGraphOn(emb, cents, k, nprobe)
+    knnGraphOn(emb, cents, k, nprobe, ordered = false)
       .join(assigned.select(col("vec_id").as("neighbor_id"),
         col("bucket").as("n_bucket")), Seq("neighbor_id"))
       .withColumn("_eb", (col("vec_id") % GraphEb).cast("int"))
@@ -3329,7 +3342,8 @@ object Similarity {
       cand.hint("shuffle_hash").join(batchProbes, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("vec_id"))
         .select(col("vec_id").as("query_id"), col("neighbor_id"),
-          round(cos(col("qv"), col("v")), 6).as("cos_sim")), k)
+          round(cos(col("qv"), col("v")), 6).as("cos_sim")), k,
+      ordered = false)
       .withColumnRenamed("query_id", "vec_id")
       .join(nbCand, Seq("neighbor_id"))
     // 2. affected standing nodes (exclude replayed batch ids)
@@ -3361,7 +3375,8 @@ object Similarity {
       oldPart.join(affIds, Seq("vec_id"), "left_semi")
         .select(col("vec_id").as("query_id"), col("neighbor_id"),
           col("cos_sim"))
-        .unionByName(newCand.withColumnRenamed("vec_id", "query_id")), k)
+        .unionByName(newCand.withColumnRenamed("vec_id", "query_id")), k,
+      ordered = false)
       .withColumnRenamed("query_id", "vec_id")
     // merged neighbors are old neighbors (bucket on the stored edge
     // rows) or batch nodes — both mappings pruned, no nodes/ scan
@@ -3493,7 +3508,8 @@ object Similarity {
         .join(cand.hint("shuffle_hash"), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("vec_id"))
         .select(col("vec_id").as("query_id"), col("neighbor_id"),
-          round(cos(col("embedding"), col("v")), 6).as("cos_sim")), kk)
+          round(cos(col("embedding"), col("v")), 6).as("cos_sim")), kk,
+      ordered = false)
       .withColumnRenamed("query_id", "vec_id")
       .join(cand.select(col("neighbor_id"), col("bucket").as("n_bucket"))
         .distinct(), Seq("neighbor_id"))
@@ -3540,7 +3556,7 @@ object Similarity {
     * connectedComponentsSafe, the dedup_clusters path). */
   def knnComponents(s: SparkSession, d: String, k: Int = KnnK,
                     nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
-    val e = knnGraph(s, d, k, nlist, nprobe)
+    val e = knnGraph(s, d, k, nlist, nprobe, ordered = false)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
     val mutual = e.as("a").join(e.hint("shuffle_hash").as("b"),
@@ -3631,7 +3647,7 @@ object Similarity {
     * shuffle + one histogram agg over node-sized frames. */
   def knnHubness(s: SparkSession, d: String, k: Int = KnnK,
                  nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
-    val edges = knnGraph(s, d, k, nlist, nprobe)
+    val edges = knnGraph(s, d, k, nlist, nprobe, ordered = false)
       .select(col("neighbor_id"))
     val indeg = edges.groupBy(col("neighbor_id")).agg(count(lit(1)).as("deg"))
     Tables.embeddings(s, d).select(col("vec_id"))
@@ -4505,7 +4521,7 @@ object Similarity {
                        nprobe: Int = IvfNprobe): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val edges = knnGraphOn(emb, cents, deg, nprobe)
+    val edges = knnGraphOn(emb, cents, deg, nprobe, ordered = false)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
     val bcC = s.sparkContext.broadcast(cents)
@@ -4668,7 +4684,8 @@ object Similarity {
           vecs))
       frontier = topKPerQuery(cand
           .select(col("query_id"), col("node").as("neighbor_id"),
-            col("cos_e6").cast("double").as("cos_sim")), beam)
+            col("cos_e6").cast("double").as("cos_sim")), beam,
+        ordered = false)
         .select(col("query_id"), col("neighbor_id").as("node"),
           col("cos_sim").cast("long").as("cos_e6"))
         .localCheckpoint()
@@ -4820,7 +4837,7 @@ object Similarity {
   def graphPpr(s: SparkSession, d: String, k: Int = KnnK,
                nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
                iters: Int = PrIters): DataFrame = {
-    val edges = knnGraph(s, d, k, nlist, nprobe)
+    val edges = knnGraph(s, d, k, nlist, nprobe, ordered = false)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     val nodes = Tables.embeddings(s, d).select(col("vec_id"))
     personalizedPagerankOn(edges, nodes,
